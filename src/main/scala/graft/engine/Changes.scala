@@ -1,0 +1,66 @@
+package graft.engine
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The flagship transform: day-over-day change detection ("quantization") —
+  * reference `get_changed_scores` (client.py:453-475) re-expressed as ONE
+  * partitioned lag window over the whole date range instead of N−1 pairwise
+  * frame diffs (which in the reference silently drop the (1,2) pair —
+  * SURVEY.md §2.13.2).
+  *
+  * Semantics preserved exactly:
+  *   - `prev` = previous row's value within each key partition in date order
+  *     (client.py:462-466, `shift().over('cve')`);
+  *   - keep rows where `value − prev ≠ 0`; a key's FIRST row in the frame is
+  *     dropped too, because `lag` yields null ⇒ `null ≠ 0` ⇒ null ⇒ filtered
+  *     (client.py:470; Spark's null semantics match Polars here);
+  *   - baseline-day handling implements the *intent* of the reference's
+  *     `min_date -= timedelta(days=-1)` bug (client.py:213-214, SURVEY.md
+  *     §2.13.1): scan one day earlier than requested so the first requested
+  *     day has a diff baseline, then emit only `date >= minDate`.
+  *
+  * Scale: one hash exchange on the partition key (~300k distinct CVEs,
+  * no skew), window spills via UnsafeExternalSorter — no driver-side
+  * materialization anywhere.
+  */
+object Changes {
+
+  /** Generic change-only filter: keep rows whose `valueCol` differs from the
+    * previous row in the (`keyCol`, ordered by `orderCol`) partition.
+    */
+  def changedRows(df: DataFrame, keyCol: String, orderCols: Seq[String], valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    df.withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(col(valueCol) - col("__prev") =!= 0)
+      .drop("__prev")
+  }
+
+  /** EPSS-shaped quantization over the canonical snapshot relation, with the
+    * corrected baseline-day semantics. `df` must already cover
+    * [minDate − 1 day, maxDate] (ScoreStore.read handles that).
+    */
+  def changedScores(df: DataFrame, minDate: Option[LocalDate] = None): DataFrame = {
+    val changed = changedRows(df, Schemas.Cve, Seq(Schemas.Date), Schemas.Epss)
+    val clipped = minDate.fold(changed)(d => changed.filter(col(Schemas.Date) >= lit(java.sql.Date.valueOf(d))))
+    clipped
+      .select(Schemas.scoreColumns.map(col): _*)                       // P1
+      .orderBy(col(Schemas.Date).asc, col(Schemas.Cve).desc)           // O1 intent
+  }
+
+  /** Dense reconstruction from a change log: forward-fill each key's last
+    * seen value onto a provided date spine — the inverse of quantization,
+    * used by the property tests (SURVEY.md §5.2.3).
+    */
+  def forwardFill(changes: DataFrame, spine: DataFrame): DataFrame = {
+    val w = Window.partitionBy(Schemas.Cve).orderBy(Schemas.Date)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(changes, Seq(Schemas.Date, Schemas.Cve), "left")
+      .withColumn(Schemas.Epss, last(Schemas.Epss, ignoreNulls = true).over(w))
+      .withColumn(Schemas.Percentile, last(Schemas.Percentile, ignoreNulls = true).over(w))
+      .filter(col(Schemas.Epss).isNotNull)
+  }
+}

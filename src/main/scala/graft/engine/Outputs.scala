@@ -1,0 +1,26 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.IO
+
+/** Result sinks (S4/S6/S7 — cli.py:166-182, util.py:33-52).
+  *
+  * `table` = console pretty-print (`pl.Config.set_tbl_rows(-1)` means the
+  * reference prints ALL rows, cli.py:15-16 — here capped by default; pass
+  * n = Int.MaxValue for strict parity on small results). `json` console sink
+  * relies on Spark rendering DateType as ISO-8601, which subsumes the
+  * reference's custom encoder (json_encoder.py:5-9).
+  */
+object Outputs {
+
+  def show(df: DataFrame, n: Int = 1000): Unit = df.show(n, truncate = false)
+
+  /** S7: JSONL lines to the console — for small results only (driver-side). */
+  def showJsonl(df: DataFrame, n: Int = 1000): Unit =
+    df.limit(n).toJSON.collect().foreach(println)
+
+  /** File sinks: csv / json(l) / parquet via the shared IO layer. */
+  def write(df: DataFrame, path: String, format: String, singleFile: Boolean = false): Unit =
+    IO.write(df, path, Some(format), singleFile)
+}

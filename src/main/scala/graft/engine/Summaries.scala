@@ -1,0 +1,60 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared analytic surface (reference TODO.md:6-28; SURVEY.md §2.5):
+  * per-key summaries, lookback columns, per-date cardinality growth. All
+  * groupBy/window primitives — partial aggregation, hash-vs-sort agg and
+  * spilling are Spark built-ins.
+  */
+object Summaries {
+
+  /** Per-key min/max/first/last/count over an ordered history. `min_by` /
+    * `max_by` on the order column give deterministic first/last without a
+    * window pass (one hash aggregation, no sort).
+    */
+  def perKey(df: DataFrame, key: String, orderCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      min(valueCol).as("min_value"),
+      max(valueCol).as("max_value"),
+      min_by(col(valueCol), col(orderCol)).as("first_value"),
+      max_by(col(valueCol), col(orderCol)).as("last_value"),
+      count(lit(1)).as("n_rows"))
+
+  /** Lookback columns: value k observations back per key (TODO.md:10-19's
+    * 1/3/7/30/...-day lookbacks). One window, one shuffle, all lags computed
+    * in a single pass.
+    */
+  def lookbacks(df: DataFrame, key: String, orderCol: String, valueCol: String,
+                lags: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCol)
+    lags.foldLeft(df) { (acc, k) =>
+      acc.withColumn(s"${valueCol}_lag_$k", lag(col(valueCol), k).over(w))
+    }
+  }
+
+  /** Per-date cardinality + day-over-day growth % (NOTES.md:15-31). */
+  def growth(df: DataFrame, dateCol: String): DataFrame = {
+    val w = Window.orderBy(dateCol)
+    df.groupBy(col(dateCol)).agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag("n", 1).over(w))
+      // exact IEEE double arithmetic (no round): deterministic across engines
+      .withColumn("growth_pct",
+        (col("n") - col("prev_n")) * lit(100.0) / col("prev_n"))
+  }
+
+  /** P7: round all (or the chosen) floating-point columns to n digits
+    * (util.py:181-189 rejig_dataframe_precision; default n=5,
+    * constants.py:48).
+    */
+  def rejigPrecision(df: DataFrame, n: Int = Schemas.ScorePrecision,
+                     cols: Option[Seq[String]] = None): DataFrame = {
+    val floatCols = cols.getOrElse(df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
+                f.dataType == org.apache.spark.sql.types.FloatType => f.name
+    }.toSeq)
+    floatCols.foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), n)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+import graft.engine.Schemas
+
+/** Columnar snapshot store (SURVEY.md §1.4).
+  *
+  * Layout: Hive-partitioned parquet `root/date=YYYY-MM-DD/part-*.parquet` so
+  * Catalyst prunes partitions on date predicates for free — the idiomatic
+  * twin of the reference's one-file-per-date naming
+  * `{workdir}/{YYYY-MM-DD}.parquet` (client.py:302-314). A flat-file layout
+  * reader is kept for compatibility (S5: date inferred from the filename,
+  * util.py:242-247).
+  */
+object ScoreStore {
+
+  private val DatePattern = "(\\d{4}-\\d{2}-\\d{2})"
+
+  /** Read the partitioned store, pruned to [min, max]. The range filter lands
+    * on the partition column, so only the needed `date=` directories are
+    * listed and scanned (PruneFileSourcePartitions).
+    */
+  def read(spark: SparkSession, root: String, min: LocalDate, max: LocalDate): DataFrame =
+    spark.read.parquet(root)
+      .withColumn(Schemas.Date, col(Schemas.Date).cast(DateType))
+      .filter(col(Schemas.Date).between(
+        lit(java.sql.Date.valueOf(min)), lit(java.sql.Date.valueOf(max))))
+      .select(Schemas.scoreColumns.map(col): _*)
+
+  /** Read with the quantization baseline: one extra day before `min` so the
+    * first requested day has a diff baseline (intent of client.py:213-214,
+    * SURVEY.md §2.13.1).
+    */
+  def readWithBaseline(spark: SparkSession, root: String, min: LocalDate, max: LocalDate): DataFrame =
+    read(spark, root, min.minusDays(1), max)
+
+  /** Write snapshots into the partitioned layout. Dynamic overwrite keeps
+    * re-ingest of one day idempotent without clobbering other partitions —
+    * the store-level twin of the reference's exists-check skip
+    * (client.py:142, 173-175).
+    */
+  def write(df: DataFrame, root: String): Unit =
+    df.write
+      .partitionBy(Schemas.Date)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(root)
+
+  /** S1: ingest one upstream snapshot CSV (optionally gzipped — Spark's CSV
+    * reader decompresses by extension). Post-2022 feed files carry a one-line
+    * `#model_version:...` comment header (client.py:185-188); Spark's
+    * `comment` option subsumes the reference's skip_rows logic. The date is
+    * stamped from the argument (client.py:478-496).
+    */
+  def ingestCsv(spark: SparkSession, path: String, date: LocalDate): DataFrame =
+    spark.read
+      .schema(Schemas.csvSchema)
+      .option("header", "true")
+      .option("comment", "#")
+      .csv(path)
+      .withColumn(Schemas.Date, lit(java.sql.Date.valueOf(date)))
+      .select(Schemas.scoreColumns.map(col): _*)
+
+  /** S5: flat-file layout — derive `date` from the filename
+    * (`epss_scores-YYYY-MM-DD.csv.gz` / `YYYY-MM-DD.parquet`), the Spark twin
+    * of util.py:242-247's regex inference.
+    */
+  def readFlatWithInferredDate(spark: SparkSession, glob: String, format: String = "parquet"): DataFrame = {
+    val base = format match {
+      case "csv" => spark.read.schema(Schemas.csvSchema)
+        .option("header", "true").option("comment", "#").csv(glob)
+      case "parquet" => spark.read.parquet(glob)
+      case "json" | "jsonl" => spark.read.schema(Schemas.csvSchema).json(glob)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    val withDate =
+      if (base.columns.contains(Schemas.Date)) base
+      else base.withColumn(Schemas.Date,
+        to_date(regexp_extract(input_file_name(), DatePattern, 1)))
+    withDate.select(Schemas.scoreColumns.map(col): _*)
+  }
+
+  /** Max date present in the store — the offline twin of the reference's
+    * network max-date discovery (client.py:386-402; SURVEY.md §7.6.4).
+    * Partition-column-only scan: no data files are read.
+    */
+  def maxDate(spark: SparkSession, root: String): Option[LocalDate] = {
+    val r = spark.read.parquet(root)
+      .select(max(col(Schemas.Date).cast(DateType))).head()
+    Option(r.getDate(0)).map(_.toLocalDate)
+  }
+}

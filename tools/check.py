@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: load each Verify output
+parquet, run the oracle SQL in DuckDB over the same testdata parquet tables,
+and compare (schema, rows, values) after sorting columns by name.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+(Run `sbt "runMain graft.Verify <sfDir> <out>"` first.)
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = f"{out_dir}/{name}"
+        if not Path(res_dir).exists():
+            print(f"FAIL {name}: no Verify output")
+            n_fail += 1
+            continue
+        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        grows = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
+        erows = [tuple(norm(v) for v in r) for r in exp.itertuples(index=False)]
+        ordered = grows == erows
+        unordered = sorted(map(repr, grows)) == sorted(map(repr, erows))
+        if ordered:
+            print(f"PASS {name} ({len(got)} rows, exact+ordered)")
+            n_pass += 1
+        elif unordered:
+            print(f"WARN {name}: values match but ROW ORDER differs")
+            n_fail += 1
+        else:
+            bad = [i for i, (a, b) in enumerate(zip(grows, erows)) if a != b][:3]
+            print(f"FAIL {name}: first diffs at rows {bad}")
+            for i in bad:
+                print(f"   got {grows[i]}")
+                print(f"   exp {erows[i]}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
