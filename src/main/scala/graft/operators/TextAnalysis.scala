@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All built from codegen'd `functions._` primitives — no
+  * UDFs, no driver-side loops; every op is a narrow per-row projection that
+  * scales linearly and pushes through whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Stopword markers for quality scoring (tiny deterministic set). */
+  val Stopwords: Seq[String] = Seq("a", "the", "and", "of", "to", "in")
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Whitespace tokens as an array column. */
+  def tokens(textCol: String): Column = split(col(textCol), " ")
+
+  /** Per-document stats: char length, whitespace-token count, a BPE-ish
+    * regex token count (letter runs / digit runs / single non-space symbols),
+    * stopword count and ratio, mean token length. Exact IEEE division only —
+    * deterministic across engines.
+    */
+  def textStats(df: DataFrame, idCol: String, textCol: String,
+                stopwords: Seq[String] = Stopwords): DataFrame =
+    df.withColumn("__toks", tokens(textCol))
+      .select(
+        col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("n_bpe_tokens"),
+        expr(s"size(filter(__toks, t -> t IN ${inList(stopwords)}))")
+          .cast("long").as("n_stopwords"),
+        (expr(s"size(filter(__toks, t -> t IN ${inList(stopwords)}))") /
+          size(col("__toks")).cast("double")).as("stopword_ratio"))
+
+  /** Quality-score projection (length / punctuation / stopword signals
+    * folded into one double in [0,1]-ish range) — composable with
+    * `textStats`; thresholds are caller policy, not engine policy.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = Stopwords): DataFrame =
+    df.withColumn("__toks", tokens(textCol))
+      .select(
+        col(idCol),
+        (least(size(col("__toks")).cast("double") / lit(100.0), lit(1.0)) *
+          when(size(col("__toks")) > 0,
+            lit(1.0) - expr(s"size(filter(__toks, t -> t IN ${inList(stopwords)}))") /
+              size(col("__toks")).cast("double") / lit(2.0))
+            .otherwise(lit(0.0))).as("quality"))
+
+  /** Language-ID heuristic: count marker-word hits per language, pick the
+    * max with a fixed priority order for ties (deterministic CASE chain).
+    * Falls back to "und" when no marker hits at all. The marker sets are the
+    * heuristic — n-gram models plug in the same shape.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "las", "que"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langId(df: DataFrame, idCol: String, textCol: String,
+             markers: Seq[(String, Seq[String])] = LangMarkers): DataFrame = {
+    val withToks = df.withColumn("__toks", tokens(textCol))
+    val scored = markers.foldLeft(withToks) { case (acc, (lang, ws)) =>
+      acc.withColumn(s"score_$lang",
+        expr(s"size(filter(__toks, t -> t IN ${inList(ws)}))").cast("long"))
+    }
+    // deterministic argmax: first language (in declared order) whose score
+    // is >= every other score and > 0
+    val scores = markers.map { case (l, _) => col(s"score_$l") }
+    val best = markers.zipWithIndex.foldRight(lit("und")) { case (((lang, _), i), els) =>
+      val mine = col(s"score_$lang")
+      val geAll = scores.foldLeft(lit(true))((c, s) => c && mine >= s)
+      when(mine > 0 && geAll, lit(lang)).otherwise(els)
+    }
+    scored.select((col(idCol) +: markers.map { case (l, _) => col(s"score_$l") }) :+
+      best.as("predicted_lang"): _*)
+  }
+
+  /** Document fingerprint: winnowing-style minimum over the rolling window
+    * of word n-gram hashes — robust to local edits, one string per doc,
+    * joinable for dedup. (Reference surface: SURVEY.md §7.5 text ops.)
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("__toks", tokens(textCol))
+      .select(col(idCol),
+        expr(s"array_min(transform(sequence(0, greatest(size(__toks)-$n, 0)), " +
+          s"i -> md5(array_join(slice(__toks, i+1, $n), ' '))))").as("fingerprint"))
+}
