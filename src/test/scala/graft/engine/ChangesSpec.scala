@@ -1,0 +1,77 @@
+package graft.engine
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the flagship quantization transform — the SURVEY.md §2.13
+  * traps each get an explicit check.
+  */
+class ChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  // a tiny dense score matrix: CVE A changes on day 3; CVE B never changes;
+  // CVE C first appears on day 2 and changes on day 3
+  private lazy val dense = Seq(
+    Score(d("2024-01-01"), "CVE-A", 0.10, 0.5),
+    Score(d("2024-01-02"), "CVE-A", 0.10, 0.5),
+    Score(d("2024-01-03"), "CVE-A", 0.20, 0.6),
+    Score(d("2024-01-01"), "CVE-B", 0.30, 0.7),
+    Score(d("2024-01-02"), "CVE-B", 0.30, 0.7),
+    Score(d("2024-01-03"), "CVE-B", 0.30, 0.7),
+    Score(d("2024-01-02"), "CVE-C", 0.40, 0.8),
+    Score(d("2024-01-03"), "CVE-C", 0.45, 0.9)
+  ).toDF()
+
+  test("changedRows keeps only rows whose value differs from the previous row per key") {
+    val out = Changes.changedRows(dense, "cve", Seq("date"), "epss")
+      .select("cve", "date").as[(String, Date)].collect().toSet
+    // F5: lag=null on each key's first row ⇒ dropped (null != 0 is null)
+    assert(out == Set(("CVE-A", d("2024-01-03")), ("CVE-C", d("2024-01-03"))))
+  }
+
+  test("changedScores clips to minDate (corrected baseline-day semantics, SURVEY §2.13.1)") {
+    // scan covers the baseline day 01-02; request starts 01-03
+    val out = Changes.changedScores(dense, Some(java.time.LocalDate.parse("2024-01-03")))
+    val rows = out.as[Score].collect()
+    assert(rows.forall(!_.date.before(d("2024-01-03"))))
+    assert(rows.map(_.cve).toSet == Set("CVE-A", "CVE-C"))
+  }
+
+  test("changedScores orders by (date asc, cve desc) with canonical columns (O1/P1)") {
+    val out = Changes.changedScores(dense)
+    assert(out.columns.toSeq == Seq("date", "cve", "epss", "percentile"))
+    val rows = out.as[Score].collect()
+    assert(rows.map(r => (r.date.toString, r.cve)).toSeq ==
+      rows.map(r => (r.date.toString, r.cve)).sortBy { case (dt, c) => (dt, negate(c)) }.toSeq)
+  }
+
+  private def negate(s: String): String = // descending string order helper
+    s.map(c => (255 - c.toInt).toChar)
+
+  test("forwardFill reconstructs the dense matrix from each key's first change onward") {
+    val changes = Changes.changedRows(dense, "cve", Seq("date"), "epss")
+    // spine = all (date, cve) combos present in dense
+    val spine = dense.select("date", "cve")
+    val filled = Changes.forwardFill(changes, spine)
+      .select("date", "cve", "epss").as[(Date, String, Double)].collect().toSet
+    // CVE-A is reconstructable from 01-03 (its first change); same for C
+    assert(filled.contains((d("2024-01-03"), "CVE-A", 0.20)))
+    assert(filled.contains((d("2024-01-03"), "CVE-C", 0.45)))
+    // B never changed ⇒ never reconstructable (dropped, epss null)
+    assert(!filled.exists(_._2 == "CVE-B"))
+  }
+
+  test("quantization is idempotent: changes of changes = changes") {
+    val once = Changes.changedRows(dense, "cve", Seq("date"), "epss")
+    val twice = Changes.changedRows(once, "cve", Seq("date"), "epss")
+    // each key's first row in `once` is dropped again, so twice ⊆ once with
+    // first-sightings removed — for our fixture each key has exactly one
+    // change row, so twice is empty
+    assert(twice.count() == 0)
+  }
+}

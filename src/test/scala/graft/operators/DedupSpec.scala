@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (3L, "completely different words entirely here now"),
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to one group") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    val dup = g.filter($"n_copies" === 2).select("canonical_id").as[Long].collect()
+    assert(dup.toSeq == Seq(0L))
+  }
+
+  test("shingles builds distinct word n-grams") {
+    val sh = Dedup.shingles(docs.filter($"doc_id" === 4), "doc_id", "text", 2)
+    assert(sh.as[(Long, String)].collect().toSet == Set((4L, "short text")))
+  }
+
+  test("minhash signatures are identical for identical docs") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val s0 = sigs.filter($"doc_id" === 0).drop("doc_id").collect()(0)
+    val s2 = sigs.filter($"doc_id" === 2).drop("doc_id").collect()(0)
+    assert(s0 == s2)
+  }
+
+  test("lshCandidates surfaces the exact-dup and near-dup pairs, not the unrelated doc") {
+    val cands = Dedup.lshCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 2L)))       // identical ⇒ all bands collide
+    assert(!cands.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("nearDups verifies candidates with exact Jaccard") {
+    val nd = Dedup.nearDups(docs, "doc_id", "text", minJaccard = 0.99)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((0L, 2L)))            // only the exact dup has J = 1.0
+    val loose = Dedup.nearDups(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((0L, 1L)) || !Dedup.lshCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet.contains((0L, 1L)))
+    // (0,1) share 7/9 bigrams ⇒ J ≈ 0.78 — included iff LSH banded them
+  }
+
+  test("jaccard values are exact set ratios") {
+    val pairs = Seq((0L, 2L)).toDF("doc_a", "doc_b")
+    val j = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+}

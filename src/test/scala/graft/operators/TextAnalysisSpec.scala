@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "der hund und die katze"),
+    (2L, "xyzzy plugh")
+  ).toDF("doc_id", "text")
+
+  test("textStats counts tokens, chars, stopwords") {
+    val s = TextAnalysis.textStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r0 = s(0)
+    assert(r0.getAs[Long]("n_chars") == 22L)
+    assert(r0.getAs[Long]("n_tokens") == 6L)
+    assert(r0.getAs[Long]("n_stopwords") == 2L)   // "the" ×2
+    assert(math.abs(r0.getAs[Double]("stopword_ratio") - 2.0 / 6.0) < 1e-15)
+  }
+
+  test("langId picks the max-scoring language with deterministic ties") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "de")   // der/und/die = 3 German markers
+    assert(out(2L) == "und")  // no markers at all
+  }
+
+  test("fingerprint is stable for identical docs and differs across docs") {
+    val two = Seq((0L, "a b c d e"), (1L, "a b c d e"), (2L, "v w x y z"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(two, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L) != fps(2L))
+  }
+
+  test("qualityScore lands in [0,1]") {
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select("quality").as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
