@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorOps
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Baseline: brute-force cosine top-k — a broadcast cross join of the
@@ -25,26 +27,32 @@ object Similarity {
   /** Elementwise widen to double. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Sequential-fold dot product — deterministic (left-to-right). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-to-right dot product — a native codegen'd expression
+    * (bit-identical to the `aggregate(zip_with(...))` fold it replaces).
+    */
+  def dot(a: Column, b: Column): Column = VectorOps.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (self-match excluded), rank-deterministic via (cos desc, id).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    // norms once per row on each side — the per-pair kernel is ONE native
+    // dot product plus two multiplies, not three interpreted folds
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__cv"), col("__qv")))
+      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn")
@@ -56,10 +64,13 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("__va"))
+      .withColumn("__na", norm(col("__va")))
     val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("__vb"))
+      .withColumn("__nb", norm(col("__vb")))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("__va"), col("__vb")) > threshold)
+      // dot > t·‖a‖·‖b‖ avoids a per-pair division; same predicate
+      .filter(dot(col("__va"), col("__vb")) > lit(threshold) * col("__na") * col("__nb"))
       .select("id_a", "id_b")
   }
 
@@ -86,13 +97,15 @@ object Similarity {
               vecCol: String, k: Int, planes: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"),
       lshBucket(col(vecCol), planes).as("bucket"))
+      .withColumn("__cn", norm(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"),
       lshBucket(col(vecCol), planes).as("bucket"))
+      .withColumn("__qn", norm(col("__qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__cv"), col("__qv")))
+      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "rn")
