@@ -291,7 +291,40 @@ object SparkEntry {
     "q31_simhash64" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), SimHash64Expr.simhash64(split(col("text"), " ")).as("simhash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── S11 URL generator as a relation (client.py:292-330 iter_urls).
+    "q32_urls" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("b"))
+        .select(explode(sequence(date_sub(col("b"), 30), col("b"), expr("interval 1 day"))).as("d"))
+        .select(col("d"), concat(lit("https://epss.cyentia.com/epss_scores-"),
+          date_format(col("d"), "yyyy-MM-dd"), lit(".csv.gz")).as("url"))
+        .orderBy("d")),
+
+    // ── O6 head/limit: deterministic top-k (TakeOrderedAndProject).
+    "q33_limit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)),
+
+    // ── set op: intersect (customers ordering in both years).
+    "q34_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // ── anti join: customers with no recent orders (NOT EXISTS).
+    "q35_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val recent = t(s, dir, "orders").filter(year(col("o_orderdate")) >= 1999)
+      c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -487,7 +520,25 @@ object SparkEntry {
         |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
-        | FROM events) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+        | FROM events) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q32_urls" ->
+      """SELECT d, 'https://epss.cyentia.com/epss_scores-' || strftime(d, '%Y-%m-%d') || '.csv.gz' AS url
+        |FROM (SELECT CAST(unnest(generate_series(b - INTERVAL 30 DAY, b, INTERVAL 1 DAY)) AS DATE) AS d
+        |      FROM (SELECT CAST(max(o_orderdate) AS DATE) AS b FROM orders))
+        |ORDER BY d""".stripMargin,
+    "q33_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q34_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q35_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND year(o_orderdate) >= 1999)
+        |ORDER BY c_custkey""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
