@@ -324,7 +324,13 @@ object SparkEntry {
       c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
-    })
+    }),
+
+    // ── sessionization (gaps-and-islands twin of session_window; the two
+    // formulations are cross-checked in EventStreamsSpec).
+    "q36_sessionize" -> ((s, dir) =>
+      EventStreams.sessionizeGapsAndIslands(events(s, dir), gapSeconds = 1800L)
+        .orderBy("user_id", "session_start"))
   )
 
   private val threeWayJoinSql: String =
@@ -538,7 +544,19 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND year(o_orderdate) >= 1999)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q36_sessionize" ->
+      """SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        | SELECT user_id, ts, value,
+        |  sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM (SELECT user_id, event_id, ts, value,
+        |        lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |       FROM events))
+        |GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

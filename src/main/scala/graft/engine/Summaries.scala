@@ -35,6 +35,22 @@ object Summaries {
     }
   }
 
+  /** Calendar-day lookbacks (TODO.md's 1/3/7/30/...-DAY lookbacks, as-of by
+    * date rather than row offset): one partition/order pass, one
+    * `rangeBetween(-k,-k)` frame per k — the frame picks exactly the row k
+    * days back (null when that snapshot is missing). Assumes one row per
+    * (key, day), the EPSS snapshot invariant.
+    */
+  def lookbackByDays(df: DataFrame, key: String, dateCol: String, valueCol: String,
+                     days: Seq[Int]): DataFrame = {
+    val withDay = df.withColumn("__day",
+      datediff(col(dateCol), lit(java.sql.Date.valueOf("1970-01-01"))))
+    days.foldLeft(withDay) { (acc, k) =>
+      val w = Window.partitionBy(key).orderBy("__day").rangeBetween(-k, -k)
+      acc.withColumn(s"${valueCol}_${k}d_ago", last(valueCol).over(w))
+    }.drop("__day")
+  }
+
   /** Per-date cardinality + day-over-day growth % (NOTES.md:15-31). */
   def growth(df: DataFrame, dateCol: String): DataFrame = {
     val w = Window.orderBy(dateCol)

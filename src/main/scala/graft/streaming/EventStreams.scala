@@ -35,6 +35,37 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"))
 
+  /** Sessionization via the built-in `session_window` (works in batch AND
+    * streaming with a watermark): sessions close after `gap` of inactivity.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** The same sessions via gaps-and-islands (lag + running sum of
+    * new-session flags) — engine-portable SQL shape, used as the DuckDB
+    * oracle twin of `session_window` and cross-checked in tests.
+    */
+  def sessionizeGapsAndIslands(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("__new", when(col("__prev_us").isNull ||
+        unix_micros(col("ts")) - col("__prev_us") > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("__sid", sum("__new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select("user_id", "session_start", "n_events", "total_value")
+  }
+
   /** Run a streaming frame to completion against the memory sink (local
     * smoke path: a directory of parquet drives the stream synchronously).
     */

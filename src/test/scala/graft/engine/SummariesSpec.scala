@@ -1,0 +1,45 @@
+package graft.engine
+
+import java.sql.Date
+
+import graft.SparkSpec
+
+class SummariesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private lazy val hist = Seq(
+    Score(d("2024-01-01"), "CVE-A", 0.10, 0.5),
+    Score(d("2024-01-02"), "CVE-A", 0.20, 0.5),
+    Score(d("2024-01-04"), "CVE-A", 0.40, 0.5), // day 3 missing
+    Score(d("2024-01-08"), "CVE-A", 0.80, 0.5)
+  ).toDF()
+
+  test("lookbackByDays picks the value exactly k calendar days back (null when missing)") {
+    val out = Summaries.lookbackByDays(hist, "cve", "date", "epss", Seq(1, 7))
+      .orderBy("date")
+      .select($"date".cast("string"), $"epss_1d_ago", $"epss_7d_ago")
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", None, None),
+      ("2024-01-02", Some(0.10), None),
+      ("2024-01-04", None, None),           // 01-03 snapshot missing
+      ("2024-01-08", None, Some(0.10))))
+  }
+
+  test("rejigPrecision rounds all float columns to n digits (P7, util.py:181-189)") {
+    val df = Seq((1L, 0.123456789, 0.987654321)).toDF("id", "a", "b")
+    val out = Summaries.rejigPrecision(df, 5).as[(Long, Double, Double)].head()
+    assert(out == ((1L, 0.12346, 0.98765)))
+    val only = Summaries.rejigPrecision(df, 2, Some(Seq("a"))).as[(Long, Double, Double)].head()
+    assert(only == ((1L, 0.12, 0.987654321)))
+  }
+
+  test("perKey summary is deterministic via min_by/max_by on the order column") {
+    val out = Summaries.perKey(hist, "cve", "date", "epss").collect()(0)
+    assert(out.getAs[Double]("first_value") == 0.10)
+    assert(out.getAs[Double]("last_value") == 0.80)
+    assert(out.getAs[Long]("n_rows") == 4L)
+  }
+}

@@ -32,6 +32,28 @@ class EventStreamsSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("session_window and gaps-and-islands sessionization agree") {
+    val ev = Seq(
+      (0L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 1L, 2.0),  // same session
+      (2L, Timestamp.valueOf("2024-01-01 01:10:00"), 1L, 3.0),  // gap > 30min → new
+      (3L, Timestamp.valueOf("2024-01-01 00:05:00"), 2L, 4.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val a = EventStreams.sessionWindows(ev, "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select($"user_id", $"session_start".cast("string"), $"n_events", $"total_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val b = EventStreams.sessionizeGapsAndIslands(ev, 1800L)
+      .orderBy("user_id", "session_start")
+      .select($"user_id", $"session_start".cast("string"), $"n_events", $"total_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a == Seq(
+      (1L, "2024-01-01 00:00:00", 2L, 3.0),
+      (1L, "2024-01-01 01:10:00", 1L, 3.0),
+      (2L, "2024-01-01 00:05:00", 1L, 4.0)))
+  }
+
   test("streaming twin over a file source produces the same frame via memory sink") {
     val src = s"$tmp/events"
     batch.coalesce(1).write.mode("overwrite").parquet(src)
