@@ -92,11 +92,43 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
   }
 
-  /** Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard ≥ t. */
+  /** Exact Jaccard over a PRE-BUILT shingle table (lets callers reuse one
+    * shingle pass across the signature and verification branches).
+    */
+  def jaccardForPairsOn(sh: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val shA = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+      .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard ≥ t.
+    * The shingle table feeds three plan branches (signatures, intersection,
+    * sizes); recomputing the narrow explode per branch benchmarks faster
+    * here than caching it (columnar cache materialization + lost file-scan
+    * stats degrade the joins) — at 100 TB, materialize the shingle table to
+    * parquet once instead and feed all branches from that.
+    */
   def nearDups(df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
                n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val cands = lshCandidates(df, idCol, textCol, n, k, rowsPerBand)
-    jaccardForPairs(df, cands, idCol, textCol, n)
+    val sh = shingles(df, idCol, textCol, n)
+    val aggs = (0 until k).map(s => min(md5(concat(lit(s + ":"), col("shingle")))).as(s"mh_$s"))
+    val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bands = lshBands(sigs, idCol, k, rowsPerBand)
+    val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
+    val cands = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    jaccardForPairsOn(sh, cands, idCol)
       .filter(col("jaccard") >= minJaccard)
   }
 }

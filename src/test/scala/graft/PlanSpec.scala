@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+import graft.SparkSpec
+
+/** Physical-plan assertions — the 100 TB posture, checked mechanically:
+  * predicates reach the parquet scan, dim joins broadcast, the flagship
+  * window shuffles exactly once before its sort, scans prune columns.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    self.collect(pf) ++ self.subqueries.flatMap(collectAll(_)(pf))
+  }
+
+  private def scanMeta(name: String): Map[String, String] =
+    collectAll(plan(name)) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }.head
+
+  test("q03 pushes every range predicate into the parquet scan") {
+    val pushed = scanMeta("q03_filter_range")("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(pushed.contains("LessThanOrEqual(l_discount,0.08)"))
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,10.0)"))
+  }
+
+  test("q03 prunes the scan to exactly the referenced columns") {
+    val read = scanMeta("q03_filter_range")("ReadSchema")
+    // 5 projected + 1 filter column; no other lineitem columns read
+    assert(read.startsWith("struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"))
+  }
+
+  test("q06 plans a broadcast hash join for the dim side") {
+    val joins = collectAll(plan("q06_join_broadcast")) { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty)
+  }
+
+  test("q01 flagship: exactly one shuffle before the window, then the sort exchange") {
+    val p = plan("q01_changed_values")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1)
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // hash exchange for the window partition + range exchange for orderBy
+    assert(shuffles.size == 2, s"expected 2 exchanges, got ${shuffles.size}")
+  }
+
+  test("q25 pair scan broadcasts one side (no shuffled cartesian)") {
+    val p = plan("q25_embedding_neardup")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+  }
+
+  test("q33 limit compiles to TakeOrderedAndProject (no full sort materialization)") {
+    assert(plan("q33_limit").toString.contains("TakeOrderedAndProject"))
+  }
+}
