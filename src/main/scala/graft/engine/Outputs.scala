@@ -23,4 +23,16 @@ object Outputs {
   /** File sinks: csv / json(l) / parquet via the shared IO layer. */
   def write(df: DataFrame, path: String, format: String, singleFile: Boolean = false): Unit =
     IO.write(df, path, Some(format), singleFile)
+
+  /** S8 Excel sink — STUB (SURVEY.md §7.6.5): xlsx writing is out of Spark
+    * core and no workbook library ships in this environment; the reference
+    * (examples/get-excel-workbook-of-changed-epss-scores.py:44-49) drives it
+    * from a collected small result. CSV is the supported equivalent; this
+    * writes the documented CSV twin and fails loudly if asked for real xlsx.
+    */
+  def writeExcelStub(df: DataFrame, path: String): Unit = {
+    require(path.endsWith(".xlsx"),
+      s"excel sink expects an .xlsx path, got $path")
+    IO.write(df, path.stripSuffix(".xlsx") + ".csv", Some("csv"), singleFile = true)
+  }
 }

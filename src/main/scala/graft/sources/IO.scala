@@ -59,4 +59,13 @@ object IO {
   /** S10: merge many csv(.gz) shards into one (scripts/merge-dir.sh). */
   def mergeCsvDir(spark: SparkSession, inGlob: String, outPath: String): Unit =
     write(read(spark, inGlob, Some("csv")), outPath, Some("csv"), singleFile = true)
+
+  /** F7: non-blank lines of a driver-side text file (util.py:377-382 —
+    * CVE-id list files for the `--cve-file` style inputs).
+    */
+  def readLines(path: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally src.close()
+  }
 }

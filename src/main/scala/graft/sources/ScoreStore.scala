@@ -85,6 +85,25 @@ object ScoreStore {
     withDate.select(Schemas.scoreColumns.map(col): _*)
   }
 
+  /** S2: bulk idempotent ingest — fan one-day CSV ingests across a date
+    * range, skipping dates whose partition already exists (the store-level
+    * twin of the reference's exists-check skip, client.py:126-161). The
+    * per-file work is Spark-parallel; the loop is driver-side control only.
+    */
+  def ingestMany(spark: SparkSession, root: String,
+                 files: Seq[(LocalDate, String)]): Seq[LocalDate] = {
+    val done = new java.io.File(root) match {
+      case d if d.isDirectory =>
+        d.listFiles().map(_.getName).filter(_.startsWith("date="))
+          .map(_.stripPrefix("date=")).toSet
+      case _ => Set.empty[String]
+    }
+    files.filterNot { case (d, _) => done.contains(d.toString) }.map { case (d, path) =>
+      write(ingestCsv(spark, path, d), root)
+      d
+    }
+  }
+
   /** Max date present in the store — the offline twin of the reference's
     * network max-date discovery (client.py:386-402; SURVEY.md §7.6.4).
     * Partition-column-only scan: no data files are read.

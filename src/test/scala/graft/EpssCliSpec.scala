@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import graft.engine.Score
+import graft.sources.{IO, ScoreStore}
+
+/** CLI surface (cli.py:27-163 twin): scores / urls / date-range. */
+class EpssCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private lazy val store = {
+    val root = s"${Files.createTempDirectory("graft-cli-")}/store"
+    ScoreStore.write(Seq(
+      Score(d("2024-01-01"), "CVE-A", 0.10, 0.5),
+      Score(d("2024-01-02"), "CVE-A", 0.20, 0.6),
+      Score(d("2024-01-02"), "CVE-B", 0.30, 0.7)
+    ).toDF(), root)
+    root
+  }
+
+  private def captureOut(body: => Unit): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(body)
+    bos.toString("UTF-8")
+  }
+
+  test("scores --output writes the requested format") {
+    val out = s"${Files.createTempDirectory("graft-cli-out-")}/scores.csv"
+    EpssCli.run(spark, Seq("scores", "--store", store,
+      "--a", "2024-01-01", "--b", "2024-01-02",
+      "--min-epss", "0.15", "--output", out, "--output-format", "csv"))
+    val back = IO.read(spark, out, Some("csv"), Some(graft.engine.Schemas.scoreSchema))
+    assert(back.count() == 2) // 0.20 and 0.30 rows
+  }
+
+  test("scores --date collapses to min=max; --drop-unchanged quantizes") {
+    val out = s"${Files.createTempDirectory("graft-cli-out-")}/changes.parquet"
+    EpssCli.run(spark, Seq("scores", "--store", store,
+      "--date", "2024-01-02", "--drop-unchanged",
+      "--output", out, "--output-format", "parquet"))
+    val rows = spark.read.parquet(out).as[Score].collect()
+    // CVE-A changed on 01-02; CVE-B first sighting dropped (F5)
+    assert(rows.map(_.cve).toSeq == Seq("CVE-A"))
+  }
+
+  test("urls prints one feed url per day") {
+    val out = captureOut {
+      EpssCli.run(spark, Seq("urls", "--a", "2024-01-01", "--b", "2024-01-03"))
+    }
+    val lines = out.trim.split("\n")
+    assert(lines.length == 3)
+    assert(lines.head == "https://epss.cyentia.com/epss_scores-2024-01-01.csv.gz")
+  }
+
+  test("date-range reports the offline store max date") {
+    val out = captureOut {
+      EpssCli.run(spark, Seq("date-range", "--store", store))
+    }
+    assert(out.contains("\"max_date\": \"2024-01-02\""))
+  }
+
+  test("excel stub writes the documented csv twin") {
+    val dir = Files.createTempDirectory("graft-xlsx-").toString
+    graft.engine.Outputs.writeExcelStub(
+      ScoreStore.read(spark, store, java.time.LocalDate.parse("2024-01-01"),
+        java.time.LocalDate.parse("2024-01-02")), s"$dir/out.xlsx")
+    assert(IO.read(spark, s"$dir/out.csv", Some("csv"),
+      Some(graft.engine.Schemas.scoreSchema)).count() == 3)
+  }
+
+  test("ingestMany skips already-present dates (S2 idempotence)") {
+    val tmp = Files.createTempDirectory("graft-bulk-").toString
+    val csv = s"$tmp/feed.csv"
+    Files.writeString(java.nio.file.Paths.get(csv), "cve,epss,percentile\nCVE-X,0.5,0.9\n")
+    val root = s"$tmp/store"
+    val first = ScoreStore.ingestMany(spark, root, Seq(
+      (java.time.LocalDate.parse("2024-02-01"), csv),
+      (java.time.LocalDate.parse("2024-02-02"), csv)))
+    assert(first.map(_.toString) == Seq("2024-02-01", "2024-02-02"))
+    val second = ScoreStore.ingestMany(spark, root, Seq(
+      (java.time.LocalDate.parse("2024-02-01"), csv),
+      (java.time.LocalDate.parse("2024-02-03"), csv)))
+    assert(second.map(_.toString) == Seq("2024-02-03"))
+  }
+
+  test("readLines filters blank lines (F7)") {
+    val p = s"${Files.createTempDirectory("graft-lines-")}/ids.txt"
+    Files.writeString(java.nio.file.Paths.get(p), "CVE-1\n\n  \nCVE-2\n")
+    assert(IO.readLines(p) == Seq("CVE-1", "CVE-2"))
+  }
+}
