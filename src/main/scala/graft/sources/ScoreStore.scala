@@ -85,6 +85,31 @@ object ScoreStore {
     withDate.select(Schemas.scoreColumns.map(col): _*)
   }
 
+  /** 100 TB store layout: date-PARTITIONED and cve-BUCKETED. Date-range
+    * predicates prune partitions at the scan; the quantization window's
+    * hash-distribution requirement on `cve` is satisfied by the bucketing,
+    * so the flagship runs with NO shuffle of the dense data — the exchange
+    * is paid once at ingest and amortized over every subsequent query.
+    * Bucket count ≈ cluster cores at target scale (power of two).
+    */
+  def writeBucketedTable(df: DataFrame, table: String, buckets: Int): Unit =
+    df.write
+      .partitionBy(Schemas.Date)
+      .bucketBy(buckets, Schemas.Cve)
+      .sortBy(Schemas.Cve)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Pruned scan of the bucketed store (same contract as [[read]]). */
+  def readBucketedTable(spark: SparkSession, table: String,
+                        min: LocalDate, max: LocalDate): DataFrame =
+    spark.table(table)
+      .withColumn(Schemas.Date, col(Schemas.Date).cast(DateType))
+      .filter(col(Schemas.Date).between(
+        lit(java.sql.Date.valueOf(min)), lit(java.sql.Date.valueOf(max))))
+      .select(Schemas.scoreColumns.map(col): _*)
+
   /** S2: bulk idempotent ingest — fan one-day CSV ingests across a date
     * range, skipping dates whose partition already exists (the store-level
     * twin of the reference's exists-check skip, client.py:126-161). The

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface: the snapshot-append pattern of the EPSS
@@ -64,6 +64,28 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select("user_id", "session_start", "n_events", "total_value")
+  }
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserRunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state: per-user running totals via
+    * `mapGroupsWithState` — the KeyValueGroupedDataset state surface for
+    * semantics windows can't express (counters, custom session objects,
+    * online dedup sets). State lives in the state store per key; each
+    * micro-batch folds its new events into the carried state.
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserRunningTotal](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var (n, v) = state.getOption.getOrElse((0L, 0.0))
+          it.foreach { e => n += 1; v += e.value }
+          state.update((n, v))
+          UserRunningTotal(uid, n, v)
+      }
   }
 
   /** Run a streaming frame to completion against the memory sink (local

@@ -70,6 +70,22 @@ class ScoreStoreSpec extends SparkSpec {
     assert(df.as[Score].collect().toSeq == Seq(Score(d("2024-01-07"), "CVE-Z", 0.7, 0.9)))
   }
 
+  test("bucketed store: quantization window plans NO shuffle of the dense data") {
+    spark.sql("DROP TABLE IF EXISTS scores_bucketed")
+    ScoreStore.writeBucketedTable(threeDays.union(
+      Seq(Score(d("2024-01-01"), "CVE-B", 0.5, 0.5),
+        Score(d("2024-01-02"), "CVE-B", 0.6, 0.6)).toDF()), "scores_bucketed", 4)
+    val scan = spark.table("scores_bucketed")
+    val changed = graft.engine.Changes.changedRows(scan, "cve", Seq("date"), "epss")
+    val plan = changed.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"expected exchange-free window, got:\n$plan")
+    // and values are right: B changed on day 2, A on days 2 and 3
+    assert(changed.count() == 3)
+  }
+
   test("maxDate reads the store listing (offline max-date discovery)") {
     val root = s"$tmp/scores3"
     ScoreStore.write(threeDays, root)

@@ -54,6 +54,32 @@ class EventStreamsSpec extends SparkSpec {
       (2L, "2024-01-01 00:05:00", 1L, 4.0)))
   }
 
+  test("mapGroupsWithState carries per-user running totals across micro-batches") {
+    import EventStreams.{UserEvent, UserRunningTotal}
+    val dir = s"$tmp/state-src"
+    // two files → two micro-batches with maxFilesPerTrigger=1
+    Seq(UserEvent(1L, 1.0), UserEvent(2L, 5.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq(UserEvent(1L, 2.0)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[UserEvent].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .as[UserEvent]
+    val q = EventStreams.runningUserTotals(src).writeStream
+      .outputMode("update").format("memory").queryName("running").start()
+    try {
+      q.processAllAvailable()
+      val last = spark.table("running")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("v"))
+        .orderBy("user_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(last == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("streaming twin over a file source produces the same frame via memory sink") {
     val src = s"$tmp/events"
     batch.coalesce(1).write.mode("overwrite").parquet(src)
