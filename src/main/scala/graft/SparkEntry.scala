@@ -566,11 +566,14 @@ object SparkEntry {
       |FROM documents WHERE len(string_split(text,' ')) >= 2""".stripMargin
 
   private val minhashSigSql: String =
-    s"""SELECT doc_id, ${(0 until 8).map(i => s"min(md5('$i:' || shingle)) AS mh_$i").mkString(", ")}
-       |FROM ($shingleSql) GROUP BY doc_id""".stripMargin
+    s"""SELECT doc_id, ${(0 until 8).map(i =>
+         s"min((${2 * i + 1} * t + ${7919 * i}) % 1000003) AS mh_$i").mkString(", ")}
+       |FROM (SELECT doc_id, ('0x' || substr(md5(shingle),1,15))::BIGINT % 1000003 AS t
+       |      FROM ($shingleSql)) GROUP BY doc_id""".stripMargin
 
   private val bandsSql: String =
     (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band_id, md5(mh_${2 * b} || mh_${2 * b + 1}) AS bkey FROM sig"
+      s"SELECT doc_id, $b AS band_id, " +
+        s"md5(CAST(mh_${2 * b} AS VARCHAR) || ':' || CAST(mh_${2 * b + 1} AS VARCHAR)) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
 }

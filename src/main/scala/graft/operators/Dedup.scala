@@ -38,15 +38,33 @@ object Dedup {
         .as("shingle"))
       .distinct()
 
-  /** MinHash signature: k independent permutations approximated by
-    * `min(md5(seed || ':' || shingle))` — one groupBy with k min-aggregates,
+  /** MinHash prime field: small enough that (a·t + b) never overflows a
+    * 64-bit long in ANY engine (DuckDB errors on BIGINT overflow where the
+    * JVM would silently wrap — parity demands staying in range).
+    */
+  val MinhashP = 1000003L
+
+  /** One base hash per shingle: first 60 bits of md5, reduced mod P —
+    * hex-cast reproducible in any engine.
+    */
+  private def baseHash = conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+    .cast("long") % MinhashP
+
+  /** MinHash signature: k independent permutations from the classic
+    * `(a_s·t + b_s) mod p` family over ONE md5-derived base hash (8× less
+    * hashing than per-seed md5). One groupBy with k min-aggregates,
     * map-side combinable, no sort.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 2, k: Int = 8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val aggs = (0 until k).map(s => min(md5(concat(lit(s + ":"), col("shingle")))).as(s"mh_$s"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+                        n: Int = 2, k: Int = 8): DataFrame =
+    sigsFrom(shingles(df, idCol, textCol, n), idCol, k)
+
+  private def sigsFrom(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val withT = sh.withColumn("__t", baseHash)
+    val aggs = (0 until k).map { s =>
+      min((lit(2L * s + 1) * col("__t") + lit(7919L * s)) % MinhashP).as(s"mh_$s")
+    }
+    withT.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded signature rows: (id, band_id, band_key). k signature columns are
@@ -55,7 +73,8 @@ object Dedup {
   def lshBands(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val bands = (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      sigs.select(col(idCol), lit(b).as("band_id"), md5(concat(cols: _*)).as("band_key"))
+      sigs.select(col(idCol), lit(b).as("band_id"),
+        md5(concat_ws(":", cols: _*)).as("band_key"))
     }
     bands.reduce(_.unionByName(_))
   }
@@ -119,8 +138,7 @@ object Dedup {
   def nearDups(df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
                n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val aggs = (0 until k).map(s => min(md5(concat(lit(s + ":"), col("shingle")))).as(s"mh_$s"))
-    val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sigs = sigsFrom(sh, idCol, k)
     val bands = lshBands(sigs, idCol, k, rowsPerBand)
     val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
