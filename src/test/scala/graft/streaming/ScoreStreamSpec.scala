@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Date
+
+import graft.SparkSpec
+import graft.engine.{Changes, Score}
+
+/** Streaming quantization produces the same change log as the batch
+  * flagship, with state carried across micro-batches.
+  */
+class ScoreStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("stateful streaming change detection matches batch semantics across batches") {
+    val dir = s"${Files.createTempDirectory("graft-scorestream-")}/snaps"
+    // one file per snapshot day → one micro-batch per day (maxFilesPerTrigger=1)
+    val day1 = Seq(Score(d("2024-01-01"), "CVE-A", 0.10, 0.5),
+      Score(d("2024-01-01"), "CVE-B", 0.30, 0.7))
+    val day2 = Seq(Score(d("2024-01-02"), "CVE-A", 0.20, 0.6),
+      Score(d("2024-01-02"), "CVE-B", 0.30, 0.7))
+    val day3 = Seq(Score(d("2024-01-03"), "CVE-A", 0.20, 0.6),
+      Score(d("2024-01-03"), "CVE-B", 0.35, 0.8))
+    day1.toDS().coalesce(1).write.parquet(s"$dir/d1")
+    day2.toDS().coalesce(1).write.parquet(s"$dir/d2")
+    day3.toDS().coalesce(1).write.parquet(s"$dir/d3")
+
+    val q = ScoreStream.changedScoresStream(
+      ScoreStream.fromDirectory(spark, s"$dir/*"))
+      .writeStream.outputMode("append").format("memory").queryName("score_changes")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("score_changes").as[Score].collect()
+        .map(r => (r.date.toString, r.cve, r.epss)).sorted.toSeq
+
+      val batch = Changes.changedRows(
+        (day1 ++ day2 ++ day3).toDF(), "cve", Seq("date"), "epss")
+        .as[Score].collect()
+        .map(r => (r.date.toString, r.cve, r.epss)).sorted.toSeq
+
+      assert(streamed == batch)
+      assert(streamed == Seq(
+        ("2024-01-02", "CVE-A", 0.20),
+        ("2024-01-03", "CVE-B", 0.35)))
+    } finally q.stop()
+  }
+}
