@@ -9,15 +9,18 @@ import graft.sources.ScoreStore
 
 /** The reference's CLI surface (cli.py:27-163) re-expressed over the engine:
   *
-  *   scores --store DIR [-a MIN] [-b MAX] [--date D] [--drop-unchanged]
+  *   scores --store DIR [-a MIN] [-b MAX] [--date D] [--no-drop-unchanged]
   *          [--min-epss X] [--max-epss X] [--min-percentile X] [--max-percentile X]
   *          [--cve ID]... [--output-format table|csv|json|jsonl|parquet] [--output PATH]
-  *   urls [-a MIN] [-b MAX]
+  *   urls [-a MIN] [-b MAX | --date D]
   *   date-range --store DIR
   *
-  * `--date D` collapses to min=max (cli.py:93-95, 132-134). Max-date
-  * discovery is offline from the store listing (SURVEY.md §7.6.4). Output
-  * default is the console table with no row cap (cli.py:15-16).
+  * Quantization (drop-unchanged) is the DEFAULT, matching the reference
+  * (cli.py `--drop-unchanged/--no-drop-unchanged`, default=True). `--date D`
+  * collapses to min=max (cli.py:93-95, 132-134). Max-date discovery is
+  * offline from the store listing (SURVEY.md §7.6.4). Output default is the
+  * console table with no row cap (cli.py:15-16); file output format is
+  * inferred from the path extension when not given.
   */
 object EpssCli {
 
@@ -34,7 +37,8 @@ object EpssCli {
     var i = 1
     while (i < argv.length) {
       val k = argv(i).dropWhile(_ == '-')
-      val hasVal = i + 1 < argv.length && !argv(i + 1).startsWith("--")
+      // anything option-shaped (-a, --store) is a flag, never a value
+      val hasVal = i + 1 < argv.length && !argv(i + 1).startsWith("-")
       if (hasVal) { m(k) = m.getOrElse(k, Nil) :+ argv(i + 1); i += 2 }
       else { m(k) = m.getOrElse(k, Nil); i += 1 }
     }
@@ -46,8 +50,11 @@ object EpssCli {
     cmd match {
       case "scores" => scores(spark, a)
       case "urls" =>
-        val min = a.one("a").map(LocalDate.parse).getOrElse(DateRanges.V3MinDate)
-        val max = a.one("b").map(LocalDate.parse).getOrElse(min)
+        // --date collapses to min=max (cli.py:132-134); without a store
+        // there is no offline "latest" date, so max defaults to min
+        val date = a.one("date").map(LocalDate.parse)
+        val min = date.orElse(a.one("a").map(LocalDate.parse)).getOrElse(DateRanges.V3MinDate)
+        val max = date.orElse(a.one("b").map(LocalDate.parse)).getOrElse(min)
         DateRanges.urlsInRange(min, max).foreach(println)
       case "date-range" =>
         val store = a.one("store").getOrElse(sys.error("--store required"))
@@ -72,18 +79,23 @@ object EpssCli {
       maxEpss = a.one("max-epss").map(_.toDouble),
       minPercentile = a.one("min-percentile").map(_.toDouble),
       maxPercentile = a.one("max-percentile").map(_.toDouble))
+    // quantization is the DEFAULT, like the reference
+    // (cli.py: --drop-unchanged/--no-drop-unchanged, default=True)
     val base =
-      if (a.flag("drop-unchanged"))
-        Changes.changedScores(
-          ScoreStore.readWithBaseline(spark, store, min, max).transform(q.filter),
-          minDate = Some(min))
-      else
+      if (a.flag("no-drop-unchanged"))
         ScoreStore.read(spark, store, min, max).transform(q.filter)
           .orderBy(org.apache.spark.sql.functions.col("date").asc,
             org.apache.spark.sql.functions.col("cve").desc)
-    (a.one("output"), a.one("output-format").getOrElse("table")) match {
-      case (Some(path), fmt) => Outputs.write(base, path, fmt, singleFile = true)
-      case (None, "jsonl" | "json") => Outputs.showJsonl(base, Int.MaxValue)
+      else
+        Changes.changedScores(
+          ScoreStore.readWithBaseline(spark, store, min, max).transform(q.filter),
+          minDate = Some(min))
+    (a.one("output"), a.one("output-format")) match {
+      case (Some(path), fmt) =>
+        // explicit format wins; otherwise infer from the path extension
+        Outputs.write(base, path, fmt.getOrElse(
+          path.replaceAll("\\.gz$", "").split('.').last.toLowerCase), singleFile = true)
+      case (None, Some("jsonl") | Some("json")) => Outputs.showJsonl(base, Int.MaxValue)
       case (None, _) => Outputs.show(base, Int.MaxValue)
     }
   }

@@ -79,10 +79,8 @@ object Dedup {
     bands.reduce(_.unionByName(_))
   }
 
-  /** Candidate near-dup pairs (docA < docB) from LSH band collisions. */
-  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = lshBands(minhashSignatures(df, idCol, textCol, n, k), idCol, k, rowsPerBand)
+  /** Distinct colliding pairs (docA < docB) from a band table. */
+  private def candidatesFromBands(bands: DataFrame, idCol: String): DataFrame = {
     val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
     a.join(b, Seq("band_id", "band_key"))
@@ -91,25 +89,19 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate near-dup pairs (docA < docB) from LSH band collisions. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    candidatesFromBands(
+      lshBands(minhashSignatures(df, idCol, textCol, n, k), idCol, k, rowsPerBand), idCol)
+
   /** Exact n-gram Jaccard for a set of candidate pairs: one shingle-equality
     * join for intersections + a broadcast-size join for set sizes. Runs only
     * on candidates — never on the full pair space.
     */
   def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
-                      textCol: String, n: Int = 2): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val shA = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val shB = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = pairs.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
-      .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
-  }
+                      textCol: String, n: Int = 2): DataFrame =
+    jaccardForPairsOn(shingles(df, idCol, textCol, n), pairs, idCol)
 
   /** Exact Jaccard over a PRE-BUILT shingle table (lets callers reuse one
     * shingle pass across the signature and verification branches).
@@ -138,14 +130,7 @@ object Dedup {
   def nearDups(df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
                n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val sigs = sigsFrom(sh, idCol, k)
-    val bands = lshBands(sigs, idCol, k, rowsPerBand)
-    val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
-    val cands = a.join(b, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val cands = candidatesFromBands(lshBands(sigsFrom(sh, idCol, k), idCol, k, rowsPerBand), idCol)
     jaccardForPairsOn(sh, cands, idCol)
       .filter(col("jaccard") >= minJaccard)
   }

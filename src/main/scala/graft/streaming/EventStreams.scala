@@ -55,6 +55,9 @@ object EventStreams {
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events
       .withColumn("__prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      // strict > matches session_window, which MERGES touching intervals:
+      // an event exactly gap after the previous one extends the session
+      // (boundary pinned by EventStreamsSpec)
       .withColumn("__new", when(col("__prev_us").isNull ||
         unix_micros(col("ts")) - col("__prev_us") > gapSeconds * 1000000L, 1L).otherwise(0L))
       .withColumn("__sid", sum("__new").over(

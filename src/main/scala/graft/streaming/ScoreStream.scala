@@ -8,10 +8,16 @@ import graft.engine.Score
 /** The flagship as a stream: daily snapshot files landing in a directory
   * (the EPSS feed's append pattern) become a continuous change log.
   *
-  * State = last seen (epss, percentile) per CVE in the state store; each
+  * State = (last snapshot day, last epss) per CVE in the state store; each
   * micro-batch emits only rows whose epss differs from the carried value —
   * streaming quantization with batch-identical semantics (a CVE's first
   * sighting emits nothing, matching F5's null-drop).
+  *
+  * Ordering: rows are folded in date order WITHIN a batch, and rows at or
+  * before the carried state date are DROPPED (late/backfilled files cannot
+  * silently regress the state — batch parity holds only for in-order
+  * arrival, the feed's append contract; re-run the batch flagship for
+  * backfills).
   *
   * Scale: state is hash-distributed by key across executors (~300k keys ×
   * 16 bytes — trivial); each micro-batch shuffles only its own snapshot.
@@ -23,16 +29,20 @@ object ScoreStream {
     val spark = snapshots.sparkSession
     import spark.implicits._
     snapshots.groupByKey(_.cve)
-      .flatMapGroupsWithState[Double, Score](
+      .flatMapGroupsWithState[(Long, Double), Score](
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
-        (cve: String, rows: Iterator[Score], state: GroupState[Double]) =>
+        (cve: String, rows: Iterator[Score], state: GroupState[(Long, Double)]) =>
           val ordered = rows.toSeq.sortBy(_.date.getTime)
           val out = scala.collection.mutable.ArrayBuffer.empty[Score]
-          var prev: Option[Double] = state.getOption
+          var prev: Option[(Long, Double)] = state.getOption
           ordered.foreach { r =>
-            if (prev.exists(_ != r.epss)) out += r
-            prev = Some(r.epss)
+            val day = r.date.getTime
+            // guard: ignore late arrivals at or before the carried day
+            if (!prev.exists(_._1 >= day)) {
+              if (prev.exists(_._2 != r.epss)) out += r
+              prev = Some((day, r.epss))
+            }
           }
           prev.foreach(state.update)
           out.iterator

@@ -28,23 +28,38 @@ class EpssCliSpec extends SparkSpec {
     bos.toString("UTF-8")
   }
 
-  test("scores --output writes the requested format") {
+  test("scores --no-drop-unchanged writes dense rows, format inferred from extension") {
     val out = s"${Files.createTempDirectory("graft-cli-out-")}/scores.csv"
     EpssCli.run(spark, Seq("scores", "--store", store,
-      "--a", "2024-01-01", "--b", "2024-01-02",
-      "--min-epss", "0.15", "--output", out, "--output-format", "csv"))
+      "-a", "2024-01-01", "-b", "2024-01-02", "--no-drop-unchanged",
+      "--min-epss", "0.15", "--output", out))   // no --output-format: inferred csv
     val back = IO.read(spark, out, Some("csv"), Some(graft.engine.Schemas.scoreSchema))
     assert(back.count() == 2) // 0.20 and 0.30 rows
   }
 
-  test("scores --date collapses to min=max; --drop-unchanged quantizes") {
+  test("scores --date collapses to min=max; quantization is the default") {
     val out = s"${Files.createTempDirectory("graft-cli-out-")}/changes.parquet"
     EpssCli.run(spark, Seq("scores", "--store", store,
-      "--date", "2024-01-02", "--drop-unchanged",
+      "--date", "2024-01-02",
       "--output", out, "--output-format", "parquet"))
     val rows = spark.read.parquet(out).as[Score].collect()
     // CVE-A changed on 01-02; CVE-B first sighting dropped (F5)
     assert(rows.map(_.cve).toSeq == Seq("CVE-A"))
+  }
+
+  test("single-dash flags parse like the reference CLI (-a/-b)") {
+    val (_, a) = EpssCli.parseArgs(Seq("scores", "--store", "S",
+      "--no-drop-unchanged", "-a", "2024-01-01", "-b", "2024-01-05"))
+    assert(a.one("a").contains("2024-01-01"))
+    assert(a.one("b").contains("2024-01-05"))
+    assert(a.flag("no-drop-unchanged"))
+  }
+
+  test("urls --date collapses to a single day") {
+    val out = captureOut {
+      EpssCli.run(spark, Seq("urls", "--date", "2024-06-01"))
+    }
+    assert(out.trim == "https://epss.cyentia.com/epss_scores-2024-06-01.csv.gz")
   }
 
   test("urls prints one feed url per day") {

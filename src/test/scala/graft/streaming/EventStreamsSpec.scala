@@ -32,12 +32,13 @@ class EventStreamsSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
-  test("session_window and gaps-and-islands sessionization agree") {
+  test("session_window and gaps-and-islands sessionization agree (incl. exact-gap boundary)") {
     val ev = Seq(
       (0L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
       (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 1L, 2.0),  // same session
       (2L, Timestamp.valueOf("2024-01-01 01:10:00"), 1L, 3.0),  // gap > 30min → new
-      (3L, Timestamp.valueOf("2024-01-01 00:05:00"), 2L, 4.0)
+      (3L, Timestamp.valueOf("2024-01-01 00:05:00"), 2L, 4.0),
+      (4L, Timestamp.valueOf("2024-01-01 00:35:00"), 2L, 6.0)   // EXACTLY 30min → merged
     ).toDF("event_id", "ts", "user_id", "value")
     val a = EventStreams.sessionWindows(ev, "30 minutes")
       .orderBy("user_id", "session_start")
@@ -51,7 +52,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(a == Seq(
       (1L, "2024-01-01 00:00:00", 2L, 3.0),
       (1L, "2024-01-01 01:10:00", 1L, 3.0),
-      (2L, "2024-01-01 00:05:00", 1L, 4.0)))
+      (2L, "2024-01-01 00:05:00", 2L, 10.0))) // exact-gap event merged
   }
 
   test("mapGroupsWithState carries per-user running totals across micro-batches") {

@@ -47,4 +47,27 @@ class ScoreStreamSpec extends SparkSpec {
         ("2024-01-03", "CVE-B", 0.35)))
     } finally q.stop()
   }
+
+  test("late/backfilled snapshots are dropped, not folded out of order") {
+    val dir = s"${Files.createTempDirectory("graft-scorestream-late-")}/snaps"
+    // day-3 file lands BEFORE day-2's backfill
+    Seq(Score(d("2024-01-01"), "CVE-A", 0.10, 0.5)).toDS()
+      .coalesce(1).write.parquet(s"$dir/a_d1")
+    Seq(Score(d("2024-01-03"), "CVE-A", 0.20, 0.6)).toDS()
+      .coalesce(1).write.parquet(s"$dir/b_d3")
+    Seq(Score(d("2024-01-02"), "CVE-A", 0.20, 0.6)).toDS()
+      .coalesce(1).write.parquet(s"$dir/c_d2_late")
+
+    val q = ScoreStream.changedScoresStream(
+      ScoreStream.fromDirectory(spark, s"$dir/*"))
+      .writeStream.outputMode("append").format("memory").queryName("late_changes")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("late_changes").as[Score].collect()
+        .map(r => (r.date.toString, r.cve, r.epss)).toSeq
+      // the late day-2 row must NOT regress state or emit a duplicate
+      assert(rows == Seq(("2024-01-03", "CVE-A", 0.20)))
+    } finally q.stop()
+  }
 }
