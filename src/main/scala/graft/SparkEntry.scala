@@ -330,7 +330,17 @@ object SparkEntry {
     // formulations are cross-checked in EventStreamsSpec).
     "q36_sessionize" -> ((s, dir) =>
       EventStreams.sessionizeGapsAndIslands(events(s, dir), gapSeconds = 1800L)
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // ── IVF-style ANN (rows-only: equals brute force at full probe, proven
+    // in SimilaritySpec; the partial-probe oracle would re-state the full
+    // assignment pipeline).
+    "q37_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rn")
+    })
   )
 
   private val threeWayJoinSql: String =

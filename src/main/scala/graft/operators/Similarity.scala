@@ -89,18 +89,68 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    * centroid cell; queries probe only the `nProbe` nearest cells. Centroids
+    * here are a deterministic sample (first `nCentroids` corpus vectors by
+    * id) — a trained k-means codebook is plug-compatible, the Spark plan is
+    * identical: one broadcast of the (tiny) codebook for assignment, one
+    * equi-join on cell id for search. At 100 TB the corpus never shuffles;
+    * cells act as partition-pruning for the candidate scan.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("__centv"))
+      .withColumn("__cn", norm(col("__centv")))
+    val assignW = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__cdist").asc, col("cell").asc)
+    // assign each corpus vector to its nearest centroid (cosine distance)
+    val cells = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__n", norm(col("__cv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cdist", lit(1.0) - dot(col("__cv"), col("__centv")) / (col("__n") * col("__cn")))
+      .withColumn("__rn", row_number().over(assignW))
+      .filter(col("__rn") === 1)
+      .select(col(idCol).as("neighbor_id"), col("__cv"), col("__n"), col("cell"))
+    // each query probes its nProbe nearest cells
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__cdist").asc, col("cell").asc)
+    val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cdist", lit(1.0) - dot(col("__qv"), col("__centv")) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "__qv", "__qn", "cell")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cells.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "rn")
+  }
+
   /** Bucketed ANN top-k: equi-join on LSH bucket instead of a cross join.
-    * Recall < 1 by construction; multi-probe = union over neighbor buckets
-    * (not needed for the harness sizes).
+    * Recall < 1 by construction; `probeBits` > 0 adds multi-probe: each
+    * query also searches every bucket within that Hamming distance of its
+    * own (union of single-bit flips for probeBits = 1).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 4): DataFrame = {
+              vecCol: String, k: Int, planes: Int = 4, probeBits: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"),
       lshBucket(col(vecCol), planes).as("bucket"))
       .withColumn("__cn", norm(col("__cv")))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"),
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"),
       lshBucket(col(vecCol), planes).as("bucket"))
       .withColumn("__qn", norm(col("__qv")))
+    // multi-probe: explode each query over its own bucket plus all 1-bit
+    // flips (probeBits = 1) — recall rises, candidate set stays tiny
+    val q = if (probeBits <= 0) q0 else {
+      val flips = (0 until planes).map(b => col("bucket").bitwiseXOR(lit(1L << b)))
+      q0.withColumn("bucket", explode(array(col("bucket") +: flips: _*)))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), "bucket")

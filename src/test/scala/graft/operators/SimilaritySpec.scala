@@ -46,6 +46,57 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(0) >= 0 && buckets(0) < 16)
   }
 
+  test("ivfTopK with nProbe = nCentroids equals brute force exactly") {
+    val dim = 16
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i * 7 + j * 3) % 11 - 5) * 0.1f))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 3)
+    val ivf = Similarity.ivfTopK(df, qs, "vec_id", "embedding", k = 5,
+      nCentroids = 4, nProbe = 4)
+      .orderBy("query_id", "rn").as[(Long, Long, Long)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rn").as[(Long, Long, Long)].collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK with nProbe < nCentroids returns a brute-force-consistent subset") {
+    val dim = 16
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i * 7 + j * 3) % 11 - 5) * 0.1f))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" === 0)
+    val ivf = Similarity.ivfTopK(df, qs, "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 2)
+      .orderBy("rn").as[(Long, Long, Long)].collect().map(_._2).toSeq
+    val brute = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", 29)
+      .orderBy("rn").as[(Long, Long, Long)].collect().map(_._2).toSeq
+    // returned neighbors appear in brute-force order
+    assert(ivf == brute.filter(ivf.contains(_)).take(ivf.length))
+    assert(ivf.nonEmpty)
+  }
+
+  test("multi-probe lshTopK widens the candidate set, still brute-force-consistent") {
+    val dim = 64
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i % 4) 1.0f else 0.01f * ((i + j) % 7)))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" === 0)
+    def neighbors(probeBits: Int): Seq[Long] =
+      Similarity.lshTopK(df, qs, "vec_id", "embedding", k = 39, probeBits = probeBits)
+        .orderBy("rn").as[(Long, Long, Long)].collect().map(_._2).toSeq
+    val n0 = neighbors(0)
+    val n1 = neighbors(1)
+    assert(n1.size >= n0.size)
+    assert(n0.toSet.subsetOf(n1.toSet))
+    val brute = Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", 39)
+      .orderBy("rn").as[(Long, Long, Long)].collect().map(_._2).toSeq
+    assert(n1 == brute.filter(n1.contains(_)).take(n1.length))
+  }
+
   test("lshTopK returns same-bucket neighbors ranked like brute force") {
     val dim = 64
     val base = (0 until 20).map { i =>
