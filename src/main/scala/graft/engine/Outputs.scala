@@ -24,6 +24,21 @@ object Outputs {
   def write(df: DataFrame, path: String, format: String, singleFile: Boolean = false): Unit =
     IO.write(df, path, Some(format), singleFile)
 
+  /** S4 row-oriented JSON: the reference's `json` format writes one JSON
+    * ARRAY (util.py:41-44), not JSONL. Spark writes JSONL per partition, so
+    * exact array parity is assembled driver-side (SURVEY §7.6.3) — confined
+    * to small results by `maxRows` (fails loudly rather than silently
+    * truncating).
+    */
+  def writeJsonArray(df: DataFrame, path: String, maxRows: Int = 1000000): Unit = {
+    val rows = df.limit(maxRows + 1).toJSON.collect()
+    require(rows.length <= maxRows,
+      s"writeJsonArray is a driver-side sink for small results (> $maxRows rows); " +
+        "use format=jsonl for large outputs")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      rows.mkString("[", ",", "]"))
+  }
+
   /** S8 Excel sink — STUB (SURVEY.md §7.6.5): xlsx writing is out of Spark
     * core and no workbook library ships in this environment; the reference
     * (examples/get-excel-workbook-of-changed-epss-scores.py:44-49) drives it

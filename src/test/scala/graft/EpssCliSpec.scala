@@ -78,6 +78,18 @@ class EpssCliSpec extends SparkSpec {
     assert(out.contains("\"max_date\": \"2024-01-02\""))
   }
 
+  test("writeJsonArray emits one JSON array with ISO dates (S4 row-oriented)") {
+    val p = s"${Files.createTempDirectory("graft-json-")}/out.json"
+    graft.engine.Outputs.writeJsonArray(
+      ScoreStore.read(spark, store, java.time.LocalDate.parse("2024-01-02"),
+        java.time.LocalDate.parse("2024-01-02")).orderBy("cve"), p)
+    val txt = Files.readString(java.nio.file.Paths.get(p))
+    assert(txt.startsWith("[{") && txt.endsWith("}]"))
+    assert(txt.contains("\"date\":\"2024-01-02\""))
+    // and it parses back as a 2-element array via the multiLine reader
+    assert(IO.read(spark, p, Some("json")).count() == 2)
+  }
+
   test("excel stub writes the documented csv twin") {
     val dir = Files.createTempDirectory("graft-xlsx-").toString
     graft.engine.Outputs.writeExcelStub(
