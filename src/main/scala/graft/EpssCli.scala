@@ -30,13 +30,29 @@ object EpssCli {
     def flag(k: String): Boolean = m.contains(k)
   }
 
+  /** Canonical names + reference short/long spellings (cli.py:27-95). */
+  private val Aliases = Map(
+    "d" -> "date", "o" -> "output", "f" -> "output-format",
+    "min-date" -> "a", "max-date" -> "b")
+
+  private val KnownKeys: Map[String, Set[String]] = Map(
+    "scores" -> Set("store", "a", "b", "date", "no-drop-unchanged", "drop-unchanged",
+      "min-epss", "max-epss", "min-percentile", "max-percentile", "cve",
+      "output", "output-format"),
+    "urls" -> Set("a", "b", "date"),
+    "date-range" -> Set("store"))
+
   def parseArgs(argv: Seq[String]): (String, Args) = {
     require(argv.nonEmpty, "usage: scores|urls|date-range [options]")
     val cmd = argv.head
     val m = scala.collection.mutable.Map.empty[String, List[String]]
     var i = 1
     while (i < argv.length) {
-      val k = argv(i).dropWhile(_ == '-')
+      val k0 = argv(i).dropWhile(_ == '-')
+      val k = Aliases.getOrElse(k0, k0)
+      // unknown flags fail loudly instead of silently changing the query
+      require(KnownKeys.get(cmd).forall(_.contains(k)),
+        s"unknown option --$k0 for command $cmd")
       // anything option-shaped (-a, --store) is a flag, never a value
       val hasVal = i + 1 < argv.length && !argv(i + 1).startsWith("-")
       if (hasVal) { m(k) = m.getOrElse(k, Nil) :+ argv(i + 1); i += 2 }
@@ -81,21 +97,27 @@ object EpssCli {
       maxPercentile = a.one("max-percentile").map(_.toDouble))
     // quantization is the DEFAULT, like the reference
     // (cli.py: --drop-unchanged/--no-drop-unchanged, default=True)
-    val base =
+    val unordered =
       if (a.flag("no-drop-unchanged"))
         ScoreStore.read(spark, store, min, max).transform(q.filter)
-          .orderBy(org.apache.spark.sql.functions.col("date").asc,
-            org.apache.spark.sql.functions.col("cve").desc)
       else
         Changes.changedScores(
           ScoreStore.readWithBaseline(spark, store, min, max).transform(q.filter),
           minDate = Some(min))
-    (a.one("output"), a.one("output-format")) match {
-      case (Some(path), fmt) =>
-        // explicit format wins; otherwise infer from the path extension
-        Outputs.write(base, path, fmt.getOrElse(
-          path.replaceAll("\\.gz$", "").split('.').last.toLowerCase), singleFile = true)
-      case (None, Some("jsonl") | Some("json")) => Outputs.showJsonl(base, Int.MaxValue)
+    // O2 display order (cli.py:111-113 intent): date asc, epss desc, cve desc
+    val base = unordered.orderBy(
+      org.apache.spark.sql.functions.col("date").asc,
+      org.apache.spark.sql.functions.col("epss").desc,
+      org.apache.spark.sql.functions.col("cve").desc)
+    val fmt = a.one("output").map(p => graft.sources.IO.formatOf(p, a.one("output-format")))
+      .orElse(a.one("output-format"))
+    (a.one("output"), fmt) match {
+      // reference json = ONE array file (util.py:44 row_oriented)
+      case (Some(path), Some("json")) => Outputs.writeJsonArray(base, path)
+      case (Some(path), f) => Outputs.write(base, path, f.getOrElse("parquet"), singleFile = true)
+      case (None, Some("json")) =>
+        println(base.toJSON.collect().mkString("[", ",", "]"))
+      case (None, Some("jsonl")) => Outputs.showJsonl(base, Int.MaxValue)
       case (None, _) => Outputs.show(base, Int.MaxValue)
     }
   }

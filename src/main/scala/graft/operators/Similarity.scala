@@ -99,8 +99,19 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("__centv"))
+    // the codebook is tiny by construction — collect it ONCE and broadcast a
+    // literal table, instead of re-running a corpus TakeOrdered in each of
+    // the two crossJoins below
+    val spark = corpus.sparkSession
+    val centRows = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("__centv"))
+      .collect()
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__centv", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centSchema)
       .withColumn("__cn", norm(col("__centv")))
     val assignW = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("__cdist").asc, col("cell").asc)
@@ -145,10 +156,11 @@ object Similarity {
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"),
       lshBucket(col(vecCol), planes).as("bucket"))
       .withColumn("__qn", norm(col("__qv")))
-    // multi-probe: explode each query over its own bucket plus all 1-bit
-    // flips (probeBits = 1) — recall rises, candidate set stays tiny
+    // multi-probe: explode each query over its own bucket plus every bucket
+    // within Hamming distance `probeBits` — recall rises, candidates stay few
     val q = if (probeBits <= 0) q0 else {
-      val flips = (0 until planes).map(b => col("bucket").bitwiseXOR(lit(1L << b)))
+      val masks = (1 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeBits)
+      val flips = masks.map(m => col("bucket").bitwiseXOR(lit(m.toLong)))
       q0.withColumn("bucket", explode(array(col("bucket") +: flips: _*)))
     }
     val w = org.apache.spark.sql.expressions.Window

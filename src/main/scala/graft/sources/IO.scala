@@ -14,8 +14,16 @@ object IO {
 
   val Formats: Set[String] = Set("csv", "json", "jsonl", "parquet")
 
-  private def formatOf(path: String, format: Option[String]): String =
-    format.getOrElse(path.replaceAll("\\.gz$", "").split('.').last.toLowerCase)
+  /** Format from explicit arg or the file BASENAME's extension (dots in
+    * directory names must not leak into inference).
+    */
+  def formatOf(path: String, format: Option[String]): String =
+    format.getOrElse {
+      val base = path.split('/').last.replaceAll("\\.gz$", "")
+      val ext = base.split('.')
+      require(ext.length > 1, s"cannot infer format from extension-less path: $path")
+      ext.last.toLowerCase
+    }
 
   /** S3: dispatch on extension (or explicit format) → DataFrame. */
   def read(spark: SparkSession, path: String, format: Option[String] = None,
