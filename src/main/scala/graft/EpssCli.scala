@@ -42,21 +42,33 @@ object EpssCli {
     "urls" -> Set("a", "b", "date"),
     "date-range" -> Set("store"))
 
+  /** Options that take NO value; every other known option requires one.
+    * (cli.py's boolean switches: --drop-unchanged/--no-drop-unchanged.)
+    */
+  private val BooleanFlags = Set("no-drop-unchanged", "drop-unchanged")
+
   def parseArgs(argv: Seq[String]): (String, Args) = {
     require(argv.nonEmpty, "usage: scores|urls|date-range [options]")
     val cmd = argv.head
     val m = scala.collection.mutable.Map.empty[String, List[String]]
     var i = 1
     while (i < argv.length) {
-      val k0 = argv(i).dropWhile(_ == '-')
+      val tok = argv(i)
+      require(tok.startsWith("-"), s"unexpected positional argument '$tok' for command $cmd")
+      val k0 = tok.dropWhile(_ == '-')
       val k = Aliases.getOrElse(k0, k0)
       // unknown flags fail loudly instead of silently changing the query
       require(KnownKeys.get(cmd).forall(_.contains(k)),
         s"unknown option --$k0 for command $cmd")
-      // anything option-shaped (-a, --store) is a flag, never a value
-      val hasVal = i + 1 < argv.length && !argv(i + 1).startsWith("-")
-      if (hasVal) { m(k) = m.getOrElse(k, Nil) :+ argv(i + 1); i += 2 }
-      else { m(k) = m.getOrElse(k, Nil); i += 1 }
+      if (BooleanFlags.contains(k)) {
+        m(k) = m.getOrElse(k, Nil); i += 1
+      } else {
+        // value-taking option: the NEXT token is its value, '-'-prefixed or
+        // not (so negative numbers work) — and a missing value is an error,
+        // never a silently-dropped filter
+        require(i + 1 < argv.length, s"option --$k0 requires a value")
+        m(k) = m.getOrElse(k, Nil) :+ argv(i + 1); i += 2
+      }
     }
     (cmd, Args(m.toMap))
   }

@@ -30,10 +30,17 @@ case class SimHash64Expr(child: Expression)
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash64Expr.eval(input.asInstanceOf[ArrayData])
+    SimHash64Expr.simhashKernel(input.asInstanceOf[ArrayData])
 
+  // The kernel must NOT be named `eval`: the companion class inherits
+  // Expression.eval, which suppresses scalac's static forwarder for a
+  // same-named object method, so Janino would fail to resolve the call and
+  // Spark would silently fall back to interpreted execution (disabling
+  // whole-stage codegen for the entire stage). `simhashKernel` has no class
+  // member clash, so the forwarder is emitted; SimHash64Spec pins this with
+  // a CODEGEN_ONLY factory-mode test.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Expr.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64Expr.simhashKernel($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
@@ -42,7 +49,7 @@ case class SimHash64Expr(child: Expression)
 object SimHash64Expr {
 
   /** Static kernel shared by interpreted eval and generated code. */
-  def eval(arr: ArrayData): Long = {
+  def simhashKernel(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()

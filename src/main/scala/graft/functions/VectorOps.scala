@@ -13,10 +13,14 @@ import org.apache.spark.sql.types._
   * the similarity hot path (SURVEY.md §4.2 anticipated exactly this: "custom
   * expression for cosine similarity if `aggregate()` proves too slow").
   *
-  * Summation is sequential left-to-right — bit-identical to the
-  * higher-order-function formulation it replaces, so oracle results are
-  * unchanged; only the per-pair interpretation overhead (lambda dispatch,
-  * boxing) goes away.
+  * Semantics are a strict drop-in for
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)`:
+  *   - summation is sequential left-to-right (bit-identical);
+  *   - a null element in either array → NULL (zip_with yields a null
+  *     product, the fold absorbs it);
+  *   - different lengths → NULL (zip_with pads the short side with null).
+  * The null-slot scan is skipped entirely at codegen time when both child
+  * array types carry `containsNull = false`.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,11 +37,37 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // result can be NULL for non-null inputs (ragged lengths / null slots)
+  override def nullable: Boolean = true
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+  private def mayHaveNullSlots: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val l = a.asInstanceOf[ArrayData]
+    val r = b.asInstanceOf[ArrayData]
+    if (l.numElements() != r.numElements() ||
+        (mayHaveNullSlots && VectorOps.anyNullSlot(l, r))) null
+    else VectorOps.dot(l, r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val check = if (mayHaveNullSlots)
+        s"$a.numElements() != $b.numElements() || graft.functions.VectorOps.anyNullSlot($a, $b)"
+      else
+        s"$a.numElements() != $b.numElements()"
+      s"""
+         |if ($check) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorOps.dot($a, $b);
+         |}
+       """.stripMargin
+    })
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
@@ -45,12 +75,11 @@ case class DotProductExpr(left: Expression, right: Expression)
 
 object VectorOps {
 
-  /** Static kernel shared by interpreted eval and generated code. Arrays are
-    * assumed equal-length (embedding columns); the min length guards ragged
-    * input without branching per element.
+  /** Static kernel shared by interpreted eval and generated code; callers
+    * guarantee equal lengths and no null slots.
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -58,6 +87,19 @@ object VectorOps {
       i += 1
     }
     s
+  }
+
+  /** True iff any slot of either array is null (HOF parity: such a pair
+    * dot-products to NULL).
+    */
+  def anyNullSlot(a: ArrayData, b: ArrayData): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
   }
 
   /** Column API: dot product of two `array<double>` columns. */

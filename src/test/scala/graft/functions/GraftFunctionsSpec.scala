@@ -18,4 +18,23 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").as[Double].head()
     assert(d == 11.0)
   }
+
+  test("dot_product matches aggregate(zip_with(...)) on null slots and ragged lengths") {
+    GraftFunctions.registerAll(spark)
+    val cases = Seq(
+      "array(1.0D, 2.0D), array(3.0D, 4.0D)",          // plain
+      "array(1.0D, NULL), array(3.0D, 4.0D)",          // null slot left
+      "array(1.0D, 2.0D), array(NULL, 4.0D)",          // null slot right
+      "array(1.0D, 2.0D, 5.0D), array(3.0D, 4.0D)",    // ragged (zip_with pads null)
+      "CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)", // empty
+      "CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)")      // null array
+    cases.foreach { c =>
+      val row = spark.sql(
+        s"""SELECT dot_product($c) AS a,
+           |aggregate(zip_with($c, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS b"""
+          .stripMargin.replaceAll("\n", " ")).head()
+      assert(row.isNullAt(0) == row.isNullAt(1), s"null-ness mismatch for ($c): $row")
+      if (!row.isNullAt(0)) assert(row.getDouble(0) == row.getDouble(1), s"value mismatch for ($c)")
+    }
+  }
 }

@@ -28,9 +28,29 @@ class SimHash64Spec extends SparkSpec {
   }
 
   test("codegen path agrees with direct kernel eval") {
-    val direct = SimHash64Expr.eval(ArrayData.toArrayData(
+    val direct = SimHash64Expr.simhashKernel(ArrayData.toArrayData(
       Array("the", "quick", "brown", "fox").map(UTF8String.fromString)))
     assert(viaPlan()(0L) == direct)
+  }
+
+  test("generated code actually compiles: CODEGEN_ONLY factory mode") {
+    // With fallback disabled, a Janino compile failure (e.g. the static
+    // forwarder for the kernel not being emitted) throws instead of
+    // silently degrading to interpreted execution.
+    withSQLConf(
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false") {
+      assert(viaPlan()(0L) == viaPlan()(1L))
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("hamming column helper matches Long.bitCount") {
