@@ -332,15 +332,127 @@ object SparkEntry {
       EventStreams.sessionizeGapsAndIslands(events(s, dir), gapSeconds = 1800L)
         .orderBy("user_id", "session_start")),
 
-    // ── IVF-style ANN (rows-only: equals brute force at full probe, proven
-    // in SimilaritySpec; the partial-probe oracle would re-state the full
-    // assignment pipeline).
+    // ── IVF-style ANN: the full deterministic pipeline (first-16 centroid
+    // codebook, cosine cell assignment, 4-probe search) is restated as the
+    // DuckDB oracle, so partial-probe results are hash-checked too.
     "q37_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rn")
-    })
+    }),
+
+    // ── multi-level aggregation: ROLLUP with grouping_id (subtotal rows
+    // ordered deterministically via the gid + NULLS FIRST keys).
+    "q38_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ── ranking window family: rank / dense_rank / percent_rank / ntile
+    // (window order made total with the unique o_orderkey tiebreak so
+    // ntile assignment is engine-independent).
+    "q39_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ── pivot (conditional aggregation twin on the DuckDB side); absent
+    // combinations coalesce to 0 to match COUNT FILTER semantics.
+    "q40_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_filled"),
+          coalesce(col("P"), lit(0L)).as("n_partial"))
+        .orderBy("o_orderpriority")),
+
+    // ── string function battery (upper/lower/substr/length/reverse/
+    // regexp_replace/lpad/concat_ws/instr).
+    "q41_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).cast("long").as("nlen"),
+        reverse(col("c_name")).as("rname"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        instr(col("c_name"), "Customer").cast("long").as("ppos"))
+        .orderBy("c_custkey")),
+
+    // ── exact interpolated percentiles (l_quantity is integer-valued, so
+    // the quartile interpolation is exact binary arithmetic in any engine).
+    "q42_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          min("l_quantity").as("qmin"), max("l_quantity").as("qmax"))
+        .orderBy("l_returnflag")),
+
+    // ── conditional scalar functions: CASE chains, nullif/coalesce,
+    // greatest/least.
+    "q43_conditional" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"),
+        greatest(col("o_custkey"), col("o_orderkey")).as("gk"),
+        least(col("o_custkey"), col("o_orderkey")).as("lk"))
+        .orderBy("o_orderkey")),
+
+    // ── semi join (EXISTS): customers with 1995 orders.
+    "q44_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o95 = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+      c.join(o95, c("c_custkey") === o95("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    // ── explicit window frame: 3-row sliding sum/count per order.
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    // so the frame order adds l_quantity — ties then carry equal summands,
+    // making every frame sum order-invariant across engines.
+    "q45_window_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").as("qty_3row"),
+        count(lit(1)).over(w).as("n_3row"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_3row")
+    }),
+
+    // ── generator / table function: posexplode of the token array.
+    "q46_posexplode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .orderBy("doc_id", "pos")),
+
+    // ── semi-structured extraction: JSON path over the props column.
+    "q47_json" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"))
   )
 
   private val threeWayJoinSql: String =
@@ -555,6 +667,90 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND year(o_orderdate) >= 1999)
         |ORDER BY c_custkey""".stripMargin,
+    "q37_ann_ivf" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        | SELECT vec_id, v, cell FROM (
+        |  SELECT c.vec_id, c.v, ct.cell,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+        |  FROM c, cents ct) WHERE arn = 1),
+        |probes AS (
+        | SELECT query_id, qv, cell FROM (
+        |  SELECT q.vec_id AS query_id, q.v AS qv, ct.cell,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
+        |  FROM (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0) q, cents ct) WHERE prn <= 4),
+        |s AS (
+        | SELECT p.query_id, a.vec_id AS neighbor_id, list_cosine_similarity(a.v, p.qv) AS cos
+        | FROM assign a JOIN probes p ON a.cell = p.cell
+        | WHERE a.vec_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+        |SELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q39_rank_funcs" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        | CAST(rank() OVER w AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | percent_rank() OVER w AS prnk,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q40_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q41_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+        | substr(c_name, 1, 8) AS prefix, CAST(length(c_name) AS BIGINT) AS nlen,
+        | reverse(c_name) AS rname, regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        | concat_ws('|', c_mktsegment, c_name) AS joined,
+        | CAST(strpos(c_name, 'Customer') AS BIGINT) AS ppos
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q42_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.5) AS median, quantile_cont(l_quantity, 0.75) AS q75,
+        | min(l_quantity) AS qmin, max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_conditional" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 200000 THEN 'high'
+        |      WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+        | coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+        | greatest(o_custkey, o_orderkey) AS gk,
+        | least(o_custkey, o_orderkey) AS lk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q44_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+    "q45_window_frame" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS qty_3row,
+        | count(*) OVER w AS n_3row
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, qty_3row""".stripMargin,
+    "q46_posexplode" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS pos, string_split(text, ' ')[i+1] AS tok
+        |FROM documents, unnest(range(len(string_split(text,' ')))) AS t(i)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q47_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "q36_sessionize" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
