@@ -14,5 +14,9 @@ object GraftFunctions {
       exprs => SimHash64Expr(exprs.head))
     ColumnBridge.registerFunction(spark, "dot_product",
       exprs => DotProductExpr(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "minhash_sigs",
+      exprs => MinHashSigsExpr(exprs.head, 8))
+    ColumnBridge.registerFunction(spark, "sorted_intersect_count",
+      exprs => SortedIntersectCountExpr(exprs(0), exprs(1)))
   }
 }

@@ -1,0 +1,158 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd MinHash signature kernel — the hot path of the dedup pipeline
+  * (SURVEY.md §7.5 anticipated exactly this: "custom machinery for MinHash
+  * if built-ins fall short").
+  *
+  * Computes, in ONE pass over a shingle array, all k permutation minimums
+  * of the classic `(a_s·t + b_s) mod p` family over the md5-derived base
+  * hash `t = first-60-bits(md5(shingle)) mod p`. Numerically identical to
+  * the SQL formulation `min((a·conv(substring(md5(x),1,15),16,10) + b) % p)`
+  * (the first 15 hex chars of an md5 ARE the first 60 bits of its digest),
+  * but without materializing a 32-char hex string and big-integer-parsing
+  * it per shingle — digest bytes are folded into a long directly.
+  */
+case class MinHashSigsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+  // empty input arrays yield NULL (a doc with no shingles has no signature)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.sigs(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinHashKernel.sigs($c, $k);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigsExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd intersection count over two SORTED string arrays: a two-
+  * pointer merge, no per-pair hash-set allocation (vs `array_intersect`).
+  * Sort order must be Spark's `sort_array` order for strings, i.e.
+  * UTF8String binary order — the caller sorts each side ONCE per document,
+  * then every candidate pair is verified in O(|A|+|B|).
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires (array<string>, array<string>), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashKernel.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MinHashKernel.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashKernel {
+
+  val P = 1000003L
+
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(s) as a non-negative long — identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)`: 15 hex chars = bytes 0..6
+    * plus the high nibble of byte 7 = (first 8 bytes big-endian) >>> 4.
+    */
+  def md5Prefix60(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** All k permutation minimums in one pass; null slots are skipped; an
+    * array with no non-null element yields null (no signature).
+    */
+  def sigs(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val t = md5Prefix60(arr.getUTF8String(i)) % P
+        var s = 0
+        while (s < k) {
+          val v = ((2L * s + 1) * t + 7919L * s) % P
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) null else new GenericArrayData(mins)
+  }
+
+  /** Two-pointer merge count of common elements of two sorted arrays
+    * (UTF8String binary order, `sort_array` parity). Inputs are distinct
+    * per construction, so equal elements advance both sides.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Column API. */
+  def minhashSigs(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSigsExpr(ColumnBridge.expression(shingles), k))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

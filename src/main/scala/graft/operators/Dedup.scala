@@ -87,14 +87,15 @@ object Dedup {
     sigsFromSets(shingleSets(df, idCol, textCol, n), idCol, k)
 
   private def sigsFromSets(sets: DataFrame, idCol: String, k: Int): DataFrame = {
-    val withT = sets.withColumn("__ts",
-      transform(col("__set"), x => conv(substring(md5(x), 1, 15), 16, 10)
-        .cast("long") % MinhashP))
-    val sigCols = (0 until k).map { s =>
-      array_min(transform(col("__ts"),
-        t => (lit(2L * s + 1) * t + lit(7919L * s)) % MinhashP)).as(s"mh_$s")
-    }
-    withT.select(col(idCol) +: sigCols: _*)
+    // one codegen'd pass computes all k minimums (graft.functions
+    // .MinHashSigsExpr) — numerically identical to the per-column
+    // `array_min(transform(...conv(substring(md5(x),1,15),16,10)...))`
+    // formulation the DuckDB oracle states, minus the per-shingle hex
+    // string + big-integer parse
+    val withSig = sets.withColumn("__sig",
+      graft.functions.MinHashKernel.minhashSigs(col("__set"), k))
+    val sigCols = (0 until k).map(s => element_at(col("__sig"), s + 1).as(s"mh_$s"))
+    withSig.select(col(idCol) +: sigCols: _*)
   }
 
   /** Banded signature rows: (id, band_id, band_key). k signature columns are
@@ -172,12 +173,16 @@ object Dedup {
                n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
     val cands = candidatesFromBands(lshBands(sigsFromSets(sets, idCol, k), idCol, k, rowsPerBand), idCol)
-    val a = sets.select(col(idCol).as("doc_a"), col("__set").as("__sa"),
+    // each side sorted ONCE per doc; every candidate pair then verifies in
+    // O(|A|+|B|) via a codegen'd two-pointer merge (no per-pair hash set)
+    val sorted = sets.select(col(idCol), sort_array(col("__set")).as("__set"))
+    val a = sorted.select(col(idCol).as("doc_a"), col("__set").as("__sa"),
       size(col("__set")).cast("long").as("sz_a"))
-    val b = sets.select(col(idCol).as("doc_b"), col("__set").as("__sb"),
+    val b = sorted.select(col(idCol).as("doc_b"), col("__set").as("__sb"),
       size(col("__set")).cast("long").as("sz_b"))
     cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("n_inter",
+        graft.functions.MinHashKernel.sortedIntersectCount(col("__sa"), col("__sb")))
       .filter(col("n_inter") > 0)
       .withColumn("jaccard",
         col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
