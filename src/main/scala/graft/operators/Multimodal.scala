@@ -66,4 +66,54 @@ object Multimodal {
       }
     }
   }
+
+  /** One sampled frame: parent id + frame index + the frame's bytes. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: treat the payload as fixed-width frames and keep every
+    * `stride`-th one — the video-keyframe pattern. One row in, few rows out
+    * (a flatMap over partition batches); payload bytes stay on the executor
+    * that read them, only sampled frames flow downstream.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256,
+                   stride: Int = 4): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = (r.blob.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.blob.length)
+          MediaFrame(r.doc_id, f, java.util.Arrays.copyOfRange(r.blob, from, until))
+        }
+      }
+    }
+  }
+
+  // ── STUB resize kernel ────────────────────────────────────────────────
+  // Real implementation would decode + bilinear-resample (codec not in this
+  // container). The deterministic fake: stride-sample the payload down to
+  // `targetBytes`, preserving the real kernel's contract (same row count,
+  // bounded payload, metadata updated).
+  private def stubResize(blob: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (blob.length <= targetBytes) blob
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = blob((i.toLong * blob.length / targetBytes).toInt)
+        i += 1
+      }
+      out
+    }
+
+  /** Payload resize/downsample pass — row-preserving, batch-shaped. */
+  def resize(media: Dataset[MediaRow], targetBytes: Int = 1024): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => r.copy(blob = stubResize(r.blob, targetBytes)))
+    }
+  }
 }

@@ -91,6 +91,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming deduplication: drop repeated event ids inside the watermark
+    * horizon (`dropDuplicatesWithinWatermark` keys the state store by
+    * event_id and expires entries once the watermark passes them — bounded
+    * state, unlike a global dropDuplicates). The at-least-once file/kafka
+    * delivery twin of batch exact dedup.
+    */
+  def streamingDedup(spark: SparkSession, srcDir: String, schema: StructType,
+                     horizon: String = "2 hours"): DataFrame =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming frame to completion against the memory sink (local
     * smoke path: a directory of parquet drives the stream synchronously).
     */

@@ -81,6 +81,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup drops repeated event ids within the watermark horizon") {
+    val dedupSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val src = s"$tmp/dedup-src"
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), 2.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:07:00"), 9.0), // duplicate id
+      (3L, Timestamp.valueOf("2024-01-01 00:10:00"), 3.0)
+    ).toDF("event_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(src)
+    val q = EventStreams.streamingDedup(spark, src, dedupSchema).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming twin over a file source produces the same frame via memory sink") {
     val src = s"$tmp/events"
     batch.coalesce(1).write.mode("overwrite").parquet(src)
