@@ -60,6 +60,12 @@ object ScaleBench {
     // subsequent range query (the 100 TB store design).
     val nBuckets = cpus.toInt
     spark.sql("DROP TABLE IF EXISTS dense_bucketed")
+    // the catalog is in-memory per run but the warehouse dir persists —
+    // a leftover location from a previous run would fail saveAsTable with
+    // LOCATION_ALREADY_EXISTS even after the (no-op) DROP above
+    val loc = new org.apache.hadoop.fs.Path(s"$work/warehouse/dense_bucketed")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     spark.read.parquet(path)
       .repartition(nBuckets, col("cve"))            // one file per bucket
       .write.bucketBy(nBuckets, "cve").sortBy("cve", "date")
