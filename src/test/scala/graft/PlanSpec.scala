@@ -66,4 +66,26 @@ class PlanSpec extends SparkSpec {
   test("q33 limit compiles to TakeOrderedAndProject (no full sort materialization)") {
     assert(plan("q33_limit").toString.contains("TakeOrderedAndProject"))
   }
+
+  test("minhash signatures are a pure narrow plan: ZERO exchanges") {
+    val p = graft.operators.Dedup
+      .minhashSignatures(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan
+    assert(collectAll(p) { case e: ShuffleExchangeExec => e }.isEmpty,
+      "per-row minhash must not shuffle")
+  }
+
+  test("q44 semi join broadcasts at dim scale (LeftSemi BroadcastHashJoin)") {
+    val joins = collectAll(plan("q44_semi_join")) { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty && joins.exists(_.joinType.sql == "LEFT SEMI"))
+  }
+
+  test("q38 rollup plans an Expand (one pass over the input, not one scan per level)") {
+    assert(plan("q38_rollup").toString.contains("Expand"))
+  }
+
+  test("q47 json scan reads only the two referenced columns") {
+    val read = scanMeta("q47_json")("ReadSchema")
+    assert(read == "struct<event_id:bigint,props:string>", read)
+  }
 }
