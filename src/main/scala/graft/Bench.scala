@@ -24,6 +24,7 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warmup: codegen + JIT + IO caches
+        System.gc() // isolate each timing from earlier queries' garbage
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         name -> (System.nanoTime() - t0) / 1e9

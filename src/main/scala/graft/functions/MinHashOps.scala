@@ -83,6 +83,40 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd shingle-set builder: tokenize on the space byte, form word
+  * n-grams, dedup, and sort (UTF8String binary order = `sort_array` order)
+  * in ONE pass — replacing the `sort_array(array_distinct(zip_with(...)))`
+  * chain and its three intermediate arrays per row. Tokenization matches
+  * `split(text, ' ')` exactly (empty tokens from doubled/leading/trailing
+  * spaces are kept). Documents with fewer than n tokens yield NULL.
+  */
+case class ShingleSortedSetExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_sorted_set requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_sorted_set"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleSortedSet(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MinHashKernel.shingleSortedSet($c, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSortedSetExpr =
+    copy(child = newChild)
+}
+
 object MinHashKernel {
 
   val P = 1000003L
@@ -148,9 +182,45 @@ object MinHashKernel {
     c
   }
 
+  /** Tokenize on the space byte (0x20 never occurs inside a UTF-8
+    * multibyte sequence, so a byte scan is exact), keeping empty tokens —
+    * `split(text, ' ')` parity. Returns null for docs with < n tokens;
+    * otherwise the DISTINCT n-gram shingles in UTF8String binary order.
+    */
+  def shingleSortedSet(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // token boundaries: indices of spaces
+    var nToks = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nToks += 1; i += 1 }
+    if (nToks < n) return null
+    val starts = new Array[Int](nToks + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nToks) = bytes.length + 1 // sentinel: each token ends at starts(t+1)-1
+    val set = new java.util.TreeSet[UTF8String]()
+    var s = 0
+    while (s + n <= nToks) {
+      // shingle = bytes[starts(s) .. starts(s+n)-2] — the n tokens plus the
+      // n-1 separator spaces between them, exactly array_join(slice, " ")
+      val from = starts(s)
+      val until = starts(s + n) - 1
+      set.add(UTF8String.fromBytes(bytes, from, until - from))
+      s += 1
+    }
+    new GenericArrayData(set.toArray(new Array[UTF8String](set.size)).asInstanceOf[Array[AnyRef]])
+  }
+
   /** Column API. */
   def minhashSigs(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSigsExpr(ColumnBridge.expression(shingles), k))
+
+  def shingleSortedSetCol(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleSortedSetExpr(ColumnBridge.expression(text), n))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCountExpr(

@@ -41,30 +41,19 @@ object Dedup {
     */
   val MinhashP = 1000003L
 
-  /** Per-row distinct word-n-gram shingle array, built as a chain of n−1
-    * zip_with(concat)s over shifted views of the token array — O(len·n)
-    * total. (The naive `transform(sequence(...), i -> array_join(slice(
-    * toks, i+1, n)))` allocates a fresh slice per element — O(len²) per doc
-    * and ~4× slower end-to-end at 55 tokens/doc.) Caller must have filtered
-    * to docs with at least n tokens.
-    */
-  private def shingleSet(textCol: String, n: Int): Column = {
-    val toks = split(col(textCol), " ")
-    val m = size(toks) - lit(n - 1) // number of shingles
-    val first = slice(toks, lit(1), m)
-    val grams = (2 to n).foldLeft(first) { (acc, o) =>
-      zip_with(acc, slice(toks, lit(o), m), (a, b) => concat_ws(" ", a, b))
-    }
-    array_distinct(grams)
-  }
-
-  /** Per-doc shingle-set table `(id, __set)` — one narrow projection, no
-    * shuffle. Docs with fewer than n tokens are dropped (they have no
-    * n-gram shingles).
+  /** Per-doc sorted distinct shingle-set table `(id, __set)` — one narrow
+    * projection, no shuffle: the codegen'd `ShingleSortedSetExpr` kernel
+    * tokenizes, shingles, dedups and sorts in a single pass over the text
+    * bytes (shingles are byte slices of the original text, so no per-gram
+    * string building either). Docs with fewer than n tokens are dropped
+    * (they have no n-gram shingles). Parity with the declarative
+    * `sort_array(array_distinct(zip_with-chain))` shape is pinned in
+    * MinHashOpsSpec.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
-    df.filter(size(split(col(textCol), " ")) >= n)
-      .select(col(idCol), shingleSet(textCol, n).as("__set"))
+    df.select(col(idCol),
+      graft.functions.MinHashKernel.shingleSortedSetCol(col(textCol), n).as("__set"))
+      .filter(col("__set").isNotNull)
 
   /** Distinct (doc, shingle) pairs — the exploded view of [[shingleSets]]
     * (distinctness is per-document, which is global distinctness when
@@ -173,12 +162,12 @@ object Dedup {
                n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
     val cands = candidatesFromBands(lshBands(sigsFromSets(sets, idCol, k), idCol, k, rowsPerBand), idCol)
-    // each side sorted ONCE per doc; every candidate pair then verifies in
-    // O(|A|+|B|) via a codegen'd two-pointer merge (no per-pair hash set)
-    val sorted = sets.select(col(idCol), sort_array(col("__set")).as("__set"))
-    val a = sorted.select(col(idCol).as("doc_a"), col("__set").as("__sa"),
+    // shingle sets come out of the kernel already sorted; every candidate
+    // pair verifies in O(|A|+|B|) via a codegen'd two-pointer merge (no
+    // per-pair hash set)
+    val a = sets.select(col(idCol).as("doc_a"), col("__set").as("__sa"),
       size(col("__set")).cast("long").as("sz_a"))
-    val b = sorted.select(col(idCol).as("doc_b"), col("__set").as("__sb"),
+    val b = sets.select(col(idCol).as("doc_b"), col("__set").as("__sb"),
       size(col("__set")).cast("long").as("sz_b"))
     cands.join(a, "doc_a").join(b, "doc_b")
       .withColumn("n_inter",

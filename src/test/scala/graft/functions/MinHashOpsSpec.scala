@@ -47,6 +47,28 @@ class MinHashOpsSpec extends SparkSpec {
     assert(pairs.nonEmpty && pairs.forall { case (m, h) => m == h })
   }
 
+  test("shingle_sorted_set matches sort_array(array_distinct(zip_with-chain)) incl. whitespace edges") {
+    val texts = Seq(
+      "the quick brown fox", "a b", "a  b", " leading", "trailing ",
+      "dup dup dup dup", "single", "", "x  ", "über ασδ 中文 中文 tokens"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(2, 3)) {
+      val viaKernel = texts
+        .select($"id", MinHashKernel.shingleSortedSetCol($"text", n).as("s"))
+        .filter($"s".isNotNull)
+        .as[(Long, Seq[String])].collect().toMap
+      val toks = split($"text", " ")
+      val m = size(toks) - lit(n - 1)
+      val grams = (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, o) =>
+        zip_with(acc, slice(toks, lit(o), m), (a, b) => concat_ws(" ", a, b))
+      }
+      val viaSql = texts.filter(size(toks) >= n)
+        .select($"id", sort_array(array_distinct(grams)).as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(viaKernel == viaSql, s"n=$n")
+    }
+  }
+
   test("kernels survive CODEGEN_ONLY factory mode") {
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     try {
