@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale self-check for the training-data pipeline operators: synthesize a
+  * corpus ~100× the sf0.1 fixture (500k docs, ~40 tokens each, with a
+  * controlled 2% near-dup rate) plus 500k 64-dim embeddings, write to
+  * parquet, then time each operator end-to-end. The narrow stages (minhash
+  * signatures, LSH bucket assignment) must scale linearly — they are pure
+  * per-row kernels; the joins are where scale shows.
+  *
+  * Usage: runMain graft.PipelineScaleBench [nDocs] [workDir]
+  */
+object PipelineScaleBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(500000)
+    val work = args.drop(1).headOption.getOrElse("/tmp/graft-pipescale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // synthetic corpus: 40 tokens drawn deterministically from a 1k-word
+    // vocabulary; 2% of docs are near-copies of doc (id - 1) (same prefix,
+    // one token changed) so the LSH path has real work to do
+    val vocabSize = 1000
+    val tokensPerDoc = 40
+    val toks = (0 until tokensPerDoc).map { p =>
+      concat(lit("w"), pmod(xxhash64(col("base"), lit(p)), lit(vocabSize.toLong)).cast("string"))
+    }
+    val docs = spark.range(nDocs.toLong)
+      .withColumn("near_dup", pmod(xxhash64(col("id")), lit(50L)) === 0 && col("id") > 0)
+      .withColumn("base", when(col("near_dup"), col("id") - 1).otherwise(col("id")))
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (toks.init :+
+          when(col("near_dup"), lit("CHANGED")).otherwise(toks.last)): _*).as("text"))
+    val docsPath = s"$work/docs.parquet"
+    docs.write.mode(SaveMode.Overwrite).parquet(docsPath)
+    val corpus = spark.read.parquet(docsPath)
+    val total = corpus.count()
+
+    def timed(metric: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"$metric","input_rows":$total,"output_rows":$rows,"value":$secs%.2f,"unit":"sec","rows_per_sec":${(total / secs).toLong}}""")
+    }
+
+    timed("pipe_minhash_sigs") {
+      // consume via a hash-max so column pruning cannot elide the kernels
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+      sigs.agg(max(xxhash64(sigs.columns.map(col): _*))).head()
+      total
+    }
+    timed("pipe_lsh_candidates") {
+      Dedup.lshCandidates(corpus, "doc_id", "text").count()
+    }
+    timed("pipe_neardups_verified") {
+      Dedup.nearDups(corpus, "doc_id", "text", 0.5).count()
+    }
+    timed("pipe_exact_dedup") {
+      Dedup.exactGroups(corpus, "doc_id", "text").count()
+    }
+
+    // embeddings: 64 deterministic pseudo-random dims per row
+    val dims = (0 until 64).map(d =>
+      (pmod(xxhash64(col("id"), lit(d)), lit(2001L)).cast("double") / 1000.0 - 1.0))
+    val emb = spark.range(nDocs.toLong)
+      .select(col("id").as("vec_id"), array(dims: _*).as("embedding"))
+    val embPath = s"$work/emb.parquet"
+    emb.write.mode(SaveMode.Overwrite).parquet(embPath)
+    val vecs = spark.read.parquet(embPath)
+
+    timed("pipe_lsh_bucket_assign") {
+      vecs.select(Similarity.lshBucket(col("embedding")).as("b"))
+        .agg(sum("b")).head()
+      total
+    }
+    timed("pipe_ann_lsh_topk_100q") {
+      Similarity.lshTopK(vecs, vecs.filter(col("vec_id") % (nDocs.toLong / 100) === 0),
+        "vec_id", "embedding", k = 10, planes = 4, probeBits = 1).count()
+    }
+    spark.stop()
+  }
+}
