@@ -5,14 +5,15 @@ import org.apache.spark.sql.types.StructType
 
 /** Multi-format readers/writers (S3/S4/S9/S10 — util.py:15-52, 69-119).
   *
-  * Formats: csv, json (array), jsonl (ndjson), parquet. JSONL is Spark's
-  * native json source; JSON-array reads via `multiLine`. Spark renders
-  * DateType as ISO-8601 in json/csv sinks, subsuming the reference's custom
-  * encoder (json_encoder.py:5-9).
+  * Formats: csv, json (array), jsonl (ndjson), parquet, orc (beyond the
+  * reference's four — the other columnar format large pipelines exchange).
+  * JSONL is Spark's native json source; JSON-array reads via `multiLine`.
+  * Spark renders DateType as ISO-8601 in json/csv sinks, subsuming the
+  * reference's custom encoder (json_encoder.py:5-9).
   */
 object IO {
 
-  val Formats: Set[String] = Set("csv", "json", "jsonl", "parquet")
+  val Formats: Set[String] = Set("csv", "json", "jsonl", "parquet", "orc")
 
   /** Format from explicit arg or the file BASENAME's extension (dots in
     * directory names must not leak into inference).
@@ -35,6 +36,7 @@ object IO {
       case "jsonl" | "ndjson" => r.json(path)
       case "json" => r.option("multiLine", "true").json(path)
       case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }
@@ -52,6 +54,7 @@ object IO {
       case "csv" => w.option("header", "true").csv(path)
       case "json" | "jsonl" | "ndjson" => w.json(path)
       case "parquet" => w.parquet(path)
+      case "orc" => w.orc(path)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }

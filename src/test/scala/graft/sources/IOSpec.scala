@@ -13,12 +13,12 @@ class IOSpec extends SparkSpec {
   private lazy val df = Seq(("CVE-A", 0.1, 0.5), ("CVE-B", 0.2, 0.6))
     .toDF("cve", "epss", "percentile")
 
-  for (fmt <- Seq("csv", "jsonl", "parquet")) {
+  for (fmt <- Seq("csv", "jsonl", "parquet", "orc")) {
     test(s"$fmt round-trip preserves rows") {
       val path = s"$tmp/rt.$fmt"
       IO.write(df, path, Some(fmt))
       val back = IO.read(spark, path, Some(fmt),
-        schema = if (fmt == "parquet") None else Some(Schemas.csvSchema))
+        schema = if (fmt == "parquet" || fmt == "orc") None else Some(Schemas.csvSchema))
       assert(back.select("cve", "epss", "percentile").as[(String, Double, Double)]
         .collect().toSet == df.as[(String, Double, Double)].collect().toSet)
     }
