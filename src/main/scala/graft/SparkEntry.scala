@@ -452,7 +452,21 @@ object SparkEntry {
       events(s, dir)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // ── embedding int8 quantization (training-data prep): per-vector
+    // scale + quantized summary stats (scalar outputs keep the oracle
+    // hash-comparable).
+    "q48_embed_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          (lit(127.0) / array_max(transform(Similarity.asDouble(col("embedding")),
+            x => abs(x)))).as("scale"),
+          aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(q).as("q_min"), array_max(q).as("q_max"))
+        .orderBy("vec_id")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -751,6 +765,13 @@ object SparkEntry {
     "q47_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q48_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+        |q AS (SELECT vec_id, scale, list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv FROM s)
+        |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        | CAST(list_min(qv) AS BIGINT) AS q_min, CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q36_sessionize" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

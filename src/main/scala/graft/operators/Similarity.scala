@@ -74,6 +74,27 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** L2-normalize to a unit vector (zero vectors pass through unchanged) —
+    * the usual prep before cosine ANN so dot product IS cosine.
+    */
+  def normalize(vec: Column): Column = {
+    val v = asDouble(vec)
+    val n = norm(v)
+    when(n > 0, transform(v, x => x / n)).otherwise(v)
+  }
+
+  /** Symmetric int8 quantization: scale each vector by 127/max|x| and
+    * round half-up via an explicit floor(x·s + 0.5) — floor is defined
+    * identically in every engine, unlike round()'s half-up/half-even split.
+    * 4× smaller embeddings for the ANN candidate stage; exact rerank can
+    * read the float column.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = asDouble(vec)
+    val scale = lit(127.0) / array_max(transform(v, x => abs(x)))
+    transform(v, x => floor(x * scale + lit(0.5)).cast("long"))
+  }
+
   /** Deterministic pseudo-random integer plane weight in [-500, 500]:
     * pure 64-bit arithmetic, identical in any engine (no RNG, no hashing).
     */

@@ -103,6 +103,23 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides are watermarked AND the
+    * join condition bounds event time on both sides, so Spark can expire
+    * join state — the state store never grows beyond watermark + interval.
+    * The same expression runs on batch frames (tested against the
+    * streaming memory sink in EventStreamsSpec).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        horizon: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", horizon).alias("c")
+    val p = purchases.withWatermark("ts", horizon).alias("p")
+    c.join(p, expr(
+      "c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"))
+      .select(col("c.user_id").as("user_id"), col("c.ts").as("click_ts"),
+        col("p.ts").as("purchase_ts"), col("p.value").as("purchase_value"))
+  }
+
   /** Run a streaming frame to completion against the memory sink (local
     * smoke path: a directory of parquet drives the stream synchronously).
     */

@@ -112,4 +112,20 @@ class SimilaritySpec extends SparkSpec {
     val got = out.sortBy(_._3).map(_._2).toSeq
     assert(got == brute.filter(got.contains(_)).take(got.length))
   }
+
+  test("normalize yields unit vectors; zero vector passes through") {
+    val df = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(0.0, 0.0))).toDF("id", "v")
+    val out = df.select($"id", Similarity.normalize($"v").as("nv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0))
+  }
+
+  test("quantizeInt8 maps max-abs component to +/-127 and stays in range") {
+    val df = Seq((1L, Seq(0.5, -1.0, 0.25))).toDF("id", "v")
+    val q = df.select(Similarity.quantizeInt8($"v").as("q"))
+      .as[Seq[Long]].head()
+    assert(q == Seq(64L, -127L, 32L))
+    assert(q.forall(x => x >= -127 && x <= 127))
+  }
 }

@@ -102,6 +102,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    val ssSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val clicks = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 0.0),
+      (1L, Timestamp.valueOf("2024-01-01 02:00:00"), 0.0), // > 1h before purchase → excluded
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 0.0)
+    ).toDF("user_id", "ts", "value")
+    val purchases = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:30:00"), 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 05:00:00"), 20.0)  // no click within 1h
+    ).toDF("user_id", "ts", "value")
+    val batchOut = EventStreams.clickPurchaseJoin(clicks, purchases)
+      .select($"user_id", $"click_ts".cast("string"), $"purchase_value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(batchOut == Set((1L, "2024-01-01 00:00:00", 10.0)))
+
+    val (cDir, pDir) = (s"$tmp/ss-clicks", s"$tmp/ss-purchases")
+    clicks.coalesce(1).write.mode("overwrite").parquet(cDir)
+    purchases.coalesce(1).write.mode("overwrite").parquet(pDir)
+    val q = EventStreams.clickPurchaseJoin(
+      spark.readStream.schema(ssSchema).parquet(cDir),
+      spark.readStream.schema(ssSchema).parquet(pDir)).writeStream
+      .outputMode("append").format("memory").queryName("ss_join").start()
+    try {
+      q.processAllAvailable()
+      val streamOut = spark.table("ss_join")
+        .select($"user_id", $"click_ts".cast("string"), $"purchase_value")
+        .as[(Long, String, Double)].collect().toSet
+      assert(streamOut == batchOut)
+    } finally q.stop()
+  }
+
   test("streaming twin over a file source produces the same frame via memory sink") {
     val src = s"$tmp/events"
     batch.coalesce(1).write.mode("overwrite").parquet(src)
