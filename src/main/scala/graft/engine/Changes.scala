@@ -51,6 +51,22 @@ object Changes {
       .orderBy(col(Schemas.Date).asc, col(Schemas.Cve).desc)           // O1 intent
   }
 
+  /** Direct diff of two specific snapshots (the reference's pairwise
+    * `get_changed_scores(a, b)` shape, client.py:453-475, as an explicit
+    * API): rows of day `b` whose value differs from day `a`, plus day-`b`
+    * rows with no day-`a` twin (first sightings are KEPT here — unlike the
+    * windowed quantization, a two-snapshot diff has an explicit baseline,
+    * so "new in b" is a change). One shuffle on the join key; at the store
+    * layout's bucketing the join co-locates exchange-free.
+    */
+  def betweenSnapshots(a: DataFrame, b: DataFrame): DataFrame = {
+    val prev = a.select(col(Schemas.Cve), col(Schemas.Epss).as("__prev_epss"))
+    b.join(prev, Seq(Schemas.Cve), "left")
+      .filter(col("__prev_epss").isNull || col(Schemas.Epss) =!= col("__prev_epss"))
+      .select(Schemas.scoreColumns.map(col): _*)
+      .orderBy(col(Schemas.Date).asc, col(Schemas.Cve).desc)
+  }
+
   /** Dense reconstruction from a change log: forward-fill each key's last
     * seen value onto a provided date spine — the inverse of quantization,
     * used by the property tests (SURVEY.md §5.2.3).

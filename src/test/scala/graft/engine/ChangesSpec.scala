@@ -66,6 +66,21 @@ class ChangesSpec extends SparkSpec {
     assert(!filled.exists(_._2 == "CVE-B"))
   }
 
+  test("betweenSnapshots diffs two days: changed values + first sightings kept") {
+    val dayA = dense.filter($"date" === d("2024-01-02"))
+    val dayB = dense.filter($"date" === d("2024-01-03"))
+    val out = Changes.betweenSnapshots(dayA, dayB)
+      .select($"cve", $"epss").as[(String, Double)].collect().toSet
+    // A changed 0.10→0.20; B unchanged (dropped); C changed 0.40→0.45
+    assert(out == Set(("CVE-A", 0.20), ("CVE-C", 0.45)))
+    // first sighting: C absent on day 1 → kept when diffing day1→day2
+    val out2 = Changes.betweenSnapshots(
+      dense.filter($"date" === d("2024-01-01")),
+      dense.filter($"date" === d("2024-01-02")))
+      .select($"cve").as[String].collect().toSet
+    assert(out2 == Set("CVE-C"))
+  }
+
   test("quantization is idempotent: changes of changes = changes") {
     val once = Changes.changedRows(dense, "cve", Seq("date"), "epss")
     val twice = Changes.changedRows(once, "cve", Seq("date"), "epss")
