@@ -454,6 +454,31 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // ── text normalization (lowercase / strip punctuation / collapse
+    // whitespace) — the first pass of every cleaning pipeline.
+    "q49_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm"))
+        .orderBy("doc_id")),
+
+    // ── exact-accumulation variance: decimal sums of x and x², stddev
+    // derived in double with an identical expression shape on both
+    // engines — order-independent where a naive stddev over doubles is
+    // partitioning-dependent.
+    "q50_variance_exact" -> ((s, dir) => {
+      val q = col("l_quantity").cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(q).cast("double").as("sx"),
+          sum(q * q).cast("double").as("sx2"))
+        .withColumn("stddev_exact",
+          sqrt((col("sx2") * col("n") - col("sx") * col("sx")) /
+            (col("n").cast("double") * (col("n") - lit(1)))))
+        .orderBy("l_returnflag")
+    }),
+
     // ── embedding int8 quantization (training-data prep): per-vector
     // scale + quantized summary stats (scalar outputs keep the oracle
     // hash-comparable).
@@ -765,6 +790,18 @@ object SparkEntry {
     "q47_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q49_text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        | '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q50_variance_exact" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sx, sx2,
+        | sqrt((sx2 * n - sx * sx) / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_exact
+        |FROM s ORDER BY 1""".stripMargin,
     "q48_embed_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM v),

@@ -20,6 +20,13 @@ object TextAnalysis {
   /** Whitespace tokens as an array column. */
   def tokens(textCol: String): Column = split(col(textCol), " ")
 
+  /** Canonical text normalization (the first pass of every cleaning
+    * pipeline): lowercase, strip non-alphanumerics to spaces, collapse
+    * whitespace runs, trim. Pure narrow projection.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Per-document stats: char length, whitespace-token count, a BPE-ish
     * regex token count (letter runs / digit runs / single non-space symbols),
     * stopword count and ratio, mean token length. Exact IEEE division only —
