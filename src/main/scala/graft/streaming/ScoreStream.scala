@@ -49,6 +49,21 @@ object ScoreStream {
       }
   }
 
+  /** Sink a score stream into the date-partitioned store via foreachBatch:
+    * each micro-batch writes through `ScoreStore.write`, whose DYNAMIC
+    * partition overwrite makes replays idempotent at the partition grain —
+    * exactly-once per date partition on top of the at-least-once stream.
+    */
+  def appendToStore(scores: Dataset[Score], root: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    scores.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Score], _: Long) =>
+        graft.sources.ScoreStore.write(batch.toDF(), root)
+      }
+      .start()
+
   /** File-source wiring: watch a directory of score parquet. */
   def fromDirectory(spark: SparkSession, dir: String): Dataset[Score] = {
     import spark.implicits._

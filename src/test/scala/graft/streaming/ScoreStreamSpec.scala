@@ -48,6 +48,27 @@ class ScoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendToStore lands micro-batches as idempotent date partitions") {
+    val base = Files.createTempDirectory("graft-storesink-").toString
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    val day1 = Seq(Score(d("2024-02-01"), "CVE-A", 0.10, 0.5))
+    val day2 = Seq(Score(d("2024-02-02"), "CVE-A", 0.20, 0.6))
+    day1.toDS().coalesce(1).write.parquet(s"$src/d1")
+    day2.toDS().coalesce(1).write.parquet(s"$src/d2")
+    val q = ScoreStream.appendToStore(
+      ScoreStream.fromDirectory(spark, s"$src/*"), store, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // Hive layout with one partition per date, readable through the store API
+    val back = graft.sources.ScoreStore.read(spark, store,
+      d("2024-02-01").toLocalDate, d("2024-02-02").toLocalDate)
+      .as[Score].collect().map(r => (r.date.toString, r.cve, r.epss)).sorted.toSeq
+    assert(back == Seq(("2024-02-01", "CVE-A", 0.10), ("2024-02-02", "CVE-A", 0.20)))
+    // replaying one day's data through the batch writer is idempotent
+    graft.sources.ScoreStore.write(day2.toDF(), store)
+    assert(graft.sources.ScoreStore.read(spark, store,
+      d("2024-02-01").toLocalDate, d("2024-02-02").toLocalDate).count() == 2)
+  }
+
   test("late/backfilled snapshots are dropped, not folded out of order") {
     val dir = s"${Files.createTempDirectory("graft-scorestream-late-")}/snaps"
     // day-3 file lands BEFORE day-2's backfill
