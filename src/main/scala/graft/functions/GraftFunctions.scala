@@ -18,5 +18,7 @@ object GraftFunctions {
       exprs => MinHashSigsExpr(exprs.head, 8))
     ColumnBridge.registerFunction(spark, "sorted_intersect_count",
       exprs => SortedIntersectCountExpr(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "shingle_sorted_set",
+      exprs => ShingleSortedSetExpr(exprs.head, 2))
   }
 }

@@ -19,6 +19,16 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(d == 11.0)
   }
 
+  test("dedup kernels are SQL-callable end-to-end") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(shingle_sorted_set('a b c'),
+        |                              shingle_sorted_set('a b d')) AS c,
+        |       minhash_sigs(shingle_sorted_set('a b c')) AS sig""".stripMargin).head()
+    assert(r.getLong(0) == 1L) // shared bigram: "a b"
+    assert(r.getSeq[Long](1).length == 8)
+  }
+
   test("dot_product matches aggregate(zip_with(...)) on null slots and ragged lengths") {
     GraftFunctions.registerAll(spark)
     val cases = Seq(
