@@ -19,9 +19,13 @@ object ScaleBench {
     val nDays = args.drop(1).headOption.map(_.toInt).getOrElse(230)
     val work = args.drop(2).headOption.getOrElse("/tmp/graft-scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // more shuffle partitions than cores shrinks each window sort run
+    // (better cache locality + earlier spill-free finish); AQE coalesces
+    // them back if they come out too small
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", s"$work/warehouse")
