@@ -479,6 +479,19 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ── Gopher-style quality signals: word stats as per-row array
+    // expressions (shuffle-free at any scale).
+    "q51_quality_signals" -> ((s, dir) =>
+      TextAnalysis.qualitySignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── dedup cluster canonicalization: connected components over the LSH
+    // candidate graph (min-label propagation; recursive-CTE oracle).
+    "q52_dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("node")),
+
     // ── embedding int8 quantization (training-data prep): per-vector
     // scale + quantized summary stats (scalar outputs keep the oracle
     // hash-comparable).
@@ -790,6 +803,26 @@ object SparkEntry {
     "q47_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q51_quality_signals" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        | CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_word_len,
+        | CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+        | CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS frac_unique,
+        | CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS max_word_len
+        |FROM sp ORDER BY doc_id""".stripMargin,
+    "q52_dedup_components" ->
+      (s"""WITH RECURSIVE sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |nodes(n) AS (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM cand UNION SELECT doc_b, doc_a FROM cand),
+         |cc(node, label) AS (
+         | SELECT n, n FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b)
+        |SELECT node, min(label) AS component FROM cc GROUP BY node ORDER BY node""".stripMargin),
     "q49_text_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         | '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm

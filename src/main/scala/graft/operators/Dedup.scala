@@ -126,6 +126,44 @@ object Dedup {
     candidatesFromBands(
       lshBands(minhashSignatures(df, idCol, textCol, n, k), idCol, k, rowsPerBand), idCol)
 
+  /** Connected components over a near-dup pair graph — the cluster-
+    * canonicalization step of corpus dedup (keep `min(id)` per component,
+    * drop the rest). Min-label propagation: each round every node takes
+    * the minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are near-cliques, so
+    * typically 2–3). Each round is one join + one aggregate, and
+    * `localCheckpoint` truncates the lineage so plans don't grow with the
+    * iteration count — the standard iterative-algorithm pattern at scale.
+    * Output: (node, component) where component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
+                          dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .localCheckpoint(false) // reused every round — cut the upstream lineage once
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(false)
+    // labels decrease monotonically, so the label sum strictly decreases
+    // until the fixpoint — an exact convergence test from the ONE action
+    // each round already needs (no extra change-count job)
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val withSelf = und.union(labels.select(col("node").as("a"), col("node").as("b")))
+      val next = withSelf.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min("label").as("label"))
+        .select(col("a").as("node"), col("label"))
+        .localCheckpoint(false)
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs: one shingle-equality
     * join for intersections + a broadcast-size join for set sizes. Runs only
     * on candidates — never on the full pair space.

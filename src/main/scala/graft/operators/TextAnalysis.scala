@@ -32,6 +32,22 @@ object TextAnalysis {
     * stopword count and ratio, mean token length. Exact IEEE division only —
     * deterministic across engines.
     */
+  /** Gopher-style per-document quality signals (the standard pre-training
+    * filter battery): word count, mean/max word length, alphabetic-word
+    * count, unique-word fraction. All per-row array expressions — no
+    * shuffle at any scale.
+    */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = split(col(textCol), " ")
+    df.select(col(idCol),
+      size(t).cast("long").as("n_words"),
+      (aggregate(t, lit(0L), (a, x) => a + length(x).cast("long")).cast("double") /
+        size(t)).as("mean_word_len"),
+      size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("long").as("n_alpha_words"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("frac_unique"),
+      array_max(transform(t, x => length(x))).cast("long").as("max_word_len"))
+  }
+
   def textStats(df: DataFrame, idCol: String, textCol: String,
                 stopwords: Seq[String] = Stopwords): DataFrame =
     df.withColumn("__toks", tokens(textCol))

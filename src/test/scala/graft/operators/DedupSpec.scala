@@ -50,6 +50,15 @@ class DedupSpec extends SparkSpec {
     // (0,1) share 7/9 bigrams ⇒ J ≈ 0.78 — included iff LSH banded them
   }
 
+  test("connectedComponents resolves chains, cliques and isolated self-edges") {
+    // chain 1-2-3-4 (needs multi-round propagation), pair 10-11, self-loop 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("jaccard values are exact set ratios") {
     val pairs = Seq((0L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")
