@@ -492,6 +492,12 @@ object SparkEntry {
         Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text"))
         .orderBy("node")),
 
+    // ── SimHash near-dup pairs: pigeonhole chunk blocking (lossless for
+    // the Hamming threshold), verified against a DuckDB cross join.
+    "q53_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
     // ── embedding int8 quantization (training-data prep): per-vector
     // scale + quantized summary stats (scalar outputs keep the oracle
     // hash-comparable).
@@ -803,6 +809,18 @@ object SparkEntry {
     "q47_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q53_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h, (SELECT unnest(range(0,60)) AS j) GROUP BY 1,2),
+        |sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
+        |        FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q51_quality_signals" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,

@@ -117,6 +117,34 @@ case class ShingleSortedSetExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd 60-bit SimHash over a token array using the md5-derived base
+  * hash — the ENGINE-PORTABLE twin of [[SimHash64Expr]] (whose XxHash64
+  * kernel DuckDB cannot reproduce): bit j of the signature is set iff
+  * tokens with bit j set outnumber those without, token hash =
+  * first-60-bits(md5(token)). Bit-identical to the explode→groupBy SQL
+  * formulation (SparkEntry q24), in one pass per row.
+  */
+case class Md5SimHash60Expr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_simhash60 requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.md5SimHash60(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.md5SimHash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash60Expr =
+    copy(child = newChild)
+}
+
 object MinHashKernel {
 
   val P = 1000003L
@@ -215,12 +243,40 @@ object MinHashKernel {
     new GenericArrayData(set.toArray(new Array[UTF8String](set.size)).asInstanceOf[Array[AnyRef]])
   }
 
+  /** One-pass 60-bit md5 SimHash (engine-portable bit layout, q24 twin). */
+  def md5SimHash60(arr: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Prefix60(arr.getUTF8String(i))
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** Column API. */
   def minhashSigs(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSigsExpr(ColumnBridge.expression(shingles), k))
 
   def shingleSortedSetCol(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleSortedSetExpr(ColumnBridge.expression(text), n))
+
+  def md5SimHash60Col(tokens: Column): Column =
+    ColumnBridge.column(Md5SimHash60Expr(ColumnBridge.expression(tokens)))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCountExpr(

@@ -126,6 +126,40 @@ object Dedup {
     candidatesFromBands(
       lshBands(minhashSignatures(df, idCol, textCol, n, k), idCol, k, rowsPerBand), idCol)
 
+  /** SimHash near-dup pairs with EXACT pigeonhole blocking: split the
+    * 60-bit signature into `maxHamming + 1` chunks — any pair within the
+    * Hamming threshold must agree on at least one full chunk, so blocking
+    * on (chunk index, chunk value) is LOSSLESS (unlike probabilistic LSH):
+    * the blocked join provably returns the same pairs a cross join would,
+    * at a fraction of the pair space. Verification is one xor + popcount
+    * per candidate.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(60 % (maxHamming + 1) == 0 || maxHamming < 60,
+      s"maxHamming must be < 60, got $maxHamming")
+    val chunks = maxHamming + 1
+    val bits = 60 / chunks // last chunk absorbs any remainder via the mask below
+    val sh = df.select(col(idCol),
+      graft.functions.MinHashKernel.md5SimHash60Col(split(col(textCol), " ")).as("__sh"))
+    val chunkStructs = (0 until chunks).map { c =>
+      val width = if (c == chunks - 1) 60 - c * bits else bits
+      struct(lit(c).as("ck"),
+        shiftright(col("__sh"), c * bits).bitwiseAND(lit((1L << width) - 1)).as("cv"))
+    }
+    val banded = sh.select(col(idCol), col("__sh"),
+      explode(array(chunkStructs: _*)).as("__c"))
+      .select(col(idCol), col("__sh"), col("__c.ck").as("ck"), col("__c.cv").as("cv"))
+    val a = banded.select(col(idCol).as("doc_a"), col("__sh").as("__sa"), col("ck"), col("cv"))
+    val b = banded.select(col(idCol).as("doc_b"), col("__sh").as("__sb"), col("ck"), col("cv"))
+    a.join(b, Seq("ck", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
   /** Connected components over a near-dup pair graph — the cluster-
     * canonicalization step of corpus dedup (keep `min(id)` per component,
     * drop the rest). Min-label propagation: each round every node takes

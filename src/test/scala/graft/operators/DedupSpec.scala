@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
@@ -57,6 +59,20 @@ class DedupSpec extends SparkSpec {
     val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("simhashNearDups pigeonhole blocking is lossless vs brute-force cross join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sh = docs.select($"doc_id",
+      graft.functions.MinHashKernel.md5SimHash60Col(split($"text", " ")).as("sh"))
+    val brute = sh.as("a").crossJoin(sh.as("b")).filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("hamming", bit_count($"a.sh".bitwiseXOR($"b.sh")).cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"a.doc_id", $"b.doc_id", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val blocked = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty && blocked == brute)
   }
 
   test("jaccard values are exact set ratios") {
