@@ -37,7 +37,7 @@ object EpssCli {
 
   private val KnownKeys: Map[String, Set[String]] = Map(
     "scores" -> Set("store", "a", "b", "date", "no-drop-unchanged", "drop-unchanged",
-      "min-epss", "max-epss", "min-percentile", "max-percentile", "cve",
+      "min-epss", "max-epss", "min-percentile", "max-percentile", "cve", "cve-file",
       "output", "output-format"),
     "urls" -> Set("a", "b", "date"),
     "date-range" -> Set("store"))
@@ -101,8 +101,11 @@ object EpssCli {
       date.orElse(a.one("a").map(LocalDate.parse)),
       date.orElse(a.one("b").map(LocalDate.parse)),
       latest)
+    // --cve-file: non-blank lines of an id-list file (F7, util.py:377-382),
+    // merged with any inline --cve flags
+    val fileIds = a.all("cve-file").flatMap(graft.sources.IO.readLines)
     val q = EpssQuery(
-      cveIds = Option(a.all("cve")).filter(_.nonEmpty),
+      cveIds = Option(a.all("cve") ++ fileIds).filter(_.nonEmpty),
       minEpss = a.one("min-epss").map(_.toDouble),
       maxEpss = a.one("max-epss").map(_.toDouble),
       minPercentile = a.one("min-percentile").map(_.toDouble),

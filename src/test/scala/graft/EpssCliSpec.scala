@@ -47,6 +47,25 @@ class EpssCliSpec extends SparkSpec {
     assert(rows.map(_.cve).toSeq == Seq("CVE-A"))
   }
 
+  test("scores --cve-file reads id lists (F7) and merges with inline --cve") {
+    val idFile = s"${Files.createTempDirectory("graft-cli-ids-")}/ids.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(idFile),
+      "CVE-B\n\n  \n".getBytes("UTF-8"))
+    val out = s"${Files.createTempDirectory("graft-cli-out-")}/filtered.parquet"
+    EpssCli.run(spark, Seq("scores", "--store", store,
+      "-a", "2024-01-01", "-b", "2024-01-02", "--no-drop-unchanged",
+      "--cve-file", idFile, "--output", out, "--output-format", "parquet"))
+    val rows = spark.read.parquet(out).as[Score].collect()
+    assert(rows.map(_.cve).distinct.toSeq == Seq("CVE-B"))
+  }
+
+  test("missing option value fails loudly instead of dropping the filter") {
+    val e = intercept[IllegalArgumentException] {
+      EpssCli.parseArgs(Seq("scores", "--store", "S", "--min-epss"))
+    }
+    assert(e.getMessage.contains("requires a value"))
+  }
+
   test("single-dash flags parse like the reference CLI (-a/-b)") {
     val (_, a) = EpssCli.parseArgs(Seq("scores", "--store", "S",
       "--no-drop-unchanged", "-a", "2024-01-01", "-b", "2024-01-05"))

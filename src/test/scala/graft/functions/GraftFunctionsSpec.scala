@@ -29,6 +29,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](1).length == 8)
   }
 
+  test("custom expressions reject wrong input types at analysis time") {
+    GraftFunctions.registerAll(spark)
+    val bad = Seq(
+      "SELECT dot_product(array('a'), array('b'))",
+      "SELECT simhash64(42)",
+      "SELECT minhash_sigs(array(1, 2))",
+      "SELECT sorted_intersect_count(array(1), array(2))",
+      "SELECT shingle_sorted_set(array('x'))")
+    bad.foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+      assert(e.getMessage.contains("requires"), s"$sql: ${e.getMessage.take(120)}")
+    }
+  }
+
   test("dot_product matches aggregate(zip_with(...)) on null slots and ragged lengths") {
     GraftFunctions.registerAll(spark)
     val cases = Seq(
