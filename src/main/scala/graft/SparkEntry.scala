@@ -498,6 +498,15 @@ object SparkEntry {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // ── two-stage ANN: int8-quantized candidate scan, exact float rerank
+    // (the production retrieval pattern; both stages rank-deterministic).
+    "q54_ann_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedRerankTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
     // ── embedding int8 quantization (training-data prep): per-vector
     // scale + quantized summary stats (scalar outputs keep the oracle
     // hash-comparable).
@@ -809,6 +818,23 @@ object SparkEntry {
     "q47_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q54_ann_rerank" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+        |q8 AS (SELECT vec_id, v, list_transform(v, x -> CAST(CAST(floor(x * scale + 0.5) AS BIGINT) AS DOUBLE)) AS qv FROM s),
+        |qs AS (SELECT vec_id AS query_id, v AS qv_f, qv AS qv_q FROM q8 WHERE vec_id % 50 = 0),
+        |pairs AS (
+        | SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv_f, q.qv_f,
+        |  list_inner_product(c.qv, q.qv_q) AS approx
+        | FROM q8 c, qs q WHERE c.vec_id <> q.query_id),
+        |stage1 AS (SELECT query_id, neighbor_id, cv_f, qv_f FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS arn
+        |  FROM pairs) WHERE arn <= 20),
+        |stage2 AS (SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(cv_f, qv_f) DESC, neighbor_id) AS BIGINT) AS rn
+        | FROM stage1)
+        |SELECT query_id, neighbor_id, rn FROM stage2 WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "q53_simhash_neardup" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
         |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM toks),

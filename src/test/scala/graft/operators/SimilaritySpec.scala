@@ -128,4 +128,27 @@ class SimilaritySpec extends SparkSpec {
     assert(q == Seq(64L, -127L, 32L))
     assert(q.forall(x => x >= -127 && x <= 127))
   }
+
+  test("quantizedRerankTopK with full rerank budget equals brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val full = Similarity.quantizedRerankTopK(emb, qs, "vec_id", "embedding",
+      k = 5, rerank = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == brute && brute.nonEmpty)
+  }
+
+  test("quantizedRerankTopK at a tight budget keeps high recall vs brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val approx = Similarity.quantizedRerankTopK(emb, qs, "vec_id", "embedding",
+      k = 5, rerank = 20).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
 }
