@@ -78,6 +78,11 @@ class MinHashOpsSpec extends SparkSpec {
           MinHashKernel.sortedIntersectCount(sort_array($"set"), sort_array($"set")).as("c"))
         .collect()
       assert(n.length == 3)
+      val t = Seq((1L, "a b c d")).toDF("id", "text")
+        .select(MinHashKernel.shingleSortedSetCol($"text", 2).as("s"),
+          MinHashKernel.md5SimHash60Col(split($"text", " ")).as("sh"))
+        .collect()
+      assert(t.length == 1 && !t.head.isNullAt(0) && !t.head.isNullAt(1))
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
       case None => spark.conf.unset("spark.sql.codegen.factoryMode")
