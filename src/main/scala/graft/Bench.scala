@@ -24,7 +24,7 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warmup: codegen + JIT + IO caches
-        // best of two timed runs: one shared JVM runs 48 queries back to
+        // best of two timed runs: one shared JVM runs every query back to
         // back, so a single timing inherits whatever GC/compilation debt
         // the previous queries left behind
         val times = (1 to 2).map { _ =>

@@ -63,11 +63,17 @@ object EpssCli {
       if (BooleanFlags.contains(k)) {
         m(k) = m.getOrElse(k, Nil); i += 1
       } else {
-        // value-taking option: the NEXT token is its value, '-'-prefixed or
-        // not (so negative numbers work) — and a missing value is an error,
-        // never a silently-dropped filter
+        // value-taking option: the NEXT token is its value — '-'-prefixed
+        // values are fine (negative numbers) UNLESS the token is itself a
+        // known option, which means the value is missing; either way a
+        // missing value is an error, never a silently-dropped filter
         require(i + 1 < argv.length, s"option --$k0 requires a value")
-        m(k) = m.getOrElse(k, Nil) :+ argv(i + 1); i += 2
+        val next = argv(i + 1)
+        val nextKey = Aliases.getOrElse(next.dropWhile(_ == '-'), next.dropWhile(_ == '-'))
+        require(!(next.startsWith("-") &&
+          KnownKeys.get(cmd).exists(_.contains(nextKey))),
+          s"option --$k0 requires a value but was followed by option $next")
+        m(k) = m.getOrElse(k, Nil) :+ next; i += 2
       }
     }
     (cmd, Args(m.toMap))

@@ -50,7 +50,7 @@ object PipelineScaleBench {
       val t0 = System.nanoTime()
       val rows = f
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"$metric","input_rows":$total,"output_rows":$rows,"value":$secs%.2f,"unit":"sec","rows_per_sec":${(total / secs).toLong}}""")
+      println(f"""{"metric":"$metric","input_rows":$total,"output_rows":$rows,"value":$secs%.2f,"unit":"sec","input_rows_per_sec":${(total / secs).toLong}}""")
     }
 
     timed("pipe_minhash_sigs") {
@@ -84,7 +84,10 @@ object PipelineScaleBench {
       total
     }
     timed("pipe_ann_lsh_topk_100q") {
-      Similarity.lshTopK(vecs, vecs.filter(col("vec_id") % (nDocs.toLong / 100) === 0),
+      // max(1, ...) guards tiny smoke runs: % 0 is NULL (non-ANSI) and the
+      // filter would silently select zero queries
+      val stride = math.max(1L, nDocs.toLong / 100)
+      Similarity.lshTopK(vecs, vecs.filter(col("vec_id") % stride === 0),
         "vec_id", "embedding", k = 10, planes = 4, probeBits = 1).count()
     }
     spark.stop()

@@ -514,8 +514,7 @@ object SparkEntry {
       val q = Similarity.quantizeInt8(col("embedding"))
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          (lit(127.0) / array_max(transform(Similarity.asDouble(col("embedding")),
-            x => abs(x)))).as("scale"),
+          Similarity.quantizeScale(col("embedding")).as("scale"),
           aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
           array_min(q).as("q_min"), array_max(q).as("q_max"))
         .orderBy("vec_id")
@@ -820,7 +819,8 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q54_ann_rerank" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+        |s AS (SELECT vec_id, v, CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |  THEN 127.0 / list_max(list_transform(v, x -> abs(x))) ELSE 0.0 END AS scale FROM v),
         |q8 AS (SELECT vec_id, v, list_transform(v, x -> CAST(CAST(floor(x * scale + 0.5) AS BIGINT) AS DOUBLE)) AS qv FROM s),
         |qs AS (SELECT vec_id AS query_id, v AS qv_f, qv AS qv_q FROM q8 WHERE vec_id % 50 = 0),
         |pairs AS (
@@ -881,7 +881,8 @@ object SparkEntry {
         |FROM s ORDER BY 1""".stripMargin,
     "q48_embed_quantize" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+        |s AS (SELECT vec_id, v, CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |  THEN 127.0 / list_max(list_transform(v, x -> abs(x))) ELSE 0.0 END AS scale FROM v),
         |q AS (SELECT vec_id, scale, list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv FROM s)
         |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS q_sum,
         | CAST(list_min(qv) AS BIGINT) AS q_min, CAST(list_max(qv) AS BIGINT) AS q_max

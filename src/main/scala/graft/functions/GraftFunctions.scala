@@ -20,5 +20,7 @@ object GraftFunctions {
       exprs => SortedIntersectCountExpr(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "shingle_sorted_set",
       exprs => ShingleSortedSetExpr(exprs.head, 2))
+    ColumnBridge.registerFunction(spark, "md5_simhash60",
+      exprs => Md5SimHash60Expr(exprs.head))
   }
 }

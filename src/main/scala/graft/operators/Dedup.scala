@@ -195,6 +195,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a silent non-converged return would hand back wrong (split)
+    // components with no signal — fail loudly instead
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels.select(col("node"), col("label").as("component"))
   }
 

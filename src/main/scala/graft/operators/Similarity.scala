@@ -87,12 +87,17 @@ object Similarity {
     * round half-up via an explicit floor(x·s + 0.5) — floor is defined
     * identically in every engine, unlike round()'s half-up/half-even split.
     * 4× smaller embeddings for the ANN candidate stage; exact rerank can
-    * read the float column.
+    * read the float column. All-zero vectors get scale 0 (all-zero codes),
+    * not the 127/0 = Infinity → NaN a naive scale would produce.
     */
+  def quantizeScale(vec: Column): Column = {
+    val maxAbs = array_max(transform(asDouble(vec), x => abs(x)))
+    when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+  }
+
   def quantizeInt8(vec: Column): Column = {
-    val v = asDouble(vec)
-    val scale = lit(127.0) / array_max(transform(v, x => abs(x)))
-    transform(v, x => floor(x * scale + lit(0.5)).cast("long"))
+    val scale = quantizeScale(vec)
+    transform(asDouble(vec), x => floor(x * scale + lit(0.5)).cast("long"))
   }
 
   /** Deterministic pseudo-random integer plane weight in [-500, 500]:
@@ -101,11 +106,16 @@ object Similarity {
   private def planeWeight(plane: Int, dim: Column): Column =
     (lit(plane.toLong * 1315423911L) + dim * lit(2654435761L)) % 1001L - 500L
 
-  /** Random-hyperplane LSH bucket id from `planes` sign bits. */
-  def lshBucket(vec: Column, planes: Int = 4, dims: Int = 64): Column = {
+  /** Random-hyperplane LSH bucket id from `planes` sign bits. The plane
+    * weight array is generated to the VECTOR'S own length — a hard-coded
+    * dimension would make `dot` return NULL on any other embedding width
+    * (ragged-length HOF semantics), silently collapsing every vector into
+    * bucket 0 and the bucket join into a full cross product.
+    */
+  def lshBucket(vec: Column, planes: Int = 4): Column = {
     val v = asDouble(vec)
     (0 until planes).map { p =>
-      val w = transform(sequence(lit(0), lit(dims - 1)), j => planeWeight(p, j).cast("double"))
+      val w = transform(sequence(lit(0), size(v) - 1), j => planeWeight(p, j).cast("double"))
       when(dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -173,23 +183,31 @@ object Similarity {
     */
   def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                           vecCol: String, k: Int, rerank: Int = 20): DataFrame = {
-    // int8 codes as double arrays: the native codegen'd dot product kernel
-    // is double-typed; values are exact small integers so no precision loss
-    def withCodes(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
-        .withColumn(n, norm(col(v)))
-        .withColumn(s"__q$v", transform(quantizeInt8(col(v)), x => x.cast("double")))
-    val c = withCodes(corpus, "neighbor_id", "__cv", "__cn")
-    val q = withCodes(queries, "query_id", "__qv", "__qn")
+    // stage 1 carries ONLY ids + int8 codes (as double arrays — the native
+    // codegen'd dot kernel is double-typed; values are exact small
+    // integers). Float vectors are re-joined for the <= Q·rerank
+    // survivors, so the window exchange moves quarter-width codes, not
+    // codes + floats + norms.
+    def codes(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+        transform(quantizeInt8(col(vecCol)), x => x.cast("double")).as(s"__c$id"))
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__approx").desc, col("neighbor_id").asc)
-    val wExact = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.crossJoin(broadcast(q))
+    val survivors = codes(corpus, "neighbor_id")
+      .crossJoin(broadcast(codes(queries, "query_id")))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__approx", dot(col("__q__cv"), col("__q__qv")))
+      .withColumn("__approx", dot(col("__cneighbor_id"), col("__cquery_id")))
       .withColumn("__arn", row_number().over(wApprox))
       .filter(col("__arn") <= rerank)                       // stage 1: quantized
+      .select("query_id", "neighbor_id")
+    def floats(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .withColumn(n, norm(col(v)))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    survivors
+      .join(floats(corpus, "neighbor_id", "__cv", "__cn"), "neighbor_id")
+      .join(broadcast(floats(queries, "query_id", "__qv", "__qn")), "query_id")
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
       .withColumn("rn", row_number().over(wExact).cast("long"))
       .filter(col("rn") <= k)                               // stage 2: exact rerank

@@ -14,14 +14,19 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** salted sum+count per key: groupBy(key, salt) partial → groupBy(key)
-    * merge. The salt is derived from ROW CONTENT (not
-    * monotonically_increasing_id, which changes across task retries and
-    * would lose/duplicate rows on shuffle-fetch-failure recomputation — the
-    * SPARK-23207 class of hazard): identical input rows always land in the
-    * same salt bucket, so retried tasks reproduce the same shuffle output.
+    * merge. The salt mixes ROW CONTENT with `spark_partition_id()` — both
+    * retry-stable (a recomputed task re-reads the same partition), unlike
+    * monotonically_increasing_id whose row-offset component changes with
+    * intra-partition order (the SPARK-23207 class of hazard). The
+    * partition id matters for the degenerate hot key whose rows are all
+    * IDENTICAL: content alone would hash them into one salt bucket,
+    * recreating the hotspot; with the partition id they spread across
+    * buckets, and duplicates within one partition are already collapsed by
+    * the map-side partial aggregation anyway.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String, salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(col(key), col(valueCol)), lit(salts)))
+    df.withColumn("__salt",
+      pmod(xxhash64(col(key), col(valueCol), spark_partition_id()), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))
@@ -36,9 +41,10 @@ object Skew {
                 partial: Seq[(String, Column)], merge: Seq[(String, Column)]): DataFrame = {
     val p = partial.map { case (n, c) => c.as(n) }
     val m = merge.map { case (n, c) => c.as(n) }
-    // content-derived salt over every input column: deterministic under
-    // task retry (see saltedSumCount)
-    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    // content + partition-id salt: deterministic under task retry, and
+    // fully-duplicate rows still spread (see saltedSumCount)
+    df.withColumn("__salt", pmod(xxhash64(
+      (df.columns.map(col).toIndexedSeq :+ spark_partition_id()): _*), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(p.head, p.tail: _*)
       .groupBy(col(key))

