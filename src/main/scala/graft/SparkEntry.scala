@@ -492,6 +492,12 @@ object SparkEntry {
         Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text"))
         .orderBy("node")),
 
+    // ── repetition signals: most-frequent-bigram share, per-row (sorted-
+    // array longest run == max frequency), Gopher's repetition filter.
+    "q55_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── SimHash near-dup pairs: pigeonhole chunk blocking (lossless for
     // the Hamming threshold), verified against a DuckDB cross join.
     "q53_simhash_neardup" -> ((s, dir) =>
@@ -817,6 +823,17 @@ object SparkEntry {
     "q47_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q55_repetition" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS gram
+        | FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1,2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |      CAST(max(cnt) AS BIGINT) AS max_gram_count FROM c GROUP BY 1)
+        |SELECT doc_id, n_grams, max_gram_count,
+        | CAST(max_gram_count AS DOUBLE) / n_grams AS top_gram_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q54_ann_rerank" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0

@@ -32,6 +32,35 @@ object TextAnalysis {
     * stopword count and ratio, mean token length. Exact IEEE division only —
     * deterministic across engines.
     */
+  /** Gopher-style repetition signals: total word-bigram count, the most
+    * frequent bigram's count, and its share of all bigrams — high ratios
+    * flag boilerplate/repetitive documents. Computed per-row: sort the
+    * (non-deduplicated) bigram array and fold a longest-run scan over it
+    * with an aggregate HOF — equal grams sort adjacent, so the max run IS
+    * the max frequency. No shuffle at any scale.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val m = size(toks) - lit(1)
+    val grams = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat_ws(" ", a, b))
+    df.filter(size(toks) >= 2)
+      .withColumn("__sorted", sort_array(grams))
+      .withColumn("max_gram_count", expr(
+        """aggregate(__sorted,
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x <=> acc.prev, acc.run + 1, 1L),
+          |    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))),
+          |  acc -> acc.best)""".stripMargin))
+      .select(col(idCol),
+        size(col("__sorted")).cast("long").as("n_grams"),
+        col("max_gram_count"),
+        (col("max_gram_count").cast("double") / size(col("__sorted"))).as("top_gram_ratio"))
+  }
+
   /** Gopher-style per-document quality signals (the standard pre-training
     * filter battery): word count, mean/max word length, alphabetic-word
     * count, unique-word fraction. All per-row array expressions — no

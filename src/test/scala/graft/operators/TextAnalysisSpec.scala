@@ -43,4 +43,17 @@ class TextAnalysisSpec extends SparkSpec {
       .select("quality").as[Double].collect()
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("repetitionSignals flags repeated bigrams") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),   // "spam spam" x4 of 4 grams
+      (2L, "all words here are unique"),  // every bigram once
+      (3L, "one")                         // <2 tokens -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out(0) == ((1L, 4L, 4L, 1.0)))
+    assert(out(1) == ((2L, 4L, 1L, 0.25)))
+  }
 }
