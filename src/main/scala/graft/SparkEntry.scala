@@ -492,6 +492,16 @@ object SparkEntry {
         Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text"))
         .orderBy("node")),
 
+    // ── TODO.md:27 trending detection: first→last delta per key.
+    "q56_trending" -> ((s, dir) =>
+      Summaries.trending(events(s, dir), "user_id", "event_id", "value", 10.0)
+        .orderBy("user_id")),
+
+    // ── TODO.md:28 last-change-of-≥x per key.
+    "q57_last_big_change" -> ((s, dir) =>
+      Summaries.lastBigChange(events(s, dir), "user_id", "event_id", "value", 50.0)
+        .orderBy("user_id")),
+
     // ── repetition signals: most-frequent-bigram share, per-row (sorted-
     // array longest run == max frequency), Gopher's repetition filter.
     "q55_repetition" -> ((s, dir) =>
@@ -823,6 +833,19 @@ object SparkEntry {
     "q47_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q56_trending" ->
+      """SELECT user_id, first_value, last_value, n_obs, last_value - first_value AS delta
+        |FROM (SELECT user_id, arg_min(value, event_id) AS first_value,
+        |       arg_max(value, event_id) AS last_value, count(*) AS n_obs
+        |      FROM events GROUP BY 1)
+        |WHERE last_value - first_value >= 10 ORDER BY user_id""".stripMargin,
+    "q57_last_big_change" ->
+      """SELECT user_id, max(event_id) AS last_change_at,
+        | arg_max(chg, event_id) AS last_change
+        |FROM (SELECT user_id, event_id,
+        |       value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS chg
+        |      FROM events)
+        |WHERE abs(chg) >= 50 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q55_repetition" ->
       """WITH g AS (
         | SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),

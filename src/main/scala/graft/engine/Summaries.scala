@@ -52,6 +52,34 @@ object Summaries {
   }
 
   /** Per-date cardinality + day-over-day growth % (NOTES.md:15-31). */
+  /** TODO.md:27 trending detection: per-key delta between the first and
+    * last observation (by the unique order column); keep keys whose value
+    * rose by at least `minDelta`. One map-side-combinable aggregate.
+    */
+  def trending(df: DataFrame, key: String, orderCol: String, valueCol: String,
+               minDelta: Double): DataFrame =
+    df.groupBy(col(key))
+      .agg(min_by(col(valueCol), col(orderCol)).as("first_value"),
+        max_by(col(valueCol), col(orderCol)).as("last_value"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("delta", col("last_value") - col("first_value"))
+      .filter(col("delta") >= minDelta)
+
+  /** TODO.md:28 "last change of ≥ x": per key, the most recent observation
+    * whose absolute step vs the previous one reaches `minChange` — one lag
+    * window + one aggregate.
+    */
+  def lastBigChange(df: DataFrame, key: String, orderCol: String, valueCol: String,
+                    minChange: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(orderCol)
+    df.withColumn("__chg", col(valueCol) - lag(col(valueCol), 1).over(w))
+      .filter(abs(col("__chg")) >= minChange)
+      .groupBy(col(key))
+      .agg(max(col(orderCol)).as("last_change_at"),
+        max_by(col("__chg"), col(orderCol)).as("last_change"))
+  }
+
   def growth(df: DataFrame, dateCol: String): DataFrame = {
     val w = Window.orderBy(dateCol)
     df.groupBy(col(dateCol)).agg(count(lit(1)).as("n"))

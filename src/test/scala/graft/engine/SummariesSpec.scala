@@ -42,4 +42,19 @@ class SummariesSpec extends SparkSpec {
     assert(out.getAs[Double]("last_value") == 0.80)
     assert(out.getAs[Long]("n_rows") == 4L)
   }
+
+  test("trending keeps keys whose value rose by the threshold; lastBigChange finds the latest big step") {
+    val ev = Seq(
+      (1L, 1L, 10.0), (2L, 1L, 15.0), (3L, 1L, 90.0),  // user 1: +80, big step at event 3
+      (4L, 2L, 50.0), (5L, 2L, 52.0),                  // user 2: +2
+      (6L, 3L, 40.0), (7L, 3L, 20.0)                   // user 3: falling
+    ).toDF("event_id", "user_id", "value")
+    val tr = Summaries.trending(ev, "user_id", "event_id", "value", 10.0)
+      .select("user_id", "delta").as[(Long, Double)].collect().toMap
+    assert(tr == Map(1L -> 80.0))
+    val big = Summaries.lastBigChange(ev, "user_id", "event_id", "value", 20.0)
+      .select("user_id", "last_change_at", "last_change")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(big == Set((1L, 3L, 75.0), (3L, 7L, -20.0)))
+  }
 }
