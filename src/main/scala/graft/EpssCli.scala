@@ -38,6 +38,7 @@ object EpssCli {
   private val KnownKeys: Map[String, Set[String]] = Map(
     "scores" -> Set("store", "a", "b", "date", "no-drop-unchanged", "drop-unchanged",
       "min-epss", "max-epss", "min-percentile", "max-percentile", "cve", "cve-file",
+      "include-v1-scores", "include-v2-scores", "no-include-v3-scores",
       "output", "output-format"),
     "urls" -> Set("a", "b", "date"),
     "date-range" -> Set("store"))
@@ -45,7 +46,8 @@ object EpssCli {
   /** Options that take NO value; every other known option requires one.
     * (cli.py's boolean switches: --drop-unchanged/--no-drop-unchanged.)
     */
-  private val BooleanFlags = Set("no-drop-unchanged", "drop-unchanged")
+  private val BooleanFlags = Set("no-drop-unchanged", "drop-unchanged",
+    "include-v1-scores", "include-v2-scores", "no-include-v3-scores")
 
   def parseArgs(argv: Seq[String]): (String, Args) = {
     require(argv.nonEmpty, "usage: scores|urls|date-range [options]")
@@ -103,10 +105,16 @@ object EpssCli {
     val latest = ScoreStore.maxDate(spark, store)
       .getOrElse(sys.error("empty store"))
     val date = a.one("date").map(LocalDate.parse)
+    // model-epoch inclusion flags (cli.py include_v{1,2,3}_scores):
+    // requested ranges clamp to the selected epoch window
+    val window = DateRanges.VersionWindow(
+      v1 = a.flag("include-v1-scores"),
+      v2 = a.flag("include-v2-scores"),
+      v3 = !a.flag("no-include-v3-scores"))
     val (min, max) = DateRanges.resolve(
       date.orElse(a.one("a").map(LocalDate.parse)),
       date.orElse(a.one("b").map(LocalDate.parse)),
-      latest)
+      latest, window)
     // --cve-file: non-blank lines of an id-list file (F7, util.py:377-382),
     // merged with any inline --cve flags
     val fileIds = a.all("cve-file").flatMap(graft.sources.IO.readLines)

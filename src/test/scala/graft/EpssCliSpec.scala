@@ -59,6 +59,23 @@ class EpssCliSpec extends SparkSpec {
     assert(rows.map(_.cve).distinct.toSeq == Seq("CVE-B"))
   }
 
+  test("model-epoch flags clamp the requested range (include_v1/2/3 twins)") {
+    // store dates are 2024 (v3 era); with v3 excluded and v2 included, the
+    // window clamps to the v2 epoch and the 2024 request collapses onto
+    // V2MaxDate, where the store has no rows -> empty result, no error
+    val out = s"${Files.createTempDirectory("graft-cli-out-")}/v2only.parquet"
+    EpssCli.run(spark, Seq("scores", "--store", store,
+      "-a", "2024-01-01", "-b", "2024-01-02", "--no-drop-unchanged",
+      "--include-v2-scores", "--no-include-v3-scores",
+      "--output", out, "--output-format", "parquet"))
+    assert(spark.read.parquet(out).isEmpty)
+    // and parse-level: the flags are booleans, not value-takers
+    val (_, a) = EpssCli.parseArgs(Seq("scores", "--store", "S",
+      "--include-v1-scores", "--no-include-v3-scores", "-a", "2021-05-01"))
+    assert(a.flag("include-v1-scores") && a.flag("no-include-v3-scores"))
+    assert(a.one("a").contains("2021-05-01"))
+  }
+
   test("missing option value fails loudly instead of dropping the filter") {
     val e = intercept[IllegalArgumentException] {
       EpssCli.parseArgs(Seq("scores", "--store", "S", "--min-epss"))
