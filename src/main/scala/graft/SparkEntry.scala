@@ -492,6 +492,13 @@ object SparkEntry {
         Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text"))
         .orderBy("node")),
 
+    // ── end-to-end corpus dedup: surviving doc ids after exact + verified
+    // near-dup cluster canonicalization.
+    "q58_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text", minJaccard = 0.1)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // ── TODO.md:27 trending detection: first→last delta per key.
     "q56_trending" -> ((s, dir) =>
       Summaries.trending(events(s, dir), "user_id", "event_id", "value", 10.0)
@@ -833,6 +840,35 @@ object SparkEntry {
     "q47_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q58_dedup_corpus" ->
+      (s"""WITH RECURSIVE sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |near AS (
+         | SELECT i.doc_a, i.doc_b FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
+         |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM documents GROUP BY 1),
+         |exacte AS (SELECT g.canon AS doc_a, d.doc_id AS doc_b
+         |           FROM documents d JOIN exactg g ON sha256(d.text) = g.h
+         |           WHERE d.doc_id <> g.canon),
+         |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
+         |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+         |cc(node, label) AS (
+         | SELECT nn, nn FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
+         |losers AS (SELECT node FROM cc GROUP BY node HAVING node <> min(label))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""".stripMargin),
     "q56_trending" ->
       """SELECT user_id, first_value, last_value, n_obs, last_value - first_value AS delta
         |FROM (SELECT user_id, arg_min(value, event_id) AS first_value,

@@ -126,6 +126,30 @@ object Dedup {
     candidatesFromBands(
       lshBands(minhashSignatures(df, idCol, textCol, n, k), idCol, k, rowsPerBand), idCol)
 
+  /** The end-to-end corpus dedup: drop every document that is an exact OR
+    * verified near-duplicate of a lower-id document. Edges = exact-dup
+    * pairs (content digest groups) ∪ Jaccard-verified near-dup pairs;
+    * connected components canonicalize transitive clusters (A~B, B~C ⇒
+    * one survivor even if A~C was never directly verified); the kept
+    * corpus is an anti-join against the non-canonical nodes. Returns the
+    * SURVIVING rows of `df`.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  minJaccard: Double, n: Int = 2, k: Int = 8,
+                  rowsPerBand: Int = 2): DataFrame = {
+    val near = nearDups(df, idCol, textCol, minJaccard, n, k, rowsPerBand)
+      .select(col("doc_a"), col("doc_b"))
+    val exactEdges = df.select(sha2(col(textCol), 256).as("__h"), col(idCol))
+      .groupBy("__h").agg(min(col(idCol)).as("doc_a"),
+        collect_set(col(idCol)).as("__ids"))
+      .select(col("doc_a"), explode(col("__ids")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val cc = connectedComponents(near.unionByName(exactEdges), "doc_a", "doc_b")
+    val losers = cc.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs with EXACT pigeonhole blocking: split the
     * 60-bit signature into `maxHamming + 1` chunks — any pair within the
     * Hamming threshold must agree on at least one full chunk, so blocking

@@ -75,6 +75,22 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty && blocked == brute)
   }
 
+  test("dedupCorpus keeps one survivor per exact/near-dup cluster") {
+    val survivors = Dedup.dedupCorpus(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // doc 1 is a near-dup of 0; any exact dups collapse too; unrelated
+    // docs survive untouched — survivor of each cluster is its min id
+    assert(survivors.contains(0L) && !survivors.contains(1L))
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(survivors.toSet.subsetOf(all))
+    // idempotent: deduping the deduped corpus changes nothing
+    val again = Dedup.dedupCorpus(
+      docs.join(survivors.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == survivors)
+  }
+
   test("jaccard values are exact set ratios") {
     val pairs = Seq((0L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")
