@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for 100 TB-class corpora.
   *
@@ -186,45 +190,96 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph — the cluster-
     * canonicalization step of corpus dedup (keep `min(id)` per component,
-    * drop the rest). Min-label propagation: each round every node takes
-    * the minimum label among itself and its neighbors; converges in
-    * O(component diameter) rounds (near-dup clusters are near-cliques, so
-    * typically 2–3). Each round is one join + one aggregate, and
-    * `localCheckpoint` truncates the lineage so plans don't grow with the
-    * iteration count — the standard iterative-algorithm pattern at scale.
-    * Output: (node, component) where component = min node id reachable.
+    * drop the rest). Output: (node, component), component = min node id
+    * reachable, in the node column's original type.
+    *
+    * The iteration runs on RDDs, not DataFrames: an iterative fixpoint
+    * re-plans the SAME logical shape every round, and Catalyst/AQE
+    * re-execution semantics around checkpointed plans proved pathological
+    * (per-round cost grew without bound even with eager localCheckpoint /
+    * persist / reliable checkpoint — measured, not assumed). RDDs with
+    * explicit `persist`/`unpersist` are the canonical Spark substrate for
+    * iterative graph algorithms (GraphX's Pregel is built exactly this
+    * way) and give constant per-round cost.
+    *
+    * Each round is hash-min + pointer jumping:
+    *   1. every node takes the min label over its closed neighborhood;
+    *   2. label := label(label) (labels are node ids, so the lookup is
+    *      total) — long chains collapse in O(log diameter) rounds where
+    *      plain min-propagation (GraphX `connectedComponents`) needs
+    *      O(diameter).
+    * Labels decrease monotonically, so an unchanged per-round label sum
+    * (exact BigInt, no overflow at any scale) is an exact fixpoint test,
+    * read from the one action each round already needs.
+    *
+    * Node ids of ANY orderable type are densified to longs through a
+    * rank-preserving (sort + zipWithIndex) map, so `min(dense) = rank of
+    * min(original)` and the representative contract survives the
+    * translation. All joins share one HashPartitioner — per round only
+    * node-sized re-keyed sides shuffle, never the adjacency list.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
-                          dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .localCheckpoint(false) // reused every round — cut the upstream lineage once
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(false)
-    // labels decrease monotonically, so the label sum strictly decreases
-    // until the fixpoint — an exact convergence test from the ONE action
-    // each round already needs (no extra change-count job)
-    var prevSum: java.math.BigDecimal = null
+                          dstCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val nodeType = edges.schema(srcCol).dataType
+    val nodesDf = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node"))).distinct()
+    val mapSchema = StructType(Seq(StructField("node", nodeType),
+      StructField("nid", LongType, nullable = false)))
+    val mapDf = spark.createDataFrame(
+      nodesDf.orderBy("node").rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i) },
+      mapSchema).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val eLong = edges.select(col(srcCol).as("na"), col(dstCol).as("nb"))
+      .join(mapDf.select(col("node").as("na"), col("nid").as("ia")), "na")
+      .join(mapDf.select(col("node").as("nb"), col("nid").as("ib")), "nb")
+      .select("ia", "ib")
+
+    val part = new HashPartitioner(math.max(spark.sparkContext.defaultParallelism, 1))
+    val adj: RDD[(Long, Long)] = eLong.rdd
+      .flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (a == b) Iterator.empty else Iterator((a, b), (b, a))
+      }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+
+    var parent: RDD[(Long, Long)] = mapDf.rdd.map(r => (r.getLong(1), r.getLong(1)))
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum: Option[BigInt] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val withSelf = und.union(labels.select(col("node").as("a"), col("node").as("b")))
-      val next = withSelf.join(labels, col("b") === col("node"))
-        .groupBy(col("a")).agg(min("label").as("label"))
-        .select(col("a").as("node"), col("label"))
-        .localCheckpoint(false)
-      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+      // hash-min: each node receives each neighbor's current label
+      val recv = adj.join(parent, part).map { case (_, (v, pu)) => (v, pu) }
+      val m1 = recv.union(parent).reduceByKey(part, math.min(_: Long, _: Long))
+      // pointer jump: label := label(label)
+      val next = m1.map { case (n, p) => (p, n) }.join(m1, part)
+        .map { case (_, (n, pp)) => (n, pp) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s = next
+        .mapPartitions(it => Iterator(it.foldLeft(BigInt(0))((acc, t) => acc + t._2)))
+        .collect().foldLeft(BigInt(0))(_ + _)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      parent.unpersist(blocking = false)
+      parent = next
       i += 1
     }
+    adj.unpersist(blocking = false)
     // a silent non-converged return would hand back wrong (split)
     // components with no signal — fail loudly instead
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter); raise maxIter")
-    labels.select(col("node"), col("label").as("component"))
+    val labSchema = StructType(Seq(StructField("nid", LongType, nullable = false),
+      StructField("cid", LongType, nullable = false)))
+    val labDf = spark.createDataFrame(
+      parent.map { case (n, c) => Row(n, c) }, labSchema)
+    labDf
+      .join(mapDf.select(col("nid"), col("node")), "nid")
+      .join(mapDf.select(col("nid").as("cid"), col("node").as("component")), "cid")
+      .select(col("node"), col("component"))
   }
 
   /** Exact n-gram Jaccard for a set of candidate pairs: one shingle-equality
