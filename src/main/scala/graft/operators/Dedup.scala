@@ -217,65 +217,113 @@ object Dedup {
     * min(original)` and the representative contract survives the
     * translation. All joins share one HashPartitioner — per round only
     * node-sized re-keyed sides shuffle, never the adjacency list.
+    *
+    * Size-adaptive, like a broadcast join: when the counted edge list is
+    * under [[DriverCcMaxEdges]] the components come from driver-side
+    * array union-find instead (same min representative, microseconds);
+    * the iterative machinery is reserved for graphs that earn it.
     */
+  /** Edge-count ceiling for the driver union-find fast path of
+    * [[connectedComponents]]: 4M edges ≈ 64 MB of long pairs — the same
+    * order as a broadcast-join small side. Above it, the distributed
+    * RDD loop runs.
+    */
+  val DriverCcMaxEdges: Long = 4L * 1000 * 1000
+
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
-                          dstCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+                          dstCol: String = "doc_b", maxIter: Int = 50,
+                          driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     val nodeType = edges.schema(srcCol).dataType
-    val nodesDf = edges.select(col(srcCol).as("node"))
-      .union(edges.select(col(dstCol).as("node"))).distinct()
+    // materialize the edge list ONCE: the upstream pipeline may be a full
+    // near-dup verification, and the plans below (node set, translation
+    // join) would otherwise each recompute it (~4 evaluations measured on
+    // q58 — the single localCheckpoint here cut that query 2.5×)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    val nodesDf = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
     val mapSchema = StructType(Seq(StructField("node", nodeType),
       StructField("nid", LongType, nullable = false)))
     val mapDf = spark.createDataFrame(
       nodesDf.orderBy("node").rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i) },
       mapSchema).persist(StorageLevel.MEMORY_AND_DISK)
 
-    val eLong = edges.select(col(srcCol).as("na"), col(dstCol).as("nb"))
+    val eLong = e0.select(col("src").as("na"), col("dst").as("nb"))
       .join(mapDf.select(col("node").as("na"), col("nid").as("ia")), "na")
       .join(mapDf.select(col("node").as("nb"), col("nid").as("ib")), "nb")
       .select("ia", "ib")
 
-    val part = new HashPartitioner(math.max(spark.sparkContext.defaultParallelism, 1))
-    val adj: RDD[(Long, Long)] = eLong.rdd
-      .flatMap { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
-        if (a == b) Iterator.empty else Iterator((a, b), (b, a))
-      }
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-
-    var parent: RDD[(Long, Long)] = mapDf.rdd.map(r => (r.getLong(1), r.getLong(1)))
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSum: Option[BigInt] = None
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      // hash-min: each node receives each neighbor's current label
-      val recv = adj.join(parent, part).map { case (_, (v, pu)) => (v, pu) }
-      val m1 = recv.union(parent).reduceByKey(part, math.min(_: Long, _: Long))
-      // pointer jump: label := label(label)
-      val next = m1.map { case (n, p) => (p, n) }.join(m1, part)
-        .map { case (_, (n, pp)) => (n, pp) }
-        .reduceByKey(part, math.min(_: Long, _: Long))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = next
-        .mapPartitions(it => Iterator(it.foldLeft(BigInt(0))((acc, t) => acc + t._2)))
-        .collect().foldLeft(BigInt(0))(_ + _)
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
-      parent.unpersist(blocking = false)
-      parent = next
-      i += 1
-    }
-    adj.unpersist(blocking = false)
-    // a silent non-converged return would hand back wrong (split)
-    // components with no signal — fail loudly instead
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds " +
-        "(component diameter exceeds maxIter); raise maxIter")
     val labSchema = StructType(Seq(StructField("nid", LongType, nullable = false),
       StructField("cid", LongType, nullable = false)))
-    val labDf = spark.createDataFrame(
-      parent.map { case (n, c) => Row(n, c) }, labSchema)
+    val nEdges = e0.count()
+    val labDf =
+      if (nEdges <= driverMaxEdges) {
+        // SMALL-GRAPH FAST PATH: the edge list provably fits on the driver
+        // (counted above, ≤ ~64 MB of long pairs — broadcast-join-sized),
+        // so array union-find with path halving resolves components in
+        // O(E·α) microseconds where the distributed loop would pay seconds
+        // of per-round job scheduling. Dense ids are 0..n−1 by
+        // construction, so the parent table is a flat array; unioning the
+        // larger root under the smaller keeps every root the component
+        // minimum — the same representative the distributed path yields.
+        val nNodes = mapDf.count().toInt // ≤ 2·nEdges, int-safe at the threshold
+        val parentArr = Array.tabulate(nNodes)(identity)
+        def find(x0: Int): Int = {
+          var x = x0
+          while (parentArr(x) != x) { parentArr(x) = parentArr(parentArr(x)); x = parentArr(x) }
+          x
+        }
+        eLong.collect().foreach { r =>
+          val ra = find(r.getLong(0).toInt); val rb = find(r.getLong(1).toInt)
+          if (ra < rb) parentArr(rb) = ra else if (rb < ra) parentArr(ra) = rb
+        }
+        val rows: Seq[Row] = (0 until nNodes).map(i => Row(i.toLong, find(i).toLong))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, (nNodes / 500000 + 1)), labSchema)
+      } else {
+        // DISTRIBUTED PATH: hash-min + pointer jumping on RDDs. Partition
+        // count scales with the edge list; one shared partitioner keeps the
+        // adjacency list in place — only node-sized re-keyed sides shuffle.
+        val part = new HashPartitioner(
+          math.max(spark.sparkContext.defaultParallelism, (nEdges / 4000000L).toInt))
+        val adj: RDD[(Long, Long)] = eLong.rdd
+          .flatMap { r =>
+            val a = r.getLong(0); val b = r.getLong(1)
+            if (a == b) Iterator.empty else Iterator((a, b), (b, a))
+          }
+          .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+
+        var parent: RDD[(Long, Long)] = mapDf.rdd.map(r => (r.getLong(1), r.getLong(1)))
+          .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+        var prevSum: Option[BigInt] = None
+        var converged = false
+        var i = 0
+        while (!converged && i < maxIter) {
+          // hash-min: each node receives each neighbor's current label
+          val recv = adj.join(parent, part).map { case (_, (v, pu)) => (v, pu) }
+          val m1 = recv.union(parent).reduceByKey(part, math.min(_: Long, _: Long))
+          // pointer jump: label := label(label)
+          val next = m1.map { case (n, p) => (p, n) }.join(m1, part)
+            .map { case (_, (n, pp)) => (n, pp) }
+            .reduceByKey(part, math.min(_: Long, _: Long))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val s = next
+            .mapPartitions(it => Iterator(it.foldLeft(BigInt(0))((acc, t) => acc + t._2)))
+            .collect().foldLeft(BigInt(0))(_ + _)
+          converged = prevSum.contains(s)
+          prevSum = Some(s)
+          parent.unpersist(blocking = false)
+          parent = next
+          i += 1
+        }
+        adj.unpersist(blocking = false)
+        // a silent non-converged return would hand back wrong (split)
+        // components with no signal — fail loudly instead
+        require(converged,
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(component diameter exceeds maxIter); raise maxIter")
+        spark.createDataFrame(parent.map { case (n, c) => Row(n, c) }, labSchema)
+      }
     labDf
       .join(mapDf.select(col("nid"), col("node")), "nid")
       .join(mapDf.select(col("nid").as("cid"), col("node").as("component")), "cid")

@@ -56,9 +56,29 @@ class DedupSpec extends SparkSpec {
     // chain 1-2-3-4 (needs multi-round propagation), pair 10-11, self-loop 20
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
       .toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
     val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    assert(cc == expected)
+    // driverMaxEdges = -1 forces the distributed hash-min + pointer-jump
+    // loop; both paths must yield the same min-id representatives
+    val dist = Dedup.connectedComponents(edges, driverMaxEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
+  }
+
+  test("connectedComponents distributed path matches union-find on a random graph") {
+    // 400 nodes, sparse random edges incl. a 60-long chain — enough
+    // structure to need several pointer-jump rounds
+    val rnd = new scala.util.Random(7)
+    val chain = (0 until 60).map(i => (1000L + i, 1001L + i))
+    val rand = (0 until 300).map(_ => (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    val edges = (chain ++ rand).toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(edges, driverMaxEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == fast)
+    assert(fast.nonEmpty && fast.forall { case (n, c) => c <= n })
   }
 
   test("simhashNearDups pigeonhole blocking is lossless vs brute-force cross join") {
