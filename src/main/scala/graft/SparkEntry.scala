@@ -499,6 +499,38 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // ── dense reconstruction from the change log: forward-fill (inverse
+    // of the flagship quantization, SURVEY §5.2.3) — sparse changes onto
+    // the full (user, event) spine, last seen value carried forward.
+    "q59_forward_fill" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sparse = Changes.changedRows(ev, "user_id", Seq("event_id"), "value")
+        .select("user_id", "event_id", "value")
+      val spine = ev.select("user_id", "event_id")
+      Changes.forwardFillBy(sparse, spine, "user_id", "event_id", Seq("value"))
+        .select("user_id", "event_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // ── deterministic content-hash sampling: row fate is a pure function
+    // of the row id (stable under partitioning/retries/re-runs, unlike
+    // sample()); split labels for one-pass train/test writing.
+    "q60_hash_sample" -> ((s, dir) =>
+      graft.operators.Sampling.withSplitLabel(
+        graft.operators.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 500),
+        "doc_id", 200)
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    // ── distinct aggregation (Expand-based partial distinct): per-group
+    // exact distinct counts alongside plain aggregates.
+    "q61_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // ── TODO.md:27 trending detection: first→last delta per key.
     "q56_trending" -> ((s, dir) =>
       Summaries.trending(events(s, dir), "user_id", "event_id", "value", 10.0)
@@ -560,6 +592,31 @@ object SparkEntry {
         | SELECT event_id, user_id, value,
         |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
         | FROM events) WHERE d <> 0 ORDER BY event_id""".stripMargin,
+    "q59_forward_fill" ->
+      """WITH sp AS (
+        | SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |   value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS d
+        |  FROM events) WHERE d <> 0),
+        |filled AS (
+        | SELECT e.user_id, e.event_id,
+        |  last_value(sp.value IGNORE NULLS) OVER (
+        |   PARTITION BY e.user_id ORDER BY e.event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        | FROM events e LEFT JOIN sp USING (user_id, event_id))
+        |SELECT user_id, event_id, value FROM filled
+        |WHERE value IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q60_hash_sample" ->
+      """SELECT doc_id,
+        | CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 < 200
+        |  THEN 'test' ELSE 'train' END AS split
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 < 500
+        |ORDER BY doc_id""".stripMargin,
+    "q61_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

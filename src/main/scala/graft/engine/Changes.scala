@@ -71,12 +71,22 @@ object Changes {
     * seen value onto a provided date spine — the inverse of quantization,
     * used by the property tests (SURVEY.md §5.2.3).
     */
-  def forwardFill(changes: DataFrame, spine: DataFrame): DataFrame = {
-    val w = Window.partitionBy(Schemas.Cve).orderBy(Schemas.Date)
+  def forwardFill(changes: DataFrame, spine: DataFrame): DataFrame =
+    forwardFillBy(changes, spine, Schemas.Cve, Schemas.Date,
+      Seq(Schemas.Epss, Schemas.Percentile))
+
+  /** Generic forward-fill core: left-join the sparse table onto the spine
+    * and carry each key's last seen value forward in `orderCol` order
+    * (`last(_, ignoreNulls)` over an unbounded-preceding row frame — one
+    * window, one exchange on the key). Rows before a key's first sparse
+    * value (still null after the fill) are dropped.
+    */
+  def forwardFillBy(sparse: DataFrame, spine: DataFrame, keyCol: String,
+                    orderCol: String, valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(changes, Seq(Schemas.Date, Schemas.Cve), "left")
-      .withColumn(Schemas.Epss, last(Schemas.Epss, ignoreNulls = true).over(w))
-      .withColumn(Schemas.Percentile, last(Schemas.Percentile, ignoreNulls = true).over(w))
-      .filter(col(Schemas.Epss).isNotNull)
+    valueCols.foldLeft(spine.join(sparse, Seq(orderCol, keyCol), "left")) {
+      (acc, v) => acc.withColumn(v, last(v, ignoreNulls = true).over(w))
+    }.filter(col(valueCols.head).isNotNull)
   }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and train/test splitting for corpus pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: the selected set changes
+  * with partitioning, task retries, and executor count — unacceptable for
+  * training-data lineage, where a row's fate must be a pure function of
+  * the row. These operators key every decision on a content hash
+  * (md5, engine-portable and reproducible in any SQL dialect), so:
+  *   - the same corpus always yields the same sample, on any cluster
+  *     layout (shuffle-free: a narrow filter, pushdown-friendly);
+  *   - train/test membership is stable under re-runs and incremental
+  *     ingest (a new document never flips an old one's split);
+  *   - different `salt`s give independent samples from one corpus.
+  *
+  * The hash bucket is `md5(salt ∥ id) mod 1000` (first 15 hex chars →
+  * 60-bit int, bias < 2⁻⁵⁰ — immaterial at permille granularity).
+  */
+object Sampling {
+
+  /** Permille bucket 0..999 for a row id — the sampling/splitting key. */
+  def hashBucket(idCol: Column, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(1000L))
+
+  /** Keep ~`permille`/1000 of rows, deterministically by id hash. */
+  def hashSample(df: DataFrame, idCol: String, permille: Int, salt: String = ""): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille out of [0,1000]: $permille")
+    df.filter(hashBucket(col(idCol), salt) < permille)
+  }
+
+  /** Deterministic train/test split: rows whose bucket falls under
+    * `testPermille` go to test, the rest to train. The two sides are
+    * disjoint and together cover the corpus exactly.
+    */
+  def trainTestSplit(df: DataFrame, idCol: String, testPermille: Int,
+                     salt: String = ""): (DataFrame, DataFrame) = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille out of [0,1000]: $testPermille")
+    val bucket = hashBucket(col(idCol), salt)
+    (df.filter(bucket >= testPermille), df.filter(bucket < testPermille))
+  }
+
+  /** Split labels as a column (for writing one partitioned output instead
+    * of two scans): 'train' / 'test'.
+    */
+  def withSplitLabel(df: DataFrame, idCol: String, testPermille: Int,
+                     salt: String = ""): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(col(idCol), salt) < testPermille, lit("test")).otherwise(lit("train")))
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(docs, "doc_id", 300).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(7), "doc_id", 300)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size < docs.count())
+    // rough permille sanity: 300‰ ± wide slack on 500 docs
+    assert(a.size > docs.count() * 0.15 && a.size < docs.count() * 0.45)
+  }
+
+  test("different salts draw independent samples") {
+    val a = Sampling.hashSample(docs, "doc_id", 300, salt = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 300, salt = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != b)
+  }
+
+  test("trainTestSplit is a disjoint exact cover; label column agrees") {
+    val (train, test) = Sampling.trainTestSplit(docs, "doc_id", 200)
+    val tr = train.select("doc_id").as[Long].collect().toSet
+    val te = test.select("doc_id").as[Long].collect().toSet
+    assert((tr & te).isEmpty)
+    assert(tr.size + te.size == docs.count())
+    val labeled = Sampling.withSplitLabel(docs, "doc_id", 200)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(te.forall(labeled(_) == "test") && tr.forall(labeled(_) == "train"))
+  }
+
+  test("permille bounds are enforced") {
+    intercept[IllegalArgumentException](Sampling.hashSample(docs, "doc_id", 1001))
+    intercept[IllegalArgumentException](Sampling.trainTestSplit(docs, "doc_id", -1))
+  }
+}
