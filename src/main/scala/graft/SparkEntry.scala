@@ -531,6 +531,13 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // ── corpus vocabulary stats: token frequency + document frequency
+    // (the TF-IDF/vocab-building primitive), top-100 deterministic.
+    "q62_token_freq" -> ((s, dir) =>
+      TextAnalysis.tokenCorpusStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(100)),
+
     // ── TODO.md:27 trending detection: first→last delta per key.
     "q56_trending" -> ((s, dir) =>
       Summaries.trending(events(s, dir), "user_id", "event_id", "value", 10.0)
@@ -617,6 +624,11 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q62_token_freq" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -146,4 +146,26 @@ object TextAnalysis {
       .select(col(idCol),
         expr(s"array_min(transform(sequence(0, greatest(size(__toks)-$n, 0)), " +
           s"i -> md5(array_join(slice(__toks, i+1, $n), ' '))))").as("fingerprint"))
+
+  /** Corpus token-frequency table — the vocabulary-building primitive:
+    * per token, total occurrences (`tf`) and containing-document count
+    * (`df`, the TF-IDF denominator). One explode + one aggregation; the
+    * map-side partial agg collapses each partition's token space before
+    * the shuffle, so the exchange carries vocabulary-sized data, not
+    * corpus-sized.
+    */
+  def tokenCorpusStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(textCol)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+
+  /** Vocabulary size, exact and approximate: `approx_count_distinct`
+    * (HyperLogLog++) is the 100 TB path — fixed-size sketch per
+    * partition, no distinct-expand shuffle — with the exact count as the
+    * small-scale cross-check (spec pins the relative error).
+    */
+  def vocabSize(df: DataFrame, textCol: String, rsd: Double = 0.02): DataFrame =
+    df.select(explode(tokens(textCol)).as("token"))
+      .agg(countDistinct(col("token")).as("exact_vocab"),
+        approx_count_distinct(col("token"), rsd).as("approx_vocab"))
 }

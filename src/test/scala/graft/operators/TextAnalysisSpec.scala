@@ -44,6 +44,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("tokenCorpusStats counts total and per-doc frequencies") {
+    val three = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val st = TextAnalysis.tokenCorpusStats(three, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(st == Map("a" -> (3L, 2L), "b" -> (1L, 1L), "c" -> (3L, 2L)))
+  }
+
+  test("vocabSize HLL estimate tracks the exact count") {
+    val v = TextAnalysis.vocabSize(docs, "text")
+      .as[(Long, Long)].collect().head
+    val (exact, approx) = v
+    assert(exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
   test("repetitionSignals flags repeated bigrams") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),   // "spam spam" x4 of 4 grams
