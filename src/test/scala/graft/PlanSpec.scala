@@ -88,4 +88,30 @@ class PlanSpec extends SparkSpec {
     val read = scanMeta("q47_json")("ReadSchema")
     assert(read == "struct<event_id:bigint,props:string>", read)
   }
+
+  test("q60 hash sampling is a narrow filter: no exchange except the output sort") {
+    val p = plan("q60_hash_sample")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // only the final orderBy range exchange — sampling itself never shuffles
+    assert(shuffles.size <= 1, s"expected <=1 exchange, got ${shuffles.size}")
+  }
+
+  test("q62 vocab aggregation shuffles token-sized data once (partial agg before exchange)") {
+    val p = plan("q62_token_freq")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    // distinct-agg plans partial + final pairs around each exchange
+    assert(aggs.size >= 2, s"expected partial+final aggregates, got ${aggs.size}")
+    val sorts = collectAll(p) { case s: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => s }
+    assert(sorts.nonEmpty, "top-100 must compile to TakeOrderedAndProject, not a full sort")
+  }
+
+  test("q59 forward fill: the fill is one window over the spine join") {
+    val p = plan("q59_forward_fill")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    // one window evaluates the change-detection lag, one the fill
+    assert(windows.size == 2, s"expected 2 windows (lag + fill), got ${windows.size}")
+  }
 }
