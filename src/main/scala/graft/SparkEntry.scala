@@ -538,6 +538,24 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("token").asc)
         .limit(100)),
 
+    // ── TPC-H Q5-shaped regional revenue: six-table join (two broadcast
+    // dim chains + fact-fact), decimal-exact discounted revenue. The
+    // only query deep enough to exercise Catalyst's join reordering.
+    "q63_regional_revenue" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // ── TODO.md:27 trending detection: first→last delta per key.
     "q56_trending" -> ((s, dir) =>
       Summaries.trending(events(s, dir), "user_id", "event_id", "value", 10.0)
@@ -629,6 +647,18 @@ object SparkEntry {
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q63_regional_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -108,6 +108,13 @@ class PlanSpec extends SparkSpec {
     assert(sorts.nonEmpty, "top-100 must compile to TakeOrderedAndProject, not a full sort")
   }
 
+  test("q63 six-table join broadcasts every dim side (no shuffled dim join)") {
+    val joins = collectAll(plan("q63_regional_revenue")) { case j: BroadcastHashJoinExec => j }
+    // customer, supplier, nation, region all land as broadcast builds;
+    // only the lineitem⋈orders fact join may shuffle
+    assert(joins.size >= 4, s"expected >=4 broadcast joins, got ${joins.size}")
+  }
+
   test("q59 forward fill: the fill is one window over the spine join") {
     val p = plan("q59_forward_fill")
     val windows = collectAll(p) { case w: WindowExec => w }
