@@ -89,6 +89,20 @@ object Summaries {
         (col("n") - col("prev_n")) * lit(100.0) / col("prev_n"))
   }
 
+  /** Per-group quantiles, exact and approximate side by side: `percentile`
+    * is the small-scale truth (full sort per group); `approx_percentile`
+    * (t-digest-style sketch, bounded `accuracy` memory per group, merge-
+    * combinable map-side) is the 100 TB path — the spec pins the sketch to
+    * the exact value within the accuracy bound.
+    */
+  def quantiles(df: DataFrame, key: String, valueCol: String,
+                ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val pArr = array(ps.map(lit): _*)
+    df.groupBy(col(key)).agg(
+      percentile(col(valueCol), pArr).as("exact_q"),
+      percentile_approx(col(valueCol), pArr, lit(accuracy)).as("approx_q"))
+  }
+
   /** P7: round all (or the chosen) floating-point columns to n digits
     * (util.py:181-189 rejig_dataframe_precision; default n=5,
     * constants.py:48).

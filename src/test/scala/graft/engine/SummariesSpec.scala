@@ -43,6 +43,18 @@ class SummariesSpec extends SparkSpec {
     assert(out.getAs[Long]("n_rows") == 4L)
   }
 
+  test("quantiles: approx_percentile sketch tracks the exact per-group percentiles") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val q = Summaries.quantiles(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))
+      .collect()
+    assert(q.length == 3)
+    q.foreach { r =>
+      val exact = r.getSeq[Double](1); val approx = r.getSeq[Double](2)
+      exact.zip(approx).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e") }
+    }
+  }
+
   test("trending keeps keys whose value rose by the threshold; lastBigChange finds the latest big step") {
     val ev = Seq(
       (1L, 1L, 10.0), (2L, 1L, 15.0), (3L, 1L, 90.0),  // user 1: +80, big step at event 3
