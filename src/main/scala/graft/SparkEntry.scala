@@ -556,6 +556,21 @@ object SparkEntry {
         .orderBy("r_name", "n_name")
     }),
 
+    // ── stratified deterministic sampling: per-language keep rates
+    // (corpus rebalancing), content-hash row fate.
+    "q64_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(t(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 800, "de" -> 200), 500)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // ── sequence packing (concat-then-chunk): shard by content hash,
+    // greedy running-sum bin assignment per shard — parallel packing.
+    "q65_seq_packing" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(t(s, dir, "documents"),
+        "doc_id", "text", capacity = 256, shards = 8)
+        .orderBy("doc_id")),
+
     // ── TODO.md:27 trending detection: first→last delta per key.
     "q56_trending" -> ((s, dir) =>
       Summaries.trending(events(s, dir), "user_id", "event_id", "value", 10.0)
@@ -647,6 +662,24 @@ object SparkEntry {
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q64_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 <
+        | CASE WHEN lang = 'de' THEN 200 WHEN lang = 'en' THEN 800 ELSE 500 END
+        |ORDER BY doc_id""".stripMargin,
+    "q65_seq_packing" ->
+      """WITH sharded AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, shard, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        | FROM sharded)
+        |SELECT doc_id, shard, n_tokens, bef // 256 AS bin_id
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q63_regional_revenue" ->
       """SELECT r_name, n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

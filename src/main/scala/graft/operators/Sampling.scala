@@ -51,4 +51,20 @@ object Sampling {
                      salt: String = ""): DataFrame =
     df.withColumn("split",
       when(hashBucket(col(idCol), salt) < testPermille, lit("test")).otherwise(lit("train")))
+
+  /** Stratified deterministic sampling: a per-stratum keep rate (permille),
+    * falling back to `defaultPermille` for unlisted strata — the
+    * `sampleBy` twin with content-hash determinism. Used to rebalance a
+    * corpus (e.g. downsample the dominant language) reproducibly.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+                           permilleByStratum: Map[String, Int],
+                           defaultPermille: Int, salt: String = ""): DataFrame = {
+    (defaultPermille +: permilleByStratum.values.toSeq).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille out of [0,1000]: $p"))
+    val rate = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt) < rate)
+  }
 }

@@ -36,6 +36,21 @@ class SamplingSpec extends SparkSpec {
     assert(te.forall(labeled(_) == "test") && tr.forall(labeled(_) == "train"))
   }
 
+  test("stratifiedHashSample applies per-stratum rates with a default") {
+    val all = docs.count()
+    val none = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map.empty, 0).count()
+    val everything = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map.empty, 1000).count()
+    assert(none == 0 && everything == all)
+    // zeroing one stratum removes exactly that stratum's rows vs default-only
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val l0 = langs.head
+    val base = Sampling.stratifiedHashSample(docs, "doc_id", "lang", Map.empty, 1000)
+    val drop = Sampling.stratifiedHashSample(docs, "doc_id", "lang", Map(l0 -> 0), 1000)
+    assert(base.count() - drop.count() == docs.filter($"lang" === l0).count())
+  }
+
   test("permille bounds are enforced") {
     intercept[IllegalArgumentException](Sampling.hashSample(docs, "doc_id", 1001))
     intercept[IllegalArgumentException](Sampling.trainTestSplit(docs, "doc_id", -1))
