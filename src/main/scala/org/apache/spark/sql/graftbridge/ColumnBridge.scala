@@ -21,4 +21,13 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Apply a SparkSessionExtensions' injected functions to a registry —
+    * `registerFunctions` is `private[sql]`, re-exposed here so specs can
+    * verify an extensions provider without building a whole new session.
+    */
+  def applyExtensions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
 }

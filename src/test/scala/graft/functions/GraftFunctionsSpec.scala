@@ -43,6 +43,24 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects every kernel; injected builders evaluate correctly") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    org.apache.spark.sql.graftbridge.ColumnBridge.applyExtensions(ext, reg)
+    GraftFunctions.all.foreach { case (name, _) =>
+      assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
+    }
+    // an injected builder produces the same expression the session path does
+    val viaExt = reg.lookupFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(Array("a", "b"),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(Array("b", "c"),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))))
+    assert(viaExt.eval(null) == 1L)
+  }
+
   test("dot_product matches aggregate(zip_with(...)) on null slots and ragged lengths") {
     GraftFunctions.registerAll(spark)
     val cases = Seq(
