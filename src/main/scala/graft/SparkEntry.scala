@@ -571,6 +571,12 @@ object SparkEntry {
         "doc_id", "text", capacity = 256, shards = 8)
         .orderBy("doc_id")),
 
+    // ── text scrubbing (PII-style redaction): ordered regexp_replace
+    // battery, per-row, RE2-compatible patterns for engine parity.
+    "q66_scrub" -> ((s, dir) =>
+      TextAnalysis.scrub(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── TODO.md:27 trending detection: first→last delta per key.
     "q56_trending" -> ((s, dir) =>
       Summaries.trending(events(s, dir), "user_id", "event_id", "value", 10.0)
@@ -662,6 +668,16 @@ object SparkEntry {
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q66_scrub" ->
+      """WITH s AS (SELECT doc_id, text,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  'https?://[^\s]+', '<URL>', 'g'),
+        |  '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        | FROM documents)
+        |SELECT doc_id, scrubbed,
+        | CAST(length(text) - length(scrubbed) AS BIGINT) AS n_chars_removed
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q64_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 <

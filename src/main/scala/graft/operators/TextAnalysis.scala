@@ -147,6 +147,28 @@ object TextAnalysis {
         expr(s"array_min(transform(sequence(0, greatest(size(__toks)-$n, 0)), " +
           s"i -> md5(array_join(slice(__toks, i+1, $n), ' '))))").as("fingerprint"))
 
+  /** Default scrub patterns: applied in order, each replaced by its tag.
+    * Deliberately RE2-compatible (no backrefs/lookarounds) so the same
+    * pattern text runs identically in any engine.
+    */
+  val ScrubPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b" -> "<PHONE>")
+
+  /** Text scrubbing (PII-style redaction): replace every match of each
+    * pattern with its tag, in pattern order — a pure per-row projection
+    * (zero shuffles, pushdown-transparent at any scale).
+    */
+  def scrub(df: DataFrame, idCol: String, textCol: String,
+            patterns: Seq[(String, String)] = ScrubPatterns): DataFrame = {
+    val scrubbed = patterns.foldLeft(col(textCol)) {
+      case (acc, (re, tag)) => regexp_replace(acc, re, tag)
+    }
+    df.select(col(idCol), scrubbed.as("scrubbed"),
+      (length(col(textCol)) - length(scrubbed)).cast("long").as("n_chars_removed"))
+  }
+
   /** Corpus token-frequency table — the vocabulary-building primitive:
     * per token, total occurrences (`tf`) and containing-document count
     * (`df`, the TF-IDF denominator). One explode + one aggregation; the

@@ -44,6 +44,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("scrub redacts emails, urls and phone numbers; counts removed chars") {
+    val d = Seq(
+      (1L, "mail me at bob@example.com or visit https://x.io/page now"),
+      (2L, "call 555-123-4567 twice: 555-123-4567"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrub(d, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 == "mail me at <EMAIL> or visit <URL> now")
+    assert(out(1)._2 == "call <PHONE> twice: <PHONE>")
+    assert(out(2)._2 == "nothing sensitive here" && out(2)._3 == 0L)
+    assert(out(0)._3 > 0L)
+  }
+
   test("tokenCorpusStats counts total and per-doc frequencies") {
     val three = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c"))
       .toDF("doc_id", "text")
