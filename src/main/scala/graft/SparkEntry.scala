@@ -577,6 +577,18 @@ object SparkEntry {
       TextAnalysis.scrub(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ── incremental dedup (daily-ingest shape): drop incoming docs that
+    // exact/near-duplicate the existing corpus; cross-side LSH only.
+    "q67_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropDuplicatesAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", minJaccard = 0.1)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ── TODO.md:27 trending detection: first→last delta per key.
     "q56_trending" -> ((s, dir) =>
       Summaries.trending(events(s, dir), "user_id", "event_id", "value", 10.0)
@@ -668,6 +680,31 @@ object SparkEntry {
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q67_dedup_incremental" ->
+      (s"""WITH sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_in, b.doc_id AS doc_ex
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey
+         | WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |inter AS (
+         | SELECT c.doc_in, c.doc_ex, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_in
+         |  JOIN sh sb ON sb.doc_id = c.doc_ex AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |near_losers AS (
+         | SELECT DISTINCT i.doc_in FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_in JOIN sz zb ON zb.doc_id = i.doc_ex
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
+         |exact_losers AS (
+         | SELECT DISTINCT doc_id FROM documents
+         | WHERE doc_id % 2 = 1 AND sha256(text) IN
+         |  (SELECT sha256(text) FROM documents WHERE doc_id % 2 = 0))
+        |SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+        | AND doc_id NOT IN (SELECT doc_id FROM exact_losers)
+        | AND doc_id NOT IN (SELECT doc_in FROM near_losers)
+        |ORDER BY doc_id""".stripMargin),
     "q66_scrub" ->
       """WITH s AS (SELECT doc_id, text,
         | regexp_replace(regexp_replace(regexp_replace(text,

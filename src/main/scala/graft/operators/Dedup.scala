@@ -154,6 +154,46 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental (cross-corpus) duplicate drop — the daily-ingest shape:
+    * remove from `incoming` every doc that is an exact (content digest)
+    * or Jaccard-verified near duplicate of `existing`. Candidates come
+    * from LSH band collisions BETWEEN the sides only (never incoming ×
+    * incoming — intra-batch dedup composes as
+    * `dedupCorpus(dropDuplicatesAgainst(...))`). Banding and shingle
+    * sets are per-row, so at scale the existing side's digest, set and
+    * band tables are materialized once at ingest and reused every batch
+    * — no rescan of corpus text, and the per-batch cost is proportional
+    * to the batch, not the corpus.
+    */
+  def dropDuplicatesAgainst(incoming: DataFrame, existing: DataFrame,
+                            idCol: String, textCol: String, minJaccard: Double,
+                            n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val exHashes = existing.select(sha2(col(textCol), 256).as("__h")).distinct()
+    val notExact = incoming.withColumn("__h", sha2(col(textCol), 256))
+      .join(exHashes, Seq("__h"), "left_anti").drop("__h")
+    val setsIn = shingleSets(notExact, idCol, textCol, n)
+    val setsEx = shingleSets(existing, idCol, textCol, n)
+    val bandsIn = lshBands(sigsFromSets(setsIn, idCol, k), idCol, k, rowsPerBand)
+      .select(col(idCol).as("doc_in"), col("band_id"), col("band_key"))
+    val bandsEx = lshBands(sigsFromSets(setsEx, idCol, k), idCol, k, rowsPerBand)
+      .select(col(idCol).as("doc_ex"), col("band_id"), col("band_key"))
+    val cands = bandsIn.join(bandsEx, Seq("band_id", "band_key"))
+      .select("doc_in", "doc_ex").distinct()
+    val a = setsIn.select(col(idCol).as("doc_in"), col("__set").as("__sa"),
+      size(col("__set")).cast("long").as("sz_a"))
+    val b = setsEx.select(col(idCol).as("doc_ex"), col("__set").as("__sb"),
+      size(col("__set")).cast("long").as("sz_b"))
+    val losers = cands.join(a, "doc_in").join(b, "doc_ex")
+      .withColumn("n_inter",
+        graft.functions.MinHashKernel.sortedIntersectCount(col("__sa"), col("__sb")))
+      .filter(col("n_inter") > 0)
+      .withColumn("jaccard",
+        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_in").as(idCol)).distinct()
+    notExact.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs with EXACT pigeonhole blocking: split the
     * 60-bit signature into `maxHamming + 1` chunks — any pair within the
     * Hamming threshold must agree on at least one full chunk, so blocking

@@ -81,6 +81,30 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty && fast.forall { case (n, c) => c <= n })
   }
 
+  test("dropDuplicatesAgainst removes exact and near dups of the existing corpus only") {
+    val existing = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 100
+      (1L, "the quick brown fox jumps over the lazy cat"),  // near dup of 100
+      (2L, "unrelated fresh content about other topics"),   // genuinely new
+      (3L, "also unrelated fresh content about matters")    // near dup of NOTHING existing
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropDuplicatesAgainst(incoming, existing, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(0L))                    // exact dup dropped
+    assert(kept.contains(2L) && kept.contains(3L)) // intra-batch near-dups NOT touched
+    // doc 1 may survive only if LSH never banded it with 100
+    if (!kept.contains(1L)) succeed
+    else {
+      val cross = Dedup.lshCandidates(incoming.union(existing), "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      assert(!cross.contains((1L, 100L)))
+    }
+  }
+
   test("simhashNearDups pigeonhole blocking is lossless vs brute-force cross join") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sh = docs.select($"doc_id",
