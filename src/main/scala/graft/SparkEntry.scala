@@ -273,6 +273,11 @@ object SparkEntry {
     "q29_windowed_agg" -> ((s, dir) =>
       EventStreams.windowedAgg(events(s, dir)).orderBy("ws", "event_type")),
 
+    // ── sliding windows: 2h windows every 1h — each event in two
+    // overlapping windows via one Expand pass (no self-union).
+    "q68_sliding_agg" -> ((s, dir) =>
+      EventStreams.slidingAgg(events(s, dir)).orderBy("ws", "event_type")),
+
     // ── as-of join: last preceding click value per user at each purchase.
     "q30_asof_join" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -916,6 +921,15 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q68_sliding_agg" ->
+      """WITH e AS (
+        | SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type, value FROM events),
+        |x AS (SELECT h AS ws, event_type, value FROM e
+        |      UNION ALL
+        |      SELECT h - INTERVAL 1 HOUR AS ws, event_type, value FROM e)
+        |SELECT ws, event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q30_asof_join" ->
       """SELECT event_id, user_id, value, last_click_value FROM (
         | SELECT event_id, user_id, value, event_type,

@@ -22,6 +22,19 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding-window aggregation: each event lands in `duration/slide`
+    * overlapping windows (Spark's `window` generates the copies with one
+    * Expand pass — no self-union, one aggregation). Same decimal-exact
+    * money discipline as the tumbling twin.
+    */
+  def slidingAgg(events: DataFrame, duration: String = "2 hours",
+                 slide: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming twin: file-source stream with a watermark. */
   def streamingWindowedAgg(spark: SparkSession, srcDir: String, schema: StructType,
                            duration: String = "1 hour"): DataFrame =

@@ -32,6 +32,20 @@ class EventStreamsSpec extends SparkSpec {
       ("2024-01-01 01:00:00", "view", 1L, 3.0)))
   }
 
+  test("slidingAgg puts each event in duration/slide overlapping windows") {
+    val out = EventStreams.slidingAgg(batch, "2 hours", "1 hour")
+      .orderBy("ws", "event_type")
+      .select($"ws".cast("string"), $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      ("2023-12-31 23:00:00", "click", 2L, 3.0),
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 00:00:00", "view", 1L, 3.0),
+      ("2024-01-01 01:00:00", "view", 1L, 3.0)))
+    // every event counted exactly duration/slide = 2 times
+    assert(out.map(_._3).sum == batch.count() * 2)
+  }
+
   test("session_window and gaps-and-islands sessionization agree (incl. exact-gap boundary)") {
     val ev = Seq(
       (0L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
