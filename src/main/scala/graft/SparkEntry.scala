@@ -594,6 +594,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ── deterministic shuffle: reproducible salted-hash training order
+    // (the row-order-sensitive gate proves ordering parity).
+    "q69_det_shuffle" -> ((s, dir) =>
+      graft.operators.Sampling.deterministicShuffle(
+        t(s, dir, "documents"), "doc_id", salt = "epoch1")
+        .select("doc_id")),
+
     // ── TODO.md:27 trending detection: first→last delta per key.
     "q56_trending" -> ((s, dir) =>
       Summaries.trending(events(s, dir), "user_id", "event_id", "value", 10.0)
@@ -685,6 +692,9 @@ object SparkEntry {
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q69_det_shuffle" ->
+      """SELECT doc_id FROM documents
+        |ORDER BY md5('epoch1' || CAST(doc_id AS VARCHAR)), doc_id""".stripMargin,
     "q67_dedup_incremental" ->
       (s"""WITH sig AS ($minhashSigSql), bands AS ($bandsSql),
          |sh AS ($shingleSql),

@@ -140,7 +140,19 @@ object Dedup {
     */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   minJaccard: Double, n: Int = 2, k: Int = 8,
-                  rowsPerBand: Int = 2): DataFrame = {
+                  rowsPerBand: Int = 2): DataFrame =
+    dedupCorpusKeeping(df, idCol, textCol, minJaccard, None, n, k, rowsPerBand)
+
+  /** [[dedupCorpus]] with a keep strategy: when `keepBy` is given, the
+    * survivor of each duplicate cluster is the row maximizing that
+    * column (id as tiebreak) — e.g. `n_chars` to keep the longest
+    * variant, a quality score to keep the best — instead of the min id.
+    * One extra broadcast-sized join against the (small) clustered-node
+    * set; the anti-join shape is unchanged.
+    */
+  def dedupCorpusKeeping(df: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double, keepBy: Option[String],
+                         n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val near = nearDups(df, idCol, textCol, minJaccard, n, k, rowsPerBand)
       .select(col("doc_a"), col("doc_b"))
     val exactEdges = df.select(sha2(col(textCol), 256).as("__h"), col(idCol))
@@ -149,8 +161,19 @@ object Dedup {
       .select(col("doc_a"), explode(col("__ids")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
     val cc = connectedComponents(near.unionByName(exactEdges), "doc_a", "doc_b")
-    val losers = cc.filter(col("node") =!= col("component"))
-      .select(col("node").as(idCol))
+    val losers = keepBy match {
+      case None =>
+        cc.filter(col("node") =!= col("component")).select(col("node").as(idCol))
+      case Some(rank) =>
+        // survivor = max (keepBy, id) per component; everything else loses
+        cc.join(df.select(col(idCol).as("node"), col(rank).as("__r")), "node")
+          .groupBy("component")
+          .agg(max_by(col("node"), struct(col("__r"), col("node"))).as("__keep"),
+            collect_set(col("node")).as("__nodes"))
+          .select(explode(col("__nodes")).as(idCol), col("__keep"))
+          .filter(col(idCol) =!= col("__keep"))
+          .select(idCol)
+    }
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -52,6 +52,14 @@ object Sampling {
     df.withColumn("split",
       when(hashBucket(col(idCol), salt) < testPermille, lit("test")).otherwise(lit("train")))
 
+  /** Deterministic training order: global sort by a salted content hash —
+    * a reproducible shuffle (same corpus + salt → the same order on any
+    * cluster layout), with a fresh salt per epoch for re-shuffling.
+    * Compiles to one range exchange like any total sort.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, salt: String = ""): DataFrame =
+    df.orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+
   /** Stratified deterministic sampling: a per-stratum keep rate (permille),
     * falling back to `defaultPermille` for unlisted strata — the
     * `sampleBy` twin with content-hash determinism. Used to rebalance a

@@ -135,6 +135,20 @@ class DedupSpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("dedupCorpusKeeping keeps the max-rank row per cluster instead of min id") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", 5L),
+      (2L, "the quick brown fox jumps over the lazy dog", 9L),  // same text, higher rank
+      (7L, "completely different words entirely here now", 1L)
+    ).toDF("doc_id", "text", "rank")
+    val minId = Dedup.dedupCorpus(d, "doc_id", "text", 0.99)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(0L, 7L))
+    val byRank = Dedup.dedupCorpusKeeping(d, "doc_id", "text", 0.99, Some("rank"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(byRank == Set(2L, 7L))
+  }
+
   test("jaccard values are exact set ratios") {
     val pairs = Seq((0L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")
