@@ -36,10 +36,18 @@ object Bench {
         name -> times.min
       } catch { case _: Throwable => name -> -1.0 }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver parses the metric line out of a 2000-char tail of the sbt
+    // output (measured: BENCH_r01/r02 both landed `parsed: null` because the
+    // full-name 9-decimal line was ~2.3k chars and its head fell outside the
+    // tail). Compact keys (qNN prefix) + 3-decimal seconds keep the line
+    // under ~1k chars even at 150 queries.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -746,7 +746,7 @@ object SparkEntry {
         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
         | FROM sharded)
-        |SELECT doc_id, shard, n_tokens, bef // 256 AS bin_id
+        |SELECT doc_id, shard, n_tokens, CAST(bef // 256 AS BIGINT) AS bin_id
         |FROM b ORDER BY doc_id""".stripMargin,
     "q63_regional_revenue" ->
       """SELECT r_name, n_name,

@@ -58,6 +58,23 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
+        # The driver's hash is value-REPRESENTATION sensitive: a DuckDB
+        # HUGEINT column (e.g. any uncasted SUM(BIGINT)) round-trips as
+        # float64 while the Spark parquet is int64 — 3.0 == 3 passes a
+        # naive compare but fails the driver hash. Treat dtype kind
+        # drift between the two sides as a failure.
+        kind_drift = [
+            c for c in got.columns
+            if got[c].dtype.kind != exp[c].dtype.kind
+            and {got[c].dtype.kind, exp[c].dtype.kind} <= {"i", "u", "f"}
+            and "f" in (got[c].dtype.kind, exp[c].dtype.kind)
+        ]
+        if kind_drift:
+            print(f"FAIL {name}: dtype drift (int vs float round-trip) in "
+                  f"{[(c, str(got[c].dtype), str(exp[c].dtype)) for c in kind_drift]}"
+                  " — likely an uncasted HUGEINT (SUM) in the oracle SQL")
+            n_fail += 1
+            continue
         grows = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
         erows = [tuple(norm(v) for v in r) for r in exp.itertuples(index=False)]
         ordered = grows == erows
