@@ -242,7 +242,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ── embedding near-dup: cosine-threshold pairs.
+    // ── embedding near-dup: cosine-threshold pairs, LSH-BUCKETED (the
+    // scale plan — candidates are same-or-1-bit-adjacent hyperplane
+    // buckets, never an all-pairs cross join; the oracle restates the
+    // identical bucketed pipeline).
     "q25_embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b")),
@@ -897,11 +900,13 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash60
         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
     "q25_embedding_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(
-        |  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |  list_transform(b.embedding, x -> CAST(x AS DOUBLE))) > 0.4
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM v)
+        |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        |FROM b a JOIN b c ON a.vec_id < c.vec_id
+        |WHERE bit_count(xor(a.bucket, c.bucket)) <= 1
+        |  AND list_cosine_similarity(a.v, c.v) > 0.4
         |ORDER BY 1, 2""".stripMargin,
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -1203,4 +1208,16 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band_id, " +
         s"md5(CAST(mh_${2 * b} AS VARCHAR) || ':' || CAST(mh_${2 * b + 1} AS VARCHAR)) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
+
+  /** DuckDB twin of [[graft.operators.Similarity.lshBucket]] over a 64-dim
+    * `list<double>` column `vcol`: 4 sign-bit hyperplanes with the same
+    * integer plane-weight arithmetic, folded left-to-right like the native
+    * dot kernel.
+    */
+  private def lshBucketSql(vcol: String): String =
+    "(" + (0 until 4).map { p =>
+      s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+         | j -> $vcol[j] * CAST((${p.toLong * 1315423911L} + (j-1) * 2654435761) % 1001 - 500 AS DOUBLE)),
+         | (a, b) -> a + b) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ") + ")::BIGINT"
 }

@@ -58,9 +58,27 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size == 2, s"expected 2 exchanges, got ${shuffles.size}")
   }
 
-  test("q25 pair scan broadcasts one side (no shuffled cartesian)") {
+  test("q25 near-dup pairs via bucket equi-join: NO nested-loop or cartesian scan") {
     val p = plan("q25_embedding_neardup")
-    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "corpus-by-corpus pair generation must not be a nested-loop join")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "corpus-by-corpus pair generation must not be a cartesian product")
+  }
+
+  test("ANN ranking is a partial top-k aggregate: no per-query window anywhere") {
+    for (q <- Seq("q26_ann_topk", "q37_ann_ivf", "q54_ann_rerank")) {
+      assert(collectAll(plan(q)) { case w: WindowExec => w }.isEmpty,
+        s"$q must rank via the bounded-heap aggregate, not a row_number window")
+    }
+  }
+
+  test("q37 IVF: corpus never shuffles — only the tiny agg + orderBy exchanges remain") {
+    // scan → per-row cell assignment → broadcast probe join → partial topk;
+    // the sole hash exchange carries queries×partitions×k heap entries
+    val shuffles = collectAll(plan("q37_ann_ivf")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"expected <=2 exchanges (final agg + orderBy), got ${shuffles.size}")
   }
 
   test("q33 limit compiles to TakeOrderedAndProject (no full sort materialization)") {

@@ -31,8 +31,37 @@ class SimilaritySpec extends SparkSpec {
     assert(!topk.map(_._2).contains(0L))
   }
 
-  test("nearDupPairs finds only pairs above threshold") {
-    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9)
+  test("nearDupPairsExhaustive finds only pairs above threshold") {
+    val pairs = Similarity.nearDupPairsExhaustive(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("bucketed nearDupPairs is a subset of exhaustive, and exact within probe radius") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bucketed = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long)].collect().toSet
+    val all = Similarity.nearDupPairsExhaustive(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(all), "bucketed pairs must all pass the exact threshold")
+    assert(bucketed.nonEmpty)
+    // losslessness within the probe radius: every exhaustive pair whose
+    // buckets differ in <= 1 bit must be found (the blocking drops ONLY
+    // pairs outside the radius, never candidates inside it)
+    val buckets = emb.select($"vec_id",
+      Similarity.lshBucket($"embedding").as("b")).as[(Long, Long)].collect().toMap
+    val inRadius = all.filter { case (x, y) =>
+      java.lang.Long.bitCount(buckets(x) ^ buckets(y)) <= 1 }
+    assert(bucketed == inRadius)
+  }
+
+  test("identical vectors always share a bucket, so bucketed near-dup finds them") {
+    val df = Seq(
+      (0L, Array.fill(64)(0.25f)),
+      (1L, Array.fill(64)(0.25f)),
+      (2L, Array.tabulate(64)(j => if (j % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99)
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
