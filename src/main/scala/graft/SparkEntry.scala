@@ -507,6 +507,16 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // ── keep-strategy corpus dedup: the survivor of each duplicate cluster
+    // is the LONGEST variant (char count, highest-id tiebreak) instead of
+    // the min id — the "keep the best copy" production shape.
+    "q70_dedup_keep_longest" -> ((s, dir) =>
+      Dedup.dedupCorpusKeeping(
+        t(s, dir, "documents").withColumn("n_chars", length(col("text")).cast("long")),
+        "doc_id", "text", minJaccard = 0.1, keepBy = Some("n_chars"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // ── dense reconstruction from the change log: forward-fill (inverse
     // of the flagship quantization, SURVEY §5.2.3) — sparse changes onto
     // the full (user, event) spine, last seen value carried forward.
@@ -1081,6 +1091,40 @@ object SparkEntry {
          | UNION
          | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
          |losers AS (SELECT node FROM cc GROUP BY node HAVING node <> min(label))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""".stripMargin),
+    "q70_dedup_keep_longest" ->
+      (s"""WITH RECURSIVE sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |near AS (
+         | SELECT i.doc_a, i.doc_b FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
+         |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM documents GROUP BY 1),
+         |exacte AS (SELECT g.canon AS doc_a, d.doc_id AS doc_b
+         |           FROM documents d JOIN exactg g ON sha256(d.text) = g.h
+         |           WHERE d.doc_id <> g.canon),
+         |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
+         |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+         |cc(node, label) AS (
+         | SELECT nn, nn FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
+         |comp AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         |keep AS (SELECT node FROM (
+         | SELECT c.node, row_number() OVER (PARTITION BY c.comp
+         |   ORDER BY length(d.text) DESC, c.node DESC) AS krn
+         | FROM comp c JOIN documents d ON d.doc_id = c.node) WHERE krn = 1),
+         |losers AS (SELECT node FROM comp WHERE node NOT IN (SELECT node FROM keep))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT node FROM losers) ORDER BY doc_id""".stripMargin),
     "q56_trending" ->
