@@ -14,6 +14,7 @@ import graft.sources.ScoreStore
   *          [--cve ID]... [--output-format table|csv|json|jsonl|parquet] [--output PATH]
   *   urls [-a MIN] [-b MAX | --date D]
   *   date-range --store DIR
+  *   download --store DIR --feed-dir DIR [-a MIN] [-b MAX | --date D]
   *
   * Quantization (drop-unchanged) is the DEFAULT, matching the reference
   * (cli.py `--drop-unchanged/--no-drop-unchanged`, default=True). `--date D`
@@ -41,7 +42,8 @@ object EpssCli {
       "include-v1-scores", "include-v2-scores", "no-include-v3-scores",
       "output", "output-format"),
     "urls" -> Set("a", "b", "date"),
-    "date-range" -> Set("store"))
+    "date-range" -> Set("store"),
+    "download" -> Set("store", "feed-dir", "a", "b", "date"))
 
   /** Options that take NO value; every other known option requires one.
     * (cli.py's boolean switches: --drop-unchanged/--no-drop-unchanged.)
@@ -96,8 +98,45 @@ object EpssCli {
         val store = a.one("store").getOrElse(sys.error("--store required"))
         val maxD = ScoreStore.maxDate(spark, store)
         println(s"""{"min_date": "${DateRanges.V3MinDate}", "max_date": "${maxD.getOrElse("")}"}""")
+      case "download" => download(spark, a)
       case other => sys.error(s"unknown command: $other")
     }
+  }
+
+  /** Feed-file naming from the published feed (client.py:292-330 iter_urls):
+    * `epss_scores-YYYY-MM-DD.csv[.gz]`.
+    */
+  private val FeedName = """epss_scores-(\d{4}-\d{2}-\d{2})\.csv(\.gz)?""".r
+
+  /** `download` — the fetch-only CLI mode (cli.py:98-103): acquire scores
+    * into the store WITHOUT producing query output. The sandbox has no
+    * network, so "fetch" is ingest from a local feed directory of
+    * already-downloaded daily files; the skip-if-present idempotence is
+    * ingestMany's (the client.py:126-161 exists-check twin). Prints one
+    * JSON summary line instead of rows.
+    */
+  private def download(spark: SparkSession, a: Args): Unit = {
+    val store = a.one("store").getOrElse(sys.error("--store required"))
+    val feedDir = a.one("feed-dir").getOrElse(sys.error("--feed-dir required"))
+    val date = a.one("date").map(LocalDate.parse)
+    val min = date.orElse(a.one("a").map(LocalDate.parse))
+    val max = date.orElse(a.one("b").map(LocalDate.parse))
+    // list feed files through the Hadoop FS (same rationale as ingestMany:
+    // java.io sees nothing on hdfs:// or s3a:// feed mirrors)
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"feed dir not found: $feedDir")
+    val feeds = fs.listStatus(p).toSeq.map(_.getPath).flatMap { fp =>
+      fp.getName match {
+        case FeedName(d, _) => Some(LocalDate.parse(d) -> fp.toString)
+        case _ => None // non-feed files in the dir are not an error
+      }
+    }.filter { case (d, _) =>
+      min.forall(!d.isBefore(_)) && max.forall(!d.isAfter(_))
+    }.sortBy(_._1.toString)
+    val ingested = ScoreStore.ingestMany(spark, store, feeds)
+    println(s"""{"feed_files": ${feeds.size}, "ingested": ${ingested.size}, """ +
+      s""""skipped": ${feeds.size - ingested.size}}""")
   }
 
   private def scores(spark: SparkSession, a: Args): Unit = {
@@ -143,6 +182,10 @@ object EpssCli {
     (a.one("output"), fmt) match {
       // reference json = ONE array file (util.py:44 row_oriented)
       case (Some(path), Some("json")) => Outputs.writeJsonArray(base, path)
+      // S8: real xlsx workbook (driver-side, like the reference's write_excel)
+      case (Some(path), Some("excel" | "xlsx")) => Outputs.writeExcel(base, path)
+      case (None, Some("excel" | "xlsx")) =>
+        sys.error("excel output requires --output PATH (a workbook cannot go to the console)")
       case (Some(path), f) => Outputs.write(base, path, f.getOrElse("parquet"), singleFile = true)
       case (None, Some("json")) =>
         println(base.toJSON.collect().mkString("[", ",", "]"))

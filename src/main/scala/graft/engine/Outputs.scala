@@ -39,15 +39,24 @@ object Outputs {
       rows.mkString("[", ",", "]"))
   }
 
-  /** S8 Excel sink — STUB (SURVEY.md §7.6.5): xlsx writing is out of Spark
-    * core and no workbook library ships in this environment; the reference
-    * (examples/get-excel-workbook-of-changed-epss-scores.py:44-49) drives it
-    * from a collected small result. CSV is the supported equivalent; this
-    * writes the documented CSV twin and fails loudly if asked for real xlsx.
+  /** S8 Excel sink — a REAL driver-side xlsx writer, twin of the
+    * reference's `df.write_excel` (README.md:285-289;
+    * examples/get-excel-workbook-of-changed-epss-scores.py:44-49, which
+    * likewise writes a collected small result from the driver). The
+    * workbook is authored directly as the minimal OOXML package (zip of
+    * five XML parts, inline strings — no shared-string table), so no
+    * external spreadsheet library is needed. Numeric/boolean columns
+    * become native cell types; everything else (strings, dates,
+    * timestamps) is an inline string in its Spark `toString` rendering
+    * (dates are ISO-8601, matching the JSON sink). Driver-side by design —
+    * like the reference — so `maxRows` bounds it loudly.
     */
-  def writeExcelStub(df: DataFrame, path: String): Unit = {
-    require(path.endsWith(".xlsx"),
-      s"excel sink expects an .xlsx path, got $path")
-    IO.write(df, path.stripSuffix(".xlsx") + ".csv", Some("csv"), singleFile = true)
+  def writeExcel(df: DataFrame, path: String, maxRows: Int = 1000000): Unit = {
+    require(path.endsWith(".xlsx"), s"excel sink expects an .xlsx path, got $path")
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"writeExcel is a driver-side sink for small results (> $maxRows rows); " +
+        "use parquet/csv for large outputs")
+    Xlsx.write(path, df.schema, rows)
   }
 }

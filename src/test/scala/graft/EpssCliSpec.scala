@@ -126,13 +126,79 @@ class EpssCliSpec extends SparkSpec {
     assert(IO.read(spark, p, Some("json")).count() == 2)
   }
 
-  test("excel stub writes the documented csv twin") {
-    val dir = Files.createTempDirectory("graft-xlsx-").toString
-    graft.engine.Outputs.writeExcelStub(
-      ScoreStore.read(spark, store, java.time.LocalDate.parse("2024-01-01"),
-        java.time.LocalDate.parse("2024-01-02")), s"$dir/out.xlsx")
-    assert(IO.read(spark, s"$dir/out.csv", Some("csv"),
-      Some(graft.engine.Schemas.scoreSchema)).count() == 3)
+  private def zipPart(path: String, part: String): String = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val e = zf.getEntry(part)
+      assert(e != null, s"missing workbook part $part")
+      new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+    } finally zf.close()
+  }
+
+  test("--output-format excel writes a real xlsx workbook end-to-end (S8)") {
+    val out = s"${Files.createTempDirectory("graft-xlsx-")}/changes.xlsx"
+    EpssCli.run(spark, Seq("scores", "--store", store,
+      "--date", "2024-01-02", "--output", out, "--output-format", "excel"))
+    // all five OOXML parts present; sheet carries header + the quantized row
+    for (part <- Seq("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml"))
+      zipPart(out, part)
+    val sheet = zipPart(out, "xl/worksheets/sheet1.xml")
+    assert(sheet.contains("<is><t>cve</t></is>"))      // header row
+    assert(sheet.contains("<is><t>CVE-A</t></is>"))    // quantized change row
+    assert(sheet.contains("<v>0.2</v>"))               // numeric cell, native type
+    assert(!sheet.contains("CVE-B"), "first sighting must stay quantized out")
+  }
+
+  test("xlsx cells: native numerics, XML escaping, nulls as empty cells") {
+    import org.apache.spark.sql.functions.lit
+    val dir = Files.createTempDirectory("graft-xlsx2-").toString
+    val df = Seq((1L, "a<b&c>d\"e", Some(2.5)), (2L, "plain", None))
+      .toDF("id", "s", "x").withColumn("flag", lit(true))
+    graft.engine.Outputs.writeExcel(df.orderBy("id"), s"$dir/t.xlsx")
+    val sheet = zipPart(s"$dir/t.xlsx", "xl/worksheets/sheet1.xml")
+    assert(sheet.contains("<is><t>a&lt;b&amp;c&gt;d&quot;e</t></is>"))
+    assert(sheet.contains("""<c r="A2"><v>1</v></c>"""))
+    assert(sheet.contains("""<c r="D2" t="b"><v>1</v></c>"""))
+    // null double -> no C3 cell at all in row 3
+    assert(!sheet.contains("""<c r="C3"""))
+    // column-letter arithmetic covers the AA rollover
+    assert(graft.engine.Xlsx.colLetters(0) == "A" && graft.engine.Xlsx.colLetters(25) == "Z"
+      && graft.engine.Xlsx.colLetters(26) == "AA" && graft.engine.Xlsx.colLetters(51) == "AZ"
+      && graft.engine.Xlsx.colLetters(52) == "BA")
+  }
+
+  test("excel to console fails loudly (workbook needs --output)") {
+    val e = intercept[RuntimeException] {
+      EpssCli.run(spark, Seq("scores", "--store", store,
+        "--date", "2024-01-02", "--output-format", "excel"))
+    }
+    assert(e.getMessage.contains("requires --output"))
+  }
+
+  test("download ingests a local feed dir idempotently, no query output (cli.py:98-103 twin)") {
+    val tmp = Files.createTempDirectory("graft-dl-").toString
+    val feed = s"$tmp/feed"
+    Files.createDirectory(java.nio.file.Paths.get(feed))
+    for (d <- Seq("2024-03-01", "2024-03-02", "2024-03-03"))
+      Files.writeString(java.nio.file.Paths.get(s"$feed/epss_scores-$d.csv"),
+        s"cve,epss,percentile\nCVE-D,0.4,0.8\n")
+    Files.writeString(java.nio.file.Paths.get(s"$feed/README.txt"), "not a feed")
+    val root = s"$tmp/store"
+    // range-clamped: only 03-01 and 03-02 requested
+    val out1 = captureOut {
+      EpssCli.run(spark, Seq("download", "--store", root, "--feed-dir", feed,
+        "-a", "2024-03-01", "-b", "2024-03-02"))
+    }
+    assert(out1.trim == """{"feed_files": 2, "ingested": 2, "skipped": 0}""")
+    // re-run over the full range: the two present dates skip, 03-03 ingests
+    val out2 = captureOut {
+      EpssCli.run(spark, Seq("download", "--store", root, "--feed-dir", feed))
+    }
+    assert(out2.trim == """{"feed_files": 3, "ingested": 1, "skipped": 2}""")
+    val stored = ScoreStore.read(spark, root,
+      java.time.LocalDate.parse("2024-03-01"), java.time.LocalDate.parse("2024-03-03"))
+    assert(stored.count() == 3)
   }
 
   test("ingestMany skips already-present dates (S2 idempotence)") {
