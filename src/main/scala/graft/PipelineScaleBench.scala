@@ -27,10 +27,16 @@ object PipelineScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // synthetic corpus: 40 tokens drawn deterministically from a 1k-word
-    // vocabulary; 2% of docs are near-copies of doc (id - 1) (same prefix,
-    // one token changed) so the LSH path has real work to do
-    val vocabSize = 1000
+    // synthetic corpus: 40 tokens drawn deterministically from a vocabulary
+    // that GROWS with corpus size (Heaps'-law shape: real corpora add
+    // vocabulary as they grow; 1k words at the 500k-doc baseline). A fixed
+    // vocab makes the shingle space saturate and unrelated-pair band
+    // collisions grow O(n²) — measured: 3.0 pairs/doc at 500k but 30.2 at
+    // 5M with vocab pinned to 1k (SCALE.md §LSH candidate growth) — which
+    // benchmarks the fixture, not the operator. 2% of docs are near-copies
+    // of doc (id - 1) (same prefix, one token changed) so the LSH path has
+    // real work to do.
+    val vocabSize = math.max(1000, nDocs / 500)
     val tokensPerDoc = 40
     val toks = (0 until tokensPerDoc).map { p =>
       concat(lit("w"), pmod(xxhash64(col("base"), lit(p)), lit(vocabSize.toLong)).cast("string"))
@@ -50,7 +56,12 @@ object PipelineScaleBench {
       val t0 = System.nanoTime()
       val rows = f
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"$metric","input_rows":$total,"output_rows":$rows,"value":$secs%.2f,"unit":"sec","input_rows_per_sec":${(total / secs).toLong}}""")
+      // output_per_input is the scale-regression signal: for LSH candidate
+      // generation it is PAIRS PER DOC, which must stay ~flat as nDocs
+      // grows — superlinear growth means bucket skew is winning (SCALE.md
+      // records the 500k vs 5M ratio per round)
+      val ratio = f"${rows.toDouble / total}%.4f"
+      println(f"""{"metric":"$metric","input_rows":$total,"output_rows":$rows,"output_per_input":$ratio,"value":$secs%.2f,"unit":"sec","input_rows_per_sec":${(total / secs).toLong}}""")
     }
 
     timed("pipe_minhash_sigs") {

@@ -1243,8 +1243,9 @@ object SparkEntry {
 
   private val minhashSigSql: String =
     s"""SELECT doc_id, ${(0 until 8).map(i =>
-         s"min((${2 * i + 1} * t + ${7919 * i}) % 1000003) AS mh_$i").mkString(", ")}
-       |FROM (SELECT doc_id, ('0x' || substr(md5(shingle),1,15))::BIGINT % 1000003 AS t
+         s"min((${graft.functions.MinHashKernel.A(i)} * t + " +
+           s"${graft.functions.MinHashKernel.B(i)}) % ${graft.functions.MinHashKernel.P}) AS mh_$i").mkString(", ")}
+       |FROM (SELECT doc_id, ('0x' || substr(md5(shingle),1,15))::BIGINT % ${graft.functions.MinHashKernel.P} AS t
        |      FROM ($shingleSql)) GROUP BY doc_id""".stripMargin
 
   private val bandsSql: String =

@@ -147,7 +147,36 @@ case class Md5SimHash60Expr(child: Expression)
 
 object MinHashKernel {
 
-  val P = 1000003L
+  /** MinHash universe: the Mersenne prime 2³¹−1. The space must dwarf the
+    * corpus's total shingle count — with the previous P = 1000003, a 5M-doc
+    * corpus (195M shingle draws) saturated all 10⁶ residues ~195× over, so
+    * "hot" t-values that happen to map small under BOTH multipliers of a
+    * band handed ~150 unrelated docs the same band key (measured in the
+    * PipelineScaleBench 10× run; SCALE.md §LSH candidate growth).
+    * (P−1)² ≈ 4.6e18 keeps `A(s)·t + B(s)` inside both a Java long and a
+    * DuckDB BIGINT (max 9.2e18) with no overflow.
+    */
+  val P = 2147483647L
+
+  /** Per-slot permutation constants `π_s(t) = (A(s)·t + B(s)) mod P`:
+    * A(s) = 7919^(s+1) mod P, B(s) = 104729^(s+1) mod P. The multipliers
+    * must be LARGE and unstructured mod P — the original family's small
+    * odd multipliers (2s+1 ∈ {1..15}, slot 0 the identity!) left the k
+    * "independent" minimums heavily rank-correlated, so a 2-row LSH band
+    * collided with ~single-hash probability and unrelated-pair candidates
+    * grew O(n²): measured 3.0→30.2 candidate pairs/doc from 500k→5M docs.
+    * Successive prime powers mod a prime are unstructured and
+    * deterministic in any engine.
+    */
+  private val MaxK = 64
+  val A: Array[Long] = {
+    val a = new Array[Long](MaxK); var v = 1L
+    for (s <- 0 until MaxK) { v = v * 7919L % P; a(s) = v }; a
+  }
+  val B: Array[Long] = {
+    val b = new Array[Long](MaxK); var v = 1L
+    for (s <- 0 until MaxK) { v = v * 104729L % P; b(s) = v }; b
+  }
 
   private val digests = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -181,7 +210,7 @@ object MinHashKernel {
         val t = md5Prefix60(arr.getUTF8String(i)) % P
         var s = 0
         while (s < k) {
-          val v = ((2L * s + 1) * t + 7919L * s) % P
+          val v = (A(s) * t + B(s)) % P
           if (v < mins(s)) mins(s) = v
           s += 1
         }

@@ -39,11 +39,13 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
 
-  /** MinHash prime field: small enough that (a·t + b) never overflows a
-    * 64-bit long in ANY engine (DuckDB errors on BIGINT overflow where the
-    * JVM would silently wrap — parity demands staying in range).
+  /** MinHash prime field (2³¹−1): large enough that the universe never
+    * saturates at corpus scale (see MinHashKernel.P's scaladoc for the
+    * measured hot-value blowup at P = 10⁶+3), small enough that (a·t + b)
+    * never overflows a 64-bit long in ANY engine (DuckDB errors on BIGINT
+    * overflow where the JVM would silently wrap — parity demands range).
     */
-  val MinhashP = 1000003L
+  val MinhashP: Long = graft.functions.MinHashKernel.P
 
   /** Per-doc sorted distinct shingle-set table `(id, __set)` — one narrow
     * projection, no shuffle: the codegen'd `ShingleSortedSetExpr` kernel

@@ -41,9 +41,9 @@ class KernelPropertySpec extends SparkSpec {
     val declarative = texts.filter(size(toks) >= n)
       .withColumn("set", sort_array(array_distinct(grams)))
       .withColumn("ts", transform($"set",
-        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % 1000003L))
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % MinHashKernel.P))
       .select($"id", $"set", array((0 until 8).map { s =>
-        array_min(transform($"ts", t => (lit(2L * s + 1) * t + lit(7919L * s)) % 1000003L))
+        array_min(transform($"ts", t => (lit(MinHashKernel.A(s)) * t + lit(MinHashKernel.B(s))) % MinHashKernel.P))
       }: _*).as("sig"))
       .as[(Long, Seq[String], Seq[Long])].collect()
       .map { case (id, set, sig) => id -> ((set, sig)) }.toMap

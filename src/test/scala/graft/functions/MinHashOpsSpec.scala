@@ -20,9 +20,9 @@ class MinHashOpsSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     val viaSql = docs.filter(size($"set") > 0)
       .withColumn("__ts", transform($"set",
-        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % 1000003L))
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % MinHashKernel.P))
       .select($"doc_id", array((0 until 8).map { s =>
-        array_min(transform($"__ts", t => (lit(2L * s + 1) * t + lit(7919L * s)) % 1000003L))
+        array_min(transform($"__ts", t => (lit(MinHashKernel.A(s)) * t + lit(MinHashKernel.B(s))) % MinHashKernel.P))
       }: _*).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
     assert(viaKernel == viaSql)

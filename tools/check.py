@@ -92,6 +92,33 @@ def main():
                 print(f"   got {grows[i]}")
                 print(f"   exp {erows[i]}")
             n_fail += 1
+
+    # Rows-only queries (no DuckDB-expressible oracle, e.g. q31's XxHash64):
+    # gate against a committed golden hash per sf dir instead, so the local
+    # suite reads N/N rather than leaving them ungated forever.
+    import hashlib
+    sf_name = Path(sf_dir).name
+    extras = sorted(d.name for d in Path(out_dir).iterdir()
+                    if d.is_dir() and d.name not in oracle)
+    for name in extras:
+        got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        got = got[sorted(got.columns)]
+        rows = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
+        digest = hashlib.sha256(
+            ("\n".join(map(repr, rows)) + "|" + ",".join(got.columns)).encode()
+        ).hexdigest()
+        gpath = Path(__file__).parent / "goldens" / sf_name / f"{name}.sha256"
+        if gpath.exists():
+            exp_digest = gpath.read_text().strip()
+            if digest == exp_digest:
+                print(f"PASS {name} ({len(got)} rows, golden hash)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: golden hash mismatch ({digest} != {exp_digest})")
+                n_fail += 1
+        else:
+            print(f"NOGOLD {name}: rows={len(got)} sha256={digest} "
+                  f"(write it to {gpath} to gate this query)")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
