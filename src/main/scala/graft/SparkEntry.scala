@@ -556,6 +556,15 @@ object SparkEntry {
         .orderBy(col("tf").desc, col("token").asc)
         .limit(100)),
 
+    // ── per-document top-5 TF-IDF keywords (corpus-relative term
+    // importance; min df 2 prunes hapax noise). Score rounded to 6 dp —
+    // ln is last-ulp engine-unstable, rounding makes rank + value
+    // engine-identical (TextAnalysis.tfidfKeywords scaladoc).
+    "q71_tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minDf = 2)
+        .orderBy("doc_id", "rn")),
+
     // ── TPC-H Q5-shaped regional revenue: six-table join (two broadcast
     // dim chains + fact-fact), decimal-exact discounted revenue. The
     // only query deep enough to exercise Catalyst's join reordering.
@@ -705,6 +714,18 @@ object SparkEntry {
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q71_tfidf_keywords" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tfd AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1 HAVING count(*) >= 2),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT t.doc_id, t.token, t.tf, d.df,
+        |       round(t.tf * ln(n.n::DOUBLE / d.df), 6) AS score
+        |      FROM tfd t JOIN dfq d USING (token), n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY score DESC, token) AS BIGINT) AS rn FROM s)
+        |SELECT doc_id, rn, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
     "q69_det_shuffle" ->
       """SELECT doc_id FROM documents
         |ORDER BY md5('epoch1' || CAST(doc_id AS VARCHAR)), doc_id""".stripMargin,

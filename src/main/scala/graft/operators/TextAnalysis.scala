@@ -181,6 +181,39 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
 
+  /** Per-document top-k TF-IDF keywords — the classic corpus-relative
+    * term-importance ranking: `score = tf · ln(N / df)`. Plan shape for
+    * 100 TB: ONE corpus-sized exchange builds the (doc, token, tf) table;
+    * document frequency is a vocabulary-sized re-aggregation OF that table
+    * (never a second corpus pass); N arrives as a broadcast scalar; the
+    * per-doc ranking window partitions by doc id — high cardinality, so
+    * groups stay small and reducers balanced (the q05 pattern, NOT the
+    * per-query corpus window the Similarity family had to ban).
+    *
+    * Determinism across engines: `ln` is last-ulp unstable between libm
+    * and the JVM (measured: 8/98k rationals differ), so the emitted score
+    * is rounded to 6 dp — ln of a rational is irrational, never ON a
+    * rounding boundary — and the rank orders by the ROUNDED score with a
+    * token tiebreak, so rank and value are engine-identical.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, minDf: Int = 1): DataFrame = {
+    val docTerms = df.select(col(idCol), explode(tokens(textCol)).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = docTerms.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val n = df.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("token").asc)
+    docTerms.join(docFreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("__n") / col("df")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
   /** Vocabulary size, exact and approximate: `approx_count_distinct`
     * (HyperLogLog++) is the 100 TB path — fixed-size sketch per
     * partition, no distinct-expand shuffle — with the exact count as the

@@ -86,4 +86,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) == ((1L, 4L, 4L, 1.0)))
     assert(out(1) == ((2L, 4L, 1L, 0.25)))
   }
+
+  test("tfidfKeywords ranks corpus-distinctive terms above ubiquitous ones") {
+    val corpus = Seq(
+      (0L, "shared shared rare0 rare0 rare0"),
+      (1L, "shared rare1"),
+      (2L, "shared rare0"),
+      (3L, "shared noise")
+    ).toDF("doc_id", "text")
+    // minDf = 1 keeps every term; N = 4
+    val out = TextAnalysis.tfidfKeywords(corpus, "doc_id", "text", k = 2)
+      .select("doc_id", "rn", "token", "tf", "df")
+      .as[(Long, Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // doc 0: rare0 (tf=3, df=2 -> 3·ln2) beats shared (tf=2, df=4 -> 0)
+    assert(out(0L) == Seq("rare0", "shared"))
+    // doc 1: rare1 df=1 -> ln4 beats shared's 0; ubiquitous term ranks last
+    assert(out(1L) == Seq("rare1", "shared"))
+    // shared appears in ALL docs -> idf = ln(1) = 0 everywhere
+    val shared = TextAnalysis.tfidfKeywords(corpus, "doc_id", "text", k = 2)
+      .filter($"token" === "shared").select("score").as[Double].collect()
+    assert(shared.nonEmpty && shared.forall(_ == 0.0))
+  }
+
+  test("tfidfKeywords minDf prunes hapax terms from the vocabulary") {
+    val corpus = Seq(
+      (0L, "common hapax0"),
+      (1L, "common hapax1")
+    ).toDF("doc_id", "text")
+    val toks = TextAnalysis.tfidfKeywords(corpus, "doc_id", "text", k = 5, minDf = 2)
+      .select("token").as[String].collect().toSet
+    assert(toks == Set("common"))
+  }
 }
