@@ -565,6 +565,13 @@ object SparkEntry {
         k = 5, minDf = 2)
         .orderBy("doc_id", "rn")),
 
+    // ── BM25 retrieval: top-20 docs for a fixed 3-term query (per-term
+    // contributions decimal-summed for order-independent exactness).
+    "q72_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "filter"), k = 20)
+        .orderBy(col("score").desc, col("doc_id").asc)),
+
     // ── TPC-H Q5-shaped regional revenue: six-table join (two broadcast
     // dim chains + fact-fact), decimal-exact discounted revenue. The
     // only query deep enough to exercise Catalyst's join reordering.
@@ -714,6 +721,22 @@ object SparkEntry {
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q72_bm25" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS l FROM base),
+         |stats AS (SELECT count(*)::DOUBLE AS n, SUM(l)::DOUBLE / count(*) AS avgdl FROM lens),
+         |dt AS (SELECT b.doc_id, l.l, unnest(b.toks) AS token
+         |       FROM base b JOIN lens l USING (doc_id)),
+         |tfd AS (SELECT doc_id, l, token, count(*)::DOUBLE AS tf FROM dt
+         |        WHERE token IN ('hash', 'join', 'filter') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, count(*)::DOUBLE AS df FROM tfd GROUP BY 1),
+         |c AS (SELECT t.doc_id,
+         |       CAST(round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * t.tf * ${1.2 + 1.0} /
+         |            (t.tf + ${1.2} * (${1.0 - 0.75} + ${0.75} * t.l / s.avgdl)), 6)
+         |        AS DECIMAL(18,6)) AS cr
+         |      FROM tfd t JOIN dfq d USING (token), stats s)
+        |SELECT doc_id, count(*)::BIGINT AS n_terms, CAST(SUM(cr) AS DOUBLE) AS score
+        |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q71_tfidf_keywords" ->
       """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tfd AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),

@@ -214,6 +214,53 @@ object TextAnalysis {
       .select(col(idCol), col("rn"), col("token"), col("tf"), col("df"), col("score"))
   }
 
+  /** BM25 document ranking for a fixed term query — the standard lexical
+    * retrieval scorer: `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))`
+    * with `idf = ln((N−df+0.5)/(df+0.5) + 1)` (the non-negative variant).
+    *
+    * Scale shape: doc length is a per-row `size()` (no agg); the (doc,
+    * term, tf) table filters to the QUERY terms before its exchange, so
+    * the aggregation is query-sized, not corpus-sized; N/avgdl broadcast
+    * as one scalar row; the final top-k is a TakeOrdered, never a full
+    * sort.
+    *
+    * Determinism: each term's contribution is rounded to 6 dp and summed
+    * as DECIMAL(18,6) — decimal addition is exact and order-independent,
+    * so the cross-engine score is identical no matter what order the
+    * per-term rows arrive in (a double sum would be last-ulp
+    * order-sensitive). avgdl is an exact integer sum over a double
+    * divide, bit-identical in both engines.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    val base = df.select(col(idCol), tokens(textCol).as("__toks"))
+      .withColumn("__len", size(col("__toks")).cast("long"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("__len")).cast("double") / count(lit(1))).as("__avgdl"))
+    val docTerms = base
+      .select(col(idCol), col("__len"), explode(col("__toks")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__len"), col("token"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfq = docTerms.groupBy("token").agg(count(lit(1)).cast("double").as("__df"))
+    docTerms.join(broadcast(dfq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__c", col("__idf") * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") / col("__avgdl"))))
+      .withColumn("__cr", round(col("__c"), 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cr")).as("__s"), count(lit(1)).cast("long").as("n_terms"))
+      .withColumn("score", col("__s").cast("double"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("n_terms"), col("score"))
+  }
+
   /** Vocabulary size, exact and approximate: `approx_count_distinct`
     * (HyperLogLog++) is the 100 TB path — fixed-size sketch per
     * partition, no distinct-expand shuffle — with the exact count as the

@@ -118,4 +118,32 @@ class TextAnalysisSpec extends SparkSpec {
       .select("token").as[String].collect().toSet
     assert(toks == Set("common"))
   }
+
+  test("bm25Rank: more query terms and rarer terms rank higher; misses rank nowhere") {
+    val corpus = Seq(
+      (0L, "spark shuffle join"),          // both query terms, rare 'shuffle'
+      (1L, "spark join join join spark"),  // only common terms, high tf
+      (2L, "spark other words here"),      // one common term
+      (3L, "nothing relevant at all")      // no query terms -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(corpus, "doc_id", "text",
+      queryTerms = Seq("shuffle", "join"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 1L))          // doc 3 and 2 match nothing
+    assert(out.head._2 == 2L && out(1)._2 == 1L)  // term-coverage counts
+    assert(out.head._3 > out(1)._3)               // rare 'shuffle' dominates tf
+  }
+
+  test("bm25Rank saturates with tf (k1 bound): tf=100 scores < (k1+1) x idf") {
+    val corpus = Seq(
+      (0L, Seq.fill(100)("join").mkString(" ")),
+      (1L, "join x"),
+      (2L, "x y")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(corpus, "doc_id", "text", Seq("join"), k = 10)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6); saturation bound (k1+1)*idf
+    val bound = 2.2 * math.log(1.6)
+    assert(out(0L) < bound && out(0L) > out(1L))
+  }
 }
