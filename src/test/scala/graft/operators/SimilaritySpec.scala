@@ -55,6 +55,24 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed == inRadius)
   }
 
+  test("nearDupPairs planes knob: more planes = more buckets, still subset-exact") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val all = Similarity.nearDupPairsExhaustive(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long)].collect().toSet
+    // planes = 8 -> 256 buckets (the 100 TB widening of the self-join key
+    // space); candidates shrink, every survivor still passes the exact
+    // threshold, and same-bucket pairs are still found
+    val wide = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4, planes = 8)
+      .as[(Long, Long)].collect().toSet
+    val narrow = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4, planes = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(wide.subsetOf(all))
+    assert(wide.nonEmpty)
+    // recall shrinks monotonically in expectation but never gains pairs
+    // outside the exhaustive truth; both probe radii stay threshold-exact
+    assert(narrow.subsetOf(all))
+  }
+
   test("identical vectors always share a bucket, so bucketed near-dup finds them") {
     val df = Seq(
       (0L, Array.fill(64)(0.25f)),
