@@ -507,6 +507,21 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // ── SEMANTIC dedup: the two operator families composed — embedding
+    // near-dup edges (LSH-bucketed cosine pairs, the q25 pipeline) fed
+    // through connected components; survivors = min vec_id per cluster.
+    // The "dedup by meaning, not text" production shape.
+    "q73_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      emb.select(col("vec_id"))
+        .join(Dedup.connectedComponents(edges)
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("vec_id")), Seq("vec_id"), "left_anti")
+        .orderBy("vec_id")
+    }),
+
     // ── keep-strategy corpus dedup: the survivor of each duplicate cluster
     // is the LONGEST variant (char count, highest-id tiebreak) instead of
     // the min id — the "keep the best copy" production shape.
@@ -721,6 +736,24 @@ object SparkEntry {
         | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q73_semantic_dedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM v),
+         |pairs AS (
+         | SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+         | FROM b a JOIN b c ON a.vec_id < c.vec_id
+         | WHERE bit_count(xor(a.bucket, c.bucket)) <= 1
+         |   AND list_cosine_similarity(a.v, c.v) > 0.4),
+         |nodes(n) AS (SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs),
+         |und(ua, ub) AS (SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         |cc(node, label) AS (
+         | SELECT n, n FROM nodes
+         | UNION
+         | SELECT u.ub, cc.label FROM cc JOIN und u ON u.ua = cc.node WHERE cc.label < u.ub),
+         |losers AS (SELECT node FROM cc GROUP BY node HAVING node <> min(label))
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT node FROM losers) ORDER BY vec_id""".stripMargin,
     "q72_bm25" ->
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS l FROM base),
