@@ -62,6 +62,17 @@ class TopKOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 1L), (1L, 3L, 2L)))
   }
 
+  test("NaN scores rank FIRST, like the window's descending double order") {
+    // Spark orders NaN above every other double; Double.compare in the
+    // heap comparator must reproduce that, or plans diverge on dirty data
+    val dirty = Seq((1L, Double.NaN, 10L), (1L, 99.0, 11L), (1L, Double.NaN, 12L),
+      (1L, 1.0, 13L)).toDF("g", "score", "id")
+    val a = ranked(dirty, 3).orderBy("rn").as[(Long, Long, Long)].collect().toSeq
+    val b = windowed(dirty, 3).orderBy("rn").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._2) == Seq(10L, 12L, 11L)) // NaNs first (id-tiebroken), then 99.0
+  }
+
   test("buffer survives serialize/deserialize round-trip") {
     val buf = new TopKBuffer(3)
     Seq((1.0, 1L), (5.0, 2L), (3.0, 3L), (4.0, 4L), (5.0, 0L)).foreach {
