@@ -687,7 +687,28 @@ object SparkEntry {
           aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
           array_min(q).as("q_min"), array_max(q).as("q_max"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // ── §2.5b calendar-day lookbacks (TODO.md:10-19's N-DAY variants):
+    // value as-of k days ago via rangeBetween(-k,-k) frames — NULL where
+    // that day's snapshot is missing, unlike row-lag lookbacks (q10).
+    // Daily spine first (last value per user-day by event_id) to satisfy
+    // the one-row-per-(key, day) contract.
+    "q74_lookback_days" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      Summaries.lookbackByDays(daily, "user_id", "d", "value", Seq(1, 7))
+        .select("user_id", "d", "value", "value_1d_ago", "value_7d_ago")
+        .orderBy("user_id", "d")
+    }),
+
+    // ── HLL vocabulary size: approx_count_distinct (HyperLogLog++) beside
+    // the exact count. Sketch estimates are engine-specific, so this is a
+    // rows-only query gated by committed golden hashes (tools/goldens/),
+    // like q31 — the spec additionally pins the ≤5% relative error.
+    "q75_vocab_hll" -> ((s, dir) =>
+      TextAnalysis.vocabSize(t(s, dir, "documents"), "text"))
   )
 
   private val threeWayJoinSql: String =
@@ -899,6 +920,18 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY event_id""".stripMargin,
+    "q74_lookback_days" ->
+      """WITH daily AS (
+        | SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, event_id) AS value
+        | FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, value,
+        | last_value(value) OVER (PARTITION BY user_id
+        |   ORDER BY datediff('day', DATE '1970-01-01', d)
+        |   RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS value_1d_ago,
+        | last_value(value) OVER (PARTITION BY user_id
+        |   ORDER BY datediff('day', DATE '1970-01-01', d)
+        |   RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS value_7d_ago
+        |FROM daily ORDER BY user_id, d""".stripMargin,
     "q11_growth" ->
       """SELECT d, n, prev_n, (n - prev_n) * CAST(100 AS DOUBLE) / prev_n AS growth_pct
         |FROM (SELECT d, n, lag(n, 1) OVER (ORDER BY d) AS prev_n
