@@ -1,21 +1,32 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus a partition-batched feature-extraction pass.
   *
-  * The Spark-side plumbing — schema, partitioning, batch iteration shape —
-  * is real and tested; the decode kernel is a clearly-marked deterministic
-  * STUB (image/audio codecs are not in this container). On a real cluster
-  * the stub body is replaced by the codec call; nothing else changes.
+  * IMAGE decode is REAL: `javax.imageio` ships in the JDK and parses
+  * PNG/BMP/GIF/JPEG with no external package, so image payloads yield
+  * true width/height/pixel statistics. The deterministic STUB kernel
+  * remains only for payloads ImageIO cannot parse — audio and video,
+  * whose codecs genuinely are not in this container; on a real cluster
+  * the stub body is replaced by the codec call, nothing else changes.
   *
   * Scale: `mapPartitions` keeps decode per-executor and batch-shaped (no
   * per-row task overhead, no driver involvement); binary payloads never
   * shuffle — features (small) do.
   */
 object Multimodal {
+
+  // ImageIO defaults to a disk-backed read cache; decode in memory on
+  // executors instead (payloads are already partition-local byte arrays)
+  ImageIO.setUseCache(false)
 
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRow(doc_id: Long, media_type: String, blob: Array[Byte])
@@ -40,10 +51,85 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  // ── STUB decode kernel ────────────────────────────────────────────────
-  // Real implementation would call an image/audio codec here (not available
+  /** REAL image decode (JDK ImageIO: PNG/BMP/GIF/JPEG). None when the
+    * payload is not a decodable image — callers fall back to the stub.
+    */
+  private[operators] def decodeImage(blob: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(blob)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 8-dim feature from REAL pixels: per-channel mean and stddev of
+    * R/G/B in [0,1], plus log-scaled width/height. One deterministic
+    * row-major pixel scan per image.
+    */
+  private[operators] def imageFeature(img: BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr, sg, sb, sr2, sg2, sb2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = ((p >> 16) & 0xff) / 255.0
+        val g = ((p >> 8) & 0xff) / 255.0
+        val b = (p & 0xff) / 255.0
+        sr += r; sg += g; sb += b
+        sr2 += r * r; sg2 += g * g; sb2 += b * b
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    def mean(s: Double) = s / n
+    def std(s: Double, s2: Double) = math.sqrt(math.max(0.0, s2 / n - (s / n) * (s / n)))
+    Array(mean(sr).toFloat, mean(sg).toFloat, mean(sb).toFloat,
+      std(sr, sr2).toFloat, std(sg, sg2).toFloat, std(sb, sb2).toFloat,
+      math.log1p(w.toDouble).toFloat, math.log1p(h.toDouble).toFloat)
+  }
+
+  /** Decoded image metadata: true dimensions + channel means. */
+  final case class ImageMeta(doc_id: Long, width: Int, height: Int,
+                             n_pixels: Long, mean_r: Double, mean_g: Double,
+                             mean_b: Double)
+
+  /** Real image metadata extraction: rows whose payload ImageIO parses
+    * yield true dimensions and channel means; undecodable rows are
+    * dropped (they belong to the audio/video stub path). Batch-shaped —
+    * payload bytes never leave the partition that read them.
+    */
+  def imageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeImage(r.blob).map { img =>
+          var sr, sg, sb = 0.0
+          val w = img.getWidth; val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += ((p >> 16) & 0xff) / 255.0
+              sg += ((p >> 8) & 0xff) / 255.0
+              sb += (p & 0xff) / 255.0
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toDouble * h
+          ImageMeta(r.doc_id, w, h, w.toLong * h, sr / n, sg / n, sb / n)
+        }
+      }
+    }
+  }
+
+  // ── STUB decode kernel (audio/video ONLY) ─────────────────────────────
+  // Real implementation would call an audio/video codec here (not available
   // in this container). This deterministic fake preserves the exact batch
-  // shape, signature and output schema of the real kernel.
+  // shape, signature and output schema of the real kernel. Image payloads
+  // never reach it — they decode for real via ImageIO above.
   private def stubDecode(blob: Array[Byte]): Array[Float] = {
     val feat = new Array[Float](8)
     var i = 0
@@ -54,15 +140,25 @@ object Multimodal {
     feat
   }
 
-  /** Feature extraction over partition-sized batches. */
+  /** Feature extraction over partition-sized batches: image payloads that
+    * ImageIO parses get REAL pixel-statistic features (one frame — a
+    * still); everything else takes the documented audio/video stub.
+    */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val frames = (r.blob.length / 256) + 1
-        MediaFeature(r.doc_id, r.media_type, r.blob.length.toLong, frames,
-          stubDecode(r.blob))
+        val decoded = if (r.media_type == "image") decodeImage(r.blob) else None
+        decoded match {
+          case Some(img) =>
+            MediaFeature(r.doc_id, r.media_type, r.blob.length.toLong, 1,
+              imageFeature(img))
+          case None =>
+            val frames = (r.blob.length / 256) + 1
+            MediaFeature(r.doc_id, r.media_type, r.blob.length.toLong, frames,
+              stubDecode(r.blob))
+        }
       }
     }
   }

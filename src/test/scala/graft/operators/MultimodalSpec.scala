@@ -38,6 +38,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).blob.sameElements(again.blob))
   }
 
+  // a real PNG: 4×2, left half pure red, right half pure blue
+  private def pngFixture(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("decodeImage REALLY decodes a PNG: true dimensions and pixels") {
+    val img = Multimodal.decodeImage(pngFixture())
+    assert(img.isDefined)
+    assert(img.get.getWidth == 4 && img.get.getHeight == 2)
+    assert((img.get.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((img.get.getRGB(3, 1) & 0xffffff) == 0x0000ff)
+    // non-image bytes are None, not an exception — the stub-path signal
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageMeta yields real dimensions + channel means; drops undecodable rows") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", pngFixture()),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](1, 2, 3))).toDS()
+    val metas = Multimodal.imageMeta(media).collect()
+    assert(metas.map(_.doc_id).toSeq == Seq(1L))
+    val m = metas.head
+    assert(m.width == 4 && m.height == 2 && m.n_pixels == 8L)
+    // half red half blue: mean_r = mean_b = 0.5, mean_g = 0
+    assert(math.abs(m.mean_r - 0.5) < 1e-9)
+    assert(m.mean_g == 0.0)
+    assert(math.abs(m.mean_b - 0.5) < 1e-9)
+  }
+
+  test("extractFeatures uses REAL pixel statistics for decodable images") {
+    val media = Seq(Multimodal.MediaRow(1L, "image", pngFixture())).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_frames == 1)
+    // feature = [mean_r, mean_g, mean_b, std_r, std_g, std_b, log1p(w), log1p(h)]
+    assert(math.abs(f.feature(0) - 0.5f) < 1e-6f)
+    assert(f.feature(1) == 0.0f)
+    assert(math.abs(f.feature(2) - 0.5f) < 1e-6f)
+    assert(math.abs(f.feature(3) - 0.5f) < 1e-6f) // red is 0/1 half-half → std 0.5
+    assert(math.abs(f.feature(6) - math.log1p(4.0).toFloat) < 1e-6f)
+    assert(math.abs(f.feature(7) - math.log1p(2.0).toFloat) < 1e-6f)
+  }
+
   test("extractFeatures preserves partitioning shape and is deterministic") {
     val feats = Multimodal.extractFeatures(Multimodal.fakeMediaTable(docs))
       .collect().sortBy(_.doc_id)
