@@ -57,6 +57,11 @@ object Outputs {
     require(rows.length <= maxRows,
       s"writeExcel is a driver-side sink for small results (> $maxRows rows); " +
         "use parquet/csv for large outputs")
-    Xlsx.write(path, df.schema, rows)
+    // through the Hadoop FS like every other sink, so hdfs:// / s3a://
+    // output paths work the same as local ones
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try Xlsx.write(out, df.schema, rows) finally out.close()
   }
 }

@@ -45,9 +45,17 @@ object Xlsx {
     case _ => false
   }
 
+  private def isFinite(v: Any): Boolean = v match {
+    case d: Double => !d.isNaN && !d.isInfinite
+    case f: Float => !f.isNaN && !f.isInfinite
+    case _ => true
+  }
+
   private def cell(ref: String, dt: DataType, v: Any): String = v match {
     case null => "" // empty cell — omitted entirely, like the reference's nulls
-    case _ if isNumeric(dt) => s"""<c r="$ref"><v>$v</v></c>"""
+    // NaN/Infinity are not valid OOXML numeric cells (Excel/LibreOffice
+    // report a corrupt workbook) — write them as inline strings instead
+    case _ if isNumeric(dt) && isFinite(v) => s"""<c r="$ref"><v>$v</v></c>"""
     case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
     case other => s"""<c r="$ref" t="inlineStr"><is><t>${esc(other.toString)}</t></is></c>"""
   }
@@ -101,18 +109,25 @@ object Xlsx {
     """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
     """</Relationships>"""
 
-  def write(path: String, schema: StructType, rows: Array[Row]): Unit = {
+  /** Stream the workbook to any OutputStream — lets callers route through
+    * the Hadoop FileSystem (hdfs:// / s3a:// paths) like every other sink.
+    */
+  def write(stream: java.io.OutputStream, schema: StructType, rows: Array[Row]): Unit = {
     val parts = Seq(
       "[Content_Types].xml" -> contentTypes,
       "_rels/.rels" -> rootRels,
       "xl/workbook.xml" -> workbookXml,
       "xl/_rels/workbook.xml.rels" -> workbookRels,
       "xl/worksheets/sheet1.xml" -> sheetXml(schema, rows))
-    val out = new ZipOutputStream(Files.newOutputStream(Paths.get(path)))
+    val out = new ZipOutputStream(stream)
     try parts.foreach { case (name, xml) =>
       out.putNextEntry(new ZipEntry(name))
       out.write(xml.getBytes(StandardCharsets.UTF_8))
       out.closeEntry()
     } finally out.close()
   }
+
+  /** Local-path convenience overload. */
+  def write(path: String, schema: StructType, rows: Array[Row]): Unit =
+    write(Files.newOutputStream(Paths.get(path)), schema, rows)
 }

@@ -27,6 +27,18 @@ import org.apache.spark.sql.types._
   * replaced windows used (`java.lang.Double.compare` mirrors Spark's NaN
   * ordering: NaN sorts above every other double).
   *
+  * TWO INTENTIONAL divergences from the window formulation (both pinned
+  * in TopKOpsSpec):
+  *   - null-score (or null-id) rows are skipped entirely: a group with
+  *     fewer than k non-null candidates returns only those, while the
+  *     window would hand trailing ranks to null-score rows (nulls sort
+  *     last under desc). Ranks here are dense over REAL candidates — a
+  *     null-score "neighbor" at rank k is never a useful ANN result.
+  *   - inputs are hard-typed (double score, bigint id) where the window
+  *     ordered any orderable type: the serialized heap buffer is a flat
+  *     fixed-width (double, long) array. Cast or zipWithIndex other id
+  *     types at the call site.
+  *
   * Result: `array<struct<score:double, id:bigint>>` sorted best-first and
   * truncated to k; `posexplode` turns it back into ranked rows.
   */

@@ -8,16 +8,21 @@ import graft.functions.{TopKOps, VectorOps}
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Scale shape (the 100 TB contract):
-  *   - the CORPUS side never shuffles: bucket/cell assignment is a per-row
-  *     expression over a broadcast (or literal) codebook, candidate joins
-  *     broadcast the small query side, and ranking is a partial-aggregated
-  *     bounded-heap top-k ([[graft.functions.BoundedTopK]]) — the only
-  *     exchange carries `queries × partitions × k` heap entries, never the
-  *     candidate set;
-  *   - all-pairs near-dup is LSH-bucketed (equi-join on bucket id with
-  *     1-bit multi-probe), not a cross join — candidates are same-or-
-  *     adjacent-bucket only. The O(n²) [[nearDupPairsExhaustive]] survives
-  *     solely as the SimilaritySpec recall cross-check.
+  *   - on the QUERY-vs-CORPUS operators (brute-force/LSH/IVF/rerank
+  *     top-k) the corpus side never shuffles: bucket/cell assignment is a
+  *     per-row expression over a broadcast (or literal) codebook,
+  *     candidate joins broadcast the small query side, and ranking is a
+  *     partial-aggregated bounded-heap top-k
+  *     ([[graft.functions.BoundedTopK]]) — the only exchange carries
+  *     `queries × partitions × k` heap entries, never the candidate set;
+  *   - all-pairs near-dup ([[nearDupPairs]]) is LSH-bucketed (equi-join
+  *     on bucket id with 1-bit multi-probe), not a cross join —
+  *     candidates are same-or-adjacent-bucket only. It is the ONE
+  *     operator here whose corpus side does shuffle (both copies, keyed
+  *     by bucket id — `2^planes` distinct keys bound the reducer
+  *     parallelism; see its scaladoc and [[planesFor]]). The O(n²)
+  *     [[nearDupPairsExhaustive]] survives solely as the SimilaritySpec
+  *     recall cross-check.
   *
   * All float math is widened to double FIRST and folded sequentially
   * (native codegen'd [[VectorOps.dotProduct]]) so results are
@@ -77,6 +82,14 @@ object Similarity {
     * buckets differ in more bits are unseen); the probe radius trades
     * recall for candidate count. The corpus never cross-joins itself —
     * candidates scale with bucket occupancy, not n².
+    *
+    * SCALE KNOB — the join key has only `2^planes` distinct values, so
+    * BOTH corpus copies shuffle and at most `2^planes` reducers carry all
+    * verification work: with the default `planes = 4` that is 16 tasks,
+    * fine at fixture scale and a hard parallelism ceiling at corpus
+    * scale. Size `planes` with the corpus — [[planesFor]] targets a mean
+    * bucket occupancy; the measured growth numbers and guidance live in
+    * SCALE.md §"Embedding near-dup pair growth".
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                    planes: Int = 4, probeBits: Int = 1): DataFrame = {
@@ -97,6 +110,23 @@ object Similarity {
       // dot > t·‖a‖·‖b‖ avoids a per-pair division; same predicate
       .filter(dot(col("__va"), col("__vb")) > lit(threshold) * col("__na") * col("__nb"))
       .select("id_a", "id_b")
+  }
+
+  /** `planes` sizing for [[nearDupPairs]]: smallest plane count whose
+    * `2^planes` buckets keep MEAN occupancy at or under
+    * `targetPerBucket` (in-bucket verification is O(occupancy²) per
+    * bucket and bucket count bounds reducer parallelism). Floor 4
+    * (the fixture-scale default), cap 24 — beyond that, sign-bit
+    * collisions of genuinely-similar pairs make added planes pure
+    * recall loss. Recall falls as planes grow (a qualifying pair must
+    * differ in ≤ probeBits sign bits), so raise `probeBits` alongside
+    * planes when recall matters more than candidate count.
+    */
+  def planesFor(n: Long, targetPerBucket: Long = 50000L): Int = {
+    require(targetPerBucket > 0, "targetPerBucket must be positive")
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, needed))
   }
 
   /** O(n²) all-pairs near-dup — SPEC-ONLY recall baseline for

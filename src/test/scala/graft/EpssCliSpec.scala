@@ -168,6 +168,19 @@ class EpssCliSpec extends SparkSpec {
       && graft.engine.Xlsx.colLetters(52) == "BA")
   }
 
+  test("xlsx non-finite doubles become inline strings, not corrupt numeric cells") {
+    val dir = Files.createTempDirectory("graft-xlsx3-").toString
+    val df = Seq((1L, Double.NaN), (2L, Double.PositiveInfinity), (3L, 1.5))
+      .toDF("id", "x")
+    graft.engine.Outputs.writeExcel(df.orderBy("id"), s"$dir/nf.xlsx")
+    val sheet = zipPart(s"$dir/nf.xlsx", "xl/worksheets/sheet1.xml")
+    // <v>NaN</v> / <v>Infinity</v> are invalid OOXML numerics — must not appear
+    assert(!sheet.contains("<v>NaN</v>") && !sheet.contains("<v>Infinity</v>"))
+    assert(sheet.contains("<is><t>NaN</t></is>"))
+    assert(sheet.contains("<is><t>Infinity</t></is>"))
+    assert(sheet.contains("<v>1.5</v>")) // finite stays native numeric
+  }
+
   test("excel to console fails loudly (workbook needs --output)") {
     val e = intercept[RuntimeException] {
       EpssCli.run(spark, Seq("scores", "--store", store,

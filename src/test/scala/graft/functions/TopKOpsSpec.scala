@@ -62,6 +62,22 @@ class TopKOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 1L), (1L, 3L, 2L)))
   }
 
+  test("INTENTIONAL divergence: fewer non-null rows than k omits trailing " +
+    "null-score ranks the window would emit") {
+    // the row_number window ranks null-score rows too (nulls sort last under
+    // desc) — with k=3 it would emit id=2 at rn=3. The aggregate treats
+    // null score as "no rankable candidate" and stops at the non-null rows:
+    // ranks are dense over REAL candidates only. Documented in BoundedTopK's
+    // scaladoc; this spec pins the divergence so it stays a decision, not a
+    // drift.
+    val withNulls = Seq((1L, Some(3.0), 1L), (1L, None, 2L), (1L, Some(1.0), 3L))
+      .toDF("g", "score", "id")
+    val agg = ranked(withNulls, 3).orderBy("rn").as[(Long, Long, Long)].collect().toSeq
+    assert(agg == Seq((1L, 1L, 1L), (1L, 3L, 2L))) // no rank 3
+    val win = windowed(withNulls, 3).orderBy("rn").as[(Long, Long, Long)].collect().toSeq
+    assert(win == Seq((1L, 1L, 1L), (1L, 3L, 2L), (1L, 2L, 3L))) // window ranks the null
+  }
+
   test("NaN scores rank FIRST, like the window's descending double order") {
     // Spark orders NaN above every other double; Double.compare in the
     // heap comparator must reproduce that, or plans diverge on dirty data
