@@ -52,7 +52,7 @@ object PipelineScaleBench {
     val corpus = spark.read.parquet(docsPath)
     val total = corpus.count()
 
-    def timed(metric: String)(f: => Long): Unit = {
+    def timed(metric: String, input: Long = total)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
       val secs = (System.nanoTime() - t0) / 1e9
@@ -60,8 +60,8 @@ object PipelineScaleBench {
       // generation it is PAIRS PER DOC, which must stay ~flat as nDocs
       // grows — superlinear growth means bucket skew is winning (SCALE.md
       // records the 500k vs 5M ratio per round)
-      val ratio = f"${rows.toDouble / total}%.4f"
-      println(f"""{"metric":"$metric","input_rows":$total,"output_rows":$rows,"output_per_input":$ratio,"value":$secs%.2f,"unit":"sec","input_rows_per_sec":${(total / secs).toLong}}""")
+      val ratio = f"${rows.toDouble / input}%.4f"
+      println(f"""{"metric":"$metric","input_rows":$input,"output_rows":$rows,"output_per_input":$ratio,"value":$secs%.2f,"unit":"sec","input_rows_per_sec":${(input / secs).toLong}}""")
     }
 
     timed("pipe_minhash_sigs") {
@@ -79,12 +79,47 @@ object PipelineScaleBench {
     timed("pipe_exact_dedup") {
       Dedup.exactGroups(corpus, "doc_id", "text").count()
     }
+    timed("pipe_dedup_megacluster") {
+      // ADVERSARIAL: ~1.5% of the corpus byte-identical in ONE cluster —
+      // the web-boilerplate shape that OOMs any plan holding a duplicate
+      // group in one buffer. Must complete with flat memory: exact dedup
+      // anti-joins the cluster out BEFORE LSH banding ever sees it, and
+      // the losers path streams (no per-component collect_set).
+      val boiler = corpus.withColumn("text",
+        when(pmod(xxhash64(col("doc_id")), lit(67L)) === 0 && col("doc_id") > 0,
+          lit("the same cookie banner boilerplate on every single page"))
+          .otherwise(col("text")))
+      Dedup.dedupCorpus(boiler, "doc_id", "text", 0.5).count()
+    }
+    // CC RDD-path guard: a chain graph big enough to cross the 4M-edge
+    // driver union-find ceiling, so the distributed hash-min + pointer-
+    // jumping loop's convergence and timing are measured, not just spec'd
+    // (chains of 1000 need ~log2(1000) pointer-jump rounds). 10 edges per
+    // doc at the 500k default = 5M edges; capped at 10M.
+    val ccN = math.min(10000000L, math.max(nDocs.toLong * 10, 100000L))
+    timed("cc_rdd_path", ccN) {
+      val edges = spark.range(ccN)
+        .filter(pmod(col("id") + 1, lit(1000L)) =!= 0)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val cc = Dedup.connectedComponents(edges)
+      val comps = cc.select("component").distinct().count()
+      require(comps == (ccN + 999) / 1000,
+        s"cc_rdd_path: expected ${(ccN + 999) / 1000} components, got $comps")
+      comps
+    }
 
-    // embeddings: 64 deterministic pseudo-random dims per row
+    // embeddings: 64 deterministic pseudo-random dims per row; 2% of rows
+    // are near-copies of row (id - 1) (same dims, one nudged by 0.05) so
+    // the near-dup guard has planted TRUE pairs growing linearly with n.
+    // Random-pair cosine at 64 dims is ~N(0, 1/64) and never reaches the
+    // guard's 0.9 threshold, so found pairs ≈ planted pairs × recall.
+    val nearV = pmod(xxhash64(col("id"), lit(-1)), lit(50L)) === 0 && col("id") > 0
+    val baseV = when(nearV, col("id") - 1).otherwise(col("id"))
     val dims = (0 until 64).map(d =>
-      (pmod(xxhash64(col("id"), lit(d)), lit(2001L)).cast("double") / 1000.0 - 1.0))
+      (pmod(xxhash64(baseV, lit(d)), lit(2001L)).cast("double") / 1000.0 - 1.0))
+    val d0 = dims.head + when(nearV, lit(0.05)).otherwise(lit(0.0))
     val emb = spark.range(nDocs.toLong)
-      .select(col("id").as("vec_id"), array(dims: _*).as("embedding"))
+      .select(col("id").as("vec_id"), array(d0 +: dims.tail: _*).as("embedding"))
     val embPath = s"$work/emb.parquet"
     emb.write.mode(SaveMode.Overwrite).parquet(embPath)
     val vecs = spark.read.parquet(embPath)
@@ -100,6 +135,16 @@ object PipelineScaleBench {
       val stride = math.max(1L, nDocs.toLong / 100)
       Similarity.lshTopK(vecs, vecs.filter(col("vec_id") % stride === 0),
         "vec_id", "embedding", k = 10, planes = 4, probeBits = 1).count()
+    }
+    timed("pipe_embedding_neardup") {
+      // output_per_input here is FOUND PAIRS PER VECTOR ≈ planted rate
+      // (2%) × recall — flat in n when healthy. planesFor keeps the
+      // candidate load ~flat per vector (2^planes grows with n), so the
+      // guard's other signal is wall-time linearity: superlinear growth
+      // means bucket crowding, i.e. the planes knob stopped tracking the
+      // corpus (SCALE.md §Embedding near-dup pair growth).
+      Similarity.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9,
+        planes = Similarity.planesFor(total), probeBits = 1).count()
     }
     spark.stop()
   }

@@ -112,20 +112,23 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
-  /** `planes` sizing for [[nearDupPairs]]: smallest plane count whose
-    * `2^planes` buckets keep MEAN occupancy at or under
-    * `targetPerBucket` (in-bucket verification is O(occupancy²) per
-    * bucket and bucket count bounds reducer parallelism). Floor 4
-    * (the fixture-scale default), cap 24 — beyond that, sign-bit
-    * collisions of genuinely-similar pairs make added planes pure
-    * recall loss. Recall falls as planes grow (a qualifying pair must
-    * differ in ≤ probeBits sign bits), so raise `probeBits` alongside
-    * planes when recall matters more than candidate count.
+  /** `planes` sizing for [[nearDupPairs]]: smallest plane count keeping
+    * the EXPECTED verification load near `pairBudgetPerVec` candidate
+    * pairs per vector — under uniform occupancy, same-bucket candidates
+    * per vector ≈ `n / 2^planes` (the 1-bit multi-probe multiplies that
+    * by ~`planes + 1`), so `2^planes` must GROW LINEARLY with n to keep
+    * per-vector work flat; fixing planes makes total pairs O(n²). It
+    * also bounds reducer parallelism at `2^planes` tasks. Floor 4 (the
+    * fixture-scale default), cap 24. Recall falls as planes grow (a
+    * qualifying pair must differ in ≤ probeBits sign bits), so raise
+    * `probeBits` alongside planes when recall matters more than
+    * candidate count. Measured pairs/vec at 500k and 5M vectors:
+    * SCALE.md §"Embedding near-dup pair growth".
     */
-  def planesFor(n: Long, targetPerBucket: Long = 50000L): Int = {
-    require(targetPerBucket > 0, "targetPerBucket must be positive")
+  def planesFor(n: Long, pairBudgetPerVec: Long = 8L): Int = {
+    require(pairBudgetPerVec > 0, "pairBudgetPerVec must be positive")
     val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt
+      math.log(math.max(1.0, n.toDouble / pairBudgetPerVec)) / math.log(2.0)).toInt
     math.min(24, math.max(4, needed))
   }
 

@@ -149,6 +149,29 @@ class DedupSpec extends SparkSpec {
     assert(byRank == Set(2L, 7L))
   }
 
+  test("mega-cluster: exact-first dedup bridges exact and near edges transitively") {
+    // 200 byte-identical docs (one mega-cluster) + a NEAR-dup of one of its
+    // NON-canonical members + an unrelated doc. Exact-first means only one
+    // representative of the identical cluster reaches LSH — the near-dup
+    // edge to doc 42's text must still connect through the exact edges
+    // (the lossless-ness argument in dedupCorpusKeeping's scaladoc),
+    // collapsing all 202 docs into one component with survivor 0.
+    val boiler = "the same cookie banner boilerplate text on every single page"
+    val cluster = (0L until 200L).map(i => (i, boiler))
+    val near = Seq((500L, boiler + " extra")) // near-dup of the cluster text
+    val other = Seq((900L, "completely unrelated content words here"))
+    val d = (cluster ++ near ++ other).toDF("doc_id", "text")
+    val survivors = Dedup.dedupCorpus(d, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(0L, 900L))
+    // keep-strategy on the same shape: longest text wins the merged cluster
+    val withLen = d.withColumn("n_chars", length($"text").cast("long"))
+    val keepLongest = Dedup.dedupCorpusKeeping(withLen, "doc_id", "text",
+      minJaccard = 0.5, keepBy = Some("n_chars"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keepLongest == Seq(500L, 900L)) // the near-dup variant is longest
+  }
+
   test("jaccard values are exact set ratios") {
     val pairs = Seq((0L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")

@@ -73,6 +73,16 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.subsetOf(all))
   }
 
+  test("planesFor grows the bucket space linearly with n (flat per-vector load)") {
+    assert(Similarity.planesFor(0) == 4)          // floor: the fixture default
+    assert(Similarity.planesFor(5000) == 10)      // ceil(log2(5000/8))
+    assert(Similarity.planesFor(500000) == 16)
+    assert(Similarity.planesFor(5000000) == 20)
+    assert(Similarity.planesFor(Long.MaxValue) == 24) // cap
+    // doubling n adds exactly one plane: 2^planes tracks n
+    assert(Similarity.planesFor(1000000) == Similarity.planesFor(500000) + 1)
+  }
+
   test("identical vectors always share a bucket, so bucketed near-dup finds them") {
     val df = Seq(
       (0L, Array.fill(64)(0.25f)),
