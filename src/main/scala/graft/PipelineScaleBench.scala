@@ -52,7 +52,14 @@ object PipelineScaleBench {
     val corpus = spark.read.parquet(docsPath)
     val total = corpus.count()
 
+    // SPARK_GRAFT_PIPE_ONLY=substr1,substr2 runs only matching stages —
+    // the 5M-doc runs take minutes per stage, so re-measuring one operator
+    // must not pay for the other eight
+    val only = sys.env.get("SPARK_GRAFT_PIPE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
     def timed(metric: String, input: Long = total)(f: => Long): Unit = {
+      if (only.exists(fs => !fs.exists(metric.contains))) return
       val t0 = System.nanoTime()
       val rows = f
       val secs = (System.nanoTime() - t0) / 1e9

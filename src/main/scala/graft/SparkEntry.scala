@@ -1043,7 +1043,7 @@ object SparkEntry {
       ("""SELECT vec_id, (""" +
         (0 until 4).map { p =>
           s"""CASE WHEN list_reduce(list_transform(range(1, 65),
-             | j -> CAST(embedding[j] AS DOUBLE) * CAST((${p.toLong * 1315423911L} + (j-1) * 2654435761) % 1001 - 500 AS DOUBLE)),
+             | j -> CAST(embedding[j] AS DOUBLE) * CAST(${planeWeightSql(p)} AS DOUBLE)),
              | (a, b) -> a + b) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
         }.mkString(" + ") +
         """)::BIGINT AS bucket FROM embeddings ORDER BY vec_id"""),
@@ -1364,6 +1364,17 @@ object SparkEntry {
         s"md5(CAST(mh_${2 * b} AS VARCHAR) || ':' || CAST(mh_${2 * b + 1} AS VARCHAR)) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
 
+  /** DuckDB twin of the plane-weight mixer in
+    * [[graft.operators.Similarity]]: square-then-multiply mod 2³¹−1 over
+    * (plane, dim) — pure BIGINT arithmetic, every intermediate < 2⁶², so
+    * it evaluates identically in any engine. `j` is the 1-based DuckDB
+    * list index (the Spark side's dim is 0-based, hence `j - 1`).
+    */
+  private def planeWeightSql(p: Int): String = {
+    val w1 = s"((${(p + 1).toLong * 1566083941L} + (j-1) * 1812433253) % 2147483647)"
+    s"($w1 * $w1 % 2147483647 * 1103515245 % 2147483647 % 1001 - 500)"
+  }
+
   /** DuckDB twin of [[graft.operators.Similarity.lshBucket]] over a 64-dim
     * `list<double>` column `vcol`: 4 sign-bit hyperplanes with the same
     * integer plane-weight arithmetic, folded left-to-right like the native
@@ -1372,7 +1383,7 @@ object SparkEntry {
   private def lshBucketSql(vcol: String): String =
     "(" + (0 until 4).map { p =>
       s"""CASE WHEN list_reduce(list_transform(range(1, 65),
-         | j -> $vcol[j] * CAST((${p.toLong * 1315423911L} + (j-1) * 2654435761) % 1001 - 500 AS DOUBLE)),
+         | j -> $vcol[j] * CAST(${planeWeightSql(p)} AS DOUBLE)),
          | (a, b) -> a + b) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
     }.mkString(" + ") + ")::BIGINT"
 }

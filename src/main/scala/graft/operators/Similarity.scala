@@ -18,9 +18,11 @@ import graft.functions.{TopKOps, VectorOps}
   *   - all-pairs near-dup ([[nearDupPairs]]) is LSH-bucketed (equi-join
   *     on bucket id with 1-bit multi-probe), not a cross join —
   *     candidates are same-or-adjacent-bucket only. It is the ONE
-  *     operator here whose corpus side does shuffle (both copies, keyed
-  *     by bucket id — `2^planes` distinct keys bound the reducer
-  *     parallelism; see its scaladoc and [[planesFor]]). The O(n²)
+  *     operator here whose corpus side does shuffle: compact (id,
+  *     bucket) keys ride the probe explode (`2^planes` distinct keys
+  *     bound that join's reducer parallelism — see [[planesFor]]), and
+  *     the vector payload shuffles exactly twice for candidate
+  *     verification, never through the explode. The O(n²)
   *     [[nearDupPairsExhaustive]] survives solely as the SimilaritySpec
   *     recall cross-check.
   *
@@ -83,53 +85,76 @@ object Similarity {
     * recall for candidate count. The corpus never cross-joins itself —
     * candidates scale with bucket occupancy, not n².
     *
-    * SCALE KNOB — the join key has only `2^planes` distinct values, so
-    * BOTH corpus copies shuffle and at most `2^planes` reducers carry all
-    * verification work: with the default `planes = 4` that is 16 tasks,
-    * fine at fixture scale and a hard parallelism ceiling at corpus
-    * scale. Size `planes` with the corpus — [[planesFor]] targets a mean
-    * bucket occupancy; the measured growth numbers and guidance live in
+    * SCALE KNOB — the candidate join's key has only `2^planes` distinct
+    * values, so at most `2^planes` reducers expand candidates: with the
+    * default `planes = 4` that is 16 tasks, fine at fixture scale and a
+    * hard parallelism ceiling at corpus scale (verification itself is
+    * id-keyed and fully parallel). Size `planes` with the corpus —
+    * [[planesFor]] keeps the probe-multiplied per-vector candidate load
+    * under budget; measured growth numbers and guidance live in
     * SCALE.md §"Embedding near-dup pair growth".
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                    planes: Int = 4, probeBits: Int = 1): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"),
-      lshBucket(col(vecCol), planes).as("__b"))
-      .withColumn("__n", norm(col("__v")))
-    val a = base.select(col("__id").as("id_a"), col("__v").as("__va"),
-      col("__n").as("__na"), col("__b").as("bucket"))
+    // CANDIDATES ON COMPACT KEYS: the bucket self-join sees only
+    // (id, bucket) — 16 bytes per probe row — never the vectors. The
+    // probe explode multiplies rows by the mask count (planes + 1 at
+    // probeBits = 1), so carrying the payload through it would shuffle
+    // the corpus (planes + 1)× by value; this shape shuffles compact keys
+    // (planes + 1)× and the payload exactly twice (the verification
+    // joins below), which is what survives 100 TB. Measured at 500k×64d:
+    // 106 s → 15.3 s together with the probe-aware [[planesFor]] and the
+    // decorrelated plane weights (SCALE.md §Embedding near-dup).
+    val ids = df.select(col(idCol).as("__id"), lshBucket(col(vecCol), planes).as("__b"))
+    val a = ids.select(col("__id").as("id_a"), col("__b").as("bucket"))
     // side B probes every bucket within Hamming distance probeBits of its
     // own (masks of popcount <= probeBits, including the identity mask 0)
     val masks = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeBits)
-    val b = base.select(col("__id").as("id_b"), col("__v").as("__vb"),
-      col("__n").as("__nb"), col("__b").as("__bb"))
+    val b = ids.select(col("__id").as("id_b"), col("__b").as("__bb"))
       .withColumn("bucket",
         explode(array(masks.map(m => col("__bb").bitwiseXOR(lit(m.toLong))): _*)))
-    a.join(b, "bucket")
+    val cands = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    // exact verification joins the candidate ids back against the vector
+    // table — candidates-only, like the Jaccard verify in Dedup
+    val vecs = df.select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    cands
+      .join(vecs.select(col("__vid").as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
+      .join(vecs.select(col("__vid").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")), "id_b")
       // dot > t·‖a‖·‖b‖ avoids a per-pair division; same predicate
       .filter(dot(col("__va"), col("__vb")) > lit(threshold) * col("__na") * col("__nb"))
       .select("id_a", "id_b")
   }
 
   /** `planes` sizing for [[nearDupPairs]]: smallest plane count keeping
-    * the EXPECTED verification load near `pairBudgetPerVec` candidate
-    * pairs per vector — under uniform occupancy, same-bucket candidates
-    * per vector ≈ `n / 2^planes` (the 1-bit multi-probe multiplies that
-    * by ~`planes + 1`), so `2^planes` must GROW LINEARLY with n to keep
-    * per-vector work flat; fixing planes makes total pairs O(n²). It
-    * also bounds reducer parallelism at `2^planes` tasks. Floor 4 (the
+    * the EXPECTED verification load under `pairBudgetPerVec` candidate
+    * pairs per vector. Under uniform occupancy, same-bucket candidates
+    * per vector ≈ `n / 2^planes`, and the multi-probe multiplies that by
+    * the probe-mask count (`planes + 1` at probeBits = 1) — so the load
+    * is `maskCount(planes) · n / 2^planes` and `2^planes` must GROW
+    * (slightly super-)LINEARLY with n to keep per-vector work flat;
+    * fixing planes makes total pairs O(n²). `2^planes` also bounds
+    * reducer parallelism for the bucket self-join. Floor 4 (the
     * fixture-scale default), cap 24. Recall falls as planes grow (a
-    * qualifying pair must differ in ≤ probeBits sign bits), so raise
-    * `probeBits` alongside planes when recall matters more than
-    * candidate count. Measured pairs/vec at 500k and 5M vectors:
-    * SCALE.md §"Embedding near-dup pair growth".
+    * qualifying pair must differ in ≤ probeBits sign bits) but stays
+    * high for true near-dups: at cos ≥ 0.999 the per-plane flip
+    * probability is acos(0.999)/π ≈ 1.4%, giving ~96% recall even at
+    * the 24-plane cap with 1-bit probing — raise `probeBits` alongside
+    * planes when recall matters more than candidate count. Measured
+    * pairs/vec at 500k and 5M vectors: SCALE.md §"Embedding near-dup
+    * pair growth".
     */
-  def planesFor(n: Long, pairBudgetPerVec: Long = 8L): Int = {
+  def planesFor(n: Long, pairBudgetPerVec: Long = 8L, probeBits: Int = 1): Int = {
     require(pairBudgetPerVec > 0, "pairBudgetPerVec must be positive")
-    val needed = math.ceil(
-      math.log(math.max(1.0, n.toDouble / pairBudgetPerVec)) / math.log(2.0)).toInt
-    math.min(24, math.max(4, needed))
+    // |{m < 2^p : popcount(m) <= probeBits}| = Σ_{i<=probeBits} C(p, i)
+    def maskCount(p: Int): Long =
+      (0 to probeBits).map(i =>
+        (0 until i).foldLeft(1L)((acc, j) => acc * (p - j) / (j + 1))).sum
+    (4 to 24).find { p =>
+      maskCount(p) * n.toDouble / (1L << p) <= pairBudgetPerVec || p == 24
+    }.get
   }
 
   /** O(n²) all-pairs near-dup — SPEC-ONLY recall baseline for
@@ -177,9 +202,23 @@ object Similarity {
 
   /** Deterministic pseudo-random integer plane weight in [-500, 500]:
     * pure 64-bit arithmetic, identical in any engine (no RNG, no hashing).
+    *
+    * The mixer is SQUARE-then-multiply mod P = 2³¹−1: the square's cross
+    * term makes the weight jointly nonlinear in (plane, dim). The previous
+    * affine form `(A·p + B·j) mod 1001` made every plane the SAME sawtooth
+    * in j shifted by a constant — sign bits correlated so strongly that
+    * 500k uniform vectors at 16 planes occupied 3.5k of the 65k buckets
+    * (max bucket 21.5k vecs, 2.07e9 same-bucket pairs — the
+    * pipe_embedding_neardup guard caught it as an OOM). Every intermediate
+    * stays under 2³¹ so products fit in a long in ANY engine (DuckDB
+    * errors on BIGINT overflow; Spark ANSI mode too).
     */
-  private def planeWeight(plane: Int, dim: Column): Column =
-    (lit(plane.toLong * 1315423911L) + dim * lit(2654435761L)) % 1001L - 500L
+  private def planeWeight(plane: Int, dim: Column): Column = {
+    val P = 2147483647L // 2^31 - 1, prime
+    val w1 = (lit((plane + 1).toLong * 1566083941L) + dim * 1812433253L) % P
+    val w2 = (w1 * w1) % P
+    (w2 * 1103515245L) % P % 1001L - 500L
+  }
 
   /** Random-hyperplane LSH bucket id from `planes` sign bits. The plane
     * weight array is generated to the VECTOR'S own length — a hard-coded

@@ -73,14 +73,18 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.subsetOf(all))
   }
 
-  test("planesFor grows the bucket space linearly with n (flat per-vector load)") {
-    assert(Similarity.planesFor(0) == 4)          // floor: the fixture default
-    assert(Similarity.planesFor(5000) == 10)      // ceil(log2(5000/8))
-    assert(Similarity.planesFor(500000) == 16)
-    assert(Similarity.planesFor(5000000) == 20)
+  test("planesFor keeps the probe-multiplied per-vector load under budget") {
+    assert(Similarity.planesFor(0) == 4)       // floor: the fixture default
+    // smallest p with (p+1)·n/2^p <= 8 (probeBits=1 => p+1 probe masks)
+    assert(Similarity.planesFor(5000) == 14)   // 15·5000/2^14 = 4.6
+    assert(Similarity.planesFor(500000) == 21) // 22·500k/2^21 = 5.2
+    assert(Similarity.planesFor(5000000) == 24) // cap
     assert(Similarity.planesFor(Long.MaxValue) == 24) // cap
-    // doubling n adds exactly one plane: 2^planes tracks n
+    // doubling n adds one plane while under the cap: 2^planes tracks n
     assert(Similarity.planesFor(1000000) == Similarity.planesFor(500000) + 1)
+    // wider probing costs more masks, so the same n needs more planes
+    assert(Similarity.planesFor(500000, probeBits = 2) >
+      Similarity.planesFor(500000, probeBits = 1))
   }
 
   test("identical vectors always share a bucket, so bucketed near-dup finds them") {
