@@ -4,7 +4,7 @@ import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for 100 TB-class corpora.
@@ -297,11 +297,14 @@ object Dedup {
     * (exact BigInt, no overflow at any scale) is an exact fixpoint test,
     * read from the one action each round already needs.
     *
-    * Node ids of ANY orderable type are densified to longs through a
-    * rank-preserving (sort + zipWithIndex) map, so `min(dense) = rank of
-    * min(original)` and the representative contract survives the
-    * translation. All joins share one HashPartitioner — per round only
-    * node-sized re-keyed sides shuffle, never the adjacency list.
+    * Integral node ids (the corpus contract) are used DIRECTLY — min over
+    * original ids needs no translation, so the integral path pays no
+    * node sort and no translation joins. Node ids of any other orderable
+    * type are densified to longs through a rank-preserving
+    * (sort + zipWithIndex) map, so `min(dense) = rank of min(original)`
+    * and the representative contract survives the translation. All joins
+    * share one HashPartitioner — per round only node-sized re-keyed
+    * sides shuffle, never the adjacency list.
     *
     * Size-adaptive, like a broadcast join: when the counted edge list is
     * under [[DriverCcMaxEdges]] the components come from driver-side
@@ -321,22 +324,33 @@ object Dedup {
     val spark = edges.sparkSession
     val nodeType = edges.schema(srcCol).dataType
     // materialize the edge list ONCE: the upstream pipeline may be a full
-    // near-dup verification, and the plans below (node set, translation
-    // join) would otherwise each recompute it (~4 evaluations measured on
-    // q58 — the single localCheckpoint here cut that query 2.5×)
+    // near-dup verification, and the plans below would otherwise each
+    // recompute it (~4 evaluations measured on q58 — the single
+    // localCheckpoint here cut that query 2.5×)
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
-    val nodesDf = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
-    val mapSchema = StructType(Seq(StructField("node", nodeType),
-      StructField("nid", LongType, nullable = false)))
-    val mapDf = spark.createDataFrame(
-      nodesDf.orderBy("node").rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i) },
-      mapSchema).persist(StorageLevel.MEMORY_AND_DISK)
-
-    val eLong = e0.select(col("src").as("na"), col("dst").as("nb"))
-      .join(mapDf.select(col("node").as("na"), col("nid").as("ia")), "na")
-      .join(mapDf.select(col("node").as("nb"), col("nid").as("ib")), "nb")
-      .select("ia", "ib")
+    val integral = nodeType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    // INTEGRAL IDS RUN DIRECTLY (no sort, no translation joins): min over
+    // the original ids is already the representative contract. Other
+    // orderable types densify through a rank-preserving map first.
+    val (eLong, mapDf) =
+      if (integral)
+        (e0.select(col("src").cast("long").as("ia"), col("dst").cast("long").as("ib")), None)
+      else {
+        val nodesDf = e0.select(col("src").as("node"))
+          .union(e0.select(col("dst").as("node"))).distinct()
+        val mapSchema = StructType(Seq(StructField("node", nodeType),
+          StructField("nid", LongType, nullable = false)))
+        val m = spark.createDataFrame(
+          nodesDf.orderBy("node").rdd.zipWithIndex().map { case (r, i) => Row(r.get(0), i) },
+          mapSchema).persist(StorageLevel.MEMORY_AND_DISK)
+        (e0.select(col("src").as("na"), col("dst").as("nb"))
+          .join(m.select(col("node").as("na"), col("nid").as("ia")), "na")
+          .join(m.select(col("node").as("nb"), col("nid").as("ib")), "nb")
+          .select("ia", "ib"), Some(m))
+      }
 
     val labSchema = StructType(Seq(StructField("nid", LongType, nullable = false),
       StructField("cid", LongType, nullable = false)))
@@ -345,26 +359,31 @@ object Dedup {
       if (nEdges <= driverMaxEdges) {
         // SMALL-GRAPH FAST PATH: the edge list provably fits on the driver
         // (counted above, ≤ ~64 MB of long pairs — broadcast-join-sized),
-        // so array union-find with path halving resolves components in
-        // O(E·α) microseconds where the distributed loop would pay seconds
-        // of per-round job scheduling. Dense ids are 0..n−1 by
-        // construction, so the parent table is a flat array; unioning the
-        // larger root under the smaller keeps every root the component
-        // minimum — the same representative the distributed path yields.
-        val nNodes = mapDf.count().toInt // ≤ 2·nEdges, int-safe at the threshold
-        val parentArr = Array.tabulate(nNodes)(identity)
-        def find(x0: Int): Int = {
+        // so union-find with path halving resolves components in O(E·α)
+        // microseconds where the distributed loop would pay seconds of
+        // per-round job scheduling. Parents live in a LongMap keyed by the
+        // (arbitrary) long ids; unioning the larger root under the smaller
+        // keeps every root the component minimum — the same representative
+        // the distributed path yields.
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
           var x = x0
-          while (parentArr(x) != x) { parentArr(x) = parentArr(parentArr(x)); x = parentArr(x) }
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val pp = parent.getOrElse(p, p)
+            parent.update(x, pp); x = p; p = pp
+          }
           x
         }
         eLong.collect().foreach { r =>
-          val ra = find(r.getLong(0).toInt); val rb = find(r.getLong(1).toInt)
-          if (ra < rb) parentArr(rb) = ra else if (rb < ra) parentArr(ra) = rb
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.update(rb, ra) else if (rb < ra) parent.update(ra, rb)
         }
-        val rows: Seq[Row] = (0 until nNodes).map(i => Row(i.toLong, find(i).toLong))
+        val rows: Seq[Row] = parent.keys.toSeq.map(n => Row(n, find(n)))
         spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, (nNodes / 500000 + 1)), labSchema)
+          spark.sparkContext.parallelize(rows, (rows.size / 500000 + 1)), labSchema)
       } else {
         // DISTRIBUTED PATH: hash-min + pointer jumping on RDDs. Partition
         // count scales with the edge list; one shared partitioner keeps the
@@ -378,8 +397,14 @@ object Dedup {
           }
           .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
 
-        var parent: RDD[(Long, Long)] = mapDf.rdd.map(r => (r.getLong(1), r.getLong(1)))
-          .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+        // every endpoint (self-loop-only nodes included) starts as its own
+        // label; reduceByKey dedups straight into the shared partitioning
+        var parent: RDD[(Long, Long)] = eLong.rdd
+          .flatMap { r =>
+            val a = r.getLong(0); val b = r.getLong(1)
+            Iterator((a, a), (b, b))
+          }
+          .reduceByKey(part, (x, _) => x).persist(StorageLevel.MEMORY_AND_DISK)
         var prevSum: Option[BigInt] = None
         var converged = false
         var i = 0
@@ -409,10 +434,16 @@ object Dedup {
             "(component diameter exceeds maxIter); raise maxIter")
         spark.createDataFrame(parent.map { case (n, c) => Row(n, c) }, labSchema)
       }
-    labDf
-      .join(mapDf.select(col("nid"), col("node")), "nid")
-      .join(mapDf.select(col("nid").as("cid"), col("node").as("component")), "cid")
-      .select(col("node"), col("component"))
+    mapDf match {
+      case None =>
+        labDf.select(col("nid").cast(nodeType).as("node"),
+          col("cid").cast(nodeType).as("component"))
+      case Some(m) =>
+        labDf
+          .join(m.select(col("nid"), col("node")), "nid")
+          .join(m.select(col("nid").as("cid"), col("node").as("component")), "cid")
+          .select(col("node"), col("component"))
+    }
   }
 
   /** Exact n-gram Jaccard for a set of candidate pairs: one shingle-equality
