@@ -708,7 +708,35 @@ object SparkEntry {
     // rows-only query gated by committed golden hashes (tools/goldens/),
     // like q31 — the spec additionally pins the ≤5% relative error.
     "q75_vocab_hll" -> ((s, dir) =>
-      TextAnalysis.vocabSize(t(s, dir, "documents"), "text"))
+      TextAnalysis.vocabSize(t(s, dir, "documents"), "text")),
+
+    // ── benchmark decontamination (the eval-leakage guard): drop corpus
+    // docs sharing any trigram shingle with the benchmark slice. The
+    // benchmark's shingle set broadcasts; the corpus text never shuffles.
+    "q76_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ── budgeted selection (data mixing): keep documents in greedy
+    // quality order (lexical diversity desc, id asc) until a global
+    // token budget is spent — two-pass bucketed prefix, NOT a global
+    // cumulative window (one task sorting the corpus).
+    "q77_budget_select" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("score"),
+        size(toks).cast("long").as("n_tokens"))
+      graft.operators.Selection.selectUnderBudget(
+        scored, "doc_id", "score", "n_tokens", budget = 10000L)
+        .select("doc_id", "score", "n_tokens")
+        .orderBy("doc_id")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -932,6 +960,25 @@ object SparkEntry {
         |   ORDER BY datediff('day', DATE '1970-01-01', d)
         |   RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS value_7d_ago
         |FROM daily ORDER BY user_id, d""".stripMargin,
+    "q76_decontaminate" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM sp),
+        |bench AS (SELECT DISTINCT shingle FROM tri WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT c.doc_id FROM tri c JOIN bench b USING (shingle)
+        |        WHERE c.doc_id % 97 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "q77_budget_select" ->
+      """WITH scored AS (SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS score,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |run AS (SELECT doc_id, score, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS run FROM scored)
+        |SELECT doc_id, score, n_tokens FROM run WHERE run <= 10000
+        |ORDER BY doc_id""".stripMargin,
     "q11_growth" ->
       """SELECT d, n, prev_n, (n - prev_n) * CAST(100 AS DOUBLE) / prev_n AS growth_pct
         |FROM (SELECT d, n, lag(n, 1) OVER (ORDER BY d) AS prev_n

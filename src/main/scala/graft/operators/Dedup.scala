@@ -239,6 +239,28 @@ object Dedup {
     notExact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination — the eval-leakage guard every LLM training
+    * pipeline runs before training: drop every corpus document that shares
+    * at least one n-gram shingle with the benchmark/eval set (the GPT-3
+    * appendix-C / Pile methodology, exact n-gram overlap). Returns the
+    * clean corpus rows.
+    *
+    * 100 TB shape: the benchmark side is small by contract (eval sets are
+    * thousands of docs), so its distinct shingle set BROADCASTS; the
+    * corpus side is a narrow shingle explode → broadcast semi-join →
+    * distinct contaminated ids → anti-join. The corpus text never
+    * shuffles — only doc-id-sized intermediates do.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val benchShingles = shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("__set")).as("shingle")).distinct()
+    val contaminated = shingles(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs with EXACT pigeonhole blocking: split the
     * 60-bit signature into `maxHamming + 1` chunks — any pair within the
     * Hamming threshold must agree on at least one full chunk, so blocking

@@ -172,6 +172,19 @@ class DedupSpec extends SparkSpec {
     assert(keepLongest == Seq(500L, 900L)) // the near-dup variant is longest
   }
 
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    // bench doc 10 shares the trigram "the quick brown" with docs 0/1/2;
+    // doc 3 is clean; doc 4 has no trigram at all (2 tokens) and must
+    // survive — shingle-less docs are never contaminated
+    val bench = Seq((10L, "the quick brown owl")).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(docs, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(3L, 4L))
+    // n = 4: no 4-gram of bench appears in the corpus -> nothing dropped
+    val clean4 = Dedup.decontaminate(docs, bench, "doc_id", "text", n = 4)
+    assert(clean4.count() == docs.count())
+  }
+
   test("jaccard values are exact set ratios") {
     val pairs = Seq((0L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The naive one-window global formulation — the semantics oracle the
+    * bucketed two-pass plan must match bit-for-bit.
+    */
+  private def globalWindow(df: DataFrame, budget: Long): Set[Long] =
+    df.withColumn("__run",
+        sum(col("cost")).over(Window.orderBy(col("score").desc, col("id"))))
+      .filter(col("__run") <= budget)
+      .select("id").as[Long].collect().toSet
+
+  private lazy val corpus = (0L until 500L).map { i =>
+    // deliberately collision-heavy scores (41 distinct values over 500
+    // rows) so bucket-edge and id-tiebreak handling is exercised
+    (i, (i * i % 41).toDouble, 10L + i % 7)
+  }.toDF("id", "score", "cost")
+
+  test("bucketed selection equals the global window at several budgets and bucket counts") {
+    for (budget <- Seq(0L, 137L, 1500L, 3000L, 100000L); buckets <- Seq(1, 7, 100)) {
+      val got = Selection.selectUnderBudget(corpus, "id", "score", "cost",
+        budget, buckets).select("id").as[Long].collect().toSet
+      assert(got == globalWindow(corpus, budget),
+        s"mismatch at budget=$budget buckets=$buckets")
+    }
+  }
+
+  test("prefix semantics: the first over-budget row blocks everything after it") {
+    val df = Seq((1L, 5.0, 6L), (2L, 4.0, 100L), (3L, 3.0, 1L))
+      .toDF("id", "score", "cost")
+    // id=2 crosses the 10-token budget, so id=3 is dropped too even
+    // though its cost alone would fit (prefix, not knapsack)
+    val kept = Selection.selectUnderBudget(df, "id", "score", "cost", 10L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("all-equal scores degenerate to the pure id-order prefix") {
+    val df = (0L until 100L).map(i => (i, 1.0, 10L)).toDF("id", "score", "cost")
+    val kept = Selection.selectUnderBudget(df, "id", "score", "cost", 55L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L)) // 5 docs of 10 tokens
+  }
+
+  test("null scores are excluded; empty input returns empty") {
+    val df = Seq((1L, Some(2.0), 5L), (2L, None, 5L)).toDF("id", "score", "cost")
+    val kept = Selection.selectUnderBudget(df, "id", "score", "cost", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    val empty = Selection.selectUnderBudget(df.filter(lit(false)), "id", "score", "cost", 100L)
+    assert(empty.count() == 0)
+  }
+}
