@@ -139,4 +139,28 @@ class PlanSpec extends SparkSpec {
     // one window evaluates the change-detection lag, one the fill
     assert(windows.size == 2, s"expected 2 windows (lag + fill), got ${windows.size}")
   }
+
+  test("q76 decontamination: benchmark shingles broadcast, nothing nested-loops") {
+    val p = plan("q76_decontaminate")
+    // the shingle semi-join and the final anti-join both build on the
+    // (small) broadcast side — the corpus never becomes a shuffle-join input
+    val bcast = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bcast.size >= 2, s"expected >=2 broadcast joins, got ${bcast.size}")
+    val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.isEmpty, "decontamination must never nested-loop")
+  }
+
+  test("q77 budget selection: the exact window runs over the boundary bucket only") {
+    val p = plan("q77_budget_select")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1, s"expected 1 boundary window, got ${windows.size}")
+    // the window's input is the bucket == cut filter, never the raw
+    // corpus: a Filter on the (inlined) width_bucket expression sits
+    // below the window (sort/exchange in between)
+    val belowWindow = windows.head.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    assert(belowWindow.exists(c => c.contains("__bkt") || c.contains("width_bucket")),
+      s"boundary window must consume the bucket-filtered slice, saw: $belowWindow")
+  }
 }
