@@ -736,6 +736,23 @@ object SparkEntry {
         scored, "doc_id", "score", "n_tokens", budget = 10000L)
         .select("doc_id", "score", "n_tokens")
         .orderBy("doc_id")
+    }),
+
+    // ── domain mixing: per-domain token budgets (the mixing-weights
+    // production shape) — same bucketed two-pass prefix as q77; the
+    // boundary windows partition by domain.
+    "q78_domain_mixing" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        element_at(array(lit("web"), lit("books"), lit("code")),
+          (col("doc_id") % 3 + 1).cast("int")).as("domain"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("score"),
+        size(toks).cast("long").as("n_tokens"))
+      graft.operators.Selection.selectUnderBudgetByGroup(
+        scored, "domain", "doc_id", "score", "n_tokens",
+        Map("web" -> 4000L, "books" -> 2500L, "code" -> 1000L))
+        .select("doc_id", "domain", "score", "n_tokens")
+        .orderBy("doc_id")
     })
   )
 
@@ -978,6 +995,18 @@ object SparkEntry {
         |run AS (SELECT doc_id, score, n_tokens,
         |  sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS run FROM scored)
         |SELECT doc_id, score, n_tokens FROM run WHERE run <= 10000
+        |ORDER BY doc_id""".stripMargin,
+    "q78_domain_mixing" ->
+      """WITH scored AS (SELECT doc_id,
+        |  (['web','books','code'])[CAST(doc_id % 3 + 1 AS INT)] AS domain,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS score,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |run AS (SELECT doc_id, domain, score, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY domain ORDER BY score DESC, doc_id) AS run
+        |  FROM scored)
+        |SELECT doc_id, domain, score, n_tokens FROM run
+        |WHERE run <= CASE domain WHEN 'web' THEN 4000 WHEN 'books' THEN 2500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
     "q11_growth" ->
       """SELECT d, n, prev_n, (n - prev_n) * CAST(100 AS DOUBLE) / prev_n AS growth_pct

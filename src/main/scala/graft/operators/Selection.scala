@@ -1,79 +1,119 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Training-data selection under a global token budget: keep documents in
-  * greedy quality order (score desc, id asc as the deterministic tiebreak)
-  * while the RUNNING cost total stays within budget — the data-mixing
-  * primitive behind "take the best N-billion tokens of this corpus".
+/** Training-data selection under token budgets: keep documents in greedy
+  * quality order (score desc, id asc as the deterministic tiebreak) while
+  * the RUNNING cost total stays within budget — the data-mixing primitive
+  * behind "take the best N-billion tokens of this corpus", globally
+  * ([[selectUnderBudget]]) or per domain ([[selectUnderBudgetByGroup]],
+  * the mixing-weights shape: each domain gets its own token budget).
   *
   * Semantics are the SQL prefix formulation (the DuckDB oracle states it
-  * directly): `sum(cost) OVER (ORDER BY score DESC, id) <= budget`. The
-  * first row to cross the budget is dropped along with everything after
-  * it, even if some later small row would still fit (prefix, not
-  * knapsack).
+  * directly): `sum(cost) OVER (PARTITION BY domain ORDER BY score DESC,
+  * id) <= budget(domain)`. The first row to cross its budget is dropped
+  * along with everything after it in the same domain, even if some later
+  * small row would still fit (prefix, not knapsack).
   *
-  * 100 TB shape: a naive translation is a GLOBAL cumulative-sum window —
-  * one task sorting the corpus. Instead the prefix is located in two
-  * passes, like a distributed quantile:
+  * 100 TB shape: a naive translation is a cumulative-sum window — ONE
+  * task sorts the whole corpus in the global case, one task per domain
+  * (n/|domains| rows each) in the grouped case. Instead the prefix is
+  * located in two passes, like a distributed quantile:
   *   1. uniform score buckets (`width_bucket` over the min/max range, one
-  *      narrow pass) → per-bucket cost sums, ≤ `buckets`+2 rows collected
-  *      to the driver, prefix-summed best-bucket-first to find the ONE
-  *      boundary bucket where the running total crosses the budget;
-  *   2. buckets strictly above the boundary are kept wholesale (no sort,
-  *      no window — their total provably fits); only the boundary
-  *      bucket — expected n/buckets of the corpus — pays the exact
+  *      narrow pass) → per-(domain, bucket) cost sums, ≤ |domains| ×
+  *      (buckets+2) rows collected to the driver, prefix-summed
+  *      best-bucket-first to find each domain's ONE boundary bucket where
+  *      its running total crosses its budget;
+  *   2. buckets strictly above a domain's boundary are kept wholesale (no
+  *      sort, no window — their total provably fits); only the boundary
+  *      slices — expected n/buckets of each domain — pay the exact
   *      (score desc, id) cumulative window, with the leftover budget.
   * Identical scores land in the same bucket, so the id tiebreak never
-  * crosses a bucket edge and the result is bit-identical to the global
-  * window at any bucket count (spec-pinned against the one-window
-  * formulation). A corpus whose scores are ALL equal degenerates to one
-  * boundary bucket = the full window — inherent, since every row then
-  * competes on id for the same budget.
+  * crosses a bucket edge and the result is bit-identical to the window
+  * formulation at any bucket count (spec-pinned). A domain whose scores
+  * are ALL equal degenerates to one boundary slice = that domain's full
+  * window — inherent, since every row then competes on id for the same
+  * budget.
   */
 object Selection {
 
+  /** Global-budget selection. Null-score rows are excluded. */
   def selectUnderBudget(df: DataFrame, idCol: String, scoreCol: String,
                         costCol: String, budget: Long,
-                        buckets: Int = 10000): DataFrame = {
+                        buckets: Int = 10000): DataFrame =
+    run(df.withColumn("__grp", lit("")), "__grp", idCol, scoreCol, costCol,
+      Map("" -> budget), buckets).drop("__grp")
+
+  /** Per-domain budgets (data mixing). Rows whose `groupCol` value has no
+    * budget entry are DROPPED — an unbudgeted domain contributes nothing
+    * to the mix. Null-score rows are excluded.
+    */
+  def selectUnderBudgetByGroup(df: DataFrame, groupCol: String, idCol: String,
+                               scoreCol: String, costCol: String,
+                               budgets: Map[String, Long],
+                               buckets: Int = 10000): DataFrame =
+    run(df, groupCol, idCol, scoreCol, costCol, budgets, buckets)
+
+  private def run(df: DataFrame, groupCol: String, idCol: String,
+                  scoreCol: String, costCol: String,
+                  budgets: Map[String, Long], buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(budgets.nonEmpty, "at least one budget is required")
     val cost = col(costCol).cast("long")
     val score = col(scoreCol).cast("double")
     val scored = df.filter(col(scoreCol).isNotNull)
+      .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
     val range = scored.agg(min(score), max(score)).head()
-    if (range.isNullAt(0)) return df.limit(0)
+    if (range.isNullAt(0)) return df.limit(0).drop()
     val (lo, hi) = (range.getDouble(0), range.getDouble(1))
 
     // bucket 1..buckets over [lo, hi); score == hi gets buckets+1 — any
     // deterministic monotone bucketing works, balance only affects the
-    // boundary bucket's size, never the result
+    // boundary slices' size, never the result. One GLOBAL range serves
+    // every domain (per-domain ranges would change nothing but the
+    // boundary slice sizes).
     val bucketed = scored.withColumn("__bkt",
       if (lo == hi) lit(1L) else width_bucket(score, lit(lo), lit(hi), lit(buckets)))
-    val perBucket = bucketed.groupBy("__bkt")
+    val perBucket = bucketed.groupBy(col(groupCol).as("__g"), col("__bkt"))
       .agg(sum(cost).as("__c"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(-_._1) // best scores live in the highest buckets
-    var cum = 0L
-    var cut = -1L
-    var spentAbove = 0L
-    perBucket.foreach { case (bkt, c) =>
-      if (cut < 0) {
-        if (cum + c > budget) { cut = bkt; spentAbove = cum }
-        else cum += c
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // per domain: walk buckets best-first until the budget would be
+    // crossed; that bucket is the boundary, everything above fits whole
+    val cuts: Map[String, (Long, Long)] = perBucket.flatMap { case (g, rows) =>
+      val budget = budgets(g)
+      var cum = 0L
+      var cut = Option.empty[(Long, Long)]
+      rows.sortBy(-_._2).foreach { case (_, bkt, c) =>
+        if (cut.isEmpty) {
+          if (cum + c > budget) cut = Some((bkt, cum)) else cum += c
+        }
       }
+      cut.map(g -> _)
     }
-    if (cut < 0) return scored.drop("__bkt") // everything fits
-
-    val keepWhole = bucketed.filter(col("__bkt") > cut).drop("__bkt")
-    // the one bucket that needs exact order: a single-partition window over
-    // ~n/buckets rows, with whatever budget the whole buckets left over
-    val boundary = bucketed.filter(col("__bkt") === cut)
+    // domains with no cut fit entirely: cut sentinel -1 keeps every bucket
+    val cutExpr = budgets.keys.toSeq.foldLeft(lit(-1L)) { (acc, g) =>
+      cuts.get(g).map(c => when(col(groupCol) === g, lit(c._1)).otherwise(acc))
+        .getOrElse(acc)
+    }
+    val spentExpr = budgets.keys.toSeq.foldLeft(lit(0L)) { (acc, g) =>
+      cuts.get(g).map(c => when(col(groupCol) === g, lit(c._2)).otherwise(acc))
+        .getOrElse(acc)
+    }
+    val budgetExpr = budgets.foldLeft(lit(0L)) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    val keepWhole = bucketed.filter(col("__bkt") > cutExpr).drop("__bkt")
+    // the slices that need exact order: one window PARTITIONED BY domain
+    // over ~n/buckets rows each, with whatever budget the whole buckets
+    // left over
+    val boundary = bucketed.filter(col("__bkt") === cutExpr)
       .withColumn("__run", sum(cost).over(
-        Window.orderBy(score.desc, col(idCol))))
-      .filter(col("__run") <= budget - spentAbove)
+        Window.partitionBy(col(groupCol)).orderBy(score.desc, col(idCol))))
+      .filter(col("__run") <= budgetExpr - spentExpr)
       .drop("__bkt", "__run")
     keepWhole.unionByName(boundary)
   }

@@ -50,6 +50,32 @@ class SelectionSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 2L, 3L, 4L)) // 5 docs of 10 tokens
   }
 
+  test("grouped selection equals the per-domain window at several bucket counts") {
+    val mixed = corpus.withColumn("domain",
+      element_at(array(lit("a"), lit("b"), lit("c")), (col("id") % 3 + 1).cast("int")))
+    val budgets = Map("a" -> 400L, "b" -> 1200L, "c" -> 100000L) // c fits whole
+    val oracle = mixed.withColumn("__run",
+        sum(col("cost")).over(Window.partitionBy(col("domain"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("__run") <= when(col("domain") === "a", 400L)
+        .when(col("domain") === "b", 1200L).otherwise(100000L))
+      .select("id").as[Long].collect().toSet
+    for (buckets <- Seq(1, 7, 100)) {
+      val got = Selection.selectUnderBudgetByGroup(mixed, "domain", "id",
+        "score", "cost", budgets, buckets).select("id").as[Long].collect().toSet
+      assert(got == oracle, s"mismatch at buckets=$buckets")
+    }
+  }
+
+  test("domains without a budget entry are dropped") {
+    val mixed = corpus.withColumn("domain",
+      when(col("id") % 2 === 0, "known").otherwise("unknown"))
+    val kept = Selection.selectUnderBudgetByGroup(mixed, "domain", "id",
+      "score", "cost", Map("known" -> 100000L))
+      .select("domain").distinct().as[String].collect().toSeq
+    assert(kept == Seq("known"))
+  }
+
   test("null scores are excluded; empty input returns empty") {
     val df = Seq((1L, Some(2.0), 5L), (2L, None, 5L)).toDF("id", "score", "cost")
     val kept = Selection.selectUnderBudget(df, "id", "score", "cost", 100L)
