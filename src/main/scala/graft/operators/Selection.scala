@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** Global-budget selection. Null-score rows are excluded. */
+  /** Global-budget selection. Null- and NaN-score rows are excluded. */
   def selectUnderBudget(df: DataFrame, idCol: String, scoreCol: String,
                         costCol: String, budget: Long,
                         buckets: Int = 10000): DataFrame =
@@ -48,7 +48,7 @@ object Selection {
 
   /** Per-domain budgets (data mixing). Rows whose `groupCol` value has no
     * budget entry are DROPPED — an unbudgeted domain contributes nothing
-    * to the mix. Null-score rows are excluded.
+    * to the mix. Null- and NaN-score rows are excluded.
     */
   def selectUnderBudgetByGroup(df: DataFrame, groupCol: String, idCol: String,
                                scoreCol: String, costCol: String,
@@ -63,7 +63,10 @@ object Selection {
     require(budgets.nonEmpty, "at least one budget is required")
     val cost = col(costCol).cast("long")
     val score = col(scoreCol).cast("double")
-    val scored = df.filter(col(scoreCol).isNotNull)
+    // NaN is excluded like null: width_bucket(NaN) is NULL (a driver NPE
+    // in the prefix walk) and NaN's sort position is engine-specific —
+    // a NaN "quality score" is an upstream bug either way
+    val scored = df.filter(col(scoreCol).isNotNull && !isnan(score))
       .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
     val range = scored.agg(min(score), max(score)).head()
     if (range.isNullAt(0)) return df.limit(0).drop()

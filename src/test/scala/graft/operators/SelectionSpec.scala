@@ -76,8 +76,9 @@ class SelectionSpec extends SparkSpec {
     assert(kept == Seq("known"))
   }
 
-  test("null scores are excluded; empty input returns empty") {
-    val df = Seq((1L, Some(2.0), 5L), (2L, None, 5L)).toDF("id", "score", "cost")
+  test("null and NaN scores are excluded; empty input returns empty") {
+    val df = Seq((1L, Some(2.0), 5L), (2L, None, 5L), (3L, Some(Double.NaN), 5L))
+      .toDF("id", "score", "cost")
     val kept = Selection.selectUnderBudget(df, "id", "score", "cost", 100L)
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L))
