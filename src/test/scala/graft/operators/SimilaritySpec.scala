@@ -73,6 +73,21 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.subsetOf(all))
   }
 
+  test("nearDupPairsAuto sizes planes from the corpus and finds the same pairs") {
+    val df = Seq(
+      (0L, Array.fill(64)(0.25f)),
+      (1L, Array.fill(64)(0.25f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    // 3 vectors -> planesFor floor of 4 planes: identical result to the
+    // explicit fixture call
+    val auto = Similarity.nearDupPairsAuto(df, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    val explicit = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9, planes = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(auto == explicit && auto == Set((0L, 1L)))
+  }
+
   test("planesFor keeps the probe-multiplied per-vector load under budget") {
     assert(Similarity.planesFor(0) == 4)       // floor: the fixture default
     // smallest p with (p+1)·n/2^p <= 8 (probeBits=1 => p+1 probe masks)
