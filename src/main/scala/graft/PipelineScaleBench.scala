@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
@@ -108,7 +108,10 @@ object PipelineScaleBench {
       val edges = spark.range(ccN)
         .filter(pmod(col("id") + 1, lit(1000L)) =!= 0)
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-      val cc = Dedup.connectedComponents(edges)
+      // driverMaxEdges = 0 FORCES the distributed loop: at small nDocs the
+      // edge count is under the 4M driver ceiling and this metric would
+      // silently time the driver union-find instead of what its name says
+      val cc = Dedup.connectedComponents(edges, driverMaxEdges = 0L)
       val comps = cc.select("component").distinct().count()
       require(comps == (ccN + 999) / 1000,
         s"cc_rdd_path: expected ${(ccN + 999) / 1000} components, got $comps")
@@ -118,13 +121,25 @@ object PipelineScaleBench {
     // embeddings: 64 deterministic pseudo-random dims per row; 2% of rows
     // are near-copies of row (id - 1) (same dims, one nudged by 0.05) so
     // the near-dup guard has planted TRUE pairs growing linearly with n.
-    // Random-pair cosine at 64 dims is ~N(0, 1/64) and never reaches the
-    // guard's 0.9 threshold, so found pairs ≈ planted pairs × recall.
-    val nearV = pmod(xxhash64(col("id"), lit(-1)), lit(50L)) === 0 && col("id") > 0
+    // A row is only planted when its PREDECESSOR is not itself planted —
+    // otherwise the pair (id, id-1) would compare a copy of id-1's base
+    // dims against id-1's PERTURBED-from-id-2 vector (cosine ~0, not
+    // ≥0.9), silently deflating measured recall ~2%. Random-pair cosine
+    // at 64 dims is ~N(0, 1/64) and never reaches the guard's 0.9
+    // threshold, so found pairs ≈ planted pairs × recall.
+    def planted(id: Column) = pmod(xxhash64(id, lit(-1)), lit(50L)) === 0 && id > 0
+    val nearV = planted(col("id")) && !planted(col("id") - 1)
     val baseV = when(nearV, col("id") - 1).otherwise(col("id"))
     val dims = (0 until 64).map(d =>
       (pmod(xxhash64(baseV, lit(d)), lit(2001L)).cast("double") / 1000.0 - 1.0))
     val d0 = dims.head + when(nearV, lit(0.05)).otherwise(lit(0.0))
+    // the embedding table itself is gated on the stage filter: at 5M docs
+    // its generation + write is one of the most expensive steps in the
+    // bench, and a doc-stage-only run must not pay for it
+    val embStages = Seq("pipe_lsh_bucket_assign", "pipe_ann_lsh_topk_100q",
+      "pipe_embedding_neardup")
+    val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
+    if (!needEmb) { spark.stop(); return }
     val emb = spark.range(nDocs.toLong)
       .select(col("id").as("vec_id"), array(d0 +: dims.tail: _*).as("embedding"))
     val embPath = s"$work/emb.parquet"

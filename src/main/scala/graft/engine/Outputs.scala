@@ -58,9 +58,12 @@ object Outputs {
       s"writeExcel is a driver-side sink for small results (> $maxRows rows); " +
         "use parquet/csv for large outputs")
     // through the Hadoop FS like every other sink, so hdfs:// / s3a://
-    // output paths work the same as local ones
+    // output paths work the same as local ones; checksum sidecars are
+    // disabled so a local write yields report.xlsx, not a stray
+    // .report.xlsx.crc next to it (LocalFileSystem is a ChecksumFileSystem)
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false)
     val out = fs.create(hp, true)
     try Xlsx.write(out, df.schema, rows) finally out.close()
   }

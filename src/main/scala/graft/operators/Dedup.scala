@@ -348,8 +348,13 @@ object Dedup {
     // materialize the edge list ONCE: the upstream pipeline may be a full
     // near-dup verification, and the plans below would otherwise each
     // recompute it (~4 evaluations measured on q58 — the single
-    // localCheckpoint here cut that query 2.5×)
-    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
+    // localCheckpoint here cut that query 2.5×). Null-endpoint edges are
+    // dropped up front (the densified path's translation equi-joins used
+    // to drop them implicitly; the direct integral path would NPE on
+    // getLong instead).
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint()
     val integral = nodeType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false

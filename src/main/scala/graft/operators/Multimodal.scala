@@ -62,7 +62,12 @@ object Multimodal {
     * R/G/B in [0,1], plus log-scaled width/height. One deterministic
     * row-major pixel scan per image.
     */
-  private[operators] def imageFeature(img: BufferedImage): Array[Float] = {
+  /** One row-major pixel scan: per-channel sums and sums of squares of
+    * R/G/B in [0,1] — the shared kernel behind [[imageFeature]] and
+    * [[imageMeta]], so the two can never drift (e.g. a future alpha or
+    * color-space fix lands in both).
+    */
+  private def channelSums(img: BufferedImage): (Double, Double, Double, Double, Double, Double) = {
     val w = img.getWidth
     val h = img.getHeight
     var sr, sg, sb, sr2, sg2, sb2 = 0.0
@@ -80,6 +85,13 @@ object Multimodal {
       }
       y += 1
     }
+    (sr, sg, sb, sr2, sg2, sb2)
+  }
+
+  private[operators] def imageFeature(img: BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val (sr, sg, sb, sr2, sg2, sb2) = channelSums(img)
     val n = w.toDouble * h
     def mean(s: Double) = s / n
     def std(s: Double, s2: Double) = math.sqrt(math.max(0.0, s2 / n - (s / n) * (s / n)))
@@ -93,31 +105,22 @@ object Multimodal {
                              n_pixels: Long, mean_r: Double, mean_g: Double,
                              mean_b: Double)
 
-  /** Real image metadata extraction: rows whose payload ImageIO parses
-    * yield true dimensions and channel means; undecodable rows are
-    * dropped (they belong to the audio/video stub path). Batch-shaped —
-    * payload bytes never leave the partition that read them.
+  /** Real image metadata extraction: image-typed rows whose payload
+    * ImageIO parses yield true dimensions and channel means; audio/video
+    * rows never pay a decode attempt (same media_type gate as
+    * [[extractFeatures]]) and undecodable image rows are dropped.
+    * Batch-shaped — payload bytes never leave the partition that read
+    * them.
     */
   def imageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeImage(r.blob).map { img =>
-          var sr, sg, sb = 0.0
+        val decoded = if (r.media_type == "image") decodeImage(r.blob) else None
+        decoded.map { img =>
           val w = img.getWidth; val h = img.getHeight
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += ((p >> 16) & 0xff) / 255.0
-              sg += ((p >> 8) & 0xff) / 255.0
-              sb += (p & 0xff) / 255.0
-              x += 1
-            }
-            y += 1
-          }
+          val (sr, sg, sb, _, _, _) = channelSums(img)
           val n = w.toDouble * h
           ImageMeta(r.doc_id, w, h, w.toLong * h, sr / n, sg / n, sb / n)
         }

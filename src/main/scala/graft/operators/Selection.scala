@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object Selection {
 
-  /** Global-budget selection. Null- and NaN-score rows are excluded. */
+  /** Global-budget selection. Rows with null or non-finite scores are
+    * excluded; null costs count as 0 (kept for free, like the window
+    * formulation's null-skipping sum).
+    */
   def selectUnderBudget(df: DataFrame, idCol: String, scoreCol: String,
                         costCol: String, budget: Long,
                         buckets: Int = 10000): DataFrame =
@@ -48,7 +51,7 @@ object Selection {
 
   /** Per-domain budgets (data mixing). Rows whose `groupCol` value has no
     * budget entry are DROPPED — an unbudgeted domain contributes nothing
-    * to the mix. Null- and NaN-score rows are excluded.
+    * to the mix. Score/cost null handling as in [[selectUnderBudget]].
     */
   def selectUnderBudgetByGroup(df: DataFrame, groupCol: String, idCol: String,
                                scoreCol: String, costCol: String,
@@ -61,12 +64,16 @@ object Selection {
                   budgets: Map[String, Long], buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(budgets.nonEmpty, "at least one budget is required")
-    val cost = col(costCol).cast("long")
+    // a null cost counts as 0 — kept for free, exactly like the window
+    // formulation, whose sum() skips nulls
+    val cost = coalesce(col(costCol).cast("long"), lit(0L))
     val score = col(scoreCol).cast("double")
-    // NaN is excluded like null: width_bucket(NaN) is NULL (a driver NPE
-    // in the prefix walk) and NaN's sort position is engine-specific —
-    // a NaN "quality score" is an upstream bug either way
-    val scored = df.filter(col(scoreCol).isNotNull && !isnan(score))
+    // NaN/±Infinity are excluded like null: width_bucket is NULL on a
+    // non-finite value OR endpoint (a driver NPE in the prefix walk) and
+    // NaN's sort position is engine-specific — a non-finite "quality
+    // score" is an upstream bug either way
+    val scored = df.filter(col(scoreCol).isNotNull && !isnan(score) &&
+        !score.isin(Double.PositiveInfinity, Double.NegativeInfinity))
       .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
     val range = scored.agg(min(score), max(score)).head()
     if (range.isNullAt(0)) return df.limit(0).drop()

@@ -128,6 +128,18 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** [[nearDupPairs]] with `planes` sized from the counted corpus via
+    * [[planesFor]] — the production entry point: the fixed `planes = 4`
+    * default of the explicit overload is right ONLY at fixture scale
+    * (16 buckets = 16 reducers = O(n²/16) candidate pairs). Costs one
+    * count() job up front.
+    */
+  def nearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, probeBits: Int = 1,
+                       pairBudgetPerVec: Long = 8L): DataFrame =
+    nearDupPairs(df, idCol, vecCol, threshold,
+      planesFor(df.count(), pairBudgetPerVec, probeBits), probeBits)
+
   /** `planes` sizing for [[nearDupPairs]]: smallest plane count keeping
     * the EXPECTED verification load under `pairBudgetPerVec` candidate
     * pairs per vector. Under uniform occupancy, same-bucket candidates
@@ -146,18 +158,6 @@ object Similarity {
     * pairs/vec at 500k and 5M vectors: SCALE.md §"Embedding near-dup
     * pair growth".
     */
-  /** [[nearDupPairs]] with `planes` sized from the counted corpus via
-    * [[planesFor]] — the production entry point: the fixed `planes = 4`
-    * default of the explicit overload is right ONLY at fixture scale
-    * (16 buckets = 16 reducers = O(n²/16) candidate pairs). Costs one
-    * count() job up front.
-    */
-  def nearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, probeBits: Int = 1,
-                       pairBudgetPerVec: Long = 8L): DataFrame =
-    nearDupPairs(df, idCol, vecCol, threshold,
-      planesFor(df.count(), pairBudgetPerVec, probeBits), probeBits)
-
   def planesFor(n: Long, pairBudgetPerVec: Long = 8L, probeBits: Int = 1): Int = {
     require(pairBudgetPerVec > 0, "pairBudgetPerVec must be positive")
     // |{m < 2^p : popcount(m) <= probeBits}| = Σ_{i<=probeBits} C(p, i)
