@@ -71,9 +71,13 @@ object Selection {
     // NaN/±Infinity are excluded like null: width_bucket is NULL on a
     // non-finite value OR endpoint (a driver NPE in the prefix walk) and
     // NaN's sort position is engine-specific — a non-finite "quality
-    // score" is an upstream bug either way
-    val scored = df.filter(col(scoreCol).isNotNull && !isnan(score) &&
-        !score.isin(Double.PositiveInfinity, Double.NegativeInfinity))
+    // score" is an upstream bug either way. ONE predicate referencing the
+    // score ONCE: null/NaN/±Inf all fail `abs(x) <= MaxValue`, and when
+    // the pushed-down filter substitutes the caller's (often expensive)
+    // score expression, it substitutes it once — the earlier three-term
+    // form (isNotNull && !isnan && !isin) tripled the score evaluation
+    // and doubled q77/q78 wall time at sf0.1
+    val scored = df.filter(abs(score) <= lit(Double.MaxValue))
       .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
     val range = scored.agg(min(score), max(score)).head()
     if (range.isNullAt(0)) return df.limit(0).drop()
