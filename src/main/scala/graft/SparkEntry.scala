@@ -753,7 +753,14 @@ object SparkEntry {
         Map("web" -> 4000L, "books" -> 2500L, "code" -> 1000L))
         .select("doc_id", "domain", "score", "n_tokens")
         .orderBy("doc_id")
-    })
+    }),
+
+    // ── unigram LM quality scoring (the CCNet/KenLM perplexity filter's
+    // Spark-expressible reduction): corpus-trained token frequencies →
+    // per-doc average log-likelihood; 6-dp + decimal-sum determinism.
+    "q79_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLogLikelihood(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   private val threeWayJoinSql: String =
@@ -1008,6 +1015,17 @@ object SparkEntry {
         |SELECT doc_id, domain, score, n_tokens FROM run
         |WHERE run <= CASE domain WHEN 'web' THEN 4000 WHEN 'books' THEN 2500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+    "q79_unigram_lm" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM dt GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM v),
+        |s AS (SELECT dt.doc_id,
+        |       CAST(round(ln(CAST(v.cnt AS DOUBLE) / t.total), 6) AS DECIMAL(18,6)) AS lp
+        |      FROM dt JOIN v USING (tok), t),
+        |a AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS s FROM s GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logprob
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q11_growth" ->
       """SELECT d, n, prev_n, (n - prev_n) * CAST(100 AS DOUBLE) / prev_n AS growth_pct
         |FROM (SELECT d, n, lag(n, 1) OVER (ORDER BY d) AS prev_n

@@ -270,4 +270,38 @@ object TextAnalysis {
     df.select(explode(tokens(textCol)).as("token"))
       .agg(countDistinct(col("token")).as("exact_vocab"),
         approx_count_distinct(col("token"), rsd).as("approx_vocab"))
+
+  /** Unigram language-model scoring — the Spark-expressible reduction of
+    * the CCNet/KenLM perplexity quality filter: train token frequencies
+    * on the corpus itself (one map-side-combined aggregation), then score
+    * each document by its average token log-likelihood. More negative =
+    * more surprising under the corpus distribution = the gibberish /
+    * boilerplate tail a quality gate cuts. A real n-gram LM is
+    * plug-compatible (same join-score-aggregate plan over a different
+    * frequency table).
+    *
+    * Determinism (the q71/q72 discipline): each token's log-probability
+    * is rounded to 6 dp — ln of a rational is irrational, never ON a
+    * rounding boundary, so JVM-vs-libm 1-ulp drift cannot flip it — and
+    * contributions are summed as DECIMAL(18,6), which is exact and
+    * order-independent.
+    *
+    * Scale shape: vocab agg + doc agg are both partial-aggregated; the
+    * scalar token total crossJoins as a broadcast literal; the
+    * token-frequency join shuffles token-sized rows, never documents.
+    */
+  def unigramLogLikelihood(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("__total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp",
+        round(log(col("cnt") / col("__total")), 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__s"))
+      .withColumn("avg_logprob",
+        round(col("__s").cast("double") / col("n_tokens"), 6))
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"))
+  }
 }

@@ -74,6 +74,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("unigramLogLikelihood scores common-token docs above rare-token docs") {
+    val corpus = Seq(
+      (1L, "the the the the"),   // only the corpus's most common token
+      (2L, "the the the rare"),  // one rare token
+      (3L, "the zzz qqq xxx")    // mostly singletons
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogLikelihood(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2) == Seq(4L, 4L, 4L)) // n_tokens
+    val score = out.map(t => t._1 -> t._3).toMap
+    // total 12 tokens, "the" appears 8x: doc 1 avg = ln(8/12)
+    assert(math.abs(score(1L) - math.round(math.log(8.0 / 12) * 1e6) / 1e6) < 1e-9)
+    assert(score(1L) > score(2L) && score(2L) > score(3L))
+  }
+
   test("repetitionSignals flags repeated bigrams") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),   // "spam spam" x4 of 4 grams
