@@ -140,8 +140,12 @@ object PipelineScaleBench {
       "pipe_embedding_neardup")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
     if (!needEmb) { spark.stop(); return }
+    // float32, like real embedding tables — the near-dup verification
+    // joins carry the raw float payload (half the bytes of a
+    // cast-to-double projection; the dot kernel widens exactly)
     val emb = spark.range(nDocs.toLong)
-      .select(col("id").as("vec_id"), array(d0 +: dims.tail: _*).as("embedding"))
+      .select(col("id").as("vec_id"),
+        array((d0 +: dims.tail).map(_.cast("float")): _*).as("embedding"))
     val embPath = s"$work/emb.parquet"
     emb.write.mode(SaveMode.Overwrite).parquet(embPath)
     val vecs = spark.read.parquet(embPath)

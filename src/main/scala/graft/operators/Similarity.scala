@@ -117,8 +117,12 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     // exact verification joins the candidate ids back against the vector
-    // table — candidates-only, like the Jaccard verify in Dedup
-    val vecs = df.select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__v"))
+    // table — candidates-only, like the Jaccard verify in Dedup. Vectors
+    // ride the joins in their SOURCE element type: the dot kernel takes
+    // float arrays natively (widening is exact, results bit-identical),
+    // so float32 embeddings shuffle at half the bytes a cast-to-double
+    // projection would cost
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
     cands
       .join(vecs.select(col("__vid").as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
@@ -236,15 +240,16 @@ object Similarity {
     * weight array is generated to the VECTOR'S own length — a hard-coded
     * dimension would make `dot` return NULL on any other embedding width
     * (ragged-length HOF semantics), silently collapsing every vector into
-    * bucket 0 and the bucket join into a full cross product.
+    * bucket 0 and the bucket join into a full cross product. The vector
+    * feeds the dot kernel in its source element type (float widens
+    * exactly) — an `asDouble` here would re-evaluate its transform once
+    * per plane reference.
     */
-  def lshBucket(vec: Column, planes: Int = 4): Column = {
-    val v = asDouble(vec)
+  def lshBucket(vec: Column, planes: Int = 4): Column =
     (0 until planes).map { p =>
-      val w = transform(sequence(lit(0), size(v) - 1), j => planeWeight(p, j).cast("double"))
-      when(dot(v, w) > 0, lit(1L << p)).otherwise(lit(0L))
+      val w = transform(sequence(lit(0), size(vec) - 1), j => planeWeight(p, j).cast("double"))
+      when(dot(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** The collected IVF codebook: (cell id, centroid vector) pairs. Tiny by
     * construction (`nCentroids` rows) — the ONE deliberate driver-side

@@ -61,6 +61,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaExt.eval(null) == 1L)
   }
 
+  test("dot_product widens float inputs exactly: every type pair matches the cast form") {
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """WITH v AS (SELECT CAST(array(1.5, -2.25, 3.75) AS ARRAY<FLOAT>) AS f,
+        |                  array(0.5D, 4.0D, -1.25D) AS d)
+        |SELECT dot_product(f, f) AS ff, dot_product(f, d) AS fd, dot_product(d, f) AS df,
+        |       dot_product(CAST(f AS ARRAY<DOUBLE>), CAST(f AS ARRAY<DOUBLE>)) AS ff0,
+        |       dot_product(CAST(f AS ARRAY<DOUBLE>), d) AS fd0
+        |FROM v""".stripMargin).head()
+    assert(row.getDouble(0) == row.getDouble(3)) // FF == cast-first DD
+    assert(row.getDouble(1) == row.getDouble(4)) // FD == cast-first DD
+    assert(row.getDouble(1) == row.getDouble(2)) // FD == DF (exact commutation)
+  }
+
   test("dot_product matches aggregate(zip_with(...)) on null slots and ragged lengths") {
     GraftFunctions.registerAll(spark)
     val cases = Seq(
