@@ -760,7 +760,14 @@ object SparkEntry {
     // per-doc average log-likelihood; 6-dp + decimal-sum determinism.
     "q79_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogLikelihood(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── sliding-window chunking (RAG/embedding prep): 16-token windows,
+    // stride 8, ragged tail — a pure narrow plan, zero shuffles.
+    "q80_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 16, strideTokens = 8)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   private val threeWayJoinSql: String =
@@ -1026,6 +1033,15 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         | round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logprob
         |FROM a ORDER BY doc_id""".stripMargin,
+    "q80_chunking" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |st AS (SELECT doc_id, t,
+        |  greatest(0, CAST(ceil(CAST(len(t) - 16 AS DOUBLE) / 8) AS INT) * 8) AS ls FROM sp),
+        |ch AS (SELECT doc_id, t, unnest(range(0, ls + 1, 8)) AS s FROM st)
+        |SELECT doc_id, CAST(s / 8 AS BIGINT) AS chunk_idx,
+        | array_to_string(t[s+1 : s+16], ' ') AS chunk_text,
+        | CAST(len(t[s+1 : s+16]) AS BIGINT) AS n_tokens
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "q11_growth" ->
       """SELECT d, n, prev_n, (n - prev_n) * CAST(100 AS DOUBLE) / prev_n AS growth_pct
         |FROM (SELECT d, n, lag(n, 1) OVER (ORDER BY d) AS prev_n

@@ -74,6 +74,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("chunkDocuments covers every token with stride overlap and a ragged tail") {
+    val d = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+                (2L, "a b c")).toDF("doc_id", "text")           // shorter than one chunk
+    val out = TextAnalysis.chunkDocuments(d, "doc_id", "text", chunkTokens = 8, strideTokens = 4)
+      .as[(Long, Long, String, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+    val doc1 = out.filter(_._1 == 1L)
+    // starts 0,4,8,12: last window t13..t20 — every token covered, 4-token overlap
+    assert(doc1.map(_._2) == Seq(0L, 1L, 2L, 3L))
+    assert(doc1.head._3 == (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(doc1.last._3 == (13 to 20).map(i => s"t$i").mkString(" "))
+    assert(doc1.forall(_._4 == 8L))
+    // short doc: exactly one (ragged) chunk
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, "a b c", 3L)))
+  }
+
   test("unigramLogLikelihood scores common-token docs above rare-token docs") {
     val corpus = Seq(
       (1L, "the the the the"),   // only the corpus's most common token
