@@ -163,4 +163,9 @@ class PlanSpec extends SparkSpec {
     assert(belowWindow.exists(c => c.contains("__bkt") || c.contains("width_bucket")),
       s"boundary window must consume the bucket-filtered slice, saw: $belowWindow")
   }
+
+  test("q80 chunking is a pure narrow plan: no exchange except the output sort") {
+    val shuffles = collectAll(plan("q80_chunking")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"expected <=1 (sort) exchange, got ${shuffles.size}")
+  }
 }
