@@ -299,15 +299,23 @@ object Similarity {
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid cell; queries probe only the `nProbe` nearest cells. Centroids
     * here are a deterministic sample (first `nCentroids` corpus vectors by
-    * id) — a trained k-means codebook is plug-compatible, the Spark plan is
-    * identical. At 100 TB the corpus NEVER shuffles: cell assignment is a
-    * per-row argmin over the literal codebook, the probe join broadcasts
-    * the (tiny) exploded query side, and the final ranking is a bounded-
-    * heap partial top-k.
+    * id) — a trained codebook ([[kmeansCodebook]]) is plug-compatible via
+    * the overload below, the Spark plan is identical. At 100 TB the corpus
+    * NEVER shuffles: cell assignment is a per-row argmin over the literal
+    * codebook, the probe join broadcasts the (tiny) exploded query side,
+    * and the final ranking is a bounded-heap partial top-k.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopK(corpus, queries, idCol, vecCol, k,
+      collectCodebook(corpus, idCol, vecCol, nCentroids), nProbe)
+
+  /** [[ivfTopK]] over an explicit codebook — e.g. one trained with
+    * [[kmeansCodebook]], or loaded from a previous run.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, codebook: Array[(Long, Seq[Double])], nProbe: Int): DataFrame = {
+    require(codebook.nonEmpty, "codebook must be non-empty")
     // assign each corpus vector to its nearest centroid — per-row, no join
     val cells = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
       .withColumn("__n", norm(col("__cv")))
@@ -322,6 +330,64 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
     explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
+  }
+
+  /** Spherical k-means codebook trainer (Lloyd iterations under cosine
+    * geometry — the distance [[ivfTopK]]'s assignment uses): runs on a
+    * DETERMINISTIC bounded sample (content-hash order, like Sampling's
+    * row-fate contract) collected to the driver, so training is identical
+    * across partitionings and retries and costs one bounded collect — the
+    * classic IVF recipe (train on a sample, assign the corpus with the
+    * frozen codebook). Points are L2-normalized before averaging; empty
+    * cells keep their previous centroid. Returns (cell id, centroid)
+    * pairs plug-compatible with the [[ivfTopK]] codebook overload.
+    */
+  def kmeansCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int = 16, sampleSize: Int = 10000,
+                     iterations: Int = 10): Array[(Long, Seq[Double])] = {
+    require(nCentroids >= 1 && sampleSize >= nCentroids,
+      s"need sampleSize >= nCentroids >= 1, got $nCentroids/$sampleSize")
+    val sample = corpus.select(asDouble(col(vecCol)).as("__v"), col(idCol).as("__id"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(sampleSize)
+      .select("__v").collect()
+      .map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+    require(sample.nonEmpty, "cannot train a codebook on an empty corpus")
+    val dims = sample.head.length
+    val k = math.min(nCentroids, sample.length)
+    var centroids = Array.tabulate(k)(i => sample(i).clone())
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      sample.foreach { p =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dims) { d += p(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n > 0) m.map(_ / n) else centroids(c)
+        }
+      }
+    }
+    centroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }
   }
 
   /** Two-stage retrieval — the production ANN pattern: a cheap QUANTIZED

@@ -88,6 +88,37 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == explicit && auto == Set((0L, 1L)))
   }
 
+  test("kmeansCodebook trains deterministic spherical centroids; trained IVF matches brute force") {
+    // two tight clusters around orthogonal directions
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(1.0f) else
+        Array.tabulate(8)(j => if (j % 2 == 0) 1.0f else -1.0f)
+      (i, base.updated(0, base(0) + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansCodebook(vecs, "vec_id", "embedding",
+      nCentroids = 2, sampleSize = 40, iterations = 5)
+    assert(cb.length == 2 && cb.map(_._1).toSeq == Seq(0L, 1L))
+    // deterministic: same call, same centroids
+    assert(cb.map(_._2).toSeq == Similarity.kmeansCodebook(vecs, "vec_id", "embedding",
+      nCentroids = 2, sampleSize = 40, iterations = 5).map(_._2).toSeq)
+    // each trained centroid aligns with one cluster (cosine > 0.99)
+    val clusterDirs = Seq(Array.fill(8)(1.0), Array.tabulate(8)(j => if (j % 2 == 0) 1.0 else -1.0))
+    cb.foreach { case (_, c) =>
+      val best = clusterDirs.map(d =>
+        d.zip(c).map { case (a, b) => a * b }.sum /
+          (math.sqrt(d.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum))).max
+      assert(best > 0.99, s"centroid $c aligns with no cluster")
+    }
+    // trained-codebook IVF at nProbe=1 finds the same neighbors as brute
+    // force: clusters are well-separated, so probing one cell is lossless
+    val queries = vecs.filter($"vec_id" < 4)
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", k = 3,
+      codebook = cb, nProbe = 1).as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ivf == brute)
+  }
+
   test("planesFor keeps the probe-multiplied per-vector load under budget") {
     assert(Similarity.planesFor(0) == 4)       // floor: the fixture default
     // smallest p with (p+1)·n/2^p <= 8 (probeBits=1 => p+1 probe masks)
