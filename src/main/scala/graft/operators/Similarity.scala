@@ -157,19 +157,24 @@ object Similarity {
     * qualifying pair must differ in ≤ probeBits sign bits) but stays
     * high for true near-dups: at cos ≥ 0.999 the per-plane flip
     * probability is acos(0.999)/π ≈ 1.4%, giving ~96% recall even at
-    * the 24-plane cap with 1-bit probing — raise `probeBits` alongside
-    * planes when recall matters more than candidate count. Measured
-    * pairs/vec at 500k and 5M vectors: SCALE.md §"Embedding near-dup
-    * pair growth".
+    * 24 planes with 1-bit probing. The `maxPlanes` cap (default 24)
+    * marks where 1-bit recall starts to sag — PAST it (corpora beyond
+    * ~5M vectors), raise `maxPlanes` TOGETHER with `probeBits`: e.g.
+    * 28 planes at 2-bit probing recovers ≈99% recall at cos ≥ 0.999
+    * while still shrinking per-vector load (probe masks grow ~p²/2,
+    * the bucket space 2^p). Measured pairs/vec at 500k and 5M vectors:
+    * SCALE.md §"Embedding near-dup pair growth".
     */
-  def planesFor(n: Long, pairBudgetPerVec: Long = 8L, probeBits: Int = 1): Int = {
+  def planesFor(n: Long, pairBudgetPerVec: Long = 8L, probeBits: Int = 1,
+                maxPlanes: Int = 24): Int = {
     require(pairBudgetPerVec > 0, "pairBudgetPerVec must be positive")
+    require(maxPlanes >= 4, s"maxPlanes must be >= 4, got $maxPlanes")
     // |{m < 2^p : popcount(m) <= probeBits}| = Σ_{i<=probeBits} C(p, i)
     def maskCount(p: Int): Long =
       (0 to probeBits).map(i =>
         (0 until i).foldLeft(1L)((acc, j) => acc * (p - j) / (j + 1))).sum
-    (4 to 24).find { p =>
-      maskCount(p) * n.toDouble / (1L << p) <= pairBudgetPerVec || p == 24
+    (4 to maxPlanes).find { p =>
+      maskCount(p) * n.toDouble / (1L << p) <= pairBudgetPerVec || p == maxPlanes
     }.get
   }
 

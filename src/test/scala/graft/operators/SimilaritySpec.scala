@@ -131,6 +131,10 @@ class SimilaritySpec extends SparkSpec {
     // wider probing costs more masks, so the same n needs more planes
     assert(Similarity.planesFor(500000, probeBits = 2) >
       Similarity.planesFor(500000, probeBits = 1))
+    // past-the-cap corpora: raising maxPlanes alongside probeBits keeps
+    // sizing (the documented 28/2-bit recipe for >5M vectors)
+    assert(Similarity.planesFor(50000000L, probeBits = 2, maxPlanes = 28) == 28)
+    assert(Similarity.planesFor(5000000) == 24) // default cap unchanged
   }
 
   test("identical vectors always share a bucket, so bucketed near-dup finds them") {
