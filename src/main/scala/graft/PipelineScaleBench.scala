@@ -86,6 +86,28 @@ object PipelineScaleBench {
     timed("pipe_exact_dedup") {
       Dedup.exactGroups(corpus, "doc_id", "text").count()
     }
+    timed("pipe_budget_select") {
+      // budgeted selection keeps ~half the corpus's tokens: the two-pass
+      // bucketed prefix must stay near scan speed — the rejected global
+      // cumulative-sum window funnels the WHOLE corpus through one task,
+      // which is the failure this stage would expose if the plan ever
+      // regressed to it (output_per_input ~ 0.5 = the budget fraction)
+      val toks = split(col("text"), " ")
+      val scored = corpus.select(col("doc_id"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("score"),
+        size(toks).cast("long").as("n_tokens"))
+      val budget = total * tokensPerDoc / 2
+      graft.operators.Selection.selectUnderBudget(
+        scored, "doc_id", "score", "n_tokens", budget).count()
+    }
+    timed("pipe_decontaminate") {
+      // 1/499 of docs act as the "benchmark": broadcast-semi shape, the
+      // corpus text never shuffles — near scan speed at any size
+      Dedup.decontaminate(
+        corpus.filter(pmod(col("doc_id"), lit(499L)) =!= 0),
+        corpus.filter(pmod(col("doc_id"), lit(499L)) === 0),
+        "doc_id", "text", n = 3).count()
+    }
     timed("pipe_dedup_megacluster") {
       // ADVERSARIAL: ~1.5% of the corpus byte-identical in ONE cluster —
       // the web-boilerplate shape that OOMs any plan holding a duplicate
