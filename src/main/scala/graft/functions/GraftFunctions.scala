@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** SQL registration for the graft custom expressions — after
   * `GraftFunctions.registerAll(spark)`, `simhash64(array<string>)` and
-  * `dot_product(array<double>, array<double>)` are callable from
+  * `dot_product(array<double|float>, array<double|float>)` are callable from
   * `spark.sql` alongside the built-ins. [[GraftExtensions]] is the
   * no-code deployment path over the same table.
   */

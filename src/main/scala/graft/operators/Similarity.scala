@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 import graft.functions.{TopKOps, VectorOps}
 
@@ -34,6 +35,19 @@ object Similarity {
 
   /** Elementwise widen to double. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** The vector column in a kernel-ready element type: float and double
+    * arrays pass through untouched (the dot kernel takes both natively —
+    * float widens exactly), anything else (e.g. the int8 codes
+    * [[quantizeInt8]] emits as `array<bigint>`) widens to double once
+    * here, so integer-element embeddings keep working everywhere a
+    * DataFrame-level operator can see the schema.
+    */
+  private def kernelVec(df: DataFrame, vecCol: String): Column =
+    df.schema(vecCol).dataType match {
+      case ArrayType(DoubleType | FloatType, _) => col(vecCol)
+      case _ => asDouble(col(vecCol))
+    }
 
   /** Sequential left-to-right dot product — a native codegen'd expression
     * (bit-identical to the `aggregate(zip_with(...))` fold it replaces).
@@ -105,7 +119,7 @@ object Similarity {
     // joins below), which is what survives 100 TB. Measured at 500k×64d:
     // 106 s → 15.3 s together with the probe-aware [[planesFor]] and the
     // decorrelated plane weights (SCALE.md §Embedding near-dup).
-    val ids = df.select(col(idCol).as("__id"), lshBucket(col(vecCol), planes).as("__b"))
+    val ids = df.select(col(idCol).as("__id"), lshBucket(kernelVec(df, vecCol), planes).as("__b"))
     val a = ids.select(col("__id").as("id_a"), col("__b").as("bucket"))
     // side B probes every bucket within Hamming distance probeBits of its
     // own (masks of popcount <= probeBits, including the identity mask 0)
@@ -122,7 +136,7 @@ object Similarity {
     // float arrays natively (widening is exact, results bit-identical),
     // so float32 embeddings shuffle at half the bytes a cast-to-double
     // projection would cost
-    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    val vecs = df.select(col(idCol).as("__vid"), kernelVec(df, vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
     cands
       .join(vecs.select(col("__vid").as("id_a"), col("__v").as("__va"), col("__n").as("__na")), "id_a")
@@ -352,17 +366,26 @@ object Similarity {
                      iterations: Int = 10): Array[(Long, Seq[Double])] = {
     require(nCentroids >= 1 && sampleSize >= nCentroids,
       s"need sampleSize >= nCentroids >= 1, got $nCentroids/$sampleSize")
-    val sample = corpus.select(asDouble(col(vecCol)).as("__v"), col(idCol).as("__id"))
+    // null vectors are excluded like everywhere else in this file; the
+    // widen runs AFTER the limit, so only the sample pays the transform,
+    // not the full corpus under the TakeOrdered
+    val sample0 = corpus
+      .filter(col(vecCol).isNotNull && forall(col(vecCol), x => x.isNotNull))
+      .select(col(vecCol).as("__v"), col(idCol).as("__id"))
       .orderBy(xxhash64(col("__id")), col("__id"))
       .limit(sampleSize)
-      .select("__v").collect()
+      .select(asDouble(col("__v"))).collect()
       .map { r =>
         val v = r.getSeq[Double](0).toArray
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n > 0) v.map(_ / n) else v
       }
-    require(sample.nonEmpty, "cannot train a codebook on an empty corpus")
-    val dims = sample.head.length
+    require(sample0.nonEmpty, "cannot train a codebook on an empty corpus")
+    // ragged or null-slot vectors would index out of bounds in the Lloyd
+    // loop — train on the majority width, like the dot kernel's
+    // ragged-pair NULL
+    val dims = sample0.head.length
+    val sample = sample0.filter(v => v.length == dims && !v.exists(_.isNaN))
     val k = math.min(nCentroids, sample.length)
     var centroids = Array.tabulate(k)(i => sample(i).clone())
     for (_ <- 0 until iterations) {
@@ -439,10 +462,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 4, probeBits: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(kernelVec(corpus, vecCol), planes).as("bucket"))
       .withColumn("__cn", norm(col("__cv")))
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(kernelVec(queries, vecCol), planes).as("bucket"))
       .withColumn("__qn", norm(col("__qv")))
     // multi-probe: explode each query over its own bucket plus every bucket
     // within Hamming distance `probeBits` — recall rises, candidates stay few

@@ -271,6 +271,37 @@ object TextAnalysis {
       .agg(countDistinct(col("token")).as("exact_vocab"),
         approx_count_distinct(col("token"), rsd).as("approx_vocab"))
 
+  /** Sliding-window document chunking — the RAG/embedding prep step:
+    * split each document into windows of `chunkTokens` tokens advancing
+    * by `strideTokens` (overlap = chunk − stride), emitting
+    * (id, chunk_idx, chunk_text, n_tokens). The final window is the
+    * ragged tail; a document shorter than one chunk yields exactly one
+    * chunk; null-text documents are dropped (size(NULL) is −1 — a
+    * negative "token count" must never escape). Pure narrow plan —
+    * tokenize, window starts, slice, rejoin all happen per-row with
+    * ZERO shuffles, so it runs at scan speed on any corpus size.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int = 128, strideTokens: Int = 64): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    val toks = split(col(textCol), " ")
+    // last chunk start: the largest multiple of stride still leaving a
+    // non-empty window — ceil((n - chunk) / stride) clamped at 0
+    val n = size(toks)
+    val lastStart = greatest(lit(0),
+      ceil((n - lit(chunkTokens)).cast("double") / strideTokens).cast("int") * strideTokens)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__t"),
+        posexplode(sequence(lit(0), lastStart, lit(strideTokens))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        slice(col("__t"), col("col") + 1, lit(chunkTokens)).as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("__c"), " ").as("chunk_text"),
+        size(col("__c")).cast("long").as("n_tokens"))
+  }
+
   /** Unigram language-model scoring — the Spark-expressible reduction of
     * the CCNet/KenLM perplexity quality filter: train token frequencies
     * on the corpus itself (one map-side-combined aggregation), then score
@@ -290,35 +321,6 @@ object TextAnalysis {
     * scalar token total crossJoins as a broadcast literal; the
     * token-frequency join shuffles token-sized rows, never documents.
     */
-  /** Sliding-window document chunking — the RAG/embedding prep step:
-    * split each document into windows of `chunkTokens` tokens advancing
-    * by `strideTokens` (overlap = chunk − stride), emitting
-    * (id, chunk_idx, chunk_text, n_tokens). The final window is the
-    * ragged tail; a document shorter than one chunk yields exactly one
-    * chunk. Pure narrow plan — tokenize, window starts, slice, rejoin all
-    * happen per-row with ZERO shuffles, so it runs at scan speed on any
-    * corpus size.
-    */
-  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
-                     chunkTokens: Int = 128, strideTokens: Int = 64): DataFrame = {
-    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
-    require(strideTokens >= 1 && strideTokens <= chunkTokens,
-      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
-    val toks = split(col(textCol), " ")
-    // last chunk start: the largest multiple of stride still leaving a
-    // non-empty window — ceil((n - chunk) / stride) clamped at 0
-    val n = size(toks)
-    val lastStart = greatest(lit(0),
-      ceil((n - lit(chunkTokens)).cast("double") / strideTokens).cast("int") * strideTokens)
-    df.select(col(idCol), toks.as("__t"),
-        posexplode(sequence(lit(0), lastStart, lit(strideTokens))))
-      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
-        slice(col("__t"), col("col") + 1, lit(chunkTokens)).as("__c"))
-      .select(col(idCol), col("chunk_idx"),
-        array_join(col("__c"), " ").as("chunk_text"),
-        size(col("__c")).cast("long").as("n_tokens"))
-  }
-
   def unigramLogLikelihood(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))

@@ -88,6 +88,29 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == explicit && auto == Set((0L, 1L)))
   }
 
+  test("integer-element vectors (quantized codes) still work through the bucketed operators") {
+    val codes = Seq(
+      (0L, Array(100L, -50L, 25L, 0L)),
+      (1L, Array(100L, -50L, 25L, 0L)),
+      (2L, Array(-100L, 50L, -25L, 1L))
+    ).toDF("vec_id", "embedding") // array<bigint>, the quantizeInt8 shape
+    val pairs = Similarity.nearDupPairs(codes, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+    assert(Similarity.lshTopK(codes, codes.filter($"vec_id" === 0), "vec_id",
+      "embedding", k = 1, probeBits = 1).count() >= 1)
+  }
+
+  test("kmeansCodebook ignores null vectors in the sample") {
+    val vecs = Seq(
+      (0L, Some(Array.fill(8)(0.5f))), (1L, Some(Array.fill(8)(0.5f))),
+      (2L, None)
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansCodebook(vecs, "vec_id", "embedding",
+      nCentroids = 1, sampleSize = 10, iterations = 2)
+    assert(cb.length == 1 && cb.head._2.forall(!_.isNaN))
+  }
+
   test("kmeansCodebook trains deterministic spherical centroids; trained IVF matches brute force") {
     // two tight clusters around orthogonal directions
     val vecs = (0L until 40L).map { i =>

@@ -87,6 +87,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(doc1.forall(_._4 == 8L))
     // short doc: exactly one (ragged) chunk
     assert(out.filter(_._1 == 2L) == Seq((2L, 0L, "a b c", 3L)))
+    // null text is dropped, never a (null, -1) chunk row
+    val withNull = Seq((1L, Some("a b")), (2L, None)).toDF("doc_id", "text")
+    assert(TextAnalysis.chunkDocuments(withNull, "doc_id", "text", 8, 4)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("unigramLogLikelihood scores common-token docs above rare-token docs") {
