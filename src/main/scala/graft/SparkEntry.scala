@@ -767,7 +767,16 @@ object SparkEntry {
     "q80_chunking" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 16, strideTokens = 8)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ── embedding near-dup, BANDED generator (the past-5M scale plan):
+    // 3 independent 4-plane hyperplane tables, candidates = same bucket
+    // in ANY table, one distinct, exact cosine verify — the oracle
+    // restates the identical banded pipeline.
+    "q81_neardup_banded" -> ((s, dir) =>
+      Similarity.nearDupPairsBanded(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.4, planes = 4, tables = 3)
+        .orderBy("id_a", "id_b"))
   )
 
   private val threeWayJoinSql: String =
@@ -1138,6 +1147,17 @@ object SparkEntry {
         |WHERE bit_count(xor(a.bucket, c.bucket)) <= 1
         |  AND list_cosine_similarity(a.v, c.v) > 0.4
         |ORDER BY 1, 2""".stripMargin,
+    "q81_neardup_banded" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 4, 0)} AS b0,
+         |             ${lshBucketSql("v", 4, 4)} AS b1,
+         |             ${lshBucketSql("v", 4, 8)} AS b2 FROM v)
+        |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        |FROM b a JOIN b c ON a.vec_id < c.vec_id
+        |WHERE (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2)
+        |  AND list_cosine_similarity(a.v, c.v) > 0.4
+        |ORDER BY 1, 2""".stripMargin,
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),
@@ -1486,14 +1506,15 @@ object SparkEntry {
   }
 
   /** DuckDB twin of [[graft.operators.Similarity.lshBucket]] over a 64-dim
-    * `list<double>` column `vcol`: 4 sign-bit hyperplanes with the same
-    * integer plane-weight arithmetic, folded left-to-right like the native
-    * dot kernel.
+    * `list<double>` column `vcol`: `planes` sign-bit hyperplanes starting
+    * at plane index `planeOffset` (the banded generator's independent
+    * tables), with the same integer plane-weight arithmetic, folded
+    * left-to-right like the native dot kernel.
     */
-  private def lshBucketSql(vcol: String): String =
-    "(" + (0 until 4).map { p =>
+  private def lshBucketSql(vcol: String, planes: Int = 4, planeOffset: Int = 0): String =
+    "(" + (0 until planes).map { p =>
       s"""CASE WHEN list_reduce(list_transform(range(1, 65),
-         | j -> $vcol[j] * CAST(${planeWeightSql(p)} AS DOUBLE)),
+         | j -> $vcol[j] * CAST(${planeWeightSql(planeOffset + p)} AS DOUBLE)),
          | (a, b) -> a + b) > 0 THEN ${1L << p} ELSE 0 END""".stripMargin
     }.mkString(" + ") + ")::BIGINT"
 }

@@ -19,7 +19,19 @@ object GraftFunctions {
     "minhash_sigs" -> (exprs => MinHashSigsExpr(exprs.head, 8)),
     "sorted_intersect_count" -> (exprs => SortedIntersectCountExpr(exprs(0), exprs(1))),
     "shingle_sorted_set" -> (exprs => ShingleSortedSetExpr(exprs.head, 2)),
-    "md5_simhash60" -> (exprs => Md5SimHash60Expr(exprs.head)))
+    "md5_simhash60" -> (exprs => Md5SimHash60Expr(exprs.head)),
+    "lsh_bucket" -> (exprs => LshBucketExpr(exprs.head,
+      exprs.lift(1).map(litInt).getOrElse(4),
+      exprs.lift(2).map(litInt).getOrElse(0))))
+
+  /** Foldable-int argument for SQL-callable kernels with plan-time
+    * parameters (`lsh_bucket(v, planes, offset)`).
+    */
+  private def litInt(e: Expression): Int = e.eval(null) match {
+    case n: Number => n.intValue
+    case other => throw new IllegalArgumentException(
+      s"expected a foldable integer argument, got $other")
+  }
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 import graft.functions.{TopKOps, VectorOps}
 
@@ -16,16 +16,17 @@ import graft.functions.{TopKOps, VectorOps}
   *     partial-aggregated bounded-heap top-k
   *     ([[graft.functions.BoundedTopK]]) — the only exchange carries
   *     `queries × partitions × k` heap entries, never the candidate set;
-  *   - all-pairs near-dup ([[nearDupPairs]]) is LSH-bucketed (equi-join
-  *     on bucket id with 1-bit multi-probe), not a cross join —
-  *     candidates are same-or-adjacent-bucket only. It is the ONE
-  *     operator here whose corpus side does shuffle: compact (id,
-  *     bucket) keys ride the probe explode (`2^planes` distinct keys
-  *     bound that join's reducer parallelism — see [[planesFor]]), and
-  *     the vector payload shuffles exactly twice for candidate
-  *     verification, never through the explode. The O(n²)
-  *     [[nearDupPairsExhaustive]] survives solely as the SimilaritySpec
-  *     recall cross-check.
+  *   - all-pairs near-dup is LSH-bucketed, not a cross join. Two
+  *     generators share one exact verification tail: [[nearDupPairs]]
+  *     (single table + 1-bit multi-probe, explicit-knob; its planes cap
+  *     binds past ~5M vectors) and [[nearDupPairsBanded]] (multiple
+  *     independent tables, OR-amplified recall — the production path
+  *     [[nearDupPairsAuto]] uses, whose planes knob tracks any corpus
+  *     size). These are the operators here whose corpus side does
+  *     shuffle: compact (id, bucket) keys ride the candidate self-joins,
+  *     and the vector payload shuffles exactly twice for candidate
+  *     verification. The O(n²) [[nearDupPairsExhaustive]] survives solely
+  *     as the SimilaritySpec recall cross-check.
   *
   * All float math is widened to double FIRST and folded sequentially
   * (native codegen'd [[VectorOps.dotProduct]]) so results are
@@ -36,16 +37,18 @@ object Similarity {
   /** Elementwise widen to double. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** The vector column in a kernel-ready element type: float and double
-    * arrays pass through untouched (the dot kernel takes both natively —
-    * float widens exactly), anything else (e.g. the int8 codes
-    * [[quantizeInt8]] emits as `array<bigint>`) widens to double once
-    * here, so integer-element embeddings keep working everywhere a
-    * DataFrame-level operator can see the schema.
+  /** The vector column in a kernel-ready element type: every numeric
+    * element type passes through untouched — the dot kernel reads
+    * double/float/integral arrays natively, widening each element to
+    * double exactly (so the int8 codes [[quantizeInt8]] emits as
+    * `array<bigint>` work everywhere, including direct [[lshBucket]]
+    * calls, with no per-reference cast transform). Only non-numeric
+    * element types (e.g. decimal) widen to double here.
     */
   private def kernelVec(df: DataFrame, vecCol: String): Column =
     df.schema(vecCol).dataType match {
-      case ArrayType(DoubleType | FloatType, _) => col(vecCol)
+      case ArrayType(DoubleType | FloatType | LongType | IntegerType |
+                     ShortType | ByteType, _) => col(vecCol)
       case _ => asDouble(col(vecCol))
     }
 
@@ -130,12 +133,19 @@ object Similarity {
     val cands = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    // exact verification joins the candidate ids back against the vector
-    // table — candidates-only, like the Jaccard verify in Dedup. Vectors
-    // ride the joins in their SOURCE element type: the dot kernel takes
-    // float arrays natively (widening is exact, results bit-identical),
-    // so float32 embeddings shuffle at half the bytes a cast-to-double
-    // projection would cost
+    verifyCosine(df, idCol, vecCol, cands, threshold)
+  }
+
+  /** Exact cosine verification for a candidate pair table `(id_a, id_b)`:
+    * joins the candidate ids back against the vector table —
+    * candidates-only, like the Jaccard verify in Dedup. Vectors ride the
+    * joins in their SOURCE element type: the dot kernel takes float arrays
+    * natively (widening is exact, results bit-identical), so float32
+    * embeddings shuffle at half the bytes a cast-to-double projection
+    * would cost.
+    */
+  private def verifyCosine(df: DataFrame, idCol: String, vecCol: String,
+                           cands: DataFrame, threshold: Double): DataFrame = {
     val vecs = df.select(col(idCol).as("__vid"), kernelVec(df, vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
     cands
@@ -146,17 +156,85 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
-  /** [[nearDupPairs]] with `planes` sized from the counted corpus via
-    * [[planesFor]] — the production entry point: the fixed `planes = 4`
-    * default of the explicit overload is right ONLY at fixture scale
-    * (16 buckets = 16 reducers = O(n²/16) candidate pairs). Costs one
-    * count() job up front.
+  /** All pairs with cosine above a threshold via `tables` INDEPENDENT
+    * hyperplane-LSH tables (OR-amplification / banding — the MinHash-LSH
+    * band structure applied to sign-bit sketches): table `t` hashes with
+    * its own `planes` hyperplanes (disjoint plane index ranges, so tables
+    * are independent draws), and a pair is a candidate iff it lands in the
+    * SAME bucket in ANY table. This is the past-5M scale plan that retires
+    * the single-table multi-probe generator's 24-plane cap:
+    *
+    *   - per-table recall for a pair at angle θ is `(1 − θ/π)^planes`, and
+    *     the union over tables amplifies it as `1 − (1 − r)^tables` — so
+    *     recall decays only GEOMETRICALLY SLOWLY in planes (at cos ≥ 0.999,
+    *     3 tables hold ≥ 95% recall through planes ≈ 33, i.e. corpora in
+    *     the BILLIONS), where 1-bit probing fell below 95% past 24 planes;
+    *   - candidate load per vector is `tables · n / 2^planes` — the planes
+    *     knob tracks n with NO cap, and there is no probe explode: each
+    *     vector contributes `tables` compact (id, bucket) rows, not
+    *     `planes + 1`, so the candidate join shuffles ~8× fewer bytes than
+    *     1-bit probing at 24 planes;
+    *   - the per-table self-joins read a localCheckpointed compact
+    *     `(id, bucket₀..bucketₜ)` table — all tables' buckets come from ONE
+    *     pass over the corpus vectors, and the joins re-read
+    *     `8·(tables+1)`-byte rows, never the vectors;
+    *   - candidates found by several tables collapse through one
+    *     `distinct` on the compact id pair before the exact verification
+    *     joins ([[verifyCosine]] — same exact-threshold contract as
+    *     [[nearDupPairs]], so precision is exact; only candidate recall is
+    *     probabilistic).
+    *
+    * Size `planes` with [[bandedPlanesFor]]; `tables` is the recall knob
+    * (3 ⇒ ≥ 95% at cos ≥ 0.999 through billions of vectors, 4 buys ≥ 98%).
+    * Measured 500k/5M growth: SCALE.md §"Embedding near-dup pair growth".
+    */
+  def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, planes: Int, tables: Int = 3): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val v = kernelVec(df, vecCol)
+    val bucketCols = (0 until tables).map(t => lshBucket(v, planes, t * planes).as(s"__b$t"))
+    val ids = df.select(col(idCol).as("__id") +: bucketCols: _*).localCheckpoint()
+    val cands = (0 until tables).map { t =>
+      val a = ids.select(col("__id").as("id_a"), col(s"__b$t").as("bucket"))
+      val b = ids.select(col("__id").as("id_b"), col(s"__b$t").as("bucket"))
+      a.join(b, "bucket").filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    }.reduce(_ unionByName _).distinct()
+    verifyCosine(df, idCol, vecCol, cands, threshold)
+  }
+
+  /** `planes` sizing for [[nearDupPairsBanded]]: smallest plane count
+    * keeping the expected per-vector candidate load
+    * `tables · n / 2^planes` under `pairBudgetPerVec` (uniform-occupancy
+    * model, same as [[planesFor]]). Unlike the probing generator there is
+    * no recall cliff forcing a cap — recall is amplified across tables —
+    * so the ceiling (62, the bucket id's long width) is structural, not a
+    * recall guard, and the budget default drops from 8 to 3: banding has
+    * no probe multiplier, so a tighter budget costs nothing.
+    */
+  def bandedPlanesFor(n: Long, pairBudgetPerVec: Long = 3L, tables: Int = 3,
+                      maxPlanes: Int = 62): Int = {
+    require(pairBudgetPerVec > 0, "pairBudgetPerVec must be positive")
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(maxPlanes >= 4 && maxPlanes <= 62,
+      s"maxPlanes must be in [4, 62], got $maxPlanes")
+    (4 to maxPlanes).find { p =>
+      tables * n.toDouble / (1L << p) <= pairBudgetPerVec || p == maxPlanes
+    }.get
+  }
+
+  /** Near-dup pairs with `planes` sized from the counted corpus — the
+    * production entry point (costs one count() job up front). Delegates to
+    * [[nearDupPairsBanded]]: banding is the generator whose planes knob
+    * tracks ANY corpus size (the single-table probing generator
+    * [[nearDupPairs]] remains for explicit-knob callers and is still the
+    * right shape when a probe-radius recall contract is wanted).
     */
   def nearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, probeBits: Int = 1,
-                       pairBudgetPerVec: Long = 8L): DataFrame =
-    nearDupPairs(df, idCol, vecCol, threshold,
-      planesFor(df.count(), pairBudgetPerVec, probeBits), probeBits)
+                       threshold: Double, tables: Int = 3,
+                       pairBudgetPerVec: Long = 3L): DataFrame =
+    nearDupPairsBanded(df, idCol, vecCol, threshold,
+      bandedPlanesFor(df.count(), pairBudgetPerVec, tables), tables)
 
   /** `planes` sizing for [[nearDupPairs]]: smallest plane count keeping
     * the EXPECTED verification load under `pairBudgetPerVec` candidate
@@ -260,13 +338,39 @@ object Similarity {
     * dimension would make `dot` return NULL on any other embedding width
     * (ragged-length HOF semantics), silently collapsing every vector into
     * bucket 0 and the bucket join into a full cross product. The vector
-    * feeds the dot kernel in its source element type (float widens
-    * exactly) — an `asDouble` here would re-evaluate its transform once
-    * per plane reference.
+    * feeds the dot kernel directly in its source element type — the kernel
+    * reads float AND integral arrays natively with exact per-element
+    * widening, so int8-code embeddings work here too and no cast transform
+    * is re-evaluated per plane reference.
     */
   def lshBucket(vec: Column, planes: Int = 4): Column =
+    lshBucket(vec, planes, 0)
+
+  /** [[lshBucket]] hashing with planes `planeOffset until planeOffset +
+    * planes` — disjoint offsets give INDEPENDENT tables (the
+    * [[nearDupPairsBanded]] amplification needs independent draws; the
+    * plane-weight mixer is jointly nonlinear in (plane, dim), so distinct
+    * index ranges decorrelate). Offset 0 is bit-identical to the classic
+    * single-table bucket.
+    *
+    * Evaluates through the fused codegen'd
+    * [[graft.functions.LshBucketExpr]] kernel — bit-identical to
+    * [[lshBucketDeclarative]] (spec-pinned), minus the per-row per-plane
+    * interpreted weight-array generation that dominated bucket-assignment
+    * wall time.
+    */
+  def lshBucket(vec: Column, planes: Int, planeOffset: Int): Column =
+    graft.functions.LshBucketExpr.lshBucket(vec, planes, planeOffset)
+
+  /** The declarative formulation of [[lshBucket]] — the shape the DuckDB
+    * oracle twins state, kept as the SimilaritySpec parity baseline for
+    * the fused kernel.
+    */
+  private[operators] def lshBucketDeclarative(vec: Column, planes: Int,
+                                              planeOffset: Int): Column =
     (0 until planes).map { p =>
-      val w = transform(sequence(lit(0), size(vec) - 1), j => planeWeight(p, j).cast("double"))
+      val w = transform(sequence(lit(0), size(vec) - 1),
+        j => planeWeight(planeOffset + p, j).cast("double"))
       when(dot(vec, w) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -75,6 +75,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getDouble(1) == row.getDouble(2)) // FD == DF (exact commutation)
   }
 
+  test("dot_product reads integral-element arrays natively, matching the cast form") {
+    GraftFunctions.registerAll(spark)
+    val row = spark.sql(
+      """WITH v AS (SELECT array(100L, -50L, 25L) AS l, array(2, -3, 4) AS i,
+        |                  array(0.5D, 4.0D, -1.25D) AS d)
+        |SELECT dot_product(l, l) AS ll, dot_product(l, d) AS ld, dot_product(i, d) AS id,
+        |       dot_product(CAST(l AS ARRAY<DOUBLE>), CAST(l AS ARRAY<DOUBLE>)) AS ll0,
+        |       dot_product(CAST(l AS ARRAY<DOUBLE>), d) AS ld0,
+        |       dot_product(CAST(i AS ARRAY<DOUBLE>), d) AS id0
+        |FROM v""".stripMargin).head()
+    assert(row.getDouble(0) == row.getDouble(3)) // LL == cast-first DD
+    assert(row.getDouble(1) == row.getDouble(4)) // LD == cast-first DD
+    assert(row.getDouble(2) == row.getDouble(5)) // ID == cast-first DD
+  }
+
   test("dot_product matches aggregate(zip_with(...)) on null slots and ragged lengths") {
     GraftFunctions.registerAll(spark)
     val cases = Seq(

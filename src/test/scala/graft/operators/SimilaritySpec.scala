@@ -73,19 +73,113 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.subsetOf(all))
   }
 
-  test("nearDupPairsAuto sizes planes from the corpus and finds the same pairs") {
+  test("nearDupPairsAuto sizes planes from the corpus and delegates to the banded generator") {
     val df = Seq(
       (0L, Array.fill(64)(0.25f)),
       (1L, Array.fill(64)(0.25f)),
       (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
     ).toDF("vec_id", "embedding")
-    // 3 vectors -> planesFor floor of 4 planes: identical result to the
-    // explicit fixture call
+    // 3 vectors -> bandedPlanesFor floor of 4 planes: identical result to
+    // the explicit banded call
     val auto = Similarity.nearDupPairsAuto(df, "vec_id", "embedding", 0.9)
       .as[(Long, Long)].collect().toSet
-    val explicit = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9, planes = 4)
+    val explicit = Similarity.nearDupPairsBanded(df, "vec_id", "embedding", 0.9,
+      planes = 4, tables = 3)
       .as[(Long, Long)].collect().toSet
     assert(auto == explicit && auto == Set((0L, 1L)))
+  }
+
+  test("banded nearDupPairs is a subset of exhaustive and exact within the table union") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val banded = Similarity.nearDupPairsBanded(emb, "vec_id", "embedding", 0.4,
+      planes = 4, tables = 3)
+      .as[(Long, Long)].collect().toSet
+    val all = Similarity.nearDupPairsExhaustive(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(all), "banded pairs must all pass the exact threshold")
+    assert(banded.nonEmpty)
+    // losslessness within the candidate contract: every exhaustive pair
+    // sharing a bucket in ANY of the 3 tables must be found — blocking
+    // drops ONLY pairs colliding in no table
+    val buckets = emb.select(($"vec_id" +:
+      (0 until 3).map(t => Similarity.lshBucket($"embedding", 4, t * 4).as(s"b$t"))): _*)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    val inUnion = all.filter { case (x, y) =>
+      buckets(x).zip(buckets(y)).exists { case (a, b) => a == b } }
+    assert(banded == inUnion)
+  }
+
+  test("bandedPlanesFor: planes track n with no cap; tables amplify, not multiply, the load") {
+    assert(Similarity.bandedPlanesFor(0) == 4)  // floor: the fixture default
+    // smallest p with 3·n/2^p <= 3, i.e. 2^p >= n
+    assert(Similarity.bandedPlanesFor(500000) == 19)
+    assert(Similarity.bandedPlanesFor(5000000) == 23)
+    // the probing generator's 24-plane recall cap is GONE: 5e9 vectors
+    // size to 33 planes (recall is amplified across tables instead)
+    assert(Similarity.bandedPlanesFor(5000000000L) == 33)
+    assert(Similarity.bandedPlanesFor(Long.MaxValue) == 62) // structural ceiling only
+    // doubling n adds one plane: 2^planes tracks n at any scale
+    assert(Similarity.bandedPlanesFor(1000000) == Similarity.bandedPlanesFor(500000) + 1)
+    // more tables -> more candidate rows -> more planes for the same budget
+    assert(Similarity.bandedPlanesFor(500000, tables = 6) >
+      Similarity.bandedPlanesFor(500000, tables = 3))
+  }
+
+  test("fused lshBucket kernel matches the declarative formulation exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for ((planes, off) <- Seq((4, 0), (4, 4), (8, 0), (20, 7), (1, 33))) {
+      val mism = emb.select(
+        Similarity.lshBucket($"embedding", planes, off).as("fused"),
+        Similarity.lshBucketDeclarative($"embedding", planes, off).as("decl"))
+        .filter($"fused" =!= $"decl").count()
+      assert(mism == 0, s"planes=$planes offset=$off: $mism mismatches")
+    }
+    // null vector and null slot fold to bucket 0, like the declarative form
+    val edge = Seq((0L, Some(Seq(Some(1.0), Some(2.0)))),
+      (1L, Some(Seq(Some(1.0), None))), (2L, None))
+      .toDF("id", "v")
+    val got = edge.select($"id", Similarity.lshBucket($"v", 4, 0).as("b"),
+      Similarity.lshBucketDeclarative($"v", 4, 0).as("d"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.forall(r => r._2 == r._3))
+    assert(got.filter(_._1 >= 1).forall(_._2 == 0L))
+  }
+
+  test("lshBucket kernel survives CODEGEN_ONLY factory mode") {
+    val prev = (spark.conf.getOption("spark.sql.codegen.factoryMode"),
+      spark.conf.getOption("spark.sql.codegen.fallback"))
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val b = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)))
+        .toDF("vec_id", "embedding")
+        .select(Similarity.lshBucket($"embedding", 6, 3).as("b")).as[Long].collect()
+      assert(b(0) == b(1))
+    } finally {
+      prev._1.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prev._2.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
+  test("lshBucket plane offset: table 0 is the classic bucket; tables are decorrelated") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rows = emb.select(
+      Similarity.lshBucket($"embedding").as("legacy"),
+      Similarity.lshBucket($"embedding", 4, 0).as("t0"),
+      Similarity.lshBucket($"embedding", 4, 4).as("t1"),
+      Similarity.lshBucket($"embedding", 4, 8).as("t2"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.forall(r => r._1 == r._2), "offset 0 must equal the classic bucket")
+    // independent tables: bucket values must not be copies of table 0
+    assert(rows.exists(r => r._2 != r._3) && rows.exists(r => r._2 != r._4))
+    // identical vectors agree per table (determinism across the offset space)
+    val dup = Seq((0L, Array.fill(64)(0.3f)), (1L, Array.fill(64)(0.3f)))
+      .toDF("vec_id", "embedding")
+    val b = dup.select(Similarity.lshBucket($"embedding", 20, 7).as("b")).as[Long].collect()
+    assert(b(0) == b(1))
   }
 
   test("integer-element vectors (quantized codes) still work through the bucketed operators") {
