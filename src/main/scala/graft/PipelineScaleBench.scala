@@ -23,6 +23,10 @@ object PipelineScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the CC loop is RDD-based; its tuple shuffles serialize through
+      // spark.serializer (DataFrame exchanges use UnsafeRow regardless),
+      // and Kryo is several times faster than Java serialization there
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -186,13 +190,15 @@ object PipelineScaleBench {
     }
     timed("pipe_embedding_neardup") {
       // output_per_input here is FOUND PAIRS PER VECTOR ≈ planted rate
-      // (2%) × recall — flat in n when healthy. planesFor keeps the
-      // candidate load ~flat per vector (2^planes grows with n), so the
-      // guard's other signal is wall-time linearity: superlinear growth
-      // means bucket crowding, i.e. the planes knob stopped tracking the
+      // (2%) × recall — flat in n when healthy. The banded generator's
+      // bandedPlanesFor keeps the candidate load ~flat per vector
+      // (2^planes grows with n, NO cap — recall is amplified across the
+      // 3 independent tables instead of a probe radius), so the guard's
+      // other signal is wall-time linearity: superlinear growth means
+      // bucket crowding, i.e. the planes knob stopped tracking the
       // corpus (SCALE.md §Embedding near-dup pair growth).
-      Similarity.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.9,
-        planes = Similarity.planesFor(total), probeBits = 1).count()
+      Similarity.nearDupPairsBanded(vecs, "vec_id", "embedding", threshold = 0.9,
+        planes = Similarity.bandedPlanesFor(total)).count()
     }
     spark.stop()
   }

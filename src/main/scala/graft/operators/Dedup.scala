@@ -412,9 +412,26 @@ object Dedup {
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, (rows.size / 500000 + 1)), labSchema)
       } else {
-        // DISTRIBUTED PATH: hash-min + pointer jumping on RDDs. Partition
-        // count scales with the edge list; one shared partitioner keeps the
-        // adjacency list in place — only node-sized re-keyed sides shuffle.
+        // DISTRIBUTED PATH: FRONTIER hash-min + pointer jumping on RDDs.
+        // Partition count scales with the edge list; one shared partitioner
+        // keeps the adjacency list in place. Per round the ONLY shuffles
+        // are (a) frontier-incident edge announcements and (b) the jump
+        // lookups of freshly-improved nodes — both shrink as regions
+        // converge, so a graph of many small components (the dedup shape)
+        // pays near-zero network after round 2, where the previous
+        // formulation re-shuffled the full edge + label tables every round
+        // (recv.union(parent).reduceByKey dropped the partitioner and
+        // re-exchanged E + N pairs per round — measured 166 s at 10M chain
+        // edges). Label folds are co-partitioned leftOuterJoins: zero
+        // shuffle.
+        //
+        // Frontier correctness: a node announces its label the round after
+        // it changes (round 0: everyone), so "no label changed" implies
+        // every edge has seen both endpoints' final labels — at the exact
+        // changed == 0 fixpoint labels are component-constant, hence the
+        // component min. Restricting jumps to freshly-improved nodes skips
+        // only no-op jumps while they are at their local fixpoint; a node
+        // re-enters the frontier the moment either path improves it.
         val part = new HashPartitioner(
           math.max(spark.sparkContext.defaultParallelism, (nEdges / 4000000L).toInt))
         val adj: RDD[(Long, Long)] = eLong.rdd
@@ -422,35 +439,63 @@ object Dedup {
             val a = r.getLong(0); val b = r.getLong(1)
             if (a == b) Iterator.empty else Iterator((a, b), (b, a))
           }
-          .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+          .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK_SER)
 
-        // every endpoint (self-loop-only nodes included) starts as its own
-        // label; reduceByKey dedups straight into the shared partitioning
-        var parent: RDD[(Long, Long)] = eLong.rdd
+        // state: node -> (label, changed-last-round); every endpoint
+        // (self-loop-only nodes included) starts as its own label, changed.
+        // All loop persists are SERIALIZED (MEMORY_AND_DISK_SER): the boxed
+        // nested-tuple form of a 10M-node label table is ~5× its serialized
+        // bytes, and the loop holds two generations plus the adjacency
+        // list.
+        var state: RDD[(Long, (Long, Boolean))] = eLong.rdd
           .flatMap { r =>
             val a = r.getLong(0); val b = r.getLong(1)
             Iterator((a, a), (b, b))
           }
-          .reduceByKey(part, (x, _) => x).persist(StorageLevel.MEMORY_AND_DISK)
-        var prevSum: Option[BigInt] = None
+          .reduceByKey(part, (x, _) => x)
+          .mapValues(l => (l, true))
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
         var converged = false
         var i = 0
         while (!converged && i < maxIter) {
-          // hash-min: each node receives each neighbor's current label
-          val recv = adj.join(parent, part).map { case (_, (v, pu)) => (v, pu) }
-          val m1 = recv.union(parent).reduceByKey(part, math.min(_: Long, _: Long))
-          // pointer jump: label := label(label)
-          val next = m1.map { case (n, p) => (p, n) }.join(m1, part)
-            .map { case (_, (n, pp)) => (n, pp) }
-            .reduceByKey(part, math.min(_: Long, _: Long))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val s = next
-            .mapPartitions(it => Iterator(it.foldLeft(BigInt(0))((acc, t) => acc + t._2)))
-            .collect().foldLeft(BigInt(0))(_ + _)
-          converged = prevSum.contains(s)
-          prevSum = Some(s)
-          parent.unpersist(blocking = false)
-          parent = next
+          val parent = state.mapValues(_._1)
+          val frontier = state.filter(_._2._2).mapValues(_._1)
+          // 1. frontier nodes announce their label to their neighbors —
+          //    the only edge-sized work, proportional to the frontier
+          val recv = adj.join(frontier, part).map { case (_, (v, lu)) => (v, lu) }
+          val cand = recv.reduceByKey(part, math.min(_: Long, _: Long))
+          // 2. fold improvements into the labels — co-partitioned narrow
+          //    cogroup, no shuffle. PERSISTED because three downstream
+          //    reads (jump request, jump lookup, final fold) would
+          //    otherwise each re-embed this cogroup's hash map inside
+          //    their own fused tasks — the stacked-map formulation OOM'd
+          //    an 8g heap at 10M edges.
+          val m1 = parent.leftOuterJoin(cand, part).mapValues {
+            case (cur, opt) => opt.filter(_ < cur) match {
+              case Some(l) => (l, true)
+              case None => (cur, false)
+            }
+          }.persist(StorageLevel.MEMORY_AND_DISK_SER)
+          // 3. pointer jump freshly-improved nodes against the POST-FOLD
+          //    labels: label := label(label) — long chains collapse in
+          //    O(log diameter) rounds where plain min-propagation needs
+          //    O(diameter). Nodes at their local fixpoint skip the lookup
+          //    (their jump is a no-op until a new label arrives).
+          val jumped = m1.filter(_._2._2).map { case (n, (l, _)) => (l, n) }
+            .join(m1, part).map { case (_, (n, (ll, _))) => (n, ll) }
+          val next = m1.leftOuterJoin(jumped, part).mapValues {
+            case ((cur, ch), opt) => opt.filter(_ < cur) match {
+              case Some(l) => (l, true)
+              case None => (cur, ch)
+            }
+          }.persist(StorageLevel.MEMORY_AND_DISK_SER)
+          // labels decrease monotonically, so changed == 0 (read from the
+          // one action each round already needs) is an exact fixpoint test
+          val changed = next.filter(_._2._2).count()
+          converged = changed == 0
+          state.unpersist(blocking = false)
+          m1.unpersist(blocking = false)
+          state = next
           i += 1
         }
         adj.unpersist(blocking = false)
@@ -459,7 +504,7 @@ object Dedup {
         require(converged,
           s"connectedComponents did not converge in $maxIter rounds " +
             "(component diameter exceeds maxIter); raise maxIter")
-        spark.createDataFrame(parent.map { case (n, c) => Row(n, c) }, labSchema)
+        spark.createDataFrame(state.map { case (n, c) => Row(n, c._1) }, labSchema)
       }
     mapDf match {
       case None =>
