@@ -124,6 +124,19 @@ object PipelineScaleBench {
           .otherwise(col("text")))
       Dedup.dedupCorpus(boiler, "doc_id", "text", 0.5).count()
     }
+    timed("pipe_paragraph_dedup") {
+      // every doc carries the SAME boilerplate middle paragraph (a 500k+
+      // occurrence digest group — must collapse map-side, the exact-edges
+      // mega-cluster discipline) plus its own text twice (an in-doc dup);
+      // output docs ≈ input docs, each reduced to its unique paragraph
+      val boiler = lit("the same cookie banner boilerplate on every single page")
+      val multi = corpus.select(col("doc_id"),
+        concat_ws("\n\n", col("text"), boiler, col("text")).as("text"))
+      val out = Dedup.dedupParagraphs(multi, "doc_id", "text")
+      // hash-consume so column pruning cannot elide the reassembly
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      total
+    }
     // CC RDD-path guard: a chain graph big enough to cross the 4M-edge
     // driver union-find ceiling, so the distributed hash-min + pointer-
     // jumping loop's convergence and timing are measured, not just spec'd

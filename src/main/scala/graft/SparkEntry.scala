@@ -776,7 +776,21 @@ object SparkEntry {
     "q81_neardup_banded" -> ((s, dir) =>
       Similarity.nearDupPairsBanded(t(s, dir, "embeddings"), "vec_id", "embedding",
         0.4, planes = 4, tables = 3)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // ── paragraph-level dedup (Lee et al.-style passage dedup at
+    // paragraph granularity): multi-paragraph docs are derived from the
+    // fixture by pairing each doc's text with its successor's (the
+    // fixture's docs are single-paragraph), so every interior paragraph
+    // occurs twice corpus-wide; first occurrence by (doc, pos) survives.
+    "q82_paragraph_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val twos = docs.select(col("doc_id"), col("text"))
+        .join(docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2")),
+          Seq("doc_id"))
+        .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("__t2")).as("text"))
+      Dedup.dedupParagraphs(twos, "doc_id", "text").orderBy("doc_id")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -1147,6 +1161,19 @@ object SparkEntry {
         |WHERE bit_count(xor(a.bucket, c.bucket)) <= 1
         |  AND list_cosine_similarity(a.v, c.v) > 0.4
         |ORDER BY 1, 2""".stripMargin,
+    "q82_paragraph_dedup" ->
+      """WITH two AS (SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+        |             FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id),
+        |sp AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM two),
+        |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, parts[i+1] AS para
+        |      FROM sp, unnest(range(len(parts))) AS t(i)
+        |      WHERE regexp_matches(parts[i+1], '\S')),
+        |w AS (SELECT doc_id, pos, para,
+        |             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |      FROM p)
+        |SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+        |       count(*) AS n_kept
+        |FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q81_neardup_banded" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

@@ -518,6 +518,54 @@ object Dedup {
     }
   }
 
+  /** Paragraph-level exact dedup — the industry-standard passage dedup
+    * (the Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" substring methodology, reduced to paragraph granularity, as
+    * every production pipeline runs it): split each document on `sep`,
+    * drop every paragraph that is an exact copy of an earlier occurrence
+    * anywhere in the corpus — the FIRST occurrence by (doc id, position)
+    * survives — and reassemble each document from its surviving
+    * paragraphs in original order. Whitespace-only paragraphs are
+    * dropped up front (they carry no content and would otherwise all
+    * collapse into one global survivor). Documents with no surviving
+    * paragraph disappear from the output.
+    *
+    * Output: (idCol, textCol deduped, n_kept).
+    *
+    * 100 TB shape: the winner table groups compact (digest,
+    * struct(id, pos)) rows with a partial-aggregated `min` — a
+    * boilerplate paragraph duplicated across millions of documents
+    * collapses map-side, never materializing its occurrence list (the
+    * same mega-cluster discipline as [[dedupCorpusKeeping]]'s exact
+    * edges). Paragraph text shuffles exactly twice: once keyed by digest
+    * for the winner join, once keyed by document for reassembly; both
+    * aggregations are bounded by a single document's size.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col("__id"), col("pos").as("__pos"), col("col").as("__para"))
+      // a paragraph must contain at least one non-whitespace character
+      // (trim() strips only spaces, not tabs/newlines, in both engines)
+      .filter(col("__para").rlike("\\S"))
+      .withColumn("__h", sha2(col("__para"), 256))
+    val winners = paras
+      .groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    paras.join(winners, "__h")
+      .filter(struct(col("__id"), col("__pos")) === col("__w"))
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+            x => x.getField("__para")),
+          sep).as("__text"),
+        count(lit(1)).as("n_kept"))
+      .select(col("__id").as(idCol), col("__text").as(textCol), col("n_kept"))
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs: one shingle-equality
     * join for intersections + a broadcast-size join for set sizes. Runs only
     * on candidates — never on the full pair space.

@@ -191,4 +191,30 @@ class DedupSpec extends SparkSpec {
       .select("jaccard").as[Double].head()
     assert(j == 1.0)
   }
+
+  test("dedupParagraphs keeps first occurrence corpus-wide, reassembles in order") {
+    val corpus = Seq(
+      (1L, "alpha\n\nbeta\n\ngamma"),       // all first occurrences
+      (2L, "beta\n\ndelta\n\nbeta"),        // beta dup (cross-doc AND in-doc)
+      (3L, "alpha\n\nbeta"),                // nothing survives -> doc dropped
+      (4L, "  \n\nepsilon\n\n\t")           // whitespace-only paras dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(corpus, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha\n\nbeta\n\ngamma", 3L),
+      (2L, "delta", 1L),
+      (4L, "epsilon", 1L)))
+    // position, not id, breaks ties when the same doc holds the first two
+    // occurrences: the earlier position survives
+    val inDoc = Dedup.dedupParagraphs(
+      Seq((7L, "x\n\ny\n\nx")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Long)].head()
+    assert(inDoc == ((7L, "x\n\ny", 2L)))
+    // custom separator
+    val sep = Dedup.dedupParagraphs(
+      Seq((1L, "a|b|a"), (2L, "b|c")).toDF("doc_id", "text"), "doc_id", "text", "|")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(sep == Seq((1L, "a|b", 2L), (2L, "c", 1L)))
+  }
 }
