@@ -121,10 +121,35 @@ object Dedup {
     * a bucket and bucket size is bounded by genuinely-distinct near-dup
     * variants (the PipelineScaleBench mega-cluster case pins this).
     */
-  private def candidatesFromBands(bands: DataFrame, idCol: String): DataFrame =
+  /** Per-bucket expansion cap for the RAW candidate paths
+    * ([[lshCandidates]], [[nearDups]]): pair expansion is O(bucket²), so
+    * a byte-identical mega-cluster reaching a band bucket turns a silent
+    * multi-hour OOM into this loud, named diagnosis instead. The
+    * corpus-dedup entry points ([[dedupCorpus]] / [[dedupCorpusKeeping]] /
+    * [[dropDuplicatesAgainst]]) anti-join exact duplicates out BEFORE
+    * banding and structurally cannot hit the cap from identical content;
+    * 10k genuinely-distinct near-dup variants of one document in one
+    * bucket (50M pairs) is past any plausible non-adversarial corpus.
+    */
+  val DefaultMaxBucketDocs: Int = 10000
+
+  private def candidatesFromBands(bands: DataFrame, idCol: String,
+                                  maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame =
     bands.groupBy("band_id", "band_key")
       .agg(sort_array(collect_set(col(idCol))).as("__ids"))
       .filter(size(col("__ids")) > 1)
+      // fail FAST and LOUD on a bucket that would expand O(bucket²):
+      // assert_true yields NULL (-> coalesce true) when the bucket is
+      // sane and throws with the message otherwise; living in the filter
+      // predicate, it cannot be pruned away
+      .filter(coalesce(assert_true(size(col("__ids")) <= maxBucketDocs,
+        concat(lit("LSH band bucket holds "), size(col("__ids")).cast("string"),
+          lit(s" docs (maxBucketDocs = $maxBucketDocs): pair expansion is " +
+            "O(bucket^2). A byte-identical duplicate cluster must be removed " +
+            "before banding - use dedupCorpus/dedupCorpusKeeping (exact-first " +
+            "anti-join) as the entry point, or raise maxBucketDocs only if " +
+            "the bucket is genuinely-distinct near-dup variants."))),
+        lit(true)))
       .select(explode(expr(
         """flatten(transform(__ids,
           |  (a, i) -> transform(slice(__ids, i + 2, size(__ids) - i - 1),
@@ -132,11 +157,16 @@ object Dedup {
       .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"))
       .distinct()
 
-  /** Candidate near-dup pairs (docA < docB) from LSH band collisions. */
+  /** Candidate near-dup pairs (docA < docB) from LSH band collisions.
+    * `maxBucketDocs` fails fast on mega-cluster buckets — see
+    * [[DefaultMaxBucketDocs]].
+    */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+                    n: Int = 2, k: Int = 8, rowsPerBand: Int = 2,
+                    maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame =
     candidatesFromBands(
-      lshBands(minhashSignatures(df, idCol, textCol, n, k), idCol, k, rowsPerBand), idCol)
+      lshBands(minhashSignatures(df, idCol, textCol, n, k), idCol, k, rowsPerBand),
+      idCol, maxBucketDocs)
 
   /** The end-to-end corpus dedup: drop every document that is an exact OR
     * verified near-duplicate of a lower-id document. Edges = exact-dup
@@ -599,9 +629,11 @@ object Dedup {
     * output identical to the join-count formulation for any threshold.
     */
   def nearDups(df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
-               n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+               n: Int = 2, k: Int = 8, rowsPerBand: Int = 2,
+               maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-    val cands = candidatesFromBands(lshBands(sigsFromSets(sets, idCol, k), idCol, k, rowsPerBand), idCol)
+    val cands = candidatesFromBands(
+      lshBands(sigsFromSets(sets, idCol, k), idCol, k, rowsPerBand), idCol, maxBucketDocs)
     // shingle sets come out of the kernel already sorted; every candidate
     // pair verifies in O(|A|+|B|) via a codegen'd two-pointer merge (no
     // per-pair hash set)

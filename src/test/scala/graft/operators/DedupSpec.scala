@@ -192,6 +192,27 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("raw lshCandidates fails fast on a mega-cluster bucket; dedupCorpus sails through") {
+    // 120 byte-identical docs + 2 distinct ones: every copy lands every
+    // band in one bucket, so the raw path's pair expansion is O(120²)
+    val boiler = (0L until 120L).map(i => (i, "the same cookie banner on every page here"))
+    val corpus = (boiler :+ (200L -> "a completely different document body text")
+      :+ (201L -> "another unrelated piece of content entirely")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.lshCandidates(corpus, "doc_id", "text", maxBucketDocs = 50).count()
+    }
+    assert(e.getMessage.contains("maxBucketDocs = 50") &&
+      e.getMessage.contains("dedupCorpus"),
+      s"error must diagnose the cap and name the safe entry point: ${e.getMessage.take(200)}")
+    // the corpus-dedup entry point anti-joins exact duplicates before
+    // banding, so the same corpus succeeds (at most one representative
+    // per content ever reaches a bucket): one survivor for the cluster,
+    // both distinct docs kept
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 200L, 201L))
+  }
+
   test("dedupParagraphs keeps first occurrence corpus-wide, reassembles in order") {
     val corpus = Seq(
       (1L, "alpha\n\nbeta\n\ngamma"),       // all first occurrences
