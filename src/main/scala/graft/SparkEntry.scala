@@ -790,6 +790,16 @@ object SparkEntry {
           Seq("doc_id"))
         .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("__t2")).as("text"))
       Dedup.dedupParagraphs(twos, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ── bigram LM scoring with stupid backoff (CCNet-shape: frequency
+    // tables trained on a reference half, scoring the full corpus, so
+    // unseen bigrams/OOV tokens exercise the backoff branches).
+    "q83_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLogLikelihood(docs,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -1161,6 +1171,28 @@ object SparkEntry {
         |WHERE bit_count(xor(a.bucket, c.bucket)) <= 1
         |  AND list_cosine_similarity(a.v, c.v) > 0.4
         |ORDER BY 1, 2""".stripMargin,
+    "q83_bigram_lm" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |r AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i+1] AS tok,
+        |             CASE WHEN i = 0 THEN NULL ELSE t[i] END AS prev
+        |      FROM sp, unnest(range(len(t))) AS u(i)),
+        |ref AS (SELECT * FROM r WHERE doc_id % 2 = 0),
+        |v AS (SELECT tok, count(*) AS cnt FROM ref GROUP BY 1),
+        |tt AS (SELECT sum(cnt) AS total FROM v),
+        |b AS (SELECT prev, tok, count(*) AS bcnt FROM ref WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT r.doc_id,
+        |        CAST(round(CASE
+        |          WHEN r.prev IS NULL THEN ln(coalesce(CAST(v.cnt AS DOUBLE), 0.4) / tt.total)
+        |          WHEN b.bcnt IS NOT NULL THEN ln(CAST(b.bcnt AS DOUBLE) / pv.cnt)
+        |          ELSE ln(0.4 * coalesce(CAST(v.cnt AS DOUBLE), 0.4) / tt.total)
+        |        END, 6) AS DECIMAL(18,6)) AS lp
+        |      FROM r LEFT JOIN v USING (tok)
+        |             LEFT JOIN v pv ON pv.tok = r.prev
+        |             LEFT JOIN b ON b.prev = r.prev AND b.tok = r.tok, tt),
+        |a AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS ssum FROM s GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       round(CAST(ssum AS DOUBLE) / n_tokens, 6) AS avg_logprob
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q82_paragraph_dedup" ->
       """WITH two AS (SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
         |             FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id),

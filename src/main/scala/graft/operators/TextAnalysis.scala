@@ -321,6 +321,58 @@ object TextAnalysis {
     * scalar token total crossJoins as a broadcast literal; the
     * token-frequency join shuffles token-sized rows, never documents.
     */
+  /** Bigram language-model scoring with STUPID BACKOFF (Brants et al.
+    * 2007) — the next step from [[unigramLogLikelihood]] toward the
+    * CCNet/KenLM perplexity filter, exercising the production shape:
+    * frequency tables are trained on a REFERENCE corpus (CCNet trains on
+    * Wikipedia) and score a different corpus, so unseen bigrams and
+    * out-of-vocabulary tokens actually occur (self-scoring never backs
+    * off — every observed bigram is in its own table).
+    *
+    * Score of token w after p: `ln(count(p,w) / count(p))` when the
+    * reference saw the bigram, else `ln(0.4 · U(w))` (stupid backoff,
+    * α = 0.4); the document-initial token scores `ln(U(w))`. `U(w)` is
+    * `count(w)/total` with OOV tokens floored at pseudo-count 0.4.
+    * Backoff is unnormalized by design (Brants: "stupid" — no discount
+    * bookkeeping), which keeps every branch a pure rational-then-ln
+    * expression, deterministic under the q79 discipline (6-dp rounded ln
+    * of a rational is never on a rounding boundary; DECIMAL(18,6) sums).
+    *
+    * Scale shape: all three frequency joins shuffle token-sized rows
+    * (never documents), both aggregations partial-aggregate, and the
+    * scalar total rides a broadcast — the bigram table is the only
+    * corpus-sized side and it joins by (prev, tok) key, exactly how a
+    * sharded KenLM table would.
+    */
+  def bigramLogLikelihood(df: DataFrame, reference: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    def tokRows(src: DataFrame) =
+      src.select(col(idCol), split(col(textCol), " ").as("__t"))
+        .select(col(idCol), col("__t"), posexplode(col("__t")))
+        // element_at is 1-based: at 0-based pos it reads the PREVIOUS token
+        .select(col(idCol), col("pos"), col("col").as("tok"),
+          when(col("pos") > 0, element_at(col("__t"), col("pos"))).as("prev"))
+    val refRows = tokRows(reference)
+    val vocab = refRows.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("__total"))
+    val bigrams = refRows.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("bcnt"))
+    tokRows(df)
+      .join(vocab, Seq("tok"), "left")
+      .join(vocab.select(col("tok").as("prev"), col("cnt").as("pcnt")), Seq("prev"), "left")
+      .join(bigrams, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__u", coalesce(col("cnt").cast("double"), lit(0.4)) / col("__total"))
+      .withColumn("__lp", round(
+        when(col("prev").isNull, log(col("__u")))
+          .when(col("bcnt").isNotNull, log(col("bcnt") / col("pcnt")))
+          .otherwise(log(lit(0.4) * col("__u"))), 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__s"))
+      .withColumn("avg_logprob", round(col("__s").cast("double") / col("n_tokens"), 6))
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"))
+  }
+
   def unigramLogLikelihood(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))

@@ -108,6 +108,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(score(1L) > score(2L) && score(2L) > score(3L))
   }
 
+  test("bigramLogLikelihood: bigram hits, stupid backoff, and OOV floor, by hand") {
+    // reference = doc 0 only: tokens a,b,a,c; bigrams (a,b),(b,a),(a,c);
+    // vocab a:2 b:1 c:1, total 4
+    val corpus = Seq((0L, "a b a c"), (1L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogLikelihood(corpus,
+      corpus.filter($"doc_id" === 0), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    def r6(x: Double) = math.round(x * 1e6) / 1e6.toDouble
+    // doc 0 self-scores: ln(2/4) + ln(bcnt(a,b)/cnt(a)=1/2) + ln(1/1) + ln(1/2)
+    val d0 = r6((r6(math.log(0.5)) * 3 + r6(math.log(1.0))) / 4)
+    // doc 1: first ln(2/4); (a,b) seen ln(1/2); (b,d) UNSEEN, d OOV:
+    // ln(0.4 * (0.4/4))
+    val d1 = r6((r6(math.log(0.5)) * 2 + r6(math.log(0.4 * 0.1))) / 3)
+    assert(out == Seq((0L, 4L, d0), (1L, 3L, d1)))
+    // backoff must be a penalty: the unseen-bigram doc scores lower
+    assert(out(1)._3 < out(0)._3)
+  }
+
   test("repetitionSignals flags repeated bigrams") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),   // "spam spam" x4 of 4 grams
