@@ -60,11 +60,18 @@ object Outputs {
     // through the Hadoop FS like every other sink, so hdfs:// / s3a://
     // output paths work the same as local ones; checksum sidecars are
     // disabled so a local write yields report.xlsx, not a stray
-    // .report.xlsx.crc next to it (LocalFileSystem is a ChecksumFileSystem)
+    // .report.xlsx.crc next to it (LocalFileSystem is a ChecksumFileSystem).
+    // A PRIVATE FileSystem instance takes the setting: FileSystem.get
+    // returns the JVM-wide cached instance, and flipping writeChecksum on
+    // it would silently disable checksums for every later write through
+    // that FileSystem, this sink included among strangers
     val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    fs.setWriteChecksum(false)
-    val out = fs.create(hp, true)
-    try Xlsx.write(out, df.schema, rows) finally out.close()
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(hp.toUri,
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    try {
+      fs.setWriteChecksum(false)
+      val out = fs.create(hp, true)
+      try Xlsx.write(out, df.schema, rows) finally out.close()
+    } finally fs.close()
   }
 }

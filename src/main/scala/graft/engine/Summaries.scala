@@ -81,6 +81,10 @@ object Summaries {
   }
 
   def growth(df: DataFrame, dateCol: String): DataFrame = {
+    // deliberately UNPARTITIONED: the lag runs over the per-DATE aggregate
+    // series, whose row count is bounded by distinct dates (thousands at
+    // any corpus size), not by the corpus — the WindowExec single-partition
+    // warning this emits is about a table that fits in one task by design
     val w = Window.orderBy(dateCol)
     df.groupBy(col(dateCol)).agg(count(lit(1)).as("n"))
       .withColumn("prev_n", lag("n", 1).over(w))

@@ -195,9 +195,15 @@ object Dedup {
     // then rejoin) — never `collect_set` of a whole duplicate group: a
     // boilerplate mega-cluster (millions of byte-identical docs, routine in
     // web corpora) must not materialize as one multi-GB aggregation row.
+    // The join-back is NULL-SAFE (<=>): sha2(null) is null, and null-text
+    // docs form one duplicate group of their own (distinct from
+    // empty-text docs), same as the groupBy that computes the
+    // representatives — a plain equi-join would silently let every
+    // null-text doc survive (DedupSpec pins this).
     val hashed = df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
     val reps = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
-    val exactEdges = hashed.join(reps, "__h")
+      .withColumnRenamed("__h", "__hr")
+    val exactEdges = hashed.join(reps, col("__h") <=> col("__hr"))
       .filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
     // Near-dup LSH runs ONLY on exact-canonical docs (one representative per

@@ -64,6 +64,13 @@ object Selection {
                   budgets: Map[String, Long], buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(budgets.nonEmpty, "at least one budget is required")
+    // the driver prefix walk reads the group value as a string, and the
+    // budget keys are strings — a non-string group column would CCE at
+    // collect time with no hint; callers control neither through the
+    // type system
+    require(df.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
+      s"groupCol must be a string column, got " +
+        df.schema(groupCol).dataType.catalogString)
     // a null cost counts as 0 — kept for free, exactly like the window
     // formulation, whose sum() skips nulls
     val cost = coalesce(col(costCol).cast("long"), lit(0L))
@@ -76,9 +83,23 @@ object Selection {
     // the pushed-down filter substitutes the caller's (often expensive)
     // score expression, it substitutes it once — the earlier three-term
     // form (isNotNull && !isnan && !isin) tripled the score evaluation
-    // and doubled q77/q78 wall time at sf0.1
+    // and doubled q77/q78 wall time at sf0.1.
+    //
+    // A NEGATIVE cost breaks the prefix semantics (the running sum stops
+    // being monotone, so whole-bucket keeps/drops diverge from the window
+    // formulation) — fail loudly per row; the assert lives in the filter
+    // predicate so column pruning cannot elide it.
+    //
+    // localCheckpoint: four downstream reads (range agg, per-bucket
+    // collect, keep-whole, boundary) would otherwise each re-evaluate the
+    // caller's score expression over the corpus — the same recompute
+    // pattern the connectedComponents edge list hit (2.5× there).
     val scored = df.filter(abs(score) <= lit(Double.MaxValue))
       .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
+      .filter(coalesce(assert_true(cost >= 0,
+        concat(lit("selectUnderBudget: negative cost "), cost.cast("string"),
+          lit(" — prefix selection needs non-negative costs"))), lit(true)))
+      .localCheckpoint()
     val range = scored.agg(min(score), max(score)).head()
     if (range.isNullAt(0)) return df.limit(0).drop()
     val (lo, hi) = (range.getDouble(0), range.getDouble(1))
@@ -121,12 +142,17 @@ object Selection {
       when(col(groupCol) === g, lit(b)).otherwise(acc)
     }
     val keepWhole = bucketed.filter(col("__bkt") > cutExpr).drop("__bkt")
-    // the slices that need exact order: one window PARTITIONED BY domain
-    // over ~n/buckets rows each, with whatever budget the whole buckets
-    // left over
+    // the slices that need exact order: one window per domain over
+    // ~n/buckets rows each (bounded by construction — the boundary is ONE
+    // bucket per domain), with whatever budget the whole buckets left
+    // over. Partitioning includes __bkt — semantically redundant after
+    // the equality filter, but it keeps the partition spec a real
+    // attribute in the global case, where the folded constant group
+    // column otherwise degrades the spec to "no partition defined"
     val boundary = bucketed.filter(col("__bkt") === cutExpr)
       .withColumn("__run", sum(cost).over(
-        Window.partitionBy(col(groupCol)).orderBy(score.desc, col(idCol))))
+        Window.partitionBy(col(groupCol), col("__bkt"))
+          .orderBy(score.desc, col(idCol))))
       .filter(col("__run") <= budgetExpr - spentExpr)
       .drop("__bkt", "__run")
     keepWhole.unionByName(boundary)

@@ -213,6 +213,17 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(0L, 200L, 201L))
   }
 
+  test("dedupCorpus groups null texts as one cluster, distinct from empty texts") {
+    val corpus = Seq(
+      (1L, null), (2L, null), (3L, null),     // null-text cluster -> min id 1
+      (4L, ""), (5L, ""),                     // empty-text cluster -> min id 4
+      (6L, "real content survives untouched")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 6L))
+  }
+
   test("dedupParagraphs keeps first occurrence corpus-wide, reassembles in order") {
     val corpus = Seq(
       (1L, "alpha\n\nbeta\n\ngamma"),       // all first occurrences
