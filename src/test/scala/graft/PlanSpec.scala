@@ -168,4 +168,30 @@ class PlanSpec extends SparkSpec {
     val shuffles = collectAll(plan("q80_chunking")) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 1, s"expected <=1 (sort) exchange, got ${shuffles.size}")
   }
+
+  test("q81 banded near-dup: bucket equi-joins only — no nested-loop, cartesian, or window") {
+    val p = plan("q81_neardup_banded")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "per-table candidate generation must join on bucket, not nested-loop")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "per-table candidate generation must not be a cartesian product")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q82 paragraph dedup: first occurrence is a partial min aggregate, not a window") {
+    val p = plan("q82_paragraph_dedup")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "the winner table must partial-aggregate min(struct(id,pos)) — a " +
+        "row_number window would funnel each digest's occurrence list into one task")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
+  test("q83 bigram LM: frequency joins shuffle token rows — no cartesian scan") {
+    assert(collectAll(plan("q83_bigram_lm")) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "the scalar total must ride a broadcast, never a cartesian")
+  }
 }
