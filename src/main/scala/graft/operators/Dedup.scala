@@ -519,7 +519,13 @@ object Dedup {
           //    (their jump is a no-op until a new label arrives).
           val jumped = m1.filter(_._2._2).map { case (n, (l, _)) => (l, n) }
             .join(m1, part).map { case (_, (n, (ll, _))) => (n, ll) }
-          val next = m1.leftOuterJoin(jumped, part).mapValues {
+          // second jump (label := label³): one more frontier-sized lookup
+          // against the cached label table collapses chains ~log₃ instead
+          // of ~log₂ — fewer (expensive, edge-sized) rounds for two cheap
+          // re-keys
+          val jumped2 = jumped.map { case (n, ll) => (ll, n) }
+            .join(m1, part).map { case (_, (n, (lll, _))) => (n, lll) }
+          val next = m1.leftOuterJoin(jumped2, part).mapValues {
             case ((cur, ch), opt) => opt.filter(_ < cur) match {
               case Some(l) => (l, true)
               case None => (cur, ch)
