@@ -800,7 +800,14 @@ object SparkEntry {
       TextAnalysis.bigramLogLikelihood(docs,
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
         .orderBy("doc_id")
-    })
+    }),
+
+    // ── quality-classifier gate (fastText/CCNet reduction): logistic
+    // score over five deterministic text features, keep iff > 0.5;
+    // per-row narrow plan, zero shuffles.
+    "q84_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassify(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   private val threeWayJoinSql: String =
@@ -1171,6 +1178,18 @@ object SparkEntry {
         |WHERE bit_count(xor(a.bucket, c.bucket)) <= 1
         |  AND list_cosine_similarity(a.v, c.v) > 0.4
         |ORDER BY 1, 2""".stripMargin,
+    "q84_quality_classifier" ->
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |z AS (SELECT doc_id,
+        |  -2.2 + 0.8 * least(len(t) / 100.0, 1.0)
+        |       + 0.15 * (CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t))
+        |       + 2.0 * (CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(t))
+        |       + 1.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+        |       - 0.3 * least(CAST(list_max(list_transform(t, x -> length(x))) AS DOUBLE) / 20.0, 1.0)
+        |  AS z FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+        |       round(1.0 / (1.0 + exp(-z)), 6) > 0.5 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
     "q83_bigram_lm" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |r AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i+1] AS tok,

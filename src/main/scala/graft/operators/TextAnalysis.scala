@@ -321,6 +321,45 @@ object TextAnalysis {
     * scalar token total crossJoins as a broadcast literal; the
     * token-frequency join shuffles token-sized rows, never documents.
     */
+  /** Default weights for [[qualityClassify]] over the five signal
+    * features (saturating doc length, mean word length, alphabetic
+    * fraction, unique fraction, saturating max word length): hand-set
+    * stand-ins with the right signs — a trained model's coefficients are
+    * plug-compatible, the plan is identical.
+    */
+  val DefaultQualityWeights: Seq[Double] = Seq(0.8, 0.15, 2.0, 1.5, -0.3)
+
+  /** Quality-classifier gate — the fastText/CCNet "looks like good text"
+    * filter reduced to its Spark-expressible core: a logistic model over
+    * deterministic per-row text features, `score = sigmoid(w·x + b)`,
+    * keep iff score > 0.5. Features (all rational, exact cross-engine):
+    * doc length saturating at 100 words, mean word length, fraction of
+    * words containing a letter, fraction of unique words, max word
+    * length saturating at 20. The z sum is a fixed left-to-right
+    * expression shape and the sigmoid is rounded to 6 dp (transcendental
+    * output — never on a rounding boundary), so the score and the gate
+    * decision are engine-reproducible. Per-row and narrow: zero
+    * shuffles, runs at scan speed at any size.
+    */
+  def qualityClassify(df: DataFrame, idCol: String, textCol: String,
+                      weights: Seq[Double] = DefaultQualityWeights,
+                      bias: Double = -2.2): DataFrame = {
+    require(weights.length == 5, s"need 5 feature weights, got ${weights.length}")
+    val t = split(col(textCol), " ")
+    val f1 = least(size(t).cast("double") / lit(100.0), lit(1.0))
+    val f2 = aggregate(t, lit(0L), (a, x) => a + length(x).cast("long"))
+      .cast("double") / size(t)
+    val f3 = size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("double") / size(t)
+    val f4 = size(array_distinct(t)).cast("double") / size(t)
+    val f5 = least(array_max(transform(t, x => length(x))).cast("double") / lit(20.0),
+      lit(1.0))
+    val z = lit(bias) + lit(weights(0)) * f1 + lit(weights(1)) * f2 +
+      lit(weights(2)) * f3 + lit(weights(3)) * f4 + lit(weights(4)) * f5
+    df.select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
+      .withColumn("keep", col("quality_score") > 0.5)
+  }
+
   /** Bigram language-model scoring with STUPID BACKOFF (Brants et al.
     * 2007) — the next step from [[unigramLogLikelihood]] toward the
     * CCNet/KenLM perplexity filter, exercising the production shape:

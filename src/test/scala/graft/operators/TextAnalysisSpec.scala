@@ -108,6 +108,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(score(1L) > score(2L) && score(2L) > score(3L))
   }
 
+  test("qualityClassify: hand-computed sigmoid, and real text gates above garbage") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "#### $$$$ %%%% &&&& ####")   // no alphabetic word -> gated
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassify(docs, "doc_id", "text")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // doc 1 by hand: 12 words, 48 letters, all alphabetic, 10/12 unique,
+    // max len 5
+    val z = -2.2 + 0.8 * (12.0 / 100) + 0.15 * (48.0 / 12) + 2.0 * 1.0 +
+      1.5 * (10.0 / 12) - 0.3 * (5.0 / 20)
+    val expected = math.round(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6.toDouble
+    assert(out.head._2 == expected && out.head._3 == (expected > 0.5))
+    // garbage: zero alphabetic words -> below the 0.5 gate
+    assert(out(1)._2 < out.head._2 && !out(1)._3)
+  }
+
   test("bigramLogLikelihood: bigram hits, stupid backoff, and OOV floor, by hand") {
     // reference = doc 0 only: tokens a,b,a,c; bigrams (a,b),(b,a),(a,c);
     // vocab a:2 b:1 c:1, total 4
