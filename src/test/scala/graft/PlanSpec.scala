@@ -169,6 +169,11 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"expected <=1 (sort) exchange, got ${shuffles.size}")
   }
 
+  test("q84 quality classifier is a pure narrow plan: no exchange except the output sort") {
+    val shuffles = collectAll(plan("q84_quality_classifier")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"expected <=1 (sort) exchange, got ${shuffles.size}")
+  }
+
   test("q81 banded near-dup: bucket equi-joins only — no nested-loop, cartesian, or window") {
     val p = plan("q81_neardup_banded")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,

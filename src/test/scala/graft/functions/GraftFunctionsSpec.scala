@@ -29,6 +29,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](1).length == 8)
   }
 
+  test("lsh_bucket is SQL-callable with plan-time planes/offset arguments") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT lsh_bucket(CAST(array(0.5, 0.5, 0.5, 0.5) AS ARRAY<FLOAT>)) AS b4,
+        |       lsh_bucket(CAST(array(0.5, 0.5, 0.5, 0.5) AS ARRAY<FLOAT>), 6, 3) AS b63""".stripMargin).head()
+    assert(r.getLong(0) >= 0 && r.getLong(0) < 16)
+    assert(r.getLong(1) >= 0 && r.getLong(1) < 64)
+  }
+
   test("custom expressions reject wrong input types at analysis time") {
     GraftFunctions.registerAll(spark)
     val bad = Seq(
