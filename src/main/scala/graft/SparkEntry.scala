@@ -807,7 +807,18 @@ object SparkEntry {
     // per-row narrow plan, zero shuffles.
     "q84_quality_classifier" -> ((s, dir) =>
       TextAnalysis.qualityClassify(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── cross-side embedding near-dup drop (semantic decontamination /
+    // vector daily-ingest): every third vector is the "incoming" batch,
+    // the rest the corpus; candidates via banded LSH BETWEEN sides only.
+    "q85_embed_drop_against" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.dropNearDupsAgainst(
+        emb.filter(col("vec_id") % 3 === 0), emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", 0.4, planes = 4, tables = 3)
+        .select("vec_id").orderBy("vec_id")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -1236,6 +1247,19 @@ object SparkEntry {
         |WHERE (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2)
         |  AND list_cosine_similarity(a.v, c.v) > 0.4
         |ORDER BY 1, 2""".stripMargin,
+    "q85_embed_drop_against" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v", 4, 0)} AS b0,
+         |             ${lshBucketSql("v", 4, 4)} AS b1,
+         |             ${lshBucketSql("v", 4, 8)} AS b2 FROM v),
+        |inc AS (SELECT * FROM b WHERE vec_id % 3 = 0),
+        |ex AS (SELECT * FROM b WHERE vec_id % 3 <> 0),
+        |losers AS (SELECT DISTINCT i.vec_id FROM inc i JOIN ex e
+        |  ON (i.b0 = e.b0 OR i.b1 = e.b1 OR i.b2 = e.b2)
+        | WHERE list_cosine_similarity(i.v, e.v) > 0.4)
+        |SELECT vec_id FROM inc WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
     "q26_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

@@ -190,17 +190,58 @@ object Similarity {
     */
   def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, planes: Int, tables: Int = 3): DataFrame = {
-    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
-    require(tables >= 1, s"tables must be >= 1, got $tables")
-    val v = kernelVec(df, vecCol)
-    val bucketCols = (0 until tables).map(t => lshBucket(v, planes, t * planes).as(s"__b$t"))
-    val ids = df.select(col(idCol).as("__id") +: bucketCols: _*).localCheckpoint()
+    val ids = bandedBuckets(df, idCol, vecCol, planes, tables)
     val cands = (0 until tables).map { t =>
       val a = ids.select(col("__id").as("id_a"), col(s"__b$t").as("bucket"))
       val b = ids.select(col("__id").as("id_b"), col(s"__b$t").as("bucket"))
       a.join(b, "bucket").filter(col("id_a") < col("id_b")).select("id_a", "id_b")
     }.reduce(_ unionByName _).distinct()
     verifyCosine(df, idCol, vecCol, cands, threshold)
+  }
+
+  /** The localCheckpointed compact `(id, bucket₀..bucketₜ)` table of the
+    * banded generator: one pass over the corpus vectors, `8·(tables+1)`
+    * bytes per row through every downstream join.
+    */
+  private def bandedBuckets(df: DataFrame, idCol: String, vecCol: String,
+                            planes: Int, tables: Int): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val v = kernelVec(df, vecCol)
+    val bucketCols = (0 until tables).map(t => lshBucket(v, planes, t * planes).as(s"__b$t"))
+    df.select(col(idCol).as("__id") +: bucketCols: _*).localCheckpoint()
+  }
+
+  /** Cross-side embedding near-dup drop — the daily-ingest / semantic-
+    * decontamination shape for vectors ([[graft.operators.Dedup
+    * .dropDuplicatesAgainst]]'s embedding twin): remove from `incoming`
+    * every vector whose cosine with SOME `existing` vector exceeds
+    * `threshold`. Candidates are banded-LSH collisions BETWEEN the sides
+    * only (never incoming × incoming — intra-batch dedup composes as
+    * `nearDupPairsBanded` over the batch), verification is the exact
+    * threshold on candidates only. At scale the existing side's compact
+    * bucket table is per-row artifact data — materialize it once at
+    * ingest and every batch joins against it; per-batch cost is
+    * proportional to the batch, not the corpus.
+    */
+  def dropNearDupsAgainst(incoming: DataFrame, existing: DataFrame,
+                          idCol: String, vecCol: String, threshold: Double,
+                          planes: Int, tables: Int = 3): DataFrame = {
+    val inB = bandedBuckets(incoming, idCol, vecCol, planes, tables)
+    val exB = bandedBuckets(existing, idCol, vecCol, planes, tables)
+    val cands = (0 until tables).map { t =>
+      inB.select(col("__id").as("id_a"), col(s"__b$t").as("bucket"))
+        .join(exB.select(col("__id").as("id_b"), col(s"__b$t").as("bucket")), "bucket")
+        .select("id_a", "id_b")
+    }.reduce(_ unionByName _).distinct()
+    val vIn = incoming.select(col(idCol).as("id_a"), kernelVec(incoming, vecCol).as("__va"))
+      .withColumn("__na", norm(col("__va")))
+    val vEx = existing.select(col(idCol).as("id_b"), kernelVec(existing, vecCol).as("__vb"))
+      .withColumn("__nb", norm(col("__vb")))
+    val losers = cands.join(vIn, "id_a").join(vEx, "id_b")
+      .filter(dot(col("__va"), col("__vb")) > lit(threshold) * col("__na") * col("__nb"))
+      .select(col("id_a").as(idCol)).distinct()
+    incoming.join(losers, Seq(idCol), "left_anti")
   }
 
   /** `planes` sizing for [[nearDupPairsBanded]]: smallest plane count

@@ -126,6 +126,34 @@ class SimilaritySpec extends SparkSpec {
       Similarity.bandedPlanesFor(500000, tables = 3))
   }
 
+  test("dropNearDupsAgainst removes cross-side near-dups only, never intra-batch pairs") {
+    val existing = Seq(
+      (100L, Array.fill(64)(0.25f)),
+      (101L, Array.tabulate(64)(j => if (j % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (1L, Array.fill(64)(0.25f)),                                   // dup of 100
+      (2L, Array.fill(64)(0.26f)),                                   // near-dup of 100
+      (3L, Array.tabulate(64)(j => if (j % 2 == 0) -1.0f else 1.0f)),// opposite of 101
+      (4L, Array.fill(64)(0.27f))                                    // near-dup of 100 AND of 1/2
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.dropNearDupsAgainst(incoming, existing,
+      "vec_id", "embedding", 0.9, planes = 4, tables = 3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // 1, 2, 4 all collide with existing 100 (identical direction); 3 is
+    // anti-parallel to 101 (cosine -1) and must SURVIVE — and intra-batch
+    // near-dups (1~2~4) are never dropped against each other
+    assert(kept == Seq(3L))
+    // against an existing side with no parallel vector, the whole batch
+    // survives — 1~2~4 are near-dups of EACH OTHER but intra-batch pairs
+    // are out of contract (dedup them with nearDupPairsBanded first)
+    val survivors = Similarity.dropNearDupsAgainst(
+      incoming, existing.filter($"vec_id" === 101L),
+      "vec_id", "embedding", 0.9, planes = 4, tables = 3)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("fused lshBucket kernel matches the declarative formulation exactly") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     for ((planes, off) <- Seq((4, 0), (4, 4), (8, 0), (20, 7), (1, 33))) {
