@@ -818,6 +818,19 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 === 0), emb.filter(col("vec_id") % 3 =!= 0),
         "vec_id", "embedding", 0.4, planes = 4, tables = 3)
         .select("vec_id").orderBy("vec_id")
+    }),
+
+    // ── within-document repeated-line removal (C4 boilerplate cut):
+    // multi-line docs derived by sandwiching a successor's text between
+    // two copies of the doc's own line; the repeat is dropped per doc.
+    "q86_dedup_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val three = docs.select(col("doc_id"), col("text"))
+        .join(docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          concat(col("text"), lit("\n"), col("__t2"), lit("\n"), col("text")).as("text"))
+      TextAnalysis.dedupLines(three, "doc_id", "text").orderBy("doc_id")
     })
   )
 
@@ -1189,6 +1202,17 @@ object SparkEntry {
         |WHERE bit_count(xor(a.bucket, c.bucket)) <= 1
         |  AND list_cosine_similarity(a.v, c.v) > 0.4
         |ORDER BY 1, 2""".stripMargin,
+    "q86_dedup_lines" ->
+      """WITH three AS (SELECT a.doc_id, a.text || chr(10) || b.text || chr(10) || a.text AS text
+        |               FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id),
+        |l AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ls[i+1] AS line
+        |      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM three),
+        |           unnest(range(len(ls))) AS t(i)),
+        |w AS (SELECT doc_id, pos, line,
+        |             row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |      FROM l)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q84_quality_classifier" ->
       """WITH f AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |z AS (SELECT doc_id,

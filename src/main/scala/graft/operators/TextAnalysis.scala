@@ -321,6 +321,21 @@ object TextAnalysis {
     * scalar token total crossJoins as a broadcast literal; the
     * token-frequency join shuffles token-sized rows, never documents.
     */
+  /** Within-document repeated-line removal — the C4-pipeline boilerplate
+    * cut (nav menus, cookie banners and footers repeat VERBATIM inside a
+    * page): keep the first occurrence of every distinct line, in order,
+    * per document. `array_distinct` preserves first-occurrence order
+    * (spec-pinned), so the whole operator is one per-row expression —
+    * zero shuffles, scan speed at any size. Corpus-WIDE line/paragraph
+    * dedup is [[graft.operators.Dedup.dedupParagraphs]]; this is the
+    * per-document half every pipeline runs first.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame =
+    df.withColumn(textCol,
+      array_join(array_distinct(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))), sep))
+
   /** Default weights for [[qualityClassify]] over the five signal
     * features (saturating doc length, mean word length, alphabetic
     * fraction, unique fraction, saturating max word length): hand-set

@@ -108,6 +108,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(score(1L) > score(2L) && score(2L) > score(3L))
   }
 
+  test("dedupLines keeps first occurrence in order, within each doc only") {
+    val docs = Seq(
+      (1L, "menu\ncontent one\nmenu\nfooter\nfooter"),
+      (2L, "menu\nother content"),         // cross-doc repeats untouched
+      (3L, "a|b|a")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "menu\ncontent one\nfooter"),
+      (2L, "menu\nother content"),
+      (3L, "a|b|a")))
+    val sep = TextAnalysis.dedupLines(docs.filter($"doc_id" === 3), "doc_id", "text", "|")
+      .as[(Long, String)].head()
+    assert(sep == ((3L, "a|b")))
+  }
+
   test("qualityClassify: hand-computed sigmoid, and real text gates above garbage") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
