@@ -168,6 +168,15 @@ object Dedup {
       lshBands(minhashSignatures(df, idCol, textCol, n, k), idCol, k, rowsPerBand),
       idCol, maxBucketDocs)
 
+  /** [[lshCandidates]] over a PRE-BUILT signature table (lets callers reuse
+    * one shingle/signature pass across the banding and verification
+    * branches).
+    */
+  def lshCandidatesFromSigs(sigs: DataFrame, idCol: String,
+                            k: Int = 8, rowsPerBand: Int = 2,
+                            maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame =
+    candidatesFromBands(lshBands(sigs, idCol, k, rowsPerBand), idCol, maxBucketDocs)
+
   /** The end-to-end corpus dedup: drop every document that is an exact OR
     * verified near-duplicate of a lower-id document. Edges = exact-dup
     * pairs (content digest groups) ∪ Jaccard-verified near-dup pairs;
@@ -643,7 +652,26 @@ object Dedup {
   def nearDups(df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
                n: Int = 2, k: Int = 8, rowsPerBand: Int = 2,
                maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    // the shingle-set table feeds THREE subtrees (signature pipeline + both
+    // verify-join sides); a leak-free A/B (tools.DedupProfile) measured the
+    // lazy recompute, an internal localCheckpoint, and an explicit persist
+    // within noise of each other at sf0.1 — the kernel is cheap next to the
+    // candidate join — so the lazy form stays (no eager materialization, no
+    // leaked checkpoint blocks in long-lived sessions). A caller whose
+    // corpus scan IS the dominant cost can persist the set table and use
+    // [[nearDupsOn]] to control its lifecycle.
+    nearDupsOn(shingleSets(df, idCol, textCol, n), idCol, minJaccard,
+      k, rowsPerBand, maxBucketDocs)
+  }
+
+  /** [[nearDups]] over a PRE-BUILT shingle-set table (`(idCol, __set)`,
+    * sets sorted ascending as [[shingleSets]] emits them). At cluster scale
+    * the set table feeds three subtrees — persist it before calling and
+    * unpersist after the action, and the corpus text is scanned once.
+    */
+  def nearDupsOn(sets: DataFrame, idCol: String, minJaccard: Double,
+                 k: Int = 8, rowsPerBand: Int = 2,
+                 maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame = {
     val cands = candidatesFromBands(
       lshBands(sigsFromSets(sets, idCol, k), idCol, k, rowsPerBand), idCol, maxBucketDocs)
     // shingle sets come out of the kernel already sorted; every candidate
