@@ -356,10 +356,13 @@ object Dedup {
     *
     * Each round is hash-min + pointer jumping:
     *   1. every node takes the min label over its closed neighborhood;
-    *   2. label := label(label) (labels are node ids, so the lookup is
-    *      total) — long chains collapse in O(log diameter) rounds where
-    *      plain min-propagation (GraphX `connectedComponents`) needs
-    *      O(diameter).
+    *   2. the parent forest the labels form is collapsed by pointer
+    *      jumping — when the frontier is dense, by repeated SQUARING of
+    *      the label table (lab, lab∘lab, lab⁴ …: depth halves per
+    *      node-sized job, so a depth-d chain collapses fully inside ONE
+    *      edge round); when sparse, by two frontier-sized lookups into
+    *      the static table. Plain min-propagation (GraphX
+    *      `connectedComponents`) needs O(diameter) edge rounds instead.
     * Labels decrease monotonically, so an unchanged per-round label sum
     * (exact BigInt, no overflow at any scale) is an exact fixpoint test,
     * read from the one action each round already needs.
@@ -502,6 +505,10 @@ object Dedup {
           .persist(StorageLevel.MEMORY_AND_DISK_SER)
         var converged = false
         var i = 0
+        // frontier size drives the jump strategy below; round 0 treats
+        // every node as changed (it is), so seed with the node count
+        val nNodes = state.count()
+        var lastChanged = nNodes
         while (!converged && i < maxIter) {
           val parent = state.mapValues(_._1)
           val frontier = state.filter(_._2._2).mapValues(_._1)
@@ -521,29 +528,75 @@ object Dedup {
               case None => (cur, false)
             }
           }.persist(StorageLevel.MEMORY_AND_DISK_SER)
-          // 3. pointer jump freshly-improved nodes against the POST-FOLD
-          //    labels: label := label(label) — long chains collapse in
-          //    O(log diameter) rounds where plain min-propagation needs
-          //    O(diameter). Nodes at their local fixpoint skip the lookup
-          //    (their jump is a no-op until a new label arrives).
-          val jumped = m1.filter(_._2._2).map { case (n, (l, _)) => (l, n) }
-            .join(m1, part).map { case (_, (n, (ll, _))) => (n, ll) }
-          // second jump (label := label³): one more frontier-sized lookup
-          // against the cached label table collapses chains ~log₃ instead
-          // of ~log₂ — fewer (expensive, edge-sized) rounds for two cheap
-          // re-keys
-          val jumped2 = jumped.map { case (n, ll) => (ll, n) }
-            .join(m1, part).map { case (_, (n, (lll, _))) => (n, lll) }
-          val next = m1.leftOuterJoin(jumped2, part).mapValues {
-            case ((cur, ch), opt) => opt.filter(_ < cur) match {
-              case Some(l) => (l, true)
-              case None => (cur, ch)
+          // 3. pointer jump against the post-fold labels. Two regimes:
+          //
+          //    DENSE frontier (> nNodes/5 changed last round — the chain /
+          //    high-diameter mass-propagation shape): repeatedly SQUARE the
+          //    label table to a fixpoint — lab, lab∘lab, lab⁴, lab⁸ … Each
+          //    composition joins the freshly-composed table with ITSELF, so
+          //    parent-chain depth HALVES per step and a depth-d forest
+          //    collapses in ⌈log₂ d⌉ node-sized jobs with zero edge
+          //    participation. (The previous chained-lookup form — jump
+          //    twice into the STATIC post-fold table — only subtracts a
+          //    constant depth per round, so a chain of length 1000 paid
+          //    ~log₃ 1000 full EDGE-sized announce rounds; squaring pays
+          //    the edge round once, collapses the whole chain inline, and
+          //    converges the round after.) Labels are node ids and every
+          //    node is a key, so the composition join is total; label(x) ≤ x
+          //    is a min-fold invariant, so the composed label never grows
+          //    and an unchanged round (accumulator, only ever compared to
+          //    zero — task retries can only inflate a genuinely nonzero
+          //    count) is an exact inner fixpoint.
+          //
+          //    SPARSE frontier: the old shape — jump only freshly-improved
+          //    nodes, twice, against the static table. Squaring would drag
+          //    every converged node through two full-N shuffles per step;
+          //    chained lookups stay frontier-sized.
+          val next = if (lastChanged > nNodes / 5) {
+            var lab: RDD[(Long, Long)] = m1.mapValues(_._1)
+            var labPersisted = false // initial lab is a view over cached m1
+            var innerDone = false
+            var j = 0
+            while (!innerDone && j < 64) {
+              val acc = spark.sparkContext.longAccumulator
+              val nxt = lab.map { case (n, l) => (l, n) }
+                .join(lab, part)
+                .map { case (l, (n, ll)) => if (ll != l) acc.add(1); (n, ll) }
+                .persist(StorageLevel.MEMORY_AND_DISK_SER)
+              nxt.count()
+              if (acc.value == 0) { nxt.unpersist(blocking = false); innerDone = true }
+              else {
+                if (labPersisted) lab.unpersist(blocking = false)
+                lab = nxt; labPersisted = true
+              }
+              j += 1
             }
-          }.persist(StorageLevel.MEMORY_AND_DISK_SER)
+            val folded = parent.join(lab, part).mapValues {
+              case (cur, fin) => (fin, fin < cur)
+            }.persist(StorageLevel.MEMORY_AND_DISK_SER)
+            // materialize BEFORE dropping the last squaring table — folded's
+            // lineage reads it, and recomputing it means replaying every
+            // squaring
+            folded.count()
+            if (labPersisted) lab.unpersist(blocking = false)
+            folded
+          } else {
+            val jumped = m1.filter(_._2._2).map { case (n, (l, _)) => (l, n) }
+              .join(m1, part).map { case (_, (n, (ll, _))) => (n, ll) }
+            val jumped2 = jumped.map { case (n, ll) => (ll, n) }
+              .join(m1, part).map { case (_, (n, (lll, _))) => (n, lll) }
+            m1.leftOuterJoin(jumped2, part).mapValues {
+              case ((cur, ch), opt) => opt.filter(_ < cur) match {
+                case Some(l) => (l, true)
+                case None => (cur, ch)
+              }
+            }.persist(StorageLevel.MEMORY_AND_DISK_SER)
+          }
           // labels decrease monotonically, so changed == 0 (read from the
           // one action each round already needs) is an exact fixpoint test
           val changed = next.filter(_._2._2).count()
           converged = changed == 0
+          lastChanged = changed
           state.unpersist(blocking = false)
           m1.unpersist(blocking = false)
           state = next
