@@ -81,6 +81,22 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty && fast.forall { case (n, c) => c <= n })
   }
 
+  test("connectedComponents dense-regime pointer squaring matches union-find") {
+    // a 3000-node sequential-id chain keeps the frontier dense (every node
+    // improves every round — the regime routed to the inner squaring loop,
+    // which needs ~log2(3000) compositions to a fixpoint), while the small
+    // pairs converge immediately and drive later rounds into the sparse
+    // chained-jump branch; both branches must agree with driver union-find
+    val chain = (0 until 3000).map(i => (5000L + i, 5001L + i))
+    val pairs = (0 until 50).map(i => (i.toLong * 2, i.toLong * 2 + 1))
+    val edges = (chain ++ pairs).toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(edges, driverMaxEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == fast)
+    assert((5000L until 8001L).forall(n => fast(n) == 5000L))
+  }
+
   test("dropDuplicatesAgainst removes exact and near dups of the existing corpus only") {
     val existing = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
