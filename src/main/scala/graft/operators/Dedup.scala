@@ -97,11 +97,20 @@ object Dedup {
     * split into k/rowsPerBand bands; docs agreeing on ANY full band collide.
     * One explode — the signature columns are computed once, not once per
     * band branch.
+    *
+    * The band key is `xxhash64` over the band's signature columns — an
+    * 8-byte shuffle/join key evaluated natively on longs, where the earlier
+    * `md5(concat_ws(...))` paid a per-row string build + digest and carried
+    * a 32-char hex key through every exchange. A 64-bit key collision
+    * between two band buckets would only ADD candidate pairs (downstream
+    * Jaccard verification rejects them); at 2⁻⁶⁴ per bucket pair it is
+    * orders below the LSH band false-positive rate that verification
+    * exists to absorb.
     */
   def lshBands(sigs: DataFrame, idCol: String, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val bandStructs = (0 until k / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band_id"), md5(concat_ws(":", cols: _*)).as("band_key"))
+      struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_key"))
     }
     sigs.select(col(idCol), explode(array(bandStructs: _*)).as("__band"))
       .select(col(idCol), col("__band.band_id").as("band_id"), col("__band.band_key").as("band_key"))
