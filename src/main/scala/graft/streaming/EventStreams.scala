@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface: the snapshot-append pattern of the EPSS
@@ -101,6 +103,70 @@ object EventStreams {
           it.foreach { e => n += 1; v += e.value }
           state.update((n, v))
           UserRunningTotal(uid, n, v)
+      }
+  }
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+                                 n_events: Long, total_value: Double)
+  /** Open-session state: epoch-millis bounds plus running totals. Public
+    * because the state-store encoder's generated code constructs it (a
+    * private constructor fails Janino compilation at runtime).
+    */
+  final case class OpenSession(start: Long, last: Long, n: Long, total: Double)
+
+  /** Closed-session emission via `flatMapGroupsWithState` + event-time
+    * timeout — the custom-state surface for semantics `session_window`
+    * cannot express: a session row is emitted ONCE, exactly when the
+    * session closes (either a later in-batch event overshoots the gap, or
+    * the watermark passes `last + gap` with no new event and the timeout
+    * fires). `session_window` instead re-emits a session's aggregate on
+    * every update; `mapGroupsWithState` must return exactly one row per
+    * key per batch. State per key is one open session — bounded — and the
+    * timeout clears it, so the state store never grows past the live-user
+    * count. Gap boundary matches `session_window`: an event EXACTLY `gap`
+    * after the previous one extends the session (merge-touching,
+    * EventStreamsSpec pins the boundary).
+    */
+  def closedSessions(events: Dataset[SessionEvent], gapSeconds: Long = 1800L,
+                     watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (uid, it, state) =>
+        if (!it.hasNext) {
+          // watermark passed last + gap with no event: the open session is
+          // definitively closed (no on-time event can extend it anymore)
+          val out = state.getOption.map(s =>
+            ClosedSession(uid, new Timestamp(s.start), s.n, s.total)).iterator
+          state.remove()
+          out
+        } else {
+          // fold this batch's events (sorted — micro-batches are unordered)
+          // into the carried open session, closing on each gap overshoot
+          val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+          var open = state.getOption
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            open = open match {
+              case Some(s) if t - s.last <= gapMs =>
+                Some(OpenSession(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed += ClosedSession(uid, new Timestamp(s.start), s.n, s.total)
+                Some(OpenSession(t, t, 1L, e.value))
+              case None =>
+                Some(OpenSession(t, t, 1L, e.value))
+            }
+          }
+          val s = open.get
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+          closed.iterator
+        }
       }
   }
 

@@ -95,6 +95,61 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits a session once — in-batch gap overshoot closes it") {
+    import EventStreams.{SessionEvent, ClosedSession}
+    val dir = s"$tmp/fmgws-inbatch"
+    // one batch: u1 has a >30min gap inside it → first session closes inline;
+    // the second stays open (no emission — nothing has closed it yet)
+    Seq(
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 01:00:00"), 4.0)
+    ).toDS().coalesce(1).write.parquet(dir)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[SessionEvent].schema)
+      .parquet(dir).as[SessionEvent]
+    val q = EventStreams.closedSessions(src).writeStream
+      .outputMode("append").format("memory").queryName("fmgws_inbatch").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fmgws_inbatch")
+        .select($"user_id", $"session_start".cast("string"), $"n_events", $"total_value")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      assert(got == Seq((1L, "2024-01-01 00:00:00", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState event-time timeout flushes the open session") {
+    import EventStreams.SessionEvent
+    val dir = s"$tmp/fmgws-timeout"
+    // three files → three micro-batches. b1 opens u1's session; b2's later
+    // event advances the watermark past u1's last + gap; b3 (any further
+    // batch) lets the timeout fire and emit the closed session. The
+    // exact-gap event in b1 must still merge (session_window boundary).
+    Seq(
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      SessionEvent(1L, Timestamp.valueOf("2024-01-01 00:30:00"), 2.0)  // exactly gap → merged
+    ).toDS().coalesce(1).write.parquet(s"$dir/b1")
+    Seq(SessionEvent(99L, Timestamp.valueOf("2024-01-01 06:00:00"), 0.0))
+      .toDS().coalesce(1).write.parquet(s"$dir/b2")
+    Seq(SessionEvent(98L, Timestamp.valueOf("2024-01-01 12:00:00"), 0.0))
+      .toDS().coalesce(1).write.parquet(s"$dir/b3")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[SessionEvent].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*").as[SessionEvent]
+    val q = EventStreams.closedSessions(src).writeStream
+      .outputMode("append").format("memory").queryName("fmgws_timeout").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fmgws_timeout")
+        .filter($"user_id" === 1L)
+        .select($"user_id", $"session_start".cast("string"), $"n_events", $"total_value")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      assert(got == Seq((1L, "2024-01-01 00:00:00", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated event ids within the watermark horizon") {
     val dedupSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
