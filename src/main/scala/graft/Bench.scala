@@ -20,7 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q23,q58 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val results = ordered.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warmup: codegen + JIT + IO caches

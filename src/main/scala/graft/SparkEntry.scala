@@ -831,7 +831,68 @@ object SparkEntry {
         .select(col("doc_id"),
           concat(col("text"), lit("\n"), col("__t2"), lit("\n"), col("text")).as("text"))
       TextAnalysis.dedupLines(three, "doc_id", "text").orderBy("doc_id")
-    })
+    }),
+
+    // ── bloom-prefiltered decontamination: same RESULT as q76 (exact
+    // verify absorbs bloom false positives), but the benchmark side ships
+    // as a BloomFilterAggregate sketch over xxhash64(shingle) — megabytes
+    // of bits instead of a broadcast hash table of shingle strings.
+    "q87_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ── fuzzy contamination fraction (PaLM/Llama-style): per-doc share of
+    // distinct trigrams also present in the benchmark slice; the drop
+    // decision thresholds this instead of q76's drop-on-any-hit.
+    "q88_contamination_frac" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationFraction(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+        .select("doc_id", "n_shingles", "n_contaminated", "frac")
+        .orderBy("doc_id")
+    }),
+
+    // ── cross-document duplicated span mining (boilerplate detector):
+    // 5-grams occurring in ≥2 distinct docs, with doc frequency and total
+    // occurrence count; multiplicity within a doc counts toward
+    // n_occurrences only.
+    "q89_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)
+        .select("shingle", "n_docs", "n_occurrences")
+        .orderBy("shingle")),
+
+    // ── CUBE with grouping_id over orders: all four grouping-set
+    // combinations of (status, priority) in one pass through Expand.
+    "q90_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          grouping_id().cast("long").as("gid"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_rows", "total")
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // ── salted skew-resistant aggregation: two-phase groupBy through a
+    // content+partition-id salt; result identical to the plain groupBy the
+    // oracle runs (salting is purely physical).
+    "q91_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+        t(s, dir, "lineitem").select(col("l_suppkey"),
+          col("l_quantity").cast("decimal(18,2)").as("qty")),
+        "l_suppkey", "qty", salts = 16)
+        .select(col("l_suppkey"), col("sum_value").cast("double").as("sum_qty"),
+          col("n_rows"))
+        .orderBy("l_suppkey"))
   )
 
   private val threeWayJoinSql: String =
@@ -1213,6 +1274,49 @@ object SparkEntry {
         |      FROM l)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical semantics to q76 — the bloom sketch is a pure prefilter
+    "q87_bloom_decontaminate" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM sp),
+        |bench AS (SELECT DISTINCT shingle FROM tri WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT c.doc_id FROM tri c JOIN bench b USING (shingle)
+        |        WHERE c.doc_id % 97 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "q88_contamination_frac" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tri0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM sp),
+        |tri AS (SELECT DISTINCT doc_id, shingle FROM tri0),
+        |bench AS (SELECT DISTINCT shingle FROM tri WHERE doc_id % 97 = 0),
+        |c AS (SELECT t.doc_id, count(*) AS n_shingles, count(b.shingle) AS n_contaminated
+        |      FROM tri t LEFT JOIN bench b ON t.shingle = b.shingle
+        |      WHERE t.doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_contaminated,
+        |  CAST(n_contaminated AS DOUBLE) / n_shingles AS frac
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q89_dup_spans" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingle
+        |      FROM sp)
+        |SELECT shingle, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY shingle""".stripMargin,
+    "q90_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q91_salted_agg" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q84_quality_classifier" ->
       """WITH f AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |z AS (SELECT doc_id,

@@ -315,6 +315,117 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-prefiltered decontamination — same RESULT as [[decontaminate]]
+    * (the exact-verify pass makes the bloom's false positives harmless),
+    * different 100 TB physical shape: instead of broadcasting the
+    * benchmark's shingle STRINGS to every task, the benchmark side is
+    * collapsed into one Bloom filter over `xxhash64(shingle)` (Spark's own
+    * runtime-join-filter sketch, `BloomFilterAggregate`), a few MB of bits
+    * regardless of shingle length. The corpus scan then drops the vast
+    * majority of its shingles with one codegen'd `might_contain` probe —
+    * no string set lookup, no broadcast hash table of strings — and only
+    * the (rare) bloom survivors reach the exact string semi-join. The
+    * sketch is materialized driver-side once (exactly how Spark's injected
+    * runtime filters ship bloom bits into scans: as a literal), sized from
+    * the benchmark's distinct-shingle count.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3,
+                         bitsPerItem: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val benchShingles = shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("__set")).as("shingle")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBench = math.max(1L, benchShingles.count())
+      val bloomAgg = column(new BloomFilterAggregate(
+        expression(xxhash64(col("shingle"))),
+        expression(lit(nBench)),
+        expression(lit(nBench * bitsPerItem.toLong))).toAggregateExpression())
+      val bloomBits = benchShingles.agg(bloomAgg.as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val mightContain = column(new BloomFilterMightContain(
+        expression(lit(bloomBits)), expression(xxhash64(col("shingle")))))
+      val contaminated = shingles(corpus, idCol, textCol, n)
+        .filter(mightContain)
+        .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+        .select(idCol).distinct()
+      corpus.join(contaminated, Seq(idCol), "left_anti")
+    } finally benchShingles.unpersist(blocking = false)
+  }
+
+  /** Per-document contamination fraction — the FUZZY decontamination
+    * signal (PaLM / Llama-style): of a document's DISTINCT n-gram
+    * shingles, what fraction also occur in the benchmark set? Exact-match
+    * drop-on-any-hit (q76) is too aggressive for long documents that
+    * legitimately quote a benchmark phrase; production pipelines instead
+    * drop documents whose contaminated-shingle fraction exceeds a
+    * threshold. Returns `(id, n_shingles, n_contaminated, frac)`.
+    *
+    * Same broadcast shape as [[decontaminate]]: benchmark shingles
+    * broadcast; the corpus side is a narrow explode → broadcast-join →
+    * per-doc count aggregation keyed by doc id (map-side combinable).
+    */
+  def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 3): DataFrame = {
+    val benchShingles = shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("__set")).as("shingle")).distinct()
+    shingleSets(corpus, idCol, textCol, n)
+      .select(col(idCol), explode(col("__set")).as("shingle"))
+      .join(broadcast(benchShingles.withColumn("__hit", lit(1))),
+        Seq("shingle"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+      .withColumn("frac",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+  }
+
+  /** Fuzzy decontamination: keep corpus documents whose contaminated
+    * shingle fraction is at most `maxFraction` (documents too short to
+    * have any n-gram are kept — they cannot match anything).
+    */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         maxFraction: Double = 0.8): DataFrame = {
+    val tooContaminated = contaminationFraction(corpus, benchmark, idCol, textCol, n)
+      .filter(col("frac") > maxFraction)
+      .select(idCol)
+    corpus.join(tooContaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-document duplicated span mining: n-gram shingles occurring in
+    * at least `minDocs` DISTINCT documents, with document frequency and
+    * total occurrence count — the boilerplate/template detector (CCNet's
+    * duplicated-line analysis generalized to n-grams). Shingle multiplicity
+    * within one document counts toward `n_occurrences` but once toward
+    * `n_docs`.
+    *
+    * 100 TB shape: one explode → two-level hash aggregation — the first
+    * collapses within-doc repeats (partial aggs shrink the pair space
+    * map-side before the only large shuffle); the second rolls the already
+    * collapsed distinct `(shingle, doc)` pairs up to the shingle, so its
+    * exchange moves a strict subset of the first one's output.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    // multiplicity-preserving n-grams (shingles() is per-doc DISTINCT, which
+    // would collapse n_occurrences down to n_docs)
+    val base = df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= n)
+    val grams = transform(sequence(lit(1), size(col("__t")) - lit(n - 1)), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + lit(j))): _*))
+    base.select(col(idCol), explode(grams).as("shingle"))
+      .groupBy(col("shingle"), col(idCol))
+      .agg(count(lit(1)).as("__in_doc"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__in_doc")).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** SimHash near-dup pairs with EXACT pigeonhole blocking: split the
     * 60-bit signature into `maxHamming + 1` chunks — any pair within the
     * Hamming threshold must agree on at least one full chunk, so blocking
