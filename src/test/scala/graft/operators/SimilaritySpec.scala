@@ -174,6 +174,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(_._1 >= 1).forall(_._2 == 0L))
   }
 
+  test("lshBucket accepts integral-element arrays (quantizeInt8 shape) and widens exactly") {
+    // public contract: array<long>/array<int> inputs — the int8-quantized
+    // pipeline's shape — bucket identically to their double-widened twins
+    val q = Seq((0L, Array(127L, -64L, 3L)), (1L, Array(5L, 5L, 5L)))
+      .toDF("id", "v")
+    val got = q.select($"id",
+      Similarity.lshBucket($"v", 6, 0).as("b"),
+      Similarity.lshBucket(Similarity.asDouble($"v"), 6, 0).as("bd"),
+      Similarity.lshBucket($"v".cast("array<int>"), 6, 0).as("bi"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.forall(r => r._2 == r._3 && r._2 == r._4))
+  }
+
   test("lshBucket kernel survives CODEGEN_ONLY factory mode") {
     val prev = (spark.conf.getOption("spark.sql.codegen.factoryMode"),
       spark.conf.getOption("spark.sql.codegen.fallback"))
