@@ -137,6 +137,21 @@ object PipelineScaleBench {
       out.agg(max(xxhash64(out.columns.map(col): _*))).head()
       total
     }
+    timed("pipe_substring_dedup") {
+      // passage REMOVAL (Lee et al.): every doc shares one boilerplate
+      // 8-token middle span (canonical doc keeps it, everyone else loses
+      // those positions), and the 2% near-dup docs lose their whole
+      // duplicated prefix. The gram join's build side is the duplicated-
+      // gram table (hot grams = the boilerplate span's windows — each
+      // ~n_docs wide on the PROBE side, which hash-distributes; the cover
+      // explode is n tokens per hit). output ≈ input docs.
+      val boiler = lit("shared cookie banner boilerplate appears on every page")
+      val multi = corpus.select(col("doc_id"),
+        concat_ws(" ", col("text"), boiler).as("text"))
+      val out = Dedup.removeDuplicatedSpans(multi, "doc_id", "text", n = 5)
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      total
+    }
     // CC RDD-path guard: a chain graph big enough to cross the 4M-edge
     // driver union-find ceiling, so the distributed hash-min + pointer-
     // jumping loop's convergence and timing are measured, not just spec'd

@@ -892,7 +892,17 @@ object SparkEntry {
         "l_suppkey", "qty", salts = 16)
         .select(col("l_suppkey"), col("sum_value").cast("double").as("sum_qty"),
           col("n_rows"))
-        .orderBy("l_suppkey"))
+        .orderBy("l_suppkey")),
+
+    // ── substring-level dedup (Lee et al. passage removal): tokens covered
+    // by a cross-document duplicated 5-gram are cut everywhere except the
+    // gram's canonical (min-id) document; docs come back rebuilt, exact
+    // duplicates fully emptied.
+    "q92_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)
+        .select("doc_id", "text", "n_removed")
+        .orderBy("doc_id"))
   )
 
   private val threeWayJoinSql: String =
@@ -1154,9 +1164,11 @@ object SparkEntry {
         |s AS (SELECT dt.doc_id,
         |       CAST(round(ln(CAST(v.cnt AS DOUBLE) / t.total), 6) AS DECIMAL(18,6)) AS lp
         |      FROM dt JOIN v USING (tok), t),
-        |a AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS s FROM s GROUP BY 1)
+        |a AS (SELECT doc_id, count(*) AS n_tokens,
+        |             CAST(sum(lp) * 1000000 AS BIGINT) AS sm FROM s GROUP BY 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        | round(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logprob
+        | CAST(sign(sm) AS DOUBLE) *
+        |   ((2 * abs(sm) + n_tokens) // (2 * n_tokens)) / 1000000 AS avg_logprob
         |FROM a ORDER BY doc_id""".stripMargin,
     "q80_chunking" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1317,6 +1329,27 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q92_remove_dup_spans" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |            WHERE text IS NOT NULL),
+        |g0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |         i -> {'pos': i, 'gram': t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]})) AS s
+        |       FROM sp),
+        |pg AS (SELECT doc_id, struct_extract(s, 'pos') AS pos,
+        |              struct_extract(s, 'gram') AS gram FROM g0),
+        |dup AS (SELECT gram, min(doc_id) AS canon
+        |        FROM (SELECT DISTINCT gram, doc_id FROM pg)
+        |        GROUP BY 1 HAVING count(*) >= 2),
+        |cov0 AS (SELECT pg.doc_id, unnest(range(pg.pos, pg.pos + 5)) AS tp
+        |         FROM pg JOIN dup USING (gram) WHERE pg.doc_id <> dup.canon),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM cov0),
+        |tok AS (SELECT doc_id, generate_subscripts(t,1) AS tp, unnest(t) AS tok FROM sp),
+        |keep AS (SELECT tok.doc_id, tok.tp, tok.tok FROM tok ANTI JOIN cov USING (doc_id, tp)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text,
+        |               count(*) AS kept FROM keep GROUP BY 1)
+        |SELECT sp.doc_id, coalesce(reb.text, '') AS text,
+        |  CAST(len(sp.t) - coalesce(reb.kept, 0) AS BIGINT) AS n_removed
+        |FROM sp LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q84_quality_classifier" ->
       """WITH f AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |z AS (SELECT doc_id,
@@ -1347,9 +1380,11 @@ object SparkEntry {
         |      FROM r LEFT JOIN v USING (tok)
         |             LEFT JOIN v pv ON pv.tok = r.prev
         |             LEFT JOIN b ON b.prev = r.prev AND b.tok = r.tok, tt),
-        |a AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS ssum FROM s GROUP BY 1)
+        |a AS (SELECT doc_id, count(*) AS n_tokens,
+        |             CAST(sum(lp) * 1000000 AS BIGINT) AS sm FROM s GROUP BY 1)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |       round(CAST(ssum AS DOUBLE) / n_tokens, 6) AS avg_logprob
+        |       CAST(sign(sm) AS DOUBLE) *
+        |         ((2 * abs(sm) + n_tokens) // (2 * n_tokens)) / 1000000 AS avg_logprob
         |FROM a ORDER BY doc_id""".stripMargin,
     "q82_paragraph_dedup" ->
       """WITH two AS (SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text

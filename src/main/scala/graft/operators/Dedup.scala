@@ -426,6 +426,78 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Substring-level dedup (the passage-removal half of Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better"): REMOVE
+    * from each document every token covered by an n-gram that also occurs
+    * in ≥ `minDocs` documents — except in the gram's CANONICAL document
+    * (min id among the docs containing it), which keeps its occurrence.
+    * Whole-document dedup ([[dedupCorpus]]) cannot touch boilerplate
+    * passages shared by otherwise-distinct pages; this operator cuts the
+    * passages themselves and returns the rebuilt corpus
+    * `(id, text, n_removed)` — text re-joined from surviving tokens (one
+    * space; a fully-covered document comes back as the empty string),
+    * `n_removed` the token count cut. Null-text rows are dropped (the
+    * [[graft.operators.TextAnalysis.chunkDocuments]] contract).
+    *
+    * Semantics notes, pinned in DedupSpec: canonicality is per-gram and
+    * document-level — a doc that is the canonical home of gram X keeps
+    * ALL its occurrences of X, a non-canonical doc loses all of its
+    * occurrences; overlapping duplicated grams with different canonical
+    * homes can still cut tokens from a gram's own canonical doc (each
+    * gram's cover is decided independently). An exact duplicate of a
+    * lower-id doc is fully covered and comes back empty — run
+    * [[dedupCorpus]] first in production.
+    *
+    * 100 TB shape (the Spark re-expression of the paper's suffix-array
+    * pass): everything is token-sized relational algebra — positioned
+    * grams are a per-row transform+posexplode (narrow); the duplicated-
+    * gram table is a two-level hash aggregation (within-doc repeats
+    * collapse map-side, exactly [[duplicatedSpans]]); the cover join
+    * keys on the gram string with the (small) duplicated-gram table as
+    * the build side (AQE broadcasts it when it fits); covered positions
+    * distinct-aggregate on (doc, pos); survivors anti-join on (doc, pos);
+    * reassembly is one per-doc collect bounded by document length (the
+    * [[dedupParagraphs]] pattern). No stage ever holds more than one
+    * document's tokens in a single row.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+    val grams = transform(sequence(lit(1), size(col("__t")) - lit(n - 1)), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + lit(j))): _*))
+    // (id, 0-based token start, gram)
+    val pg = base.filter(size(col("__t")) >= n)
+      .select(col(idCol), posexplode(grams))
+      .select(col(idCol), col("pos"), col("col").as("__gram"))
+    val dup = pg.groupBy(col("__gram"), col(idCol)).agg(count(lit(1)).as("__c"))
+      .groupBy("__gram")
+      .agg(count(lit(1)).as("__nd"), min(col(idCol)).as("__canon"))
+      .filter(col("__nd") >= minDocs)
+      .select("__gram", "__canon")
+    val covered = pg.join(dup, "__gram")
+      .filter(col(idCol) =!= col("__canon"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("__tp"))
+      .distinct()
+    val toks = base.select(col(idCol), posexplode(col("__t")))
+      .select(col(idCol), col("pos").as("__tp"), col("col").as("__tok"))
+    val rebuilt = toks.join(covered, Seq(idCol, "__tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+            x => x.getField("__tok")),
+          " ").as("__text"),
+        count(lit(1)).as("__kept"))
+    base.select(col(idCol), size(col("__t")).cast("long").as("__orig"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        (col("__orig") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** SimHash near-dup pairs with EXACT pigeonhole blocking: split the
     * 60-bit signature into `maxHamming + 1` chunks — any pair within the
     * Hamming threshold must agree on at least one full chunk, so blocking

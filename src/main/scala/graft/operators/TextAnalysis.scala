@@ -423,8 +423,30 @@ object TextAnalysis {
           .otherwise(log(lit(0.4) * col("__u"))), 6).cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__s"))
-      .withColumn("avg_logprob", round(col("__s").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_logprob", avgMicro6(col("__s"), col("n_tokens")))
       .select(col(idCol), col("n_tokens"), col("avg_logprob"))
+  }
+
+  /** 6-dp average of a 6-dp decimal sum over a count, rounded half-up
+    * (away from zero) in EXACT integer arithmetic. `round(sum / n, 6)`
+    * is NOT engine-stable here: unlike the 6-dp ln values being averaged
+    * (transcendental — never on a rounding boundary), the quotient of a
+    * 6-dp decimal by an integer is RATIONAL and can land exactly ON the
+    * boundary, where Spark (exact-decimal HALF_UP of the double) and
+    * DuckDB (scaled-double rounding) disagree — sf0.1 q83 had two docs
+    * whose average ended …15 exactly. Micro-units: round_half_up(|S|/n)
+    * = (2·|S| + n) div (2·n) on integers, re-signed, then one exact
+    * double division by 10⁶ (IEEE-deterministic in every engine).
+    */
+  private def avgMicro6(sumCol: Column, nCol: Column): Column = {
+    val sm = (sumCol * 1000000).cast("long") // exact: sum is a 6-dp decimal
+    val n = nCol.cast("long")
+    val mag = abs(sm) * 2 + n
+    // floor(mag / 2n) as (mag − mag mod 2n) / 2n: every intermediate is an
+    // exact long (or an exactly-representable double < 2⁵³), so the only
+    // floating-point rounding in the whole pipeline is the final /10⁶
+    val micro = (mag - pmod(mag, n * 2)).cast("double") / (n * 2).cast("double")
+    signum(sm.cast("double")) * micro / lit(1e6)
   }
 
   def unigramLogLikelihood(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -437,8 +459,7 @@ object TextAnalysis {
         round(log(col("cnt") / col("__total")), 6).cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__s"))
-      .withColumn("avg_logprob",
-        round(col("__s").cast("double") / col("n_tokens"), 6))
+      .withColumn("avg_logprob", avgMicro6(col("__s"), col("n_tokens")))
       .select(col(idCol), col("n_tokens"), col("avg_logprob"))
   }
 }

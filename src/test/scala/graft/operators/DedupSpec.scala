@@ -265,4 +265,23 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
     assert(sep == Seq((1L, "a|b", 2L), (2L, "c", 1L)))
   }
+
+  test("removeDuplicatedSpans cuts shared passages everywhere but the canonical doc") {
+    val corpus = Seq(
+      // docs 1 and 2 share the 3-gram "q r s"; doc 1 (min id) keeps it
+      (1L, "a b c q r s d e"),
+      (2L, "x y q r s z w v"),
+      (3L, "p q r t u v w x"),     // no duplicated 3-gram — untouched
+      (4L, "x y q r s z w v"),     // exact dup of 2 -> fully covered, empty
+      (5L, "m n")                  // shorter than n — no grams, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c q r s d e", 0L),  // canonical home of "q r s": keeps it
+      (2L, "x y z w v", 3L),        // loses "q r s" (canon 1), keeps own grams
+      (3L, "p q r t u v w x", 0L),
+      (4L, "", 8L),                 // exact dup of 2: every gram canon elsewhere
+      (5L, "m n", 0L)))
+  }
 }
