@@ -449,16 +449,17 @@ object Dedup {
     * [[dedupCorpus]] first in production.
     *
     * 100 TB shape (the Spark re-expression of the paper's suffix-array
-    * pass): everything is token-sized relational algebra — positioned
-    * grams are a per-row transform+posexplode (narrow); the duplicated-
+    * pass): positioned grams are a per-row transform+posexplode carrying a
+    * 16-byte salted-hash-pair key, never a gram string; the duplicated-
     * gram table is a two-level hash aggregation (within-doc repeats
-    * collapse map-side, exactly [[duplicatedSpans]]); the cover join
-    * keys on the gram string with the (small) duplicated-gram table as
-    * the build side (AQE broadcasts it when it fits); covered positions
-    * distinct-aggregate on (doc, pos); survivors anti-join on (doc, pos);
-    * reassembly is one per-doc collect bounded by document length (the
-    * [[dedupParagraphs]] pattern). No stage ever holds more than one
-    * document's tokens in a single row.
+    * collapse map-side, exactly [[duplicatedSpans]]); the cover join keys
+    * on the hash pair with the (small) duplicated-gram table as the build
+    * side (AQE broadcasts it when it fits); covered positions collapse to
+    * ONE per-doc position set (collect_set partial-aggregates the
+    * overlapping covers map-side); the rebuild is a single corpus-sized
+    * equi-join plus a per-row indexed filter over the original token
+    * array. No stage ever holds more than one document's tokens in a
+    * single row, and document text crosses exactly one exchange.
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 5, minDocs: Int = 2): DataFrame = {
@@ -466,36 +467,59 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val base = df.filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__t"))
-    val grams = transform(sequence(lit(1), size(col("__t")) - lit(n - 1)), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(col("__t"), i + lit(j))): _*))
-    // (id, 0-based token start, gram)
-    val pg = base.filter(size(col("__t")) >= n)
-      .select(col(idCol), posexplode(grams))
-      .select(col(idCol), col("pos"), col("col").as("__gram"))
-    val dup = pg.groupBy(col("__gram"), col(idCol)).agg(count(lit(1)).as("__c"))
-      .groupBy("__gram")
+    // Gram identity is a SALTED xxhash64 PAIR computed straight off the
+    // token slots — no per-gram string is ever allocated (the concat_ws
+    // formulation spent the plurality of the operator's wall building
+    // 22M ~25-byte gram strings twice), and the join/group key is 16
+    // fixed bytes instead of a variable-length string. Equality through
+    // two independently-salted 64-bit hashes mis-identifies two distinct
+    // grams with probability ~2⁻¹²⁸ — the [[exactGroups]] sha2 precedent:
+    // cryptographically negligible, documented rather than re-verified.
+    def gramKeys(salt: Int) =
+      transform(sequence(lit(1), size(col("__t")) - lit(n - 1)), i =>
+        xxhash64((lit(salt) +: (0 until n).map(j =>
+          element_at(col("__t"), i + lit(j)))): _*))
+    val keyArr = arrays_zip(gramKeys(0).as("h1"), gramKeys(1).as("h2"))
+    val withGrams = base.filter(size(col("__t")) >= n)
+    // duplicated-gram table from the per-doc DISTINCT key sets: the
+    // within-doc collapse happens per-ROW (array_distinct) instead of as a
+    // first aggregation level — gram keys are near-distinct per doc, so a
+    // (gram, doc) hash aggregation would build a map as large as its input
+    // (pure spill pressure) just to drop a handful of repeats. One
+    // aggregation remains, and its partial phase genuinely collapses the
+    // cross-doc hot grams map-side.
+    val dup = withGrams
+      .select(col(idCol), explode(array_distinct(keyArr)).as("__k"))
+      .groupBy(col("__k.h1").as("__h1"), col("__k.h2").as("__h2"))
       .agg(count(lit(1)).as("__nd"), min(col(idCol)).as("__canon"))
       .filter(col("__nd") >= minDocs)
-      .select("__gram", "__canon")
-    val covered = pg.join(dup, "__gram")
+      .select("__h1", "__h2", "__canon")
+    // (id, 0-based token start, h1, h2) — multiplicity preserved: a doc
+    // repeating a gram it does not own must lose EVERY occurrence
+    val pg = withGrams
+      .select(col(idCol), posexplode(keyArr))
+      .select(col(idCol), col("pos"), col("col.h1").as("__h1"), col("col.h2").as("__h2"))
+    // per-doc duplicated-gram START set (collect_set partial-aggregates
+    // map-side; only gram starts cross the exchange — the n-token cover
+    // expansion happens per-row at rebuild, never in a shuffle)
+    val cov = pg.join(dup, Seq("__h1", "__h2"))
       .filter(col(idCol) =!= col("__canon"))
-      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("__tp"))
-      .distinct()
-    val toks = base.select(col(idCol), posexplode(col("__t")))
-      .select(col(idCol), col("pos").as("__tp"), col("col").as("__tok"))
-    val rebuilt = toks.join(covered, Seq(idCol, "__tp"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("__tp"), col("__tok")))),
-            x => x.getField("__tok")),
-          " ").as("__text"),
-        count(lit(1)).as("__kept"))
-    base.select(col(idCol), size(col("__t")).cast("long").as("__orig"))
-      .join(rebuilt, Seq(idCol), "left_outer")
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("__starts"))
+    // expand starts to the covered-position set once per row, then rebuild
+    // with one indexed filter over the original token array — never a
+    // token-level anti-join or a per-token collect_list reassembly
+    val covSet = array_distinct(flatten(transform(col("__starts"),
+      s => sequence(s, s + lit(n - 1)))))
+    base.join(cov, Seq(idCol), "left_outer")
+      .select(col(idCol), col("__t"),
+        when(col("__starts").isNull, lit(null)).otherwise(covSet).as("__cov"))
       .select(col(idCol),
-        coalesce(col("__text"), lit("")).as(textCol),
-        (col("__orig") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+        when(col("__cov").isNull, array_join(col("__t"), " "))
+          .otherwise(array_join(
+            filter(col("__t"), (_, i) => !array_contains(col("__cov"), i)), " "))
+          .as(textCol),
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long")).as("n_removed"))
   }
 
   /** SimHash near-dup pairs with EXACT pigeonhole blocking: split the
