@@ -199,4 +199,38 @@ class PlanSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }.isEmpty, "the scalar total must ride a broadcast, never a cartesian")
   }
+
+  test("q87 bloom decontamination: exact semi-join rides a broadcast behind the sketch probe") {
+    val p = plan("q87_bloom_decontaminate")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "shingle semi-join and final anti-join must build on broadcast sides")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    // the bloom probe is a Filter on might_contain over the scan side,
+    // BELOW the exact semi-join — shingles the sketch rejects never reach
+    // the join
+    val filters = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    assert(filters.exists(_.contains("might_contain")),
+      s"expected a might_contain prefilter, saw: $filters")
+  }
+
+  test("q92 span removal: no window, no cartesian, no token-level sort-merge join") {
+    val p = plan("q92_remove_dup_spans")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "cover/rebuild must be aggregates + joins, never a per-doc window")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    // document text must cross at most one join: the final rebuild join.
+    // The gram pipeline carries only (id, pos, hash-pair) — no join input
+    // may carry the token array except the one rebuild join on the id.
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    val tokenCarrying = smj.count(_.output.exists(_.name == "__t"))
+    assert(tokenCarrying <= 1,
+      s"token arrays may ride only the rebuild join, found $tokenCarrying SMJs carrying __t")
+  }
 }
