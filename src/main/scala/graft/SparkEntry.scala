@@ -902,7 +902,20 @@ object SparkEntry {
       Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
         n = 5, minDocs = 2)
         .select("doc_id", "text", "n_removed")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── paragraph-level NEAR-dup dedup: q82's corpus-wide first-occurrence
+    // cut, with exact ∪ Jaccard-verified near-dup paragraph clusters (the
+    // full dedupCorpus machinery at paragraph granularity).
+    "q93_paragraph_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val twos = docs.select(col("doc_id"), col("text"))
+        .join(docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2")),
+          Seq("doc_id"))
+        .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("__t2")).as("text"))
+      Dedup.dedupParagraphsNear(twos, "doc_id", "text", minJaccard = 0.1)
+        .orderBy("doc_id")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -1329,6 +1342,47 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q93_paragraph_neardup" ->
+      (s"""WITH RECURSIVE
+         |two AS (SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+         |        FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id),
+         |sp AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM two),
+         |paras AS (SELECT sp.doc_id AS odoc, CAST(i AS BIGINT) AS pos,
+         |                 sp.doc_id * 1048576 + CAST(i AS BIGINT) AS doc_id,
+         |                 parts[i+1] AS text
+         |          FROM sp, unnest(range(len(parts))) AS t(i)
+         |          WHERE regexp_matches(parts[i+1], '\\S')),
+         |sig AS (${minhashSigSqlOver("paras")}), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS (${shingleSqlOver("paras")}),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |near AS (
+         | SELECT i.doc_a, i.doc_b FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
+         |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM paras GROUP BY 1),
+         |exacte AS (SELECT g.canon AS doc_a, p.doc_id AS doc_b
+         |           FROM paras p JOIN exactg g ON sha256(p.text) = g.h
+         |           WHERE p.doc_id <> g.canon),
+         |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
+         |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+         |cc(node, label) AS (
+         | SELECT nn, nn FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
+         |losers AS (SELECT node FROM cc GROUP BY node HAVING node <> min(label)),
+         |kept AS (SELECT odoc, pos, text FROM paras
+         |         WHERE doc_id NOT IN (SELECT node FROM losers))
+        |SELECT odoc AS doc_id, string_agg(text, chr(10) || chr(10) ORDER BY pos) AS text,
+        |       count(*) AS n_kept
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin),
     "q92_remove_dup_spans" ->
       """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
         |            WHERE text IS NOT NULL),
@@ -1741,17 +1795,25 @@ object SparkEntry {
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
-  private val shingleSql: String =
-    """SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
+  /** Shingle/signature oracle fragments, parameterized on the source
+    * relation (must expose `doc_id`, `text`) so the paragraph-level twin
+    * (q93) states the SAME pipeline over a paragraph CTE.
+    */
+  private def shingleSqlOver(rel: String): String =
+    s"""SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(string_split(text,' '))),
       | i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS shingle
-      |FROM documents WHERE len(string_split(text,' ')) >= 2""".stripMargin
+      |FROM $rel WHERE len(string_split(text,' ')) >= 2""".stripMargin
 
-  private val minhashSigSql: String =
+  private val shingleSql: String = shingleSqlOver("documents")
+
+  private def minhashSigSqlOver(rel: String): String =
     s"""SELECT doc_id, ${(0 until 8).map(i =>
          s"min((${graft.functions.MinHashKernel.A(i)} * t + " +
            s"${graft.functions.MinHashKernel.B(i)}) % ${graft.functions.MinHashKernel.P}) AS mh_$i").mkString(", ")}
        |FROM (SELECT doc_id, ('0x' || substr(md5(shingle),1,15))::BIGINT % ${graft.functions.MinHashKernel.P} AS t
-       |      FROM ($shingleSql)) GROUP BY doc_id""".stripMargin
+       |      FROM (${shingleSqlOver(rel)})) GROUP BY doc_id""".stripMargin
+
+  private val minhashSigSql: String = minhashSigSqlOver("documents")
 
   private val bandsSql: String =
     (0 until 4).map { b =>

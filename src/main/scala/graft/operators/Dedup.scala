@@ -886,6 +886,49 @@ object Dedup {
       .select(col("__id").as(idCol), col("__text").as(textCol), col("n_kept"))
   }
 
+  /** Paragraph-level NEAR-dup dedup: [[dedupParagraphs]]'s corpus-wide
+    * first-occurrence semantics, but clusters are exact ∪ Jaccard-verified
+    * near-duplicate paragraphs (the full [[dedupCorpus]] machinery at
+    * paragraph granularity) — boilerplate that varies a token per site
+    * (timestamps, session ids in a cookie banner) still collapses to its
+    * first occurrence. Each document keeps its surviving paragraphs in
+    * order; docs whose every paragraph loses vanish from the output (the
+    * [[dedupParagraphs]] contract). Returns `(id, text, n_kept)`.
+    *
+    * The paragraph key is `id · 2²⁰ + pos` — order-isomorphic to
+    * (doc, pos), so min-per-cluster IS the corpus-wide first occurrence.
+    * Preconditions (loud): integral `idCol` with |id| < 2⁴³, fewer than
+    * 2²⁰ paragraphs per document (assert_true in the plan).
+    *
+    * 100 TB shape: inherited — paragraphs are rows, so exact edges are
+    * a digest aggregation, near edges run the banded-LSH pipeline, and
+    * reassembly is the one per-doc collect bounded by document size.
+    */
+  def dedupParagraphsNear(df: DataFrame, idCol: String, textCol: String,
+                          minJaccard: Double, sep: String = "\n\n",
+                          n: Int = 2, k: Int = 8,
+                          rowsPerBand: Int = 2): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"dedupParagraphsNear needs an integral id column, got ${idType.catalogString}")
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol), col("pos").as("__pos"), col("col").as("__para"))
+      .filter(col("__para").rlike("\\S"))
+      .filter(coalesce(assert_true(col("__pos") < (1 << 20),
+        lit("dedupParagraphsNear: more than 2^20 paragraphs in one document")),
+        lit(true)))
+      .withColumn("__pid", col(idCol).cast("long") * lit(1L << 20) + col("__pos"))
+    val kept = dedupCorpus(paras, "__pid", "__para", minJaccard, n, k, rowsPerBand)
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+            x => x.getField("__para")),
+          sep).as(textCol),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs: one shingle-equality
     * join for intersections + a broadcast-size join for set sizes. Runs only
     * on candidates — never on the full pair space.

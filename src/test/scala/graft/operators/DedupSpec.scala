@@ -266,6 +266,31 @@ class DedupSpec extends SparkSpec {
     assert(sep == Seq((1L, "a|b", 2L), (2L, "c", 1L)))
   }
 
+  test("dedupParagraphsNear collapses near-dup paragraph clusters to the first occurrence") {
+    // p1 ~ p1' (one token differs over 9 shingles: J = 8/10 ≥ 0.5);
+    // p2 is exactly duplicated; "unique ..." paragraphs survive everywhere
+    val p1 = "a b c d e f g h i j"
+    val p1v = "a b c d e f g h i CHANGED"
+    val p2 = "same exact boilerplate paragraph"
+    val corpus = Seq(
+      (1L, s"$p1\n\n$p2"),
+      (2L, s"$p1v\n\nunique text of doc two"),
+      (3L, s"$p2\n\nunique text of doc three")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsNear(corpus, "doc_id", "text", minJaccard = 0.5)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, s"$p1\n\n$p2", 2L),                  // first occurrences of both clusters
+      (2L, "unique text of doc two", 1L),       // near-dup of p1 removed
+      (3L, "unique text of doc three", 1L)))    // exact dup of p2 removed
+    // non-integral id columns are rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.dedupParagraphsNear(
+        corpus.withColumn("doc_id", col("doc_id").cast("string")),
+        "doc_id", "text", 0.5)
+    }
+  }
+
   test("removeDuplicatedSpans cuts shared passages everywhere but the canonical doc") {
     val corpus = Seq(
       // docs 1 and 2 share the 3-gram "q r s"; doc 1 (min id) keeps it
