@@ -55,7 +55,10 @@ object Bench {
     println(line)
     // Belt and braces: the same line goes to a file, so results never
     // depend on stdout-tail parsing (BENCH_r01/r02 were lost that way).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    // Filtered dev-loop runs must never clobber the canonical artifact
+    // (round 7's bench_result.json was overwritten by a one-query repro run).
+    val defaultOut = if (only.isDefined) "bench_result.dev.json" else "bench_result.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()

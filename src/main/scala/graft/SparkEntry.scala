@@ -28,14 +28,25 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and floor-convert to a microsecond
-    * timestamp (matching DuckDB's ns→us handling of the same file).
+  /** events.parquet's `ts` column has shipped as either TIMESTAMP(NANOS)
+    * (which Spark's parquet reader rejects without `nanosAsLong`) or plain
+    * TIMESTAMP_NTZ(MICROS), depending on harness generation. Dispatch on the
+    * actual decoded type and normalize everything to TimestampType: a long
+    * means nanos → floor-convert to microsecond timestamp (matching DuckDB's
+    * ns→us handling); TIMESTAMP_NTZ casts to TIMESTAMP, which under the
+    * session's pinned UTC timezone preserves wall-clock and epoch values
+    * bit-for-bit vs DuckDB's naive read of the same file.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

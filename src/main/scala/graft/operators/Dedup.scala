@@ -333,19 +333,12 @@ object Dedup {
                          textCol: String, n: Int = 3,
                          bitsPerItem: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val benchShingles = shingleSets(benchmark, idCol, textCol, n)
       .select(explode(col("__set")).as("shingle")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val nBench = math.max(1L, benchShingles.count())
-      val bloomAgg = column(new BloomFilterAggregate(
-        expression(xxhash64(col("shingle"))),
-        expression(lit(nBench)),
-        expression(lit(nBench * bitsPerItem.toLong))).toAggregateExpression())
-      val bloomBits = benchShingles.agg(bloomAgg.as("bf"))
-        .head().getAs[Array[Byte]]("bf")
+      val bloomBits = shingleBloomBits(benchShingles, bitsPerItem)
       val mightContain = column(new BloomFilterMightContain(
         expression(lit(bloomBits)), expression(xxhash64(col("shingle")))))
       val contaminated = shingles(corpus, idCol, textCol, n)
@@ -354,6 +347,48 @@ object Dedup {
         .select(idCol).distinct()
       corpus.join(contaminated, Seq(idCol), "left_anti")
     } finally benchShingles.unpersist(blocking = false)
+  }
+
+  /** Materialize a properly-sized Bloom sketch over `xxhash64(shingle)` for
+    * a distinct-shingle relation (column `shingle`).
+    *
+    * BloomFilterAggregate silently CLAMPS its numItems/numBits arguments to
+    * the runtime-join-filter confs (`Math.min` against
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`,
+    * defaults 4M items / 64M bits — read from the decompiled 4.1.2
+    * `lzycompute`). Past ~3.3M benchmark shingles the sketch would silently
+    * degrade to useless FPR and the prefilter would stop filtering. So:
+    * raise the caps to the computed size while the sketch materializes,
+    * restore the caller's values after. Exposed `private[graft]` so the
+    * spec can pin the no-clamp contract (sketch byte size + measured FPR)
+    * past the 4M default cap.
+    */
+  private[graft] def shingleBloomBits(benchShingles: DataFrame,
+                                      bitsPerItem: Int): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val spark = benchShingles.sparkSession
+    val nBench = math.max(1L, benchShingles.count())
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val wantBits = nBench * bitsPerItem.toLong
+    val oldItems = spark.conf.getOption(itemsKey)
+    val oldBits = spark.conf.getOption(bitsKey)
+    try {
+      if (spark.conf.get(itemsKey).toLong < nBench)
+        spark.conf.set(itemsKey, nBench.toString)
+      if (spark.conf.get(bitsKey).toLong < wantBits)
+        spark.conf.set(bitsKey, wantBits.toString)
+      val bloomAgg = column(new BloomFilterAggregate(
+        expression(xxhash64(col("shingle"))),
+        expression(lit(nBench)),
+        expression(lit(wantBits))).toAggregateExpression())
+      benchShingles.agg(bloomAgg.as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    } finally {
+      oldItems.fold(spark.conf.unset(itemsKey))(v => spark.conf.set(itemsKey, v))
+      oldBits.fold(spark.conf.unset(bitsKey))(v => spark.conf.set(bitsKey, v))
+    }
   }
 
   /** Per-document contamination fraction — the FUZZY decontamination
@@ -917,6 +952,12 @@ object Dedup {
       .filter(col("__para").rlike("\\S"))
       .filter(coalesce(assert_true(col("__pos") < (1 << 20),
         lit("dedupParagraphsNear: more than 2^20 paragraphs in one document")),
+        lit(true)))
+      // the other half of the packed-key precondition: id·2²⁰ must not
+      // overflow a long, so |id| < 2⁴³ (hash/snowflake ids would otherwise
+      // silently corrupt first-occurrence survivors)
+      .filter(coalesce(assert_true(abs(col(idCol).cast("long")) < lit(1L << 43),
+        lit(s"dedupParagraphsNear: |$idCol| >= 2^43 would overflow the packed paragraph key")),
         lit(true)))
       .withColumn("__pid", col(idCol).cast("long") * lit(1L << 20) + col("__pos"))
     val kept = dedupCorpus(paras, "__pid", "__para", minJaccard, n, k, rowsPerBand)

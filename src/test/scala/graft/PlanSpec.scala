@@ -226,11 +226,16 @@ class PlanSpec extends SparkSpec {
     // document text must cross at most one join: the final rebuild join.
     // The gram pipeline carries only (id, pos, hash-pair) — no join input
     // may carry the token array except the one rebuild join on the id.
-    val smj = collectAll(p) {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    // Audit EVERY join exec flavor, not just SMJ — a plan regression that
+    // reroutes token arrays through a broadcast or shuffled-hash join must
+    // fail the same contract.
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }
-    val tokenCarrying = smj.count(_.output.exists(_.name == "__t"))
+    val tokenCarrying = joins.count(_.output.exists(_.name == "__t"))
     assert(tokenCarrying <= 1,
-      s"token arrays may ride only the rebuild join, found $tokenCarrying SMJs carrying __t")
+      s"token arrays may ride only the rebuild join, found $tokenCarrying joins carrying __t")
   }
 }

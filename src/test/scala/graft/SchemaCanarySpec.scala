@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Schema-drift canary (VERDICT r7 #6).
+  *
+  * Round 7 was lost to a harness-side regeneration of events.parquet that
+  * silently flipped `ts` from TIMESTAMP(NANOS) to TIMESTAMP_NTZ(µs) and
+  * surfaced only as 18 opaque red tests. This suite opens every testdata
+  * parquet footer, pins the column names and logical type families, and
+  * PRINTS the exact decoded types — so the next regeneration is a named
+  * one-line failure (or a visible printed diff) instead.
+  *
+  * Timestamp columns accept the three encodings the harness has actually
+  * shipped (LongType via nanosAsLong, TimestampType, TimestampNTZType);
+  * `SparkEntry.events()` dispatches on whichever arrives. Anything else —
+  * renamed column, dropped column, new type family — fails by name here.
+  */
+class SchemaCanarySpec extends SparkSpec {
+
+  private val TS: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
+  private def exact(t: DataType): Set[DataType] = Set(t)
+
+  // table -> ordered (column, acceptable decoded types)
+  private val expected: Seq[(String, Seq[(String, Set[DataType])])] = Seq(
+    "region" -> Seq("r_regionkey" -> exact(IntegerType), "r_name" -> exact(StringType)),
+    "nation" -> Seq("n_nationkey" -> exact(IntegerType), "n_name" -> exact(StringType),
+      "n_regionkey" -> exact(IntegerType)),
+    "customer" -> Seq("c_custkey" -> exact(LongType), "c_name" -> exact(StringType),
+      "c_nationkey" -> exact(IntegerType), "c_acctbal" -> exact(DoubleType),
+      "c_mktsegment" -> exact(StringType)),
+    "supplier" -> Seq("s_suppkey" -> exact(LongType), "s_name" -> exact(StringType),
+      "s_nationkey" -> exact(IntegerType), "s_acctbal" -> exact(DoubleType)),
+    "part" -> Seq("p_partkey" -> exact(LongType), "p_name" -> exact(StringType),
+      "p_brand" -> exact(StringType), "p_type" -> exact(StringType),
+      "p_size" -> exact(IntegerType), "p_retailprice" -> exact(DoubleType)),
+    "orders" -> Seq("o_orderkey" -> exact(LongType), "o_custkey" -> exact(LongType),
+      "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
+      "o_orderdate" -> TS, "o_orderpriority" -> exact(StringType)),
+    "lineitem" -> Seq("l_orderkey" -> exact(LongType), "l_partkey" -> exact(LongType),
+      "l_suppkey" -> exact(LongType), "l_linenumber" -> exact(IntegerType),
+      "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
+      "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
+      "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
+      "l_shipdate" -> TS),
+    "events" -> Seq("event_id" -> exact(LongType), "ts" -> TS,
+      "user_id" -> exact(LongType), "event_type" -> exact(StringType),
+      "value" -> exact(DoubleType), "props" -> exact(StringType)),
+    "documents" -> Seq("doc_id" -> exact(LongType), "text" -> exact(StringType),
+      "lang" -> exact(StringType), "source" -> exact(StringType),
+      "n_chars" -> exact(LongType)),
+    "embeddings" -> Seq("vec_id" -> exact(LongType),
+      "embedding" -> Set(ArrayType(FloatType, containsNull = true),
+        ArrayType(FloatType, containsNull = false)),
+      "label" -> exact(IntegerType)))
+
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+       (table, cols) <- expected) {
+    test(s"canary: $dir/$table.parquet matches the pinned schema") {
+      val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+      info(s"$table decoded: " +
+        schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+      assert(schema.fieldNames.toSeq === cols.map(_._1),
+        s"$table column names/order drifted")
+      for ((name, ok) <- cols) {
+        val actual = schema(name).dataType
+        assert(ok.contains(actual),
+          s"$table.$name decoded as ${actual.simpleString}; accepted: " +
+            ok.map(_.simpleString).mkString("{", ", ", "}") +
+            " — harness testdata regenerated with a new encoding? " +
+            "(see SparkEntry.events() dispatch before widening this set)")
+      }
+    }
+  }
+}

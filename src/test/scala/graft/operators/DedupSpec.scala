@@ -291,6 +291,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupParagraphsNear fails loudly on ids >= 2^43 (packed-key overflow)") {
+    // a snowflake/hash-scale id would overflow id·2²⁰+pos and silently
+    // corrupt first-occurrence survivors; the plan must refuse instead
+    val corpus = Seq(
+      (1L << 44, "alpha beta gamma\n\ndelta epsilon zeta"),
+      (7L, "alpha beta gamma\n\nunrelated text here")
+    ).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      Dedup.dedupParagraphsNear(corpus, "doc_id", "text", 0.5).collect()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("2^43"), s"expected the 2^43 assert, got: $messages")
+  }
+
+  test("bloom sketch is NOT clamped past the 4M-item runtime-filter cap (size + measured FPR)") {
+    // 4.5M distinct shingles × 20 bits/item = 90M bits — past Spark's
+    // silent 64M-bit / 4M-item BloomFilterAggregate clamp. The sized
+    // sketch must come back at full width with working FPR, and the
+    // session confs must be restored afterwards.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsBefore = spark.conf.get(itemsKey)
+    val bitsBefore = spark.conf.get(bitsKey)
+    val nItems = 4500000L
+    val shingles = spark.range(nItems).select(concat(lit("shingle_"), col("id")).as("shingle"))
+    val bits = Dedup.shingleBloomBits(shingles, bitsPerItem = 20)
+    assert(bits.length.toLong * 8 > 67108864L,
+      s"sketch is ${bits.length * 8L} bits — clamped to the 64M default cap")
+    assert(spark.conf.get(itemsKey) == itemsBefore && spark.conf.get(bitsKey) == bitsBefore,
+      "runtime-filter confs were not restored")
+    // measured FPR on 100k probes disjoint from the inserted set: at
+    // 20 bits/item the theoretical FPR is ~7e-5; a clamped 64M-bit sketch
+    // would sit near 2% (overloaded). Assert an order below the clamp.
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val nProbes = 100000L
+    val probes = spark.range(nItems, nItems + nProbes)
+      .select(concat(lit("shingle_"), col("id")).as("shingle"))
+    val mightContain = column(new BloomFilterMightContain(
+      expression(lit(bits)), expression(xxhash64(col("shingle")))))
+    val fp = probes.filter(mightContain).count()
+    assert(fp < nProbes / 500,
+      s"$fp false positives in $nProbes probes — sketch FPR degraded (clamp back?)")
+  }
+
   test("removeDuplicatedSpans cuts shared passages everywhere but the canonical doc") {
     val corpus = Seq(
       // docs 1 and 2 share the 3-gram "q r s"; doc 1 (min id) keeps it
