@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Changes, Sql, Summaries}
 import graft.functions.SimHash64Expr
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -926,7 +926,51 @@ object SparkEntry {
         .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("__t2")).as("text"))
       Dedup.dedupParagraphsNear(twos, "doc_id", "text", minJaccard = 0.1)
         .orderBy("doc_id")
-    })
+    }),
+
+    // ── multi-benchmark decontamination REPORT: screen the corpus against
+    // two labeled eval suites in ONE corpus pass; per-(doc, suite) distinct
+    // contaminated-shingle counts, suites' shingles broadcast together.
+    "q94_decontam_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val benches = docs.filter(col("doc_id") % 97 === 0)
+        .select(lit("suiteA").as("bench_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 89 === 0)
+          .select(lit("suiteB").as("bench_id"), col("text")))
+      Dedup.decontaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0),
+        benches, "doc_id", "text", "bench_id", n = 3)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // ── corpus composition profile: per (lang, length-bucket) doc count,
+    // token mass, doc share — the corpus-QA / mixing-weights table. The
+    // share window runs over the aggregated (tiny) table only.
+    "q95_corpus_profile" -> ((s, dir) =>
+      TextAnalysis.corpusProfile(t(s, dir, "documents"), "text", "lang")
+        .orderBy("lang", "len_bucket")),
+
+    // ── per-source duplication report: doc counts, distinct-text counts,
+    // exact-dup rate, char mass per feed — digest-sized distinct flow.
+    "q96_source_report" -> ((s, dir) =>
+      TextAnalysis.sourceReport(t(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("source")),
+
+    // ── deterministic training-shard assignment: salted-hash shard + 0-based
+    // position within shard (hash order) — the reproducible global-shuffle-
+    // then-shard layout; one hash exchange, in-partition sort, no global sort.
+    "q97_shard_assign" -> ((s, dir) =>
+      Sampling.assignShards(
+        t(s, dir, "documents").select("doc_id"), "doc_id", nShards = 8, salt = "epoch1")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
+    // ── content-defined chunking: Rabin-style rolling-hash boundaries
+    // (portable 60-bit md5 bucket = 0 mod 8) — edit-stable chunk edges,
+    // the chunk-level-dedup precursor. Pure narrow plan, zero exchanges.
+    "q98_cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.contentDefinedChunks(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   private val threeWayJoinSql: String =
@@ -1802,7 +1846,55 @@ object SparkEntry {
         | FROM (SELECT user_id, event_id, ts, value,
         |        lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |       FROM events))
-        |GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q94_decontam_report" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |tri AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle FROM sp),
+        |bench AS (
+        | SELECT DISTINCT 'suiteA' AS bench_id, shingle FROM tri WHERE doc_id % 97 = 0
+        | UNION
+        | SELECT DISTINCT 'suiteB' AS bench_id, shingle FROM tri WHERE doc_id % 89 = 0)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_hits
+        |FROM tri c JOIN bench b USING (shingle)
+        |WHERE c.doc_id % 97 <> 0 AND c.doc_id % 89 <> 0
+        |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin,
+    "q95_corpus_profile" ->
+      """WITH b AS (SELECT lang,
+        |  least(CAST(floor(length(text) / 50.0) AS BIGINT), 9) AS len_bucket,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |agg AS (SELECT lang, len_bucket, count(*) AS n_docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM b GROUP BY 1, 2)
+        |SELECT lang, len_bucket, n_docs, n_tokens,
+        | CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS frac_docs
+        |FROM agg ORDER BY lang, len_bucket""".stripMargin,
+    "q96_source_report" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT sha256(text)) AS n_unique,
+        | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        | CAST(count(*) - count(DISTINCT sha256(text)) AS DOUBLE) / count(*) AS dup_rate
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "q97_shard_assign" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5('epoch1' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, ('0x' || substr(h, 1, 15))::BIGINT % 8 AS shard, h FROM h)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "q98_cdc_chunks" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+        |            WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, t, len(t) AS m,
+        |       list_filter(range(3, len(t)),
+        |        i -> ('0x' || substr(md5(t[i-2] || ' ' || t[i-1] || ' ' || t[i]), 1, 15))::BIGINT % 8 = 0) AS cuts
+        |      FROM sp),
+        |x AS (SELECT doc_id, t, m, cuts, unnest(range(0, len(cuts) + 1)) AS j FROM c),
+        |y AS (SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+        |       CASE WHEN j = 0 THEN 0 ELSE cuts[j] END AS s,
+        |       CASE WHEN j = len(cuts) THEN m ELSE cuts[j + 1] END AS e, t FROM x)
+        |SELECT doc_id, chunk_idx, array_to_string(t[s+1:e], ' ') AS chunk_text,
+        |       CAST(e - s AS BIGINT) AS n_tokens
+        |FROM y ORDER BY doc_id, chunk_idx""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -419,6 +419,34 @@ object Dedup {
         col("n_contaminated").cast("double") / col("n_shingles"))
   }
 
+  /** Multi-benchmark decontamination report: production pipelines screen
+    * one corpus against MANY eval suites at once and need to know WHICH
+    * benchmark each document collides with (to drop per-suite, or to
+    * audit). `benchmarks` carries one row per benchmark document with a
+    * suite label in `benchIdCol`; returns `(id, benchIdCol, n_hits)` —
+    * one row per contaminated (document, suite) pair, where `n_hits`
+    * counts the document's DISTINCT n-gram shingles that occur anywhere
+    * in that suite.
+    *
+    * 100 TB shape: identical to [[decontaminate]] — the union of all
+    * suites' distinct shingles is still eval-set-sized, so it broadcasts
+    * (now keyed by (suite, shingle)); the corpus side stays one narrow
+    * shingle explode → broadcast join → map-side-combinable count keyed
+    * by (doc, suite). One pass over the corpus for every suite at once,
+    * instead of the naive one-scan-per-benchmark loop.
+    */
+  def decontaminationReport(corpus: DataFrame, benchmarks: DataFrame,
+                            idCol: String, textCol: String,
+                            benchIdCol: String, n: Int = 3): DataFrame = {
+    val benchShingles = shingleSets(benchmarks, benchIdCol, textCol, n)
+      .select(col(benchIdCol), explode(col("__set")).as("shingle"))
+      .distinct()
+    shingles(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col(idCol), col(benchIdCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Fuzzy decontamination: keep corpus documents whose contaminated
     * shingle fraction is at most `maxFraction` (documents too short to
     * have any n-gram are kept — they cannot match anything).

@@ -60,6 +60,29 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, idCol: String, salt: String = ""): DataFrame =
     df.orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
 
+  /** Deterministic shard assignment for training export: every row gets a
+    * `(shard, pos)` — shard by salted content hash mod `nShards`, position
+    * by 0-based rank within the shard ordered by (hash, id). This is the
+    * reproducible "global shuffle then shard" layout a distributed data
+    * loader consumes: same corpus + salt → identical shard files on any
+    * cluster layout, and a fresh salt re-deals the whole corpus per epoch.
+    *
+    * 100 TB shape: one hash exchange on `shard` plus an in-partition sort
+    * (the window never crosses shards). Choose `nShards` at or above the
+    * cluster's write parallelism so each shard sorts a ~corpus/nShards
+    * slice; there is no global sort and no driver involvement.
+    */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int,
+                   salt: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = md5(concat(lit(salt), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(h, 1, 15), 16, 10).cast("long"), lit(nShards.toLong))
+    df.withColumn("shard", shard)
+      .withColumn("pos",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(h, col(idCol))) - 1).cast("long"))
+  }
+
   /** Stratified deterministic sampling: a per-stratum keep rate (permille),
     * falling back to `defaultPermille` for unlisted strata — the
     * `sampleBy` twin with content-hash determinism. Used to rebalance a

@@ -181,6 +181,53 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
 
+  /** Corpus composition profile: per (stratum, length-bucket) document
+    * count, token mass, and document share — the at-a-glance corpus-QA
+    * table that decides mixing weights before training. Bucket is plain
+    * clamped integer arithmetic (`floor(chars / bucketWidth)`, capped at
+    * `nBuckets - 1`) so it evaluates identically in any engine.
+    *
+    * 100 TB shape: one map-side-combinable aggregation over a narrow
+    * projection; the share window runs over the AGGREGATED table
+    * (strata × buckets rows — tiny at any corpus size), never the corpus.
+    */
+  def corpusProfile(df: DataFrame, textCol: String, stratumCol: String,
+                    bucketWidth: Int = 50, nBuckets: Int = 10): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0,
+      s"bucketWidth/nBuckets must be positive: $bucketWidth/$nBuckets")
+    val bucket = least(
+      floor(length(col(textCol)).cast("double") / bucketWidth).cast("long"),
+      lit(nBuckets - 1L))
+    val agg = df
+      .select(col(stratumCol), bucket.as("len_bucket"),
+        size(tokens(textCol)).cast("long").as("__n_tokens"))
+      .groupBy(col(stratumCol), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("__n_tokens").as("n_tokens"))
+    agg.withColumn("frac_docs",
+      col("n_docs").cast("double") /
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+  }
+
+  /** Per-source duplication and size report: for every source (feed,
+    * domain, crawl segment), how many documents, how many DISTINCT texts,
+    * the exact-duplicate rate, and the character mass. The first table a
+    * corpus owner reads when deciding which feeds to throttle.
+    *
+    * 100 TB shape: the distinct count flows as (source, sha256) —
+    * digest-sized rows with map-side partial distinct, never the text
+    * itself; everything else is a map-side-combinable aggregate.
+    */
+  def sourceReport(df: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col(textCol), 256)).as("n_unique"),
+        sum(length(col(textCol))).cast("long").as("n_chars"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+
   /** Per-document top-k TF-IDF keywords — the classic corpus-relative
     * term-importance ranking: `score = tf · ln(N / df)`. Plan shape for
     * 100 TB: ONE corpus-sized exchange builds the (doc, token, tf) table;
@@ -300,6 +347,56 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_idx"),
         array_join(col("__c"), " ").as("chunk_text"),
         size(col("__c")).cast("long").as("n_tokens"))
+  }
+
+  /** Content-defined chunking (CDC): split each document at positions
+    * where the rolling n-gram hash lands on `0 mod avgTokens` — the
+    * Rabin-style boundary rule that keeps chunk edges STABLE under edits
+    * (insert a token and only the chunks up to the next boundary change;
+    * fixed-size chunking re-frames the whole tail). The production
+    * precursor to chunk-level dedup and incremental ingest at 100 TB:
+    * re-crawled near-identical pages re-chunk to mostly-identical chunk
+    * hashes, so chunk-level exact dedup absorbs them without any
+    * similarity machinery.
+    *
+    * The boundary hash is the engine-portable 60-bit md5 prefix (the
+    * [[Sampling.hashBucket]] construction) of the n-gram ENDING at each
+    * position; expected chunk length ≈ `avgTokens`. Returns
+    * `(id, chunk_idx, chunk_text, n_tokens)`; chunks concatenate back to
+    * the exact document.
+    *
+    * 100 TB shape: pure per-row array expressions + one posexplode —
+    * ZERO exchanges, scan speed at any size, embarrassingly parallel.
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, avgTokens: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(avgTokens >= 2, s"avgTokens must be >= 2, got $avgTokens")
+    val toks = split(col(textCol), " ")
+    val m = size(toks)
+    def bucket(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(avgTokens.toLong))
+    // 1-based positions i in [n, m-1] whose ending n-gram hashes to 0 —
+    // a cut AFTER token i; position m is excluded so no chunk is empty.
+    // (Spark's sequence() runs DESCENDING when start > stop, so guard.)
+    val cuts = when(m > lit(n),
+      filter(sequence(lit(n), m - 1),
+        i => bucket(concat_ws(" ", slice(toks, i - (n - 1), lit(n)))) === 0))
+      .otherwise(array().cast("array<int>"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__t"), m.as("__m"), cuts.as("__c"))
+      .select(col(idCol), col("__t"), col("__m"), col("__c"),
+        posexplode(sequence(lit(0), size(col("__c")))))
+      .select(col(idCol), col("col").cast("long").as("chunk_idx"),
+        when(col("col") === 0, lit(0))
+          .otherwise(element_at(col("__c"), col("col"))).as("__s"),
+        when(col("col") === size(col("__c")), col("__m"))
+          .otherwise(element_at(col("__c"), col("col") + 1)).as("__e"),
+        col("__t"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__t"), col("__s") + 1, col("__e") - col("__s")), " ")
+          .as("chunk_text"),
+        (col("__e") - col("__s")).cast("long").as("n_tokens"))
   }
 
   /** Unigram language-model scoring — the Spark-expressible reduction of

@@ -150,6 +150,39 @@ class PlanSpec extends SparkSpec {
     assert(bnl.isEmpty, "decontamination must never nested-loop")
   }
 
+  test("q94 decontam report: all suites' shingles ride ONE broadcast join, no nested-loop") {
+    val p = plan("q94_decontam_report")
+    val bcast = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bcast.nonEmpty, "benchmark shingles must broadcast")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    // one corpus pass for every suite at once: a single window-free
+    // aggregate pipeline, no per-suite scan multiplication
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q95 corpus profile: the share window runs over the aggregated table, not the corpus") {
+    val p = plan("q95_corpus_profile")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1)
+    // the window's child plan must sit ABOVE the aggregate: its input is
+    // the (strata x buckets)-sized table, never raw documents rows
+    val aggsBelowWindow = windows.head.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggsBelowWindow.nonEmpty, "share window must consume the aggregated table")
+  }
+
+  test("q97 shard assign: one hash exchange for the shard window plus the output sort only") {
+    val p = plan("q97_shard_assign")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1, "exactly one per-shard window")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2,
+      s"expected shard hash exchange + output range exchange, got ${shuffles.size}")
+  }
+
   test("q77 budget selection: the exact window runs over the boundary bucket only") {
     val p = plan("q77_budget_select")
     val windows = collectAll(p) { case w: WindowExec => w }
@@ -166,6 +199,11 @@ class PlanSpec extends SparkSpec {
 
   test("q80 chunking is a pure narrow plan: no exchange except the output sort") {
     val shuffles = collectAll(plan("q80_chunking")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"expected <=1 (sort) exchange, got ${shuffles.size}")
+  }
+
+  test("q98 CDC chunking is a pure narrow plan: no exchange except the output sort") {
+    val shuffles = collectAll(plan("q98_cdc_chunks")) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 1, s"expected <=1 (sort) exchange, got ${shuffles.size}")
   }
 

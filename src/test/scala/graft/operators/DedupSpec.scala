@@ -201,6 +201,24 @@ class DedupSpec extends SparkSpec {
     assert(clean4.count() == docs.count())
   }
 
+  test("decontaminationReport labels per-(doc, suite) hits with distinct-shingle counts") {
+    // suiteA shares "the quick brown" + "quick brown fox" with docs 0/1/2
+    // (two rows of suiteA carry overlapping text — shingles dedup per
+    // suite); suiteB shares nothing with the corpus
+    val benches = Seq(
+      ("suiteA", "the quick brown fox"),
+      ("suiteA", "the quick brown owl"),   // same suite, overlapping shingles
+      ("suiteB", "completely disjoint benchmark content today")
+    ).toDF("bench_id", "text")
+    val rep = Dedup.decontaminationReport(docs, benches, "doc_id", "text", "bench_id", n = 3)
+      .orderBy("doc_id", "bench_id")
+      .as[(Long, String, Long)].collect().toSeq
+    // docs 0/1/2 contain both suiteA trigrams; docs 3/4 are clean; no
+    // suiteB rows at all (suite labels never cross-contaminate)
+    assert(rep == Seq(
+      (0L, "suiteA", 2L), (1L, "suiteA", 2L), (2L, "suiteA", 2L)))
+  }
+
   test("jaccard values are exact set ratios") {
     val pairs = Seq((0L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.jaccardForPairs(docs, pairs, "doc_id", "text")

@@ -55,4 +55,25 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.hashSample(docs, "doc_id", 1001))
     intercept[IllegalArgumentException](Sampling.trainTestSplit(docs, "doc_id", -1))
   }
+
+  test("assignShards: exact cover, dense 0-based positions, partitioning-independent") {
+    val out = Sampling.assignShards(docs, "doc_id", nShards = 8, salt = "e1")
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == docs.count())
+    assert(out.map(_._1).distinct.length == out.length)       // every doc exactly once
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions within each shard are exactly 0..n-1
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // same corpus + salt → identical layout under any partitioning
+    val re = Sampling.assignShards(docs.repartition(7), "doc_id", 8, salt = "e1")
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(re.toSet == out.toSet)
+    // a fresh salt re-deals the corpus
+    val e2 = Sampling.assignShards(docs, "doc_id", 8, salt = "e2")
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(e2.toSet != out.toSet)
+    intercept[IllegalArgumentException](Sampling.assignShards(docs, "doc_id", 0))
+  }
 }

@@ -232,4 +232,63 @@ class TextAnalysisSpec extends SparkSpec {
     val bound = 2.2 * math.log(1.6)
     assert(out(0L) < bound && out(0L) > out(1L))
   }
+
+  test("corpusProfile buckets by clamped length, counts docs/tokens, shares sum to 1") {
+    val corpus = Seq(
+      (0L, "en", "a b"),                          // 3 chars  -> bucket 0
+      (1L, "en", "x" * 120),                      // 120 chars -> bucket 2
+      (2L, "de", ("y " * 400).trim),              // 799 chars -> clamped to 9
+      (3L, "en", "c d e")                         // 5 chars  -> bucket 0
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.corpusProfile(corpus, "text", "lang")
+      .orderBy("lang", "len_bucket")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("de", 9L, 1L, 400L, 0.25),
+      ("en", 0L, 2L, 5L, 0.5),     // 2 docs, 2+3 tokens
+      ("en", 2L, 1L, 1L, 0.25)))
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-15)
+  }
+
+  test("contentDefinedChunks: lossless reassembly, edit-stable boundaries, short docs intact") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((0L, base), (1L, "a b"), (2L, "one two three")).toDF("doc_id", "text")
+    val out = TextAnalysis.contentDefinedChunks(corpus, "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    // chunks concatenate back to the exact document, indices are dense
+    for ((id, text) <- Seq(0L -> base, 1L -> "a b", 2L -> "one two three")) {
+      val chunks = out.filter(_._1 == id)
+      assert(chunks.map(_._2) == (0L until chunks.length))
+      assert(chunks.map(_._3).mkString(" ") == text)
+      assert(chunks.map(_._4).sum == text.split(" ").length)
+    }
+    // docs shorter than n tokens are one whole chunk
+    assert(out.count(_._1 == 1L) == 1)
+    // 60 tokens at ~8/chunk must actually cut somewhere
+    val doc0 = out.filter(_._1 == 0L)
+    assert(doc0.length > 1, "expected at least one content-defined boundary")
+    // THE CDC property: prepend a token and every chunk after the first
+    // boundary survives byte-identical (fixed-size chunking re-frames all)
+    val edited = Seq((0L, "INSERTED " + base)).toDF("doc_id", "text")
+    val editedChunks = TextAnalysis.contentDefinedChunks(edited, "doc_id", "text")
+      .orderBy("chunk_idx").as[(Long, Long, String, Long)].collect().map(_._3)
+    val shared = doc0.map(_._3).drop(1).toSet & editedChunks.drop(1).toSet
+    assert(shared.nonEmpty == doc0.drop(1).nonEmpty && shared == doc0.map(_._3).drop(1).toSet,
+      "chunks after the first boundary must be stable under a prefix edit")
+  }
+
+  test("sourceReport counts exact duplicates per source") {
+    val corpus = Seq(
+      (0L, "feedA", "same text"),
+      (1L, "feedA", "same text"),
+      (2L, "feedA", "other text"),
+      (3L, "feedB", "unique here")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceReport(corpus, "doc_id", "text", "source")
+      .orderBy("source").as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("feedA", 3L, 2L, 28L, 1.0 / 3.0),
+      ("feedB", 1L, 1L, 11L, 0.0)))
+  }
 }
