@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Scale self-check for the training-data pipeline operators: synthesize a
   * corpus ~100× the sf0.1 fixture (500k docs, ~40 tokens each, with a
@@ -111,6 +111,35 @@ object PipelineScaleBench {
         corpus.filter(pmod(col("doc_id"), lit(499L)) =!= 0),
         corpus.filter(pmod(col("doc_id"), lit(499L)) === 0),
         "doc_id", "text", n = 3).count()
+    }
+    timed("pipe_decontam_report") {
+      // multi-suite variant of pipe_decontaminate: the same 1/499
+      // benchmark slice split across 7 labeled suites, all screened in
+      // ONE corpus pass (suites' shingles broadcast together). Wall must
+      // track pipe_decontaminate, not 7x it.
+      val bench = corpus.filter(pmod(col("doc_id"), lit(499L)) === 0)
+        .select(concat(lit("suite"), pmod(col("doc_id"), lit(7L))).as("bench_id"),
+          col("text"))
+      Dedup.decontaminationReport(
+        corpus.filter(pmod(col("doc_id"), lit(499L)) =!= 0),
+        bench, "doc_id", "text", "bench_id", n = 3).count()
+    }
+    timed("pipe_cdc_chunks") {
+      // content-defined chunking is a pure narrow plan: wall must stay at
+      // scan speed (>= the minhash-sigs docs/s ballpark), output_per_input
+      // ~= tokensPerDoc/avgTokens chunks per doc, flat at any corpus size
+      val out = TextAnalysis.contentDefinedChunks(corpus, "doc_id", "text")
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      total
+    }
+    timed("pipe_shard_assign") {
+      // one hash exchange + per-shard sort; 1024 shards keeps each sort
+      // slice ~corpus/1024 — superlinear wall growth here means the
+      // per-shard window degenerated into something global
+      val out = Sampling.assignShards(corpus.select("doc_id"), "doc_id",
+        nShards = 1024, salt = "e1")
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      total
     }
     timed("pipe_dedup_megacluster") {
       // ADVERSARIAL: ~1.5% of the corpus byte-identical in ONE cluster —
