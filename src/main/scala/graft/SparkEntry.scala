@@ -970,7 +970,18 @@ object SparkEntry {
     // the chunk-level-dedup precursor. Pure narrow plan, zero exchanges.
     "q98_cdc_chunks" -> ((s, dir) =>
       TextAnalysis.contentDefinedChunks(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ── per-group top-k selection: the 5 best docs per language by lexical
+    // diversity, ranked by the bounded-heap partial aggregate (no per-group
+    // window, no full-group sort — the q26 ANN ranking machinery reused).
+    "q99_topk_per_lang" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+      graft.operators.Selection.topKPerGroup(scored, "lang", "score", "doc_id", 5)
+        .orderBy("lang", "rn")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -1894,7 +1905,16 @@ object SparkEntry {
         |       CASE WHEN j = len(cuts) THEN m ELSE cuts[j + 1] END AS e, t FROM x)
         |SELECT doc_id, chunk_idx, array_to_string(t[s+1:e], ' ') AS chunk_text,
         |       CAST(e - s AS BIGINT) AS n_tokens
-        |FROM y ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM y ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q99_topk_per_lang" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS score FROM documents),
+        |r AS (SELECT lang, doc_id, score,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM s)
+        |SELECT lang, doc_id, score, rn FROM r WHERE rn <= 5
+        |ORDER BY lang, rn""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -49,6 +49,24 @@ object Selection {
     run(df.withColumn("__grp", lit("")), "__grp", idCol, scoreCol, costCol,
       Map("" -> budget), buckets).drop("__grp")
 
+  /** Per-group top-k selection: the k best rows of every group by
+    * (score desc, id asc), returned as `(group, id, score, rn)` with a
+    * 1-based dense rank — "keep the 1000 best documents per language"
+    * without a window. The ranking is the [[graft.functions.TopKOps]]
+    * bounded-heap aggregate: every partition keeps at most k candidates
+    * per group (map-side combine), so no task ever sorts a group's full
+    * row set and a skewed group costs O(n·log k), not a one-reducer sort.
+    * The per-group window formulation this replaces is the same plan
+    * Similarity's ANN ranking already banned at corpus scale.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKOps.topK(k, col(scoreCol), col(idCol)).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol), col("col.id").as(idCol),
+        col("col.score").as(scoreCol), (col("pos") + 1).cast("long").as("rn"))
+
   /** Per-domain budgets (data mixing). Rows whose `groupCol` value has no
     * budget entry are DROPPED — an unbudgeted domain contributes nothing
     * to the mix. Score/cost null handling as in [[selectUnderBudget]].

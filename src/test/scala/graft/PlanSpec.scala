@@ -202,6 +202,15 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"expected <=1 (sort) exchange, got ${shuffles.size}")
   }
 
+  test("q99 per-group top-k is a partial aggregate: no window, no per-group sort") {
+    val p = plan("q99_topk_per_lang")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "top-k per group must be the bounded-heap aggregate, not a window")
+    val sorts = collectAll(p) { case s: org.apache.spark.sql.execution.SortExec => s }
+    // only the deterministic output orderBy may sort
+    assert(sorts.size <= 1, s"expected <=1 (output) sort, got ${sorts.size}")
+  }
+
   test("q98 CDC chunking is a pure narrow plan: no exchange except the output sort") {
     val shuffles = collectAll(plan("q98_cdc_chunks")) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 1, s"expected <=1 (sort) exchange, got ${shuffles.size}")

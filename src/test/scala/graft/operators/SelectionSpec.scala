@@ -85,4 +85,20 @@ class SelectionSpec extends SparkSpec {
     val empty = Selection.selectUnderBudget(df.filter(lit(false)), "id", "score", "cost", 100L)
     assert(empty.count() == 0)
   }
+
+  test("topKPerGroup ranks (score desc, id asc), truncates to k, survives repartitioning") {
+    val rows = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.7), ("en", 3L, 0.9),  // tie: id 1 before 3
+      ("en", 4L, 0.1), ("de", 5L, 0.5))
+      .toDF("lang", "doc_id", "score")
+    val out = Selection.topKPerGroup(rows, "lang", "score", "doc_id", 3)
+      .orderBy("lang", "rn").as[(String, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("de", 5L, 0.5, 1L),
+      ("en", 1L, 0.9, 1L), ("en", 3L, 0.9, 2L), ("en", 2L, 0.7, 3L)))
+    // bounded-heap partial aggregation: identical under any partitioning
+    val re = Selection.topKPerGroup(rows.repartition(7), "lang", "score", "doc_id", 3)
+      .orderBy("lang", "rn").as[(String, Long, Double, Long)].collect().toSeq
+    assert(re == out)
+  }
 }
