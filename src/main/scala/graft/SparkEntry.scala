@@ -981,6 +981,19 @@ object SparkEntry {
         (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
       graft.operators.Selection.topKPerGroup(scored, "lang", "score", "doc_id", 5)
         .orderBy("lang", "rn")
+    }),
+
+    // ── chunk-level dedup over CDC boundaries: each doc carries its own
+    // text plus its successor's (the q82 overlap construction), so the
+    // shared region chunks identically in both docs and collapses by
+    // digest — the edit-resilient chunk dedup production pipelines run.
+    "q100_dedup_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val twos = docs.select(col("doc_id"), col("text"))
+        .join(docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2")),
+          Seq("doc_id"))
+        .select(col("doc_id"), concat(col("text"), lit(" "), col("__t2")).as("text"))
+      Dedup.dedupChunks(twos, "doc_id", "text").orderBy("doc_id")
     })
   )
 
@@ -1914,7 +1927,26 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY lang
         |        ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM s)
         |SELECT lang, doc_id, score, rn FROM r WHERE rn <= 5
-        |ORDER BY lang, rn""".stripMargin
+        |ORDER BY lang, rn""".stripMargin,
+    "q100_dedup_chunks" ->
+      """WITH two AS (SELECT a.doc_id, a.text || ' ' || b.text AS text
+        |             FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id),
+        |sp AS (SELECT doc_id, string_split(text,' ') AS t FROM two),
+        |c AS (SELECT doc_id, t, len(t) AS m,
+        |       list_filter(range(3, len(t)),
+        |        i -> ('0x' || substr(md5(t[i-2] || ' ' || t[i-1] || ' ' || t[i]), 1, 15))::BIGINT % 8 = 0) AS cuts
+        |      FROM sp),
+        |x AS (SELECT doc_id, t, m, cuts, unnest(range(0, len(cuts) + 1)) AS j FROM c),
+        |y AS (SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+        |       CASE WHEN j = 0 THEN 0 ELSE cuts[j] END AS s,
+        |       CASE WHEN j = len(cuts) THEN m ELSE cuts[j + 1] END AS e, t FROM x),
+        |ch AS (SELECT doc_id, chunk_idx, array_to_string(t[s+1:e], ' ') AS ctext FROM y),
+        |w AS (SELECT doc_id, chunk_idx, ctext,
+        |       row_number() OVER (PARTITION BY ctext ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM ch)
+        |SELECT doc_id, string_agg(ctext, ' ' ORDER BY chunk_idx) AS text,
+        |       count(*) AS n_kept
+        |FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -949,6 +949,46 @@ object Dedup {
       .select(col("__id").as(idCol), col("__text").as(textCol), col("n_kept"))
   }
 
+  /** Chunk-level exact dedup: [[dedupParagraphs]]'s corpus-wide
+    * first-occurrence semantics at CONTENT-DEFINED chunk granularity —
+    * [[graft.operators.TextAnalysis.contentDefinedChunks]] supplies the
+    * chunking, so duplicated passages land on the same chunk boundaries
+    * in every document that carries them (a re-crawled page, a quoted
+    * paragraph mid-document) and collapse by plain digest equality, no
+    * similarity machinery. This is why CDC beats fixed-size chunking for
+    * dedup: a one-token prefix edit re-frames every fixed-size chunk but
+    * only the chunks up to the next content boundary here.
+    *
+    * Output: (idCol, textCol rebuilt from surviving chunks, n_kept);
+    * documents whose chunks all lose disappear (the [[dedupParagraphs]]
+    * contract).
+    *
+    * 100 TB shape: inherited end to end — CDC is a zero-exchange narrow
+    * pass; the winner table partial-aggregates compact (digest,
+    * struct(id, idx)) rows so a mega-duplicated chunk collapses map-side;
+    * chunk text shuffles exactly twice (digest join, doc reassembly).
+    */
+  def dedupChunks(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, avgTokens: Int = 8): DataFrame = {
+    val chunks = TextAnalysis.contentDefinedChunks(df, idCol, textCol, n, avgTokens)
+      .select(col(idCol).as("__id"), col("chunk_idx").as("__pos"),
+        col("chunk_text").as("__c"))
+      .withColumn("__h", sha2(col("__c"), 256))
+    val winners = chunks
+      .groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+    chunks.join(winners, "__h")
+      .filter(struct(col("__id"), col("__pos")) === col("__w"))
+      .groupBy(col("__id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__c")))),
+            x => x.getField("__c")),
+          " ").as("__text"),
+        count(lit(1)).as("n_kept"))
+      .select(col("__id").as(idCol), col("__text").as(textCol), col("n_kept"))
+  }
+
   /** Paragraph-level NEAR-dup dedup: [[dedupParagraphs]]'s corpus-wide
     * first-occurrence semantics, but clusters are exact ∪ Jaccard-verified
     * near-duplicate paragraphs (the full [[dedupCorpus]] machinery at

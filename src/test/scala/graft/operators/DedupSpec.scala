@@ -309,6 +309,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupChunks collapses shared passages on CDC boundaries; exact dups vanish") {
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"own one two three $shared"),
+      (2L, s"$shared tail four five"),    // shares the 40-token span with doc 1
+      (3L, s"own one two three $shared")  // exact dup of doc 1 -> fully collapsed
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(corpus, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 1 survives whole (it is the first occurrence of everything it has)
+    assert(byId(1L)._2 == s"own one two three $shared")
+    // doc 2 loses the shared span's interior chunks but keeps its own tail:
+    // strictly fewer tokens than it started with, and the tail survives
+    assert(byId.contains(2L) && byId(2L)._2.endsWith("tail four five"))
+    assert(byId(2L)._2.split(" ").length < s"$shared tail four five".split(" ").length)
+    // doc 3 is chunk-for-chunk identical to doc 1 -> no surviving chunks
+    assert(!byId.contains(3L))
+    // deterministic under repartitioning
+    val re = Dedup.dedupChunks(corpus.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(re == out)
+  }
+
   test("dedupParagraphsNear fails loudly on ids >= 2^43 (packed-key overflow)") {
     // a snowflake/hash-scale id would overflow id·2²⁰+pos and silently
     // corrupt first-occurrence survivors; the plan must refuse instead

@@ -276,6 +276,15 @@ class TextAnalysisSpec extends SparkSpec {
     val shared = doc0.map(_._3).drop(1).toSet & editedChunks.drop(1).toSet
     assert(shared.nonEmpty == doc0.drop(1).nonEmpty && shared == doc0.map(_._3).drop(1).toSet,
       "chunks after the first boundary must be stable under a prefix edit")
+    // the non-portable xxhash64 fast path keeps every CDC property
+    // (lossless reassembly, dense indices); only boundary positions move
+    val fast = TextAnalysis.contentDefinedChunks(corpus, "doc_id", "text", portable = false)
+      .orderBy("doc_id", "chunk_idx").as[(Long, Long, String, Long)].collect().toSeq
+    for ((id, text) <- Seq(0L -> base, 1L -> "a b", 2L -> "one two three")) {
+      val chunks = fast.filter(_._1 == id)
+      assert(chunks.map(_._2) == (0L until chunks.length))
+      assert(chunks.map(_._3).mkString(" ") == text)
+    }
   }
 
   test("sourceReport counts exact duplicates per source") {
