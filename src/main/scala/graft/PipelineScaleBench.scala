@@ -132,6 +132,15 @@ object PipelineScaleBench {
       out.agg(max(xxhash64(out.columns.map(col): _*))).head()
       total
     }
+    timed("pipe_chunk_dedup") {
+      // chunk-level dedup over CDC boundaries: the 2% planted near-dup
+      // docs share their whole prefix with doc (id-1), which chunks
+      // identically — the duplicated chunks collapse by digest. Wall must
+      // track pipe_cdc_chunks plus two token-sized shuffles; the
+      // mega-duplicated-chunk discipline is the map-side min, not a
+      // collected occurrence list.
+      Dedup.dedupChunks(corpus, "doc_id", "text").count()
+    }
     timed("pipe_shard_assign") {
       // one hash exchange + per-shard sort; 1024 shards keeps each sort
       // slice ~corpus/1024 — superlinear wall growth here means the

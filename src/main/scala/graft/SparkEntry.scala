@@ -994,6 +994,20 @@ object SparkEntry {
           Seq("doc_id"))
         .select(col("doc_id"), concat(col("text"), lit(" "), col("__t2")).as("text"))
       Dedup.dedupChunks(twos, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ── corpus snapshot diff: added/removed/changed between two dataset
+    // versions — one full-outer join co-shuffled on the id, compared
+    // columns riding as a struct (exchange-free on id-bucketed stores).
+    "q101_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val before = docs.filter(col("doc_id") % 7 =!= 0)
+      val after = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")))
+      graft.engine.Changes.snapshotDiff(before, after, "doc_id", Seq("text", "lang"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1946,7 +1960,20 @@ object SparkEntry {
         |      FROM ch)
         |SELECT doc_id, string_agg(ctext, ' ' ORDER BY chunk_idx) AS text,
         |       count(*) AS n_kept
-        |FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM w WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q101_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 <> 0),
+        |a AS (SELECT doc_id,
+        |       CASE WHEN doc_id % 11 = 0 THEN text || ' EDITED' ELSE text END AS text,
+        |       lang FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |       CASE WHEN b.doc_id IS NULL THEN 'added'
+        |            WHEN a.doc_id IS NULL THEN 'removed'
+        |            WHEN (b.text IS DISTINCT FROM a.text)
+        |              OR (b.lang IS DISTINCT FROM a.lang) THEN 'changed' END AS status
+        |      FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -67,6 +67,33 @@ object Changes {
       .orderBy(col(Schemas.Date).asc, col(Schemas.Cve).desc)
   }
 
+  /** Generic two-snapshot diff for versioned corpora: classify every id
+    * as `added` (only in `after`), `removed` (only in `before`) or
+    * `changed` (present in both with any compared column differing,
+    * null-safely) — unchanged ids are dropped. The corpus-versioning twin
+    * of [[betweenSnapshots]]: same explicit-baseline semantics, but
+    * id-generic, multi-column, and keeping removals (a training-data
+    * ingest needs to retire documents, not just update them).
+    *
+    * 100 TB shape: ONE full-outer join co-shuffled on the id — with both
+    * snapshot stores bucketed by id it co-locates exchange-free; the
+    * compared columns ride the join as a single struct, no digest
+    * materialization, no second pass.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val b = before.select(col(idCol), struct(compareCols.map(col): _*).as("__b"))
+    val a = after.select(col(idCol), struct(compareCols.map(col): _*).as("__a"))
+    b.join(a, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__b").isNull, "added")
+          .when(col("__a").isNull, "removed")
+          .when(!(col("__b") <=> col("__a")), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   /** Dense reconstruction from a change log: forward-fill each key's last
     * seen value onto a provided date spine — the inverse of quantization,
     * used by the property tests (SURVEY.md §5.2.3).

@@ -202,6 +202,16 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"expected <=1 (sort) exchange, got ${shuffles.size}")
   }
 
+  test("q101 snapshot diff: one co-shuffled full-outer join, no nested loop") {
+    val p = plan("q101_snapshot_diff")
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+    }
+    assert(joins.size == 1, s"expected exactly one id-keyed join, got ${joins.size}")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
   test("q99 per-group top-k is a partial aggregate: no window, no per-group sort") {
     val p = plan("q99_topk_per_lang")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty,

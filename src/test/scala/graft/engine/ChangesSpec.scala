@@ -89,4 +89,24 @@ class ChangesSpec extends SparkSpec {
     // change row, so twice is empty
     assert(twice.count() == 0)
   }
+
+  test("snapshotDiff classifies added/removed/changed null-safely, drops unchanged") {
+    val before = Seq(
+      (1L, Some("alpha"), "en"),
+      (2L, Some("beta"), "en"),
+      (3L, Some("gamma"), "de"),   // removed
+      (4L, None: Option[String], "fr")
+    ).toDF("id", "text", "lang")
+    val after = Seq(
+      (1L, Some("alpha"), "en"),               // unchanged -> dropped
+      (2L, Some("beta EDITED"), "en"),         // changed
+      (4L, None: Option[String], "fr"),        // null == null -> unchanged
+      (5L, Some("delta"), "zh")                // added
+    ).toDF("id", "text", "lang")
+    val out = Changes.snapshotDiff(before, after, "id", Seq("text", "lang"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "changed"), (3L, "removed"), (5L, "added")))
+    intercept[IllegalArgumentException](
+      Changes.snapshotDiff(before, after, "id", Seq.empty))
+  }
 }
