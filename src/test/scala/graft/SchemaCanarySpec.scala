@@ -54,7 +54,8 @@ class SchemaCanarySpec extends SparkSpec {
         ArrayType(FloatType, containsNull = false)),
       "label" -> exact(IntegerType)))
 
-  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                  "/root/testdata/sf0.1");
        (table, cols) <- expected) {
     test(s"canary: $dir/$table.parquet matches the pinned schema") {
       val schema = spark.read.parquet(s"$dir/$table.parquet").schema
