@@ -1008,6 +1008,19 @@ object SparkEntry {
             .otherwise(col("text")))
       graft.engine.Changes.snapshotDiff(before, after, "doc_id", Seq("text", "lang"))
         .orderBy("doc_id")
+    }),
+
+    // ── per-stratum quantile gate: keep docs at/above their language's
+    // p40 lexical-diversity threshold — tiny threshold table broadcast
+    // back, no window (exact percentile ≡ DuckDB quantile_cont, the q42
+    // precedent).
+    "q102_quantile_gate" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+      graft.operators.Selection.keepAboveQuantile(scored, "lang", "score", 0.4)
+        .select("doc_id", "lang", "score")
+        .orderBy("doc_id")
     })
   )
 
@@ -1973,7 +1986,14 @@ object SparkEntry {
         |              OR (b.lang IS DISTINCT FROM a.lang) THEN 'changed' END AS status
         |      FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
         |SELECT doc_id, status FROM j WHERE status IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q102_quantile_gate" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS score FROM documents),
+        |t AS (SELECT lang, quantile_cont(score, 0.4) AS thr FROM s GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.score FROM s JOIN t USING (lang)
+        |WHERE s.score >= t.thr ORDER BY doc_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -67,6 +67,33 @@ object Selection {
       .select(col(groupCol), col("col.id").as(idCol),
         col("col.score").as(scoreCol), (col("pos") + 1).cast("long").as("rn"))
 
+  /** Per-stratum quantile gate: keep rows whose score is at or above
+    * their group's `quantile` threshold — "keep the top 60% of every
+    * language" as an adaptive per-stratum cutoff instead of one global
+    * constant. Thresholds are a tiny per-group aggregate (one row per
+    * stratum) broadcast back onto the corpus; no window, no per-group
+    * sort of the output side.
+    *
+    * 100 TB note: `exact = true` uses `percentile()`, whose aggregation
+    * buffer holds each group's value multiset — fine when strata are
+    * few and the threshold table is what you keep, but the buffer grows
+    * with group size. For corpus-scale strata set `exact = false`:
+    * `approx_percentile` keeps a fixed-size sketch per group (same plan
+    * shape, bounded state) at the cost of a bounded rank error — the
+    * DuckDB oracle states the exact variant.
+    */
+  def keepAboveQuantile(df: DataFrame, groupCol: String, scoreCol: String,
+                        quantile: Double, exact: Boolean = true): DataFrame = {
+    require(quantile > 0.0 && quantile < 1.0, s"quantile out of (0,1): $quantile")
+    val agg =
+      if (exact) expr(s"percentile($scoreCol, $quantile)")
+      else expr(s"approx_percentile($scoreCol, $quantile, 10000)")
+    val thresholds = df.groupBy(col(groupCol)).agg(agg.as("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Per-domain budgets (data mixing). Rows whose `groupCol` value has no
     * budget entry are DROPPED — an unbudgeted domain contributes nothing
     * to the mix. Score/cost null handling as in [[selectUnderBudget]].

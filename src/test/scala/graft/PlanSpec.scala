@@ -212,6 +212,13 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
   }
 
+  test("q102 quantile gate: threshold table broadcasts back, no window") {
+    val p = plan("q102_quantile_gate")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "per-stratum thresholds must broadcast onto the corpus")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q99 per-group top-k is a partial aggregate: no window, no per-group sort") {
     val p = plan("q99_topk_per_lang")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty,

@@ -86,6 +86,23 @@ class SelectionSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("keepAboveQuantile gates each stratum at its own exact threshold") {
+    val rows = Seq(
+      ("en", 1L, 0.1), ("en", 2L, 0.2), ("en", 3L, 0.3), ("en", 4L, 0.4), ("en", 5L, 0.5),
+      ("de", 6L, 10.0), ("de", 7L, 20.0), ("de", 8L, 30.0))
+      .toDF("lang", "doc_id", "score")
+    // en p50 over {.1...5} = 0.3 -> ids 3,4,5; de p50 over {10,20,30} = 20 -> 7,8
+    val got = Selection.keepAboveQuantile(rows, "lang", "score", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L, 5L, 7L, 8L))
+    // the approx variant agrees on well-separated data
+    val approx = Selection.keepAboveQuantile(rows, "lang", "score", 0.5, exact = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(approx == got)
+    intercept[IllegalArgumentException](
+      Selection.keepAboveQuantile(rows, "lang", "score", 1.0))
+  }
+
   test("topKPerGroup ranks (score desc, id asc), truncates to k, survives repartitioning") {
     val rows = Seq(
       ("en", 1L, 0.9), ("en", 2L, 0.7), ("en", 3L, 0.9),  // tie: id 1 before 3
