@@ -127,10 +127,13 @@ object PipelineScaleBench {
     timed("pipe_cdc_chunks") {
       // content-defined chunking is a pure narrow plan: wall must stay at
       // scan speed (>= the minhash-sigs docs/s ballpark), output_per_input
-      // ~= tokensPerDoc/avgTokens chunks per doc, flat at any corpus size
+      // ~= tokensPerDoc/avgTokens chunks per doc, flat at any corpus size.
+      // Count and hash-consume in ONE aggregation so the ratio is the real
+      // chunks-per-doc signal (returning `total` would pin it at 1.0 and
+      // hide a chunk-count blowup).
       val out = TextAnalysis.contentDefinedChunks(corpus, "doc_id", "text")
-      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
-      total
+      out.agg(count(lit(1)), max(xxhash64(out.columns.map(col): _*)))
+        .head().getLong(0)
     }
     timed("pipe_chunk_dedup") {
       // chunk-level dedup over CDC boundaries: the 2% planted near-dup

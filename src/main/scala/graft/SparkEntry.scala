@@ -39,6 +39,11 @@ object SparkEntry {
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP cast below is wall-clock-preserving only under
+    // UTC; pin it here so a caller session that didn't set it (all OUR
+    // mains do, an external harness session might not) can't shift every
+    // epoch by its local offset.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -363,6 +363,16 @@ object Dedup {
     * spec can pin the no-clamp contract (sketch byte size + measured FPR)
     * past the 4M default cap.
     */
+  /** Guards the save/raise/restore of the session-shared bloom caps in
+    * [[shingleBloomBits]]: without it, two concurrent builders snapshot
+    * each other's raised caps as their "old" values (leaking the raise)
+    * or restore mid-build (re-clamping the other's sketch). Other
+    * concurrent queries on the same session still observe the raised
+    * caps for the duration of one sketch build — acceptable: a raised
+    * cap only permits larger runtime join filters, it never shrinks one.
+    */
+  private val bloomConfLock = new Object
+
   private[graft] def shingleBloomBits(benchShingles: DataFrame,
                                       bitsPerItem: Int): Array[Byte] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -372,22 +382,24 @@ object Dedup {
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val wantBits = nBench * bitsPerItem.toLong
-    val oldItems = spark.conf.getOption(itemsKey)
-    val oldBits = spark.conf.getOption(bitsKey)
-    try {
-      if (spark.conf.get(itemsKey).toLong < nBench)
-        spark.conf.set(itemsKey, nBench.toString)
-      if (spark.conf.get(bitsKey).toLong < wantBits)
-        spark.conf.set(bitsKey, wantBits.toString)
-      val bloomAgg = column(new BloomFilterAggregate(
-        expression(xxhash64(col("shingle"))),
-        expression(lit(nBench)),
-        expression(lit(wantBits))).toAggregateExpression())
-      benchShingles.agg(bloomAgg.as("bf"))
-        .head().getAs[Array[Byte]]("bf")
-    } finally {
-      oldItems.fold(spark.conf.unset(itemsKey))(v => spark.conf.set(itemsKey, v))
-      oldBits.fold(spark.conf.unset(bitsKey))(v => spark.conf.set(bitsKey, v))
+    bloomConfLock.synchronized {
+      val oldItems = spark.conf.getOption(itemsKey)
+      val oldBits = spark.conf.getOption(bitsKey)
+      try {
+        if (spark.conf.get(itemsKey).toLong < nBench)
+          spark.conf.set(itemsKey, nBench.toString)
+        if (spark.conf.get(bitsKey).toLong < wantBits)
+          spark.conf.set(bitsKey, wantBits.toString)
+        val bloomAgg = column(new BloomFilterAggregate(
+          expression(xxhash64(col("shingle"))),
+          expression(lit(nBench)),
+          expression(lit(wantBits))).toAggregateExpression())
+        benchShingles.agg(bloomAgg.as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+      } finally {
+        oldItems.fold(spark.conf.unset(itemsKey))(v => spark.conf.set(itemsKey, v))
+        oldBits.fold(spark.conf.unset(bitsKey))(v => spark.conf.set(bitsKey, v))
+      }
     }
   }
 
@@ -929,21 +941,36 @@ object Dedup {
     val paras = df
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
-      .select(col("__id"), col("pos").as("__pos"), col("col").as("__para"))
+      .select(col("__id"), col("pos").as("__pos"), col("col").as("__u"))
       // a paragraph must contain at least one non-whitespace character
       // (trim() strips only spaces, not tabs/newlines, in both engines)
-      .filter(col("__para").rlike("\\S"))
-      .withColumn("__h", sha2(col("__para"), 256))
-    val winners = paras
+      .filter(col("__u").rlike("\\S"))
+    firstOccurrenceRebuild(paras, idCol, textCol, sep)
+  }
+
+  /** Shared core of [[dedupParagraphs]] and [[dedupChunks]]: corpus-wide
+    * first occurrence by (doc id, position) over unit rows
+    * `(__id, __pos, __u)`, then per-doc ordered reassembly with `sep`.
+    * The winner table groups compact (digest, struct(id, pos)) rows with
+    * a partial-aggregated `min` — a unit duplicated across millions of
+    * documents collapses map-side, never materializing its occurrence
+    * list (the mega-cluster discipline). Unit text shuffles exactly
+    * twice: once keyed by digest for the winner join, once keyed by
+    * document for reassembly.
+    */
+  private def firstOccurrenceRebuild(units: DataFrame, idCol: String,
+                                     textCol: String, sep: String): DataFrame = {
+    val keyed = units.withColumn("__h", sha2(col("__u"), 256))
+    val winners = keyed
       .groupBy("__h")
       .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
-    paras.join(winners, "__h")
+    keyed.join(winners, "__h")
       .filter(struct(col("__id"), col("__pos")) === col("__w"))
       .groupBy(col("__id"))
       .agg(
         array_join(
-          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
-            x => x.getField("__para")),
+          transform(array_sort(collect_list(struct(col("__pos"), col("__u")))),
+            x => x.getField("__u")),
           sep).as("__text"),
         count(lit(1)).as("n_kept"))
       .select(col("__id").as(idCol), col("__text").as(textCol), col("n_kept"))
@@ -972,21 +999,8 @@ object Dedup {
                   n: Int = 3, avgTokens: Int = 8): DataFrame = {
     val chunks = TextAnalysis.contentDefinedChunks(df, idCol, textCol, n, avgTokens)
       .select(col(idCol).as("__id"), col("chunk_idx").as("__pos"),
-        col("chunk_text").as("__c"))
-      .withColumn("__h", sha2(col("__c"), 256))
-    val winners = chunks
-      .groupBy("__h")
-      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
-    chunks.join(winners, "__h")
-      .filter(struct(col("__id"), col("__pos")) === col("__w"))
-      .groupBy(col("__id"))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("__pos"), col("__c")))),
-            x => x.getField("__c")),
-          " ").as("__text"),
-        count(lit(1)).as("n_kept"))
-      .select(col("__id").as(idCol), col("__text").as(textCol), col("n_kept"))
+        col("chunk_text").as("__u"))
+    firstOccurrenceRebuild(chunks, idCol, textCol, sep = " ")
   }
 
   /** Paragraph-level NEAR-dup dedup: [[dedupParagraphs]]'s corpus-wide

@@ -21,10 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** 60-bit long from an md5 hex string (first 15 hex chars → bias
+    * < 2⁻⁵⁰ at permille granularity) — THE engine-portable hash core,
+    * shared by sampling, shard assignment and CDC chunking so the
+    * cross-engine recipe lives in exactly one place. DuckDB twin:
+    * `('0x' || substr(md5Hex, 1, 15))::BIGINT`.
+    */
+  def hash60(md5Hex: Column): Column =
+    conv(substring(md5Hex, 1, 15), 16, 10).cast("long")
+
   /** Permille bucket 0..999 for a row id — the sampling/splitting key. */
   def hashBucket(idCol: Column, salt: String = ""): Column =
-    pmod(conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 15), 16, 10)
-      .cast("long"), lit(1000L))
+    pmod(hash60(md5(concat(lit(salt), idCol.cast("string")))), lit(1000L))
 
   /** Keep ~`permille`/1000 of rows, deterministically by id hash. */
   def hashSample(df: DataFrame, idCol: String, permille: Int, salt: String = ""): DataFrame = {
@@ -76,7 +84,7 @@ object Sampling {
                    salt: String = ""): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val h = md5(concat(lit(salt), col(idCol).cast("string")))
-    val shard = pmod(conv(substring(h, 1, 15), 16, 10).cast("long"), lit(nShards.toLong))
+    val shard = pmod(hash60(h), lit(nShards.toLong))
     df.withColumn("shard", shard)
       .withColumn("pos",
         (row_number().over(org.apache.spark.sql.expressions.Window

@@ -86,8 +86,8 @@ object Selection {
                         quantile: Double, exact: Boolean = true): DataFrame = {
     require(quantile > 0.0 && quantile < 1.0, s"quantile out of (0,1): $quantile")
     val agg =
-      if (exact) expr(s"percentile($scoreCol, $quantile)")
-      else expr(s"approx_percentile($scoreCol, $quantile, 10000)")
+      if (exact) expr(s"percentile(`$scoreCol`, $quantile)")
+      else expr(s"approx_percentile(`$scoreCol`, $quantile, 10000)")
     val thresholds = df.groupBy(col(groupCol)).agg(agg.as("__thr"))
     df.join(broadcast(thresholds), Seq(groupCol))
       .filter(col(scoreCol) >= col("__thr"))

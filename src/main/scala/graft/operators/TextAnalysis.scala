@@ -379,8 +379,7 @@ object TextAnalysis {
     require(n >= 1, s"n must be >= 1, got $n")
     require(avgTokens >= 2, s"avgTokens must be >= 2, got $avgTokens")
     def bucket(c: Column): Column =
-      if (portable)
-        pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(avgTokens.toLong))
+      if (portable) pmod(Sampling.hash60(md5(c)), lit(avgTokens.toLong))
       else pmod(xxhash64(c), lit(avgTokens.toLong))
     // Tokenize in its OWN projection so the split materializes once per
     // row: referencing the split expression directly inside the filter()
