@@ -1026,7 +1026,13 @@ object SparkEntry {
       graft.operators.Selection.keepAboveQuantile(scored, "lang", "score", 0.4)
         .select("doc_id", "lang", "score")
         .orderBy("doc_id")
-    })
+    }),
+
+    // ── retention cohorts: first-seen-date cohorts × day-offset activity
+    // counts — two same-key aggregations + one co-shuffled join, no window.
+    "q103_retention" -> ((s, dir) =>
+      Summaries.retentionCohorts(events(s, dir), "user_id", "ts")
+        .orderBy("cohort", "day_offset"))
   )
 
   private val threeWayJoinSql: String =
@@ -1998,7 +2004,14 @@ object SparkEntry {
         |    / len(string_split(text, ' ')) AS score FROM documents),
         |t AS (SELECT lang, quantile_cont(score, 0.4) AS thr FROM s GROUP BY 1)
         |SELECT s.doc_id, s.lang, s.score FROM s JOIN t USING (lang)
-        |WHERE s.score >= t.thr ORDER BY doc_id""".stripMargin
+        |WHERE s.score >= t.thr ORDER BY doc_id""".stripMargin,
+    "q103_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |fs AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1)
+        |SELECT fs.cohort, CAST(a.d - fs.cohort AS BIGINT) AS day_offset,
+        |       count(*) AS n_active
+        |FROM act a JOIN fs ON a.user_id = fs.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

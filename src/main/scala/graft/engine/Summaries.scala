@@ -93,6 +93,28 @@ object Summaries {
         (col("n") - col("prev_n")) * lit(100.0) / col("prev_n"))
   }
 
+  /** Retention cohorts — the classic product-analytics triangle: group
+    * every key by its FIRST-SEEN date (its cohort), then for each
+    * (cohort, day-offset) count how many of that cohort's keys were
+    * active again `offset` days later. Returns
+    * `(cohort, day_offset, n_active)`; offset 0 is the cohort's size.
+    *
+    * 100 TB shape: both aggregations and the join are keyed on the SAME
+    * key column — first-seen is a map-side-combinable min, per-day
+    * activity is a distinct over (key, date) pairs (bounded by keys ×
+    * active days, far below raw events), and the join co-shuffles on the
+    * key with no second corpus pass. The final (cohort, offset) rollup is
+    * date-cardinality-sized. No windows anywhere.
+    */
+  def retentionCohorts(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val activity = df.select(col(keyCol), to_date(col(tsCol)).as("__d")).distinct()
+    val firstSeen = activity.groupBy(col(keyCol)).agg(min(col("__d")).as("cohort"))
+    activity.join(firstSeen, Seq(keyCol))
+      .select(col("cohort"), datediff(col("__d"), col("cohort")).cast("long").as("day_offset"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Per-group quantiles, exact and approximate side by side: `percentile`
     * is the small-scale truth (full sort per group); `approx_percentile`
     * (t-digest-style sketch, bounded `accuracy` memory per group, merge-

@@ -212,6 +212,12 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
   }
 
+  test("q103 retention cohorts: aggregations + one co-keyed join, no window, no nested loop") {
+    val p = plan("q103_retention")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
   test("q102 quantile gate: threshold table broadcasts back, no window") {
     val p = plan("q102_quantile_gate")
     assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,

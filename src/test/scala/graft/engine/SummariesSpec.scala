@@ -69,4 +69,28 @@ class SummariesSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(big == Set((1L, 3L, 75.0), (3L, 7L, -20.0)))
   }
+
+  test("retentionCohorts: first-seen cohorts, dedup within a day, offset 0 = cohort size") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: first seen day 1, active again day 2 (twice -> counts once) and day 4
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 21:00:00")), (1L, ts("2024-01-04 10:00:00")),
+      // user 2: first seen day 1 only
+      (2L, ts("2024-01-01 12:00:00")),
+      // user 3: first seen day 2, active day 3
+      (3L, ts("2024-01-02 07:00:00")), (3L, ts("2024-01-03 07:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Summaries.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort", "day_offset")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+      .map { case (c, o, n) => (c.toString, o, n) }
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L),   // users 1 and 2
+      ("2024-01-01", 1L, 1L),   // user 1 on day 2 (deduped within the day)
+      ("2024-01-01", 3L, 1L),   // user 1 on day 4
+      ("2024-01-02", 0L, 1L),   // user 3's cohort
+      ("2024-01-02", 1L, 1L)))  // user 3 on day 3
+  }
 }
