@@ -1032,7 +1032,15 @@ object SparkEntry {
     // counts — two same-key aggregations + one co-shuffled join, no window.
     "q103_retention" -> ((s, dir) =>
       Summaries.retentionCohorts(events(s, dir), "user_id", "ts")
-        .orderBy("cohort", "day_offset"))
+        .orderBy("cohort", "day_offset")),
+
+    // ── ordered funnel: earliest view → click → purchase completion per
+    // user (strictly increasing event_id) — one same-key join + cond-min
+    // aggregation per step, no window, nulls cascade on break.
+    "q104_funnel" -> ((s, dir) =>
+      Summaries.funnel(events(s, dir), "user_id", "event_type", "event_id",
+        Seq("view", "click", "purchase"))
+        .orderBy("user_id"))
   )
 
   private val threeWayJoinSql: String =
@@ -2011,7 +2019,22 @@ object SparkEntry {
         |SELECT fs.cohort, CAST(a.d - fs.cohort AS BIGINT) AS day_offset,
         |       count(*) AS n_active
         |FROM act a JOIN fs ON a.user_id = fs.user_id
-        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+    "q104_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(event_id) AS step_1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.event_id) AS step_2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.event_id > s1.step_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.event_id) AS step_3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.event_id > s2.step_2 GROUP BY 1)
+        |SELECT s1.user_id, s1.step_1, s2.step_2, s3.step_3,
+        | CAST(CASE WHEN s3.step_3 IS NOT NULL THEN 3
+        |           WHEN s2.step_2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS n_steps
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -115,6 +115,41 @@ object Summaries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Ordered funnel completion — per key, the earliest strictly-ordered
+    * completion of each step: `step_i` is the smallest `orderCol` among
+    * `typeCol == steps(i-1)` events AFTER the key's completed `step_{i-1}`
+    * (nulls cascade once the funnel breaks); `n_steps` is the completed
+    * prefix length. Keys that never reach step 1 are absent, the classic
+    * funnel-report contract.
+    *
+    * 100 TB shape: one pass per step, every pass keyed on the SAME key
+    * column — a type-filtered projection (pushed to the scan) left-joins
+    * the per-key accumulator and re-aggregates with a conditional min, so
+    * each step costs one co-shuffled join + map-side-combinable agg; no
+    * window, no per-key event-list materialization. Step count is small
+    * by nature (funnels are 3-7 steps), so the chain stays shallow.
+    */
+  def funnel(df: DataFrame, keyCol: String, typeCol: String, orderCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(orderCol)).as("step_1"))
+    for (i <- 2 to steps.size) {
+      val next = df.filter(col(typeCol) === steps(i - 1))
+        .select(col(keyCol), col(orderCol).as("__o"))
+      val carried = (1 until i).map(j => max(col(s"step_$j")).as(s"step_$j"))
+      val stepI = min(when(col("__o") > col(s"step_${i - 1}"), col("__o")))
+        .as(s"step_$i")
+      acc = acc.join(next, Seq(keyCol), "left")
+        .groupBy(col(keyCol))
+        .agg(carried.head, (carried.tail :+ stepI): _*)
+    }
+    val nSteps = coalesce(
+      (steps.size to 1 by -1).map(k =>
+        when(col(s"step_$k").isNotNull, lit(k.toLong))) :+ lit(0L): _*)
+    acc.withColumn("n_steps", nSteps)
+  }
+
   /** Per-group quantiles, exact and approximate side by side: `percentile`
     * is the small-scale truth (full sort per group); `approx_percentile`
     * (t-digest-style sketch, bounded `accuracy` memory per group, merge-

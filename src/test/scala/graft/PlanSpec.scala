@@ -212,6 +212,12 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
   }
 
+  test("q104 funnel: per-step join/agg chain, no window, no nested loop") {
+    val p = plan("q104_funnel")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
   test("q103 retention cohorts: aggregations + one co-keyed join, no window, no nested loop") {
     val p = plan("q103_retention")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)

@@ -93,4 +93,24 @@ class SummariesSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L),   // user 3's cohort
       ("2024-01-02", 1L, 1L)))  // user 3 on day 3
   }
+
+  test("funnel: strict order, earliest completion, nulls cascade on break") {
+    val ev = Seq(
+      // user 1 completes A->B->C in order, with an earlier decoy B at id 1
+      (1L, 1L, "B"), (1L, 2L, "A"), (1L, 3L, "B"), (1L, 4L, "C"),
+      // user 2: C happens BEFORE B completes -> stops at 2 steps
+      (2L, 1L, "A"), (2L, 2L, "C"), (2L, 3L, "B"),
+      // user 3: only A
+      (3L, 9L, "A"),
+      // user 4: never does A -> absent
+      (4L, 1L, "B"), (4L, 2L, "C")
+    ).toDF("user_id", "event_id", "event_type")
+    val out = Summaries.funnel(ev, "user_id", "event_type", "event_id", Seq("A", "B", "C"))
+      .orderBy("user_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(2L), Some(3L), Some(4L), 3L),   // decoy B at id 1 ignored (before A)
+      (2L, Some(1L), Some(3L), None, 2L),       // C at id 2 precedes B at id 3
+      (3L, Some(9L), None, None, 1L)))
+  }
 }
