@@ -153,6 +153,54 @@ object PipelineScaleBench {
       out.agg(max(xxhash64(out.columns.map(col): _*))).head()
       total
     }
+    timed("pipe_shard_assign_coarse") {
+      // the parallelism CLIFF demonstrated (the assignShards sizing rule):
+      // 8 shards on a 32-core session = each shard's (hash, id) sort is
+      // ONE task over n/8 rows — 24 cores idle. The wall gap vs
+      // pipe_shard_assign above IS the measured cost of ignoring
+      // nShards >= parallelism; assignShards warns on this configuration.
+      val out = Sampling.assignShards(corpus.select("doc_id"), "doc_id",
+        nShards = 8, salt = "e1")
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      total
+    }
+    timed("pipe_retention") {
+      // retention cohorts over a synthetic event stream (~total events,
+      // ~50 per user, 90-day window): two same-key aggregations + one
+      // co-shuffled join; output is (cohorts x offsets)-sized — bounded
+      // by the date range squared at ANY corpus size, so the ratio
+      // collapses toward 0 as n grows (that is the design, not a bug)
+      val users = math.max(1L, total / 50)
+      val ev = spark.range(total)
+        .select(pmod(xxhash64(col("id"), lit(7)), lit(users)).as("user_id"),
+          to_timestamp(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            pmod(xxhash64(col("id"), lit(8)), lit(90L)).cast("int"))).as("ts"))
+      graft.engine.Summaries.retentionCohorts(ev, "user_id", "ts").count()
+    }
+    timed("pipe_funnel") {
+      // 3-step funnel over the same event shape: one co-shuffled join +
+      // conditional-min re-aggregation per step, no window — wall must
+      // stay a small multiple of one hash-agg pass; output ≈ users that
+      // ever emit the first step (~1/4 type share ⇒ most users)
+      val users = math.max(1L, total / 50)
+      val ev = spark.range(total)
+        .select(pmod(xxhash64(col("id"), lit(9)), lit(users)).as("user_id"),
+          col("id").as("event_id"),
+          element_at(lit(Array("view", "click", "purchase", "other")),
+            (pmod(xxhash64(col("id"), lit(10)), lit(4)) + 1).cast("int")).as("event_type"))
+      graft.engine.Summaries.funnel(ev, "user_id", "event_type", "event_id",
+        Seq("view", "click", "purchase")).count()
+    }
+    timed("pipe_quantile_gate") {
+      // per-stratum p40 gate, 20 strata: one exact-percentile aggregation
+      // (20-row threshold table, broadcast back) + one corpus filter pass;
+      // output_per_input must sit near 0.6 (the kept fraction) flat in n
+      val toksQ = split(col("text"), " ")
+      val scored = corpus.select(col("doc_id"),
+        pmod(xxhash64(col("doc_id"), lit(11)), lit(20L)).as("stratum"),
+        (size(array_distinct(toksQ)).cast("double") / size(toksQ)).as("score"))
+      graft.operators.Selection.keepAboveQuantile(scored, "stratum", "score", 0.4).count()
+    }
     timed("pipe_dedup_megacluster") {
       // ADVERSARIAL: ~1.5% of the corpus byte-identical in ONE cluster —
       // the web-boilerplate shape that OOMs any plan holding a duplicate

@@ -1932,7 +1932,8 @@ object SparkEntry {
     "q95_corpus_profile" ->
       """WITH b AS (SELECT lang,
         |  least(CAST(floor(length(text) / 50.0) AS BIGINT), 9) AS len_bucket,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+        |  WHERE text IS NOT NULL),
         |agg AS (SELECT lang, len_bucket, count(*) AS n_docs,
         |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM b GROUP BY 1, 2)
         |SELECT lang, len_bucket, n_docs, n_tokens,

@@ -132,10 +132,14 @@ object Summaries {
   def funnel(df: DataFrame, keyCol: String, typeCol: String, orderCol: String,
              steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    var acc = df.filter(col(typeCol) === steps.head)
+    // project ONLY the three referenced columns at entry: the working
+    // columns (step_i, __o) built below would otherwise collide with
+    // same-named input columns in ambiguous-reference analysis errors
+    val base = df.select(col(keyCol), col(typeCol), col(orderCol))
+    var acc = base.filter(col(typeCol) === steps.head)
       .groupBy(col(keyCol)).agg(min(col(orderCol)).as("step_1"))
     for (i <- 2 to steps.size) {
-      val next = df.filter(col(typeCol) === steps(i - 1))
+      val next = base.filter(col(typeCol) === steps(i - 1))
         .select(col(keyCol), col(orderCol).as("__o"))
       val carried = (1 until i).map(j => max(col(s"step_$j")).as(s"step_$j"))
       val stepI = min(when(col("__o") > col(s"step_${i - 1}"), col("__o")))

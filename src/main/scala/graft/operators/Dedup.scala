@@ -358,49 +358,35 @@ object Dedup {
     * defaults 4M items / 64M bits — read from the decompiled 4.1.2
     * `lzycompute`). Past ~3.3M benchmark shingles the sketch would silently
     * degrade to useless FPR and the prefilter would stop filtering. So:
-    * raise the caps to the computed size while the sketch materializes,
-    * restore the caller's values after. Exposed `private[graft]` so the
-    * spec can pin the no-clamp contract (sketch byte size + measured FPR)
-    * past the 4M default cap.
+    * materialize the sketch in a cloned session whose caps are raised to
+    * the computed size — the caller's session conf is never touched.
+    * Exposed `private[graft]` so the spec can pin the no-clamp contract
+    * (sketch byte size + measured FPR) past the 4M default cap.
     */
-  /** Guards the save/raise/restore of the session-shared bloom caps in
-    * [[shingleBloomBits]]: without it, two concurrent builders snapshot
-    * each other's raised caps as their "old" values (leaking the raise)
-    * or restore mid-build (re-clamping the other's sketch). Other
-    * concurrent queries on the same session still observe the raised
-    * caps for the duration of one sketch build — acceptable: a raised
-    * cap only permits larger runtime join filters, it never shrinks one.
-    */
-  private val bloomConfLock = new Object
-
   private[graft] def shingleBloomBits(benchShingles: DataFrame,
                                       bitsPerItem: Int): Array[Byte] = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression, ofRows}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val spark = benchShingles.sparkSession
     val nBench = math.max(1L, benchShingles.count())
+    val wantBits = nBench * bitsPerItem.toLong
+    // the raised caps live in a CLONED session (same SparkContext, own
+    // SQLConf): the caller's session conf is never mutated, so concurrent
+    // queries planned during a sketch build can never observe the raise
+    // (it used to be a save/raise/restore on the shared conf under a
+    // lock — an observable cross-query side effect). The clone shares
+    // the SharedState cache manager, so a persisted benchShingles still
+    // serves this scan.
+    val s2 = benchShingles.sparkSession.newSession()
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val wantBits = nBench * bitsPerItem.toLong
-    bloomConfLock.synchronized {
-      val oldItems = spark.conf.getOption(itemsKey)
-      val oldBits = spark.conf.getOption(bitsKey)
-      try {
-        if (spark.conf.get(itemsKey).toLong < nBench)
-          spark.conf.set(itemsKey, nBench.toString)
-        if (spark.conf.get(bitsKey).toLong < wantBits)
-          spark.conf.set(bitsKey, wantBits.toString)
-        val bloomAgg = column(new BloomFilterAggregate(
-          expression(xxhash64(col("shingle"))),
-          expression(lit(nBench)),
-          expression(lit(wantBits))).toAggregateExpression())
-        benchShingles.agg(bloomAgg.as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-      } finally {
-        oldItems.fold(spark.conf.unset(itemsKey))(v => spark.conf.set(itemsKey, v))
-        oldBits.fold(spark.conf.unset(bitsKey))(v => spark.conf.set(bitsKey, v))
-      }
-    }
+    if (s2.conf.get(itemsKey).toLong < nBench) s2.conf.set(itemsKey, nBench.toString)
+    if (s2.conf.get(bitsKey).toLong < wantBits) s2.conf.set(bitsKey, wantBits.toString)
+    val bloomAgg = column(new BloomFilterAggregate(
+      expression(xxhash64(col("shingle"))),
+      expression(lit(nBench)),
+      expression(lit(wantBits))).toAggregateExpression())
+    ofRows(s2, benchShingles).agg(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]]("bf")
   }
 
   /** Per-document contamination fraction — the FUZZY decontamination
@@ -1036,9 +1022,13 @@ object Dedup {
         lit("dedupParagraphsNear: more than 2^20 paragraphs in one document")),
         lit(true)))
       // the other half of the packed-key precondition: id·2²⁰ must not
-      // overflow a long, so |id| < 2⁴³ (hash/snowflake ids would otherwise
+      // overflow a long, so id ∈ (-2⁴³, 2⁴³) — a RANGE check, not abs():
+      // abs(Long.MinValue) overflows back to Long.MinValue and would slip
+      // a sentinel id straight through (hash/snowflake ids would otherwise
       // silently corrupt first-occurrence survivors)
-      .filter(coalesce(assert_true(abs(col(idCol).cast("long")) < lit(1L << 43),
+      .filter(coalesce(assert_true(
+        col(idCol).cast("long") > lit(-(1L << 43)) &&
+          col(idCol).cast("long") < lit(1L << 43),
         lit(s"dedupParagraphsNear: |$idCol| >= 2^43 would overflow the packed paragraph key")),
         lit(true)))
       .withColumn("__pid", col(idCol).cast("long") * lit(1L << 20) + col("__pos"))

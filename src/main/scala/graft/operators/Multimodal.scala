@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: `javax.imageio` ships in the JDK and parses
   * PNG/BMP/GIF/JPEG with no external package, so image payloads yield
-  * true width/height/pixel statistics. The deterministic STUB kernel
-  * remains only for payloads ImageIO cannot parse — audio and video,
-  * whose codecs genuinely are not in this container; on a real cluster
-  * the stub body is replaced by the codec call, nothing else changes.
+  * true width/height/pixel statistics. AUDIO decode is REAL for WAV/PCM:
+  * `javax.sound.sampled.AudioSystem` (also pure JDK) parses WAV headers
+  * and 8/16-bit PCM frames, yielding true sample-rate/channel/duration/
+  * RMS statistics. The deterministic STUB kernel remains only for
+  * payloads neither parser accepts — compressed audio codecs and video,
+  * which genuinely are not in this container; on a real cluster the stub
+  * body is replaced by the codec call, nothing else changes.
   *
   * Scale: `mapPartitions` keeps decode per-executor and batch-shaped (no
   * per-row task overhead, no driver involvement); binary payloads never
@@ -128,11 +131,108 @@ object Multimodal {
     }
   }
 
-  // ── STUB decode kernel (audio/video ONLY) ─────────────────────────────
-  // Real implementation would call an audio/video codec here (not available
-  // in this container). This deterministic fake preserves the exact batch
-  // shape, signature and output schema of the real kernel. Image payloads
-  // never reach it — they decode for real via ImageIO above.
+  /** Decoded WAV statistics from one sample scan: format facts plus
+    * mean/RMS/peak/zero-crossing-rate of normalized samples in [-1,1] —
+    * the shared kernel behind [[audioMeta]] and the audio branch of
+    * [[extractFeatures]] (the [[channelSums]] precedent: one kernel, two
+    * surfaces, no drift). ZCR is over the interleaved stream (a cheap
+    * spectral proxy; per-channel separation isn't worth a second scan).
+    */
+  final case class WavStats(sampleRate: Double, channels: Int, bits: Int,
+                            nFrames: Long, durationSec: Double,
+                            mean: Double, rms: Double, peak: Double, zcr: Double)
+
+  /** REAL audio decode (JDK javax.sound.sampled): WAV headers + 8/16-bit
+    * PCM frames. None when the payload is not an uncompressed WAV —
+    * callers fall back to the stub (compressed codecs aren't in the JDK).
+    */
+  private[operators] def decodeWavStats(blob: Array[Byte]): Option[WavStats] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(blob))
+      try {
+        val fmt = in.getFormat
+        val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val nSamples = bytes.length / bytesPerSample
+          if (nSamples == 0) None
+          else {
+            var sum = 0.0; var sum2 = 0.0; var peak = 0.0
+            var crossings = 0L; var prevSign = 0
+            var i = 0
+            while (i < nSamples) {
+              val off = i * bytesPerSample
+              val v =
+                if (bits == 8) {
+                  // 8-bit WAV is unsigned by convention; trust the header
+                  (if (signed) bytes(off).toInt else (bytes(off) & 0xff) - 128) / 128.0
+                } else {
+                  val raw =
+                    if (fmt.isBigEndian) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+                    else ((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)
+                  (if (signed) raw.toShort.toInt else raw - 32768) / 32768.0
+                }
+              sum += v; sum2 += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+              if (sign != 0) {
+                if (prevSign != 0 && sign != prevSign) crossings += 1
+                prevSign = sign
+              }
+              i += 1
+            }
+            val nFrames = bytes.length.toLong / fmt.getFrameSize
+            Some(WavStats(fmt.getSampleRate.toDouble, fmt.getChannels, bits,
+              nFrames, nFrames / fmt.getFrameRate.toDouble,
+              sum / nSamples, math.sqrt(sum2 / nSamples), peak,
+              crossings.toDouble / math.max(1L, nSamples - 1L)))
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decoded audio metadata: true format facts + RMS loudness. */
+  final case class AudioMeta(doc_id: Long, sample_rate: Double, channels: Int,
+                             n_frames: Long, duration_sec: Double, rms: Double)
+
+  /** Real audio metadata extraction — the [[imageMeta]] twin: audio-typed
+    * rows whose payload parses as WAV/PCM yield true sample-rate/
+    * channels/frames/duration/RMS; non-audio rows never pay a decode
+    * attempt and undecodable audio rows are dropped. Batch-shaped —
+    * payload bytes never leave the partition that read them.
+    */
+  def audioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = if (r.media_type == "audio") decodeWavStats(r.blob) else None
+        decoded.map(w => AudioMeta(r.doc_id, w.sampleRate, w.channels,
+          w.nFrames, w.durationSec, w.rms))
+      }
+    }
+  }
+
+  /** 8-dim feature from REAL samples: [mean, rms, peak, zcr,
+    * log1p(frames), log1p(rate), channels, bits].
+    */
+  private[operators] def audioFeature(w: WavStats): Array[Float] =
+    Array(w.mean.toFloat, w.rms.toFloat, w.peak.toFloat, w.zcr.toFloat,
+      math.log1p(w.nFrames.toDouble).toFloat, math.log1p(w.sampleRate).toFloat,
+      w.channels.toFloat, w.bits.toFloat)
+
+  // ── STUB decode kernel (compressed audio / video ONLY) ────────────────
+  // Real implementation would call a codec here (not available in this
+  // container). This deterministic fake preserves the exact batch shape,
+  // signature and output schema of the real kernel. Image payloads never
+  // reach it (ImageIO above); WAV/PCM audio payloads never reach it
+  // (javax.sound.sampled above).
   private def stubDecode(blob: Array[Byte]): Array[Float] = {
     val feat = new Array[Float](8)
     var i = 0
@@ -145,22 +245,34 @@ object Multimodal {
 
   /** Feature extraction over partition-sized batches: image payloads that
     * ImageIO parses get REAL pixel-statistic features (one frame — a
-    * still); everything else takes the documented audio/video stub.
+    * still); audio payloads that parse as WAV/PCM get REAL sample-
+    * statistic features (true frame count); everything else takes the
+    * documented compressed-audio/video stub.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val decoded = if (r.media_type == "image") decodeImage(r.blob) else None
-        decoded match {
-          case Some(img) =>
-            MediaFeature(r.doc_id, r.media_type, r.blob.length.toLong, 1,
-              imageFeature(img))
-          case None =>
-            val frames = (r.blob.length / 256) + 1
-            MediaFeature(r.doc_id, r.media_type, r.blob.length.toLong, frames,
-              stubDecode(r.blob))
+        def stub = {
+          val frames = (r.blob.length / 256) + 1
+          MediaFeature(r.doc_id, r.media_type, r.blob.length.toLong, frames,
+            stubDecode(r.blob))
+        }
+        r.media_type match {
+          case "image" => decodeImage(r.blob) match {
+            case Some(img) =>
+              MediaFeature(r.doc_id, r.media_type, r.blob.length.toLong, 1,
+                imageFeature(img))
+            case None => stub
+          }
+          case "audio" => decodeWavStats(r.blob) match {
+            case Some(w) =>
+              MediaFeature(r.doc_id, r.media_type, r.blob.length.toLong,
+                math.min(w.nFrames, Int.MaxValue.toLong).toInt, audioFeature(w))
+            case None => stub
+          }
+          case _ => stub
         }
       }
     }

@@ -76,13 +76,21 @@ object Sampling {
     * cluster layout, and a fresh salt re-deals the whole corpus per epoch.
     *
     * 100 TB shape: one hash exchange on `shard` plus an in-partition sort
-    * (the window never crosses shards). Choose `nShards` at or above the
-    * cluster's write parallelism so each shard sorts a ~corpus/nShards
-    * slice; there is no global sort and no driver involvement.
+    * (the window never crosses shards). SIZING RULE (load-bearing): each
+    * shard's (hash, id) sort runs as ONE task, so choose
+    * `nShards ≈ corpus size / target shard size`, which at any real
+    * corpus is far ABOVE the cluster's parallelism (a 100 TB corpus at
+    * 1 GB shards is 100k shards). An `nShards` below the parallelism
+    * (say 64 on a 1000-core cluster) leaves cores idle and hands each
+    * task a ~corpus/nShards sort — 1.5 TB per task at 100 TB/64 — which
+    * is a mis-sizing, not an operator limit; [[shardParallelismWarning]]
+    * logs it. There is no global sort and no driver involvement.
     */
   def assignShards(df: DataFrame, idCol: String, nShards: Int,
                    salt: String = ""): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
+    shardParallelismWarning(nShards, df.sparkSession.sparkContext.defaultParallelism)
+      .foreach(org.slf4j.LoggerFactory.getLogger(Sampling.getClass).warn(_))
     val h = md5(concat(lit(salt), col(idCol).cast("string")))
     val shard = pmod(hash60(h), lit(nShards.toLong))
     df.withColumn("shard", shard)
@@ -90,6 +98,18 @@ object Sampling {
         (row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("shard")).orderBy(h, col(idCol))) - 1).cast("long"))
   }
+
+  /** The [[assignShards]] sizing-rule check, as a pure function (None =
+    * sized correctly). Separated so the spec pins the rule without
+    * scraping logs; assignShards logs whatever this returns.
+    */
+  private[graft] def shardParallelismWarning(nShards: Int, parallelism: Int): Option[String] =
+    if (nShards < parallelism)
+      Some(s"assignShards: nShards=$nShards is below the cluster parallelism " +
+        s"($parallelism) — each shard's (hash, id) sort runs as ONE task over " +
+        s"~1/$nShards of the corpus, leaving cores idle; size nShards ≈ " +
+        "corpus size / target shard size (at or above the write parallelism)")
+    else None
 
   /** Stratified deterministic sampling: a per-stratum keep rate (permille),
     * falling back to `defaultPermille` for unlisted strata — the

@@ -199,6 +199,10 @@ object TextAnalysis {
       floor(length(col(textCol)).cast("double") / bucketWidth).cast("long"),
       lit(nBuckets - 1L))
     val agg = df
+      // null text must never reach the bucket expression: least() SKIPS
+      // nulls in Spark (null docs would land in the top bucket with a
+      // null token count) and its null semantics differ across engines
+      .filter(col(textCol).isNotNull)
       .select(col(stratumCol), bucket.as("len_bucket"),
         size(tokens(textCol)).cast("long").as("__n_tokens"))
       .groupBy(col(stratumCol), col("len_bucket"))

@@ -22,6 +22,17 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Re-root a DataFrame's logical plan in another session of the same
+    * SparkContext — how the bloom-sketch builder runs under raised
+    * runtime-filter caps in a CLONED session instead of mutating the
+    * caller's shared conf. `Dataset.ofRows` is `private[sql]`.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.logical)
+
   /** Apply a SparkSessionExtensions' injected functions to a registry —
     * `registerFunctions` is `private[sql]`, re-exposed here so specs can
     * verify an extensions provider without building a whole new session.

@@ -113,4 +113,16 @@ class SummariesSpec extends SparkSpec {
       (2L, Some(1L), Some(3L), None, 2L),       // C at id 2 precedes B at id 3
       (3L, Some(9L), None, None, 1L)))
   }
+
+  test("funnel tolerates input columns named like its working columns (ADVICE r8)") {
+    // an input already carrying step_1 / __o must not trip
+    // ambiguous-reference analysis errors — funnel projects only the
+    // three columns it reads at entry
+    val ev = Seq(
+      (1L, 1L, "A", 99L, 98L), (1L, 2L, "B", 99L, 98L)
+    ).toDF("user_id", "event_id", "event_type", "step_1", "__o")
+    val out = Summaries.funnel(ev, "user_id", "event_type", "event_id", Seq("A", "B"))
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(out == Seq((1L, Some(1L), Some(2L), 2L)))
+  }
 }

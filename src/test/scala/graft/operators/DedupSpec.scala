@@ -346,6 +346,18 @@ class DedupSpec extends SparkSpec {
     val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(messages.contains("2^43"), s"expected the 2^43 assert, got: $messages")
+    // ADVICE r8: abs(Long.MinValue) overflows back to Long.MinValue and
+    // would slip through an abs()-based guard — the range check must not
+    val minCorpus = Seq(
+      (Long.MinValue, "alpha beta gamma\n\ndelta epsilon zeta"),
+      (7L, "alpha beta gamma\n\nunrelated text here")
+    ).toDF("doc_id", "text")
+    val e2 = intercept[Throwable] {
+      Dedup.dedupParagraphsNear(minCorpus, "doc_id", "text", 0.5).collect()
+    }
+    val m2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(m2.contains("2^43"), s"expected the 2^43 assert on Long.MinValue, got: $m2")
   }
 
   test("bloom sketch is NOT clamped past the 4M-item runtime-filter cap (size + measured FPR)") {

@@ -85,6 +85,69 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f.feature(7) - math.log1p(2.0).toFloat) < 1e-6f)
   }
 
+  // a real WAV: 16-bit signed little-endian mono PCM at 8 kHz, one second,
+  // a ±8192 square wave flipping every 10 frames → RMS exactly 0.25,
+  // mean exactly 0 (equal halves)
+  private def wavFixture(): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val nFrames = 8000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v: Short = if ((i / 10) % 2 == 0) 8192 else -8192
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("decodeWavStats REALLY decodes a WAV: true rate/channels/frames/RMS") {
+    val s = Multimodal.decodeWavStats(wavFixture())
+    assert(s.isDefined)
+    val w = s.get
+    assert(w.sampleRate == 8000.0 && w.channels == 1 && w.nFrames == 8000L)
+    assert(math.abs(w.durationSec - 1.0) < 1e-9)
+    assert(math.abs(w.rms - 0.25) < 1e-9)   // square wave at 8192/32768
+    assert(math.abs(w.mean) < 1e-9)         // symmetric halves
+    assert(math.abs(w.peak - 0.25) < 1e-9)
+    // non-WAV bytes are None, not an exception — the stub-path signal
+    assert(Multimodal.decodeWavStats("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audioMeta yields real WAV metadata; drops undecodable and non-audio rows") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wavFixture()),
+      Multimodal.MediaRow(2L, "audio", Array[Byte](1, 2, 3)),    // not a WAV
+      Multimodal.MediaRow(3L, "image", pngFixture())).toDS()
+    val metas = Multimodal.audioMeta(media).collect()
+    assert(metas.map(_.doc_id).toSeq == Seq(1L))
+    val m = metas.head
+    assert(m.sample_rate == 8000.0 && m.channels == 1 && m.n_frames == 8000L)
+    assert(math.abs(m.duration_sec - 1.0) < 1e-9)
+    assert(math.abs(m.rms - 0.25) < 1e-9)
+  }
+
+  test("extractFeatures uses REAL sample statistics for decodable WAV audio") {
+    val media = Seq(Multimodal.MediaRow(1L, "audio", wavFixture())).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_frames == 8000)
+    // feature = [mean, rms, peak, zcr, log1p(frames), log1p(rate), channels, bits]
+    assert(math.abs(f.feature(0)) < 1e-6f)
+    assert(math.abs(f.feature(1) - 0.25f) < 1e-6f)
+    assert(math.abs(f.feature(2) - 0.25f) < 1e-6f)
+    assert(math.abs(f.feature(4) - math.log1p(8000.0).toFloat) < 1e-6f)
+    assert(math.abs(f.feature(5) - math.log1p(8000.0).toFloat) < 1e-6f)
+    assert(f.feature(6) == 1.0f && f.feature(7) == 16.0f)
+    // a non-WAV audio payload still takes the documented stub, not a crash
+    val stub = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(2L, "audio", "bb".getBytes("UTF-8"))).toDS()).collect().head
+    assert(stub.n_frames == 1 && stub.feature.length == 8)
+  }
+
   test("extractFeatures preserves partitioning shape and is deterministic") {
     val feats = Multimodal.extractFeatures(Multimodal.fakeMediaTable(docs))
       .collect().sortBy(_.doc_id)

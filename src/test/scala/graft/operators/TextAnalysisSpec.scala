@@ -250,6 +250,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out.map(_._5).sum - 1.0) < 1e-15)
   }
 
+  test("corpusProfile excludes null-text docs (ADVICE r8: least() null semantics)") {
+    // length(NULL) is NULL and least(NULL, 9) skips nulls in Spark but has
+    // version-dependent semantics in other engines — null docs must never
+    // reach the bucket expression at all
+    val corpus = Seq(
+      (0L, "en", "a b"),
+      (1L, "en", null.asInstanceOf[String]),
+      (2L, "de", "x y z")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.corpusProfile(corpus, "text", "lang")
+      .orderBy("lang", "len_bucket")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // the null doc is absent everywhere: counts AND the share denominator
+    assert(out == Seq(("de", 0L, 1L, 3L, 0.5), ("en", 0L, 1L, 2L, 0.5)))
+  }
+
   test("contentDefinedChunks: lossless reassembly, edit-stable boundaries, short docs intact") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val corpus = Seq((0L, base), (1L, "a b"), (2L, "one two three")).toDF("doc_id", "text")
