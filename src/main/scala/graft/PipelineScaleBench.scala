@@ -194,7 +194,9 @@ object PipelineScaleBench {
     timed("pipe_quantile_gate") {
       // per-stratum p40 gate, 20 strata: one exact-percentile aggregation
       // (20-row threshold table, broadcast back) + one corpus filter pass;
-      // output_per_input must sit near 0.6 (the kept fraction) flat in n
+      // output_per_input is the kept fraction — >= 0.6 by construction
+      // (ties at the threshold keep; measured 0.82 on this lumpy score
+      // distribution) and must stay FLAT in n
       val toksQ = split(col("text"), " ")
       val scored = corpus.select(col("doc_id"),
         pmod(xxhash64(col("doc_id"), lit(11)), lit(20L)).as("stratum"),
