@@ -1040,7 +1040,24 @@ object SparkEntry {
     "q104_funnel" -> ((s, dir) =>
       Summaries.funnel(events(s, dir), "user_id", "event_type", "event_id",
         Seq("view", "click", "purchase"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // ── audio decode ROUND-TRIP: synthesize a WAV per doc (square wave
+    // whose amplitude and frame count are closed-form in doc_id, chosen
+    // dyadic-exact), decode through the REAL javax.sound.sampled kernel,
+    // and let the oracle state the decoded facts analytically — an
+    // end-to-end correctness gate on the WAV decoder itself. Narrow plan:
+    // synth + decode are one typed map pass, payloads never shuffle.
+    "q105_audio_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Multimodal.MediaRow(id, "audio",
+          graft.operators.Multimodal.syntheticWav(
+            amplitude = (256 * (1 + id % 31)).toInt,
+            nFrames = (800 + (id % 7) * 80).toInt)))
+      graft.operators.Multimodal.audioMeta(media).toDF()
+        .orderBy("doc_id")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -2035,7 +2052,21 @@ object SparkEntry {
         |           WHEN s2.step_2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS n_steps
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
-        |ORDER BY s1.user_id""".stripMargin
+        |ORDER BY s1.user_id""".stripMargin,
+
+    // The decoded facts of q105's synthesized square-wave WAVs, stated in
+    // closed form: rate/channels are the container's; n_frames and
+    // amplitude are the synthesis parameters; duration = frames/rate and
+    // rms = amplitude/32768 are IEEE-exact (dyadic amplitude, equal +/-
+    // halves), so no rounding is needed for cross-engine equality.
+    "q105_audio_roundtrip" ->
+      """SELECT doc_id,
+        | CAST(8000 AS DOUBLE) AS sample_rate,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(800 + (doc_id % 7) * 80 AS BIGINT) AS n_frames,
+        | CAST(800 + (doc_id % 7) * 80 AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration_sec,
+        | CAST(256 * (1 + doc_id % 31) AS DOUBLE) / CAST(32768 AS DOUBLE) AS rms
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

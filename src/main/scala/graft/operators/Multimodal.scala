@@ -197,6 +197,37 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Deterministic WAV synthesis: 16-bit signed little-endian mono PCM
+    * square wave (±amplitude, flipping every `period` frames) in a WAV
+    * container — the encoder half of the decode ROUND-TRIP gate (q105):
+    * synthesized WAVs pipe through [[audioMeta]]'s real decoder and the
+    * decoded facts are checked against their closed-form values. The
+    * defaults keep every decoded value IEEE-exact: amplitude/32768 is a
+    * dyadic rational, and an `nFrames` divisible by 2·period gives equal
+    * +/- halves (mean exactly 0, RMS exactly amplitude/32768).
+    */
+  def syntheticWav(amplitude: Int, nFrames: Int, period: Int = 10,
+                   sampleRate: Float = 8000f): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= Short.MaxValue,
+      s"amplitude out of [0, 32767]: $amplitude")
+    require(nFrames > 0 && period > 0, s"nFrames/period must be positive: $nFrames/$period")
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = if ((i / period) % 2 == 0) amplitude else -amplitude
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** Decoded audio metadata: true format facts + RMS loudness. */
   final case class AudioMeta(doc_id: Long, sample_rate: Double, channels: Int,
                              n_frames: Long, duration_sec: Double, rms: Double)

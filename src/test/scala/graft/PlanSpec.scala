@@ -323,6 +323,13 @@ class PlanSpec extends SparkSpec {
       s"token arrays may ride only the rebuild join, found $tokenCarrying joins carrying __t")
   }
 
+  test("q105 audio round-trip is a narrow typed-map pass: no exchange except the output sort") {
+    val p = plan("q105_audio_roundtrip")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"synth+decode must stay in one narrow pass (payloads never shuffle), got ${shuffles.size}")
+  }
+
   test("snapshotDiff over two id-bucketed stores is exchange-free (q101's 100 TB claim)") {
     // VERDICT r8 #4: prove the "exchange-free on id-bucketed stores"
     // comment on q101 mechanically. Both snapshot versions written

@@ -148,6 +148,21 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.n_frames == 1 && stub.feature.length == 8)
   }
 
+  test("syntheticWav round-trips through the real decoder with IEEE-exact closed forms") {
+    // the q105 contract: for a ±a square wave with equal halves, the
+    // decoded values are EXACTLY the synthesis parameters — no tolerance
+    for ((amp, frames) <- Seq((256, 800), (4096, 1280), (256 * 31, 880))) {
+      val s = Multimodal.decodeWavStats(Multimodal.syntheticWav(amp, frames)).get
+      assert(s.sampleRate == 8000.0 && s.channels == 1 && s.bits == 16)
+      assert(s.nFrames == frames.toLong)
+      assert(s.durationSec == frames / 8000.0)      // exact, not approx
+      assert(s.rms == amp / 32768.0)                // exact, not approx
+      assert(s.mean == 0.0)
+    }
+    intercept[IllegalArgumentException](Multimodal.syntheticWav(40000, 100))
+    intercept[IllegalArgumentException](Multimodal.syntheticWav(100, 0))
+  }
+
   test("extractFeatures preserves partitioning shape and is deterministic") {
     val feats = Multimodal.extractFeatures(Multimodal.fakeMediaTable(docs))
       .collect().sortBy(_.doc_id)
