@@ -203,6 +203,48 @@ object PipelineScaleBench {
         (size(array_distinct(toksQ)).cast("double") / size(toksQ)).as("score"))
       graft.operators.Selection.keepAboveQuantile(scored, "stratum", "score", 0.4).count()
     }
+    timed("pipe_weighted_sample") {
+      // Efraimidis–Spirakis top-k (k = 1% of corpus): per-partition heads
+      // + driver merge — wall must stay at scan speed; a regression to a
+      // global sort would show up as a superlinear jump here
+      val k = math.max(1, nDocs / 100)
+      val weighted = corpus.select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id"), lit(13)), lit(1000L)) + 1).as("w"))
+      Sampling.weightedSample(weighted, "doc_id", "w", k).count()
+    }
+    timed("pipe_pii_report") {
+      // three regexp_count kernels per row, zero exchanges: must run at
+      // scan speed; output == input (one report row per doc)
+      val out = TextAnalysis.piiSignals(corpus, "doc_id", "text")
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      total
+    }
+    timed("pipe_zipf_fit") {
+      // vocab agg (map-combined, vocab-sized exchange) + TakeOrdered 200 +
+      // regression over 200 rows — wall tracks one token-count pass;
+      // output is ONE row at any corpus size
+      TextAnalysis.zipfFit(corpus, "text", topN = 200).count()
+    }
+    timed("pipe_collocations") {
+      // bigram + unigram aggs (both token-sized), two vocab joins, then
+      // TakeOrdered on the rounded PMI — wall must track ~2 token passes;
+      // output is topK rows at any corpus size
+      TextAnalysis.collocations(corpus, "text", minCount = 100, topK = 50).count()
+    }
+    timed("pipe_transitions") {
+      // Markov matrix over the synthetic event shape (~50 events/user):
+      // one keyed lag-window exchange + a types²-sized matrix agg — the
+      // normalize window runs over the MATRIX (16 rows here), so wall
+      // must track the single corpus window pass; output is types².
+      val users = math.max(1L, total / 50)
+      val ev = spark.range(total)
+        .select(pmod(xxhash64(col("id"), lit(9)), lit(users)).as("user_id"),
+          col("id").as("event_id"),
+          element_at(lit(Array("view", "click", "purchase", "other")),
+            (pmod(xxhash64(col("id"), lit(10)), lit(4)) + 1).cast("int")).as("event_type"))
+      graft.engine.Summaries.transitionMatrix(ev, "user_id", "event_type",
+        Seq("event_id")).count()
+    }
     timed("pipe_dedup_megacluster") {
       // ADVERSARIAL: ~1.5% of the corpus byte-identical in ONE cluster —
       // the web-boilerplate shape that OOMs any plan holding a duplicate

@@ -1057,7 +1057,112 @@ object SparkEntry {
             nFrames = (800 + (id % 7) * 80).toInt)))
       graft.operators.Multimodal.audioMeta(media).toDF()
         .orderBy("doc_id")
-    })
+    }),
+
+    // ── weighted sampling without replacement (Efraimidis–Spirakis):
+    // k docs drawn ∝ n_chars, deterministically (md5-uniform priorities) —
+    // TakeOrderedAndProject plan, no global sort. The oracle states the
+    // identical priority arithmetic.
+    "q106_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 100)
+        .orderBy("doc_id")),
+
+    // ── containment near-dup (asymmetric): corpus ∪ synthetic extensions
+    // (every even doc also appears concatenated with its successor), so
+    // genuine short-in-long containments exist; banded LSH candidates,
+    // containment = |A∩B| / min(|A|,|B|), the smaller side flagged as
+    // `contained`. Oracle restates the identical banded pipeline.
+    "q107_containment_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ext = docs.filter(col("doc_id") % 2 === 0)
+        .join(docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2")),
+          Seq("doc_id"))
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("__t2")).as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(ext)
+      Dedup.containmentPairs(corpus, "doc_id", "text", minContainment = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ── PII report: deterministic synthetic PII (emails / phones / IPv4s
+    // in closed form from doc_id) appended to the text, then the detector
+    // counts per category — the oracle runs the SAME regexes in its own
+    // engine on the identically-built text, a true cross-engine gate on
+    // the detector. Pure narrow projection (zero exchanges).
+    "q108_pii_report" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id") % 97, lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit("."),
+            col("doc_id") % 250 + 1))
+          .otherwise(lit("")))
+      TextAnalysis.piiSignals(
+        t(s, dir, "documents").select(col("doc_id"), aug.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ── URL host/domain extraction + broadcast-anti-join blocklist:
+    // urls built in closed form from (source, doc_id), host parsed with
+    // the RE2-portable scheme regex, registered domain = last two labels,
+    // blocked domains dropped via a broadcast LEFT ANTI join.
+    "q109_url_host_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(lit("https://cdn."), col("source"), lit(".net/a/"), col("doc_id"))
+            .as("url"))
+      val blocked = Seq("src3.net", "src7.net", "src11.net", "src19.net")
+        .toDF("domain")
+      TextAnalysis.dropBlockedDomains(docs, "url", blocked)
+        .select("doc_id", "url", "host", "domain")
+        .orderBy("doc_id")
+    }),
+
+    // ── Zipf's-law fit over the top-200 token frequencies: one-row
+    // corpus-QA gate (ln-ln least squares, 6-dp rounded — the q71 ln
+    // portability rule); vocab agg is map-side combinable, the top-N cut
+    // is TakeOrderedAndProject, regression runs over 200 rows.
+    "q110_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 200)),
+
+    // ── collocation mining: top adjacent word pairs by PMI with a count
+    // floor — bigram/unigram aggs are token-sized, N broadcasts, the cut
+    // is TakeOrdered on the 6-dp-rounded score (all-integer ratio inside
+    // ln, so both engines round the same real number).
+    "q111_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+        minCount = 20, topK = 40)),
+
+    // ── per-label embedding centroids: labels × dims mean-coordinate
+    // table (map-side-combined partial sums; 6-dp rounding absorbs float
+    // sum order).
+    "q112_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "embedding", "label")
+        .orderBy("label", "dim")),
+
+    // ── per-label medoid: the member vector most cosine-similar to its
+    // label centroid — argmax via labels-sized agg + equi-join back, ties
+    // on the rounded sim break to the smallest id. No member window.
+    "q113_label_medoids" -> ((s, dir) =>
+      Similarity.labelMedoids(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("label")),
+
+    // ── first-order Markov transitions over per-user event sequences:
+    // one keyed lag window, types²-sized matrix agg, broadcast row
+    // totals; prob is exact BIGINT/BIGINT division.
+    "q114_event_transitions" -> ((s, dir) =>
+      Summaries.transitionMatrix(events(s, dir), "user_id", "event_type",
+        Seq("ts", "event_id"))
+        .orderBy("prev_type", "next_type"))
   )
 
   private val threeWayJoinSql: String =
@@ -2066,7 +2171,129 @@ object SparkEntry {
         | CAST(800 + (doc_id % 7) * 80 AS BIGINT) AS n_frames,
         | CAST(800 + (doc_id % 7) * 80 AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration_sec,
         | CAST(256 * (1 + doc_id % 31) AS DOUBLE) / CAST(32768 AS DOUBLE) AS rms
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Identical Efraimidis–Spirakis priority arithmetic: 60-bit md5
+    // uniform, u = (x + 0.5) / 2^60 (the long→double rounding happens
+    // before the add in BOTH engines), priority = ln(u) / w, top-100.
+    "q106_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+        |  ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT + 0.5)
+        |     / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k
+        | FROM documents),
+        |s AS (SELECT doc_id, n_chars FROM w ORDER BY k DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars FROM s ORDER BY doc_id""".stripMargin,
+    "q107_containment_pairs" ->
+      (s"""WITH corpus AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT a.doc_id + 100000 AS doc_id, a.text || ' ' || b.text AS text
+         | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         | WHERE a.doc_id % 2 = 0),
+         |sig AS (${minhashSigSqlOver("corpus")}), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS (${shingleSqlOver("corpus")}),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_inter, za.sz AS sz_a, zb.sz AS sz_b,
+        | i.n_inter / CAST(least(za.sz, zb.sz) AS DOUBLE) AS containment,
+        | CASE WHEN za.sz <= zb.sz THEN i.doc_a ELSE i.doc_b END AS contained
+        |FROM inter i JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+        |WHERE i.n_inter / CAST(least(za.sz, zb.sz) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // The SAME detector regexes (RE2-compatible by construction) run by
+    // DuckDB's own engine on the identically-synthesized text — a true
+    // cross-engine gate on the PII detector, not a restatement of counts.
+    "q108_pii_report" ->
+      """WITH aug AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id % 97 AS VARCHAR) || '@example.com now' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END
+        |  AS text FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4
+        | FROM aug)
+        |SELECT doc_id, n_email, n_phone, n_ipv4,
+        | n_email + n_phone + n_ipv4 AS n_pii,
+        | CAST((n_email + n_phone + n_ipv4) > 0 AS INT) AS has_pii
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q109_url_host_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://cdn.' || source || '.net/a/' || CAST(doc_id AS VARCHAR) AS url
+        | FROM documents),
+        |h AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host FROM u),
+        |d AS (SELECT doc_id, url, host,
+        |  CASE WHEN len(string_split(host, '.')) >= 2
+        |   THEN string_split(host, '.')[len(string_split(host, '.')) - 1]
+        |        || '.' || string_split(host, '.')[len(string_split(host, '.'))]
+        |   ELSE host END AS domain FROM h)
+        |SELECT doc_id, url, host, domain FROM d
+        |WHERE domain NOT IN ('src3.net', 'src7.net', 'src11.net', 'src19.net')
+        |ORDER BY doc_id""".stripMargin,
+    "q110_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |t AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 200),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM t)
+        |SELECT round(regr_slope(ln(cnt), ln(rank)), 6) AS slope,
+        | round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
+        | round(regr_r2(ln(cnt), ln(rank)), 6) AS r2,
+        | count(*) AS n_points FROM r""".stripMargin,
+    "q111_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM uni),
+        |bg AS (SELECT t[i] AS a, t[i+1] AS b
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+        |bc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT bc.a || ' ' || bc.b AS bigram, bc.n_ab, ca.c AS n_a, cb.c AS n_b,
+        | round(ln(CAST(bc.n_ab * tot.n AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi
+        |FROM bc JOIN uc ca ON ca.w = bc.a JOIN uc cb ON cb.w = bc.b, tot
+        |ORDER BY pmi DESC, bigram LIMIT 40""".stripMargin,
+    "q112_label_centroids" ->
+      """SELECT label, CAST(j - 1 AS BIGINT) AS dim,
+        | round(avg(CAST(embedding[j] AS DOUBLE)), 6) AS centroid,
+        | count(*) AS n_vecs
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS j) g
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "q113_label_medoids" ->
+      """WITH cen AS (
+        | SELECT label, CAST(j - 1 AS BIGINT) AS dim,
+        |  round(avg(CAST(embedding[j] AS DOUBLE)), 6) AS centroid
+        | FROM embeddings, (SELECT unnest(range(1, 65)) AS j) g GROUP BY 1, 2),
+        |ex AS (
+        | SELECT label, vec_id, CAST(j - 1 AS BIGINT) AS dim,
+        |  CAST(embedding[j] AS DOUBLE) AS v
+        | FROM embeddings, (SELECT unnest(range(1, 65)) AS j) g),
+        |sims AS (
+        | SELECT e.label, e.vec_id,
+        |  round(sum(e.v * c.centroid)
+        |        / (sqrt(sum(e.v * e.v)) * sqrt(sum(c.centroid * c.centroid))), 6) AS sim
+        | FROM ex e JOIN cen c ON c.label = e.label AND c.dim = e.dim
+        | GROUP BY 1, 2),
+        |best AS (SELECT label, max(sim) AS sim FROM sims GROUP BY 1)
+        |SELECT s.label, min(s.vec_id) AS medoid_id, s.sim
+        |FROM sims s JOIN best USING (label, sim)
+        |GROUP BY s.label, s.sim ORDER BY label""".stripMargin,
+    "q114_event_transitions" ->
+      """WITH p AS (
+        | SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |        event_type AS next_type
+        | FROM events),
+        |c AS (SELECT prev_type, next_type, count(*) AS n FROM p
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n, c.n / CAST(t.tot AS DOUBLE) AS prob
+        |FROM c JOIN t USING (prev_type) ORDER BY prev_type, next_type""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -154,6 +154,40 @@ object Summaries {
     acc.withColumn("n_steps", nSteps)
   }
 
+  /** First-order Markov transition matrix over per-key event sequences:
+    * for every (prev_type → next_type) adjacent pair (ordered by
+    * `orderCols` within each key), the transition count and the
+    * row-normalized probability — the behavioral-model summary behind
+    * next-event prediction, anomaly scoring, and bot detection.
+    *
+    * 100 TB shape: ONE corpus scan, ONE hash exchange partitioning by key
+    * for the lag window (high-cardinality keys → balanced groups, the q01
+    * flagship pattern); the pair table collapses map-side to the types²
+    * matrix before its exchange; row normalization is a window over the
+    * AGGREGATED matrix — types²-sized by construction, corpus-independent.
+    * (A totals-join formulation would recompute the whole corpus window
+    * subtree for the second aggregation — Catalyst does not reuse the
+    * shared subtree — so the matrix window is the single-pass plan.)
+    * `prob` is exact BIGINT/BIGINT IEEE division, engine-identical.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, typeCol: String,
+                       orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "transitionMatrix needs ordering columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val counts = df
+      .select((Seq(col(keyCol), col(typeCol)) ++ orderCols.map(col)): _*)
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = sum(col("n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type")))
+    counts
+      .withColumn("prob", col("n") / rowTotal.cast("double"))
+      .select("prev_type", "next_type", "n", "prob")
+  }
+
   /** Per-group quantiles, exact and approximate side by side: `percentile`
     * is the small-scale truth (full sort per group); `approx_percentile`
     * (t-digest-style sketch, bounded `accuracy` memory per group, merge-

@@ -1089,6 +1089,45 @@ object Dedup {
       k, rowsPerBand, maxBucketDocs)
   }
 
+  /** CONTAINMENT near-dup pairs: `|A ∩ B| / min(|A|, |B|)` over the LSH
+    * candidate set — the asymmetric twin of [[nearDups]]. Jaccard misses
+    * the "short doc embedded in a long doc" case (a fully-contained
+    * quote's Jaccard is only |A|/|B|); containment scores it 1.0. Output
+    * adds `contained`: the id of the SMALLER side (the doc a dedup pass
+    * would drop as subsumed), ties to `doc_a`.
+    *
+    * Same 100 TB shape as [[nearDupsOn]]: banded candidates (never
+    * all-pairs), two-pointer intersect on pre-sorted sets, one band-bucket
+    * exchange. Note the recall asymmetry is inherited from MinHash
+    * banding — a tiny doc inside a huge one has low Jaccard, so its
+    * band-collision probability is low; raise `k`/lower `rowsPerBand`
+    * (or shingle the long side in windows) when hunting extreme-ratio
+    * containments.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double, n: Int = 2, k: Int = 8,
+                       rowsPerBand: Int = 2,
+                       maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val cands = candidatesFromBands(
+      lshBands(sigsFromSets(sets, idCol, k), idCol, k, rowsPerBand), idCol, maxBucketDocs)
+    val a = sets.select(col(idCol).as("doc_a"), col("__set").as("__sa"),
+      size(col("__set")).cast("long").as("sz_a"))
+    val b = sets.select(col(idCol).as("doc_b"), col("__set").as("__sb"),
+      size(col("__set")).cast("long").as("sz_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_inter",
+        graft.functions.MinHashKernel.sortedIntersectCount(col("__sa"), col("__sb")))
+      .filter(col("n_inter") > 0)
+      // BIGINT / BIGINT: exact IEEE division, engine-identical
+      .withColumn("containment",
+        col("n_inter") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .withColumn("contained",
+        when(col("sz_a") <= col("sz_b"), col("doc_a")).otherwise(col("doc_b")))
+      .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "containment", "contained")
+  }
+
   /** [[nearDups]] over a PRE-BUILT shingle-set table (`(idCol, __set)`,
     * sets sorted ascending as [[shingleSets]] emits them). At cluster scale
     * the set table feeds three subtrees — persist it before calling and

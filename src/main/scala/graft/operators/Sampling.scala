@@ -111,6 +111,37 @@ object Sampling {
         "corpus size / target shard size (at or above the write parallelism)")
     else None
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    * deterministic: each row gets priority `ln(u) / w` where `u` is its
+    * 60-bit md5 uniform in (0,1) and `w > 0` its weight; the k rows with
+    * the LARGEST priority are exactly a weighted sample without
+    * replacement (Efraimidis & Spirakis 2006 — maximizing u^(1/w), taken
+    * through ln, which is monotone). Keyed on the content hash, so the
+    * selected set is a pure function of (corpus, salt): stable under
+    * re-partitioning, retries and cluster layout, like every sampler here.
+    *
+    * 100 TB shape: a narrow projection + `TakeOrderedAndProject` — each
+    * partition keeps its local top-k and only k-sized heads travel to the
+    * driver-side merge; no global sort, no window, no shuffle of the
+    * corpus. Sized for k up to ~10⁶ (the heads are k × partitions rows);
+    * for billion-row samples switch to a threshold-split two-pass (find
+    * the k-th priority via quantile, then filter), same determinism.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // (hash60 + 0.5) / 2^60: u ∈ (0,1) strictly — ln(0) can never occur —
+    // and every operation (long→double, add, divide) is IEEE-exact and
+    // engine-portable. DuckDB twin states the identical arithmetic.
+    val u = (hash60(md5(concat(lit(salt), col(idCol).cast("string"))))
+      .cast("double") + lit(0.5)) / lit(1152921504606846976.0 /* 2^60 */)
+    val key = log(u) / col(weightCol).cast("double")
+    df.withColumn("__es_key", key)
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Stratified deterministic sampling: a per-stratum keep rate (permille),
     * falling back to `defaultPermille` for unlisted strata — the
     * `sampleBy` twin with content-hash determinism. Used to rebalance a

@@ -328,6 +328,62 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** Per-label mean vector (cluster/class profile): one row per
+    * (label, dimension) with the 6-dp-rounded coordinate mean and the
+    * member count — the centroid table driving medoid selection, drift
+    * monitoring, and per-class prototypes.
+    *
+    * 100 TB shape: `posexplode` is a narrow pass; the single exchange
+    * carries (label, dim) partial (sum, count) pairs — map-side-combined
+    * to labels × dims rows per partition regardless of corpus size.
+    * 6-dp rounding absorbs the partial-aggregation float-sum order (the
+    * [[graft.operators.TextAnalysis.tfidfKeywords]] rule).
+    */
+  def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .withColumn("dim", col("dim").cast("long"))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(round(avg("v"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+
+  /** Per-label MEDOID: the member vector most cosine-similar to its
+    * label's centroid — the "most representative real example" picker
+    * (cluster naming, prototype mining, eval-set seeding). Ties on the
+    * 6-dp-rounded similarity break to the smallest id.
+    *
+    * 100 TB shape: exactly TWO corpus passes — one builds the centroid
+    * table ([[labelCentroids]], labels × dims, riding the (label, dim)
+    * join as a small side), one computes per-member similarities as a
+    * map-side-combinable aggregation over exploded coordinates. The
+    * argmax is a single `max_by` over the unique key `(sim, −id)` —
+    * NOT a max-join-back, which would plan the whole similarity subtree
+    * twice (Catalyst does not reuse shared subtrees; the
+    * [[graft.engine.Summaries.transitionMatrix]] lesson).
+    */
+  def labelMedoids(df: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String): DataFrame = {
+    val cen = labelCentroids(df, vecCol, labelCol)
+      .select(col(labelCol), col("dim"), col("centroid"))
+    val ex = df.select(col(labelCol), col(idCol),
+      posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .withColumn("dim", col("dim").cast("long"))
+    val sims = ex.join(cen, Seq(labelCol, "dim"))
+      .groupBy(col(labelCol), col(idCol))
+      .agg(
+        sum(col("v") * col("centroid")).as("__dot"),
+        sum(col("v") * col("v")).as("__vv"),
+        sum(col("centroid") * col("centroid")).as("__cc"))
+      .withColumn("sim",
+        round(col("__dot") / (sqrt(col("__vv")) * sqrt(col("__cc"))), 6))
+      .select(col(labelCol), col(idCol), col("sim"))
+    // (sim, −id) is unique (ids are unique), so max_by is deterministic:
+    // max sim first, smallest id on rounded-sim ties
+    sims.groupBy(col(labelCol))
+      .agg(
+        max_by(col(idCol), struct(col("sim"), (-col(idCol)).as("__neg"))).as("medoid_id"),
+        max(col("sim")).as("sim"))
+      .select(col(labelCol), col("medoid_id"), col("sim"))
+  }
+
   /** L2-normalize to a unit vector (zero vectors pass through unchanged) —
     * the usual prep before cosine ANN so dot product IS cosine.
     */

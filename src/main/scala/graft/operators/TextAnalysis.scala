@@ -169,6 +169,137 @@ object TextAnalysis {
       (length(col(textCol)) - length(scrubbed)).cast("long").as("n_chars_removed"))
   }
 
+  /** PII DETECTION patterns (the counting twin of [[ScrubPatterns]]'
+    * redaction). RE2-compatible — no backrefs/lookarounds — so the same
+    * pattern text runs identically in any engine, and ASCII-only classes
+    * (`\d`, `\b`) so Unicode flag differences can't bite.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII report: match counts per category (email / phone /
+    * IPv4), the total, and a keep/review flag — the audit table a corpus
+    * release gate reads BEFORE [[scrub]] rewrites anything (you want the
+    * rate measured on the raw text, and scrubbing only what needs it).
+    * Pure per-row projection of codegen'd `regexp_count`s: zero shuffles,
+    * linear at any scale.
+    */
+  def piiSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_email"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phone"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ipv4"))
+      .withColumn("n_pii", col("n_email") + col("n_phone") + col("n_ipv4"))
+      .withColumn("has_pii", (col("n_pii") > 0).cast("int"))
+  }
+
+  /** Host part of a URL (`scheme://HOST[/...]`): empty string when the
+    * value is not URL-shaped. RE2-compatible pattern, usable in any
+    * engine verbatim.
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Registered-domain heuristic: the last two dot-labels of a host
+    * (`cdn.images.example.com` → `example.com`), the host itself when it
+    * has fewer. A public-suffix list refines multi-label TLDs
+    * (`.co.uk`) — join one against `domain` downstream; the two-label
+    * fold is the standard crawl-pipeline default.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(size(labels) >= 2, concat_ws(".", slice(labels, -2, 2)))
+      .otherwise(host)
+  }
+
+  /** Blocklist filter by registered domain: parse host + domain from a URL
+    * column, then drop rows whose domain appears in `blocklist` (one
+    * `domain` column). The list rides as a BROADCAST anti-join — real
+    * blocklists are 10⁵-10⁶ domains, far past any `isin` literal but well
+    * under the broadcast threshold, and the corpus never shuffles.
+    */
+  def dropBlockedDomains(df: DataFrame, urlCol: String,
+                         blocklist: DataFrame): DataFrame =
+    df.withColumn("host", urlHost(col(urlCol)))
+      .withColumn("domain", registeredDomain(col("host")))
+      .join(org.apache.spark.sql.functions.broadcast(blocklist),
+        Seq("domain"), "left_anti")
+
+  /** Zipf's-law fit over the top-`topN` token frequencies: least-squares
+    * slope/intercept/R² of `ln(count)` against `ln(rank)` (a healthy
+    * natural-language corpus fits slope ≈ −1; machine-generated or
+    * template-heavy corpora bend away) — a one-row corpus-QA gate.
+    *
+    * 100 TB shape: the vocabulary aggregation is map-side combinable
+    * (token-sized exchange, the [[tokenCorpusStats]] plan), the top-N cut
+    * is `TakeOrderedAndProject` (k-sized heads, no global sort), and the
+    * rank window + regression run over `topN` rows — constant-bounded by
+    * construction, NEVER corpus- or vocabulary-sized. Emitted statistics
+    * are rounded to 6 dp ([[tfidfKeywords]]' ln-portability rule: the sum
+    * order of the regression moments is partition-dependent at ~1e-13
+    * relative error, and libm/JVM `ln` differ in the last ulp).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2: $topN")
+    val top = df.select(explode(tokens(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+    // window over <= topN rows (bounded by the limit above, not by data)
+    val ranked = top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))))
+    val y = log(col("cnt").cast("double"))
+    val x = log(col("rank").cast("double"))
+    ranked.agg(
+      round(regr_slope(y, x), 6).as("slope"),
+      round(regr_intercept(y, x), 6).as("intercept"),
+      round(regr_r2(y, x), 6).as("r2"),
+      count(lit(1)).as("n_points"))
+  }
+
+  /** Collocation mining by pointwise mutual information: the top-`topK`
+    * adjacent word pairs by `PMI = ln(c(ab)·N / (c(a)·c(b)))`, with a
+    * `minCount` floor to kill the hapax-pair noise PMI is notorious for.
+    * The multiword-expression detector ("new york", "machine learning")
+    * every tokenizer-vocabulary build runs.
+    *
+    * 100 TB shape: bigram and unigram tables are map-side-combinable
+    * aggregations (token-sized exchanges, never corpus-sized); the two
+    * count joins are vocabulary-keyed hash joins; `N` rides as one
+    * broadcast row; the final cut is `TakeOrderedAndProject` on the
+    * ROUNDED score (k-sized heads, no global sort). All-integer ratio
+    * inside `ln` (products stay < 2⁶³ and are IEEE-exact), 6-dp rounded
+    * output with a bigram tiebreak — engine-identical order.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+                   topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      s"minCount/topK must be >= 1: $minCount/$topK")
+    val toks = tokens(textCol)
+    val m = size(toks) - lit(1)
+    val pairs = df.filter(size(toks) >= 2)
+      .select(explode(zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = df.select(explode(toks).as("w")).agg(count(lit(1)).as("__n"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("c").as("n_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("n_b")), "b")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(
+        log((col("n_ab") * col("__n")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6))
+      .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+        col("n_ab"), col("n_a"), col("n_b"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Corpus token-frequency table — the vocabulary-building primitive:
     * per token, total occurrences (`tf`) and containing-document count
     * (`df`, the TF-IDF denominator). One explode + one aggregation; the

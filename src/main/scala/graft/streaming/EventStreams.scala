@@ -170,6 +170,66 @@ object EventStreams {
       }
   }
 
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                              event_type: String)
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+  /** Last-seen event per key: order position, type, event-time millis.
+    * Public for the state-store encoder's generated code (the OpenSession
+    * precedent).
+    */
+  final case class LastEvent(order: Long, tpe: String, lastMs: Long)
+
+  /** Streaming twin of [[graft.engine.Summaries.transitionMatrix]]'s pair
+    * extraction: emits one `(prev_type → next_type)` row per adjacent
+    * event pair within each key, as the events ARRIVE. State per key is
+    * exactly one `(order, type, ts)` — bounded by live-key count, cleared
+    * by an EVENT-TIME idle timeout (watermark passes `last + idleGap`;
+    * a key reappearing after expiry restarts its chain, trading one lost
+    * transition for a state store that cannot grow unboundedly — the
+    * house rule). Event-time, not processing-time: expiry is then
+    * restart-safe and replay-deterministic, and the engine never spins
+    * no-data micro-batches waiting on a wall clock.
+    *
+    * Ordering contract: micro-batches are sorted internally (batches are
+    * unordered), and cross-batch order is the arrival order — the
+    * standard at-ingest contract. A late event belonging BEFORE the
+    * carried state's position cannot be retro-spliced (guarded: pairs
+    * are only emitted forward). Downstream, a streaming `groupBy(prev,
+    * next).count` yields the live transition matrix.
+    */
+  def transitionStream(events: Dataset[TypedEvent], idleGapSeconds: Long = 7200L,
+                       watermarkDelay: String = "10 minutes"): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (uid, it, state) =>
+        if (!it.hasNext) { // idle timeout fired: clear the carried state
+          state.remove()
+          Iterator.empty
+        } else {
+          val out = scala.collection.mutable.ListBuffer.empty[Transition]
+          var last = state.getOption
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            // forward-only: an out-of-order cross-batch straggler (order
+            // at/behind the carried position) is dropped, never spliced
+            if (last.forall(_.order < e.event_id)) {
+              last.foreach(l => out += Transition(uid, l.tpe, e.event_type))
+              last = Some(LastEvent(e.event_id, e.event_type,
+                math.max(last.map(_.lastMs).getOrElse(0L), e.ts.getTime)))
+            }
+          }
+          last.foreach { l =>
+            state.update(l)
+            state.setTimeoutTimestamp(l.lastMs + idleGapSeconds * 1000L)
+          }
+          out.iterator
+        }
+      }
+  }
+
   /** Streaming deduplication: drop repeated event ids inside the watermark
     * horizon (`dropDuplicatesWithinWatermark` keys the state store by
     * event_id and expires entries once the watermark passes them — bounded

@@ -361,4 +361,102 @@ class PlanSpec extends SparkSpec {
     assert(diff.orderBy("doc_id").collect().toSeq ==
       plain.orderBy("doc_id").collect().toSeq)
   }
+
+  test("q106 weighted sample is a TakeOrdered, not a global sort") {
+    // Efraimidis–Spirakis top-k: per-partition heads + driver merge; a
+    // global range-sort exchange of the corpus would be the wrong plan.
+    val p = plan("q106_weighted_sample")
+    val takes = collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takes.nonEmpty, s"expected TakeOrderedAndProject for the ES top-k:\n$p")
+    // only the final output orderBy may range-shuffle (k=100 rows)
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"the corpus must not shuffle for the sample, got ${shuffles.size} exchanges")
+  }
+
+  test("q107 containment pairs: banded equi-joins only, no nested loop or cartesian") {
+    val p = plan("q107_containment_pairs")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "containment candidates must come from band buckets, not a nested loop")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "containment candidates must not be a cartesian product")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "no window anywhere in the containment pipeline")
+  }
+
+  test("q108 PII report is a pure narrow plan: no exchange except the output sort") {
+    val shuffles = collectAll(plan("q108_pii_report")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"regexp_count projection must not shuffle the corpus, got ${shuffles.size}")
+  }
+
+  test("q109 URL blocklist is a broadcast LEFT ANTI join; the corpus never shuffles") {
+    val p = plan("q109_url_host_filter")
+    val anti = collectAll(p) {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(anti.nonEmpty, s"blocklist must ride as a broadcast anti-join:\n$p")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"only the output orderBy may shuffle, got ${shuffles.size}")
+  }
+
+  test("q110 zipf fit: vocab agg + TakeOrdered cut; the window runs over topN rows only") {
+    val p = plan("q110_zipf_fit")
+    val takes = collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takes.nonEmpty, s"top-N cut must be TakeOrderedAndProject, not a sort:\n$p")
+    // exchanges: token hash agg + the single-partition window over topN
+    // rows (bounded by the limit, not by data) + final one-row agg
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 3, s"got ${shuffles.size} exchanges:\n$p")
+  }
+
+  test("q111 collocations: token-sized aggs, TakeOrdered cut, no nested loop") {
+    val p = plan("q111_collocations")
+    val takes = collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takes.nonEmpty, s"PMI top-k must be TakeOrderedAndProject:\n$p")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "no window anywhere in collocation mining")
+    // the only nested-loop join allowed is the 1-row broadcast of N
+    val loops = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(loops.size <= 1, s"got ${loops.size} nested-loop joins:\n$p")
+  }
+
+  test("q112/q113 centroid family: matrix-sized aggregations, no member window") {
+    for (q <- Seq("q112_label_centroids", "q113_label_medoids")) {
+      val p = plan(q)
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+        s"$q must aggregate, not window over members")
+      assert(collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$q must not plan a cartesian product")
+    }
+    // medoid argmax is ONE max_by pass: exactly two corpus scans (centroid
+    // build + similarity pass) — a max-join-back would plan three
+    val scans = collectAll(plan("q113_label_medoids")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, s"expected 2 corpus scans, got ${scans.size}")
+  }
+
+  test("q114 transitions: single corpus scan; normalize windows the matrix only") {
+    val p = plan("q114_event_transitions")
+    // the corpus is read ONCE (a totals-join formulation would plan the
+    // whole scan+window subtree twice — Catalyst does not reuse it)
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"corpus must be scanned once, got ${scans.size}")
+    // two windows: the corpus lag + the normalize over the types² matrix
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 2, s"lag + matrix-normalize expected, got ${windows.size}")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
 }

@@ -125,4 +125,26 @@ class SummariesSpec extends SparkSpec {
       .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
     assert(out == Seq((1L, Some(1L), Some(2L), 2L)))
   }
+
+  test("transitionMatrix counts adjacent pairs per key and row-normalizes exactly") {
+    // user 1: a b a b → a→b, b→a, a→b; user 2: a a c → a→a, a→c
+    // prev-a total = 4 (prob 2/4, 1/4, 1/4), prev-b total = 1 (prob 1)
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "c")
+    ).toDF("user_id", "event_id", "event_type")
+    val out = Summaries.transitionMatrix(ev, "user_id", "event_type", Seq("event_id"))
+      .orderBy("prev_type", "next_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", "a", 1L, 0.25),
+      ("a", "b", 2L, 0.5),
+      ("a", "c", 1L, 0.25),
+      ("b", "a", 1L, 1.0)))
+    // single-event keys contribute no transitions
+    val solo = Summaries.transitionMatrix(
+      Seq((9L, 1L, "x")).toDF("user_id", "event_id", "event_type"),
+      "user_id", "event_type", Seq("event_id"))
+    assert(solo.count() == 0)
+  }
 }

@@ -409,4 +409,33 @@ class DedupSpec extends SparkSpec {
       (4L, "", 8L),                 // exact dup of 2: every gram canon elsewhere
       (5L, "m n", 0L)))
   }
+
+  test("containmentPairs scores an embedded short doc 1.0 and flags it as contained") {
+    // doc 11 is literally doc 10's text embedded in a longer doc:
+    // Jaccard(10, 11) = |A|/|B| < 1, but containment = 1.0.
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (12L, "phi chi psi omega one two three four five six")
+    ).toDF("doc_id", "text")
+    // rowsPerBand = 1 maximizes banding recall (the knob the scaladoc
+    // prescribes for extreme-ratio containments — Jaccard(10, 11) is only
+    // ~0.26, so the default 2-row bands can legitimately miss the pair)
+    val out = Dedup.containmentPairs(corpus, "doc_id", "text",
+      minContainment = 0.9, rowsPerBand = 1)
+      .select("doc_a", "doc_b", "containment", "contained")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq((10L, 11L, 1.0, 10L)))
+    // the symmetric Jaccard formulation scores the same pair well below 1
+    val jac = Dedup.nearDups(corpus, "doc_id", "text", minJaccard = 0.0,
+      rowsPerBand = 1)
+      .filter($"doc_a" === 10L && $"doc_b" === 11L)
+      .select("jaccard").as[Double].collect()
+    assert(jac.forall(_ < 0.5))
+    // below-threshold pairs are dropped
+    val none = Dedup.containmentPairs(corpus, "doc_id", "text",
+      minContainment = 1.01, rowsPerBand = 1)
+    assert(none.count() == 0)
+  }
 }

@@ -93,4 +93,41 @@ class SamplingSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
     }
   }
+
+  test("weightedSample matches the driver-side Efraimidis–Spirakis reference exactly") {
+    import java.security.MessageDigest
+    // the same priority arithmetic, computed independently on the driver
+    def priority(id: Long, w: Long): Double = {
+      val hex = MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / math.pow(2, 60)
+      math.log(u) / w.toDouble
+    }
+    val rows = docs.select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val expect = rows.sortBy { case (id, w) => (-priority(id, w), id) }
+      .take(25).map(_._1).toSet
+    val got = Sampling.weightedSample(docs.select("doc_id", "n_chars"),
+      "doc_id", "n_chars", k = 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+    // partitioning-independent (row fate is a pure function of the row)
+    val re = Sampling.weightedSample(docs.repartition(7).select("doc_id", "n_chars"),
+      "doc_id", "n_chars", k = 25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == expect)
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(docs, "doc_id", "n_chars", k = 0))
+  }
+
+  test("weightedSample favors heavy rows: inclusion rate rises with weight") {
+    // 400 light rows (w=1) vs 100 heavy rows (w=50): a 100-row sample
+    // must draw mostly heavy rows (each heavy row's inclusion odds are
+    // ~50x a light row's; the split below holds with huge margin).
+    val df = spark.range(500)
+      .withColumn("w", org.apache.spark.sql.functions.when($"id" < 100, 50L).otherwise(1L))
+    val got = Sampling.weightedSample(df.toDF(), "id", "w", k = 100)
+      .select("id").as[Long].collect()
+    val nHeavy = got.count(_ < 100)
+    assert(nHeavy > 60, s"expected mostly heavy rows, got $nHeavy/100")
+  }
 }

@@ -420,4 +420,38 @@ class SimilaritySpec extends SparkSpec {
     val recall = (approx & brute).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("labelCentroids averages coordinates per (label, dim) with member counts") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(2.0f, 4.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(vecs, "embedding", "label")
+      .orderBy("label", "dim")
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (0, 0L, 0.5, 2L), (0, 1L, 0.5, 2L),
+      (1, 0L, 2.0, 1L), (1, 1L, 4.0, 1L)))
+  }
+
+  test("labelMedoids picks the member closest to the centroid; ties break to min id") {
+    val vecs = Seq(
+      // label 0: symmetric pair — both sims are the identical rounded
+      // double, so the tie must break to vec_id 0
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f), 0),
+      // label 1: v12 points closer to the centroid direction than v11
+      (11L, Array(1.0f, 0.0f), 1),
+      (12L, Array(1.0f, 0.2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelMedoids(vecs, "vec_id", "embedding", "label")
+      .orderBy("label")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((0, 0L), (1, 12L)))
+    // label-0 sim is cos(45°) rounded: 0.707107
+    assert(out.head._3 == 0.707107)
+    // label-1 medoid sim beats the runner-up and sits near 1
+    assert(out(1)._3 > 0.995 && out(1)._3 <= 1.0)
+  }
 }

@@ -316,4 +316,91 @@ class TextAnalysisSpec extends SparkSpec {
       ("feedA", 3L, 2L, 28L, 1.0 / 3.0),
       ("feedB", 1L, 1L, 11L, 0.0)))
   }
+
+  test("piiSignals counts emails, phones and IPv4s per document") {
+    val corpus = Seq(
+      (0L, "write to alice.smith+x@mail.example.org or bob@ex.co today"),
+      (1L, "call 555-123-4567 or 555.987.6543 from 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "v4 addr 192.168.001.254 but 1.2.3 is not one and 555-12-3456 is not a phone")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiSignals(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 0L, 0L, 2L, 1),
+      (1L, 0L, 2L, 1L, 3L, 1),
+      (2L, 0L, 0L, 0L, 0L, 0),
+      (3L, 0L, 0L, 1L, 1L, 1)))
+  }
+
+  test("urlHost and registeredDomain parse scheme://host and fold subdomains") {
+    val rows = Seq(
+      (0L, "https://cdn.images.example.com/a/b?q=1"),
+      (1L, "http://example.org"),
+      (2L, "ftp://files.mirror.net/pub"),
+      (3L, "localhost"),             // no scheme: not URL-shaped
+      (4L, "https://intranet/page")  // single-label host: domain = host
+    ).toDF("doc_id", "url")
+    val out = rows.select($"doc_id",
+      TextAnalysis.urlHost($"url").as("host"))
+      .withColumn("domain", TextAnalysis.registeredDomain($"host"))
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, "cdn.images.example.com", "example.com"),
+      (1L, "example.org", "example.org"),
+      (2L, "files.mirror.net", "mirror.net"),
+      (3L, "", ""),
+      (4L, "intranet", "intranet")))
+  }
+
+  test("dropBlockedDomains anti-joins on the registered domain, keeping the rest") {
+    val rows = Seq(
+      (0L, "https://a.bad.com/x"),
+      (1L, "https://good.com/y"),
+      (2L, "https://www.bad.com/z"),
+      (3L, "https://bad.com.good.net/w")  // domain com.good.net? no: good.net — kept
+    ).toDF("doc_id", "url")
+    val kept = TextAnalysis.dropBlockedDomains(rows, "url",
+      Seq("bad.com").toDF("domain"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("collocations scores adjacent pairs by PMI with exact hand-computed values") {
+    // one doc "a b a b a b": N = 6, c(a) = c(b) = 3; bigrams (a,b)x3,
+    // (b,a)x2 → pmi(a,b) = ln(3·6/9) = ln 2, pmi(b,a) = ln(2·6/9) = ln(4/3)
+    val corpus = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(corpus, "text", minCount = 2, topK = 10)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a b", 3L, 3L, 3L, 0.693147),
+      ("b a", 2L, 3L, 3L, 0.287682)))
+    // the count floor prunes rare pairs
+    val floored = TextAnalysis.collocations(corpus, "text", minCount = 3, topK = 10)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(floored.map(_._1) == Seq("a b"))
+    // topK caps the output after the PMI ordering
+    assert(TextAnalysis.collocations(corpus, "text", minCount = 1, topK = 1)
+      .as[(String, Long, Long, Long, Double)].collect().map(_._1).toSeq == Seq("a b"))
+  }
+
+  test("zipfFit recovers slope -1 and r2 1 on an exact power-law corpus") {
+    // counts 60/30/20/15/12/10 = 60/rank: ln(cnt) = ln 60 - 1 * ln(rank),
+    // perfectly collinear, so the fit is slope -1, r2 1 to 6 dp exactly.
+    val text = Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      Seq.fill(15)("d") ++ Seq.fill(12)("e") ++ Seq.fill(10)("f")
+    val corpus = Seq((0L, text.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfFit(corpus, "text", topN = 200)
+      .as[(Double, Double, Double, Long)].collect().head
+    assert(out._1 == -1.0)
+    assert(math.abs(out._2 - 4.094345) < 1e-9) // ln(60) to 6 dp
+    assert(out._3 == 1.0)
+    assert(out._4 == 6L)
+    // topN cuts the tail deterministically
+    val cut = TextAnalysis.zipfFit(corpus, "text", topN = 3)
+      .as[(Double, Double, Double, Long)].collect().head
+    assert(cut._4 == 3L)
+    intercept[IllegalArgumentException](TextAnalysis.zipfFit(corpus, "text", topN = 1))
+  }
 }

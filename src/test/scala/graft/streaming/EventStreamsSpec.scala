@@ -95,6 +95,52 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionStream emits batch-identical pairs across micro-batches; stragglers drop") {
+    import EventStreams.{Transition, TypedEvent}
+    val dir = s"$tmp/trans-src"
+    def at(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // batch 1: user 1 a(1) b(2); user 2 a(1) — batch 2: user 1 a(5);
+    // user 2 c(3); plus a STRAGGLER for user 1 (order 0, behind the
+    // carried state) that must be dropped, not retro-spliced
+    Seq(TypedEvent(1L, at(1), 1L, "a"), TypedEvent(1L, at(2), 2L, "b"),
+      TypedEvent(2L, at(1), 1L, "a"))
+      .toDS().coalesce(1).write.parquet(s"$dir/b1")
+    Seq(TypedEvent(1L, at(5), 5L, "a"), TypedEvent(2L, at(3), 3L, "c"),
+      TypedEvent(1L, at(0), 0L, "zzz"))
+      .toDS().coalesce(1).write.parquet(s"$dir/b2")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[TypedEvent].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .as[TypedEvent]
+    val q = EventStreams.transitionStream(src).writeStream
+      .outputMode("append").format("memory").queryName("transitions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("transitions")
+        .as[Transition].collect().toSet
+      // the same pairs the batch lag-window extracts from the full log
+      // (minus the dropped straggler)
+      assert(got == Set(
+        Transition(1L, "a", "b"), Transition(1L, "b", "a"),
+        Transition(2L, "a", "c")))
+      // and the streaming matrix agg over the pair stream matches the
+      // batch transitionMatrix over the in-order event log
+      val batchLog = Seq(
+        (1L, 1L, "a"), (1L, 2L, "b"), (1L, 5L, "a"),
+        (2L, 1L, "a"), (2L, 3L, "c")
+      ).toDF("user_id", "event_id", "event_type")
+      val batchPairs = graft.engine.Summaries
+        .transitionMatrix(batchLog, "user_id", "event_type", Seq("event_id"))
+        .select("prev_type", "next_type", "n")
+        .as[(String, String, Long)].collect().toSet
+      val streamPairs = spark.table("transitions")
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamPairs == batchPairs)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits a session once — in-batch gap overshoot closes it") {
     import EventStreams.{SessionEvent, ClosedSession}
     val dir = s"$tmp/fmgws-inbatch"
