@@ -1162,7 +1162,24 @@ object SparkEntry {
     "q114_event_transitions" -> ((s, dir) =>
       Summaries.transitionMatrix(events(s, dir), "user_id", "event_type",
         Seq("ts", "event_id"))
-        .orderBy("prev_type", "next_type"))
+        .orderBy("prev_type", "next_type")),
+
+    // ── equi-depth histogram over prices: exact decile boundaries (one
+    // broadcast row), per-row fold for bucket assignment, 10-row rollup.
+    // Bucket membership is ulp-robust across engines: an interpolated
+    // boundary lies strictly between two consecutive sorted data values,
+    // so no data value can sit between the engines' boundary doubles.
+    "q115_equidepth_hist" -> ((s, dir) =>
+      Summaries.equiDepthHistogram(t(s, dir, "lineitem"), "l_extendedprice",
+        nBuckets = 10)
+        .orderBy("bucket")),
+
+    // ── per-source token-distribution drift (coverage KL vs the corpus):
+    // one (source, token) agg reused via ReuseExchange, vocabulary-keyed
+    // corpus join, broadcast totals, 6-dp rounded.
+    "q116_slice_divergence" -> ((s, dir) =>
+      TextAnalysis.sliceDivergence(t(s, dir, "documents"), "text", "source")
+        .orderBy("source"))
   )
 
   private val threeWayJoinSql: String =
@@ -2293,7 +2310,28 @@ object SparkEntry {
         |      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
         |SELECT c.prev_type, c.next_type, c.n, c.n / CAST(t.tot AS DOUBLE) AS prob
-        |FROM c JOIN t USING (prev_type) ORDER BY prev_type, next_type""".stripMargin
+        |FROM c JOIN t USING (prev_type) ORDER BY prev_type, next_type""".stripMargin,
+    "q115_equidepth_hist" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs FROM lineitem),
+        |a AS (SELECT l_extendedprice AS v,
+        |  CAST(len(list_filter(b.qs, q -> l_extendedprice > q)) AS BIGINT) AS bucket
+        | FROM lineitem, b)
+        |SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM a GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q116_slice_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sc AS (SELECT source, w, count(*) AS cs FROM tok GROUP BY 1, 2),
+        |cc AS (SELECT w, sum(cs) AS ca FROM sc GROUP BY 1),
+        |g AS (SELECT sum(ca) AS n_all, count(*) AS vocab FROM cc),
+        |st AS (SELECT source, w, cs, sum(cs) OVER (PARTITION BY source) AS ns FROM sc)
+        |SELECT st.source, CAST(max(st.ns) AS BIGINT) AS n_tokens,
+        | round(sum(CAST(st.cs AS DOUBLE) *
+        |   ln((CAST(st.cs AS DOUBLE) * CAST(g.n_all + g.vocab AS DOUBLE))
+        |      / (CAST(st.ns AS DOUBLE) * CAST(cc.ca + 1 AS DOUBLE))))
+        |  / CAST(max(st.ns) AS DOUBLE), 6) AS kl
+        |FROM st JOIN cc USING (w), g
+        |GROUP BY 1 ORDER BY source""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -188,6 +188,37 @@ object Summaries {
       .select("prev_type", "next_type", "n", "prob")
   }
 
+  /** Equi-depth (equal-count) histogram: `nBuckets` buckets bounded by the
+    * exact `i/nBuckets` percentiles, with per-bucket row counts and the
+    * observed [lo, hi] value range — the profiling table behind skew
+    * diagnosis, range-partition planning, and monotonic-drift monitors
+    * (equal-WIDTH histograms collapse under heavy tails; equal-depth stays
+    * readable at any distribution).
+    *
+    * 100 TB shape: one percentile aggregation produces the (nBuckets−1)-
+    * element boundary array (a single row, broadcast via the scalar
+    * cross join); bucket assignment is a per-row fold over that array;
+    * the final rollup is nBuckets-sized and map-side-combinable. For
+    * corpus-scale inputs swap the exact percentile for
+    * `approx_percentile` (the [[quantiles]] precedent) — same plan shape.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+                         nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df.agg(
+      expr(s"percentile(`$valueCol`, array(${ps.mkString(", ")}))")
+        .as("__qs")) // exact interpolated percentiles (≡ quantile_cont)
+    df.select(col(valueCol).as("__v"))
+      .crossJoin(broadcast(bounds))
+      // fold over the boundary array: bucket = #{boundaries strictly below v}
+      .withColumn("bucket", expr(
+        "aggregate(__qs, 0L, (acc, q) -> acc + IF(__v > q, 1L, 0L))"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
+
   /** Per-group quantiles, exact and approximate side by side: `percentile`
     * is the small-scale truth (full sort per group); `approx_percentile`
     * (t-digest-style sketch, bounded `accuracy` memory per group, merge-

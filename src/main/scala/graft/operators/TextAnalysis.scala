@@ -300,6 +300,53 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-slice token-distribution drift vs the whole corpus: for every
+    * value of `sliceCol` (source, language, crawl segment, snapshot), the
+    * coverage KL divergence `Σ_{w∈slice} p(w)·ln(p(w)/q(w))` where `p` is
+    * the slice's unsmoothed token distribution and `q` the corpus's
+    * add-one-smoothed one — the drift monitor that flags a feed whose
+    * language suddenly shifts (boilerplate injection, spam floods, crawl
+    * breakage) before it pollutes a training mix. Restricting the sum to
+    * the slice's own support (p = 0 terms vanish mathematically) keeps the
+    * plan join-shaped; smoothing `q` keeps ln finite on slice-only tokens.
+    *
+    * 100 TB shape: ONE (slice, token) aggregation feeds everything — its
+    * exchange is planned identically under each consumer, so Spark's
+    * ReuseExchange collapses the re-reads; the corpus-count side is a
+    * vocabulary-keyed join (NO vocab × slices cross join); corpus totals
+    * and vocab size ride as one broadcast row; slice totals are a window
+    * over the TOKEN-SIZED count table partitioned by slice (a slice's
+    * vocabulary in one partition — fine for a profiling table; chunk the
+    * slice key if a single slice's vocabulary outgrows a partition).
+    * Output is 6-dp rounded (the ln portability rule).
+    */
+  def sliceDivergence(df: DataFrame, textCol: String,
+                      sliceCol: String): DataFrame = {
+    val tok = df.select(col(sliceCol), explode(tokens(textCol)).as("__w"))
+    val sliceCounts = tok.groupBy(col(sliceCol), col("__w"))
+      .agg(count(lit(1)).as("__cs"))
+    val corpusCounts = sliceCounts.groupBy("__w").agg(sum("__cs").as("__ca"))
+    val globals = corpusCounts.agg(
+      sum("__ca").as("__n_all"), count(lit(1)).as("__vocab"))
+    val withTotals = sliceCounts.withColumn("__ns",
+      sum(col("__cs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(sliceCol))))
+    // KL = (1/N_s) · Σ c_s · ln( c_s·(N_all+V) / (N_s·(c_a+1)) ): every
+    // factor resolves per-row (broadcast scalars + the windowed N_s), so
+    // one aggregation pass computes the whole report
+    withTotals.join(corpusCounts, "__w")
+      .crossJoin(broadcast(globals))
+      .groupBy(col(sliceCol))
+      .agg(
+        max(col("__ns")).as("n_tokens"),
+        round(
+          sum(col("__cs").cast("double") *
+            log((col("__cs").cast("double") *
+              (col("__n_all") + col("__vocab")).cast("double")) /
+              (col("__ns").cast("double") * (col("__ca") + 1).cast("double")))) /
+            max(col("__ns")).cast("double"), 6).as("kl"))
+  }
+
   /** Corpus token-frequency table — the vocabulary-building primitive:
     * per token, total occurrences (`tf`) and containing-document count
     * (`df`, the TF-IDF denominator). One explode + one aggregation; the

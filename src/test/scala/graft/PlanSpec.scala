@@ -446,6 +446,27 @@ class PlanSpec extends SparkSpec {
     assert(scans.size == 2, s"expected 2 corpus scans, got ${scans.size}")
   }
 
+  test("q115 equi-depth histogram: boundary row broadcasts; assignment is a per-row fold") {
+    val p = plan("q115_equidepth_hist")
+    // the boundary array is ONE row — it must ride a broadcast nested-loop
+    // (scalar cross join), never a shuffled join or cartesian of the data
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "boundaries must broadcast, not cartesian")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "bucket assignment is a fold, not a window")
+  }
+
+  test("q116 slice divergence: no vocab x slices cross join; totals window is slice-keyed") {
+    val p = plan("q116_slice_divergence")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "the corpus join must be vocabulary-keyed, not a cross join")
+    // only the 1-row globals may ride a nested-loop broadcast
+    val loops = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(loops.size <= 1, s"got ${loops.size} nested-loop joins:\n$p")
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

@@ -147,4 +147,19 @@ class SummariesSpec extends SparkSpec {
       "user_id", "event_type", Seq("event_id"))
     assert(solo.count() == 0)
   }
+
+  test("equiDepthHistogram: equal counts, exact quartile boundaries, observed ranges") {
+    // values 1..100: quartile boundaries 25.75 / 50.5 / 75.25 → buckets
+    // of exactly 25; lo/hi are the observed extremes of each bucket
+    val df = spark.range(1, 101).select($"id".cast("double").as("v"))
+    val out = Summaries.equiDepthHistogram(df, "v", nBuckets = 4)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 25L, 1.0, 25.0),
+      (1L, 25L, 26.0, 50.0),
+      (2L, 25L, 51.0, 75.0),
+      (3L, 25L, 76.0, 100.0)))
+    intercept[IllegalArgumentException](Summaries.equiDepthHistogram(df, "v", 1))
+  }
 }

@@ -385,6 +385,22 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double)].collect().map(_._1).toSeq == Seq("a b"))
   }
 
+  test("sliceDivergence: hand-computed coverage KL per slice vs the corpus") {
+    // A: "x x y", B: "x z" → corpus x=3 y=1 z=1, N_all=5, V=3
+    // KL_A = (1/3)[2·ln(2·8/(3·4)) + ln(8/(3·2))] = ln(4/3) ≈ 0.287682
+    // KL_B = (1/2)[ln(8/(2·4)) + ln(8/(2·2))] = ln(2)/2 ≈ 0.346574
+    val corpus = Seq(
+      (0L, "A", "x x y"),
+      (1L, "B", "x z")
+    ).toDF("doc_id", "src", "text")
+    val out = TextAnalysis.sliceDivergence(corpus, "text", "src")
+      .orderBy("src")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", 3L, 0.287682),
+      ("B", 2L, 0.346574)))
+  }
+
   test("zipfFit recovers slope -1 and r2 1 on an exact power-law corpus") {
     // counts 60/30/20/15/12/10 = 60/rank: ln(cnt) = ln 60 - 1 * ln(rank),
     // perfectly collinear, so the fit is slope -1, r2 1 to 6 dp exactly.
