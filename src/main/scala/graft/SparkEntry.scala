@@ -1179,7 +1179,33 @@ object SparkEntry {
     // corpus join, broadcast totals, 6-dp rounded.
     "q116_slice_divergence" -> ((s, dir) =>
       TextAnalysis.sliceDivergence(t(s, dir, "documents"), "text", "source")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ── BUCKETIZED point-in-interval join: clicks landing inside the
+    // 2-hour window after each same-user error. The naive non-equi
+    // join plans a nested loop; bucketizing time turns it into a hash
+    // equi-join on (user, bucket) + exact re-check — PlanSpec pins the
+    // absence of nested-loop/cartesian nodes.
+    "q117_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      graft.operators.Intervals.pointInInterval(points, intervals, "user_id",
+        "ts", "start_ts", "end_ts", bucketSeconds = 3600L)
+        .select("user_id", "error_id", "click_id")
+        .orderBy("error_id", "click_id")
+    }),
+
+    // ── SCD2 validity intervals from the event log: per-user value
+    // changes stamped [valid_from, valid_to) — one hash exchange shared
+    // by the change-filter lag and the validity lead.
+    "q118_scd2" -> ((s, dir) =>
+      Changes.scd2(events(s, dir), "user_id", "event_id", "value")
+        .orderBy("user_id", "valid_from"))
   )
 
   private val threeWayJoinSql: String =
@@ -2331,7 +2357,22 @@ object SparkEntry {
         |      / (CAST(st.ns AS DOUBLE) * CAST(cc.ca + 1 AS DOUBLE))))
         |  / CAST(max(st.ns) AS DOUBLE), 6) AS kl
         |FROM st JOIN cc USING (w), g
-        |GROUP BY 1 ORDER BY source""".stripMargin
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+    "q117_interval_join" ->
+      """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id
+        |FROM events e JOIN events c ON c.user_id = e.user_id
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        |  AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR
+        |ORDER BY error_id, click_id""".stripMargin,
+    "q118_scd2" ->
+      """WITH ch AS (
+        | SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |   lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events) WHERE value IS DISTINCT FROM prev)
+        |SELECT user_id, value, event_id AS valid_from,
+        | lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+        |FROM ch ORDER BY user_id, valid_from""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

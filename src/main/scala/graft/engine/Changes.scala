@@ -94,6 +94,30 @@ object Changes {
       .select(col(idCol), col("status"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) validity intervals from an
+    * observation log: collapse each key's consecutive identical values,
+    * then stamp every surviving change with `[valid_from, valid_to)` —
+    * `valid_from` its own order position, `valid_to` the NEXT change's
+    * (null = current version). Turns an event/snapshot log into the
+    * warehouse dimension shape where "value at time t" is one
+    * point-in-interval lookup instead of a scan-and-lag.
+    *
+    * 100 TB shape: the change filter and the lead stamp share ONE window
+    * partitioning (same key, same order) — one hash exchange, two window
+    * passes over it, no joins. First observation per key always survives
+    * (null-lag ≠ value, the flagship F5 rule).
+    */
+  def scd2(df: DataFrame, keyCol: String, orderCol: String,
+           valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    df.select(col(keyCol), col(orderCol), col(valueCol))
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(!(col(valueCol) <=> col("__prev")))
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .select(col(keyCol), col(valueCol), col("valid_from"), col("valid_to"))
+  }
+
   /** Dense reconstruction from a change log: forward-fill each key's last
     * seen value onto a provided date spine — the inverse of quantization,
     * used by the property tests (SURVEY.md §5.2.3).

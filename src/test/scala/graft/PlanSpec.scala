@@ -467,6 +467,28 @@ class PlanSpec extends SparkSpec {
     assert(loops.size <= 1, s"got ${loops.size} nested-loop joins:\n$p")
   }
 
+  test("q117 interval join: bucketized into a hash equi-join — NO nested loop or cartesian") {
+    // THE point of Intervals.pointInInterval: the naive non-equi join
+    // plans a BroadcastNestedLoopJoin; bucketizing makes it a hash join
+    val p = plan("q117_interval_join")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"interval containment must be a bucketed equi-join:\n$p")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
+  test("q118 SCD2: the change lag and validity lead share one key exchange") {
+    val p = plan("q118_scd2")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 2, s"lag + lead expected, got ${windows.size}")
+    // both windows partition by the same key with the same order — one
+    // hash exchange feeds them; only the output sort adds another
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"windows must share the key partitioning, got ${shuffles.size} exchanges:\n$p")
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

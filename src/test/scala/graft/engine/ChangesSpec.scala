@@ -109,4 +109,20 @@ class ChangesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Changes.snapshotDiff(before, after, "id", Seq.empty))
   }
+
+  test("scd2 collapses runs and stamps [valid_from, valid_to) per key") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 20.0), (1L, 4L, 10.0),
+      (2L, 1L, 5.0)
+    ).toDF("user_id", "event_id", "value")
+    val out = Changes.scd2(log, "user_id", "event_id", "value")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, Double, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, 10.0, 1L, Some(3L)),  // run (1,2) collapsed; superseded at 3
+      (1L, 20.0, 3L, Some(4L)),
+      (1L, 10.0, 4L, None),      // value RETURNS: a new version, not a merge
+      (2L, 5.0, 1L, None)))      // single observation = current forever
+  }
 }
