@@ -228,8 +228,10 @@ object PipelineScaleBench {
     timed("pipe_collocations") {
       // bigram + unigram aggs (both token-sized), two vocab joins, then
       // TakeOrdered on the rounded PMI — wall must track ~2 token passes;
-      // output is topK rows at any corpus size
-      TextAnalysis.collocations(corpus, "text", minCount = 100, topK = 50).count()
+      // output is exactly topK rows at any corpus size (minCount = 5 sits
+      // far below the fixture's ~tokens/vocab² mean bigram count, so the
+      // floor prunes noise without starving the TakeOrdered cut)
+      TextAnalysis.collocations(corpus, "text", minCount = 5, topK = 50).count()
     }
     timed("pipe_transitions") {
       // Markov matrix over the synthetic event shape (~50 events/user):

@@ -1205,7 +1205,26 @@ object SparkEntry {
     // by the change-filter lag and the validity lead.
     "q118_scd2" -> ((s, dir) =>
       Changes.scd2(events(s, dir), "user_id", "event_id", "value")
-        .orderBy("user_id", "valid_from"))
+        .orderBy("user_id", "valid_from")),
+
+    // ── per-language weighted sample: 20 docs per lang ∝ n_chars via
+    // Efraimidis–Spirakis priorities ranked by the BoundedTopK bounded-
+    // heap aggregate (groups × partitions × k exchange, no window).
+    "q119_weighted_per_group" -> ((s, dir) =>
+      Sampling.weightedSamplePerGroup(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", "lang", k = 20, salt = "g")
+        .orderBy("lang", "rn")),
+
+    // ── robust MAD outlier report per event type: |v − median| >
+    // 3 × 1.4826 × MAD — three group-sized aggregation passes, both
+    // small tables broadcast back, 6-dp score.
+    "q120_mad_outliers" -> ((s, dir) =>
+      Summaries.madOutliers(
+        events(s, dir).select("event_type", "event_id", "value"),
+        "event_type", "value", z = 3.0)
+        .select("event_type", "event_id", "value", "score")
+        .orderBy("event_id"))
   )
 
   private val threeWayJoinSql: String =
@@ -2372,7 +2391,27 @@ object SparkEntry {
         |  FROM events) WHERE value IS DISTINCT FROM prev)
         |SELECT user_id, value, event_id AS valid_from,
         | lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
-        |FROM ch ORDER BY user_id, valid_from""".stripMargin
+        |FROM ch ORDER BY user_id, valid_from""".stripMargin,
+    "q119_weighted_per_group" ->
+      """WITH w AS (SELECT lang, doc_id,
+        |  ln((('0x' || substr(md5('g' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT + 0.5)
+        |     / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS key
+        | FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rn FROM w)
+        |SELECT lang, doc_id, rn FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "q120_mad_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, e.event_id, e.value, abs(e.value - m.med) AS ad
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, d.event_id, d.value,
+        | CASE WHEN md.mad > 0 THEN round(d.ad / (1.4826 * md.mad), 6) END AS score
+        |FROM d JOIN md USING (event_type)
+        |WHERE (md.mad > 0 AND round(d.ad / (1.4826 * md.mad), 6) > 3.0)
+        |   OR (md.mad = 0 AND d.ad > 0)
+        |ORDER BY event_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -219,6 +219,40 @@ object Summaries {
         min(col("__v")).as("lo"), max(col("__v")).as("hi"))
   }
 
+  /** Robust per-group outlier report: rows whose |value − median| exceeds
+    * `z` × 1.4826 × MAD (median absolute deviation; 1.4826 rescales MAD
+    * to σ under normality). Median/MAD survive the heavy tails and data
+    * errors that wreck mean/stddev z-scores — the standard robust gate
+    * for metric-anomaly triage. Emits the input row plus its 6-dp
+    * `score` (= |v−med| / (1.4826·MAD)).
+    *
+    * 100 TB shape: three passes by construction (median must exist
+    * before deviations, MAD before scores) — each aggregation is
+    * group-sized and both small tables broadcast back; no windows. For
+    * corpus-scale groups switch the `percentile` calls to
+    * `approx_percentile` (the [[quantiles]] trade). A group with
+    * MAD = 0 (over half its values identical) flags every deviant row
+    * with a NULL score — the z-scale is undefined there, but a deviation
+    * from an otherwise-constant group is exactly what to surface (and
+    * ANSI mode makes the naive 0-division an error, not an Infinity).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  z: Double = 3.0): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile(`$valueCol`, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__ad", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(`__ad`, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), groupCol)
+      .withColumn("score", when(col("__mad") > 0,
+        round(col("__ad") / (lit(1.4826) * col("__mad")), 6)))
+      .filter((col("__mad") > 0 && col("score") > z) ||
+        (col("__mad") === 0 && col("__ad") > 0))
+      .drop("__med", "__ad", "__mad")
+  }
+
   /** Per-group quantiles, exact and approximate side by side: `percentile`
     * is the small-scale truth (full sort per group); `approx_percentile`
     * (t-digest-style sketch, bounded `accuracy` memory per group, merge-

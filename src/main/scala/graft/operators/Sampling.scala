@@ -130,16 +130,40 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
                      salt: String = ""): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    // (hash60 + 0.5) / 2^60: u ∈ (0,1) strictly — ln(0) can never occur —
-    // and every operation (long→double, add, divide) is IEEE-exact and
-    // engine-portable. DuckDB twin states the identical arithmetic.
-    val u = (hash60(md5(concat(lit(salt), col(idCol).cast("string"))))
-      .cast("double") + lit(0.5)) / lit(1152921504606846976.0 /* 2^60 */)
-    val key = log(u) / col(weightCol).cast("double")
-    df.withColumn("__es_key", key)
+    df.withColumn("__es_key", esPriority(col(idCol), col(weightCol), salt))
       .orderBy(col("__es_key").desc, col(idCol))
       .limit(k)
       .drop("__es_key")
+  }
+
+  /** The Efraimidis–Spirakis priority `ln(u)/w` with `u = (hash60 + 0.5)
+    * / 2^60 ∈ (0,1)` strictly — ln(0) can never occur — and every
+    * operation (long→double, add, divide) IEEE-exact and engine-portable;
+    * the DuckDB twin states the identical arithmetic. Shared by
+    * [[weightedSample]] and [[weightedSamplePerGroup]].
+    */
+  def esPriority(idCol: Column, weightCol: Column, salt: String = ""): Column = {
+    val u = (hash60(md5(concat(lit(salt), idCol.cast("string"))))
+      .cast("double") + lit(0.5)) / lit(1152921504606846976.0 /* 2^60 */)
+    log(u) / weightCol.cast("double")
+  }
+
+  /** Per-group weighted sampling without replacement: the k best
+    * Efraimidis–Spirakis priorities WITHIN each group — "draw 20 docs per
+    * language ∝ quality" as one pass. Ranks come from the `BoundedTopK`
+    * bounded-heap aggregate (score DESC, id ASC — identical to the
+    * row_number formulation), so the exchange carries groups × partitions
+    * × k heap entries, never the corpus: no per-group window, no
+    * per-group sort. Output: (group, id, rn), rn 1-based.
+    */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, weightCol: String,
+                             groupCol: String, k: Int,
+                             salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    Selection.topKPerGroup(
+      df.withColumn("__es_key", esPriority(col(idCol), col(weightCol), salt)),
+      groupCol, "__es_key", idCol, k)
+      .select(col(groupCol), col(idCol), col("rn"))
   }
 
   /** Stratified deterministic sampling: a per-stratum keep rate (permille),

@@ -285,7 +285,9 @@ object TextAnalysis {
       .select(col("__p.a").as("a"), col("__p.b").as("b"))
     val uni = df.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val n = df.select(explode(toks).as("w")).agg(count(lit(1)).as("__n"))
+    // N from the VOCAB-SIZED count table (Σc = token total) — an
+    // explode-and-count would be a third full corpus pass
+    val n = uni.agg(sum(col("c")).as("__n"))
     pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
       .join(uni.select(col("w").as("a"), col("c").as("n_a")), "a")

@@ -489,6 +489,19 @@ class PlanSpec extends SparkSpec {
       s"windows must share the key partitioning, got ${shuffles.size} exchanges:\n$p")
   }
 
+  test("q119 per-group weighted sample ranks via BoundedTopK: no window, no per-group sort") {
+    val p = plan("q119_weighted_per_group")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "per-group ES ranking must be the bounded-heap aggregate, not a row_number window")
+  }
+
+  test("q120 MAD outliers: both threshold tables broadcast back; no window") {
+    val p = plan("q120_mad_outliers")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"median and MAD tables must broadcast, got ${bhj.size}:\n$p")
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

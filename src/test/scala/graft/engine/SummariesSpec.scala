@@ -148,6 +148,25 @@ class SummariesSpec extends SparkSpec {
     assert(solo.count() == 0)
   }
 
+  test("madOutliers flags by robust z-score; MAD=0 groups flag deviants, not duplicates") {
+    val df = Seq(
+      // group a: median 3, MAD 1 → only 100 crosses z=3 (score 97/1.4826)
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 100.0),
+      // group b: median 5, MAD 0 → the 9 flags with a NULL score (the
+      // z-scale is undefined); the exact-median rows never flag
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0), ("b", 9L, 9.0)
+    ).toDF("g", "id", "v")
+    val out = Summaries.madOutliers(df, "g", "v", z = 3.0)
+      .select("g", "id", "v", "score")
+      .orderBy("id")
+      .as[(String, Long, Double, Option[Double])].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq(("a", 5L), ("b", 9L)))
+    assert(math.abs(out.head._4.get - 97.0 / 1.4826) < 1e-6)
+    assert(out(1)._4.isEmpty)
+    intercept[IllegalArgumentException](Summaries.madOutliers(df, "g", "v", 0.0))
+  }
+
   test("equiDepthHistogram: equal counts, exact quartile boundaries, observed ranges") {
     // values 1..100: quartile boundaries 25.75 / 50.5 / 75.25 → buckets
     // of exactly 25; lo/hi are the observed extremes of each bucket

@@ -119,6 +119,27 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSample(docs, "doc_id", "n_chars", k = 0))
   }
 
+  test("weightedSamplePerGroup matches the per-group driver-side ES reference") {
+    import java.security.MessageDigest
+    def priority(id: Long, w: Long): Double = {
+      val hex = MessageDigest.getInstance("MD5").digest(("s" + id).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / math.pow(2, 60)
+      math.log(u) / w.toDouble
+    }
+    val rows = docs.select("doc_id", "lang", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (lang, rs) =>
+      rs.sortBy { case (id, _, w) => (-priority(id, w), id) }
+        .take(5).zipWithIndex.map { case ((id, _, _), i) => (lang, id, i + 1L) }
+    }.toSet
+    val got = Sampling.weightedSamplePerGroup(
+      docs.select("doc_id", "lang", "n_chars"),
+      "doc_id", "n_chars", "lang", k = 5, salt = "s")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("weightedSample favors heavy rows: inclusion rate rises with weight") {
     // 400 light rows (w=1) vs 100 heavy rows (w=50): a 100-row sample
     // must draw mostly heavy rows (each heavy row's inclusion odds are
