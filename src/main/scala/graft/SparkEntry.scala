@@ -1225,6 +1225,29 @@ object SparkEntry {
         "event_type", "value", z = 3.0)
         .select("event_type", "event_id", "value", "score")
         .orderBy("event_id"))
+        ,
+
+    // ── per-doc boilerplate fraction: the q82 two-paragraph corpus, but
+    // as a READ-ONLY report — paragraph digests aggregate to occurrence
+    // counts, count joins back, per-doc rollup; paragraph text never
+    // shuffles.
+    "q121_boilerplate_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val twos = docs.select(col("doc_id"), col("text"))
+        .join(docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2")),
+          Seq("doc_id"))
+        .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("__t2")).as("text"))
+      Dedup.boilerplateReport(twos, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ── bucketed quantile transform: every lineitem price mapped to its
+    // centile (qrank = bucket/100) — one exact-boundary row broadcast +
+    // a per-row fold; the batch-effect normalizer at corpus scale.
+    "q122_quantile_transform" -> ((s, dir) =>
+      Summaries.quantileTransform(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice", nBuckets = 100)
+        .orderBy("l_orderkey", "l_linenumber"))
   )
 
   private val threeWayJoinSql: String =
@@ -2411,7 +2434,27 @@ object SparkEntry {
         |FROM d JOIN md USING (event_type)
         |WHERE (md.mad > 0 AND round(d.ad / (1.4826 * md.mad), 6) > 3.0)
         |   OR (md.mad = 0 AND d.ad > 0)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q121_boilerplate_report" ->
+      """WITH two AS (SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+        |             FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id),
+        |p AS (SELECT doc_id, sha256(u) AS h
+        |      FROM (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS u
+        |            FROM two)
+        |      WHERE regexp_matches(u, '\S')),
+        |occ AS (SELECT h, count(*) AS n FROM p GROUP BY 1)
+        |SELECT p.doc_id, count(*) AS n_paras,
+        | CAST(sum(CASE WHEN occ.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+        | sum(CASE WHEN occ.n > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM p JOIN occ USING (h)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q122_quantile_transform" ->
+      (s"""WITH b AS (SELECT quantile_cont(l_extendedprice,
+         |  [${(1 until 100).map(i => i.toDouble / 100).mkString(", ")}]) AS qs FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        | CAST(len(list_filter(b.qs, q -> l_extendedprice > q)) AS DOUBLE) / 100 AS qrank
+        |FROM lineitem, b
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

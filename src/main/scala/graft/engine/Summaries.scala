@@ -203,20 +203,46 @@ object Summaries {
     * `approx_percentile` (the [[quantiles]] precedent) — same plan shape.
     */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
-                         nBuckets: Int = 10): DataFrame = {
+                         nBuckets: Int = 10): DataFrame =
+    bucketByPercentile(df.select(col(valueCol).as("__v")), "__v", nBuckets)
+      .withColumnRenamed("__bucket", "bucket")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+
+  /** Quantile (rank) TRANSFORM: every row gains `qrank = bucket/nBuckets
+    * ∈ [0, 1)`, its value's position in the distribution at `1/nBuckets`
+    * resolution — the batch-effect normalizer that makes scores from
+    * differently-scaled sources comparable before mixing (map each onto
+    * its own quantile grid, compare grids). Exact `percent_rank` would
+    * sort the corpus globally; the bucketed transform is one boundary
+    * aggregation + a per-row fold, at any scale.
+    */
+  def quantileTransform(df: DataFrame, valueCol: String,
+                        nBuckets: Int = 100): DataFrame =
+    bucketByPercentile(df, valueCol, nBuckets)
+      .withColumn("qrank", col("__bucket").cast("double") / nBuckets)
+      .drop("__bucket")
+
+  /** Shared core of [[equiDepthHistogram]] and [[quantileTransform]]:
+    * append `__bucket` = #{exact `i/nBuckets` percentile boundaries
+    * strictly below the value}. The boundary array is ONE row (broadcast
+    * scalar cross join); assignment is a codegen'd fold. Bucket
+    * membership is ulp-robust across engines: an interpolated boundary
+    * lies strictly between two consecutive sorted data values, so no
+    * data value can sit between two engines' boundary doubles.
+    */
+  private def bucketByPercentile(df: DataFrame, valueCol: String,
+                                 nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
     val bounds = df.agg(
       expr(s"percentile(`$valueCol`, array(${ps.mkString(", ")}))")
         .as("__qs")) // exact interpolated percentiles (≡ quantile_cont)
-    df.select(col(valueCol).as("__v"))
-      .crossJoin(broadcast(bounds))
-      // fold over the boundary array: bucket = #{boundaries strictly below v}
-      .withColumn("bucket", expr(
-        "aggregate(__qs, 0L, (acc, q) -> acc + IF(__v > q, 1L, 0L))"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n"),
-        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__bucket", expr(
+        s"aggregate(__qs, 0L, (acc, q) -> acc + IF(`$valueCol` > q, 1L, 0L))"))
+      .drop("__qs")
   }
 
   /** Robust per-group outlier report: rows whose |value − median| exceeds

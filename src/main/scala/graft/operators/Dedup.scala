@@ -934,6 +934,36 @@ object Dedup {
     firstOccurrenceRebuild(paras, idCol, textCol, sep)
   }
 
+  /** Per-document boilerplate report — the READ-ONLY companion of
+    * [[dedupParagraphs]] a corpus owner runs BEFORE deciding to rewrite
+    * anything: for every doc, its paragraph count, how many of its
+    * paragraphs also occur elsewhere in the corpus (by digest), and the
+    * duplicated fraction. A doc with `dup_frac` near 1 is boilerplate; a
+    * SOURCE whose docs trend high is a template-heavy feed.
+    *
+    * 100 TB shape: paragraph digests aggregate map-side to corpus-wide
+    * occurrence counts ((digest, n) rows — a paragraph on millions of
+    * pages collapses before its exchange); the count joins back on the
+    * digest and rolls up per document. Paragraph text never shuffles —
+    * only digests travel.
+    */
+  def boilerplateReport(df: DataFrame, idCol: String, textCol: String,
+                        sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("__u"))
+      .filter(col("__u").rlike("\\S"))
+      .select(col("__id"), sha2(col("__u"), 256).as("__h"))
+    val occ = paras.groupBy("__h").agg(count(lit(1)).as("__n"))
+    paras.join(occ, "__h")
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_frac",
+        col("n_dup_paras") / col("n_paras").cast("double"))
+  }
+
   /** Shared core of [[dedupParagraphs]] and [[dedupChunks]]: corpus-wide
     * first occurrence by (doc id, position) over unit rows
     * `(__id, __pos, __u)`, then per-doc ordered reassembly with `sep`.

@@ -502,6 +502,26 @@ class PlanSpec extends SparkSpec {
     assert(bhj.size >= 2, s"median and MAD tables must broadcast, got ${bhj.size}:\n$p")
   }
 
+  test("q121 boilerplate report: digests travel, paragraph text stays put; no window") {
+    val p = plan("q121_boilerplate_report")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
+  test("q122 quantile transform: one broadcast boundary row; corpus never hash-shuffles") {
+    val p = plan("q122_quantile_transform")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "bucket assignment is a fold, not a percent_rank window")
+    // the only exchanges allowed: the single-row percentile agg + output sort
+    val hashEx = collectAll(p) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty, s"corpus must not hash-shuffle for the transform:\n$p")
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

@@ -181,4 +181,17 @@ class SummariesSpec extends SparkSpec {
       (3L, 25L, 76.0, 100.0)))
     intercept[IllegalArgumentException](Summaries.equiDepthHistogram(df, "v", 1))
   }
+
+  test("quantileTransform maps values onto their quantile grid, keeping all columns") {
+    val df = spark.range(1, 101)
+      .select($"id", $"id".cast("double").as("v"))
+    val out = Summaries.quantileTransform(df, "v", nBuckets = 4)
+      .orderBy("id").as[(Long, Double, Double)].collect().toSeq
+    // same quartile boundaries as the histogram test: 25.75/50.5/75.25
+    assert(out.take(25).forall(_._3 == 0.0))
+    assert(out.slice(25, 50).forall(_._3 == 0.25))
+    assert(out.slice(50, 75).forall(_._3 == 0.5))
+    assert(out.drop(75).forall(_._3 == 0.75))
+    assert(out.map(_._1) == (1L to 100L))
+  }
 }

@@ -410,6 +410,23 @@ class DedupSpec extends SparkSpec {
       (5L, "m n", 0L)))
   }
 
+  test("boilerplateReport counts corpus-duplicated paragraphs per doc (incl. in-doc repeats)") {
+    val corpus = Seq(
+      (1L, "unique one\n\nshared banner"),
+      (2L, "unique two\n\nshared banner\n\nunique three"),
+      (3L, "solo\n\nsolo"),          // in-doc repeat IS duplication
+      (4L, "  \n\nonly this")        // blank paragraph dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateReport(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 3L, 1L, 1.0 / 3.0),
+      (3L, 2L, 2L, 1.0),
+      (4L, 1L, 0L, 0.0)))
+  }
+
   test("containmentPairs scores an embedded short doc 1.0 and flags it as contained") {
     // doc 11 is literally doc 10's text embedded in a longer doc:
     // Jaccard(10, 11) = |A|/|B| < 1, but containment = 1.0.
