@@ -1247,7 +1247,82 @@ object SparkEntry {
       Summaries.quantileTransform(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
         "l_extendedprice", nBuckets = 100)
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ── gap-based sessionization: per-user sessions split at 4 h of
+    // inactivity — one key exchange feeds the boundary lag, the running
+    // session index AND the session rollup (partitioning on the key
+    // satisfies the (key, session) aggregation: no second shuffle).
+    "q123_sessionize" -> ((s, dir) =>
+      Summaries.sessionize(events(s, dir), "user_id", "ts", "event_id",
+        gapSeconds = 4 * 3600L)
+        .orderBy("user_id", "session_idx")),
+
+    // ── temperature resampling (the XLM-R/mT5 multilingual rebalancer):
+    // α = 0.5 flattens the en-heavy corpus toward uniform at expected
+    // half size; per-lang keep rates broadcast back over a narrow filter.
+    "q124_temperature_resample" -> ((s, dir) =>
+      Sampling.temperatureResample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", alpha = 0.5, frac = 0.5, salt = "tmp")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // ── blocked fuzzy record linkage: customers vs a noisy twin (one
+    // char deleted at custkey mod length) — trigram blocking with a
+    // df-50 stop-gram cap, Levenshtein verify on candidates only.
+    "q125_fuzzy_link" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val noisy = cust.select(
+        (col("c_custkey") + 1000000L).as("n_key"),
+        concat(
+          expr("substring(c_name, 1, CAST(c_custkey % length(c_name) AS INT))"),
+          expr("substring(c_name, CAST(c_custkey % length(c_name) AS INT) + 2, 1000)"))
+          .as("n_name"))
+      graft.operators.Linkage.fuzzyJoin(cust, noisy,
+        "c_custkey", "c_name", "n_key", "n_name",
+        maxDist = 1, q = 3, maxGramDf = 50)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("c_custkey", "n_key")
+    }),
+
+    // ── leakage-safe split: corpus ∪ copies of every 5th doc — copies
+    // must follow their original's split (digest-group representative
+    // keys the hash), pinning the no-train/eval-leak contract.
+    "q126_leak_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Sampling.leakSafeSplit(corpus, "doc_id", "text", testPermille = 200,
+        salt = "lk")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
+    // ── PageRank over a closed-form doc link graph (doc i → (7i+k) mod N,
+    // k = 1..3): 5 damped iterations, 12-dp per-iteration re-quantization
+    // so any engine stating the recurrence reproduces ranks bit-for-bit.
+    "q127_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 7 + col("k")) % n).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst",
+        damping = 0.85, iters = 5)
+        .orderBy("node")
+    }),
+
+    // ── c-TF-IDF: top-10 characteristic terms per source slice —
+    // tf_{t,c} · ln(1 + avgClassTokens / f_t), vocab-sized joins, the
+    // rank window over the classes × vocab matrix only.
+    "q128_class_terms" -> ((s, dir) =>
+      TextAnalysis.classTerms(
+        t(s, dir, "documents").select("source", "text"),
+        "source", "text", k = 10)
+        .orderBy("source", "rn"))
   )
 
   private val threeWayJoinSql: String =
@@ -2454,7 +2529,122 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, l_extendedprice,
         | CAST(len(list_filter(b.qs, q -> l_extendedprice > q)) AS DOUBLE) / 100 AS qrank
         |FROM lineitem, b
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Exact-microsecond session boundaries: epoch_us integer arithmetic,
+    // 4 h gap, running-sum session index — identical window shape.
+    "q123_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 14400000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, event_id, us,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM b)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(event_id) AS first_event,
+        | max(us) - min(us) AS duration_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Identical temperature arithmetic: 6-dp decimal-summed group weights,
+    // 12-dp keep rates, the q106 60-bit md5 uniform.
+    "q124_temperature_resample" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |  CAST(round(power(CAST(n AS DOUBLE), 0.5), 6) AS DECIMAL(28,6)) AS w FROM n),
+        |t AS (SELECT CAST(sum(w) AS DOUBLE) AS wsum, sum(n) AS ntot FROM w),
+        |r AS (SELECT lang,
+        |  round(least(1.0, CAST(ntot AS DOUBLE) * 0.5 / wsum
+        |    * CAST(w AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS q FROM w, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE ((('0x' || substr(md5('tmp' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |        + 0.5) / 1152921504606846976.0) < q
+        |ORDER BY doc_id""".stripMargin,
+
+    // Identical blocked semantics: per-side distinct trigrams, df ≤ 50
+    // stop-gram cap on BOTH sides, candidates from the gram equi-join,
+    // Levenshtein ≤ 1 verify on candidates only.
+    "q125_fuzzy_link" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer),
+        |noisy AS (SELECT c_custkey + 1000000 AS n_key,
+        |  substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) ||
+        |  substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2, 1000) AS n_name
+        |  FROM customer),
+        |lg AS (SELECT DISTINCT c_custkey AS idl, substr(c_name, i, 3) AS g
+        |       FROM cust, UNNEST(generate_series(1, length(c_name) - 2)) AS u(i)),
+        |lgf AS (SELECT idl, g FROM lg
+        |        WHERE g IN (SELECT g FROM lg GROUP BY g HAVING count(*) <= 50)),
+        |rg AS (SELECT DISTINCT n_key AS idr, substr(n_name, i, 3) AS g
+        |       FROM noisy, UNNEST(generate_series(1, length(n_name) - 2)) AS u(i)),
+        |rgf AS (SELECT idr, g FROM rg
+        |        WHERE g IN (SELECT g FROM rg GROUP BY g HAVING count(*) <= 50)),
+        |cand AS (SELECT DISTINCT idl, idr FROM lgf JOIN rgf USING (g))
+        |SELECT c.idl AS c_custkey, c.idr AS n_key,
+        | CAST(levenshtein(l.c_name, r.n_name) AS BIGINT) AS dist
+        |FROM cand c JOIN cust l ON l.c_custkey = c.idl
+        |            JOIN noisy r ON r.n_key = c.idr
+        |WHERE levenshtein(l.c_name, r.n_name) <= 1
+        |ORDER BY c_custkey, n_key""".stripMargin,
+
+    // Identical group-representative split: md5 digest groups, min-id
+    // representative, the q60 permille hash on the REPRESENTATIVE.
+    "q126_leak_safe_split" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |d AS (SELECT doc_id, md5(text) AS dig FROM corpus),
+        |r AS (SELECT dig, min(doc_id) AS rep FROM d GROUP BY 1)
+        |SELECT d.doc_id,
+        | CASE WHEN ('0x' || substr(md5('lk' || CAST(r.rep AS VARCHAR)),1,15))::BIGINT % 1000 < 200
+        |      THEN 'test' ELSE 'train' END AS split
+        |FROM d JOIN r USING (dig)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The identical recurrence, 5 unrolled iterations (aggregates are
+    // not allowed in a recursive CTE term): teleport stated as
+    // (1 - 0.85) in DOUBLE so the IEEE subtraction matches the Spark
+    // driver's, 12-dp re-quantization per iteration.
+    "q127_pagerank" -> {
+      def iter(i: Int): String =
+        s"""p$i AS (SELECT n.v AS node,
+           | round((1::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+           |   + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE), 12) AS rank
+           | FROM nodes n LEFT JOIN (
+           |   SELECT w.dst, sum(p.rank * w.w) AS s
+           |   FROM p${i - 1} p JOIN w ON w.src = p.node GROUP BY 1) c
+           | ON c.dst = n.v)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM nn) AS dst
+         |      FROM documents, UNNEST([1, 2, 3]) AS t(k)),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         |w AS (SELECT e.src, e.dst, 1.0::DOUBLE / d AS w FROM e JOIN deg USING (src)),
+         |nodes AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+         |p0 AS (SELECT v AS node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rank FROM p5 ORDER BY node""".stripMargin
+    },
+
+    // Identical c-TF-IDF arithmetic: BIGINT counts, the scalar
+    // avg-class-tokens in DOUBLE, ln damp, 6-dp score, token-asc ties.
+    "q128_class_terms" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tfc AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |ft AS (SELECT token, count(*) AS f FROM tok GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS DOUBLE)
+        |        / CAST((SELECT count(DISTINCT source) FROM documents) AS DOUBLE) AS avg
+        |      FROM tok),
+        |sc AS (SELECT tfc.source, tfc.token, tfc.tf,
+        |  round(CAST(tf AS DOUBLE) * ln(1.0::DOUBLE + a.avg / CAST(f AS DOUBLE)), 6) AS score
+        |  FROM tfc JOIN ft USING (token), a),
+        |r AS (SELECT source, token, tf, score,
+        |  row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rn
+        |  FROM sc)
+        |SELECT source, token, tf, score, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -115,6 +115,42 @@ object Summaries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Gap-based sessionization: per key, a new session starts whenever the
+    * time since the previous event exceeds `gapSeconds` (or at the key's
+    * first event); emits one row per session with its 1-based index,
+    * event count, first event id and exact microsecond duration — the
+    * standard clickstream/session-analytics primitive (reference has the
+    * per-key ordered-scan shape in client.py's per-CVE history walks;
+    * re-expressed as one window + one aggregation).
+    *
+    * Timestamps compare as exact epoch MICROSECONDS (`unix_micros`), so
+    * the boundary predicate is integer arithmetic — engine-identical, no
+    * float time math, no truncation-order ambiguity.
+    *
+    * 100 TB shape: ONE hash exchange on the key feeds both the boundary
+    * lag and the running-sum session index (same window frame); the
+    * (key, session) aggregation needs rows clustered by key only — a
+    * requirement the window's HashPartitioning(key) already satisfies —
+    * so Catalyst inserts NO second exchange. High-cardinality keys →
+    * balanced partitions, the q01 flagship pattern.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                 gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol))
+    val prev = lag(col("__us"), 1).over(w)
+    val brk = when(prev.isNull || col("__us") - prev > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.select(col(keyCol), col(tieCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("session_idx", sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tieCol)).as("first_event"),
+        (max(col("__us")) - min(col("__us"))).as("duration_us"))
+  }
+
   /** Ordered funnel completion — per key, the earliest strictly-ordered
     * completion of each step: `step_i` is the smallest `orderCol` among
     * `typeCol == steps(i-1)` events AFTER the key's completed `step_{i-1}`

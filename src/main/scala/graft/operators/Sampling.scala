@@ -166,6 +166,78 @@ object Sampling {
       .select(col(groupCol), col(idCol), col("rn"))
   }
 
+  /** Leakage-safe train/test split: exact-duplicate documents ALWAYS land
+    * in the same split. A plain per-row hash split leaks training rows
+    * into the eval set whenever the corpus still carries duplicates (the
+    * classic benchmark-contamination path); here the split key is the
+    * duplicate GROUP's representative (min id over equal content
+    * digests), so every copy of a text follows its group. Composes with
+    * the dedup family: run it before dedup (safe even if dedup is
+    * skipped) or after (degenerates to the plain split, same labels).
+    *
+    * 100 TB shape: the representative is a map-side-combinable min over
+    * the digest key (digest-sized exchange) joining back co-shuffled on
+    * the same key — attaching a group-dependent label requires
+    * co-locating each row with its group exactly once, so the corpus
+    * pays ONE digest-keyed shuffle (the same single-shuffle bill as
+    * exact dedup); no window anywhere. The digest table is
+    * distinct-text-sized — never assumed broadcastable.
+    */
+  def leakSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                    testPermille: Int, salt: String = ""): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille out of [0,1000]: $testPermille")
+    val keyed = df.withColumn("__dig", md5(col(textCol)))
+    val reps = keyed.groupBy(col("__dig")).agg(min(col(idCol)).as("__rep"))
+    keyed.join(reps, Seq("__dig"))
+      .withColumn("split",
+        when(hashBucket(col("__rep"), salt) < testPermille, lit("test"))
+          .otherwise(lit("train")))
+      .drop("__dig", "__rep")
+  }
+
+  /** Temperature-based group rebalancing (the multilingual-corpus sampler
+    * of XLM-R / mT5): each group's keep probability is
+    * `q_g = clamp(c · n_g^(α-1), 1)` with `c = N·frac / Σ_g n_g^α`, so the
+    * kept corpus has expected size `frac·N` while group shares are
+    * flattened toward uniform as α → 0 (α = 1 degenerates to plain
+    * hash-sampling at rate `frac`). Row fate is the usual content-hash
+    * uniform — deterministic under any layout, stable under re-runs.
+    *
+    * Cross-engine exactness: the group weights `n_g^α` are rounded to
+    * 6 dp and summed as DECIMAL (a handful of groups, but double-sum
+    * order would still be engine-chosen — decimal removes the question);
+    * `q_g` is rounded to 12 dp so the final threshold compare is
+    * bit-identical in any engine stating the same arithmetic.
+    *
+    * 100 TB shape: one map-side-combinable group count (groups-sized), a
+    * scalar total, the rate table broadcast back, then a narrow filter
+    * over the corpus — no corpus shuffle anywhere.
+    */
+  def temperatureResample(df: DataFrame, idCol: String, groupCol: String,
+                          alpha: Double, frac: Double,
+                          salt: String = ""): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    require(frac > 0 && frac <= 1, s"frac out of (0,1]: $frac")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        round(pow(col("__n").cast("double"), alpha), 6).cast("decimal(28,6)"))
+    val totals = counts.agg(
+      sum(col("__w")).cast("double").as("__wsum"),
+      sum(col("__n")).as("__ntot"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        round(least(lit(1.0),
+          col("__ntot").cast("double") * frac / col("__wsum")
+            * col("__w").cast("double") / col("__n").cast("double")), 12)
+          .as("__q"))
+    val u = (hash60(md5(concat(lit(salt), col(idCol).cast("string"))))
+      .cast("double") + lit(0.5)) / lit(1152921504606846976.0 /* 2^60 */)
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(u < col("__q"))
+      .drop("__q")
+  }
+
   /** Stratified deterministic sampling: a per-stratum keep rate (permille),
     * falling back to `defaultPermille` for unlisted strata — the
     * `sampleBy` twin with content-hash determinism. Used to rebalance a

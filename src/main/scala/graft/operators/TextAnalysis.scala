@@ -757,4 +757,39 @@ object TextAnalysis {
       .withColumn("avg_logprob", avgMicro6(col("__s"), col("n_tokens")))
       .select(col(idCol), col("n_tokens"), col("avg_logprob"))
   }
+
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF formulation): for each
+    * class, the k terms with the highest
+    * `tf_{t,c} · ln(1 + avgTokensPerClass / f_t)` — term frequency
+    * within the class, damped by the term's GLOBAL frequency — the
+    * "what characterizes this slice" report behind topic labeling and
+    * per-source vocabulary QA. Scores round to 6 dp (ln is last-ulp
+    * engine-unstable); ties break on token asc, a total order.
+    *
+    * 100 TB shape: both frequency tables are map-side-combinable token
+    * aggregations; the score join is vocab-sized and co-keyed on token;
+    * the scalar (total tokens / class count) broadcasts. The rank window
+    * runs over the AGGREGATED classes × vocab matrix — corpus-independent
+    * by construction, never the token stream (the q110/q114 pattern; a
+    * BoundedTopK formulation would need integer ids, and the tie-break
+    * contract here is lexicographic on the token itself).
+    */
+  def classTerms(df: DataFrame, classCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tok = df.select(col(classCol).as("__c"), explode(tokens(textCol)).as("token"))
+    val tfc = tok.groupBy(col("__c"), col("token")).agg(count(lit(1)).as("tf"))
+    val ft = tok.groupBy(col("token")).agg(count(lit(1)).as("__f"))
+    val avg = tok.agg(count(lit(1)).as("__ntok"))
+      .crossJoin(df.agg(countDistinct(col(classCol)).as("__ncls")))
+      .select((col("__ntok").cast("double") / col("__ncls").cast("double")).as("__avg"))
+    val scored = tfc.join(ft, Seq("token")).crossJoin(broadcast(avg))
+      .select(col("__c").as(classCol), col("token"), col("tf"),
+        round(col("tf").cast("double")
+          * log(lit(1.0) + col("__avg") / col("__f").cast("double")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
 }

