@@ -1322,7 +1322,39 @@ object SparkEntry {
       TextAnalysis.classTerms(
         t(s, dir, "documents").select("source", "text"),
         "source", "text", k = 10)
-        .orderBy("source", "rn"))
+        .orderBy("source", "rn")),
+
+    // ── per-doc character entropy (gibberish signal) via the codegen'd
+    // CharEntropyExpr kernel — one histogram pass per row, no per-char
+    // explode; the oracle states the exploded entropy() formulation.
+    "q129_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(graft.functions.CharEntropyExpr.charEntropy(col("text")), 6)
+            .as("char_entropy"))
+        .withColumn("is_low", (col("char_entropy") < 3.0).cast("int"))
+        .orderBy("doc_id")),
+
+    // ── recency-decayed user activity: Σ value · 0.5^⌊days/7⌋ from the
+    // corpus max date — exact dyadic weights, scalar max broadcast back.
+    "q130_decayed_activity" -> ((s, dir) =>
+      Summaries.decayedScore(events(s, dir).select("user_id", "ts", "value"),
+        "user_id", "ts", "value", halfLifeDays = 7)
+        .orderBy("user_id")),
+
+    // ── one BPE training round: top-50 adjacent char pairs inside words
+    // — two narrow explodes + an alphabet²-sized count + TakeOrdered.
+    "q131_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.charPairStats(t(s, dir, "documents"), "text", k = 50)),
+
+    // ── per-user sequence anomaly: avg −ln P(next|prev) under the
+    // corpus's own transition matrix; the pair subtree's key exchange is
+    // physically reused between the matrix and the per-user pass.
+    "q132_sequence_anomaly" -> ((s, dir) =>
+      Summaries.sequenceAnomaly(events(s, dir), "user_id", "event_type",
+        Seq("ts", "event_id"))
+        .orderBy("user_id"))
   )
 
   private val threeWayJoinSql: String =
@@ -2644,7 +2676,58 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source ORDER BY score DESC, token) AS rn
         |  FROM sc)
         |SELECT source, token, tf, score, CAST(rn AS BIGINT) AS rn
-        |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin
+        |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+
+    // The exploded formulation of the same entropy: one row per char,
+    // DuckDB's entropy() aggregate (log2-based), 6-dp round.
+    "q129_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |e AS (SELECT doc_id, round(entropy(ch), 6) AS char_entropy
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, char_entropy,
+        | CAST(char_entropy < 3.0 AS INT) AS is_low
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // Identical decay arithmetic: integer day diffs from the scalar max
+    // date, 0.5^floor(days/7) exact dyadic weights, 6-dp sum.
+    "q130_decayed_activity" ->
+      """WITH m AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+        |d AS (SELECT user_id, value,
+        |  date_diff('day', CAST(ts AS DATE), m.maxd) AS days FROM events, m)
+        |SELECT user_id,
+        | round(sum(value * power(0.5::DOUBLE, floor(days / 7))), 6) AS decayed_score,
+        | count(*) AS n_events,
+        | CAST(min(days) AS BIGINT) AS days_since_last
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // Identical pair extraction: whitespace words, adjacent 2-char
+    // substrings, count desc / pair asc top-50.
+    "q131_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT substr(w.w, i, 2) AS pair
+        |      FROM w, UNNEST(generate_series(1, length(w.w) - 1)) AS u(i)
+        |      WHERE length(w.w) >= 2),
+        |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+        |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // Identical model: lag pairs per user (us, event_id order), row-
+    // normalized probabilities (exact BIGINT division), 6-dp avg NLL.
+    "q132_sequence_anomaly" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |p AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM o),
+        |pp AS (SELECT user_id, prev, event_type FROM p WHERE prev IS NOT NULL),
+        |m AS (SELECT prev, event_type, count(*) AS cnt FROM pp GROUP BY 1, 2),
+        |mt AS (SELECT prev, event_type,
+        |  CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY prev) AS DOUBLE) AS prob
+        |  FROM m),
+        |j AS (SELECT pp.user_id, mt.prob FROM pp JOIN mt USING (prev, event_type))
+        |SELECT user_id, count(*) AS n_trans,
+        | round(sum(-ln(prob)) / count(*), 6) AS avg_nll
+        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -115,6 +115,42 @@ object Summaries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Per-key sequence anomaly under the corpus's own first-order Markov
+    * model: each key's average negative log-likelihood of its observed
+    * transitions, `avg(−ln P(next | prev))` with `P` the row-normalized
+    * global transition matrix — high avg_nll = a behavioral outlier
+    * (bots, abuse, corrupted streams) relative to aggregate behavior.
+    *
+    * 100 TB shape: the lag window and the matrix derive from the SAME
+    * (key-exchange → window → filter) subtree, which Spark's
+    * ReuseExchange rule dedupes — the corpus shuffles ONCE physically
+    * (PlanSpec pins the reuse); the matrix is types²-sized and
+    * broadcasts back; the per-key rollup re-uses the key clustering.
+    * `P` is exact BIGINT/BIGINT division; ln sums round to 6 dp.
+    */
+  def sequenceAnomaly(df: DataFrame, keyCol: String, typeCol: String,
+                      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "sequenceAnomaly needs ordering columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val pairs = df
+      .select((Seq(col(keyCol), col(typeCol)) ++ orderCols.map(col)): _*)
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(keyCol), col("__prev"), col(typeCol))
+    val counts = pairs.groupBy(col("__prev"), col(typeCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val mw = org.apache.spark.sql.expressions.Window.partitionBy(col("__prev"))
+    val matrix = counts
+      .withColumn("__tot", sum(col("__cnt")).over(mw))
+      .select(col("__prev"), col(typeCol),
+        (col("__cnt").cast("double") / col("__tot").cast("double")).as("__p"))
+    pairs.join(broadcast(matrix), Seq("__prev", typeCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_trans"),
+        round(sum(-log(col("__p"))) / count(lit(1)), 6).as("avg_nll"))
+  }
+
   /** Gap-based sessionization: per key, a new session starts whenever the
     * time since the previous event exceeds `gapSeconds` (or at the key's
     * first event); emits one row per session with its 1-based index,
@@ -188,6 +224,36 @@ object Summaries {
       (steps.size to 1 by -1).map(k =>
         when(col(s"step_$k").isNotNull, lit(k.toLong))) :+ lit(0L): _*)
     acc.withColumn("n_steps", nSteps)
+  }
+
+  /** Recency-decayed activity score: per key,
+    * `Σ value · 0.5^⌊days_back / halfLifeDays⌋` measured from the
+    * corpus's LATEST day — the freshness weighting a training-data
+    * pipeline applies before mixing (new crawl slices outweigh stale
+    * ones), or a user-activity ranking that forgets on a half-life.
+    *
+    * Cross-engine exactness: the decay base is 0.5 with an INTEGER
+    * exponent, so every weight is a power of two — exact in IEEE double
+    * in any engine (an 0.9-style base through libm `pow` differs in the
+    * last ulp across implementations); the weighted sum rounds to 6 dp
+    * (sum order is engine-chosen).
+    *
+    * 100 TB shape: one scalar max-date aggregate broadcast back, then a
+    * single map-side-combinable aggregation on the key — no window, no
+    * corpus re-scan.
+    */
+  def decayedScore(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive: $halfLifeDays")
+    val maxD = df.agg(max(to_date(col(tsCol))).as("__maxd"))
+    df.select(col(keyCol), to_date(col(tsCol)).as("__d"), col(valueCol))
+      .crossJoin(broadcast(maxD))
+      .withColumn("__days", datediff(col("__maxd"), col("__d")))
+      .withColumn("__w", pow(lit(0.5), floor(col("__days") / halfLifeDays)))
+      .groupBy(col(keyCol))
+      .agg(round(sum(col(valueCol) * col("__w")), 6).as("decayed_score"),
+        count(lit(1)).as("n_events"),
+        min(col("__days")).cast("long").as("days_since_last"))
   }
 
   /** First-order Markov transition matrix over per-key event sequences:

@@ -758,6 +758,30 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("avg_logprob"))
   }
 
+  /** Adjacent-symbol pair statistics at the character level — ONE round
+    * of the BPE tokenizer-training inner loop (count all adjacent pairs
+    * inside words; the argmax pair is the next merge). Full BPE training
+    * is a driver loop over vocab-sized merge state re-counting per merge;
+    * this operator is that loop's corpus-scan step, the only part that
+    * touches data at scale.
+    *
+    * 100 TB shape: two narrow explodes (word, then pair — pairs
+    * materialize as 2-char strings, never position indices), a map-side-
+    * combinable pair count (pair cardinality ≤ alphabet², tiny), and a
+    * TakeOrdered cut — no global sort, no window.
+    */
+  def charPairStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.select(explode(tokens(textCol)).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Class-based TF-IDF (the BERTopic c-TF-IDF formulation): for each
     * class, the k terms with the highest
     * `tf_{t,c} · ln(1 + avgTokensPerClass / f_t)` — term frequency

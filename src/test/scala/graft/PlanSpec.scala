@@ -590,6 +590,46 @@ class PlanSpec extends SparkSpec {
     assert(aggsBelowWindow.nonEmpty, "rank window must consume the aggregated matrix")
   }
 
+  test("q129 char entropy is a pure narrow plan: no exchange except the output sort") {
+    val shuffles = collectAll(plan("q129_char_entropy")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"per-row kernel must not shuffle:\n$shuffles")
+  }
+
+  test("q130 decayed activity: scalar max broadcasts; one key aggregation; no window") {
+    val p = plan("q130_decayed_activity")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    val hashEx = collectAll(p) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size <= 1, s"only the key rollup may hash-exchange:\n$p")
+  }
+
+  test("q131 bpe pairs: TakeOrdered cut over the pair aggregate, no global sort") {
+    val p = plan("q131_bpe_pairs")
+    assert(collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"top-k must be TakeOrderedAndProject:\n$p")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q132 sequence anomaly: the pair subtree's key exchange is physically reused") {
+    // under AQE, exchange reuse is a runtime decision invisible in the
+    // initial plan — assert the static ReuseExchange rule with AQE off
+    // (the same dedup AQE performs at stage-materialization time)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("q132_sequence_anomaly")
+      // matrix pass and per-user pass share scan→exchange(user)→window→filter
+      assert(collectAll(p) {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }.nonEmpty, s"expected ReusedExchange for the shared pair subtree:\n$p")
+      assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "types²-sized matrix must broadcast back onto the pair stream")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

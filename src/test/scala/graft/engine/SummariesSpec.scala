@@ -206,6 +206,49 @@ class SummariesSpec extends SparkSpec {
       Summaries.sessionize(ev, "user_id", "ts", "event_id", 0))
   }
 
+  test("decayedScore: exact dyadic weights from the corpus max date") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-15 10:00:00"), 8.0),  // day 0 → w = 1
+      (1L, ts("2024-01-08 10:00:00"), 8.0),  // 7 days → w = 0.5
+      (1L, ts("2024-01-01 10:00:00"), 8.0),  // 14 days → w = 0.25
+      (2L, ts("2024-01-02 23:59:59"), 4.0)   // 13 days → ⌊13/7⌋ = 1 → w = 0.5
+    ).toDF("user_id", "ts", "value")
+    val out = Summaries.decayedScore(ev, "user_id", "ts", "value", halfLifeDays = 7)
+      .orderBy("user_id")
+      .as[(Long, Double, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 8.0 + 4.0 + 2.0, 3L, 0L),
+      (2L, 2.0, 1L, 13L)))
+    intercept[IllegalArgumentException](
+      Summaries.decayedScore(ev, "user_id", "ts", "value", 0))
+  }
+
+  test("sequenceAnomaly: avg NLL matches a driver-side reference fold") {
+    // user 1 follows the dominant a→b→a pattern; user 2 takes the rare
+    // a→c edge — its avg NLL must be strictly higher
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L),
+      (2L, "a", 1L), (2L, "c", 2L),
+      (3L, "a", 1L), (3L, "b", 2L)
+    ).toDF("user_id", "event_type", "event_id")
+    val out = Summaries.sequenceAnomaly(ev, "user_id", "event_type", Seq("event_id"))
+      .orderBy("user_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // global pairs: a→b ×3, b→a ×1, a→c ×1 → P(b|a)=3/4, P(a|b)=1, P(c|a)=1/4
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pba = 3.0 / 4
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out(0)._2 == 3L)
+    assert(out(0)._3 == r6((-math.log(pba) * 2 + -math.log(1.0)) / 3))
+    assert(out(1)._3 == r6(-math.log(1.0 / 4)))
+    assert(out(2)._3 == r6(-math.log(pba)))
+    assert(out(1)._3 > out(0)._3 && out(1)._3 > out(2)._3,
+      "the rare-edge user must be the anomaly")
+  }
+
   test("quantileTransform maps values onto their quantile grid, keeping all columns") {
     val df = spark.range(1, 101)
       .select($"id", $"id".cast("double").as("v"))

@@ -420,6 +420,18 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.zipfFit(corpus, "text", topN = 1))
   }
 
+  test("charPairStats counts adjacent in-word pairs; ties break on pair asc") {
+    val df = Seq((1L, "abab ab x"), (2L, "abba")).toDF("doc_id", "text")
+    // pairs: "abab"→ab,ba,ab; "ab"→ab; "x"→(none, len<2); "abba"→ab,bb,ba
+    val out = TextAnalysis.charPairStats(df, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("ab", 4L), ("ba", 2L), ("bb", 1L)))
+    // k cuts deterministically
+    assert(TextAnalysis.charPairStats(df, "text", k = 2)
+      .as[(String, Long)].collect().toSeq == Seq(("ab", 4L), ("ba", 2L)))
+    intercept[IllegalArgumentException](TextAnalysis.charPairStats(df, "text", 0))
+  }
+
   test("classTerms surfaces class-characteristic terms over shared filler") {
     // 'spark' is unique to class A, 'flink' to class B; 'the' floods both.
     val df = Seq(
