@@ -247,6 +247,51 @@ object PipelineScaleBench {
       graft.engine.Summaries.transitionMatrix(ev, "user_id", "event_type",
         Seq("event_id")).count()
     }
+    timed("pipe_sessionize") {
+      // gap-based sessions over ~50 events/user spread across 90 days
+      // (mean inter-event gap >> the 4 h cutoff): ONE key exchange serves
+      // lag + session index + rollup; output/input is the sessions-per-
+      // event rate — fixed by the gap distribution, so it must stay FLAT
+      // as n grows (events/user is held constant)
+      val users = math.max(1L, total / 50)
+      val ev = spark.range(total)
+        .select(pmod(xxhash64(col("id"), lit(7)), lit(users)).as("user_id"),
+          col("id").as("event_id"),
+          timestamp_seconds(lit(1704067200L)
+            + pmod(xxhash64(col("id"), lit(14)), lit(90L * 24 * 60)) * 60).as("ts"))
+      graft.engine.Summaries.sessionize(ev, "user_id", "ts", "event_id",
+        gapSeconds = 4 * 3600L).count()
+    }
+    timed("pipe_fuzzy_link") {
+      // blocked fuzzy linkage, unique-ish 12-13 char base-36 names vs a
+      // one-char-deletion noisy twin. q = 5 per the gram-space sizing
+      // rule (36^5 = 60M >> n, so typical grams stay under the df cap and
+      // deletions still leave shared rare grams); output/input is matches
+      // per name — ~1 by construction, must stay flat in n
+      val names = spark.range(total).select(col("id"),
+        conv(abs(xxhash64(col("id"), lit(21))).cast("string"), 10, 36).as("name"))
+      val noisy = names.select((col("id") + 1000000000L).as("nid"),
+        concat(
+          expr("substring(name, 1, CAST(id % length(name) AS INT))"),
+          expr("substring(name, CAST(id % length(name) AS INT) + 2, 100)"))
+          .as("nname"))
+      graft.operators.Linkage.fuzzyJoin(names, noisy, "id", "name",
+        "nid", "nname", maxDist = 1, q = 5, maxGramDf = 100).count()
+    }
+    timed("pipe_pagerank") {
+      // 5 damped iterations over the closed-form 3-out-link graph
+      // (1.5M edges at 500k nodes): per iteration exactly one src-keyed
+      // join against the persisted weighted edges + one dst aggregation;
+      // wall must scale ~linearly in edges; output == nodes
+      val edges = spark.range(total)
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 7 + col("k")) % total).as("dst"))
+      val out = graft.operators.Graph.pageRank(edges, "src", "dst",
+        damping = 0.85, iters = 5)
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      total
+    }
     timed("pipe_dedup_megacluster") {
       // ADVERSARIAL: ~1.5% of the corpus byte-identical in ONE cluster —
       // the web-boilerplate shape that OOMs any plan holding a duplicate

@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   * bounds per-gram join fan-out at `maxGramDf²`, so no single gram key
   * can produce a quadratic bucket — the same skew-bounding role the
   * band-size cap plays in the MinHash LSH family.
+  *
+  * GRAM-SPACE SIZING RULE (load-bearing, the [[Sampling.assignShards]]
+  * analogue): average gram df ≈ n·L / |alphabet|^q, so `q` must grow
+  * with the corpus — choose q such that |alphabet|^q ≳ corpus rows, or
+  * typical grams blow past `maxGramDf` and recall collapses to the few
+  * grams that survive the cap (q = 3 is right for 10⁴-10⁶ name tables;
+  * use q = 5+ at 10⁸ rows, or block on whole tokens when a natural
+  * token vocabulary grows with the corpus). PipelineScaleBench's
+  * `pipe_fuzzy_link` stage demonstrates the q = 5 regime at 500k/5M.
   */
 object Linkage {
 
