@@ -1354,7 +1354,57 @@ object SparkEntry {
     "q132_sequence_anomaly" -> ((s, dir) =>
       Summaries.sequenceAnomaly(events(s, dir), "user_id", "event_type",
         Seq("ts", "event_id"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // ── EXACT prefix-filtered Jaccard self-join at 0.600 over corpus ∪
+    // one-token-prepended copies of every 4th doc (guaranteed
+    // high-Jaccard pairs) — all-integer thresholds, no LSH recall loss.
+    "q133_jaccard_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("xqzw "), col("text")).as("text")))
+      Dedup.jaccardJoinExact(corpus, "doc_id", "text", minJaccardPermille = 600)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ── rolling z-score spike detection per event type (7 observed-day
+    // lookback, z = 2): the corpus collapses to the daily table first,
+    // the window runs over that — integer rolling sums, 6-dp z.
+    "q134_daily_spikes" -> ((s, dir) =>
+      Summaries.dailySpikes(events(s, dir), "event_type", "ts",
+        lookback = 7, z = 2.0)
+        .orderBy("event_type", "day")),
+
+    // ── per-type activity trend: OLS slope + r² of daily counts over the
+    // day offset — exact integer moment sums, two groups-sized aggs,
+    // window-free.
+    "q135_trend_slopes" -> ((s, dir) =>
+      Summaries.trendSlopes(events(s, dir), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // ── per-source duplication profile over corpus ∪ same-source copies
+    // of every 5th doc: digests aggregate, text never shuffles.
+    "q136_dup_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("source"), col("text")))
+      Dedup.duplicationProfile(corpus, "source", "text")
+        .orderBy("source")
+    }),
+
+    // ── cross-source exact-overlap matrix: every 3rd doc mirrored into a
+    // synthetic 'mirror' source — digest-keyed self-join, strata²-bounded.
+    "q137_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("source", "text")
+      val corpus = docs.unionByName(
+        t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+          .select(lit("mirror").as("source"), col("text")))
+      Dedup.strataOverlap(corpus, "source", "text")
+        .orderBy("stratum_a", "stratum_b")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -2727,7 +2777,104 @@ object SparkEntry {
         |j AS (SELECT pp.user_id, mt.prob FROM pp JOIN mt USING (prev, event_type))
         |SELECT user_id, count(*) AS n_trans,
         | round(sum(-ln(prob)) / count(*), 6) AS avg_nll
-        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // Identical prefix-filter semantics: rarest-first (df asc, token asc)
+    // order, integer prefix length |s| - (|s|*600+999)//1000 + 1,
+    // integer final gate n*1000 >= 600*(union).
+    "q133_jaccard_exact" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, 'xqzw ' || text AS text
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |toks AS (SELECT doc_id, shingle AS t FROM (${shingleSqlOver("corpus")})),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+        |f AS (SELECT t, count(*) AS df FROM toks GROUP BY 1),
+        |pos AS (SELECT doc_id, t,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY df, t) AS pos
+        |  FROM toks JOIN f USING (t)),
+        |pref AS (SELECT p.doc_id, p.t FROM pos p JOIN sz USING (doc_id)
+        |         WHERE p.pos <= sz - ((sz * 600 + 999) // 1000) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id),
+        |i AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |      FROM cand c JOIN toks ta ON ta.doc_id = c.doc_a
+        |                  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.t = ta.t
+        |      GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_inter, za.sz AS sz_a, zb.sz AS sz_b,
+        | i.n_inter / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
+        |FROM i JOIN sz za ON za.doc_id = i.doc_a
+        |       JOIN sz zb ON zb.doc_id = i.doc_b
+        |WHERE i.n_inter * 1000 >= 600 * (za.sz + zb.sz - i.n_inter)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Identical rolling stats: BIGINT window sums (exact under any
+    // windowed-sum algorithm), IEEE mean/variance from those integers,
+    // variance clamped at 0, 6-dp z, MAD-style zero-variance handling.
+    "q134_daily_spikes" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day, n,
+        |  count(n) OVER w AS k, sum(n) OVER w AS sm, sum(n * n) OVER w AS ss
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT event_type, day, n,
+        |  CAST(sm AS DOUBLE) / 7 AS mean,
+        |  sqrt(greatest((CAST(ss AS DOUBLE)
+        |    - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / 7) / 6, 0.0)) AS std
+        |  FROM s WHERE k = 7)
+        |SELECT event_type, day, n,
+        | CASE WHEN std > 0
+        |      THEN round((CAST(n AS DOUBLE) - mean) / std, 6) END AS zscore,
+        | CAST(((std > 0 AND round((CAST(n AS DOUBLE) - mean) / std, 6) > 2.0)
+        |    OR (std = 0 AND CAST(n AS DOUBLE) > mean)) AS INT) AS is_spike
+        |FROM f ORDER BY event_type, day""".stripMargin,
+
+    // Identical OLS moments: BIGINT x/y sums, the same IEEE determinant
+    // shapes, 6-dp slope/r², NULL on degenerate groups.
+    "q135_trend_slopes" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |               FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+        |xy AS (SELECT d.event_type,
+        |  CAST(date_diff('day', f.d0, d.day) AS BIGINT) AS x, y
+        |  FROM daily d JOIN f USING (event_type)),
+        |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM xy GROUP BY 1),
+        |mm AS (SELECT event_type, n,
+        |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        | CASE WHEN dxx > 0 THEN round(dxy / dxx, 6) END AS slope,
+        | CASE WHEN dxx > 0 AND dyy > 0 THEN round(dxy * dxy / (dxx * dyy), 6) END AS r2
+        |FROM mm ORDER BY event_type""".stripMargin,
+
+    // Identical digest profile: md5 groups, BIGINT counts, exact division.
+    "q136_dup_profile" ->
+      """WITH corpus AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, source, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |g AS (SELECT source, md5(text) AS dig, count(*) AS n
+        |      FROM corpus GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        | count(*) AS n_unique,
+        | CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_frac
+        |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Identical overlap matrix: distinct (stratum, digest), digest-keyed
+    // self-join, unordered pairs once.
+    "q137_source_overlap" ->
+      """WITH corpus AS (SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 3 = 0),
+        |sd AS (SELECT DISTINCT source AS s, md5(text) AS dig FROM corpus)
+        |SELECT a.s AS stratum_a, b.s AS stratum_b, count(*) AS n_shared
+        |FROM sd a JOIN sd b ON a.dig = b.dig AND a.s < b.s
+        |GROUP BY 1, 2 ORDER BY stratum_a, stratum_b""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -115,6 +115,96 @@ object Summaries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Rolling z-score spike detection over per-day event counts: for each
+    * (group, day) with a FULL `lookback`-day window of prior observed
+    * days, the count's z-score against that window's mean/stddev and a
+    * spike flag at `z` — the volume-anomaly monitor (error bursts, bot
+    * floods, broken ingests) a pipeline runs per source per day.
+    *
+    * Cross-engine exactness: the rolling sums are over BIGINT counts —
+    * exact in any engine regardless of its windowed-sum algorithm
+    * (double rolling sums would expose segment-tree vs sliding-window
+    * accumulation order); mean/variance derive from those integers by
+    * identical IEEE expressions, variance clamps at 0 (FP cancellation
+    * can graze below), z rounds to 6 dp. Like [[madOutliers]], a
+    * zero-variance window yields a NULL score and flags any deviation.
+    * Count squares cap the per-(group, day) count at ~3·10⁹ (long
+    * overflow) — far above any real per-day slice.
+    *
+    * 100 TB shape: the corpus collapses to the (groups × days) daily
+    * table in ONE map-side-combinable aggregation; the rolling window
+    * runs over THAT table — bounded by the calendar, corpus-independent
+    * — never over raw events.
+    */
+  def dailySpikes(df: DataFrame, groupCol: String, tsCol: String,
+                  lookback: Int = 7, z: Double = 3.0): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2: $lookback")
+    require(z > 0, s"z must be positive: $z")
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    val withStats = daily
+      .withColumn("__k", count(col("n")).over(w))
+      .withColumn("__s", sum(col("n")).over(w))
+      .withColumn("__ss", sum(col("n") * col("n")).over(w))
+      .filter(col("__k") === lookback)
+    val mean = col("__s").cast("double") / lookback
+    val variance = greatest(
+      (col("__ss").cast("double") - col("__s").cast("double") * col("__s").cast("double") / lookback)
+        / (lookback - 1),
+      lit(0.0))
+    val std = sqrt(variance)
+    withStats
+      .withColumn("zscore",
+        when(std > 0, round((col("n").cast("double") - mean) / std, 6)))
+      .withColumn("is_spike",
+        ((std > 0 && col("zscore") > z) ||
+          (std === 0 && col("n").cast("double") > mean)).cast("int"))
+      .select(col(groupCol), col("day"), col("n"), col("zscore"), col("is_spike"))
+  }
+
+  /** Per-group activity trend: the least-squares slope (and r²) of daily
+    * event counts against the day offset from each group's first
+    * observed day — "which sources are growing / decaying" as one table.
+    *
+    * Cross-engine exactness: x (day offset) and y (count) are BIGINTs,
+    * so the OLS moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * integers in any engine; slope/intercept/r² derive from them with
+    * identical IEEE expressions and round to 6 dp. Degenerate groups
+    * (one day, or zero count variance) yield NULL slope/r² rather than
+    * a 0/0 NaN.
+    *
+    * 100 TB shape: corpus → daily table (one map-side-combinable agg);
+    * first-day min is group-sized and joins back co-keyed; the moment
+    * aggregation is a second groups-sized agg. No window anywhere.
+    */
+  def trendSlopes(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__y"))
+    val firstDay = daily.groupBy(col(groupCol)).agg(min(col("__day")).as("__d0"))
+    val xy = daily.join(firstDay, Seq(groupCol))
+      .select(col(groupCol),
+        datediff(col("__day"), col("__d0")).cast("long").as("__x"),
+        col("__y"))
+    val m = xy.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("__n").cast("double")
+    val dxx = n * col("__sxx").cast("double") - col("__sx").cast("double") * col("__sx").cast("double")
+    val dyy = n * col("__syy").cast("double") - col("__sy").cast("double") * col("__sy").cast("double")
+    val dxy = n * col("__sxy").cast("double") - col("__sx").cast("double") * col("__sy").cast("double")
+    m.select(col(groupCol),
+      col("__n").as("n_days"),
+      when(dxx > 0, round(dxy / dxx, 6)).as("slope"),
+      when(dxx > 0 && dyy > 0, round(dxy * dxy / (dxx * dyy), 6)).as("r2"))
+  }
+
   /** Per-key sequence anomaly under the corpus's own first-order Markov
     * model: each key's average negative log-likelihood of its observed
     * transitions, `avg(−ln P(next | prev))` with `P` the row-normalized

@@ -1158,6 +1158,109 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "containment", "contained")
   }
 
+  /** Per-stratum duplication profile: document count, distinct-text
+    * count and the duplicate fraction for each stratum (source, lang,
+    * shard…) — the "which feeds are flooding us with copies" table read
+    * before choosing dedup keep-policies. `dup_frac` is exact
+    * BIGINT-derived IEEE division.
+    *
+    * 100 TB shape: ONE aggregation over (stratum, digest) — digests
+    * project out immediately, text never shuffles — then a groups-sized
+    * rollup; distinct-counting rides the digest key, never raw text.
+    */
+  def duplicationProfile(df: DataFrame, stratumCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(stratumCol), md5(col(textCol)).as("__dig"))
+      .groupBy(col(stratumCol), col("__dig")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(stratumCol))
+      .agg(sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        ((sum(col("__n")) - count(lit(1))).cast("double")
+          / sum(col("__n")).cast("double")).as("dup_frac"))
+
+  /** Cross-stratum exact-overlap matrix: for every stratum pair, how
+    * many distinct texts appear in BOTH — the content-sharing report
+    * behind source-level provenance audits (mirror sites, syndication,
+    * scraped re-posts). Symmetric, emitted once per unordered pair.
+    *
+    * 100 TB shape: distinct (stratum, digest) projection, then a
+    * digest-keyed self equi-join (never all-pairs across strata — only
+    * digests present in ≥2 strata produce rows) and a strata²-bounded
+    * rollup. A digest shared by k strata fans out k·(k−1)/2 — bounded
+    * by strata², which is tiny by construction.
+    */
+  def strataOverlap(df: DataFrame, stratumCol: String,
+                    textCol: String): DataFrame = {
+    val sd = df.select(col(stratumCol).as("__s"), md5(col(textCol)).as("__dig"))
+      .distinct()
+    sd.join(sd.select(col("__s").as("__s2"), col("__dig")), Seq("__dig"))
+      .filter(col("__s") < col("__s2"))
+      .groupBy(col("__s"), col("__s2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("__s").as("stratum_a"), col("__s2").as("stratum_b"),
+        col("n_shared"))
+  }
+
+  /** EXACT set-similarity self-join via prefix filtering (the PPJoin
+    * family's core filter, Xiao et al. 2008): every pair of docs whose
+    * DISTINCT-token Jaccard is ≥ `minJaccardPermille`/1000 — no LSH
+    * recall loss. Tokens get a global rarest-first order (df asc, token
+    * asc); each doc's candidate-generating PREFIX is its first
+    * `|s| − ⌈t·|s|⌉ + 1` tokens in that order, and any pair at or above
+    * the threshold provably shares a prefix token, so the gram equi-join
+    * over prefixes has perfect recall; exact intersection counts then
+    * verify candidates only.
+    *
+    * The threshold is a PERMILLE integer and every filter is integer
+    * arithmetic — `⌈t·|s|⌉` as `(|s|·p + 999) div 1000`, the final gate
+    * as `n_inter·1000 ≥ p·(|A|+|B|−n_inter)` — so there is no float
+    * boundary anywhere (a `0.7·|s|` double is 7.000…001-shaped exactly
+    * where ceil matters, which would silently shorten the prefix and
+    * break the recall proof).
+    *
+    * 100 TB shape: df-rank join and prefix equi-join are token-keyed;
+    * rarest-FIRST ordering makes prefix tokens the LOW-df ones, which
+    * bounds per-token join fan-out (the high-df head never enters a
+    * prefix at realistic thresholds); the per-doc position window runs
+    * over doc-sized groups. Complements [[nearDups]]: LSH when
+    * approximate recall at minimum cost is fine, this when the contract
+    * is exact (eval-set decontamination, legal dedup).
+    */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+                       minJaccardPermille: Int, n: Int = 2): DataFrame = {
+    val p = minJaccardPermille
+    require(p >= 1 && p <= 1000, s"minJaccardPermille out of [1,1000]: $p")
+    // word n-gram shingle sets, like the rest of the dedup family —
+    // unigram sets degenerate on small-vocabulary corpora (every doc
+    // shares most of the vocabulary and pair density explodes)
+    val toks = shingles(df, idCol, textCol, n)
+      .select(col(idCol), col("shingle").as("__t"))
+    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val freq = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__df"), col("__t"))
+    val pref = toks.join(freq, Seq("__t"))
+      .withColumn("__pos", row_number().over(w))
+      .join(sizes, Seq(idCol))
+      .filter(col("__pos") <= col("__sz") - expr(s"(__sz * $p + 999) div 1000") + 1)
+    val ca = pref.select(col(idCol).as("doc_a"), col("__t"))
+    val cb = pref.select(col(idCol).as("doc_b"), col("__t"))
+    val cands = ca.join(cb, Seq("__t"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ta = toks.select(col(idCol).as("doc_a"), col("__t"))
+    val tb = toks.select(col(idCol).as("doc_b"), col("__t"))
+    val inter = cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "__t"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("__sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("__sz").as("sz_b")), "doc_b")
+      .filter(col("n_inter") * 1000 >= lit(p.toLong) * (col("sz_a") + col("sz_b") - col("n_inter")))
+      .withColumn("jaccard",
+        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+      .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
+  }
+
   /** [[nearDups]] over a PRE-BUILT shingle-set table (`(idCol, __set)`,
     * sets sorted ascending as [[shingleSets]] emits them). At cluster scale
     * the set table feeds three subtrees — persist it before calling and

@@ -630,6 +630,44 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q133 exact jaccard join: prefix equi-joins only — no nested loop or cartesian") {
+    val p = plan("q133_jaccard_exact")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(collectAll(p) { case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q134 daily spikes: rolling window consumes the aggregated daily table") {
+    val p = plan("q134_daily_spikes")
+    // Spark may split the rolling stats into two Window nodes (the n*n
+    // operand projects separately); all of them sit above the daily agg
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    val aggsBelowWindow = windows.last.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggsBelowWindow.nonEmpty,
+      "rolling stats must run over the (groups x days) table, not raw events")
+  }
+
+  test("q135 trend slopes: two aggregation passes + co-keyed join, window-free") {
+    val p = plan("q135_trend_slopes")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("q136/q137 digest reports: only digests travel, no window, no cartesian") {
+    for (q <- Seq("q136_dup_profile", "q137_source_overlap")) {
+      val p = plan(q)
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty, q)
+      assert(collectAll(p) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, q)
+      assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, q)
+    }
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

@@ -249,6 +249,60 @@ class SummariesSpec extends SparkSpec {
       "the rare-edge user must be the anomaly")
   }
 
+  test("dailySpikes: z-scores from integer rolling sums; zero-variance flags deviants") {
+    import java.sql.Timestamp
+    // type A: 7 flat days of 10 then a burst of 40 (zero variance window
+    // → NULL score, flagged); type B: 4,6,4,6,4,6,4 then 5 (variance > 0,
+    // z = 0 exactly at the mean, not flagged), then 20 (clear spike)
+    def ev(tpe: String, day: Int, cnt: Int) = (0 until cnt).map(i =>
+      (tpe, Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00"), i))
+    val a = (1 to 7).flatMap(d => ev("A", d, 10)) ++ ev("A", 8, 40)
+    val bCounts = Seq(4, 6, 4, 6, 4, 6, 4, 5, 20)
+    val b = bCounts.zipWithIndex.flatMap { case (c, i) => ev("B", i + 1, c) }
+    val df = (a ++ b).toDF("event_type", "ts", "i")
+    val out = Summaries.dailySpikes(df, "event_type", "ts", lookback = 7, z = 2.0)
+      .orderBy("event_type", "day")
+      .select($"event_type", $"day".cast("string"), $"n", $"zscore", $"is_spike")
+      .as[(String, String, Long, Option[Double], Int)].collect().toSeq
+    // only days with a FULL 7-day lookback appear
+    assert(out.map(r => (r._1, r._2)) == Seq(
+      ("A", "2024-01-08"), ("B", "2024-01-08"), ("B", "2024-01-09")))
+    val aRow = out.head
+    assert(aRow._3 == 40L && aRow._4.isEmpty && aRow._5 == 1,
+      s"zero-variance burst must flag with NULL score: $aRow")
+    // B day 8: window 4,6,4,6,4,6,4 → sum 34, sumsq 172; mean 34/7,
+    // var (172-34²/7)/6, z = (5 - 34/7)/sqrt(var)
+    val mean = 34.0 / 7
+    val std = math.sqrt((172.0 - 34.0 * 34.0 / 7) / 6)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1)._4.contains(r6((5 - mean) / std)) && out(1)._5 == 0)
+    // B day 9: window 6,4,6,4,6,4,5 (rolling) → clearly spiking at 20
+    assert(out(2)._3 == 20L && out(2)._5 == 1)
+    intercept[IllegalArgumentException](
+      Summaries.dailySpikes(df, "event_type", "ts", lookback = 1))
+    intercept[IllegalArgumentException](
+      Summaries.dailySpikes(df, "event_type", "ts", 7, z = 0.0))
+  }
+
+  test("trendSlopes: exact OLS on a perfect line; degenerate groups go NULL") {
+    import java.sql.Timestamp
+    def ev(tpe: String, day: Int, cnt: Int) = (0 until cnt).map(i =>
+      (tpe, Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00"), i))
+    val df = (
+      (1 to 5).flatMap(d => ev("up", d, 2 * d + 3)) ++  // y = 2x + 5 exactly
+        (1 to 4).flatMap(d => ev("flat", d, 7)) ++       // zero count variance
+        ev("one", 1, 9)                                  // single day
+      ).toDF("event_type", "ts", "i")
+    val out = Summaries.trendSlopes(df, "event_type", "ts")
+      .orderBy("event_type")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("flat", 4L, Some(0.0), None),     // dyy = 0 → r² undefined
+      ("one", 1L, None, None),           // dxx = 0 → both undefined
+      ("up", 5L, Some(2.0), Some(1.0))))
+  }
+
   test("quantileTransform maps values onto their quantile grid, keeping all columns") {
     val df = spark.range(1, 101)
       .select($"id", $"id".cast("double").as("v"))

@@ -455,4 +455,58 @@ class DedupSpec extends SparkSpec {
       minContainment = 1.01, rowsPerBand = 1)
     assert(none.count() == 0)
   }
+
+  test("duplicationProfile: per-stratum doc/unique counts and exact dup fraction") {
+    val df = Seq(
+      ("a", "t1"), ("a", "t1"), ("a", "t2"), ("a", "t3"), // 4 docs, 3 unique
+      ("b", "t4"), ("b", "t5")                            // no dups
+    ).toDF("source", "text")
+    val out = Dedup.duplicationProfile(df, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 4L, 3L, 0.25), ("b", 2L, 2L, 0.0)))
+  }
+
+  test("strataOverlap counts distinct shared texts once per unordered pair") {
+    val df = Seq(
+      ("a", "shared1"), ("a", "shared1"), // in-stratum dup counts ONCE
+      ("a", "shared2"), ("a", "onlyA"),
+      ("b", "shared1"), ("b", "shared2"), ("b", "onlyB"),
+      ("c", "shared1")
+    ).toDF("source", "text")
+    val out = Dedup.strataOverlap(df, "source", "text")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
+  test("jaccardJoinExact equals the brute-force all-pairs join (perfect recall)") {
+    // real corpus + prepended-token copies: enough natural similarity and
+    // guaranteed high-Jaccard pairs to exercise both sides of the gate
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = real.unionByName(
+      real.filter($"doc_id" % 4 === 0)
+        .select(($"doc_id" + 5000L).as("doc_id"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("xx "), $"text").as("text")))
+    val p = 600
+    val got = Dedup.jaccardJoinExact(corpus, "doc_id", "text", p)
+      .select("doc_a", "doc_b", "n_inter").as[(Long, Long, Long)]
+      .collect().toSet
+
+    // driver-side brute force over the same word-bigram shingle sets
+    val sets = corpus.as[(Long, String)].collect().map { case (id, t) =>
+      val w = t.split(" ")
+      id -> w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val expect = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter * 1000 >= p * (sa.size + sb.size - inter)
+    } yield (a, b, inter.toLong)).toSet
+    assert(got == expect, s"got ${got.size} pairs, brute force ${expect.size}")
+    assert(got.nonEmpty, "fixture must produce at least the synthetic pairs")
+    intercept[IllegalArgumentException](
+      Dedup.jaccardJoinExact(corpus, "doc_id", "text", 0))
+  }
 }
