@@ -67,6 +67,16 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "2024-01-01 00:00:00", 2L, 3.0),
       (1L, "2024-01-01 01:10:00", 1L, 3.0),
       (2L, "2024-01-01 00:05:00", 2L, 10.0))) // exact-gap event merged
+
+    // the batch analytics surface (Summaries.sessionize, q123) agrees
+    // with session_window on session structure — one gap semantics
+    // across the batch and streaming surfaces (an event EXACTLY `gap`
+    // after the previous one stays in the session: strict > boundary)
+    val c = graft.engine.Summaries.sessionize(ev, "user_id", "ts", "event_id", 1800L)
+      .orderBy("user_id", "session_idx")
+      .select($"user_id", $"n_events")
+      .as[(Long, Long)].collect().toSeq
+    assert(c == a.map(r => (r._1, r._3)))
   }
 
   test("mapGroupsWithState carries per-user running totals across micro-batches") {
