@@ -1359,13 +1359,18 @@ object SparkEntry {
     // ── EXACT prefix-filtered Jaccard self-join at 0.600 over corpus ∪
     // one-token-prepended copies of every 4th doc (guaranteed
     // high-Jaccard pairs) — all-integer thresholds, no LSH recall loss.
+    // 3-gram shingles: the gram-space sizing rule again — this corpus's
+    // tiny vocabulary makes every BIGRAM high-df (prefixes stop
+    // discriminating and the candidate join quadratics), while the
+    // trigram space (vocab³) keeps prefix grams rare.
     "q133_jaccard_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") % 4 === 0)
           .select((col("doc_id") + 100000L).as("doc_id"),
             concat(lit("xqzw "), col("text")).as("text")))
-      Dedup.jaccardJoinExact(corpus, "doc_id", "text", minJaccardPermille = 600)
+      Dedup.jaccardJoinExact(corpus, "doc_id", "text", minJaccardPermille = 600,
+        n = 3)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -2787,7 +2792,11 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id, 'xqzw ' || text AS text
         |  FROM documents WHERE doc_id % 4 = 0),
-        |toks AS (SELECT doc_id, shingle AS t FROM (${shingleSqlOver("corpus")})),
+        |toks AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |         || ' ' || string_split(text, ' ')[i+2])) AS t
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
         |sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
         |f AS (SELECT t, count(*) AS df FROM toks GROUP BY 1),
         |pos AS (SELECT doc_id, t,
