@@ -78,6 +78,41 @@ class SummariesPropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionize equals a driver-side fold on random event streams") {
+    // (user, epoch-seconds, id) with colliding timestamps (tie-break on
+    // id) and gaps straddling the cutoff in both directions
+    val gen: Gen[(List[(Long, Long, Long)], Long)] = for {
+      n <- Gen.choose(0, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        s <- Gen.choose(0L, 400L)
+      } yield (u, s))
+      gap <- Gen.oneOf(50L, 100L, 200L)
+    } yield (evs.zipWithIndex.map { case ((u, s), i) => (u, s, i.toLong) }, gap)
+    (0 until 40).flatMap(i => gen(Gen.Parameters.default, Seed(100L + i))).foreach {
+      case (evs, gap) =>
+        val df = evs
+          .map { case (u, s, i) => (u, new java.sql.Timestamp(s * 1000L), i) }
+          .toDF("user_id", "ts", "event_id")
+        val got = Summaries.sessionize(df, "user_id", "ts", "event_id", gap)
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        // reference fold: order by (ts, id), break strictly above gap
+        val expect = evs.groupBy(_._1).flatMap { case (u, es) =>
+          val sorted = es.map { case (_, s, i) => (s, i) }.sorted
+          val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long)]]) {
+            case (acc, (s, i)) =>
+              if (acc.isEmpty || s - acc.last.last._1 > gap) acc :+ Vector((s, i))
+              else acc.init :+ (acc.last :+ ((s, i)))
+          }
+          sessions.zipWithIndex.map { case (ses, k) =>
+            (u, k + 1L, ses.size.toLong, ses.map(_._2).min,
+              (ses.last._1 - ses.head._1) * 1000000L)
+          }
+        }.toSet
+        assert(got == expect, s"gap=$gap evs=$evs")
+    }
+  }
+
   test("funnel with a single step is min order per user over that type") {
     samples(20).foreach { evs =>
       val df = evs.toDF("user_id", "event_id", "event_type")
