@@ -1409,6 +1409,32 @@ object SparkEntry {
           .select(lit("mirror").as("source"), col("text")))
       Dedup.strataOverlap(corpus, "source", "text")
         .orderBy("stratum_a", "stratum_b")
+    }),
+
+    // ── per-doc novelty: fraction of trigram shingles unique to the doc
+    // corpus-wide — gram df joined back, exact BIGINT division.
+    "q138_novelty" -> ((s, dir) =>
+      Dedup.noveltyReport(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
+    // ── per-label embedding dispersion E||x−c||² via the centroid trick
+    // — no pairwise distances; decimal-summed row norms, 6-dp out.
+    "q139_label_dispersion" -> ((s, dir) =>
+      graft.operators.Similarity.labelDispersion(
+        t(s, dir, "embeddings"), "embedding", "label")
+        .orderBy("label")),
+
+    // ── duplicate-family size histogram over corpus ∪ copies of every
+    // 5th doc ∪ second copies of every 10th: families of size 1/2/3.
+    "q140_dup_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+      Dedup.dupFamilyHistogram(corpus, "text")
+        .orderBy("family_size")
     })
   )
 
@@ -2883,7 +2909,52 @@ object SparkEntry {
         |sd AS (SELECT DISTINCT source AS s, md5(text) AS dig FROM corpus)
         |SELECT a.s AS stratum_a, b.s AS stratum_b, count(*) AS n_shared
         |FROM sd a JOIN sd b ON a.dig = b.dig AND a.s < b.s
-        |GROUP BY 1, 2 ORDER BY stratum_a, stratum_b""".stripMargin
+        |GROUP BY 1, 2 ORDER BY stratum_a, stratum_b""".stripMargin,
+
+    // Identical trigram novelty: distinct per-doc shingles, corpus df,
+    // exact BIGINT division.
+    "q138_novelty" ->
+      """WITH sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |         || ' ' || string_split(text, ' ')[i+2])) AS shingle
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |f AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        | CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Identical centroid-trick dispersion: ordered-fold row norms
+    // quantized to DECIMAL(28,12) (exact mean), 6-dp centroids, 6-dp out.
+    "q139_label_dispersion" ->
+      """WITH cen AS (SELECT label, j AS dim,
+        |  round(avg(CAST(embedding[j] AS DOUBLE)), 6) AS c, count(*) AS n
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS j) g
+        |  GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(c * c) AS c2, max(n) AS n_vecs FROM cen GROUP BY 1),
+        |nr AS (SELECT label,
+        |  CAST(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    (a, b) -> a + b) AS DECIMAL(28,12)) AS n2
+        |  FROM embeddings),
+        |av AS (SELECT label, CAST(sum(n2) AS DOUBLE) / count(*) AS avg2
+        |       FROM nr GROUP BY 1)
+        |SELECT av.label, cn.n_vecs, round(av.avg2 - cn.c2, 6) AS dispersion
+        |FROM av JOIN cn USING (label)
+        |ORDER BY label""".stripMargin,
+
+    // Identical digest histogram over the same synthetic family sizes.
+    "q140_dup_histogram" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 10 = 0),
+        |fam AS (SELECT md5(text) AS dig, count(*) AS family_size
+        |        FROM corpus GROUP BY 1)
+        |SELECT family_size, count(*) AS n_families
+        |FROM fam GROUP BY 1 ORDER BY family_size""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

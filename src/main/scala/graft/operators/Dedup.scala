@@ -1158,6 +1158,41 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "containment", "contained")
   }
 
+  /** Per-document novelty: the fraction of a doc's shingles that appear
+    * NOWHERE else in the corpus — the redundancy/novelty signal data
+    * curation ranks by (novel docs teach more than re-hashes; a
+    * 0-novelty doc is pure boilerplate recombination). Exact BIGINT
+    * division; `n` per the gram-space rule (trigrams for small-vocab
+    * corpora).
+    *
+    * 100 TB shape: one shingle df aggregation (map-side-combinable,
+    * gram-keyed) joined back onto the (doc, shingle) pairs co-keyed on
+    * the gram, then a per-doc rollup — text itself never shuffles, only
+    * grams.
+    */
+  def noveltyReport(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    sh.join(f, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("__df") === 1).cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel") / col("n_shingles").cast("double"))
+  }
+
+  /** Duplicate-family size histogram: for each exact-duplicate family
+    * size k, how many families have exactly k copies — the one-glance
+    * duplication shape of a corpus (a heavy tail here means mirror
+    * floods; all-1 means dedup is a no-op). Two map-side-combinable
+    * aggregations; output is bounded by the largest family size.
+    */
+  def dupFamilyHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("__dig"))
+      .groupBy(col("__dig")).agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size")).agg(count(lit(1)).as("n_families"))
+
   /** Per-stratum duplication profile: document count, distinct-text
     * count and the duplicate fraction for each stratum (source, lang,
     * shard…) — the "which feeds are flooding us with copies" table read

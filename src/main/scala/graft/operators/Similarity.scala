@@ -345,6 +345,38 @@ object Similarity {
       .groupBy(col(labelCol), col("dim"))
       .agg(round(avg("v"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
 
+  /** Per-label embedding dispersion: `E‖x − c‖² = mean(‖x‖²) − ‖c‖²`
+    * with `c` the 6-dp label centroid — the spread/collapse monitor for
+    * embedding quality (a label whose dispersion → 0 has collapsed onto
+    * one point; one ≫ the others is incoherent). Uses the centroid trick,
+    * so NO pairwise distances are ever computed.
+    *
+    * Determinism: each row's ‖x‖² is an ORDERED left fold over the
+    * vector (identical in any engine), quantized to DECIMAL(28,12) so the
+    * per-label mean sums exactly regardless of aggregation order; the
+    * centroid norm derives from 6-dp coordinates; the final dispersion
+    * rounds to 6 dp.
+    *
+    * 100 TB shape: two corpus passes, both map-side-combinable — the
+    * (label, dim) centroid aggregation (labels × dims exchange) and a
+    * per-row norm fold aggregated per label (labels-sized exchange);
+    * the labels-sized join at the end is broadcast.
+    */
+  def labelDispersion(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val cnorm = labelCentroids(df, vecCol, labelCol)
+      .groupBy(col(labelCol))
+      .agg(sum(col("centroid") * col("centroid")).as("__c2"),
+        max(col("n_vecs")).as("n_vecs"))
+    val norms = df.select(col(labelCol),
+      aggregate(asDouble(col(vecCol)), lit(0.0), (a, x) => a + x * x)
+        .cast("decimal(28,12)").as("__n2"))
+      .groupBy(col(labelCol))
+      .agg((sum(col("__n2")).cast("double") / count(lit(1))).as("__avg2"))
+    norms.join(broadcast(cnorm), Seq(labelCol))
+      .select(col(labelCol), col("n_vecs"),
+        round(col("__avg2") - col("__c2"), 6).as("dispersion"))
+  }
+
   /** Per-label MEDOID: the member vector most cosine-similar to its
     * label's centroid — the "most representative real example" picker
     * (cluster naming, prototype mining, eval-set seeding). Ties on the

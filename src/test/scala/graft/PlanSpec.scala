@@ -668,6 +668,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q138/q140 gram-and-digest reports: window-free, no cartesian") {
+    for (q <- Seq("q138_novelty", "q140_dup_histogram")) {
+      val p = plan(q)
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty, q)
+      assert(collectAll(p) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, q)
+    }
+  }
+
+  test("q139 label dispersion: labels-sized join broadcasts; aggregations only") {
+    val p = plan("q139_label_dispersion")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "labels-sized centroid-norm table must broadcast")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

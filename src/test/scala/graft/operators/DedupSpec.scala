@@ -479,6 +479,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
   }
 
+  test("noveltyReport: corpus-unique shingle fractions, exact division") {
+    val df = Seq(
+      (1L, "a b c d"),   // trigrams: "a b c", "b c d"
+      (2L, "a b c e"),   // shares "a b c" with doc 1
+      (3L, "x y z w")    // fully novel
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyReport(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 0.5),   // "b c d" unique, "a b c" shared
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 2L, 1.0)))
+  }
+
+  test("dupFamilyHistogram buckets exact-duplicate family sizes") {
+    val df = Seq("t1", "t1", "t1", "t2", "t2", "t3", "t4")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Dedup.dupFamilyHistogram(df, "text")
+      .orderBy("family_size")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
   test("jaccardJoinExact equals the brute-force all-pairs join (perfect recall)") {
     // real corpus + prepended-token copies: enough natural similarity and
     // guaranteed high-Jaccard pairs to exercise both sides of the gate

@@ -454,4 +454,17 @@ class SimilaritySpec extends SparkSpec {
     // label-1 medoid sim beats the runner-up and sits near 1
     assert(out(1)._3 > 0.995 && out(1)._3 <= 1.0)
   }
+
+  test("labelDispersion: collapsed label reads 0, symmetric pair reads its radius²") {
+    val df = Seq(
+      (0, Array(0.5f, 0.5f)), (0, Array(0.5f, 0.5f)), (0, Array(0.5f, 0.5f)),
+      (1, Array(1.0f, 0.0f)), (1, Array(-1.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.labelDispersion(df, "embedding", "label")
+      .orderBy("label")
+      .as[(Int, Long, Double)].collect().toSeq
+    // label 0: identical vectors → E||x−c||² = 0; label 1: centroid at the
+    // origin, both members at distance 1 → dispersion exactly 1
+    assert(out == Seq((0, 3L, 0.0), (1, 2L, 1.0)))
+  }
 }
