@@ -1435,6 +1435,24 @@ object SparkEntry {
           .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
       Dedup.dupFamilyHistogram(corpus, "text")
         .orderBy("family_size")
+    }),
+
+    // ── REAL spectral round-trip: square waves at period 5+id%6 frames
+    // (fundamental 8000/(2·period) Hz, 5040 frames = integer cycles for
+    // every period, so no leakage) must Goertzel-argmax back to their own
+    // fundamental among all six candidates (square waves have no even
+    // harmonics, so the 2× candidate can never win).
+    "q141_audio_dominant" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => graft.operators.Multimodal.MediaRow(id, "audio",
+          graft.operators.Multimodal.syntheticWav(
+            amplitude = (256 * (1 + id % 31)).toInt,
+            nFrames = 5040,
+            period = (5 + id % 6).toInt)))
+      val cands = (5 to 10).map(p => 8000.0 / (2 * p))
+      graft.operators.Multimodal.audioDominantFrequency(media, cands)
+        .toDF().orderBy("doc_id")
     })
   )
 
@@ -2954,7 +2972,14 @@ object SparkEntry {
         |fam AS (SELECT md5(text) AS dig, count(*) AS family_size
         |        FROM corpus GROUP BY 1)
         |SELECT family_size, count(*) AS n_families
-        |FROM fam GROUP BY 1 ORDER BY family_size""".stripMargin
+        |FROM fam GROUP BY 1 ORDER BY family_size""".stripMargin,
+
+    // Closed-form spectral truth: the detected dominant frequency must
+    // equal each wave's own fundamental, stated directly.
+    "q141_audio_dominant" ->
+      """SELECT doc_id, CAST(5040 AS BIGINT) AS n_frames,
+        | 8000.0::DOUBLE / (2 * (5 + doc_id % 6)) AS dominant_hz
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -250,6 +250,104 @@ object Multimodal {
     }
   }
 
+  /** Normalized mono samples from a WAV blob (mixing channels down by
+    * taking channel 0) — the sample-access twin of [[decodeWavStats]]'s
+    * streaming pass, for kernels that need the waveform (spectral
+    * analysis). Bounded by the payload the partition already holds.
+    */
+  private[operators] def decodeWavSamples(blob: Array[Byte]): Option[(Array[Double], Double)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(blob))
+      try {
+        val fmt = in.getFormat
+        val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if ((!signed && !unsigned) || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameSize = fmt.getFrameSize
+          val nFrames = bytes.length / frameSize
+          if (nFrames == 0) None
+          else {
+            val out = new Array[Double](nFrames)
+            var i = 0
+            while (i < nFrames) {
+              val off = i * frameSize // channel 0 of each frame
+              out(i) =
+                if (bits == 8) {
+                  (if (signed) bytes(off).toInt else (bytes(off) & 0xff) - 128) / 128.0
+                } else {
+                  val raw =
+                    if (fmt.isBigEndian) ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+                    else ((bytes(off + 1) & 0xff) << 8) | (bytes(off) & 0xff)
+                  (if (signed) raw.toShort.toInt else raw - 32768) / 32768.0
+                }
+              i += 1
+            }
+            Some((out, fmt.getSampleRate.toDouble))
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Goertzel power of `samples` at `freq` (Hz) — the single-bin DFT
+    * magnitude², O(n) per candidate frequency, no FFT library needed.
+    */
+  private[operators] def goertzelPower(samples: Array[Double], freq: Double,
+                                       sampleRate: Double): Double = {
+    val w = 2.0 * math.Pi * freq / sampleRate
+    val coeff = 2.0 * math.cos(w)
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < samples.length) {
+      s0 = samples(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** Per-row spectral peak: dominant frequency (Hz). */
+  final case class AudioSpectral(doc_id: Long, n_frames: Long, dominant_hz: Double)
+
+  /** REAL spectral analysis: for each audio row, the candidate frequency
+    * with the highest Goertzel power — tone/DTMF detection, synthetic-
+    * audio QA, dominant-pitch bucketing, all without an FFT dependency.
+    * Candidates are caller-chosen (spectral peaks only make sense
+    * against a hypothesis set; a full spectrogram would be `mapInPandas`
+    * territory). Ties break to the LOWEST candidate — a total order.
+    * Batch-shaped like [[audioMeta]]: payload bytes never leave the
+    * partition that read them; cost is O(frames × candidates) per row.
+    */
+  def audioDominantFrequency(media: Dataset[MediaRow],
+                             candidatesHz: Seq[Double]): Dataset[AudioSpectral] = {
+    require(candidatesHz.nonEmpty, "need at least one candidate frequency")
+    val cands = candidatesHz.toArray
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = if (r.media_type == "audio") decodeWavSamples(r.blob) else None
+        decoded.map { case (samples, rate) =>
+          var best = 0; var bestP = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            val p = goertzelPower(samples, cands(i), rate)
+            if (p > bestP || (p == bestP && cands(i) < cands(best))) {
+              best = i; bestP = p
+            }
+            i += 1
+          }
+          AudioSpectral(r.doc_id, samples.length.toLong, cands(best))
+        }
+      }
+    }
+  }
+
   /** 8-dim feature from REAL samples: [mean, rms, peak, zcr,
     * log1p(frames), log1p(rate), channels, bits].
     */

@@ -163,6 +163,32 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.syntheticWav(100, 0))
   }
 
+  test("goertzel spectral peak recovers each square wave's fundamental exactly") {
+    // kernel level: for every period p, the argmax over ALL candidates is
+    // the wave's own fundamental 8000/(2p) — including the even-harmonic
+    // trap (a p=10 wave has NO energy at the 800 Hz candidate = 2·f0)
+    val cands = (5 to 10).map(p => 8000.0 / (2 * p))
+    for (p <- 5 to 10) {
+      val (samples, rate) = Multimodal.decodeWavSamples(
+        Multimodal.syntheticWav(amplitude = 4096, nFrames = 5040, period = p)).get
+      assert(rate == 8000.0 && samples.length == 5040)
+      val powers = cands.map(f => f -> Multimodal.goertzelPower(samples, f, rate))
+      assert(powers.maxBy(_._2)._1 == 8000.0 / (2 * p),
+        s"period $p: powers=$powers")
+    }
+    // dataset surface: non-audio rows never decode; ties break low
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.syntheticWav(4096, 5040, period = 8)),
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3))
+    ).toDS()
+    val out = Multimodal.audioDominantFrequency(media, cands).collect().toSeq
+    assert(out.map(_.doc_id) == Seq(1L))
+    assert(out.head.dominant_hz == 500.0 && out.head.n_frames == 5040L)
+    intercept[IllegalArgumentException](
+      Multimodal.audioDominantFrequency(media, Nil))
+  }
+
   test("extractFeatures preserves partitioning shape and is deterministic") {
     val feats = Multimodal.extractFeatures(Multimodal.fakeMediaTable(docs))
       .collect().sortBy(_.doc_id)
