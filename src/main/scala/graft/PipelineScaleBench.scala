@@ -292,6 +292,56 @@ object PipelineScaleBench {
       out.agg(max(xxhash64(out.columns.map(col): _*))).head()
       total
     }
+    timed("pipe_triangles") {
+      // per-node triangle counts over the same closed-form graph made
+      // UNDIRECTED (~1.5M canonical edges at 500k nodes, max degree ~12):
+      // wedge fan-out is bounded by the degree orientation, so wall must
+      // scale ~linearly in edges and output == nodes; output_per_input
+      // pins triangles-per-node flat across 500k→5M (a rising ratio
+      // would mean the generator's modular structure, not the operator)
+      val edges = spark.range(total)
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 7 + col("k")) % total).as("dst"))
+      val out = graft.operators.Graph.triangleStats(edges, "src", "dst")
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      out.agg(sum("triangles")).head().getLong(0)
+    }
+    timed("pipe_hits") {
+      // 5 HITS iterations, LogicalRDD-re-rooted per half-step: constant
+      // Catalyst analysis cost per round (the naive loop is EXPONENTIAL —
+      // Graph.scala scaladoc), two edge-sized joins + two node aggs per
+      // iteration; output == nodes
+      val edges = spark.range(total)
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 7 + col("k")) % total).as("dst"))
+      val out = graft.operators.Graph.hits(edges, "src", "dst", iters = 5)
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      total
+    }
+    timed("pipe_rank_fusion") {
+      // RRF of a token-count ranking and a char-length ranking, top-1000
+      // per 16-way source stratum: both lists come from the bounded-heap
+      // aggregate, so the corpus is scanned once per ranking and no task
+      // ever sorts a stratum; output ≤ 2·strata·topK regardless of nDocs
+      val strat = corpus.withColumn("src_bucket",
+        pmod(xxhash64(col("doc_id")), lit(16L)).cast("string"))
+        .withColumn("tok_score", size(split(col("text"), " ")).cast("double"))
+        .withColumn("len_score", length(col("text")).cast("double"))
+      val out = graft.operators.Selection.rankFusion(strat, "src_bucket",
+        "doc_id", Seq("tok_score", "len_score"), topK = 1000)
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      out.count()
+    }
+    timed("pipe_oov_rate") {
+      // corpus-derived top-1k vocab (TakeOrdered over the Heaps'-law
+      // token table) broadcast back over the exploded token stream;
+      // output == docs, oov fraction pinned by the vocab/corpus shape
+      val out = TextAnalysis.oovRate(corpus, "doc_id", "text", vocabSize = 1000)
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      out.count()
+    }
     timed("pipe_dedup_megacluster") {
       // ADVERSARIAL: ~1.5% of the corpus byte-identical in ONE cluster —
       // the web-boilerplate shape that OOMs any plan holding a duplicate

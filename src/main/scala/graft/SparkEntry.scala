@@ -1453,7 +1453,73 @@ object SparkEntry {
       val cands = (5 to 10).map(p => 8000.0 / (2 * p))
       graft.operators.Multimodal.audioDominantFrequency(media, cands)
         .toDF().orderBy("doc_id")
-    })
+    }),
+
+    // ── reciprocal rank fusion of a char-length ranking and a token-count
+    // ranking, top-50 per source: both lists come from the bounded-heap
+    // aggregate, fixed-order two-term double sum, 6-dp.
+    "q142_rank_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("double").as("len_score"),
+          size(split(col("text"), " ")).cast("double").as("tok_score"))
+      graft.operators.Selection.rankFusion(docs, "source", "doc_id",
+        Seq("len_score", "tok_score"), topK = 50)
+        .orderBy("source", "doc_id")
+    }),
+
+    // ── per-node triangles / degree / clustering coefficient over the
+    // rare-shingle similarity graph (docs sharing a trigram with
+    // corpus df in [2,4] — ≤6 pairs per gram, never all-pairs).
+    "q143_triangles" -> ((s, dir) => {
+      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df").between(2, 4)).select("shingle")
+      val rare = sh.join(f, Seq("shingle"))
+      val edges = rare.select(col("shingle"), col("doc_id").as("a"))
+        .join(rare.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      graft.operators.Graph.triangleStats(edges, "a", "b")
+        .orderBy("node")
+    }),
+
+    // ── HITS hubs/authorities over the q127 closed-form link graph:
+    // 5 iterations, 12-dp half-step re-quantization, decimal-exact
+    // global mass — bit-reproducible in any engine stating the recurrence.
+    "q144_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 7 + col("k")) % n).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iters = 5)
+        .orderBy("node")
+    }),
+
+    // ── per-doc OOV rate against the corpus's own top-500 tokens
+    // (freq desc, token asc cut via TakeOrdered): exact BIGINT counts,
+    // tokens weighted by multiplicity.
+    "q145_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 500)
+        .orderBy("doc_id")),
+
+    // ── Flesch-style reading ease with the vowel-run syllable proxy —
+    // narrow per-row HOF pass, integer counts, fixed-order double score.
+    "q146_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ── DEFLATE compression-ratio quality signals (engine-specific
+    // kernel values → rows-only at the gate, like q31/q75; the
+    // mapPartitions plumbing is spec-pinned against a driver-side
+    // single-string reference in CompressionSpec).
+    "q147_compress_ratio" -> ((s, dir) =>
+      graft.operators.Compression.compressionSignals(
+        t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   private val threeWayJoinSql: String =
@@ -2979,7 +3045,133 @@ object SparkEntry {
     "q141_audio_dominant" ->
       """SELECT doc_id, CAST(5040 AS BIGINT) AS n_frames,
         | 8000.0::DOUBLE / (2 * (5 + doc_id % 6)) AS dominant_hz
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Identical RRF: row_number lists cut at 50 per source (score desc,
+    // doc_id asc — the bounded-heap's pinned tie order), full outer join,
+    // fixed-order two-term sum, 6-dp.
+    "q142_rank_fusion" ->
+      """WITH d AS (SELECT source, doc_id, n_chars::DOUBLE AS len_score,
+        |  len(string_split(text, ' '))::DOUBLE AS tok_score FROM documents),
+        |r1 AS (SELECT source, doc_id, rank_1 FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY len_score DESC, doc_id) AS rank_1
+        |  FROM d) WHERE rank_1 <= 50),
+        |r2 AS (SELECT source, doc_id, rank_2 FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY tok_score DESC, doc_id) AS rank_2
+        |  FROM d) WHERE rank_2 <= 50)
+        |SELECT source, doc_id, rank_1, rank_2,
+        | round(CASE WHEN rank_1 IS NOT NULL
+        |        THEN 1.0::DOUBLE / (60.0::DOUBLE + rank_1) ELSE 0.0::DOUBLE END
+        |     + CASE WHEN rank_2 IS NOT NULL
+        |        THEN 1.0::DOUBLE / (60.0::DOUBLE + rank_2) ELSE 0.0::DOUBLE END, 6)
+        |   AS rrf
+        |FROM r1 FULL JOIN r2 USING (source, doc_id)
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // Identical degree-oriented triangle enumeration over the same
+    // rare-trigram edge list: wedges from the (deg, id)-oriented edges,
+    // closed by the canonical edge, credited to all three vertices.
+    "q143_triangles" ->
+      """WITH sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |         || ' ' || string_split(text, ' ')[i+2])) AS shingle
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |f AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |      WHERE df BETWEEN 2 AND 4),
+        |r AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN f USING (shingle)),
+        |e AS (SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+        |      FROM r a JOIN r b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |deg AS (SELECT node, count(*) AS degree FROM
+        |  (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e) GROUP BY 1),
+        |o AS (SELECT
+        |  CASE WHEN dl.degree < dh.degree
+        |        OR (dl.degree = dh.degree AND e.lo < e.hi) THEN e.lo ELSE e.hi END AS u,
+        |  CASE WHEN dl.degree < dh.degree
+        |        OR (dl.degree = dh.degree AND e.lo < e.hi) THEN e.hi ELSE e.lo END AS v
+        |  FROM e JOIN deg dl ON dl.node = e.lo JOIN deg dh ON dh.node = e.hi),
+        |wg AS (SELECT e1.u, e1.v AS v, e2.v AS w
+        |       FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |tri AS (SELECT wg.u, wg.v, wg.w FROM wg
+        |        JOIN e ON e.lo = wg.v AND e.hi = wg.w),
+        |pn AS (SELECT node, count(*) AS triangles FROM
+        |  (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        |   UNION ALL SELECT w FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.degree,
+        | CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+        | CASE WHEN deg.degree >= 2
+        |  THEN round(2.0::DOUBLE * coalesce(pn.triangles, 0) / (deg.degree * (deg.degree - 1)), 6)
+        |  ELSE 0.0::DOUBLE END AS coeff
+        |FROM deg LEFT JOIN pn USING (node) ORDER BY node""".stripMargin,
+
+    // HITS unrolled 5 iterations: every sum (link sums AND the global
+    // mass) aggregates DECIMAL(38,12)-quantized scores — exact and
+    // order-independent — then one decimal→double cast feeds the
+    // division and the score re-quantizes to 12 dp, exactly the Spark
+    // recurrence. Multiply-referenced CTEs are MATERIALIZED — DuckDB
+    // inlines by default, and the iteration chain's repeated references
+    // would otherwise expand exponentially (the same blow-up the Spark
+    // side avoids by re-rooting each half-step as a LogicalRDD).
+    "q144_hits" -> {
+      def iter(i: Int): String =
+        s"""ar$i AS MATERIALIZED (SELECT n.v AS node, coalesce(c.s, 0.0::DOUBLE) AS auth
+           | FROM nodes n LEFT JOIN (
+           |   SELECT e.dst, CAST(sum(CAST(p.hub AS DECIMAL(38,12))) AS DOUBLE) AS s
+           |   FROM h${i - 1} p JOIN e ON e.src = p.node GROUP BY 1) c ON c.dst = n.v),
+           |am$i AS MATERIALIZED (SELECT CAST(sum(CAST(auth AS DECIMAL(38,12))) AS DOUBLE) AS m FROM ar$i),
+           |a$i AS MATERIALIZED (SELECT node, round(auth / (SELECT m FROM am$i), 12) AS auth FROM ar$i),
+           |hr$i AS MATERIALIZED (SELECT n.v AS node, coalesce(c.s, 0.0::DOUBLE) AS hub
+           | FROM nodes n LEFT JOIN (
+           |   SELECT e.src, CAST(sum(CAST(p.auth AS DECIMAL(38,12))) AS DOUBLE) AS s
+           |   FROM a$i p JOIN e ON e.dst = p.node GROUP BY 1) c ON c.src = n.v),
+           |hm$i AS MATERIALIZED (SELECT CAST(sum(CAST(hub AS DECIMAL(38,12))) AS DOUBLE) AS m FROM hr$i),
+           |h$i AS MATERIALIZED (SELECT node, round(hub / (SELECT m FROM hm$i), 12) AS hub FROM hr$i)""".stripMargin
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+         |e AS MATERIALIZED (SELECT DISTINCT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM nn) AS dst
+         |      FROM documents, UNNEST([1, 2, 3]) AS t(k)),
+         |nodes AS MATERIALIZED (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+         |h0 AS MATERIALIZED (SELECT v AS node,
+         |  round(1.0::DOUBLE / (SELECT count(*) FROM nodes), 12) AS hub FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT h5.node, h5.hub, a5.auth FROM h5 JOIN a5 USING (node)
+         |ORDER BY node""".stripMargin
+    },
+
+    // Identical top-500 vocabulary (freq desc, token asc) and
+    // multiplicity-weighted OOV rollup, exact BIGINT counts.
+    "q145_oov_rate" ->
+      """WITH tk AS (SELECT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL) WHERE token <> ''),
+        |f AS (SELECT token, count(*) AS f FROM tk GROUP BY 1),
+        |v AS (SELECT token FROM f ORDER BY f DESC, token LIMIT 500)
+        |SELECT tk.doc_id, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |   / count(*)::DOUBLE, 6) AS oov_rate
+        |FROM tk LEFT JOIN v USING (token)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Identical vowel-run readability arithmetic over the exploded token
+    // stream: BIGINT counts, the three-term score in fixed double order.
+    "q146_readability" ->
+      """WITH tk AS (SELECT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL) WHERE token <> ''),
+        |s AS (SELECT doc_id, count(*) AS n_words,
+        |  greatest(1::BIGINT, CAST(sum(CASE WHEN token LIKE '%.' THEN 1 ELSE 0 END) AS BIGINT))
+        |    AS n_sentences,
+        |  CAST(sum(greatest(1::BIGINT, len(regexp_extract_all(token, '[aeiou]+'))::BIGINT))
+        |    AS BIGINT) AS n_syllables
+        |  FROM tk GROUP BY 1)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | round(206.835::DOUBLE
+        |   - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |   - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 6) AS flesch
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

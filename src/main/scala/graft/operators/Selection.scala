@@ -67,6 +67,45 @@ object Selection {
       .select(col(groupCol), col("col.id").as(idCol),
         col("col.score").as(scoreCol), (col("pos") + 1).cast("long").as("rn"))
 
+  /** Reciprocal rank fusion over per-group top-`topK` lists: for each
+    * score column `c_i` take the group's `topK` best rows by
+    * (`c_i` desc, id asc); a document's fused score is
+    * `Σ_i 1/(k0 + rank_i)` over the lists it appears in (absent-from-list
+    * contributes nothing — standard RRF over truncated rankings, the
+    * quality-ensemble primitive: fuse a length ranking, an LM ranking,
+    * and a classifier ranking without calibrating their scales).
+    * Output: (group, id, rank_1.., rrf) with null ranks for missing
+    * lists, `rrf` rounded 6 dp.
+    *
+    * Cross-engine exactness: per-doc the sum has ≤ |scoreCols| terms
+    * added in FIXED column order (each term a double of the form
+    * 1/(k0+r), r ≤ topK integer), so any engine stating the same
+    * left-to-right sum reproduces it bit-for-bit before the rounding.
+    *
+    * 100 TB shape: each list comes from the [[topKPerGroup]]
+    * bounded-heap aggregate (map-side combine, O(n·log k) per skewed
+    * group, never a per-group full sort); the fusion joins are over
+    * lists of ≤ |groups|·topK rows — corpus-sized data is touched once
+    * per ranking, in the aggregate. No window ever sees the corpus.
+    */
+  def rankFusion(df: DataFrame, groupCol: String, idCol: String,
+                 scoreCols: Seq[String], topK: Int, k0: Int = 60): DataFrame = {
+    require(scoreCols.nonEmpty, "rankFusion needs at least one score column")
+    require(topK > 0, s"topK must be positive: $topK")
+    require(k0 > 0, s"k0 must be positive: $k0")
+    val lists = scoreCols.zipWithIndex.map { case (c, i) =>
+      topKPerGroup(df.select(col(groupCol), col(idCol), col(c)),
+        groupCol, c, idCol, topK)
+        .select(col(groupCol), col(idCol), col("rn").as(s"rank_${i + 1}"))
+    }
+    val joined = lists.reduce((a, b) => a.join(b, Seq(groupCol, idCol), "full"))
+    val terms = scoreCols.indices.map(i =>
+      when(col(s"rank_${i + 1}").isNotNull,
+        lit(1.0) / (lit(k0.toDouble) + col(s"rank_${i + 1}").cast("double")))
+        .otherwise(lit(0.0)))
+    joined.withColumn("rrf", round(terms.reduce(_ + _), 6))
+  }
+
   /** Per-stratum quantile gate: keep rows whose score is at or above
     * their group's `quantile` threshold — "keep the top 60% of every
     * language" as an adaptive per-stratum cutoff instead of one global

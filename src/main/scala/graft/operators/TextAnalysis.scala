@@ -816,4 +816,71 @@ object TextAnalysis {
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** Per-doc out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * tokens by total frequency (ties broken token-asc): `(doc, n_tokens,
+    * n_oov, oov_rate)` — the tokenizer-coverage gate a pipeline runs
+    * before committing to a vocabulary ("what fraction of each document
+    * would become <unk>?"). `oov_rate` is exact BIGINT/BIGINT division
+    * rounded 6 dp; tokens count with multiplicity (OOV cost is paid per
+    * occurrence, not per type).
+    *
+    * 100 TB shape: corpus token frequencies are one map-side-combinable
+    * aggregation; the vocabulary cut is `orderBy(...).limit(vocabSize)`,
+    * which Spark plans as TakeOrderedAndProject — each partition keeps
+    * only its own `vocabSize` best rows and the driver merges those
+    * bounded tops (never a global sort); the vocab-sized result
+    * broadcast-joins back onto the exploded token stream, and the
+    * per-doc rollup keys on the doc id.
+    * Corpus text is scanned twice (frequency pass + scoring pass), which
+    * at 100 TB is the honest cost of a corpus-derived vocabulary; with a
+    * FIXED external vocab, pass it as `df` shaped (token) and skip pass 1.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val tok = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(textCol)).as("token"))
+      .filter(col("token") =!= "")
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("__f"))
+    val vocab = freq.orderBy(col("__f").desc, col("token").asc)
+      .limit(vocabSize).select("token")
+    tok.join(broadcast(vocab).withColumn("__in", lit(1)), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** Flesch-style reading-ease per document, with the standard
+    * vowel-group syllable proxy: syllables(word) = max(1, number of
+    * `[aeiou]+` runs), sentences = max(1, number of '.'-terminated
+    * tokens), `score = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)`, 6 dp. A readability gate is a stock
+    * quality signal next to [[qualityScore]]'s ratios; the vowel-run
+    * proxy keeps it dictionary-free and cross-engine exact (counts are
+    * integers; the score is three fixed-order double ops).
+    *
+    * 100 TB shape: pure narrow per-row projection — the syllable sum is
+    * an aggregate HOF over the token array, no explode, no shuffle.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(tokens(textCol), t => t =!= "")
+    val words = size(toks).cast("long")
+    val sentences = greatest(lit(1L),
+      size(filter(toks, t => t.endsWith("."))).cast("long"))
+    val syllables = aggregate(toks, lit(0L),
+      (acc, w) => acc + greatest(lit(1L),
+        size(regexp_extract_all(w, lit("[aeiou]+"), lit(0))).cast("long")))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
+          6))
+  }
 }

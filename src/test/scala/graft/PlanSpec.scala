@@ -690,6 +690,46 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"payload bytes must never shuffle:\n$shuffles")
   }
 
+  test("q142 rank fusion: bounded-heap lists, window-free, no cartesian") {
+    val p = plan("q142_rank_fusion")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "both rankings must come from the bounded-heap aggregate, not a window")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
+  test("q143 triangles: gram/pair/wedge equi-joins only — no nested loop or cartesian") {
+    val p = plan("q143_triangles")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "wedge closing must be an equi-join on the canonical pair key")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q145 oov rate: TakeOrdered vocab cut broadcast back; window-free") {
+    val p = plan("q145_oov_rate")
+    assert(collectAll(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "the vocab cut must plan as TakeOrderedAndProject, not a global sort")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the vocab-sized table must broadcast onto the token stream")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q146 readability is a pure narrow plan: no exchange except the output sort") {
+    val shuffles = collectAll(plan("q146_readability")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"per-row HOF pass must not shuffle:\n$shuffles")
+  }
+
+  test("q147 compression signals: narrow mapPartitions, text never shuffles") {
+    val shuffles = collectAll(plan("q147_compress_ratio")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"payload text must never shuffle:\n$shuffles")
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

@@ -42,4 +42,70 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(edges, "src", "dst", 0.85, 0))
     intercept[IllegalArgumentException](Graph.pageRank(edges, "src", "dst", 0.85, 51))
   }
+
+  test("triangleStats counts K4-minus-an-edge exactly, through canonicalization") {
+    // K4 on {0,1,2,3} minus {2,3}: triangles {0,1,2} and {0,1,3}.
+    // Input is deliberately dirty: reversed duplicates and a self-loop.
+    val edges = Seq(
+      (0L, 1L), (1L, 0L), // dup both directions
+      (0L, 2L), (0L, 3L), (1L, 2L), (3L, 1L),
+      (2L, 2L) // self-loop must be dropped
+    ).toDF("a", "b")
+    val got = Graph.triangleStats(edges, "a", "b")
+      .orderBy("node").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 2L, 0.666667), // 2·2/(3·2)
+      (1L, 3L, 2L, 0.666667),
+      (2L, 2L, 1L, 1.0),
+      (3L, 2L, 1L, 1.0)))
+  }
+
+  test("triangleStats: triangle-free path graph reports zeros and coeff 0 at degree 1") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.triangleStats(edges, "a", "b")
+      .orderBy("node").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 0L, 0.0), (1L, 2L, 0L, 0.0),
+      (2L, 2L, 0L, 0.0), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("hits matches a driver-side reference stating the same decimal-sum recurrence") {
+    // 0→1, 0→2, 1→2, 3→2: node 2 is the authority, node 0 the hub
+    val edgeSeq = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 2L))
+    val got = Graph.hits(edgeSeq.toDF("src", "dst"), "src", "dst", iters = 5)
+      .orderBy("node").as[(Long, Double, Double)].collect().toSeq
+
+    def q12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    // decimal(38,12) sum of 12-dp-quantized doubles == BigDecimal sum at
+    // scale 12; one decimal→double cast then the IEEE division, 12-dp out
+    def decSum(xs: Seq[Double]): Double =
+      xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _).toDouble
+    def normalize(raw: Map[Long, Double]): Map[Long, Double] = {
+      val mass = decSum(nodes.map(raw))
+      nodes.map(v => v -> q12(raw(v) / mass)).toMap
+    }
+    var hub = nodes.map(v => v -> q12(1.0 / 4)).toMap
+    var auth = hub
+    for (_ <- 1 to 5) {
+      val authRaw = nodes.map(v =>
+        v -> decSum(edgeSeq.filter(_._2 == v).map(e => hub(e._1)))).toMap
+      auth = normalize(authRaw)
+      val hubRaw = nodes.map(v =>
+        v -> decSum(edgeSeq.filter(_._1 == v).map(e => auth(e._2)))).toMap
+      hub = normalize(hubRaw)
+    }
+    assert(got.map(_._1) == nodes)
+    got.foreach { case (v, h, a) =>
+      assert(h == hub(v), s"hub $v: $h vs ${hub(v)}")
+      assert(a == auth(v), s"auth $v: $a vs ${auth(v)}")
+    }
+    // structure sanity: 2 dominates authority, 0 dominates hubs
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(2L)._3 > m(1L)._3 && m(1L)._3 > m(3L)._3)
+    assert(m(0L)._2 > m(1L)._2 && m(0L)._2 > m(3L)._2)
+    intercept[IllegalArgumentException](
+      Graph.hits(edgeSeq.toDF("src", "dst"), "src", "dst", iters = 0))
+  }
 }

@@ -118,4 +118,35 @@ class SelectionSpec extends SparkSpec {
       .orderBy("lang", "rn").as[(String, Long, Double, Long)].collect().toSeq
     assert(re == out)
   }
+
+  test("rankFusion fuses truncated per-group lists with null ranks for absences") {
+    // en: quality ranks 1,2,3 = ids 1,2,3; length ranks 1,2,3 = ids 3,2,1.
+    // topK = 2 truncates each list, so id 3 is absent from the quality
+    // list and id 1 absent from the length list.
+    val rows = Seq(
+      ("en", 1L, 0.9, 10.0), ("en", 2L, 0.8, 20.0), ("en", 3L, 0.7, 30.0),
+      ("de", 4L, 0.5, 5.0))
+      .toDF("lang", "doc_id", "quality", "length")
+    val got = Selection.rankFusion(rows, "lang", "doc_id",
+      Seq("quality", "length"), topK = 2)
+      .orderBy("lang", "doc_id")
+      .as[(String, Long, Option[Long], Option[Long], Double)].collect().toSeq
+    def rrf(r1: Option[Long], r2: Option[Long]): Double = {
+      val s = r1.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        r2.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == Seq(
+      ("de", 4L, Some(1L), Some(1L), rrf(Some(1L), Some(1L))),
+      ("en", 1L, Some(1L), None, rrf(Some(1L), None)),
+      ("en", 2L, Some(2L), Some(2L), rrf(Some(2L), Some(2L))),
+      ("en", 3L, None, Some(1L), rrf(None, Some(1L)))))
+    // a doc on both lists outscores a doc leading only one list
+    val m = got.map(r => (r._1, r._2) -> r._5).toMap
+    assert(m(("en", 2L)) > m(("en", 1L)))
+    intercept[IllegalArgumentException](
+      Selection.rankFusion(rows, "lang", "doc_id", Seq.empty, 2))
+    intercept[IllegalArgumentException](
+      Selection.rankFusion(rows, "lang", "doc_id", Seq("quality"), 0))
+  }
 }

@@ -457,4 +457,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(theA._3 == 5L && theA._4 == score(5, 10))
     intercept[IllegalArgumentException](TextAnalysis.classTerms(df, "source", "text", 0))
   }
+
+  test("oovRate scores multiplicity against the (freq desc, token asc) vocab cut") {
+    // freqs: the=4, cat=2, dog=2, zeb=1 → vocab(2) = {the, cat} (cat
+    // beats dog on the token-asc tiebreak at equal freq 2)
+    val df = Seq(
+      (1L, "the cat the cat"),
+      (2L, "the dog zeb"),
+      (3L, "dog the"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0.0),
+      (2L, 3L, 2L, 0.666667), // dog, zeb
+      (3L, 2L, 1L, 0.5)))     // dog
+    intercept[IllegalArgumentException](TextAnalysis.oovRate(df, "doc_id", "text", 0))
+  }
+
+  test("readability computes the vowel-run Flesch arithmetic exactly") {
+    val df = Seq(
+      (1L, "the cat sat. it ran."), // 5 words, 2 sentences, syllables 1+1+1+1+1=5
+      (2L, "aeiou xyz"),            // 2 words, 1 (floor) sentence, syll 1+1=2
+      (3L, ""),                     // zero words → excluded
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    def flesch(w: Long, s: Long, y: Long): Double =
+      BigDecimal(206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 5L, 2L, 5L, flesch(5, 2, 5)),
+      (2L, 2L, 1L, 2L, flesch(2, 1, 2))))
+  }
 }
