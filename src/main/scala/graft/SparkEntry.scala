@@ -1519,7 +1519,38 @@ object SparkEntry {
     "q147_compress_ratio" -> ((s, dir) =>
       graft.operators.Compression.compressionSignals(
         t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── χ² class-term association, top-10 per source: exact BIGINT
+    // contingency counts, the χ² statistic in one pinned double shape
+    // (BIGINT products would overflow at corpus scale).
+    "q148_chi2_terms" -> ((s, dir) =>
+      TextAnalysis.chiSquareTerms(
+        t(s, dir, "documents").select("source", "text"),
+        "source", "text", k = 10)
+        .orderBy("source", "rn")),
+
+    // ── per-source Pearson r + covariance between char length and token
+    // count: exact BIGINT moment sums, trendSlopes' determinism contract.
+    "q149_corr_report" -> ((s, dir) =>
+      Summaries.pearsonByGroup(
+        t(s, dir, "documents").select(col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("tok_n")),
+        "source", "n_chars", "tok_n")
+        .orderBy("source")),
+
+    // ── Cohen's κ between the annotated `lang` column and the langId
+    // heuristic's prediction: one corpus pass to the confusion matrix,
+    // decimal-exact chance term.
+    "q150_lang_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = TextAnalysis.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+      Summaries.cohenKappa(
+        docs.select("doc_id", "lang").join(pred, Seq("doc_id")),
+        "lang", "predicted_lang")
+        .orderBy("n")
+    })
   )
 
   private val threeWayJoinSql: String =
@@ -3171,7 +3202,90 @@ object SparkEntry {
         | round(206.835::DOUBLE
         |   - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
         |   - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 6) AS flesch
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Identical χ² arithmetic: every factor cast to double first, one
+    // pinned multiplication order, 6-dp; (chi2 desc, token asc) rank.
+    "q148_chi2_terms" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |a AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |f AS (SELECT token, count(*) AS f FROM tok GROUP BY 1),
+        |ct AS (SELECT source, count(*) AS ct FROM tok GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM tok),
+        |sc AS (SELECT a.source, a.token, CAST(a.tf AS BIGINT) AS tf,
+        |  CASE WHEN f.f < nn.n AND ct.ct < nn.n THEN
+        |   round(nn.n::DOUBLE *
+        |     (((a.tf::DOUBLE * (nn.n::DOUBLE - f.f::DOUBLE - ct.ct::DOUBLE + a.tf::DOUBLE))
+        |       - ((f.f::DOUBLE - a.tf::DOUBLE) * (ct.ct::DOUBLE - a.tf::DOUBLE)))
+        |      * ((a.tf::DOUBLE * (nn.n::DOUBLE - f.f::DOUBLE - ct.ct::DOUBLE + a.tf::DOUBLE))
+        |       - ((f.f::DOUBLE - a.tf::DOUBLE) * (ct.ct::DOUBLE - a.tf::DOUBLE))))
+        |    / (f.f::DOUBLE * (nn.n::DOUBLE - f.f::DOUBLE) * ct.ct::DOUBLE
+        |       * (nn.n::DOUBLE - ct.ct::DOUBLE)), 6)
+        |  ELSE 0.0::DOUBLE END AS chi2
+        |  FROM a JOIN f USING (token) JOIN ct USING (source), nn),
+        |r AS (SELECT source, token, tf, chi2,
+        |  row_number() OVER (PARTITION BY source ORDER BY chi2 DESC, token) AS rn
+        |  FROM sc)
+        |SELECT source, token, tf, chi2, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+
+    // Identical moment-sum Pearson/covariance shapes, 6-dp, NULL on
+    // degenerate groups.
+    "q149_corr_report" ->
+      """WITH d AS (SELECT source, n_chars AS x,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS y FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |m AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM d GROUP BY 1),
+        |e AS (SELECT source, CAST(n AS BIGINT) AS n,
+        |  n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dxx,
+        |  n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS dyy,
+        |  n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS dxy
+        |  FROM m)
+        |SELECT source, n,
+        | CASE WHEN n >= 2 AND dxx > 0 AND dyy > 0
+        |  THEN round(dxy / (sqrt(dxx) * sqrt(dyy)), 6) END AS r,
+        | CASE WHEN n >= 2
+        |  THEN round(dxy / (n::DOUBLE * (n::DOUBLE - 1.0)), 6) END AS cov
+        |FROM e ORDER BY source""".stripMargin,
+
+    // Identical confusion-matrix κ: q18's prediction CASE chain, exact
+    // BIGINT matrix, DECIMAL(38,0) chance term, κ from unrounded rates.
+    "q150_lang_kappa" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','and','of'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und'))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','los','las','que'))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et'))) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t IN ('的','是','了','在'))) AS BIGINT) AS score_zh
+        | FROM documents),
+        |p AS (SELECT doc_id, CASE
+        |  WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |  WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |  WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |  WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+        |  WHEN score_zh > 0 AND score_zh >= score_en AND score_zh >= score_de AND score_zh >= score_es AND score_zh >= score_fr THEN 'zh'
+        |  ELSE 'und' END AS predicted_lang FROM s),
+        |j AS (SELECT d.lang AS a, p.predicted_lang AS b
+        |      FROM documents d JOIN p USING (doc_id)),
+        |mx AS (SELECT a, b, count(*) AS k FROM j GROUP BY 1, 2),
+        |m1 AS (SELECT a, sum(k) AS m1 FROM mx GROUP BY 1),
+        |m2 AS (SELECT b, sum(k) AS m2 FROM mx GROUP BY 1),
+        |t AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN a = b THEN k ELSE 0 END) AS BIGINT) AS n_agree FROM mx),
+        |c AS (SELECT CAST(sum(m1::DECIMAL(19,0) * m2::DECIMAL(19,0)) AS DECIMAL(38,0)) AS sp
+        |      FROM m1 JOIN m2 ON m1.a = m2.b)
+        |SELECT n, n_agree,
+        | round(n_agree::DOUBLE / n::DOUBLE, 6) AS po,
+        | round(coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE), 6) AS pe,
+        | CASE WHEN coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE) < 1.0
+        |  THEN round((n_agree::DOUBLE / n::DOUBLE
+        |    - coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE))
+        |   / (1.0 - coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE)), 6)
+        |  END AS kappa
+        |FROM t, c ORDER BY n""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

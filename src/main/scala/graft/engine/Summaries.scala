@@ -205,6 +205,84 @@ object Summaries {
       when(dxx > 0 && dyy > 0, round(dxy * dxy / (dxx * dyy), 6)).as("r2"))
   }
 
+  /** Per-group Pearson correlation between two integer-valued columns —
+    * the metric-health screen a pipeline runs over its quality signals
+    * ("does length still track token count per source, or did a feed
+    * break?"). Returns `(group, n, r, cov)` with sample covariance.
+    *
+    * Same determinism contract as [[trendSlopes]]: one group-sized
+    * aggregation of exact BIGINT moment sums (n, Σx, Σy, Σxy, Σx², Σy²),
+    * then identical fixed-shape IEEE double expressions, 6 dp. Degenerate
+    * groups (n < 2 or zero variance on either side) yield NULL r; cov is
+    * NULL only when n < 2.
+    *
+    * 100 TB shape: one map-side-combinable aggregation over the corpus —
+    * no window, no second pass, nothing collected.
+    */
+  def pearsonByGroup(df: DataFrame, groupCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    val xy = df.select(col(groupCol),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val m = xy.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val n = col("n").cast("double")
+    val dxx = n * col("__sxx").cast("double") - col("__sx").cast("double") * col("__sx").cast("double")
+    val dyy = n * col("__syy").cast("double") - col("__sy").cast("double") * col("__sy").cast("double")
+    val dxy = n * col("__sxy").cast("double") - col("__sx").cast("double") * col("__sy").cast("double")
+    m.select(col(groupCol), col("n"),
+      when(col("n") >= 2 && dxx > 0 && dyy > 0,
+        round(dxy / (sqrt(dxx) * sqrt(dyy)), 6)).as("r"),
+      when(col("n") >= 2,
+        round(dxy / (n * (n - lit(1.0))), 6)).as("cov"))
+  }
+
+  /** Cohen's kappa between two categorical columns — chance-corrected
+    * agreement (annotated label vs model prediction, two labeler runs,
+    * declared vs detected language): `κ = (p_o − p_e)/(1 − p_e)` with
+    * `p_o` the observed agreement and `p_e = Σ_c m₁(c)·m₂(c)/n²` the
+    * marginal-product chance agreement. One row out:
+    * `(n, n_agree, po, pe, kappa)`, each rate 6 dp (κ from the unrounded
+    * rates). Degenerate `p_e = 1` (both sides constant) yields NULL κ.
+    *
+    * Cross-engine exactness: the corpus collapses to the categories²
+    * confusion matrix (exact BIGINT counts, ONE corpus pass); marginals
+    * and the Σm₁·m₂ term are computed over that tiny matrix with the
+    * products summed as DECIMAL(38,0) — exact and order-independent
+    * (BIGINT products of two 10¹³-row marginals would overflow; an
+    * engine-order double sum would wobble in the last ulp).
+    *
+    * 100 TB shape: one map-side-combinable aggregation to the matrix;
+    * everything after is matrix-sized (aggregations, no window, no
+    * collect — the matrix never leaves the executors).
+    */
+  def cohenKappa(df: DataFrame, col1: String, col2: String): DataFrame = {
+    val matrix = df.groupBy(col(col1).as("__a"), col(col2).as("__b"))
+      .agg(count(lit(1)).as("__k"))
+    val m1 = matrix.groupBy(col("__a")).agg(sum(col("__k")).as("__m1"))
+    val m2 = matrix.groupBy(col("__b")).agg(sum(col("__k")).as("__m2"))
+    val totals = matrix.agg(
+      sum(col("__k")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__k")).otherwise(lit(0L)))
+        .as("n_agree"))
+    val chance = m1.join(m2, col("__a") === col("__b"))
+      .agg(sum(col("__m1").cast("decimal(19,0)") * col("__m2").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("__sp"))
+    val nd = col("n").cast("double")
+    val po = col("n_agree").cast("double") / nd
+    val pe = coalesce(col("__sp").cast("double"), lit(0.0)) / (nd * nd)
+    totals.crossJoin(broadcast(chance))
+      .select(col("n"), col("n_agree"),
+        round(po, 6).as("po"),
+        round(pe, 6).as("pe"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** Per-key sequence anomaly under the corpus's own first-order Markov
     * model: each key's average negative log-likelihood of its observed
     * transitions, `avg(−ln P(next | prev))` with `P` the row-normalized

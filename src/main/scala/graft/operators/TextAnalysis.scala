@@ -817,6 +817,51 @@ object TextAnalysis {
       .filter(col("rn") <= k)
   }
 
+  /** Chi-squared class-term association: for every (class, token) the
+    * 2×2-contingency χ² statistic over token OCCURRENCES
+    * (`a` = token-in-class, with marginals `f` = token total and
+    * `ct` = class total out of `N` corpus tokens), top-`k` per class by
+    * (χ² desc, token asc) — the classic supervised feature-selection
+    * screen next to [[classTerms]]'s c-TF-IDF ranking.
+    *
+    * Cross-engine exactness: counts stay BIGINT; χ² =
+    * `N·(ad−bc)² / (f·(N−f)·ct·(N−ct))` is stated with every factor cast
+    * to double FIRST and multiplied in one pinned order (BIGINT products
+    * like a·d overflow at corpus scale — 10¹³ tokens squared — so the
+    * double formulation is the portable one), 6 dp. Degenerate margins
+    * (f = N or ct = N) yield χ² = 0.
+    *
+    * 100 TB shape: identical to [[classTerms]] — token-sized
+    * map-side-combinable aggregations, the scalar N broadcast back, and
+    * the rank window over the classes × vocab matrix only.
+    */
+  def chiSquareTerms(df: DataFrame, classCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tok = df.select(col(classCol).as("__c"), explode(tokens(textCol)).as("token"))
+    val a = tok.groupBy(col("__c"), col("token")).agg(count(lit(1)).as("a"))
+    val f = tok.groupBy(col("token")).agg(count(lit(1)).as("__f"))
+    val ct = tok.groupBy(col("__c")).agg(count(lit(1)).as("__ct"))
+    val n = tok.agg(count(lit(1)).as("__n"))
+    val joined = a.join(f, Seq("token"))
+      .join(broadcast(ct), Seq("__c"))
+      .crossJoin(broadcast(n))
+    val ad = col("a").cast("double")
+    val fd = col("__f").cast("double")
+    val cd = col("__ct").cast("double")
+    val nd = col("__n").cast("double")
+    // b = f−a, c = ct−a, d = N−f−ct+a; ad−bc stated directly in doubles
+    val adbc = ad * (nd - fd - cd + ad) - (fd - ad) * (cd - ad)
+    val denom = fd * (nd - fd) * cd * (nd - cd)
+    val scored = joined.select(col("__c").as(classCol), col("token"), col("a").as("tf"),
+      when(col("__f") < col("__n") && col("__ct") < col("__n"),
+        round(nd * (adbc * adbc) / denom, 6)).otherwise(lit(0.0)).as("chi2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(col("chi2").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Per-doc out-of-vocabulary rate against the corpus's own top-`vocabSize`
     * tokens by total frequency (ties broken token-asc): `(doc, n_tokens,
     * n_oov, oov_rate)` — the tokenizer-coverage gate a pipeline runs

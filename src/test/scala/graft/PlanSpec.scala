@@ -730,6 +730,31 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"payload text must never shuffle:\n$shuffles")
   }
 
+  test("q148 chi2 terms: rank window consumes the aggregated vocab matrix; N broadcasts") {
+    val p = plan("q148_chi2_terms")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 1, "only the classes×vocab rank window")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
+  test("q149 correlation report: one moment aggregation, window-free, no joins") {
+    val p = plan("q149_corr_report")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"group agg + output sort only, got ${shuffles.size}")
+  }
+
+  test("q150 kappa: corpus collapses to the confusion matrix; matrix-sized math after") {
+    val p = plan("q150_lang_kappa")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

@@ -315,4 +315,42 @@ class SummariesSpec extends SparkSpec {
     assert(out.drop(75).forall(_._3 == 0.75))
     assert(out.map(_._1) == (1L to 100L))
   }
+
+  test("pearsonByGroup: exact lines, anti-correlation, degenerate NULLs, covariance") {
+    val df = Seq(
+      // up: y = 2x+1 → r = 1; cov of x={1,2,3}, y={3,5,7}: Σxy=34,
+      // dxy = 3·34 − 6·15 = 12, cov = 12/(3·2) = 2
+      ("up", 1L, 3L), ("up", 2L, 5L), ("up", 3L, 7L),
+      // down: y = −x → r = −1
+      ("down", 1L, -1L), ("down", 2L, -2L), ("down", 3L, -3L),
+      // flat: zero y-variance → r NULL, cov 0
+      ("flat", 1L, 9L), ("flat", 2L, 9L),
+      // single: n < 2 → both NULL
+      ("single", 5L, 5L))
+      .toDF("g", "x", "y")
+    val got = Summaries.pearsonByGroup(df, "g", "x", "y")
+      .orderBy("g").as[(String, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("down", 3L, Some(-1.0), Some(-1.0)),
+      ("flat", 2L, None, Some(0.0)),
+      ("single", 1L, None, None),
+      ("up", 3L, Some(1.0), Some(2.0))))
+  }
+
+  test("cohenKappa: hand-computed confusion matrix and the pe=1 degeneracy") {
+    // 10 rows: matrix a\b: (x,x)=4 (x,y)=1 (y,x)=2 (y,y)=3
+    // po = 7/10; m1 = {x:5, y:5}, m2 = {x:6, y:4};
+    // pe = (5·6 + 5·4)/100 = 0.5; κ = (0.7−0.5)/0.5 = 0.4
+    val rows = Seq.fill(4)(("x", "x")) ++ Seq(("x", "y")) ++
+      Seq.fill(2)(("y", "x")) ++ Seq.fill(3)(("y", "y"))
+    val got = Summaries.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().toSeq
+    assert(got == Seq((10L, 7L, 0.7, 0.5, Some(0.4))))
+    // both raters constant and agreeing: po = pe = 1 → κ NULL
+    val const = Seq.fill(5)(("x", "x")).toDF("a", "b")
+    val deg = Summaries.cohenKappa(const, "a", "b")
+      .as[(Long, Long, Double, Double, Option[Double])].collect().toSeq
+    assert(deg == Seq((5L, 5L, 1.0, 1.0, None)))
+  }
 }

@@ -458,6 +458,27 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.classTerms(df, "source", "text", 0))
   }
 
+  test("chiSquareTerms ranks class-exclusive tokens by the hand-computed statistic") {
+    // corpus: A = "spark spark fill", B = "flink fill fill" → N = 6,
+    // classes 3 tokens each. For (A, spark): a=2, f=2, ct=3 →
+    // ad−bc = 2·(6−2−3+2)−0·1 = 6; χ² = 6·36/(2·4·3·3) = 3.0
+    val df = Seq(("A", "spark spark fill"), ("B", "flink fill fill"))
+      .toDF("source", "text")
+    val out = TextAnalysis.chiSquareTerms(df, "source", "text", k = 3)
+      .orderBy("source", "rn")
+      .as[(String, String, Long, Double, Long)].collect().toSeq
+    val aSpark = out.find(r => r._1 == "A" && r._2 == "spark").get
+    assert(aSpark._3 == 2L && aSpark._4 == 3.0 && aSpark._5 == 1L)
+    // the shared filler's χ²: (A, fill): a=1, f=3, ct=3 →
+    // ad−bc = 1·(6−3−3+1)−2·2 = −3; χ² = 6·9/(3·3·3·3) = 0.666667
+    val aFill = out.find(r => r._1 == "A" && r._2 == "fill").get
+    assert(aFill._4 == 0.666667)
+    // class-exclusive tokens rank 1 in both classes
+    assert(out.filter(_._5 == 1L).map(r => (r._1, r._2)) ==
+      Seq(("A", "spark"), ("B", "flink")))
+    intercept[IllegalArgumentException](TextAnalysis.chiSquareTerms(df, "source", "text", 0))
+  }
+
   test("oovRate scores multiplicity against the (freq desc, token asc) vocab cut") {
     // freqs: the=4, cat=2, dog=2, zeb=1 → vocab(2) = {the, cat} (cat
     // beats dog on the token-asc tiebreak at equal freq 2)
