@@ -1550,6 +1550,33 @@ object SparkEntry {
         docs.select("doc_id", "lang").join(pred, Seq("doc_id")),
         "lang", "predicted_lang")
         .orderBy("n")
+    }),
+
+    // ── target-share data mixing: explicit per-source corpus shares,
+    // content-hash row fate, groups-sized rate table broadcast back.
+    "q151_target_mix" -> ((s, dir) =>
+      Sampling.targetShareResample(
+        t(s, dir, "documents").select("doc_id", "source", "lang"),
+        "doc_id", "source",
+        shares = Map("src0" -> 0.40, "src1" -> 0.35, "src2" -> 0.05),
+        budgetFrac = 0.5)
+        .orderBy("doc_id")),
+
+    // ── per-flag 5-95% trimmed price statistics: exact quantile_cont
+    // thresholds broadcast back, DECIMAL(28,12) order-free trimmed mean.
+    "q152_trimmed_stats" -> ((s, dir) =>
+      Summaries.trimmedStats(
+        t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", lo = 0.05, hi = 0.95)
+        .orderBy("l_returnflag")),
+
+    // ── ANN recall@5 evaluation: LSH-bucketed top-k graded against the
+    // exact cosine top-k on a 1-in-50 query sample.
+    "q153_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecallReport(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id")
     })
   )
 
@@ -3285,7 +3312,70 @@ object SparkEntry {
         |    - coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE))
         |   / (1.0 - coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE)), 6)
         |  END AS kappa
-        |FROM t, c ORDER BY n""".stripMargin
+        |FROM t, c ORDER BY n""".stripMargin,
+
+    // Identical keep-rate shape (budgetFrac·share·ntot/n, 12-dp, clipped)
+    // and the shared md5 60-bit row-fate uniform; unlisted sources drop.
+    "q151_target_mix" ->
+      """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) AS ntot FROM n),
+        |r AS (SELECT source,
+        |  round(least(1.0, 0.5 * (CASE source WHEN 'src0' THEN 0.40
+        |     WHEN 'src1' THEN 0.35 WHEN 'src2' THEN 0.05 END)
+        |    * CAST(ntot AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS q
+        |  FROM n, t WHERE source IN ('src0', 'src1', 'src2'))
+        |SELECT d.doc_id, d.source, d.lang FROM documents d JOIN r USING (source)
+        |WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        + 0.5) / 1152921504606846976.0) < q
+        |ORDER BY doc_id""".stripMargin,
+
+    // Identical quantile_cont thresholds and DECIMAL(28,12) trimmed mean.
+    "q152_trimmed_stats" ->
+      """WITH t AS (SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.05) AS lo,
+        |  quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1),
+        |k AS (SELECT l.l_returnflag, l.l_extendedprice
+        |      FROM lineitem l JOIN t USING (l_returnflag)
+        |      WHERE l.l_extendedprice >= t.lo AND l.l_extendedprice <= t.hi)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,12))) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS trimmed_mean,
+        | min(l_extendedprice) AS trimmed_min,
+        | max(l_extendedprice) AS trimmed_max
+        |FROM k GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // Both ANN arms restated: the q26 exact top-5 and the q27 bucket
+    // pipeline ranked the same way; recall = overlap/5.
+    "q153_ann_recall" -> {
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS cos
+         |      FROM c, q WHERE neighbor_id <> query_id),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+         |  WHERE rn <= 5),
+         |cb AS (SELECT vec_id, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+         |qb AS (SELECT q.query_id, q.qv, cb.bucket FROM q JOIN cb ON cb.vec_id = q.query_id),
+         |nb AS (SELECT c.neighbor_id, c.cv, cb.bucket FROM c JOIN cb ON cb.vec_id = c.neighbor_id),
+         |ls AS (SELECT qb.query_id, nb.neighbor_id,
+         |  list_cosine_similarity(nb.cv, qb.qv) AS cos
+         |  FROM nb JOIN qb ON nb.bucket = qb.bucket AND nb.neighbor_id <> qb.query_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn FROM ls)
+         |  WHERE rn <= 5)
+         |SELECT bf.query_id,
+         | CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         | round(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |   / 5.0, 6) AS recall
+         |FROM bf LEFT JOIN ap USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY query_id""".stripMargin
+    }
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -242,6 +242,38 @@ object Summaries {
         round(dxy / (n * (n - lit(1.0))), 6)).as("cov"))
   }
 
+  /** Per-group trimmed statistics: drop values outside the group's
+    * [`lo`, `hi`] exact quantiles, report `(group, n_kept, trimmed_mean,
+    * trimmed_min, trimmed_max)` — the robust-mean twin of
+    * [[madOutliers]] (a metric dashboard wants the 5-95% mean that one
+    * corrupt feed row cannot move). Quantile thresholds use exact
+    * linear-interpolated `percentile` (= DuckDB `quantile_cont`), the
+    * [[graft.operators.Selection.keepAboveQuantile]] precedent; the
+    * trimmed mean sums values as DECIMAL(28,12) — exact and
+    * order-independent — then one double division, 6 dp.
+    *
+    * 100 TB shape: groups-sized threshold table broadcast back onto the
+    * corpus (percentile's buffer holds the group multiset — fine for
+    * dashboard-grade group counts; swap in approx_percentile for
+    * corpus-scale strata, as keepAboveQuantile documents), then one
+    * map-side-combinable aggregation. No window, no corpus shuffle.
+    */
+  def trimmedStats(df: DataFrame, groupCol: String, valueCol: String,
+                   lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && lo < hi && hi <= 1, s"quantile bounds bad: [$lo, $hi]")
+    val thresholds = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile(`$valueCol`, $lo)").as("__lo"),
+      expr(s"percentile(`$valueCol`, $hi)").as("__hi"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col(valueCol).cast("decimal(28,12)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("trimmed_mean"),
+        min(col(valueCol)).as("trimmed_min"),
+        max(col(valueCol)).as("trimmed_max"))
+  }
+
   /** Cohen's kappa between two categorical columns — chance-corrected
     * agreement (annotated label vs model prediction, two labeler runs,
     * declared vs detected language): `κ = (p_o − p_e)/(1 − p_e)` with

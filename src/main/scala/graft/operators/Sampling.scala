@@ -238,6 +238,58 @@ object Sampling {
       .drop("__q")
   }
 
+  /** Target-share resampling (the data-mixing endgame [[temperatureResample]]
+    * approximates): given explicit target corpus SHARES per group (a
+    * DoReMi-style tuned mixture, or a product decision like "30% code,
+    * 60% web, 10% books"), downsample each group deterministically so the
+    * kept corpus approaches the target mix. With `budgetFrac` the kept
+    * fraction of the corpus (1.0 = as large as the binding group allows):
+    * `keep_g = budgetFrac · share_g · n_total / n_g`, clipped to 1 — a
+    * group too small to fill its target share keeps everything (its
+    * share then undershoots; upsampling is out of scope — duplication is
+    * what dedup just removed). Rows in groups without a target share are
+    * dropped. Row fate is the [[temperatureResample]] content-hash
+    * uniform, so the sample is retry-stable and partitioning-independent.
+    *
+    * Cross-engine exactness: rates are `round(·, 12)` doubles built from
+    * BIGINT counts and literal shares in one pinned shape; the keep test
+    * reuses the md5-based `u` every sampler here shares.
+    *
+    * 100 TB shape: one map-side-combinable group count, scalar total,
+    * groups-sized rate table broadcast back, narrow filter — the corpus
+    * never shuffles.
+    */
+  def targetShareResample(df: DataFrame, idCol: String, groupCol: String,
+                          shares: Map[String, Double], budgetFrac: Double = 1.0,
+                          salt: String = ""): DataFrame = {
+    require(shares.nonEmpty, "targetShareResample needs at least one share")
+    require(budgetFrac > 0 && budgetFrac <= 1, s"budgetFrac out of (0,1]: $budgetFrac")
+    shares.foreach { case (g, s) =>
+      require(s > 0 && s <= 1, s"share out of (0,1] for $g: $s") }
+    require(shares.values.sum <= 1.0 + 1e-9,
+      s"shares sum over 1: ${shares.values.sum}")
+    val share = shares.foldLeft(lit(null).cast("double")) {
+      case (acc, (k, v)) => when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val totals = counts.agg(sum(col("__n")).as("__ntot"))
+    // drop unlisted groups BEFORE the clip: Spark's least() SKIPS nulls
+    // (corpusProfile's ADVICE-r8 trap), so least(1.0, null·…) would
+    // silently become rate 1.0 instead of "no share → drop"
+    val rates = counts.withColumn("__share", share)
+      .filter(col("__share").isNotNull)
+      .crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        round(least(lit(1.0),
+          lit(budgetFrac) * col("__share") * col("__ntot").cast("double")
+            / col("__n").cast("double")), 12).as("__q"))
+    val u = (hash60(md5(concat(lit(salt), col(idCol).cast("string"))))
+      .cast("double") + lit(0.5)) / lit(1152921504606846976.0 /* 2^60 */)
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(u < col("__q"))
+      .drop("__q")
+  }
+
   /** Stratified deterministic sampling: a per-stratum keep rate (permille),
     * falling back to `defaultPermille` for unlisted strata — the
     * `sampleBy` twin with content-hash determinism. Used to rebalance a

@@ -712,4 +712,32 @@ object Similarity {
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
     explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
   }
+
+  /** ANN quality evaluation: per query, how many of the EXACT cosine
+    * top-`k` ([[bruteForceTopK]]) the LSH-bucketed path ([[lshTopK]])
+    * recovered — `(query_id, n_hit, recall)` with `recall = n_hit/k`,
+    * 6 dp. The self-check every approximate index needs before a
+    * pipeline trusts it: run on a query SAMPLE, read the mean recall,
+    * then tune `planes`/`probeBits` until it clears the bar.
+    *
+    * 100 TB shape: the brute-force arm is the expensive half — it exists
+    * here precisely because this is an EVALUATION operator meant for a
+    * bounded query sample (hundreds), where exact top-k over a
+    * broadcast query set is one corpus scan; the LSH arm is the
+    * production path being graded. The overlap join and rollup are
+    * (queries × k)-sized.
+    */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, planes: Int = 4,
+                      probeBits: Int = 0): DataFrame = {
+    val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = lshTopK(corpus, queries, idCol, vecCol, k, planes, probeBits)
+      .select(col("query_id"), col("neighbor_id"))
+    bf.join(ap.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / lit(k.toDouble), 6))
+  }
 }

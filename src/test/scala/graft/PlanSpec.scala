@@ -755,6 +755,32 @@ class PlanSpec extends SparkSpec {
     }.isEmpty)
   }
 
+  test("q151 target mix: rate table broadcasts back; corpus never hash-shuffles") {
+    val p = plan("q151_target_mix")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "groups-sized rate table must broadcast")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q152 trimmed stats: threshold table broadcasts; window-free") {
+    val p = plan("q152_trimmed_stats")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "per-group quantile thresholds must broadcast")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q153 ann recall: no cartesian scan — the LSH arm joins on the bucket key") {
+    val p = plan("q153_ann_recall")
+    // the brute-force arm is a broadcast nested loop BY DESIGN (bounded
+    // query sample × corpus); what must NOT appear is an unbroadcast
+    // cartesian product
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "both rankings come from the bounded-heap aggregate")
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

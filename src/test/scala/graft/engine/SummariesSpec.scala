@@ -2,6 +2,8 @@ package graft.engine
 
 import java.sql.Date
 
+import org.apache.spark.sql.functions.{col, lit, when}
+
 import graft.SparkSpec
 
 class SummariesSpec extends SparkSpec {
@@ -336,6 +338,22 @@ class SummariesSpec extends SparkSpec {
       ("flat", 2L, None, Some(0.0)),
       ("single", 1L, None, None),
       ("up", 3L, Some(1.0), Some(2.0))))
+  }
+
+  test("trimmedStats keeps the exact inter-quantile slice and its order-free mean") {
+    // 1..100: p5 = 5.95, p95 = 95.05 (linear interpolation) → keep 6..95
+    val df = spark.range(1, 101)
+      .select(lit("g").as("g"), col("id").cast("double").as("v"))
+    val got = Summaries.trimmedStats(df, "g", "v", lo = 0.05, hi = 0.95)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("g", 90L, 50.5, 6.0, 95.0)))
+    // a wild outlier cannot move the trimmed mean of the same slice
+    val withOutlier = df.unionByName(
+      Seq(("g", 1e9)).toDF("g", "v"))
+    val rob = Summaries.trimmedStats(withOutlier, "g", "v", 0.05, 0.95)
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(rob._3 < 52.0, s"trimmed mean moved: ${rob._3}")
+    intercept[IllegalArgumentException](Summaries.trimmedStats(df, "g", "v", 0.9, 0.1))
   }
 
   test("cohenKappa: hand-computed confusion matrix and the pe=1 degeneracy") {

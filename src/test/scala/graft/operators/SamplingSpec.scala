@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, lit, when}
+
 import graft.SparkSpec
 
 class SamplingSpec extends SparkSpec {
@@ -210,5 +212,48 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureResample(docs, "doc_id", "lang", 0.0, 0.5))
     intercept[IllegalArgumentException](
       Sampling.temperatureResample(docs, "doc_id", "lang", 0.5, 1.5))
+  }
+
+  test("targetShareResample matches the driver-side rate+hash reference; unlisted drop") {
+    // 100 docs over 4 sources: a=40, b=30, c=20, d=10; shares a=.2 b=.2
+    // c=.4 (d unlisted → dropped); budgetFrac=.5, N=100 →
+    // rates: a: .5·.2·100/40=.25, b: .5·.2·100/30=.333…, c: .5·.4·100/20=1
+    val docs100 = spark.range(100)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 40, "a").when(col("id") < 70, "b")
+          .when(col("id") < 90, "c").otherwise("d").as("src"))
+    val shares = Map("a" -> 0.2, "b" -> 0.2, "c" -> 0.4)
+    val kept = Sampling.targetShareResample(docs100, "doc_id", "src", shares,
+      budgetFrac = 0.5)
+      .select("doc_id", "src").as[(Long, String)].collect().toSet
+    def u(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / math.pow(2, 60)
+    }
+    def q12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rate = Map("a" -> q12(math.min(1.0, 0.5 * 0.2 * 100.0 / 40.0)),
+      "b" -> q12(math.min(1.0, 0.5 * 0.2 * 100.0 / 30.0)),
+      "c" -> q12(math.min(1.0, 0.5 * 0.4 * 100.0 / 20.0)))
+    val expect = (0L until 100L).flatMap { id =>
+      val s = if (id < 40) "a" else if (id < 70) "b" else if (id < 90) "c" else "d"
+      rate.get(s).filter(u(id) < _).map(_ => (id, s))
+    }.toSet
+    assert(kept == expect)
+    // group c is too small for its target: rate clipped to 1 → ALL kept
+    assert(kept.count(_._2 == "c") == 20)
+    // unlisted source d contributes nothing
+    assert(!kept.exists(_._2 == "d"))
+    // partitioning-independence
+    val re = Sampling.targetShareResample(docs100.repartition(7), "doc_id", "src",
+      shares, budgetFrac = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(re == kept.map(_._1))
+    intercept[IllegalArgumentException](
+      Sampling.targetShareResample(docs100, "doc_id", "src", Map.empty[String, Double]))
+    intercept[IllegalArgumentException](
+      Sampling.targetShareResample(docs100, "doc_id", "src", Map("a" -> 0.9, "b" -> 0.2)))
+    intercept[IllegalArgumentException](
+      Sampling.targetShareResample(docs100, "doc_id", "src", shares, budgetFrac = 0.0))
   }
 }

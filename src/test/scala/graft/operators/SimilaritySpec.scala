@@ -467,4 +467,34 @@ class SimilaritySpec extends SparkSpec {
     // origin, both members at distance 1 → dispersion exactly 1
     assert(out == Seq((0, 3L, 0.0), (1, 2L, 1.0)))
   }
+
+  test("annRecallReport equals the driver-side overlap of its own two arms") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = df.filter($"vec_id" % 40 === 0)
+    val k = 5
+    val got = Similarity.annRecallReport(df, qs, "vec_id", "embedding", k)
+      .orderBy("query_id").as[(Long, Long, Double)].collect().toSeq
+    // reference: overlap of the two arms' own outputs, set math on the driver
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bf = pairs(Similarity.bruteForceTopK(df, qs, "vec_id", "embedding", k))
+    val ap = pairs(Similarity.lshTopK(df, qs, "vec_id", "embedding", k))
+    assert(got.map(_._1) == bf.keys.toSeq.sorted)
+    got.foreach { case (q, nHit, recall) =>
+      val overlap = (bf(q) & ap.getOrElse(q, Set.empty)).size
+      assert(nHit == overlap, s"query $q: $nHit vs $overlap")
+      val expect = BigDecimal(overlap.toDouble / k)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(recall == expect)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // one bucket = perfect recall: identical-direction vectors all collide
+    val tight = (0L until 20L).map(i => (i, Array.fill(4)(1.0f + i * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val perfect = Similarity.annRecallReport(tight,
+      tight.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(perfect == Seq((0L, 3L, 1.0)))
+  }
 }
