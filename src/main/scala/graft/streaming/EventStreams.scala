@@ -230,6 +230,93 @@ object EventStreams {
       }
   }
 
+  final case class SpikeRow(event_type: String, day: java.sql.Date, n: Long,
+                            zscore: Option[Double], is_spike: Int)
+  /** Per-type spike state: the last `lookback` CLOSED (day, count) pairs
+    * plus the one open day. Public for the state-store encoder. */
+  final case class SpikeState(ring: List[(Long, Long)], openDay: Long,
+                              openN: Long, lastMs: Long)
+
+  /** Streaming twin of [[graft.engine.Summaries.dailySpikes]]: live
+    * per-type daily-volume z-score alerting. State per event type is the
+    * last `lookback` CLOSED observed-day counts (a fixed-size ring) plus
+    * ONE open day's running count — bounded by live-type count, nothing
+    * event-sized.
+    *
+    * Day-close contract (the [[transitionStream]] forward-only house
+    * rule): micro-batches sort internally on (ts, event_id); a day closes
+    * when the first event of a LATER day arrives for that type (arrival
+    * order is the cross-batch order), and a straggler for an
+    * already-closed day is dropped, never retro-spliced into a published
+    * statistic. The event-time idle timeout closes the final open day
+    * when a type goes quiet — restart-safe, no wall-clock spinning.
+    *
+    * Emitted rows state the EXACT batch arithmetic — same rolling
+    * mean/variance shapes, 6-dp z, variance clamp, zero-variance NULL-z
+    * spike rule, rows only once the ring is full — so stream == batch on
+    * the closed prefix is spec-pinned (EventStreamsSpec).
+    */
+  def spikeStream(events: Dataset[TypedEvent], lookback: Int = 7,
+                  z: Double = 3.0, idleGapSeconds: Long = 7200L,
+                  watermarkDelay: String = "10 minutes"): Dataset[SpikeRow] = {
+    require(lookback >= 2, s"lookback must be >= 2: $lookback")
+    require(z > 0, s"z must be positive: $z")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(ring: List[(Long, Long)], day: Long, n: Long, tpe: String,
+              out: scala.collection.mutable.ListBuffer[SpikeRow]): List[(Long, Long)] = {
+      if (ring.size == lookback) {
+        val s = ring.map(_._2).sum
+        val ss = ring.map(c => c._2 * c._2).sum
+        val mean = s.toDouble / lookback
+        val variance = math.max(
+          (ss.toDouble - s.toDouble * s.toDouble / lookback) / (lookback - 1), 0.0)
+        val std = math.sqrt(variance)
+        val zs =
+          if (std > 0)
+            Some(BigDecimal((n.toDouble - mean) / std)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+        val spike =
+          if ((std > 0 && zs.exists(_ > z)) || (std == 0 && n.toDouble > mean)) 1 else 0
+        out += SpikeRow(tpe, new java.sql.Date(day * 86400000L), n, zs, spike)
+      }
+      (ring :+ (day -> n)).takeRight(lookback)
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SpikeState, SpikeRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (tpe, it, state) =>
+        val out = scala.collection.mutable.ListBuffer.empty[SpikeRow]
+        if (!it.hasNext) { // idle timeout: close the open day, clear state
+          state.getOption.foreach { st =>
+            if (st.openDay >= 0) close(st.ring, st.openDay, st.openN, tpe, out)
+          }
+          state.remove()
+          out.iterator
+        } else {
+          val st = state.getOption.getOrElse(SpikeState(Nil, -1L, 0L, 0L))
+          var (ring, openDay, openN, lastMs) = (st.ring, st.openDay, st.openN, st.lastMs)
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val d = e.ts.getTime / 86400000L
+            lastMs = math.max(lastMs, e.ts.getTime)
+            if (openDay < 0) { openDay = d; openN = 1L }
+            else if (d == openDay) openN += 1L
+            else if (d > openDay) {
+              ring = close(ring, openDay, openN, tpe, out)
+              openDay = d; openN = 1L
+            } // else: straggler for a closed day — dropped (forward-only)
+          }
+          state.update(SpikeState(ring, openDay, openN, lastMs))
+          state.setTimeoutTimestamp(lastMs + idleGapSeconds * 1000L)
+          out.iterator
+        }
+      }
+  }
+
   /** Streaming deduplication: drop repeated event ids inside the watermark
     * horizon (`dropDuplicatesWithinWatermark` keys the state store by
     * event_id and expires entries once the watermark passes them — bounded

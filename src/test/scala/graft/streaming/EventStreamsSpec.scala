@@ -151,6 +151,51 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spikeStream: closed-day rows equal batch dailySpikes; stragglers drop") {
+    import EventStreams.{SpikeRow, TypedEvent}
+    val dir = s"$tmp/spike-src"
+    def at(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // type "a": day1×2, day2×2, day3×6 (spike), day4 sentinel (closes day3,
+    // stays open itself). lookback=2 → first scoreable day is day 3.
+    // batch 2 carries a STRAGGLER for closed day 1 — dropped, not spliced.
+    val b1 = Seq(
+      TypedEvent(1L, at(1, 1), 1L, "a"), TypedEvent(1L, at(1, 2), 2L, "a"),
+      TypedEvent(1L, at(2, 1), 3L, "a"), TypedEvent(1L, at(2, 2), 4L, "a"))
+    val b2 = (5L to 10L).map(i => TypedEvent(1L, at(3, i.toInt), i, "a")) ++
+      Seq(TypedEvent(1L, at(4, 1), 11L, "a"),
+        TypedEvent(1L, at(1, 9), 99L, "a")) // straggler
+    b1.toDS().coalesce(1).write.parquet(s"$dir/b1")
+    b2.toDS().coalesce(1).write.parquet(s"$dir/b2")
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[TypedEvent].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .as[TypedEvent]
+    val q = EventStreams.spikeStream(src, lookback = 2, z = 1.0).writeStream
+      .outputMode("append").format("memory").queryName("spikes").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("spikes").as[SpikeRow].collect()
+        .map(r => (r.event_type, r.day.toString, r.n, r.zscore, r.is_spike)).toSet
+      // batch twin over the SAME in-order log minus the straggler and the
+      // never-closed trailing day 4
+      val batchLog = (b1 ++ b2.dropRight(1))
+        .map(e => (e.user_id, e.ts, e.event_id, e.event_type))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val batch = graft.engine.Summaries
+        .dailySpikes(batchLog, "event_type", "ts", lookback = 2, z = 1.0)
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getInt(4)))
+        .filter(_._2 != "2024-01-04") // day 4 never closes in the stream
+        .toSet
+      assert(got == batch)
+      // the spike day itself: 6 events vs mean 2 of {2,2}, std 0 → NULL z,
+      // zero-variance deviation rule flags it
+      assert(got.contains(("a", "2024-01-03", 6L, None, 1)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits a session once — in-batch gap overshoot closes it") {
     import EventStreams.{SessionEvent, ClosedSession}
     val dir = s"$tmp/fmgws-inbatch"
