@@ -1577,6 +1577,22 @@ object SparkEntry {
       Similarity.annRecallReport(emb, emb.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", k = 5)
         .orderBy("query_id")
+    }),
+
+    // ── personalized PageRank over the q127 link graph, teleport
+    // concentrated on the doc_id % 100 = 0 seed set: 5 iterations,
+    // 12-dp per-iteration re-quantization, seeds broadcast.
+    "q154_personalized_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 7 + col("k")) % n).as("dst"))
+      graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+        docs.filter(col("doc_id") % 100 === 0), "doc_id",
+        damping = 0.85, iters = 5)
+        .orderBy("node")
     })
   )
 
@@ -3375,6 +3391,33 @@ object SparkEntry {
          |   / 5.0, 6) AS recall
          |FROM bf LEFT JOIN ap USING (query_id, neighbor_id)
          |GROUP BY 1 ORDER BY query_id""".stripMargin
+    },
+
+    // q127's unrolled recurrence with the teleport term swapped for the
+    // seed indicator: (1−d)·e(v) + d·Σ, e(v) = 1/|S| on doc_id%100=0.
+    "q154_personalized_pagerank" -> {
+      def iter(i: Int): String =
+        s"""p$i AS (SELECT n.node,
+           | round((1::DOUBLE - 0.85::DOUBLE) * n.e
+           |   + 0.85::DOUBLE * coalesce(c.s, 0.0::DOUBLE), 12) AS rank
+           | FROM base n LEFT JOIN (
+           |   SELECT w.dst, sum(p.rank * w.w) AS s
+           |   FROM p${i - 1} p JOIN w ON w.src = p.node GROUP BY 1) c
+           | ON c.dst = n.node)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |ns AS (SELECT count(*) AS n FROM documents WHERE doc_id % 100 = 0),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k) % (SELECT n FROM nn) AS dst
+         |      FROM documents, UNNEST([1, 2, 3]) AS t(k)),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         |w AS (SELECT e.src, e.dst, 1.0::DOUBLE / d AS w FROM e JOIN deg USING (src)),
+         |nodes AS (SELECT DISTINCT v FROM
+         |  (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+         |base AS (SELECT v AS node,
+         |  CASE WHEN v % 100 = 0 THEN 1.0::DOUBLE / (SELECT n FROM ns)
+         |   ELSE 0.0::DOUBLE END AS e FROM nodes),
+         |p0 AS (SELECT node, round(e, 12) AS rank FROM base),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rank FROM p5 ORDER BY node""".stripMargin
     }
   )
 

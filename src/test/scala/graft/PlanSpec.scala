@@ -781,6 +781,16 @@ class PlanSpec extends SparkSpec {
       "both rankings come from the bounded-heap aggregate")
   }
 
+  test("q154 personalized pagerank: seeds broadcast into the teleport base; no cartesian") {
+    val p = plan("q154_personalized_pagerank")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "seed membership must broadcast")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

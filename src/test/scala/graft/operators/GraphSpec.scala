@@ -43,6 +43,42 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(edges, "src", "dst", 0.85, 51))
   }
 
+  test("personalizedPageRank matches a driver-side reference; mass biases toward seeds") {
+    // 0→1, 0→2, 1→2, 2→0, 3→2; seed set {0}
+    val edgeSeq = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+    val edges = edgeSeq.toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+      damping = 0.85, iters = 5)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+
+    def q12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Map(0L -> Seq(1L, 2L), 1L -> Seq(2L), 2L -> Seq(0L), 3L -> Seq(2L))
+    val e = Map(0L -> 1.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0)
+    var r = e.map { case (v, ev) => v -> q12(ev) }
+    for (_ <- 1 to 5) {
+      val contrib = out.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> r(u) / vs.size)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = e.map { case (v, ev) =>
+        v -> q12((1.0 - 0.85) * ev + 0.85 * contrib.getOrElse(v, 0.0))
+      }
+    }
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    got.foreach { case (v, rank) =>
+      assert(rank == r(v), s"node $v: $rank vs ${r(v)}")
+    }
+    // personalization: the non-seed source node 3 (unreachable from the
+    // seed) holds zero rank; the seed's neighborhood holds all the mass
+    val m = got.toMap
+    assert(m(3L) == 0.0)
+    assert(m(0L) > 0 && m(1L) > 0 && m(2L) > 0)
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(edges, "src", "dst",
+        Seq.empty[Long].toDF("node"), "node"))
+  }
+
   test("triangleStats counts K4-minus-an-edge exactly, through canonicalization") {
     // K4 on {0,1,2,3} minus {2,3}: triangles {0,1,2} and {0,1,3}.
     // Input is deliberately dirty: reversed duplicates and a self-loop.
