@@ -1593,6 +1593,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 100 === 0), "doc_id",
         damping = 0.85, iters = 5)
         .orderBy("node")
+    }),
+
+    // ── REAL multi-frame decode round-trip: animated GIFs with
+    // 2 + id%4 solid frames, gray (10 + 7·(id%20) + 13·i) % 256 — every
+    // stride-2 sampled frame must decode back to its own closed-form
+    // dimensions and mean luminance v/255 (GIF palettes store ≤256
+    // distinct colors losslessly; JDK reader/writer, codec-free).
+    "q155_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          graft.operators.Multimodal.MediaRow(id, "video",
+            graft.operators.Multimodal.syntheticGif(
+              nFrames = (2 + id % 4).toInt, width = 8, height = 6,
+              grayOf = i => ((10 + 7 * (id % 20) + 13 * i) % 256).toInt))
+        }
+      graft.operators.Multimodal.gifFrameMeta(media, stride = 2)
+        .toDF().orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -3418,7 +3436,17 @@ object SparkEntry {
          |p0 AS (SELECT node, round(e, 12) AS rank FROM base),
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, rank FROM p5 ORDER BY node""".stripMargin
-    }
+    },
+
+    // Closed-form GIF truth: each sampled frame's decoded mean luminance
+    // must equal its own generator gray / 255.
+    "q155_gif_frames" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        | CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        | round(CAST((10 + 7 * (doc_id % 20) + 13 * f) % 256 AS DOUBLE) / 255.0, 6)
+        |   AS mean_lum
+        |FROM documents, UNNEST(range(0, 2 + doc_id % 4, 2)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

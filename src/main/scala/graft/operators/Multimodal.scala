@@ -407,6 +407,96 @@ object Multimodal {
     }
   }
 
+  /** Decoded GIF frame sequence — REAL multi-frame decode, pure JDK: the
+    * ImageIO GIF reader enumerates and rasterizes every frame of an
+    * animated GIF (`getNumImages(true)` + per-index `read`). Frames are
+    * returned AS STORED (no disposal/compositing pass — deterministic,
+    * and exact for the full-frame GIFs a synthetic pipeline writes).
+    * None when the payload is not a GIF.
+    */
+  private[operators] def decodeGifFrames(blob: Array[Byte]): Option[Vector[BufferedImage]] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(blob))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          if (!reader.getFormatName.equalsIgnoreCase("gif")) None
+          else {
+            reader.setInput(iis, false, true)
+            try {
+              val n = reader.getNumImages(true)
+              Some((0 until n).map(reader.read).toVector)
+            } finally reader.dispose()
+          }
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Per-frame metadata from REAL animated-GIF decode: `(doc_id,
+    * frame_idx, width, height, mean_lum)` for every `stride`-th stored
+    * frame, `mean_lum` the frame's mean of (r+g+b)/3 rounded 6 dp — the
+    * video-keyframe statistics pass, realized on the one multi-frame
+    * container the JDK decodes codec-free. Non-GIF payloads emit
+    * nothing (callers route compressed video to the documented stub
+    * path). Partition-batched; payload bytes never leave their executor.
+    */
+  final case class GifFrameMeta(doc_id: Long, frame_idx: Int, width: Int,
+                                height: Int, mean_lum: Double)
+  def gifFrameMeta(media: Dataset[MediaRow], stride: Int = 1): Dataset[GifFrameMeta] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeGifFrames(r.blob).toSeq.flatMap { frames =>
+          (0 until frames.size by stride).map { i =>
+            val img = frames(i)
+            val (sr, sg, sb, _, _, _) = channelSums(img)
+            val n = img.getWidth.toDouble * img.getHeight
+            val mean = BigDecimal((sr + sg + sb) / (3.0 * n))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            GifFrameMeta(r.doc_id, i, img.getWidth, img.getHeight, mean)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic animated-GIF fixture: `nFrames` solid frames of
+    * `width`×`height`, frame `i` filled with gray `grayOf(i)` — written
+    * with the JDK's own GIF sequence writer, so [[gifFrameMeta]] decodes
+    * true values with a closed-form oracle (a solid gray v frame's mean
+    * luminance is exactly v: the GIF palette stores ≤256 distinct colors
+    * losslessly).
+    */
+  def syntheticGif(nFrames: Int, width: Int, height: Int,
+                   grayOf: Int => Int): Array[Byte] = {
+    require(nFrames >= 1 && width >= 1 && height >= 1)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { i =>
+      val g = grayOf(i) & 0xff
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
   /** One sampled frame: parent id + frame index + the frame's bytes. */
   final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 

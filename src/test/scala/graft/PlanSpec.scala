@@ -791,6 +791,11 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
   }
 
+  test("q155 gif frames is a narrow typed-map pass: no exchange except the output sort") {
+    val shuffles = collectAll(plan("q155_gif_frames")) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"payload bytes must never shuffle:\n$shuffles")
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

@@ -200,4 +200,36 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.doc_id)
     assert(feats.zip(again).forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
+
+  test("gifFrameMeta decodes REAL animated-GIF frames with exact closed-form stats") {
+    // 5 solid frames, gray 20 + 30·i → decoded means must be exactly v/255
+    val gif = Multimodal.syntheticGif(nFrames = 5, width = 8, height = 6,
+      grayOf = i => 20 + 30 * i)
+    // kernel-level: every stored frame enumerated and rasterized
+    val frames = Multimodal.decodeGifFrames(gif).get
+    assert(frames.size == 5)
+    assert(frames.forall(f => f.getWidth == 8 && f.getHeight == 6))
+    // non-GIF payloads (PNG, junk) must return None, not mis-decode
+    val png = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    assert(Multimodal.decodeGifFrames(png).isEmpty)
+    assert(Multimodal.decodeGifFrames("not media".getBytes).isEmpty)
+
+    // operator-level: stride-2 sampling keeps frames 0, 2, 4 with exact means
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", gif),
+      Multimodal.MediaRow(2L, "video", png) // non-GIF: contributes nothing
+    ).toDS()
+    val got = Multimodal.gifFrameMeta(media, stride = 2)
+      .collect().sortBy(_.frame_idx).toSeq
+    def lum(v: Int): Double = BigDecimal(v / 255.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(m => (m.doc_id, m.frame_idx, m.width, m.height, m.mean_lum)) ==
+      Seq((1L, 0, 8, 6, lum(20)), (1L, 2, 8, 6, lum(80)), (1L, 4, 8, 6, lum(140))))
+    intercept[IllegalArgumentException](Multimodal.gifFrameMeta(media, stride = 0))
+  }
 }
