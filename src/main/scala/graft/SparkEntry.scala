@@ -1611,6 +1611,18 @@ object SparkEntry {
         }
       graft.operators.Multimodal.gifFrameMeta(media, stride = 2)
         .toDF().orderBy("doc_id", "frame_idx")
+    }),
+
+    // ── dedup audit over corpus ∪ exact copies of every 5th doc: one row
+    // per doc with kept / dropped_exact / dropped_near and the cluster
+    // survivor — every removal attributable; kept set ≡ dedupCorpus.
+    "q156_dedup_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      Dedup.dedupAudit(corpus, "doc_id", "text", minJaccard = 0.1)
+        .orderBy("doc_id")
     })
   )
 
@@ -3446,7 +3458,47 @@ object SparkEntry {
         | round(CAST((10 + 7 * (doc_id % 20) + 13 * f) % 256 AS DOUBLE) / 255.0, 6)
         |   AS mean_lum
         |FROM documents, UNNEST(range(0, 2 + doc_id % 4, 2)) AS t(f)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // The q58 duplicate-graph chain over the copy-seeded corpus, with the
+    // per-doc status/winner projection instead of the survivor filter.
+    "q156_dedup_audit" ->
+      (s"""WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0),
+         |sig AS (${minhashSigSqlOver("corpus")}), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS (${shingleSqlOver("corpus")}),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |near AS (
+         | SELECT i.doc_a, i.doc_b FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
+         |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM corpus GROUP BY 1),
+         |exacte AS (SELECT g.canon AS doc_a, d.doc_id AS doc_b
+         |           FROM corpus d JOIN exactg g ON sha256(d.text) = g.h
+         |           WHERE d.doc_id <> g.canon),
+         |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
+         |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+         |cc(node, label) AS (
+         | SELECT nn, nn FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
+         |comp AS (SELECT node, min(label) AS comp FROM cc GROUP BY node)
+        |SELECT d.doc_id,
+        | CASE WHEN d.doc_id IN (SELECT doc_b FROM exacte) THEN 'dropped_exact'
+        |      WHEN c.comp IS NOT NULL AND c.comp <> d.doc_id THEN 'dropped_near'
+        |      ELSE 'kept' END AS status,
+        | coalesce(c.comp, d.doc_id) AS winner_id
+        |FROM corpus d LEFT JOIN comp c ON c.node = d.doc_id
+        |ORDER BY doc_id""".stripMargin)
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -206,6 +206,59 @@ object Dedup {
     * One extra broadcast-sized join against the (small) clustered-node
     * set; the anti-join shape is unchanged.
     */
+  /** Shared duplicate-graph builder behind [[dedupCorpusKeeping]] and
+    * [[dedupAudit]]: `(exactEdges, components)` — exact min-id-per-digest
+    * edges plus Jaccard-verified near edges over exact-canonical docs,
+    * closed under connected components. All the scaladoc below (null-safe
+    * digest join-back, exact-first anti-join, mega-cluster streaming)
+    * applies to this graph.
+    */
+  private def corpusDupGraph(df: DataFrame, idCol: String, textCol: String,
+                             minJaccard: Double, n: Int, k: Int,
+                             rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val hashed = df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
+    val reps = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
+      .withColumnRenamed("__h", "__hr")
+    val exactEdges = hashed.join(reps, col("__h") <=> col("__hr"))
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
+    val canon = df.join(exactEdges.select(col("doc_b").as(idCol)), Seq(idCol), "left_anti")
+    val near = nearDups(canon, idCol, textCol, minJaccard, n, k, rowsPerBand)
+      .select(col("doc_a"), col("doc_b"))
+    (exactEdges,
+      connectedComponents(near.unionByName(exactEdges), "doc_a", "doc_b"))
+  }
+
+  /** Dedup audit report — the explainability twin of [[dedupCorpus]]:
+    * one row per input doc, `(id, status, winner_id)` with status
+    * `kept` / `dropped_exact` (a non-representative of a byte-identical
+    * group) / `dropped_near` (lost its verified near-dup cluster to a
+    * lower-id survivor), and `winner_id` the doc's cluster survivor
+    * (itself when kept) — what a pipeline logs so every removal is
+    * attributable. Survivor rule is [[dedupCorpus]]'s min-id; the kept
+    * set here is EXACTLY `dedupCorpus(...)` (spec-pinned).
+    *
+    * 100 TB shape: identical to dedupCorpus (the graph is shared code)
+    * plus one left join of the node-sized component table and one
+    * exact-drop membership join back onto the corpus ids.
+    */
+  def dedupAudit(df: DataFrame, idCol: String, textCol: String,
+                 minJaccard: Double, n: Int = 2, k: Int = 8,
+                 rowsPerBand: Int = 2): DataFrame = {
+    val (exactEdges, cc) = corpusDupGraph(df, idCol, textCol, minJaccard, n, k, rowsPerBand)
+    val exDrop = exactEdges.select(col("doc_b").as(idCol))
+      .withColumn("__ex", lit(1))
+    df.select(col(idCol))
+      .join(cc.select(col("node").as(idCol), col("component")), Seq(idCol), "left")
+      .join(exDrop, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ex").isNotNull, lit("dropped_exact"))
+          .when(col("component").isNotNull && col("component") =!= col(idCol),
+            lit("dropped_near"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("component"), col(idCol)).as("winner_id"))
+  }
+
   def dedupCorpusKeeping(df: DataFrame, idCol: String, textCol: String,
                          minJaccard: Double, keepBy: Option[String],
                          n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
@@ -218,23 +271,15 @@ object Dedup {
     // empty-text docs), same as the groupBy that computes the
     // representatives — a plain equi-join would silently let every
     // null-text doc survive (DedupSpec pins this).
-    val hashed = df.select(col(idCol), sha2(col(textCol), 256).as("__h"))
-    val reps = hashed.groupBy("__h").agg(min(col(idCol)).as("__rep"))
-      .withColumnRenamed("__h", "__hr")
-    val exactEdges = hashed.join(reps, col("__h") <=> col("__hr"))
-      .filter(col(idCol) =!= col("__rep"))
-      .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"))
-    // Near-dup LSH runs ONLY on exact-canonical docs (one representative per
-    // content hash): identical-content clusters would otherwise all land in
-    // the same band buckets and blow up candidate generation O(cluster²).
-    // Lossless: an exact duplicate d of representative c has c's exact
-    // shingle set, so every verified pair (d, x) exists as (c, x), and d
-    // reaches x's component through the d–c exact edge. Components (and so
-    // survivors) are identical to running LSH over the full corpus.
-    val canon = df.join(exactEdges.select(col("doc_b").as(idCol)), Seq(idCol), "left_anti")
-    val near = nearDups(canon, idCol, textCol, minJaccard, n, k, rowsPerBand)
-      .select(col("doc_a"), col("doc_b"))
-    val cc = connectedComponents(near.unionByName(exactEdges), "doc_a", "doc_b")
+    // Near-dup LSH then runs ONLY on exact-canonical docs (one
+    // representative per content hash): identical-content clusters would
+    // otherwise all land in the same band buckets and blow up candidate
+    // generation O(cluster²). Lossless: an exact duplicate d of
+    // representative c has c's exact shingle set, so every verified pair
+    // (d, x) exists as (c, x), and d reaches x's component through the
+    // d–c exact edge. Components (and so survivors) are identical to
+    // running LSH over the full corpus.
+    val (_, cc) = corpusDupGraph(df, idCol, textCol, minJaccard, n, k, rowsPerBand)
     val losers = keepBy match {
       case None =>
         cc.filter(col("node") =!= col("component")).select(col("node").as(idCol))

@@ -151,6 +151,38 @@ class DedupSpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("dedupAudit attributes every removal; kept set equals dedupCorpus exactly") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),  // exact copy of 0
+      (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 0
+      (7L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val audit = Dedup.dedupAudit(d, "doc_id", "text", minJaccard = 0.5)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(audit == Seq(
+      (0L, "kept", 0L),
+      (1L, "dropped_exact", 0L),
+      (2L, "dropped_near", 0L),
+      (7L, "kept", 7L)))
+    // consistency: audit's kept ids == dedupCorpus survivors, always
+    val kept = audit.filter(_._2 == "kept").map(_._1).toSet
+    val survivors = Dedup.dedupCorpus(d, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == survivors)
+    // and on the shared fixture too
+    val auditBig = Dedup.dedupAudit(docs, "doc_id", "text", 0.5)
+      .as[(Long, String, Long)].collect()
+    val keptBig = auditBig.filter(_._2 == "kept").map(_._1).toSet
+    val survBig = Dedup.dedupCorpus(docs, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBig == survBig)
+    // every dropped doc names a kept winner that is not itself
+    auditBig.filter(_._2 != "kept").foreach { case (id, _, w) =>
+      assert(w != id && keptBig.contains(w))
+    }
+  }
+
   test("dedupCorpusKeeping keeps the max-rank row per cluster instead of min id") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog", 5L),
