@@ -354,6 +354,18 @@ object PipelineScaleBench {
           .otherwise(col("text")))
       Dedup.dedupCorpus(boiler, "doc_id", "text", 0.5).count()
     }
+    timed("pipe_dedup_audit") {
+      // the explainability twin over the SAME adversarial corpus: one row
+      // per doc (status + winner) — same graph cost as megacluster dedup
+      // plus two node-sized joins; output == corpus rows at any scale
+      val boiler = corpus.withColumn("text",
+        when(pmod(xxhash64(col("doc_id")), lit(67L)) === 0 && col("doc_id") > 0,
+          lit("the same cookie banner boilerplate on every single page"))
+          .otherwise(col("text")))
+      val out = Dedup.dedupAudit(boiler, "doc_id", "text", 0.5)
+      out.agg(max(xxhash64(out.columns.map(col): _*))).head()
+      out.count()
+    }
     timed("pipe_paragraph_dedup") {
       // every doc carries the SAME boilerplate middle paragraph (a 500k+
       // occurrence digest group — must collapse map-side, the exact-edges
