@@ -203,6 +203,46 @@ object PipelineScaleBench {
         (size(array_distinct(toksQ)).cast("double") / size(toksQ)).as("score"))
       graft.operators.Selection.keepAboveQuantile(scored, "stratum", "score", 0.4).count()
     }
+    // a CONTINUOUS synthetic score (content-hash uniform in [0,1)): the
+    // 40-token distinct-ratio used by pipe_quantile_gate takes only ~4
+    // distinct values, which collapses any equal-depth bucketing onto a
+    // handful of buckets and benchmarks the fixture, not the operator
+    def qaScored = corpus.select(col("doc_id"),
+      (pmod(xxhash64(col("doc_id"), lit(17)), lit(1000000L)).cast("double")
+        / 1000000.0).as("score"))
+    timed("pipe_equidepth_approx", input = 20L) {
+      // corpus-WIDE equi-depth histogram on the APPROX arm — the 100 TB
+      // path for q115 (the exact arm's single percentile buffer holds the
+      // whole column; the sketch is fixed-size and merge-combinable).
+      // output_per_input is buckets emitted / buckets asked — 1.0 on a
+      // continuous score at any scale or boundary drift is losing buckets
+      graft.engine.Summaries.exactPercentileBufferWarning(1L, total)
+        .foreach(w => println(s"""{"advisory":"$w"}"""))
+      graft.engine.Summaries.equiDepthHistogram(qaScored, "score",
+        nBuckets = 20, exact = false).count()
+    }
+    timed("pipe_quantile_transform_approx") {
+      // per-row rank transform on the approx arm (q122's 100 TB path):
+      // output_per_input must be EXACTLY 1.0 — the transform neither
+      // drops nor duplicates rows at any scale
+      graft.engine.Summaries.quantileTransform(qaScored, "score",
+        nBuckets = 100, exact = false).count()
+    }
+    timed("pipe_jaccard_exact_cands") {
+      // PPJoin prefix-filter candidate volume — the corpus-shape-sensitive
+      // quantity behind q133 (the 58 s → 4.8 s trigram episode): candidate
+      // pairs per doc must stay ~flat as nDocs grows; superlinear growth
+      // means the gram space saturated and prefixes stopped discriminating
+      Dedup.jaccardPrefixParts(corpus, "doc_id", "text",
+        p = 600, n = 3)._3.count()
+    }
+    timed("pipe_jaccard_exact") {
+      // the full exact set-similarity join (candidates + exact-intersection
+      // verification): wall tracks the candidate stage plus token-keyed
+      // verify joins; output is verified pairs (the planted 2% near-copies)
+      Dedup.jaccardJoinExact(corpus, "doc_id", "text",
+        minJaccardPermille = 600, n = 3).count()
+    }
     timed("pipe_weighted_sample") {
       // Efraimidis–Spirakis top-k (k = 1% of corpus): per-partition heads
       // + driver merge — wall must stay at scan speed; a regression to a

@@ -1462,7 +1462,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           col("n_chars").cast("double").as("len_score"),
-          size(split(col("text"), " ")).cast("double").as("tok_score"))
+          when(col("text").isNotNull,
+            size(split(col("text"), " "))).cast("double").as("tok_score"))
       graft.operators.Selection.rankFusion(docs, "source", "doc_id",
         Seq("len_score", "tok_score"), topK = 50)
         .orderBy("source", "doc_id")
@@ -1535,7 +1536,8 @@ object SparkEntry {
     "q149_corr_report" -> ((s, dir) =>
       Summaries.pearsonByGroup(
         t(s, dir, "documents").select(col("source"), col("n_chars"),
-          size(split(col("text"), " ")).cast("long").as("tok_n")),
+          when(col("text").isNotNull,
+            size(split(col("text"), " "))).cast("long").as("tok_n")),
         "source", "n_chars", "tok_n")
         .orderBy("source")),
 
@@ -1623,6 +1625,35 @@ object SparkEntry {
           .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
       Dedup.dedupAudit(corpus, "doc_id", "text", minJaccard = 0.1)
         .orderBy("doc_id")
+    }),
+
+    // ── image perceptual near-dup: REAL PNG encode/decode → 8×8 aHash →
+    // pigeonhole Hamming join. Fixture: every doc gets a unique two-level
+    // block image (SplitMix64 bijection → no pattern collisions); every
+    // 4th doc also gets a one-block-flipped copy at +300000, which lands
+    // at aHash Hamming EXACTLY 1 (blocks sit far from the two-level
+    // mean — Multimodal.syntheticBlockImage scaladoc), so the pair set
+    // and distances are closed-form and the oracle is a plain SQL twin.
+    "q157_image_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val p0 = graft.operators.Multimodal.mix64(id)
+          // exclude the two degenerate patterns (all-dark / all-bright)
+          // whose flipped copy would not land at Hamming 1; mix64 is a
+          // bijection so no in-range id maps there, but the gate makes
+          // the fixture total rather than probabilistic
+          val pattern = if (p0 == 0L || p0 == -1L) 1L else p0
+          val base = graft.operators.Multimodal.MediaRow(id, "image",
+            graft.operators.Multimodal.syntheticBlockImage(pattern))
+          if (id % 4 == 0)
+            Seq(base, graft.operators.Multimodal.MediaRow(id + 300000L, "image",
+              graft.operators.Multimodal.syntheticBlockImage(pattern,
+                flipBlock = (id % 64).toInt)))
+          else Seq(base)
+        }
+      graft.operators.Multimodal.imageNearDups(media, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2348,7 +2379,7 @@ object SparkEntry {
          | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
          |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM documents GROUP BY 1),
          |exacte AS (SELECT g.canon AS doc_a, d.doc_id AS doc_b
-         |           FROM documents d JOIN exactg g ON sha256(d.text) = g.h
+         |           FROM documents d JOIN exactg g ON sha256(d.text) IS NOT DISTINCT FROM g.h
          |           WHERE d.doc_id <> g.canon),
          |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
          |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
@@ -2377,7 +2408,7 @@ object SparkEntry {
          | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
          |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM documents GROUP BY 1),
          |exacte AS (SELECT g.canon AS doc_a, d.doc_id AS doc_b
-         |           FROM documents d JOIN exactg g ON sha256(d.text) = g.h
+         |           FROM documents d JOIN exactg g ON sha256(d.text) IS NOT DISTINCT FROM g.h
          |           WHERE d.doc_id <> g.canon),
          |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
          |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
@@ -3482,7 +3513,7 @@ object SparkEntry {
          | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
          |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM corpus GROUP BY 1),
          |exacte AS (SELECT g.canon AS doc_a, d.doc_id AS doc_b
-         |           FROM corpus d JOIN exactg g ON sha256(d.text) = g.h
+         |           FROM corpus d JOIN exactg g ON sha256(d.text) IS NOT DISTINCT FROM g.h
          |           WHERE d.doc_id <> g.canon),
          |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
          |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
@@ -3498,7 +3529,23 @@ object SparkEntry {
         |      ELSE 'kept' END AS status,
         | coalesce(c.comp, d.doc_id) AS winner_id
         |FROM corpus d LEFT JOIN comp c ON c.node = d.doc_id
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // The q157 fixture's pair set in closed form: ONLY the planted
+    // one-block-flipped copies pair up (SplitMix64 patterns are a
+    // bijection of doc_id — unique — and unrelated 64-bit patterns sit
+    // hundreds of bits... ~32 expected bits apart, never within the
+    // Hamming-3 gate), and each flip lands at aHash distance EXACTLY 1
+    // (two-level blocks sit far from the grid mean; see
+    // Multimodal.syntheticBlockImage). DuckDB cannot decode PNGs — it
+    // does not need to: the decode→hash→join pipeline must REPRODUCE
+    // this closed form from real pixels, which is a stronger check than
+    // re-stating the hash arithmetic.
+    "q157_image_near_dup" ->
+      """SELECT doc_id AS doc_a, doc_id + 300000 AS doc_b,
+        | CAST(1 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -253,17 +253,22 @@ object Summaries {
     * order-independent — then one double division, 6 dp.
     *
     * 100 TB shape: groups-sized threshold table broadcast back onto the
-    * corpus (percentile's buffer holds the group multiset — fine for
-    * dashboard-grade group counts; swap in approx_percentile for
-    * corpus-scale strata, as keepAboveQuantile documents), then one
-    * map-side-combinable aggregation. No window, no corpus shuffle.
+    * corpus, then one map-side-combinable aggregation. No window, no
+    * corpus shuffle. `exact = true` (the DuckDB-oracle default) buffers
+    * each group's value multiset in the threshold aggregation — fine for
+    * dashboard-grade group counts, a giant-group cliff at corpus-scale
+    * strata ([[exactPercentileBufferWarning]] states the sizing rule);
+    * `exact = false` swaps in `approx_percentile`'s fixed-size per-group
+    * sketch — SAME plan shape (threshold agg → broadcast join → rollup),
+    * bounded state, a bounded rank error at the two cut points.
     */
   def trimmedStats(df: DataFrame, groupCol: String, valueCol: String,
-                   lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+                   lo: Double = 0.05, hi: Double = 0.95,
+                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(lo >= 0 && lo < hi && hi <= 1, s"quantile bounds bad: [$lo, $hi]")
     val thresholds = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile(`$valueCol`, $lo)").as("__lo"),
-      expr(s"percentile(`$valueCol`, $hi)").as("__hi"))
+      pctExpr(valueCol, lo.toString, exact, accuracy).as("__lo"),
+      pctExpr(valueCol, hi.toString, exact, accuracy).as("__hi"))
     df.join(broadcast(thresholds), Seq(groupCol))
       .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
       .groupBy(col(groupCol))
@@ -500,13 +505,20 @@ object Summaries {
     * 100 TB shape: one percentile aggregation produces the (nBuckets−1)-
     * element boundary array (a single row, broadcast via the scalar
     * cross join); bucket assignment is a per-row fold over that array;
-    * the final rollup is nBuckets-sized and map-side-combinable. For
-    * corpus-scale inputs swap the exact percentile for
-    * `approx_percentile` (the [[quantiles]] precedent) — same plan shape.
+    * the final rollup is nBuckets-sized and map-side-combinable. The
+    * `exact = true` default (the DuckDB-oracle arm) buffers the WHOLE
+    * corpus column in that single boundary aggregation — the one buffer
+    * that dies at 100 TB; `exact = false` swaps in `approx_percentile`'s
+    * fixed-size merge-combinable sketch — IDENTICAL plan shape (one
+    * boundary row, broadcast scalar cross join, per-row fold), bounded
+    * state, boundary doubles within the sketch's rank-error bound (the
+    * SummariesSpec skew fixture pins exact↔approx bucket agreement).
     */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
-                         nBuckets: Int = 10): DataFrame =
-    bucketByPercentile(df.select(col(valueCol).as("__v")), "__v", nBuckets)
+                         nBuckets: Int = 10,
+                         exact: Boolean = true, accuracy: Int = 10000): DataFrame =
+    bucketByPercentile(df.select(col(valueCol).as("__v")), "__v", nBuckets,
+      exact, accuracy)
       .withColumnRenamed("__bucket", "bucket")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -521,30 +533,75 @@ object Summaries {
     * aggregation + a per-row fold, at any scale.
     */
   def quantileTransform(df: DataFrame, valueCol: String,
-                        nBuckets: Int = 100): DataFrame =
-    bucketByPercentile(df, valueCol, nBuckets)
+                        nBuckets: Int = 100,
+                        exact: Boolean = true, accuracy: Int = 10000): DataFrame =
+    bucketByPercentile(df, valueCol, nBuckets, exact, accuracy)
       .withColumn("qrank", col("__bucket").cast("double") / nBuckets)
       .drop("__bucket")
 
   /** Shared core of [[equiDepthHistogram]] and [[quantileTransform]]:
-    * append `__bucket` = #{exact `i/nBuckets` percentile boundaries
-    * strictly below the value}. The boundary array is ONE row (broadcast
-    * scalar cross join); assignment is a codegen'd fold. Bucket
-    * membership is ulp-robust across engines: an interpolated boundary
-    * lies strictly between two consecutive sorted data values, so no
-    * data value can sit between two engines' boundary doubles.
+    * append `__bucket` = #{`i/nBuckets` percentile boundaries strictly
+    * below the value}. The boundary array is ONE row (broadcast scalar
+    * cross join); assignment is a codegen'd fold. With `exact = true`
+    * bucket membership is ulp-robust across engines: an interpolated
+    * boundary lies strictly between two consecutive sorted data values,
+    * so no data value can sit between two engines' boundary doubles.
+    * `exact = false` trades that cross-engine exactness for the bounded
+    * `approx_percentile` sketch — boundaries land ON data values within
+    * the rank-error bound, which is what a 100 TB profiling pass wants.
     */
   private def bucketByPercentile(df: DataFrame, valueCol: String,
-                                 nBuckets: Int): DataFrame = {
+                                 nBuckets: Int, exact: Boolean = true,
+                                 accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
     val bounds = df.agg(
-      expr(s"percentile(`$valueCol`, array(${ps.mkString(", ")}))")
-        .as("__qs")) // exact interpolated percentiles (≡ quantile_cont)
+      pctExpr(valueCol, s"array(${ps.mkString(", ")})", exact, accuracy)
+        .as("__qs")) // exact arm ≡ DuckDB quantile_cont; approx arm = sketch
     df.crossJoin(broadcast(bounds))
       .withColumn("__bucket", expr(
         s"aggregate(__qs, 0L, (acc, q) -> acc + IF(`$valueCol` > q, 1L, 0L))"))
       .drop("__qs")
+  }
+
+  /** One percentile aggregate expression, exact or sketched. The exact
+    * arm (`percentile`, linear-interpolated ≡ DuckDB `quantile_cont`) is
+    * the cross-engine-oracle truth whose ObjectHashAggregate buffer holds
+    * the aggregated value multiset; the approx arm (`approx_percentile`,
+    * fixed-`accuracy` merge-combinable sketch) is the corpus-scale path —
+    * same output type (array in ↦ array out), so the two arms are plan-
+    * shape-identical drop-ins (PlanSpec pins this).
+    */
+  private def pctExpr(valueCol: String, pSql: String, exact: Boolean,
+                      accuracy: Int) = {
+    require(accuracy >= 1, s"accuracy must be >= 1: $accuracy")
+    if (exact) expr(s"percentile(`$valueCol`, $pSql)")
+    else expr(s"approx_percentile(`$valueCol`, $pSql, $accuracy)")
+  }
+
+  /** The giant-group sizing rule for the `exact = true` quantile arms
+    * ([[trimmedStats]], [[madOutliers]], [[equiDepthHistogram]],
+    * [[quantileTransform]]), as a pure function (None = sized safely) —
+    * the [[graft.operators.Sampling]] `shardParallelismWarning`
+    * precedent. Exact `percentile` buffers each group's value multiset
+    * (~8 B a value) inside ONE aggregation task, so the operative number
+    * is rows in the LARGEST stratum — callers that know their group
+    * count pass `nRows / nGroups` × skew; the scale-guard stages log
+    * whatever this returns. Default threshold 50M rows/group ≈ 0.4 GB
+    * of buffer — the last size that survives a default executor.
+    */
+  private[graft] def exactPercentileBufferWarning(
+      nGroups: Long, nRows: Long,
+      maxAvgGroupRows: Long = 50000000L): Option[String] = {
+    require(nGroups > 0, s"nGroups must be positive: $nGroups")
+    val avg = nRows / nGroups
+    if (avg > maxAvgGroupRows)
+      Some(s"exact percentile over $nRows rows in $nGroups group(s) " +
+        s"averages $avg rows/group — the exact arm buffers each group's " +
+        "value multiset (~8 B/value) in one aggregation task; set " +
+        "exact = false (approx_percentile, fixed-size merge-combinable " +
+        "sketch, same plan shape) for corpus-scale strata")
+    else None
   }
 
   /** Robust per-group outlier report: rows whose |value − median| exceeds
@@ -556,23 +613,28 @@ object Summaries {
     *
     * 100 TB shape: three passes by construction (median must exist
     * before deviations, MAD before scores) — each aggregation is
-    * group-sized and both small tables broadcast back; no windows. For
-    * corpus-scale groups switch the `percentile` calls to
-    * `approx_percentile` (the [[quantiles]] trade). A group with
+    * group-sized and both small tables broadcast back; no windows. The
+    * `exact = true` default buffers each group's value multiset per
+    * median ([[exactPercentileBufferWarning]] states the sizing rule);
+    * `exact = false` switches both `percentile` calls to the
+    * `approx_percentile` sketch — same three-pass plan shape, bounded
+    * per-group state, a bounded rank error on median and MAD (which a
+    * robust |z| > 3 gate tolerates by construction). A group with
     * MAD = 0 (over half its values identical) flags every deviant row
     * with a NULL score — the z-scale is undefined there, but a deviation
     * from an otherwise-constant group is exactly what to surface (and
     * ANSI mode makes the naive 0-division an error, not an Infinity).
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                  z: Double = 3.0): DataFrame = {
+                  z: Double = 3.0,
+                  exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(z > 0, s"z must be positive: $z")
     val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile(`$valueCol`, 0.5)").as("__med"))
+      .agg(pctExpr(valueCol, "0.5", exact, accuracy).as("__med"))
     val dev = df.join(broadcast(med), groupCol)
       .withColumn("__ad", abs(col(valueCol) - col("__med")))
     val mad = dev.groupBy(col(groupCol))
-      .agg(expr("percentile(`__ad`, 0.5)").as("__mad"))
+      .agg(pctExpr("__ad", "0.5", exact, accuracy).as("__mad"))
     dev.join(broadcast(mad), groupCol)
       .withColumn("score", when(col("__mad") > 0,
         round(col("__ad") / (lit(1.4826) * col("__mad")), 6)))

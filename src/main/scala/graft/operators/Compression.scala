@@ -50,6 +50,16 @@ object Compression {
     rows.mapPartitions { it =>
       val d = new Deflater(level, false)
       var ended = false
+      def end(): Unit = if (!ended) { d.end(); ended = true }
+      // native zlib state must be released even when the consumer never
+      // drains the iterator (limit/take, task abort): the completion
+      // listener fires unconditionally at task end, and the drain-time
+      // end() below only releases EARLY on the happy path (end() is
+      // idempotent via the flag)
+      org.apache.spark.TaskContext.get() match {
+        case null => // driver-side/local test evaluation: drain-time end() only
+        case tc   => tc.addTaskCompletionListener[Unit](_ => end())
+      }
       val mapped = it.map { case (id, text) =>
         val raw = text.getBytes(StandardCharsets.UTF_8)
         d.reset()
@@ -63,7 +73,7 @@ object Compression {
       new Iterator[(Long, Long, Long)] {
         override def hasNext: Boolean = {
           val h = mapped.hasNext
-          if (!h && !ended) { d.end(); ended = true }
+          if (!h) end()
           h
         }
         override def next(): (Long, Long, Long) = mapped.next()

@@ -1309,6 +1309,37 @@ object Dedup {
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
                        minJaccardPermille: Int, n: Int = 2): DataFrame = {
     val p = minJaccardPermille
+    val (toks, sizes, cands) =
+      jaccardPrefixParts(df, idCol, textCol, p, n)
+    verifyJaccardCandidates(toks, sizes, cands, idCol, p)
+  }
+
+  private def verifyJaccardCandidates(toks: DataFrame, sizes: DataFrame,
+                                      cands: DataFrame, idCol: String,
+                                      p: Int): DataFrame = {
+    val ta = toks.select(col(idCol).as("doc_a"), col("__t"))
+    val tb = toks.select(col(idCol).as("doc_b"), col("__t"))
+    val inter = cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "__t"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("__sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("__sz").as("sz_b")), "doc_b")
+      .filter(col("n_inter") * 1000 >= lit(p.toLong) * (col("sz_a") + col("sz_b") - col("n_inter")))
+      .withColumn("jaccard",
+        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
+      .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** The [[jaccardJoinExact]] pipeline up to (and including) prefix
+    * candidate generation: `(toks, sizes, cands)`. Candidate volume is
+    * the operator's scale-sensitive quantity (corpus-shape-dependent —
+    * the gram-space sizing rule in q133's scaladoc), so the candidate
+    * frame is exposed `private[graft]` for the 500k/5M guard stage to
+    * count and trend independently of verification cost.
+    */
+  private[graft] def jaccardPrefixParts(df: DataFrame, idCol: String,
+                                        textCol: String, p: Int,
+                                        n: Int): (DataFrame, DataFrame, DataFrame) = {
     require(p >= 1 && p <= 1000, s"minJaccardPermille out of [1,1000]: $p")
     // word n-gram shingle sets, like the rest of the dedup family —
     // unigram sets degenerate on small-vocabulary corpora (every doc
@@ -1328,17 +1359,7 @@ object Dedup {
     val cands = ca.join(cb, Seq("__t"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val ta = toks.select(col(idCol).as("doc_a"), col("__t"))
-    val tb = toks.select(col(idCol).as("doc_b"), col("__t"))
-    val inter = cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "__t"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("__sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("__sz").as("sz_b")), "doc_b")
-      .filter(col("n_inter") * 1000 >= lit(p.toLong) * (col("sz_a") + col("sz_b") - col("n_inter")))
-      .withColumn("jaccard",
-        col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
-      .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
+    (toks, sizes, cands)
   }
 
   /** [[nearDups]] over a PRE-BUILT shingle-set table (`(idCol, __set)`,

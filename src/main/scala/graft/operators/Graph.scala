@@ -42,6 +42,15 @@ object Graph {
     * (map-side combinable). Ranks are node-sized, edges edge-sized;
     * nothing is ever collected or broadcast (node counts at web scale
     * dwarf broadcast limits). `N` is one driver-side scalar count.
+    *
+    * Cache lifetime: the returned ranks frame reads the persisted
+    * weighted-edge table LAZILY (iters references in the unrolled plan,
+    * PlanSpec q127 pins the cache scan), so the operator cannot release
+    * it before the caller's action — the cache is caller-owned; a
+    * long-lived session that calls pageRank repeatedly should
+    * `spark.catalog.clearCache()` or re-plan off a materialized copy
+    * between calls ([[hits]] eagerly self-releases instead, which it can
+    * only because its contract materializes per-round).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                damping: Double = 0.85, iters: Int = 5): DataFrame = {
@@ -83,7 +92,8 @@ object Graph {
     * 100 TB shape: identical to [[pageRank]] (persisted weighted edges,
     * two exchanges per iteration) plus one node-sized seed membership
     * joined into the teleport term — seeds broadcast (seed sets are
-    * small by meaning: trusted-domain lists, topic exemplars).
+    * small by meaning: trusted-domain lists, topic exemplars). Cache
+    * lifetime of `weighted`/`base` is caller-owned, as in [[pageRank]].
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, seedCol: String,
@@ -202,7 +212,11 @@ object Graph {
     *
     * 100 TB shape: edges are persisted once; each iteration is two
     * edge-sized co-keyed joins + two map-side-combinable aggregations
-    * (node-sized); the mass is one scalar aggregate broadcast back.
+    * (node-sized). The auth mass normalizes IN-PLAN (one-row aggregate
+    * over the persisted half-step, broadcast into a scalar cross join);
+    * only the hub mass is reduced to the driver — ONE blocking action
+    * per iteration (round 9 halved it from two: same-session A/B on the
+    * sf0.1 graph 8.54 s → 6.99 s, pipe_hits 500k 31.3 s → 24.0 s).
     * Nothing node- or edge-sized is ever collected.
     *
     * Iteration discipline — the [[pageRank]] caveat does NOT transfer:
@@ -211,14 +225,21 @@ object Graph {
     * the new auth frame TWICE (hub recurrence + final scores join),
     * which doubles the logical subtree per round — exponential Catalyst
     * analysis time by iteration 4-5 (measured: minutes at 1k nodes). So
-    * ONE iteration's combined (node, hub, auth) result is re-rooted as a
-    * `LogicalRDD` scan (`createDataFrame(df.rdd, schema)`) per round:
-    * the Catalyst plan stays constant-depth while execution lineage
-    * stays distributed and lazy. WITHIN an iteration the auth subtree
-    * does appear twice, but the copies are identical, so ReuseExchange
-    * executes its aggregation once (snapping every half-step instead
-    * measured 12× slower — 10 broadcast/convert boundaries per round
-    * dominate the node-sized work).
+    * each half-step's raw link-sum frame is re-rooted as a `LogicalRDD`
+    * scan (`createDataFrame(df.rdd, schema)`) AND persisted — the
+    * Catalyst plan stays constant-depth, execution lineage stays
+    * distributed, and each half-step's two consumers (mass + rows) read
+    * one cache instead of replaying the join subtree. (Round 8's "snap
+    * every half-step is 12× slower" measurement was UNPERSISTED snaps —
+    * the cache is what changed the verdict.)
+    *
+    * Cache lifetime: each round unpersists the previous round's two
+    * half-step frames once it has materialized past them; on return the
+    * dense result is materialized into its OWN cache and every loop
+    * cache (edges, routing copies, node table, final half-steps) is
+    * released — the returned frame is the ONE caller-owned persist
+    * (ADVICE r9: repeated calls in a long-lived session must not
+    * accumulate block-manager state).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 5): DataFrame = {
@@ -247,40 +268,58 @@ object Graph {
       .withColumn("auth", round(lit(1.0 / n.toDouble), 12))
     def snap(d: DataFrame): DataFrame =
       d.sparkSession.createDataFrame(d.rdd, d.schema)
-    def normalized(raw: DataFrame, c: String): DataFrame = {
-      // the global mass is ONE scalar per half-step — reduce it to the
-      // driver (bounded by contract, like nodes.count()) and fold it
-      // back as a literal: a broadcast-exchange formulation spawns a
-      // separate evaluation job per half-step whose subtree replay
-      // dominated the node-sized work (measured 8× slower at 5k nodes)
-      val mass = raw.agg(
-        sum(col(c).cast("decimal(38,12)")).cast("double").as("__mass"))
-        .head().getDouble(0)
-      raw.select(col("node"), round(col(c) / lit(mass), 12).as(c))
-    }
+    def massOf(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,12)")).cast("double")
+    // the round's two persisted half-step frames, unpersisted as soon as
+    // the NEXT round has materialized past them (ADVICE r9: an unbounded
+    // session must not accumulate iters×2 cached node tables per call)
+    var prevRound: Seq[DataFrame] = Nil
     for (_ <- 1 to iters) {
-      val authRaw = scores.join(eSrc, scores("node") === eSrc("__src"))
+      val authRaw = snap(scores.join(eSrc, scores("node") === eSrc("__src"))
         .groupBy(col("__dst"))
-        .agg(sum(col("hub").cast("decimal(38,12)")).cast("double").as("auth"))
-        .select(col("__dst").as("node"), col("auth"))
-      val auth = normalized(authRaw, "auth")
-      val hubRaw = auth.join(eDst, auth("node") === eDst("__dst"))
+        .agg(massOf(col("hub")).as("auth"))
+        .select(col("__dst").as("node"), col("auth")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // the auth mass normalizes IN-PLAN: a one-row aggregate over the
+      // PERSISTED raw frame, broadcast into the scalar cross join — the
+      // broadcast build job reads the cache the main pass just filled,
+      // so the half-step costs no separate driver-synchronized subtree
+      // replay (the round-8 8×-slower broadcast formulation was
+      // measured UNPERSISTED; the cache is what changed the verdict)
+      val auth = authRaw
+        .crossJoin(broadcast(authRaw.agg(massOf(col("auth")).as("__mass"))))
+        .select(col("node"), round(col("auth") / col("__mass"), 12).as("auth"))
+      val hubRaw = snap(auth.join(eDst, auth("node") === eDst("__dst"))
         .groupBy(col("__src"))
-        .agg(sum(col("auth").cast("decimal(38,12)")).cast("double").as("hub"))
-        .select(col("__src").as("node"), col("hub"))
-      val hub = normalized(hubRaw, "hub")
-      // persist each round's node-sized state: the next round's TWO mass
-      // reductions each evaluate their subtree in their own job, and
-      // without the cache every such job replays all prior rounds —
-      // quadratic recompute (measured 22 s vs 2 s at 5k nodes). Same
-      // persist-the-loop-state pattern as the `weighted` edge table.
+        .agg(massOf(col("auth")).as("hub"))
+        .select(col("__src").as("node"), col("hub")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // ONE blocking action per round (r9 halved it from two): the hub
+      // mass reduction, whose job also materializes this round's two
+      // caches (hubRaw pulls authRaw through the joins). Both divisions
+      // are the same decimal-sum→double→12-dp quantization whichever
+      // side of the driver they run on — bit-identical scores.
+      val massH = hubRaw.agg(massOf(col("hub"))).head().getDouble(0)
+      val hub = hubRaw
+        .select(col("node"), round(col("hub") / lit(massH), 12).as("hub"))
+      // the combined view is consumed exactly once (next round's join,
+      // or the final dense reinstatement), so it stays lazy — only the
+      // half-step frames, each read twice (mass + rows), are cached
       scores = snap(hub.join(auth, Seq("node"), "full")
         .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
           coalesce(col("auth"), lit(0.0)).as("auth")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      prevRound.foreach(_.unpersist(blocking = false))
+      prevRound = Seq(authRaw, hubRaw)
     }
-    nodes.join(scores, Seq("node"), "left")
+    // materialize the dense result ONCE, then release every loop cache:
+    // the returned frame re-reads its OWN cache (caller-owned — unpersist
+    // it when done; on block loss it falls back to RDD lineage)
+    val out = snap(nodes.join(scores, Seq("node"), "left")
       .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
-        coalesce(col("auth"), lit(0.0)).as("auth"))
+        coalesce(col("auth"), lit(0.0)).as("auth")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    (prevRound ++ Seq(e, eSrc, eDst, nodes)).foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -497,6 +497,202 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ── Perceptual image hashing (aHash/dHash) + Hamming near-dup join ──
+
+  /** Block-averaged Rec.601 luma grid `gw`×`gh`, row-major: cell
+    * `(bx, by)` is the mean luma of pixel block `[bx·w/gw, (bx+1)·w/gw)
+    * × [by·h/gh, (by+1)·h/gh)` — integer block edges, so the downsample
+    * is deterministic for any image size (a cell that maps to zero
+    * pixels on a tiny image reads 0). This is the classic perceptual-
+    * hash preprocessing: resolution, aspect ratio, and high-frequency
+    * detail are averaged away before thresholding.
+    */
+  private def lumaGrid(img: BufferedImage, gw: Int, gh: Int): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Double](gw * gh)
+    var by = 0
+    while (by < gh) {
+      val y0 = by * h / gh; val y1 = (by + 1) * h / gh
+      var bx = 0
+      while (bx < gw) {
+        val x0 = bx * w / gw; val x1 = (bx + 1) * w / gw
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+              0.114 * (p & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out(by * gw + bx) = if (n == 0) 0.0 else s / n
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** 64-bit AVERAGE hash: 8×8 luma grid, bit `by·8+bx` set iff its cell
+    * is STRICTLY above the grid mean. Robust to resize/re-encode (the
+    * grid averages detail away); a solid or two-level image recovers its
+    * block pattern exactly, which is what gives the q157 fixture its
+    * closed-form oracle.
+    */
+  private[operators] def aHash64(img: BufferedImage): Long = {
+    val g = lumaGrid(img, 8, 8)
+    var s = 0.0; var i = 0
+    while (i < 64) { s += g(i); i += 1 }
+    val mean = s / 64.0
+    var hash = 0L; i = 0
+    while (i < 64) { if (g(i) > mean) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** 64-bit DIFFERENCE hash: 9×8 luma grid, bit `by·8+bx` set iff cell
+    * `(bx, by)` is strictly brighter than its right neighbor — a
+    * horizontal-gradient sign map, immune to global brightness shifts
+    * (aHash's mean threshold moves under gamma changes; dHash compares
+    * neighbors, so a constant offset cancels).
+    */
+  private[operators] def dHash64(img: BufferedImage): Long = {
+    val g = lumaGrid(img, 9, 8)
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (g(by * 9 + bx) > g(by * 9 + bx + 1)) hash |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  /** Perceptual hashes of every decodable image row: `(doc_id, ahash,
+    * dhash)`. Same decode gate as [[imageMeta]] (non-image rows never
+    * pay a decode attempt, undecodable images drop); partition-batched,
+    * payload bytes never leave the executor that read them — only two
+    * longs per image flow downstream, which is the whole point at
+    * 100 TB of pixels.
+    */
+  final case class ImageHashes(doc_id: Long, ahash: Long, dhash: Long)
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHashes] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = if (r.media_type == "image") decodeImage(r.blob) else None
+        decoded.map(img => ImageHashes(r.doc_id, aHash64(img), dHash64(img)))
+      }
+    }
+  }
+
+  /** Hamming near-dup join over a 64-bit hash column — the pigeonhole
+    * band trick ([[graft.operators.Dedup.simhashNearDups]] on 60 bits):
+    * split the hash into `maxHamming + 1` disjoint chunks; two hashes
+    * within `maxHamming` MUST agree on at least one whole chunk, so the
+    * chunk-value equi-join has perfect recall and `bit_count(xor)`
+    * verifies candidates exactly. Emits `(doc_a, doc_b, hamming)` with
+    * `doc_a < doc_b`.
+    *
+    * 100 TB shape: hash-table-sized self-join on integer chunk keys —
+    * never all-pairs, no cartesian; candidates per image are bounded by
+    * chunk-bucket occupancy (64/(maxHamming+1) ≥ 12 bits per chunk at
+    * the default keeps buckets sparse on perceptually-diverse corpora;
+    * a corpus of near-identical images IS one giant duplicate class and
+    * belongs to the megacluster guard regardless of hash).
+    */
+  def hammingNearDups(hashes: DataFrame, idCol: String, hashCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming out of [1,15]: $maxHamming")
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val chunkStructs = (0 until chunks).map { c =>
+      val width = if (c == chunks - 1) 64 - c * bits else bits
+      struct(lit(c).as("ck"),
+        shiftright(col("__h"), c * bits).bitwiseAND(lit((1L << width) - 1)).as("cv"))
+    }
+    val banded = hashes
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .select(col("__id"), col("__h"), explode(array(chunkStructs: _*)).as("__c"))
+      .select(col("__id"), col("__h"), col("__c.ck").as("ck"), col("__c.cv").as("cv"))
+    val a = banded.select(col("__id").as("doc_a"), col("__h").as("__ha"),
+      col("ck"), col("cv"))
+    val b = banded.select(col("__id").as("doc_b"), col("__h").as("__hb"),
+      col("ck"), col("cv"))
+    a.join(b, Seq("ck", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
+  /** Image perceptual near-dup: decode → aHash → pigeonhole Hamming
+    * join. The end-to-end operator a multimodal curation pipeline runs
+    * ("drop re-encoded/resized copies of the same picture"): pixels
+    * collapse to one long per image on the executor that read them, and
+    * only the hash table shuffles.
+    */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    hammingNearDups(imageHashes(media).toDF(), "doc_id", "ahash", maxHamming)
+
+  /** SplitMix64 finalizer — a BIJECTION on Long (distinct ids can never
+    * collide to one pattern), used by the image fixtures to give every
+    * doc a unique well-mixed 64-bit block pattern.
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic two-level block-image fixture, PNG-encoded (lossless
+    * — the JDK round-trips it exactly): an 8×8 grid of `blockPx`-pixel
+    * solid blocks, block `i` bright (200) iff bit `i` of `pattern` is
+    * set, else dark (50); `flipBlock` toggles one block. Because every
+    * block sits far from the two-level mean, [[aHash64]] recovers the
+    * block pattern exactly and a one-block flip lands at Hamming
+    * distance EXACTLY 1 — the closed form behind q157's oracle. (The
+    * one degenerate input — an all-bright pattern, whose flip moves the
+    * mean above every other block — is excluded by the fixture mapping
+    * below, not by this function.)
+    */
+  def syntheticBlockImage(pattern: Long, flipBlock: Int = -1,
+                          blockPx: Int = 4): Array[Byte] = {
+    require(blockPx >= 1, s"blockPx must be >= 1: $blockPx")
+    val side = 8 * blockPx
+    val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val idx = by * 8 + bx
+        val bright = ((pattern >>> idx) & 1L) == 1L
+        val g = if (bright ^ (idx == flipBlock)) 200 else 50
+        val rgb = (g << 16) | (g << 8) | g
+        var y = by * blockPx
+        while (y < (by + 1) * blockPx) {
+          var x = bx * blockPx
+          while (x < (bx + 1) * blockPx) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** One sampled frame: parent id + frame index + the frame's bytes. */
   final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 

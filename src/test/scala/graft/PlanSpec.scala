@@ -769,6 +769,31 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
   }
 
+  test("quantile family: the approx arm is a plan-shape-identical drop-in") {
+    // the 100 TB swap (exact percentile → approx_percentile sketch) must
+    // change ONLY the aggregate function, never the plan shape — same
+    // operator skeleton, same broadcast structure, no new exchanges
+    import graft.engine.Summaries
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("n_chars").cast("double").as("v"))
+    def skeleton(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      p.collect { case n => n.getClass.getSimpleName }
+    }
+    assert(skeleton(Summaries.equiDepthHistogram(docs, "v", 10)) ==
+      skeleton(Summaries.equiDepthHistogram(docs, "v", 10, exact = false)))
+    assert(skeleton(Summaries.quantileTransform(docs, "v", 100)) ==
+      skeleton(Summaries.quantileTransform(docs, "v", 100, exact = false)))
+    assert(skeleton(Summaries.trimmedStats(docs, "source", "v")) ==
+      skeleton(Summaries.trimmedStats(docs, "source", "v", exact = false)))
+    assert(skeleton(Summaries.madOutliers(docs, "source", "v")) ==
+      skeleton(Summaries.madOutliers(docs, "source", "v", exact = false)))
+  }
+
   test("q153 ann recall: no cartesian scan — the LSH arm joins on the bucket key") {
     val p = plan("q153_ann_recall")
     // the brute-force arm is a broadcast nested loop BY DESIGN (bounded
@@ -794,6 +819,16 @@ class PlanSpec extends SparkSpec {
   test("q155 gif frames is a narrow typed-map pass: no exchange except the output sort") {
     val shuffles = collectAll(plan("q155_gif_frames")) { case e: ShuffleExchangeExec => e }
     assert(shuffles.size <= 1, s"payload bytes must never shuffle:\n$shuffles")
+  }
+
+  test("q157 image near-dup: pigeonhole chunk equi-join only — no cartesian, no window") {
+    val p = plan("q157_image_near_dup")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "the Hamming join must ride the (ck, cv) chunk equi-key, never all-pairs")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
   }
 
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {

@@ -356,6 +356,76 @@ class SummariesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Summaries.trimmedStats(df, "g", "v", 0.9, 0.1))
   }
 
+  // ── the approx (corpus-scale) quantile arms: same answers as the exact
+  // DuckDB-oracle arms on a skewed heavy-tail fixture, within the
+  // sketch's rank-error bound. Fixture: 1000 DISTINCT cubes (heavy right
+  // tail — the top decile spans 73% of the value range), accuracy well
+  // above n so the sketch's only deviation is boundary-on-data-value
+  // versus interpolated-between-values.
+  private lazy val skewed = spark.range(1, 1001)
+    .select(col("id"), (col("id") * col("id") * col("id")).cast("double").as("v"))
+
+  test("equiDepthHistogram approx arm: near-equal depths on the skewed fixture") {
+    val exact = Summaries.equiDepthHistogram(skewed, "v", nBuckets = 10)
+      .orderBy("bucket").as[(Long, Long, Double, Double)].collect().toSeq
+    val approx = Summaries.equiDepthHistogram(skewed, "v", nBuckets = 10,
+      exact = false).orderBy("bucket").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(exact.map(_._2) == Seq.fill(10)(100L)) // exact arm: perfectly equal
+    assert(approx.map(_._1) == (0L until 10L))
+    assert(approx.map(_._2).sum == 1000L)          // no rows lost or duplicated
+    approx.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - 100L) <= 5, s"bucket $b depth $n drifted > 5 rows") }
+  }
+
+  test("quantileTransform approx arm: qrank within one grid step of exact") {
+    val e = Summaries.quantileTransform(skewed, "v", nBuckets = 20)
+      .select(col("id"), col("qrank").as("qe"))
+    val a = Summaries.quantileTransform(skewed, "v", nBuckets = 20, exact = false)
+      .select(col("id"), col("qrank").as("qa"))
+    val drift = e.join(a, "id")
+      .select(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.abs(col("qe") - col("qa"))))
+      .as[Double].head()
+    assert(drift <= 0.05 + 1e-12, s"qrank drifted $drift > one 1/20 grid step")
+  }
+
+  test("trimmedStats approx arm: same slice within rank tolerance, robust mean holds") {
+    val grouped = skewed.select(lit("g").as("g"), col("v"))
+    val e = Summaries.trimmedStats(grouped, "g", "v", 0.05, 0.95)
+      .as[(String, Long, Double, Double, Double)].head()
+    val a = Summaries.trimmedStats(grouped, "g", "v", 0.05, 0.95, exact = false)
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(math.abs(a._2 - e._2) <= 10, s"n_kept ${a._2} vs ${e._2}")
+    // heavy tail: the mean is dominated by the top of the kept slice, so
+    // compare relatively, not absolutely
+    assert(math.abs(a._3 - e._3) / e._3 < 0.05, s"trimmed_mean ${a._3} vs ${e._3}")
+  }
+
+  test("madOutliers approx arm: identical flag set when outliers are well separated") {
+    val df = Seq.tabulate(50)(i => ("a", i.toLong, (i % 10).toDouble + 1.0)) ++
+      Seq(("a", 98L, 500.0), ("a", 99L, 800.0))
+    val base = df.toDF("g", "id", "v")
+    val e = Summaries.madOutliers(base, "g", "v", z = 3.0)
+      .select("id").as[Long].collect().toSet
+    val a = Summaries.madOutliers(base, "g", "v", z = 3.0, exact = false)
+      .select("id").as[Long].collect().toSet
+    assert(e == Set(98L, 99L))
+    assert(a == e, s"approx flagged $a, exact flagged $e")
+  }
+
+  test("exactPercentileBufferWarning states the giant-group sizing rule") {
+    // 10 strata over 100M rows: 10M rows/group — under the 50M default
+    assert(Summaries.exactPercentileBufferWarning(10L, 100000000L).isEmpty)
+    // one corpus-wide stratum over 10B rows: the buffer cliff
+    val warn = Summaries.exactPercentileBufferWarning(1L, 10000000000L)
+    assert(warn.exists(_.contains("exact = false")))
+    assert(warn.exists(_.contains("approx_percentile")))
+    // threshold is inclusive-below: exactly at the bound stays quiet
+    assert(Summaries.exactPercentileBufferWarning(2L, 100000000L, 50000000L).isEmpty)
+    intercept[IllegalArgumentException](
+      Summaries.exactPercentileBufferWarning(0L, 1L))
+  }
+
   test("cohenKappa: hand-computed confusion matrix and the pe=1 degeneracy") {
     // 10 rows: matrix a\b: (x,x)=4 (x,y)=1 (y,x)=2 (y,y)=3
     // po = 7/10; m1 = {x:5, y:5}, m2 = {x:6, y:4};

@@ -232,4 +232,65 @@ class MultimodalSpec extends SparkSpec {
       Seq((1L, 0, 8, 6, lum(20)), (1L, 2, 8, 6, lum(80)), (1L, 4, 8, 6, lum(140))))
     intercept[IllegalArgumentException](Multimodal.gifFrameMeta(media, stride = 0))
   }
+
+  test("aHash64 recovers a two-level block pattern exactly; one flip = Hamming 1") {
+    val pattern = 0x5A5A1234DEADBEEFL
+    def decode(p: Long, flip: Int = -1) =
+      Multimodal.decodeImage(Multimodal.syntheticBlockImage(p, flip)).get
+    assert(Multimodal.aHash64(decode(pattern)) == pattern)
+    // identical image → identical hash (decode→hash is deterministic)
+    assert(Multimodal.aHash64(decode(pattern)) == Multimodal.aHash64(decode(pattern)))
+    // one flipped block → exactly that bit differs, at any block position
+    Seq(0, 17, 63).foreach { fb =>
+      val flipped = Multimodal.aHash64(decode(pattern, fb))
+      assert(java.lang.Long.bitCount(flipped ^ pattern) == 1, s"flip $fb")
+      assert(((flipped ^ pattern) >>> fb) == 1L, s"flip $fb landed elsewhere")
+    }
+    // the degenerate all-dark pattern still flips cleanly (mean pins at
+    // the dark level; only the bright block exceeds it)
+    assert(Multimodal.aHash64(decode(0L)) == 0L)
+    assert(Multimodal.aHash64(decode(0L, 5)) == (1L << 5))
+  }
+
+  test("dHash64 is a horizontal gradient map, invariant to global brightness") {
+    // left half bright, right half dark: within each row, the only
+    // brighter-than-right-neighbor transition is at grid column 3 (the
+    // 9-wide grid puts the edge between cells 3 and 4) → bit by*8+3
+    val img = new java.awt.image.BufferedImage(36, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 36)
+      img.setRGB(x, y, if (x < 16) 0xc8c8c8 else 0x323232)
+    val h = Multimodal.dHash64(img)
+    assert(h == (0 until 8).map(by => 1L << (by * 8 + 3)).reduce(_ | _))
+    // a constant brightness offset leaves every gradient sign unchanged
+    val dim = new java.awt.image.BufferedImage(36, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 36)
+      dim.setRGB(x, y, if (x < 16) 0x969696 else 0x000000)
+    assert(Multimodal.dHash64(dim) == h)
+  }
+
+  test("imageHashes gates on media_type and decodability; hammingNearDups finds planted pairs only") {
+    val pats = Seq(1L -> 0x0123456789ABCDEFL, 2L -> 0x5A5A1234DEADBEEFL,
+      3L -> 0x7E57AB1E00C0FFEEL)
+    val media = (pats.map { case (id, p) =>
+      Multimodal.MediaRow(id, "image", Multimodal.syntheticBlockImage(p))
+    } :+ Multimodal.MediaRow(10L, "image",
+        Multimodal.syntheticBlockImage(0x0123456789ABCDEFL, flipBlock = 7))
+      :+ Multimodal.MediaRow(11L, "audio", Array[Byte](1, 2, 3))
+      :+ Multimodal.MediaRow(12L, "image", "junk".getBytes("UTF-8"))).toDS()
+    val hashes = Multimodal.imageHashes(media).collect().sortBy(_.doc_id)
+    assert(hashes.map(_.doc_id).toSeq == Seq(1L, 2L, 3L, 10L)) // 11 gated, 12 dropped
+    assert(hashes.find(_.doc_id == 1L).get.ahash == 0x0123456789ABCDEFL)
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 10L, 1L)), s"got $pairs")
+    // distance above the gate: maxHamming=0 is rejected, =1 still finds it
+    intercept[IllegalArgumentException](
+      Multimodal.hammingNearDups(Multimodal.imageHashes(media).toDF(),
+        "doc_id", "ahash", 0))
+    val tight = Multimodal.imageNearDups(media, maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tight == Seq((1L, 10L, 1L)))
+  }
 }
