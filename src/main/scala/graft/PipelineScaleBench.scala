@@ -234,7 +234,7 @@ object PipelineScaleBench {
       // pairs per doc must stay ~flat as nDocs grows; superlinear growth
       // means the gram space saturated and prefixes stopped discriminating
       Dedup.jaccardPrefixParts(corpus, "doc_id", "text",
-        p = 600, n = 3)._3.count()
+        p = 600, n = 3)._2.count()
     }
     timed("pipe_jaccard_exact") {
       // the full exact set-similarity join (candidates + exact-intersection

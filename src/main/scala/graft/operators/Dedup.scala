@@ -1309,21 +1309,23 @@ object Dedup {
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
                        minJaccardPermille: Int, n: Int = 2): DataFrame = {
     val p = minJaccardPermille
-    val (toks, sizes, cands) =
-      jaccardPrefixParts(df, idCol, textCol, p, n)
-    verifyJaccardCandidates(toks, sizes, cands, idCol, p)
-  }
-
-  private def verifyJaccardCandidates(toks: DataFrame, sizes: DataFrame,
-                                      cands: DataFrame, idCol: String,
-                                      p: Int): DataFrame = {
-    val ta = toks.select(col(idCol).as("doc_a"), col("__t"))
-    val tb = toks.select(col(idCol).as("doc_b"), col("__t"))
-    val inter = cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b", "__t"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("__sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("__sz").as("sz_b")), "doc_b")
+    val (sets, cands) = jaccardPrefixParts(df, idCol, textCol, p, n)
+    // verification = two doc-keyed joins + the codegen'd two-pointer
+    // merge on the pre-sorted sets (the [[nearDupsOn]] kernel) — NOT a
+    // token-level re-join: the earlier cands⋈toks⋈toks + count-groupBy
+    // formulation re-evaluated the exploded token table twice and paid a
+    // token-keyed shuffle per side. Measured end-to-end (this rewrite +
+    // the narrow `sizes` below): 500k guard 23.3 s → 12.1 s (1.9×);
+    // sf0.1 q133 5.96 s → 5.26 s (the small corpus sits near the
+    // scheduling floor). shingleSets itself is a zero-exchange per-row
+    // kernel, so each set-side reference is one narrow corpus scan.
+    val a = sets.select(col(idCol).as("doc_a"), col("__set").as("__sa"),
+      size(col("__set")).cast("long").as("sz_a"))
+    val b = sets.select(col(idCol).as("doc_b"), col("__set").as("__sb"),
+      size(col("__set")).cast("long").as("sz_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_inter",
+        graft.functions.MinHashKernel.sortedIntersectCount(col("__sa"), col("__sb")))
       .filter(col("n_inter") * 1000 >= lit(p.toLong) * (col("sz_a") + col("sz_b") - col("n_inter")))
       .withColumn("jaccard",
         col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"))
@@ -1331,7 +1333,7 @@ object Dedup {
   }
 
   /** The [[jaccardJoinExact]] pipeline up to (and including) prefix
-    * candidate generation: `(toks, sizes, cands)`. Candidate volume is
+    * candidate generation: `(sets, cands)`. Candidate volume is
     * the operator's scale-sensitive quantity (corpus-shape-dependent —
     * the gram-space sizing rule in q133's scaladoc), so the candidate
     * frame is exposed `private[graft]` for the 500k/5M guard stage to
@@ -1339,14 +1341,17 @@ object Dedup {
     */
   private[graft] def jaccardPrefixParts(df: DataFrame, idCol: String,
                                         textCol: String, p: Int,
-                                        n: Int): (DataFrame, DataFrame, DataFrame) = {
+                                        n: Int): (DataFrame, DataFrame) = {
     require(p >= 1 && p <= 1000, s"minJaccardPermille out of [1,1000]: $p")
     // word n-gram shingle sets, like the rest of the dedup family —
     // unigram sets degenerate on small-vocabulary corpora (every doc
     // shares most of the vocabulary and pair density explodes)
-    val toks = shingles(df, idCol, textCol, n)
-      .select(col(idCol), col("shingle").as("__t"))
-    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val sets = shingleSets(df, idCol, textCol, n)
+    val toks = sets.select(col(idCol), explode(col("__set")).as("__t"))
+    // per-doc distinct-gram count reads off the set array NARROWLY — the
+    // earlier toks.groupBy(id).count paid a doc-keyed shuffle for a
+    // number the per-row kernel already knows
+    val sizes = sets.select(col(idCol), size(col("__set")).cast("long").as("__sz"))
     val freq = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__df"), col("__t"))
@@ -1359,7 +1364,7 @@ object Dedup {
     val cands = ca.join(cb, Seq("__t"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    (toks, sizes, cands)
+    (sets, cands)
   }
 
   /** [[nearDups]] over a PRE-BUILT shingle-set table (`(idCol, __set)`,
