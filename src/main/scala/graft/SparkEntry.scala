@@ -1654,7 +1654,38 @@ object SparkEntry {
         }
       graft.operators.Multimodal.imageNearDups(media, maxHamming = 3)
         .orderBy("doc_a", "doc_b")
-    })
+    }),
+
+    // ── end-to-end image dedup: the q157 hash→pair machinery composed
+    // with connected components and min-id survivors — every 3rd doc
+    // gains a one-block-flipped re-encode at +400000, each perceptual
+    // cluster is exactly {original, copy}, so the audit is closed-form.
+    "q158_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val p0 = graft.operators.Multimodal.mix64(id)
+          val pattern = if (p0 == 0L || p0 == -1L) 1L else p0
+          val base = graft.operators.Multimodal.MediaRow(id, "image",
+            graft.operators.Multimodal.syntheticBlockImage(pattern))
+          if (id % 3 == 0)
+            Seq(base, graft.operators.Multimodal.MediaRow(id + 400000L, "image",
+              graft.operators.Multimodal.syntheticBlockImage(pattern,
+                flipBlock = ((id / 3) % 64).toInt)))
+          else Seq(base)
+        }
+      graft.operators.Multimodal.imageDedup(media, maxHamming = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ── one-pass column profile of the documents table (exact arm —
+    // count(DISTINCT) via Expand; the approx arm is the 100 TB path,
+    // spec-pinned): string/integer columns only, whose min/max string
+    // forms are engine-portable.
+    "q159_column_profile" -> ((s, dir) =>
+      graft.operators.Profiling.profileColumns(
+        t(s, dir, "documents"), Seq("doc_id", "lang", "source"))
+        .orderBy("column"))
   )
 
   private val threeWayJoinSql: String =
@@ -3545,7 +3576,37 @@ object SparkEntry {
       """SELECT doc_id AS doc_a, doc_id + 300000 AS doc_b,
         | CAST(1 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 4 = 0
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q158's clusters in closed form (the q157 argument, composed
+    // through connected components): each planted copy pairs with its
+    // original and nothing else, so originals are all kept and each
+    // copy is dropped_near onto its source.
+    "q158_image_dedup" ->
+      """SELECT doc_id, 'kept' AS status, doc_id AS winner_id
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 400000, 'dropped_near', doc_id
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q159_column_profile" ->
+      """SELECT * FROM (
+        | SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_null,
+        |  round((count(*) - count(doc_id)) / CAST(count(*) AS DOUBLE), 6) AS null_frac,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  min(CAST(doc_id AS VARCHAR)) AS min_value,
+        |  max(CAST(doc_id AS VARCHAR)) AS max_value FROM documents
+        | UNION ALL
+        | SELECT 'lang', count(*), count(*) - count(lang),
+        |  round((count(*) - count(lang)) / CAST(count(*) AS DOUBLE), 6),
+        |  count(DISTINCT lang), min(lang), max(lang) FROM documents
+        | UNION ALL
+        | SELECT 'source', count(*), count(*) - count(source),
+        |  round((count(*) - count(source)) / CAST(count(*) AS DOUBLE), 6),
+        |  count(DISTINCT source), min(source), max(source) FROM documents
+        |) ORDER BY "column"""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

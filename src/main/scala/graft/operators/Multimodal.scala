@@ -643,6 +643,32 @@ object Multimodal {
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
     hammingNearDups(imageHashes(media).toDF(), "doc_id", "ahash", maxHamming)
 
+  /** End-to-end image dedup: decode → aHash → Hamming pairs → connected
+    * components → keep the min-id survivor per perceptual cluster. One
+    * row per DECODABLE image: `(doc_id, status, winner_id)` with status
+    * `kept` / `dropped_near` — the [[graft.operators.Dedup.dedupAudit]]
+    * contract, so a multimodal curation pipeline reads both audits with
+    * one schema.
+    *
+    * 100 TB shape: pixels collapse to hashes on the scan executors; the
+    * pair graph is the pigeonhole equi-join; components ride the
+    * size-adaptive CC (driver union-find under 4M edges, RDD fixpoint
+    * above); the final attribution is one node-sized left join.
+    */
+  def imageDedup(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val hashes = imageHashes(media).toDF()
+    val comp = graft.operators.Dedup.connectedComponents(
+      hammingNearDups(hashes, "doc_id", "ahash", maxHamming)
+        .select("doc_a", "doc_b"))
+    hashes.select(col("doc_id"))
+      .join(comp.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("component").isNotNull && col("component") =!= col("doc_id"),
+          lit("dropped_near")).otherwise(lit("kept")).as("status"),
+        coalesce(col("component"), col("doc_id")).as("winner_id"))
+  }
+
   /** SplitMix64 finalizer — a BIJECTION on Long (distinct ids can never
     * collide to one pattern), used by the image fixtures to give every
     * doc a unique well-mixed 64-bit block pattern.

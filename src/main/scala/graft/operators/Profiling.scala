@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column-level data profiling — the "describe my table" pass every
+  * ingestion pipeline runs before trusting a new feed (reference scope:
+  * the engine side of TODO.md's data-quality ambitions; no direct
+  * reference twin — this is large-pipeline tooling, like the dedup
+  * family).
+  *
+  * One corpus pass produces one row per profiled column:
+  * `(column, n_rows, n_null, null_frac, n_distinct, min_value,
+  * max_value)` with min/max in the column's STRING form (binary UTF-8
+  * ordering — identical across engines for string and integer columns;
+  * float columns profile fine but their rendered form is
+  * engine-specific, so cross-engine oracles should stick to
+  * string/integer columns).
+  */
+object Profiling {
+
+  /** Profile `cols` of `df` in ONE aggregation pass.
+    *
+    * `exact = true` (the oracle arm) uses `count(DISTINCT c)` per
+    * column: Spark plans the multi-distinct aggregate via Expand — the
+    * corpus is replicated once per distinct-agg into a single shuffle,
+    * exact but ~|cols|× the map-side volume. `exact = false` swaps in
+    * `approx_count_distinct` (HLL++, `rsd` relative error, default 5%):
+    * fixed-size sketches, no Expand, one clean map-side-combinable pass
+    * — the 100 TB arm, same plan shape otherwise ([[
+    * graft.engine.Summaries]] quantile-family precedent).
+    *
+    * The per-column rollup is a `stack` unpivot of the ONE aggregate
+    * row — column-count-sized, never a per-column corpus pass (a
+    * `cols.map(df.agg(...))` loop would scan the corpus |cols| times).
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      "column names with quotes/backticks are not supported")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        (if (exact) count_distinct(col(c))
+         else approx_count_distinct(col(c), rsd)).as(s"__nd_$c"),
+        min(col(c).cast("string")).as(s"__min_$c"),
+        max(col(c).cast("string")).as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `__cnt_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
+    }.mkString(", ")
+    row.select(col("__n"),
+      expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column, __present, n_distinct, min_value, max_value)"))
+      .select(col("column"), col("__n").as("n_rows"),
+        (col("__n") - col("__present")).as("n_null"),
+        round((col("__n") - col("__present")) / col("__n").cast("double"), 6)
+          .as("null_frac"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+}

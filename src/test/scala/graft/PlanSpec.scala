@@ -831,6 +831,26 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
   }
 
+  test("q158 image dedup: chunk equi-join + node-sized attribution, no cartesian") {
+    val p = plan("q158_image_dedup")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q159 column profile: ONE corpus pass — a single scan, no joins, no window") {
+    val p = plan("q159_column_profile")
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"profiler must aggregate every column in one pass, got ${scans.size} scans")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty)
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

@@ -293,4 +293,23 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(tight == Seq((1L, 10L, 1L)))
   }
+
+  test("imageDedup keeps the min-id survivor per perceptual cluster, dedupAudit schema") {
+    // cluster A: 1 ← {2 (flip 3), 3 (flip 9)} via the shared original
+    // pattern; doc 7 is unrelated; doc 8 undecodable (absent from audit)
+    val p = 0x0F0F123456789ABCL
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.syntheticBlockImage(p)),
+      Multimodal.MediaRow(2L, "image", Multimodal.syntheticBlockImage(p, flipBlock = 3)),
+      Multimodal.MediaRow(3L, "image", Multimodal.syntheticBlockImage(p, flipBlock = 9)),
+      Multimodal.MediaRow(7L, "image",
+        Multimodal.syntheticBlockImage(0x7777DEAD5555BEEFL)),
+      Multimodal.MediaRow(8L, "image", "junk".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.imageDedup(media, maxHamming = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    // 2 and 3 are Hamming 2 apart (two single-bit flips of one pattern),
+    // so all three cluster even without the original bridging them
+    assert(got == Seq((1L, "kept", 1L), (2L, "dropped_near", 1L),
+      (3L, "dropped_near", 1L), (7L, "kept", 7L)))
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("en"), "web"),
+    (2L, Some("en"), "web"),
+    (3L, None, "book"),
+    (4L, Some("de"), "book"),
+    (5L, None, "web")
+  ).toDF("id", "lang", "source")
+
+  test("profileColumns: one row per column with exact counts, null fractions, string min/max") {
+    val got = Profiling.profileColumns(df, Seq("id", "lang", "source"))
+      .orderBy("column")
+      .as[(String, Long, Long, Double, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("id", 5L, 0L, 0.0, 5L, Some("1"), Some("5")),
+      ("lang", 5L, 2L, 0.4, 2L, Some("de"), Some("en")),
+      ("source", 5L, 0L, 0.0, 2L, Some("book"), Some("web"))))
+  }
+
+  test("profileColumns: an all-null column yields NULL min/max and full null_frac") {
+    val nulls = df.withColumn("gone", org.apache.spark.sql.functions.lit(null: String))
+    val got = Profiling.profileColumns(nulls, Seq("gone"))
+      .as[(String, Long, Long, Double, Long, Option[String], Option[String])]
+      .head()
+    assert(got == (("gone", 5L, 5L, 1.0, 0L, None, None)))
+  }
+
+  test("profileColumns approx arm: HLL distinct within rsd, same schema and row set") {
+    val wide = spark.range(100000).select(col("id"),
+      (col("id") % 997).as("m"), col("id").cast("string").as("s"))
+    val exact = Profiling.profileColumns(wide, Seq("id", "m", "s"))
+      .orderBy("column")
+      .as[(String, Long, Long, Double, Long, Option[String], Option[String])]
+      .collect().toSeq
+    val approx = Profiling.profileColumns(wide, Seq("id", "m", "s"), exact = false)
+      .orderBy("column")
+      .as[(String, Long, Long, Double, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(exact.map(_._5) == Seq(100000L, 997L, 100000L))
+    exact.zip(approx).foreach { case (e, a) =>
+      // everything but the sketched cardinality is identical
+      assert((a._1, a._2, a._3, a._4, a._6, a._7) ==
+        ((e._1, e._2, e._3, e._4, e._6, e._7)))
+      assert(math.abs(a._5 - e._5).toDouble / e._5 < 0.10,
+        s"${e._1}: approx ${a._5} vs exact ${e._5}")
+    }
+  }
+
+  test("profileColumns rejects unknown and quoted columns, empty selections") {
+    intercept[IllegalArgumentException](Profiling.profileColumns(df, Seq.empty))
+    intercept[IllegalArgumentException](Profiling.profileColumns(df, Seq("nope")))
+    intercept[IllegalArgumentException](Profiling.profileColumns(df, Seq("a'b")))
+  }
+}
