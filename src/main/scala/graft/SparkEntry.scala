@@ -1685,7 +1685,24 @@ object SparkEntry {
     "q159_column_profile" -> ((s, dir) =>
       graft.operators.Profiling.profileColumns(
         t(s, dir, "documents"), Seq("doc_id", "lang", "source"))
-        .orderBy("column"))
+        .orderBy("column")),
+
+    // ── ROLLUP mixing dashboard: docs + chars per (source, lang), per
+    // source, and overall in ONE Expand + hash-agg pass; rolled-up keys
+    // labeled '(all)' for total-order parity with the DuckDB twin.
+    "q160_rollup_report" -> ((s, dir) =>
+      Summaries.rollupReport(t(s, dir, "documents"),
+        Seq("source", "lang"), "n_chars")
+        .orderBy("source", "lang")),
+
+    // ── source × lang cross-tab (explicit pivot domain — the output
+    // schema of a distributed query must never depend on a runtime
+    // distinct scan): one exchange, conditional counts fused into one
+    // hash aggregate.
+    "q161_lang_pivot" -> ((s, dir) =>
+      Summaries.pivotCounts(t(s, dir, "documents"), "source", "lang",
+        Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("source"))
   )
 
   private val threeWayJoinSql: String =
@@ -3606,7 +3623,25 @@ object SparkEntry {
         | SELECT 'source', count(*), count(*) - count(source),
         |  round((count(*) - count(source)) / CAST(count(*) AS DOUBLE), 6),
         |  count(DISTINCT source), min(source), max(source) FROM documents
-        |) ORDER BY "column"""".stripMargin
+        |) ORDER BY "column"""".stripMargin,
+
+    "q160_rollup_report" ->
+      """SELECT
+        | CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+        | CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+        | count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents
+        |GROUP BY ROLLUP (source, lang)
+        |ORDER BY source, lang""".stripMargin,
+
+    "q161_lang_pivot" ->
+      """SELECT source,
+        | count(*) FILTER (WHERE lang = 'de') AS de,
+        | count(*) FILTER (WHERE lang = 'en') AS en,
+        | count(*) FILTER (WHERE lang = 'es') AS es,
+        | count(*) FILTER (WHERE lang = 'fr') AS fr,
+        | count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -657,6 +657,54 @@ object Summaries {
       percentile_approx(col(valueCol), pArr, lit(accuracy)).as("approx_q"))
   }
 
+  /** Hierarchical subtotal report — `ROLLUP` (prefix subtotals: (a,b),
+    * (a), ()) or `CUBE` (every key subset) over `keys`, with rolled-up
+    * key positions labeled `(all)` so every row is total-order sortable
+    * (raw grouping-set output leaves NULLs that collide with genuine
+    * NULL data keys; the label + `grouping_id` disambiguates). Emits
+    * `keys…, n_rows, sum_<weightCol>` — the mixing-dashboard shape
+    * ("docs and chars per source, per source×lang, and overall" in ONE
+    * pass).
+    *
+    * 100 TB shape: grouping sets compile to a single Expand + ONE
+    * map-side-combinable hash aggregation — the corpus is scanned once
+    * and replicated only logically per grouping set (k+1 sets for
+    * rollup, 2^k for cube; keep cube key counts small by meaning).
+    * No joins, no window, no second pass for the totals row.
+    */
+  def rollupReport(df: DataFrame, keys: Seq[String], weightCol: String,
+                   cube: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "rollupReport needs at least one key")
+    val grouped = if (cube) df.cube(keys.map(col): _*)
+                  else df.rollup(keys.map(col): _*)
+    val agged = grouped.agg(count(lit(1)).as("n_rows"),
+      sum(col(weightCol)).as(s"sum_$weightCol"),
+      grouping_id().as("__gid"))
+    // grouping_id bit i (from the LEFT, Spark's contract) is 1 when
+    // keys(i) is rolled up in that row
+    val labeled = keys.zipWithIndex.map { case (k, i) =>
+      when((col("__gid") / (1L << (keys.size - 1 - i))).cast("long") % 2 === 1,
+        lit("(all)")).otherwise(col(k).cast("string")).as(k)
+    }
+    agged.select(labeled :+ col("n_rows") :+ col(s"sum_$weightCol"): _*)
+  }
+
+  /** Pivot (cross-tab) table: one row per `rowKey`, one count column per
+    * `values` entry of `colKey` (absent combinations are 0, not NULL).
+    * `values` is EXPLICIT by contract — the output schema of a
+    * distributed query must not depend on a runtime distinct scan
+    * (Spark's inferring overload collects the domain to the driver;
+    * at corpus scale that is a full extra pass and an unbounded column
+    * explosion). One exchange on `rowKey`; each cell is a
+    * conditional count fused into the same hash aggregate.
+    */
+  def pivotCounts(df: DataFrame, rowKey: String, colKey: String,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivotCounts needs explicit pivot values")
+    df.groupBy(col(rowKey)).pivot(colKey, values).agg(count(lit(1)))
+      .na.fill(0, values)
+  }
+
   /** P7: round all (or the chosen) floating-point columns to n digits
     * (util.py:181-189 rejig_dataframe_precision; default n=5,
     * constants.py:48).

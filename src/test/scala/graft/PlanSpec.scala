@@ -851,6 +851,18 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty)
   }
 
+  test("q160/q161 OLAP reports: one corpus scan, one aggregation pass, no joins") {
+    Seq("q160_rollup_report", "q161_lang_pivot").foreach { q =>
+      val p = plan(q)
+      val scans = collectAll(p) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size == 1, s"$q: grouping sets/pivot must be one pass, got ${scans.size} scans")
+      assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty, q)
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty, q)
+    }
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

@@ -426,6 +426,39 @@ class SummariesSpec extends SparkSpec {
       Summaries.exactPercentileBufferWarning(0L, 1L))
   }
 
+  test("rollupReport: prefix subtotals labeled (all); cube adds the column margins") {
+    val df = Seq(("a", "x", 10L), ("a", "y", 20L), ("b", "x", 5L))
+      .toDF("s", "l", "w")
+    val roll = Summaries.rollupReport(df, Seq("s", "l"), "w")
+      .orderBy("s", "l")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(roll == Seq(
+      ("(all)", "(all)", 3L, 35L),
+      ("a", "(all)", 2L, 30L),
+      ("a", "x", 1L, 10L),
+      ("a", "y", 1L, 20L),
+      ("b", "(all)", 1L, 5L),
+      ("b", "x", 1L, 5L)))
+    val cube = Summaries.rollupReport(df, Seq("s", "l"), "w", cube = true)
+      .orderBy("s", "l")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // cube = rollup + the per-l margins
+    assert(cube.size == roll.size + 2)
+    assert(cube.contains(("(all)", "x", 2L, 15L)))
+    assert(cube.contains(("(all)", "y", 1L, 20L)))
+    intercept[IllegalArgumentException](Summaries.rollupReport(df, Seq.empty, "w"))
+  }
+
+  test("pivotCounts: explicit domain, absent combinations are 0, unlisted values drop") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"), ("b", "zz"))
+      .toDF("s", "l")
+    val got = Summaries.pivotCounts(df, "s", "l", Seq("x", "y"))
+      .orderBy("s").as[(String, Long, Long)].collect().toSeq
+    // 'zz' is outside the declared domain → not a column, not counted
+    assert(got == Seq(("a", 2L, 1L), ("b", 0L, 1L)))
+    intercept[IllegalArgumentException](Summaries.pivotCounts(df, "s", "l", Seq.empty))
+  }
+
   test("cohenKappa: hand-computed confusion matrix and the pe=1 degeneracy") {
     // 10 rows: matrix a\b: (x,x)=4 (x,y)=1 (y,x)=2 (y,y)=3
     // po = 7/10; m1 = {x:5, y:5}, m2 = {x:6, y:4};
