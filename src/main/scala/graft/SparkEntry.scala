@@ -1702,7 +1702,16 @@ object SparkEntry {
     "q161_lang_pivot" -> ((s, dir) =>
       Summaries.pivotCounts(t(s, dir, "documents"), "source", "lang",
         Seq("de", "en", "es", "fr", "zh"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ── embedding covariance matrix: raw-moment single-pass d² table,
+    // decimal-exact sums (the PCA/whitening/drift input; the power-
+    // iteration top component rides it driver-side, spec-gated since an
+    // eigensolve has no SQL twin).
+    "q162_embedding_cov" -> ((s, dir) =>
+      graft.operators.Similarity.covarianceMatrix(
+        t(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j"))
   )
 
   private val threeWayJoinSql: String =
@@ -3641,7 +3650,25 @@ object SparkEntry {
         | count(*) FILTER (WHERE lang = 'es') AS es,
         | count(*) FILTER (WHERE lang = 'fr') AS fr,
         | count(*) FILTER (WHERE lang = 'zh') AS zh
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same raw-moment formulation, same DECIMAL(38,12) order-independent
+    // sums, same one-shot double arithmetic — DuckDB's 1-based list
+    // indexing offset by the range() zero base.
+    "q162_embedding_cov" ->
+      """SELECT r1.i AS i, r2.j AS j,
+        | round((CAST(sum(CAST(CAST(embedding[CAST(r1.i AS INT) + 1] AS DOUBLE)
+        |                   * CAST(embedding[CAST(r2.j AS INT) + 1] AS DOUBLE)
+        |                   AS DECIMAL(38,12))) AS DOUBLE)
+        |        - CAST(sum(CAST(CAST(embedding[CAST(r1.i AS INT) + 1] AS DOUBLE)
+        |                        AS DECIMAL(38,12))) AS DOUBLE)
+        |          * CAST(sum(CAST(CAST(embedding[CAST(r2.j AS INT) + 1] AS DOUBLE)
+        |                          AS DECIMAL(38,12))) AS DOUBLE)
+        |          / count(*)) / count(*),
+        |       6) AS cov
+        |FROM embeddings, range(64) r1(i), range(64) r2(j)
+        |GROUP BY r1.i, r2.j
+        |ORDER BY i, j""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -740,4 +740,100 @@ object Similarity {
       .withColumn("recall",
         round(col("n_hit").cast("double") / lit(k.toDouble), 6))
   }
+
+  /** Embedding covariance matrix `(i, j, cov)`, `cov = (Σxᵢxⱼ −
+    * ΣxᵢΣxⱼ/n)/n` rounded 6 dp — the d² moment table behind PCA,
+    * whitening, and drift monitors, computed from RAW moments so the
+    * corpus is scanned ONCE (the centered two-pass formulation reads it
+    * twice).
+    *
+    * Cross-engine exactness: embedding elements are floats (dyadic
+    * rationals), each product is one exact-input double multiply, and
+    * both moment sums aggregate as DECIMAL(38,12) — exact and
+    * order-independent; the divisions happen once, in double, on both
+    * engines' identical sums.
+    *
+    * 100 TB shape: the double `posexplode` generates d² moment rows per
+    * vector — the honest FLOP count of any Gram computation — which
+    * partial-aggregate map-side to d² rows per partition BEFORE the one
+    * d²-sized exchange; the d-sized first-moment table broadcasts onto
+    * the d² grid. `d` is an embedding dimension (≤ a few k by meaning):
+    * d² sits in one executor comfortably; n never does — nothing
+    * n-sized shuffles or reaches the driver.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame =
+    df.select(asDouble(col(vecCol)).as("__v"))
+      .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      // the first moments ride the SAME (i, j) aggregation — within one
+      // cell every row contributes its xᵢ exactly once, so the cell's
+      // Σxᵢ IS the global Σxᵢ; a separate d-sized moment table would
+      // mean a second corpus scan plus two broadcast joins
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).cast("double")
+        .as("__sxy"),
+        sum(col("xi").cast("decimal(38,12)")).cast("double").as("__sx"),
+        sum(col("xj").cast("decimal(38,12)")).cast("double").as("__sy"),
+        count(lit(1)).as("__n"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round((col("__sxy") - col("__sx") * col("__sy") / col("__n"))
+          / col("__n"), 6).as("cov"))
+
+  /** Top principal component of the embedding cloud: `iters` fixed
+    * power-iteration steps on the 6-dp covariance matrix, each step
+    * L2-normalized and re-quantized to 12 dp, sign fixed so the
+    * largest-|weight| coordinate is positive (eigenvectors are defined
+    * up to sign). Returns `(dim, weight)` — d rows.
+    *
+    * The iteration runs DRIVER-SIDE on the collected d² matrix: d is an
+    * embedding dimension, so the matrix is fixed-size by meaning (64×64
+    * here — the IVF-codebook precedent: bounded by construction, not by
+    * data volume); everything n-sized stayed in [[covarianceMatrix]]'s
+    * distributed pass. A fixed iteration count (not an ε-test) keeps the
+    * operator a pure function of its input — the [[
+    * graft.operators.Graph.pageRank]] contract.
+    */
+  def principalComponent(df: DataFrame, vecCol: String,
+                         iters: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= 200, s"iters out of [1,200]: $iters")
+    val spark = df.sparkSession
+    val cov = covarianceMatrix(df, vecCol)
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
+      .toMap
+    val d = cov.keys.map(_._1).max + 1
+    val m = Array.tabulate(d, d)((i, j) => cov.getOrElse((i, j), 0.0))
+    def quant(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v = Array.fill(d)(quant(1.0 / math.sqrt(d.toDouble)))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0, "power iteration degenerated to the zero vector")
+      v = w.map(x => quant(x / nrm))
+    }
+    val flip = if (v(v.indices.maxBy(i => (math.abs(v(i)), -i))) < 0) -1.0 else 1.0
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, quant(flip * x)) }
+      .toSeq.toDF("dim", "weight")
+  }
+
+  /** Projection of every vector onto the corpus's top principal
+    * component: `(idCol, score)`, the 1-D "where does this embedding sit
+    * along the dominant axis" coordinate (outlier triage, diversity
+    * binning). The component is computed once ([[principalComponent]])
+    * and folded back as a LITERAL array — the per-row dot is the
+    * codegen'd sequential kernel, one narrow corpus pass, no join.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 iters: Int = 20): DataFrame = {
+    val pc = principalComponent(df, vecCol, iters)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    df.select(col(idCol),
+      round(dot(kernelVec(df, vecCol), array(pc.map(lit).toSeq: _*)), 6)
+        .as("score"))
+  }
 }

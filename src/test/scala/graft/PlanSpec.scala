@@ -863,6 +863,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q162 embedding covariance: ONE corpus scan — raw moments in a single aggregation") {
+    val p = plan("q162_embedding_cov")
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"raw-moment formulation must scan embeddings once, got ${scans.size}")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "first moments must ride the (i, j) aggregation, not a moment-table join")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
   test("q114 transitions: single corpus scan; normalize windows the matrix only") {
     val p = plan("q114_event_transitions")
     // the corpus is read ONCE (a totals-join formulation would plan the

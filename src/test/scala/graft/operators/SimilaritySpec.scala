@@ -497,4 +497,46 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(perfect == Seq((0L, 3L, 1.0)))
   }
+
+  test("covarianceMatrix: hand-computed 2x2 moments, symmetric, one-pass raw moments") {
+    // x = (1,2,3), y = (2,4,7): var(x) = 2/3, var(y) = 38/9,
+    // cov(x,y) = (1·2+2·4+3·7 − 6·13/3)/3 = (31 − 26)/3 = 5/3
+    val df = Seq(Array(1.0f, 2.0f), Array(2.0f, 4.0f), Array(3.0f, 7.0f))
+      .toDF("embedding")
+    val got = Similarity.covarianceMatrix(df, "embedding")
+      .orderBy("i", "j").as[(Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (0L, 0L, r6(2.0 / 3)), (0L, 1L, r6(5.0 / 3)),
+      (1L, 0L, r6(5.0 / 3)), (1L, 1L, r6(38.0 / 9))))
+  }
+
+  test("principalComponent recovers a planted dominant axis; pcaProject orders along it") {
+    // points ±k · (0.6, 0.8) plus small orthogonal jitter: the top
+    // eigenvector of the covariance is (0.6, 0.8) up to sign, and the
+    // sign contract (largest-|w| coordinate positive) pins it exactly
+    val pts = (1 to 50).flatMap { k =>
+      val t = k.toDouble
+      Seq((2L * k, Array((0.6 * t).toFloat, (0.8 * t).toFloat)),
+        (2L * k + 1, Array((-0.6 * t + 0.008).toFloat, (-0.8 * t - 0.006).toFloat)))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val pc = Similarity.principalComponent(df, "embedding")
+      .orderBy("dim").as[(Long, Double)].collect().toSeq
+    assert(pc.map(_._1) == Seq(0L, 1L))
+    assert(math.abs(pc(0)._2 - 0.6) < 1e-3, s"pc0 = ${pc(0)._2}")
+    assert(math.abs(pc(1)._2 - 0.8) < 1e-3, s"pc1 = ${pc(1)._2}")
+    // projections sort the points along the planted axis: the largest
+    // positive-k point scores highest, its mirror scores lowest
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding")
+      .orderBy(desc("score")).as[(Long, Double)].collect().toSeq
+    assert(proj.head._1 == 100L && proj.last._1 == 101L)
+    // determinism: a second run is bit-identical (fixed iterations,
+    // quantized steps)
+    val again = Similarity.principalComponent(df, "embedding")
+      .orderBy("dim").as[(Long, Double)].collect().toSeq
+    assert(again == pc)
+    intercept[IllegalArgumentException](
+      Similarity.principalComponent(df, "embedding", iters = 0))
+  }
 }
