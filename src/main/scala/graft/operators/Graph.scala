@@ -213,11 +213,12 @@ object Graph {
     * 100 TB shape: edges are persisted once; each iteration is two
     * edge-sized co-keyed joins + two map-side-combinable aggregations
     * (node-sized). The auth mass normalizes IN-PLAN (one-row aggregate
-    * over the persisted half-step, broadcast into a scalar cross join);
-    * only the hub mass is reduced to the driver — ONE blocking action
-    * per iteration (round 9 halved it from two: same-session A/B on the
-    * sf0.1 graph 8.54 s → 6.99 s, pipe_hits 500k 31.3 s → 24.0 s).
-    * Nothing node- or edge-sized is ever collected.
+    * over the persisted half-step, broadcast into a scalar cross join)
+    * — ZERO blocking driver actions inside the loop; the recurrence
+    * executes under one materializing action at the end (stepwise this
+    * round: two heads/iter 8.54 s → one 6.99 s → none 5.60 s on the
+    * sf0.1 graph; pipe_hits 500k 31.3 s → 20.5 s). Nothing node- or
+    * edge-sized is ever collected.
     *
     * Iteration discipline — the [[pageRank]] caveat does NOT transfer:
     * unlike PageRank (whose loop references the previous ranks ONCE, so
@@ -294,22 +295,28 @@ object Graph {
         .agg(massOf(col("auth")).as("hub"))
         .select(col("__src").as("node"), col("hub")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE blocking action per round (r9 halved it from two): the hub
-      // mass reduction, whose job also materializes this round's two
-      // caches (hubRaw pulls authRaw through the joins). Both divisions
-      // are the same decimal-sum→double→12-dp quantization whichever
-      // side of the driver they run on — bit-identical scores.
-      val massH = hubRaw.agg(massOf(col("hub"))).head().getDouble(0)
+      // the hub mass normalizes in-plan the same way — ZERO blocking
+      // driver actions in the loop (r9 had two per round, then one):
+      // every mass is a broadcast scalar over a persisted half-step, and
+      // the whole recurrence executes under the single materializing
+      // action below (broadcast builds still run as their own Spark
+      // jobs, but without a driver round-trip between rounds). Both
+      // divisions are the same decimal-sum→double→12-dp quantization
+      // wherever they run — bit-identical scores.
       val hub = hubRaw
-        .select(col("node"), round(col("hub") / lit(massH), 12).as("hub"))
+        .crossJoin(broadcast(hubRaw.agg(massOf(col("hub")).as("__mass"))))
+        .select(col("node"), round(col("hub") / col("__mass"), 12).as("hub"))
       // the combined view is consumed exactly once (next round's join,
       // or the final dense reinstatement), so it stays lazy — only the
       // half-step frames, each read twice (mass + rows), are cached
       scores = snap(hub.join(auth, Seq("node"), "full")
         .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
           coalesce(col("auth"), lit(0.0)).as("auth")))
-      prevRound.foreach(_.unpersist(blocking = false))
-      prevRound = Seq(authRaw, hubRaw)
+      // caches stay live until the final materialization below — with no
+      // action inside the loop, nothing has materialized yet, and an
+      // early unpersist would silently turn the final job into a full
+      // lineage replay (bounded: iters×2 node-sized frames)
+      prevRound = prevRound ++ Seq(authRaw, hubRaw)
     }
     // materialize the dense result ONCE, then release every loop cache:
     // the returned frame re-reads its OWN cache (caller-owned — unpersist
