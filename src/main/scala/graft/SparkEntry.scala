@@ -1711,8 +1711,64 @@ object SparkEntry {
     "q162_embedding_cov" -> ((s, dir) =>
       graft.operators.Similarity.covarianceMatrix(
         t(s, dir, "embeddings"), "embedding")
-        .orderBy("i", "j"))
+        .orderBy("i", "j")),
+
+    // ── SQL-surface breadth, verbatim twins (the q07 pattern): arbitrary
+    // GROUPING SETS margins, rank-distribution windows, EXCEPT/INTERSECT.
+    "q163_grouping_sets" -> ((s, dir) => {
+      Sql.registerDir(s, dir, Seq("documents"))
+      s.sql(groupingSetsSql)
+    }),
+    "q164_rank_distribution" -> ((s, dir) => {
+      Sql.registerDir(s, dir, Seq("documents"))
+      s.sql(rankDistSql)
+    }),
+    "q165_set_ops" -> ((s, dir) => {
+      Sql.registerDir(s, dir, Seq("documents"))
+      s.sql(setOpsSql)
+    })
   )
+
+  // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
+  // the strongest oracle is the same ANSI SQL through two optimizers) ──
+  /** Arbitrary GROUPING SETS — the margins-only cousin of q160's ROLLUP
+    * (per-source and per-lang margins plus the grand total, no
+    * (source, lang) cells); one Expand + one hash aggregation in Spark.
+    */
+  private val groupingSetsSql: String =
+    """SELECT
+      | CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+      | CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+      | count(*) AS n_rows
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source), (lang), ())
+      |ORDER BY source, lang""".stripMargin
+
+  /** Rank-distribution window functions (percent_rank / cume_dist /
+    * ntile) over a TOTAL per-partition order (ties broken by doc_id, the
+    * oracle-determinism contract). The ratios are single IEEE divisions
+    * of exact integer ranks — bit-identical across engines unrounded.
+    */
+  private val rankDistSql: String =
+    """SELECT doc_id, lang,
+      | percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr,
+      | cume_dist()    OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cd,
+      | ntile(4)       OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** EXCEPT / INTERSECT (distinct set semantics in both engines). */
+  private val setOpsSql: String =
+    """SELECT 'except' AS op, doc_id FROM (
+      | SELECT doc_id FROM documents WHERE lang = 'en'
+      | EXCEPT
+      | SELECT doc_id FROM documents WHERE source = 'src0')
+      |UNION ALL
+      |SELECT 'intersect', doc_id FROM (
+      | SELECT doc_id FROM documents WHERE lang = 'en'
+      | INTERSECT
+      | SELECT doc_id FROM documents WHERE source = 'src0')
+      |ORDER BY op, doc_id""".stripMargin
 
   private val threeWayJoinSql: String =
     """SELECT c_mktsegment, count(*) AS n_rows,
@@ -3668,7 +3724,11 @@ object SparkEntry {
         |       6) AS cov
         |FROM embeddings, range(64) r1(i), range(64) r2(j)
         |GROUP BY r1.i, r2.j
-        |ORDER BY i, j""".stripMargin
+        |ORDER BY i, j""".stripMargin,
+
+    "q163_grouping_sets" -> groupingSetsSql,
+    "q164_rank_distribution" -> rankDistSql,
+    "q165_set_ops" -> setOpsSql
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
