@@ -1726,7 +1726,27 @@ object SparkEntry {
     "q165_set_ops" -> ((s, dir) => {
       Sql.registerDir(s, dir, Seq("documents"))
       s.sql(setOpsSql)
-    })
+    }),
+
+    // ── semi-structured surface: a deterministic JSON payload column
+    // (byte-identical concat in both engines) parsed back with the JSON
+    // path functions — extraction must round-trip the typed columns
+    // exactly, including the quote-escaping of free text. Spark:
+    // get_json_object (+ from_json typed parse in the spec); DuckDB twin:
+    // json_extract_string — same paths, same values.
+    "q166_json_extract" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          lit("""{"lang":""""), col("lang"),
+          lit("""","n_chars":"""), col("n_chars").cast("string"),
+          lit(""","source":""""), col("source"), lit("\"}")).as("payload"))
+        .select(col("doc_id"),
+          get_json_object(col("payload"), "$.lang").as("lang"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("n_chars"),
+          get_json_object(col("payload"), "$.source").as("source"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "source"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -3728,7 +3748,21 @@ object SparkEntry {
 
     "q163_grouping_sets" -> groupingSetsSql,
     "q164_rank_distribution" -> rankDistSql,
-    "q165_set_ops" -> setOpsSql
+    "q165_set_ops" -> setOpsSql,
+
+    "q166_json_extract" ->
+      """WITH payloads AS (
+        | SELECT doc_id,
+        |  '{"lang":"' || lang || '","n_chars":' || CAST(n_chars AS VARCHAR)
+        |    || ',"source":"' || source || '"}' AS payload
+        | FROM documents)
+        |SELECT json_extract_string(payload, '$.lang') AS lang,
+        | json_extract_string(payload, '$.source') AS source,
+        | count(*) AS n_docs,
+        | CAST(sum(CAST(json_extract_string(payload, '$.n_chars') AS BIGINT))
+        |      AS BIGINT) AS sum_chars
+        |FROM payloads
+        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
