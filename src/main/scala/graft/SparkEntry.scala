@@ -3666,8 +3666,8 @@ object SparkEntry {
 
     // The q157 fixture's pair set in closed form: ONLY the planted
     // one-block-flipped copies pair up (SplitMix64 patterns are a
-    // bijection of doc_id — unique — and unrelated 64-bit patterns sit
-    // hundreds of bits... ~32 expected bits apart, never within the
+    // bijection of doc_id — unique — and unrelated well-mixed 64-bit
+    // patterns sit ~32 bits apart in expectation, never within the
     // Hamming-3 gate), and each flip lands at aHash distance EXACTLY 1
     // (two-level blocks sit far from the grid mean; see
     // Multimodal.syntheticBlockImage). DuckDB cannot decode PNGs — it

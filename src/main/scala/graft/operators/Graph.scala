@@ -271,10 +271,10 @@ object Graph {
       d.sparkSession.createDataFrame(d.rdd, d.schema)
     def massOf(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,12)")).cast("double")
-    // the round's two persisted half-step frames, unpersisted as soon as
-    // the NEXT round has materialized past them (ADVICE r9: an unbounded
-    // session must not accumulate iters×2 cached node tables per call)
-    var prevRound: Seq[DataFrame] = Nil
+    // every half-step cache the loop creates, released together after
+    // the final materialization (ADVICE r9: an unbounded session must
+    // not accumulate cached node tables across calls)
+    var loopCaches: Seq[DataFrame] = Nil
     for (_ <- 1 to iters) {
       val authRaw = snap(scores.join(eSrc, scores("node") === eSrc("__src"))
         .groupBy(col("__dst"))
@@ -316,7 +316,7 @@ object Graph {
       // action inside the loop, nothing has materialized yet, and an
       // early unpersist would silently turn the final job into a full
       // lineage replay (bounded: iters×2 node-sized frames)
-      prevRound = prevRound ++ Seq(authRaw, hubRaw)
+      loopCaches = loopCaches ++ Seq(authRaw, hubRaw)
     }
     // materialize the dense result ONCE, then release every loop cache:
     // the returned frame re-reads its OWN cache (caller-owned — unpersist
@@ -326,7 +326,7 @@ object Graph {
         coalesce(col("auth"), lit(0.0)).as("auth")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    (prevRound ++ Seq(e, eSrc, eDst, nodes)).foreach(_.unpersist(blocking = false))
+    (loopCaches ++ Seq(e, eSrc, eDst, nodes)).foreach(_.unpersist(blocking = false))
     out
   }
 }
