@@ -1746,7 +1746,21 @@ object SparkEntry {
           get_json_object(col("payload"), "$.source").as("source"))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("lang", "source"))
+        .orderBy("lang", "source")),
+
+    // ── filter-attribution report: a 4-rule Gopher-ish keep battery in
+    // ONE conditional-sum pass — per-rule independent failure counts
+    // plus the '(any)' corpus-shrink row.
+    "q167_filter_report" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      TextAnalysis.filterAttribution(t(s, dir, "documents"), Seq(
+        "len_ok" -> col("n_chars").between(200, 20000),
+        "tokens_ok" -> (size(toks) >= 30),
+        "lang_ok" -> col("lang").isin("en", "de", "es", "fr"),
+        "unique_ok" ->
+          (size(array_distinct(toks)).cast("double") / size(toks) >= 0.3)))
+        .orderBy("rule")
+    })
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -3762,7 +3776,33 @@ object SparkEntry {
         | CAST(sum(CAST(json_extract_string(payload, '$.n_chars') AS BIGINT))
         |      AS BIGINT) AS sum_chars
         |FROM payloads
-        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+
+    "q167_filter_report" ->
+      """WITH base AS (
+        | SELECT n_chars BETWEEN 200 AND 20000 AS r1,
+        |  len(string_split(text, ' ')) >= 30 AS r2,
+        |  lang IN ('en', 'de', 'es', 'fr') AS r3,
+        |  len(list_distinct(string_split(text, ' ')))
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3 AS r4
+        | FROM documents)
+        |SELECT rule, n_fail,
+        | round(n_fail / CAST(n AS DOUBLE), 6) AS fail_frac
+        |FROM (
+        | SELECT 'len_ok' AS rule,
+        |  count(*) FILTER (WHERE NOT coalesce(r1, false)) AS n_fail,
+        |  count(*) AS n FROM base
+        | UNION ALL SELECT 'tokens_ok',
+        |  count(*) FILTER (WHERE NOT coalesce(r2, false)), count(*) FROM base
+        | UNION ALL SELECT 'lang_ok',
+        |  count(*) FILTER (WHERE NOT coalesce(r3, false)), count(*) FROM base
+        | UNION ALL SELECT 'unique_ok',
+        |  count(*) FILTER (WHERE NOT coalesce(r4, false)), count(*) FROM base
+        | UNION ALL SELECT '(any)',
+        |  count(*) FILTER (WHERE NOT (coalesce(r1, false) AND coalesce(r2, false)
+        |                          AND coalesce(r3, false) AND coalesce(r4, false))),
+        |  count(*) FROM base)
+        |ORDER BY rule""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -77,6 +77,40 @@ object TextAnalysis {
       array_max(transform(t, x => length(x))).cast("long").as("max_word_len"))
   }
 
+  /** Filter-attribution report: for a named battery of keep-rules,
+    * ONE corpus pass emitting a row per rule — `(rule, n_fail,
+    * fail_frac)` — plus an `(any)` summary row (docs failing AT LEAST
+    * one rule = the corpus shrink the battery causes). The "why did my corpus shrink 40%?" answer a curation
+    * pipeline needs before shipping a filter battery: per-rule failure
+    * counts are attributed INDEPENDENTLY (a doc failing two rules
+    * counts in both), which is the actionable view — fixing the rule
+    * with the largest n_fail recovers at most that many docs.
+    *
+    * 100 TB shape: every rule is a codegen'd predicate folded into one
+    * aggregate row (conditional sums — no per-rule pass, no join); the
+    * per-rule rollup is a rule-count-sized `stack` unpivot of that one
+    * row (the [[graft.operators.Profiling.profileColumns]] pattern).
+    */
+  def filterAttribution(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterAttribution needs at least one rule")
+    require(rules.forall { case (n, _) => !n.contains("'") && !n.contains("`") },
+      "rule names with quotes/backticks are not supported")
+    // a NULL predicate (e.g. a rule over a NULL column) FAILS the rule —
+    // a doc that cannot prove it passes does not pass
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__f_$i")
+    } :+ sum(when(rules.map(_._2).map(p => coalesce(p, lit(false)))
+        .reduce(_ && _), 1L).otherwise(0L)).as("__kept")
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = (rules.zipWithIndex.map { case ((name, _), i) =>
+      s"'$name', `__f_$i`"
+    } :+ "'(any)', `__n` - `__kept`").mkString(", ")
+    row.select(col("__n"),
+      expr(s"stack(${rules.size + 1}, $stackArgs) AS (rule, n_fail)"))
+      .select(col("rule"), col("n_fail"),
+        round(col("n_fail") / col("__n").cast("double"), 6).as("fail_frac"))
+  }
+
   def textStats(df: DataFrame, idCol: String, textCol: String,
                 stopwords: Seq[String] = Stopwords): DataFrame =
     df.withColumn("__toks", tokens(textCol))

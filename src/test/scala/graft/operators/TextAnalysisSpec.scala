@@ -513,4 +513,27 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 5L, 2L, 5L, flesch(5, 2, 5)),
       (2L, 2L, 1L, 2L, flesch(2, 1, 2))))
   }
+
+  test("filterAttribution: independent per-rule fail counts, (any) shrink row, NULL fails") {
+    import org.apache.spark.sql.functions.{col, length}
+    val df = Seq(
+      (1L, Some("good long doc here")),   // passes both
+      (2L, Some("x")),                    // fails len only
+      (3L, Some("zz")),                   // fails len AND the no-z rule
+      (4L, None: Option[String])          // NULL → fails both (cannot prove)
+    ).toDF("doc_id", "text")
+    val rules = Seq(
+      "len_ok" -> (length(col("text")) >= 3),
+      "no_z" -> !col("text").contains("z"))
+    val got = TextAnalysis.filterAttribution(df, rules)
+      .orderBy("rule").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("(any)", 3L, 0.75),   // only doc 1 passes everything
+      ("len_ok", 3L, 0.75),
+      ("no_z", 2L, 0.5)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.filterAttribution(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.filterAttribution(df, Seq("a'b" -> col("text").isNotNull)))
+  }
 }
