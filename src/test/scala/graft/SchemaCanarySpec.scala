@@ -73,4 +73,28 @@ class SchemaCanarySpec extends SparkSpec {
       }
     }
   }
+
+  // VALUE-domain canaries: oracle SQL that hardcodes fixture facts must
+  // fail HERE by name when a regeneration moves them, not as an opaque
+  // hash mismatch. q162 pins the 64-dim embedding (its DuckDB twin
+  // iterates range(64)); q161's pivot domain and q167's lang rule pin
+  // the five-language set.
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                  "/root/testdata/sf0.1")) {
+    test(s"canary: $dir embeddings are 64-dim (q162 oracle contract)") {
+      import org.apache.spark.sql.functions.{min, max, size, col}
+      val dims = spark.read.parquet(s"$dir/embeddings.parquet")
+        .agg(min(size(col("embedding"))), max(size(col("embedding"))))
+        .head()
+      assert((dims.getInt(0), dims.getInt(1)) == ((64, 64)),
+        s"embedding dims drifted to $dims — update q162's range(64) twin")
+    }
+    test(s"canary: $dir documents.lang domain is {de,en,es,fr,zh} (q161/q167 oracles)") {
+      val langs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("lang").distinct().collect().map(_.getString(0)).toSet
+      assert(langs == Set("de", "en", "es", "fr", "zh"),
+        s"lang domain drifted to $langs — update the q161 pivot values " +
+          "and q167 lang_ok rule")
+    }
+  }
 }
