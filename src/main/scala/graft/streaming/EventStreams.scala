@@ -346,6 +346,19 @@ object EventStreams {
         col("p.ts").as("purchase_ts"), col("p.value").as("purchase_value"))
   }
 
+  /** Stream-STATIC enrichment: join live events against a slowly-changing
+    * dimension table (user → segment, doc → source reputation). LEFT
+    * join — an enrichment must never drop facts, so keys missing from
+    * the dim flow through with NULL attributes. No watermark needed:
+    * stream-static joins are stateless by contract (each micro-batch
+    * joins against the CURRENT static relation, so a dim table backed by
+    * a mutable store picks up updates between batches without a restart);
+    * the dim side broadcasts when small — at dimension-table meaning it
+    * always is.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Run a streaming frame to completion against the memory sink (local
     * smoke path: a directory of parquet drives the stream synchronously).
     */

@@ -306,6 +306,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment left-joins the dim per micro-batch, keeps dimless facts") {
+    val evSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val evDir = s"$tmp/enrich-events"
+    Seq((1L, 10.0), (3L, 30.0)).toDF("user_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(evDir)
+    val q = EventStreams.enrichStream(
+      spark.readStream.schema(evSchema).parquet(evDir), dim, "user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .as[(Long, Double, Option[String])].collect().toSet
+      // user 3 has no dim row and still flows, attribute NULL
+      assert(got == Set((1L, 10.0, Some("gold")), (3L, 30.0, None)))
+    } finally q.stop()
+  }
+
   test("streaming twin over a file source produces the same frame via memory sink") {
     val src = s"$tmp/events"
     batch.coalesce(1).write.mode("overwrite").parquet(src)
