@@ -446,10 +446,10 @@ class PlanSpec extends SparkSpec {
     assert(scans.size == 2, s"expected 2 corpus scans, got ${scans.size}")
   }
 
-  test("q115 equi-depth histogram: boundary row broadcasts; assignment is a per-row fold") {
+  test("q115 equi-depth histogram: literal boundaries; assignment is a per-row fold") {
     val p = plan("q115_equidepth_hist")
-    // the boundary array is ONE row — it must ride a broadcast nested-loop
-    // (scalar cross join), never a shuffled join or cartesian of the data
+    // exact boundaries fold back as a LITERAL array (sort-assisted path)
+    // — never a shuffled join or cartesian of the data
     assert(collectAll(p) {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }.isEmpty, "boundaries must broadcast, not cartesian")
@@ -510,11 +510,11 @@ class PlanSpec extends SparkSpec {
     }.isEmpty)
   }
 
-  test("q122 quantile transform: one broadcast boundary row; corpus never hash-shuffles") {
+  test("q122 quantile transform: literal boundaries; corpus never hash-shuffles") {
     val p = plan("q122_quantile_transform")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
       "bucket assignment is a fold, not a percent_rank window")
-    // the only exchanges allowed: the single-row percentile agg + output sort
+    // the only exchanges allowed: the output sort (boundaries are literals)
     val hashEx = collectAll(p) {
       case e: ShuffleExchangeExec
         if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
@@ -769,29 +769,43 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
   }
 
-  test("quantile family: the approx arm is a plan-shape-identical drop-in") {
-    // the 100 TB swap (exact percentile → approx_percentile sketch) must
-    // change ONLY the aggregate function, never the plan shape — same
-    // operator skeleton, same broadcast structure, no new exchanges
+  test("quantile family arms: per-group swap is plan-shape-identical; corpus exact arm buffer-free") {
     import graft.engine.Summaries
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("source"), col("n_chars").cast("double").as("v"))
-    def skeleton(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-      val p = df.queryExecution.executedPlan match {
+    def exec(df: org.apache.spark.sql.DataFrame): SparkPlan =
+      df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case other => other
       }
-      p.collect { case n => n.getClass.getSimpleName }
-    }
-    assert(skeleton(Summaries.equiDepthHistogram(docs, "v", 10)) ==
-      skeleton(Summaries.equiDepthHistogram(docs, "v", 10, exact = false)))
-    assert(skeleton(Summaries.quantileTransform(docs, "v", 100)) ==
-      skeleton(Summaries.quantileTransform(docs, "v", 100, exact = false)))
+    def skeleton(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      exec(df).collect { case n => n.getClass.getSimpleName }
+    // per-group ops: exact percentile → approx_percentile changes ONLY
+    // the aggregate function, never the plan shape
     assert(skeleton(Summaries.trimmedStats(docs, "source", "v")) ==
       skeleton(Summaries.trimmedStats(docs, "source", "v", exact = false)))
     assert(skeleton(Summaries.madOutliers(docs, "source", "v")) ==
       skeleton(Summaries.madOutliers(docs, "source", "v", exact = false)))
+    // corpus-wide ops: the exact arm computes boundaries by distributed
+    // sort + literal fold-back — NO ObjectHashAggregate (the old
+    // whole-column percentile buffer) may appear anywhere in its plan
+    Seq(Summaries.equiDepthHistogram(docs, "v", 10),
+        Summaries.quantileTransform(docs, "v", 100)).foreach { df =>
+      val objAggs = collectAll(exec(df)) {
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+      }
+      assert(objAggs.isEmpty,
+        "exact arm must not buffer the corpus column in a percentile aggregate")
+      assert(collectAll(exec(df)) { case w: WindowExec => w }.isEmpty)
+    }
+    // ...while the approx arm keeps the one-row sketch + broadcast shape
+    Seq(Summaries.equiDepthHistogram(docs, "v", 10, exact = false),
+        Summaries.quantileTransform(docs, "v", 100, exact = false)).foreach { df =>
+      assert(collectAll(exec(df)) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.nonEmpty, "approx boundaries must broadcast as the scalar cross join")
+    }
   }
 
   test("q153 ann recall: no cartesian scan — the LSH arm joins on the bucket key") {
