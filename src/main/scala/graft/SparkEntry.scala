@@ -1760,7 +1760,16 @@ object SparkEntry {
         "unique_ok" ->
           (size(array_distinct(toks)).cast("double") / size(toks) >= 0.3)))
         .orderBy("rule")
-    })
+    }),
+
+    // ── per-group quantile calibration: each doc's char length ranked
+    // against ITS language's quartile grid (groups-sized boundary table
+    // broadcast back; codegen'd fold; no window).
+    "q168_group_qrank" -> ((s, dir) =>
+      Summaries.quantileTransformByGroup(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", nBuckets = 4)
+        .orderBy("doc_id"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -3802,7 +3811,18 @@ object SparkEntry {
         |  count(*) FILTER (WHERE NOT (coalesce(r1, false) AND coalesce(r2, false)
         |                          AND coalesce(r3, false) AND coalesce(r4, false))),
         |  count(*) FROM base)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    // Same per-group grid (quantile_cont ≡ Spark's exact percentile),
+    // same strictly-greater fold, stated with DuckDB list lambdas.
+    "q168_group_qrank" ->
+      """WITH b AS (
+        | SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+        | FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        | len(list_filter(b.qs, q -> d.n_chars > q)) / 4.0 AS qrank
+        |FROM documents d JOIN b USING (lang)
+        |ORDER BY doc_id""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -539,6 +539,37 @@ object Summaries {
       .withColumn("qrank", col("__bucket").cast("double") / nBuckets)
       .drop("__bucket")
 
+  /** PER-GROUP quantile (rank) transform: every row gains `qrank =
+    * bucket/nBuckets` computed against ITS OWN group's quantile grid —
+    * the batch-effect calibration that makes scores from differently-
+    * scaled sources comparable before mixing (a 0.9 from a lenient
+    * source and a 0.9 from a strict one land on their own distributions'
+    * ranks, not a shared absolute scale). [[quantileTransform]] is the
+    * corpus-wide special case.
+    *
+    * 100 TB shape: one groups-sized boundary aggregation broadcast back,
+    * then a codegen'd per-row fold — no window, no corpus shuffle.
+    * `exact = true` buffers each group's value multiset in its boundary
+    * aggregate (bounded by group size; [[exactPercentileBufferWarning]]
+    * states the sizing rule); `exact = false` swaps in the
+    * `approx_percentile` sketch — same plan shape, bounded state.
+    */
+  def quantileTransformByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String, nBuckets: Int = 100,
+                               exact: Boolean = true,
+                               accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df.groupBy(col(groupCol)).agg(
+      pctExpr(valueCol, s"array(${ps.mkString(", ")})", exact, accuracy)
+        .as("__qs"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("qrank", expr(
+        s"aggregate(__qs, 0L, (acc, q) -> acc + IF(`$valueCol` > q, 1L, 0L))")
+        .cast("double") / nBuckets)
+      .drop("__qs")
+  }
+
   /** Shared core of [[equiDepthHistogram]] and [[quantileTransform]]:
     * append `__bucket` = #{`i/nBuckets` percentile boundaries strictly
     * below the value}. The boundary array is ONE row (broadcast scalar

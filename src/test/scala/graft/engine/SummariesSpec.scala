@@ -413,6 +413,31 @@ class SummariesSpec extends SparkSpec {
     assert(a == e, s"approx flagged $a, exact flagged $e")
   }
 
+  test("quantileTransformByGroup ranks each row against ITS group's grid") {
+    // group a: 1..4 → quartile bounds 1.75/2.5/3.25; group b: 10..40 —
+    // the same absolute value lands on different ranks per group
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("b", 5L, 10.0), ("b", 6L, 20.0), ("b", 7L, 30.0), ("b", 8L, 40.0))
+      .toDF("g", "id", "v")
+    val got = Summaries.quantileTransformByGroup(df, "g", "v", nBuckets = 4)
+      .orderBy("id").as[(String, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._4) == Seq(0.0, 0.25, 0.5, 0.75, 0.0, 0.25, 0.5, 0.75))
+    // approx arm agrees within one grid step on the skewed fixture
+    val grouped = skewed.select((col("id") % 3).cast("string").as("g"),
+      col("id"), col("v"))
+    val e = Summaries.quantileTransformByGroup(grouped, "g", "v", 20)
+      .select(col("id"), col("qrank").as("qe"))
+    val a = Summaries.quantileTransformByGroup(grouped, "g", "v", 20, exact = false)
+      .select(col("id"), col("qrank").as("qa"))
+    val drift = e.join(a, "id")
+      .select(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.abs(col("qe") - col("qa"))))
+      .as[Double].head()
+    assert(drift <= 0.05 + 1e-12, s"per-group qrank drifted $drift")
+    intercept[IllegalArgumentException](
+      Summaries.quantileTransformByGroup(df, "g", "v", 1))
+  }
+
   test("exactPercentileBufferWarning states the giant-group sizing rule") {
     // 10 strata over 100M rows: 10M rows/group — under the 50M default
     assert(Summaries.exactPercentileBufferWarning(10L, 100000000L).isEmpty)
