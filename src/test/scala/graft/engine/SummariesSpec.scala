@@ -438,6 +438,34 @@ class SummariesSpec extends SparkSpec {
       Summaries.quantileTransformByGroup(df, "g", "v", 1))
   }
 
+  test("sort-assisted exact boundaries agree with percentile() to the bucket") {
+    // the exact arm's distributed-sort path states quantile_cont's
+    // interpolation directly; Spark's percentile() aggregate states the
+    // same formula internally — the two must agree within an ulp, which
+    // bucket assignment then makes EXACTLY equal (boundaries sit strictly
+    // between data values on this fixture)
+    val df = skewed // 1000 distinct cubes, heavy tail
+    val viaSort = Summaries.equiDepthHistogram(df, "v", nBuckets = 8)
+      .orderBy("bucket").as[(Long, Long, Double, Double)].collect().toSeq
+    val ps = (1 until 8).map(_.toDouble / 8)
+    val viaAgg = df.agg(
+      org.apache.spark.sql.functions.expr(
+        s"percentile(`v`, array(${ps.mkString(",")}))")).as[Seq[Double]].head()
+    val viaSortBounds = viaSort.drop(1).map(_._3) // each bucket's observed lo
+    // same counts per bucket as the aggregate formulation would give:
+    // recompute buckets from the percentile() boundaries driver-side
+    val vals = df.select("v").as[Double].collect()
+    val counts = (0 until 8).map { b =>
+      vals.count { v =>
+        val below = viaAgg.count(v > _)
+        below == b
+      }.toLong
+    }
+    assert(viaSort.map(_._2) == counts,
+      s"sort-path buckets ${viaSort.map(_._2)} != percentile() buckets $counts")
+    assert(viaSortBounds.size == 7)
+  }
+
   test("exactPercentileBufferWarning states the giant-group sizing rule") {
     // 10 strata over 100M rows: 10M rows/group — under the 50M default
     assert(Summaries.exactPercentileBufferWarning(10L, 100000000L).isEmpty)

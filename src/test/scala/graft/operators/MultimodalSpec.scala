@@ -294,6 +294,30 @@ class MultimodalSpec extends SparkSpec {
     assert(tight == Seq((1L, 10L, 1L)))
   }
 
+  test("hammingNearDups has PERFECT recall vs the brute-force pair scan") {
+    // pigeonhole proof obligation: any pair within maxHamming MUST share
+    // a whole chunk. 200 deterministic well-mixed hashes plus planted
+    // neighbors at distances 1..4 around the gate (maxHamming = 3).
+    val base = (0L until 200L).map(id => (id, Multimodal.mix64(id * 7 + 1)))
+    val planted = Seq(
+      (500L, base(3)._2 ^ 1L),                      // d=1
+      (501L, base(7)._2 ^ ((1L << 9) | (1L << 40))),  // d=2
+      (502L, base(11)._2 ^ ((1L << 5) | (1L << 21) | Long.MinValue)), // d=3, top bit
+      (503L, base(13)._2 ^ 0xF0L))                  // d=4 → outside gate
+    val rows = (base ++ planted).toDF("doc_id", "ahash")
+    val got = Multimodal.hammingNearDups(rows, "doc_id", "ahash", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over all pairs, driver-side
+    val all = (base ++ planted)
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute, s"pigeonhole recall broke: missing ${brute -- got}, extra ${got -- brute}")
+    assert(brute.exists(_._3 == 3L), "fixture must exercise the gate boundary")
+    assert(!brute.exists(p => p._1 == 13L && p._2 == 503L), "d=4 must be outside")
+  }
+
   test("imageDedup keeps the min-id survivor per perceptual cluster, dedupAudit schema") {
     // cluster A: 1 ← {2 (flip 3), 3 (flip 9)} via the shared original
     // pattern; doc 7 is unrelated; doc 8 undecodable (absent from audit)
