@@ -1769,7 +1769,24 @@ object SparkEntry {
       Summaries.quantileTransformByGroup(
         t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
         "lang", "n_chars", nBuckets = 4)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── 2-D equal-width histogram (heatmap): width_bucket on both axes,
+    // one hash aggregation — the value-vs-length profiling grid.
+    "q169_heatmap" -> ((s, dir) =>
+      events(s, dir)
+        .select(expr("width_bucket(value, 0.0, 100.0, 10)").as("vx"),
+          expr("width_bucket(CAST(user_id % 1000 AS DOUBLE), 0.0, 1000.0, 10)").as("ux"))
+        .groupBy("vx", "ux").agg(count(lit(1)).as("n"))
+        .orderBy("vx", "ux")),
+
+    // ── temporal activity matrix: events per (day-of-week, hour) — the
+    // load-shape profile behind ingestion scheduling; one aggregation.
+    "q170_time_matrix" -> ((s, dir) =>
+      events(s, dir)
+        .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hh"))
+        .groupBy("dow", "hh").agg(count(lit(1)).as("n"))
+        .orderBy("dow", "hh"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -3822,7 +3839,26 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.n_chars,
         | len(list_filter(b.qs, q -> d.n_chars > q)) / 4.0 AS qrank
         |FROM documents d JOIN b USING (lang)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB has no width_bucket — its exact arithmetic is restated
+    // (floor((v − lo) / ((hi − lo)/n)) + 1, with the two out-of-range
+    // sentinels), same doubles on both engines.
+    "q169_heatmap" ->
+      """SELECT
+        | CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 11
+        |  ELSE CAST(floor((value - 0.0) / ((100.0 - 0.0) / 10)) AS BIGINT) + 1
+        | END AS vx,
+        | CAST(floor((CAST(user_id % 1000 AS DOUBLE) - 0.0)
+        |            / ((1000.0 - 0.0) / 10)) AS BIGINT) + 1 AS ux,
+        | count(*) AS n
+        |FROM events GROUP BY vx, ux ORDER BY vx, ux""".stripMargin,
+
+    // Spark dayofweek is 1-based Sunday=1; DuckDB's is 0-based Sunday=0.
+    "q170_time_matrix" ->
+      """SELECT dayofweek(ts) + 1 AS dow, extract(hour FROM ts) AS hh,
+        | count(*) AS n
+        |FROM events GROUP BY dow, hh ORDER BY dow, hh""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
