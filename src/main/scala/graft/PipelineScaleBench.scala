@@ -228,6 +228,27 @@ object PipelineScaleBench {
       graft.engine.Summaries.quantileTransform(qaScored, "score",
         nBuckets = 100, exact = false).count()
     }
+    timed("pipe_profile_approx", input = 4L) {
+      // one-pass column profile on the HLL arm (the 100 TB arm — the
+      // exact arm's count(DISTINCT) Expand multiplies map-side volume by
+      // |cols|): output_per_input = columns emitted / asked, exactly 1.0
+      graft.operators.Profiling.profileColumns(
+        corpus.select(col("doc_id"), col("text"),
+          pmod(xxhash64(col("doc_id"), lit(23)), lit(20L)).as("src"),
+          pmod(xxhash64(col("doc_id"), lit(29)), lit(5L)).as("lang")),
+        Seq("doc_id", "src", "lang", "text"), exact = false).count()
+    }
+    timed("pipe_rollup", input = 127L) {
+      // ROLLUP mixing dashboard over 20×5 synthetic strata: one Expand +
+      // one map-side-combinable aggregation; output is the fixed
+      // 20·5 + 20 + 1 = 121-row subtotal table + headroom — FLAT in n
+      graft.engine.Summaries.rollupReport(
+        corpus.select(
+          pmod(xxhash64(col("doc_id"), lit(23)), lit(20L)).cast("string").as("src"),
+          pmod(xxhash64(col("doc_id"), lit(29)), lit(5L)).cast("string").as("lang"),
+          length(col("text")).as("n_chars")),
+        Seq("src", "lang"), "n_chars").count()
+    }
     timed("pipe_jaccard_exact_cands") {
       // PPJoin prefix-filter candidate volume — the corpus-shape-sensitive
       // quantity behind q133 (the 58 s → 4.8 s trigram episode): candidate
