@@ -1786,7 +1786,17 @@ object SparkEntry {
       events(s, dir)
         .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hh"))
         .groupBy("dow", "hh").agg(count(lit(1)).as("n"))
-        .orderBy("dow", "hh"))
+        .orderBy("dow", "hh")),
+
+    // ── cluster-aware leakage-safe split: q126 extended to NEAR dups —
+    // every doc in a verified duplicate cluster (the q58 graph) follows
+    // its cluster representative's hash into train/test, closing the
+    // near-copy contamination path exact-only splitting leaves open.
+    "q171_cluster_split" -> ((s, dir) =>
+      Dedup.clusterSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.1, testPermille = 200, salt = "cs")
+        .select("doc_id", "split")
+        .orderBy("doc_id"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -3858,7 +3868,43 @@ object SparkEntry {
     "q170_time_matrix" ->
       """SELECT dayofweek(ts) + 1 AS dow, extract(hour FROM ts) AS hh,
         | count(*) AS n
-        |FROM events GROUP BY dow, hh ORDER BY dow, hh""".stripMargin
+        |FROM events GROUP BY dow, hh ORDER BY dow, hh""".stripMargin,
+
+    // The q58 duplicate-graph chain, then the q126 permille hash on the
+    // CLUSTER representative (coalesce(component, doc_id)) instead of
+    // the exact-digest group representative.
+    "q171_cluster_split" ->
+      (s"""WITH RECURSIVE sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |near AS (
+         | SELECT i.doc_a, i.doc_b FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
+         |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM documents GROUP BY 1),
+         |exacte AS (SELECT g.canon AS doc_a, d.doc_id AS doc_b
+         |           FROM documents d JOIN exactg g ON sha256(d.text) IS NOT DISTINCT FROM g.h
+         |           WHERE d.doc_id <> g.canon),
+         |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
+         |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+         |cc(node, label) AS (
+         | SELECT nn, nn FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
+         |comp AS (SELECT node, min(label) AS comp FROM cc GROUP BY node)
+        |SELECT d.doc_id,
+        | CASE WHEN ('0x' || substr(md5('cs' || CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)),1,15))::BIGINT % 1000 < 200
+        |      THEN 'test' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |ORDER BY doc_id""".stripMargin)
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -259,6 +259,40 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("winner_id"))
   }
 
+  /** Leakage-safe train/test split extended to NEAR duplicates: every doc
+    * in a verified duplicate cluster (exact ∪ Jaccard-verified near-dup
+    * edges, closed under connected components — [[dedupCorpus]]'s graph)
+    * follows its CLUSTER's representative into train or test. Closes the
+    * contamination path exact-only splitting ([[Sampling.leakSafeSplit]])
+    * leaves open: a near-copy with one token changed can land in eval
+    * while its twin trains — for an LLM that memorizes, that eval row is
+    * still leaked. Split fate is [[Sampling.hashBucket]] on
+    * `coalesce(component, id)`, so docs in no cluster degrade to the
+    * plain per-id hash split (same labels as [[Sampling.hashSplit]]).
+    *
+    * 100 TB shape: the duplicate graph is the shared [[dedupCorpus]]
+    * machinery (digest-keyed exact exchange + banded LSH candidates +
+    * counted CC fixpoint — see that scaladoc; PipelineScaleBench's
+    * pipe_dedup_corpus/pipe_cc stages guard it); the split itself adds
+    * ONE left join of the node-sized component table against the corpus
+    * ids plus a narrow hash projection — no corpus text shuffle beyond
+    * what dedup already pays.
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       minJaccard: Double, testPermille: Int,
+                       salt: String = "", n: Int = 2, k: Int = 8,
+                       rowsPerBand: Int = 2): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      s"testPermille out of [0,1000]: $testPermille")
+    val (_, cc) = corpusDupGraph(df, idCol, textCol, minJaccard, n, k, rowsPerBand)
+    df.join(cc.select(col("node").as(idCol), col("component")), Seq(idCol), "left")
+      .withColumn("split",
+        when(Sampling.hashBucket(coalesce(col("component"), col(idCol)), salt)
+               < testPermille, lit("test"))
+          .otherwise(lit("train")))
+      .drop("component")
+  }
+
   def dedupCorpusKeeping(df: DataFrame, idCol: String, textCol: String,
                          minJaccard: Double, keepBy: Option[String],
                          n: Int = 2, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {

@@ -565,4 +565,24 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.jaccardJoinExact(corpus, "doc_id", "text", 0))
   }
+
+  test("clusterSafeSplit co-locates near-dup clusters; singletons get the plain hash split") {
+    val out = Dedup.clusterSafeSplit(docs, "doc_id", "text",
+      minJaccard = 0.1, testPermille = 300, salt = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 5)
+    // the plain per-id hash labels each doc would get with no clustering
+    val plain = docs.select(col("doc_id"),
+        when(Sampling.hashBucket(col("doc_id"), "s") < 300, lit("test"))
+          .otherwise(lit("train")).as("e"))
+      .as[(Long, String)].collect().toMap
+    // {0,1,2} is ONE cluster (exact 0~2, verified near 0~1): every member
+    // gets the representative's (doc 0's) fate — including the near-copy
+    // doc 1, the row exact-only splitting would hash independently
+    assert(Set(out(0L), out(1L), out(2L)) == Set(plain(0L)))
+    // docs in no cluster degrade to the plain per-id split
+    assert(out(3L) == plain(3L) && out(4L) == plain(4L))
+    intercept[IllegalArgumentException](
+      Dedup.clusterSafeSplit(docs, "doc_id", "text", 0.1, 1500))
+  }
 }
