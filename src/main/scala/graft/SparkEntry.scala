@@ -1796,7 +1796,16 @@ object SparkEntry {
       Dedup.clusterSafeSplit(t(s, dir, "documents"), "doc_id", "text",
         minJaccard = 0.1, testPermille = 200, salt = "cs")
         .select("doc_id", "split")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ── dedup threshold sweep: verified pairs per Jaccard band among
+    // LSH-surfaced candidates + the descending-cumulative merge count —
+    // the one-run tuning artifact for picking minJaccard. Integer-exact
+    // band assignment (bins·n_inter div union).
+    "q172_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text",
+        floor = 0.05, bins = 20)
+        .orderBy("bin"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -3904,7 +3913,32 @@ object SparkEntry {
         | CASE WHEN ('0x' || substr(md5('cs' || CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)),1,15))::BIGINT % 1000 < 200
         |      THEN 'test' ELSE 'train' END AS split
         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // The q58 candidate/intersect chain at floor 0.05, then the
+    // integer-exact band assignment and a bins-sized cumulative window.
+    "q172_threshold_sweep" ->
+      (s"""WITH sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |pairs AS (
+         | SELECT i.n_inter, za.szz AS sz_a, zb.szz AS sz_b FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.05),
+         |b AS (
+         | SELECT CAST(least((20 * n_inter) // (sz_a + sz_b - n_inter), 19) AS INT) AS bin,
+         |        count(*) AS n_pairs
+         | FROM pairs GROUP BY 1)
+        |SELECT bin, round(CAST(bin AS DOUBLE) / 20, 4) AS bin_lo, n_pairs,
+        | CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pairs
+        |FROM b ORDER BY bin""".stripMargin)
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

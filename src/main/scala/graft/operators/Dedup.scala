@@ -1427,4 +1427,44 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
   }
+
+  /** Dedup threshold-sweep report — the tuning artifact for picking
+    * `minJaccard`: verified pair counts per Jaccard band among
+    * LSH-surfaced candidates, with the descending-cumulative count of
+    * pairs a threshold at each band's lower edge would merge. One run
+    * answers "how much more would 0.7 merge than 0.8?" instead of a
+    * re-run per candidate threshold. Scoped to LSH-surfaced pairs by
+    * construction (band recall falls off below ~0.4 Jaccard at the
+    * default k=8/rowsPerBand=2 — the sweep ranks thresholds ABOVE the
+    * floor against each other; it is not a census of all low-similarity
+    * pairs, which no sub-quadratic method can provide).
+    *
+    * Band assignment is INTEGER-exact: `least(bins·n_inter div union,
+    * bins-1)` over the intersect/size counts — no floating-point
+    * boundary can disagree cross-engine.
+    *
+    * 100 TB shape: pair generation is the guarded [[nearDups]] machinery
+    * (banded candidates, sorted-set intersect kernel); the sweep itself
+    * is one map-side-combinable count to ≤ `bins` rows, and the
+    * cumulative window runs over that bins-sized frame (a single task by
+    * design — the frame can never exceed `bins` rows).
+    */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+                     floor: Double = 0.05, bins: Int = 20, n: Int = 2,
+                     k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    require(floor > 0 && floor <= 1, s"floor out of (0,1]: $floor")
+    val pairs = nearDups(df, idCol, textCol, floor, n, k, rowsPerBand)
+    val binned = pairs
+      .withColumn("bin",
+        least(expr(s"($bins * n_inter) div (sz_a + sz_b - n_inter)"),
+          lit(bins - 1L)).cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    binned
+      .withColumn("bin_lo", round(col("bin").cast("double") / bins, 4))
+      .withColumn("cum_pairs",
+        sum(col("n_pairs")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bin").desc)))
+      .select("bin", "bin_lo", "n_pairs", "cum_pairs")
+  }
 }

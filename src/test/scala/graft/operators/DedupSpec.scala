@@ -566,6 +566,26 @@ class DedupSpec extends SparkSpec {
       Dedup.jaccardJoinExact(corpus, "doc_id", "text", 0))
   }
 
+  test("thresholdSweep bins and cumulative counts match a driver-side fold of the verified pairs") {
+    val docsT = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val sweep = Dedup.thresholdSweep(docsT, "doc_id", "text", floor = 0.05, bins = 20)
+      .as[(Int, Double, Long, Long)].collect().sortBy(_._1)
+    assert(sweep.nonEmpty, "fixture corpus must surface verified pairs at floor 0.05")
+    // reference: the same verified pairs, binned and cumulated driver-side
+    val pairs = Dedup.nearDups(docsT, "doc_id", "text", 0.05)
+      .select("n_inter", "sz_a", "sz_b").as[(Long, Long, Long)].collect()
+    val expBins = pairs.groupBy { case (ni, sa, sb) =>
+        math.min(20L * ni / (sa + sb - ni), 19L).toInt }
+      .view.mapValues(_.length.toLong).toMap
+    assert(sweep.map(r => r._1 -> r._3).toMap == expBins)
+    sweep.foreach { case (bin, lo, _, cum) =>
+      assert(cum == expBins.filter(_._1 >= bin).values.sum, s"cum at bin $bin")
+      assert(math.abs(lo - bin / 20.0) < 1e-9)
+    }
+    intercept[IllegalArgumentException](
+      Dedup.thresholdSweep(docsT, "doc_id", "text", floor = 0.05, bins = 0))
+  }
+
   test("clusterSafeSplit co-locates near-dup clusters; singletons get the plain hash split") {
     val out = Dedup.clusterSafeSplit(docs, "doc_id", "text",
       minJaccard = 0.1, testPermille = 300, salt = "s")
