@@ -1805,7 +1805,14 @@ object SparkEntry {
     "q172_threshold_sweep" -> ((s, dir) =>
       Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text",
         floor = 0.05, bins = 20)
-        .orderBy("bin"))
+        .orderBy("bin")),
+
+    // ── exact two-sample KS drift, each lang vs the rest of the corpus
+    // on doc length: rank-based (no binning choice), integer-exact sup,
+    // one terminal IEEE division — the unbinned complement of q116.
+    "q173_ks_drift" -> ((s, dir) =>
+      Summaries.ksDrift(t(s, dir, "documents"), "n_chars", "lang")
+        .orderBy("lang"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -3938,7 +3945,31 @@ object SparkEntry {
          | FROM pairs GROUP BY 1)
         |SELECT bin, round(CAST(bin AS DOUBLE) / 20, 4) AS bin_lo, n_pairs,
         | CAST(sum(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pairs
-        |FROM b ORDER BY bin""".stripMargin)
+        |FROM b ORDER BY bin""".stripMargin),
+
+    // The same RANGE-frame running counts; the maximized quantity is the
+    // integer |ct*n_rest - (ca-ct)*n_target|, divided once at the end.
+    "q173_ks_drift" ->
+      """WITH g AS (SELECT DISTINCT lang AS grp FROM documents),
+        |n AS (SELECT lang, count(*) AS nt FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn FROM documents),
+        |c AS (
+        | SELECT g.grp,
+        |  sum(CASE WHEN d.lang = g.grp THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY g.grp ORDER BY d.n_chars
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+        |  count(*)
+        |    OVER (PARTITION BY g.grp ORDER BY d.n_chars
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+        | FROM documents d CROSS JOIN g)
+        |SELECT c.grp AS lang,
+        | CAST(n.nt AS BIGINT) AS n_target,
+        | CAST(tot.nn - n.nt AS BIGINT) AS n_rest,
+        | CAST(max(abs(ct * (tot.nn - n.nt) - (ca - ct) * n.nt)) AS DOUBLE)
+        |   / (n.nt * (tot.nn - n.nt)) AS ks
+        |FROM c JOIN n ON n.lang = c.grp CROSS JOIN tot
+        |GROUP BY c.grp, n.nt, tot.nn
+        |ORDER BY lang""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

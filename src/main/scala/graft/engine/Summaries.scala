@@ -808,4 +808,57 @@ object Summaries {
     }.toSeq)
     floatCols.foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), n)))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift, every group vs the REST
+    * of the corpus: `(group, n_target, n_rest, ks)` where ks is the sup
+    * over all observations of |CDF_target − CDF_rest| on `valueCol` —
+    * the rank-based complement of the BINNED KL drift (q116): no binning
+    * choice, sensitive to location/shape shifts anywhere in the
+    * distribution. The sup of two step CDFs is attained just after one
+    * of the combined jump points, and a RANGE window frame evaluates
+    * both CDFs after the full step at tied values, so scanning every
+    * row captures it exactly.
+    *
+    * Cross-engine exactness: the maximized quantity is the INTEGER
+    * `|ct·n_rest − (ca−ct)·n_target|` (ct/ca = running target/combined
+    * counts) — argmax over integers, no floating-point boundary; the
+    * single terminal division to `ks` is one deterministic IEEE op.
+    * Products stay in BIGINT: exact while n_target·n_rest < 2⁶³ (≈3·10⁹
+    * rows per side); beyond that swap the two products to
+    * DECIMAL(38,0) — same plan shape.
+    *
+    * 100 TB shape: the corpus is replicated once per group (a broadcast
+    * nested-loop join against the groups-sized distinct table — the
+    * deliberate ×G cost that buys ALL group-vs-rest statistics in ONE
+    * range-partitioned sort-window; G is a handful of langs/sources, and
+    * a single-target call is the same plan filtered to one group). The
+    * per-group counts and the scalar total ride along as broadcast
+    * joins; output is groups-sized. No driver-side loop, no collect.
+    */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val groups = df.select(col(groupCol).as("__g")).distinct()
+    val counts = df.groupBy(col(groupCol).as("__cg"))
+      .agg(count(lit(1)).as("__nt"))
+    val total = df.agg(count(lit(1)).as("__nn"))
+    val x = df.select(col(valueCol).as("__v"), col(groupCol).as("__dg"))
+      .join(broadcast(groups))
+      .withColumn("__it", when(col("__dg") === col("__g"), 1L).otherwise(0L))
+    val w = Window.partitionBy("__g").orderBy("__v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    x.withColumn("__ct", sum(col("__it")).over(w))
+      .withColumn("__ca", count(lit(1)).over(w))
+      .join(broadcast(counts), col("__g") === col("__cg"))
+      .crossJoin(broadcast(total))
+      .withColumn("__diff",
+        abs(col("__ct") * (col("__nn") - col("__nt"))
+          - (col("__ca") - col("__ct")) * col("__nt")))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__diff")).as("__md"),
+        max(col("__nt")).as("n_target"),
+        max(col("__nn") - col("__nt")).as("n_rest"))
+      .withColumn("ks",
+        col("__md").cast("double")
+          / (col("n_target") * col("n_rest")).cast("double"))
+      .select(groupCol, "n_target", "n_rest", "ks")
+  }
 }

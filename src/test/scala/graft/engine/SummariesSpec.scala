@@ -527,4 +527,38 @@ class SummariesSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Option[Double])].collect().toSeq
     assert(deg == Seq((5L, 5L, 1.0, 1.0, None)))
   }
+
+  test("ksDrift equals the driver-side two-sample KS over merged step points") {
+    // hand fixture: a vs rest on values with ties ACROSS the two sides
+    // (v=2 appears in both) — the RANGE frame must evaluate both CDFs
+    // after the full step
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 5L),
+      ("b", 2L), ("b", 3L), ("b", 3L), ("c", 9L)
+    ).toDF("grp", "v")
+    val got = Summaries.ksDrift(df, "v", "grp")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // driver-side reference: scan the merged sorted values; CDFs step
+    // after all ties at each value, sup of |integer cross-products|
+    def ks(target: String): (Long, Long, Double) = {
+      val rows = df.as[(String, Long)].collect()
+      val nt = rows.count(_._1 == target).toLong
+      val nr = rows.length - nt
+      val md = rows.map(_._2).distinct.sorted.map { v =>
+        val ct = rows.count(r => r._1 == target && r._2 <= v).toLong
+        val ca = rows.count(_._2 <= v).toLong
+        math.abs(ct * nr - (ca - ct) * nt)
+      }.max
+      (nt, nr, md.toDouble / (nt * nr))
+    }
+    Seq("a", "b", "c").foreach { g =>
+      val (nt, nr, expKs) = ks(g)
+      val (_, gotNt, gotNr, gotKs) = got(g)
+      assert((gotNt, gotNr) == (nt, nr), s"counts for $g")
+      assert(gotKs == expKs, s"ks for $g: got $gotKs expected $expKs")
+    }
+    // the singleton outlier group 'c' must show the strongest drift
+    assert(got("c")._4 > got("a")._4 && got("c")._4 > got("b")._4)
+  }
 }
