@@ -1812,7 +1812,15 @@ object SparkEntry {
     // one terminal IEEE division — the unbinned complement of q116.
     "q173_ks_drift" -> ((s, dir) =>
       Summaries.ksDrift(t(s, dir, "documents"), "n_chars", "lang")
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // ── cross-source duplication matrix: verified near-dup pair counts
+    // per unordered source pair — the mirror-detection diagnostic behind
+    // drop-the-feed (vs per-doc dedup) mixing decisions.
+    "q174_source_overlap" -> ((s, dir) =>
+      Dedup.crossSourceOverlap(t(s, dir, "documents"), "doc_id", "text",
+        "source", minJaccard = 0.3)
+        .orderBy("source_a", "source_b"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -3969,7 +3977,32 @@ object SparkEntry {
         |   / (n.nt * (tot.nn - n.nt)) AS ks
         |FROM c JOIN n ON n.lang = c.grp CROSS JOIN tot
         |GROUP BY c.grp, n.nt, tot.nn
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    // The q58 candidate/intersect chain at 0.3, sources joined on both
+    // pair sides, least/greatest canonical cell order.
+    "q174_source_overlap" ->
+      (s"""WITH sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |near AS (
+         | SELECT i.doc_a, i.doc_b FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.3)
+        |SELECT least(da.source, db.source) AS source_a,
+        | greatest(da.source, db.source) AS source_b,
+        | count(*) AS n_pairs
+        |FROM near p
+        |JOIN documents da ON da.doc_id = p.doc_a
+        |JOIN documents db ON db.doc_id = p.doc_b
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -1449,6 +1449,34 @@ object Dedup {
     * cumulative window runs over that bins-sized frame (a single task by
     * design — the frame can never exceed `bins` rows).
     */
+  /** Cross-source duplication matrix — the provenance diagnostic behind
+    * source-level mixing decisions: verified near-dup pair counts per
+    * unordered source pair (`least/greatest` canonical order, so A↔B
+    * copies land in one cell). A heavy off-diagonal cell is a mirror or
+    * scraped re-post between two feeds — evidence to drop or down-weight
+    * one side wholesale instead of paying per-doc dedup for it; the
+    * diagonal is within-source duplication.
+    *
+    * 100 TB shape: pair generation is the guarded [[nearDups]] machinery;
+    * attaching provenance is two id-keyed joins of the pairs table
+    * against the (id, source) projection (pairs-sized exchanges — the
+    * corpus text never reshuffles), and the output is bounded by
+    * sources², not rows.
+    */
+  def crossSourceOverlap(df: DataFrame, idCol: String, textCol: String,
+                         srcCol: String, minJaccard: Double, n: Int = 2,
+                         k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val pairs = nearDups(df, idCol, textCol, minJaccard, n, k, rowsPerBand)
+      .select("doc_a", "doc_b")
+    val src = df.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.select(col(idCol).as("doc_a"), col(srcCol).as("__sa")), "doc_a")
+      .join(src.select(col(idCol).as("doc_b"), col(srcCol).as("__sb")), "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
                      floor: Double = 0.05, bins: Int = 20, n: Int = 2,
                      k: Int = 8, rowsPerBand: Int = 2): DataFrame = {

@@ -566,6 +566,18 @@ class DedupSpec extends SparkSpec {
       Dedup.jaccardJoinExact(corpus, "doc_id", "text", 0))
   }
 
+  test("crossSourceOverlap counts verified pairs per canonical source cell") {
+    // sources over the shared fixture: pairs (0,1) s1↔s2, (0,2) s1↔s2,
+    // (1,2) s2↔s2 — doc 2 is byte-identical to 0, so it pairs with 1 the
+    // same way 0 does; docs 3/4 are unrelated and must not appear
+    val srcd = docs.withColumn("source",
+      when(col("doc_id").isin(0L, 3L), "s1").otherwise("s2"))
+    val got = Dedup.crossSourceOverlap(srcd, "doc_id", "text", "source",
+      minJaccard = 0.3)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("s1", "s2", 2L), ("s2", "s2", 1L)))
+  }
+
   test("thresholdSweep bins and cumulative counts match a driver-side fold of the verified pairs") {
     val docsT = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val sweep = Dedup.thresholdSweep(docsT, "doc_id", "text", floor = 0.05, bins = 20)
