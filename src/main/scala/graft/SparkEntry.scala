@@ -1820,7 +1820,15 @@ object SparkEntry {
     "q174_source_overlap" -> ((s, dir) =>
       Dedup.crossSourceOverlap(t(s, dir, "documents"), "doc_id", "text",
         "source", minJaccard = 0.3)
-        .orderBy("source_a", "source_b"))
+        .orderBy("source_a", "source_b")),
+
+    // ── Gini concentration of doc length per source: integer moment
+    // sums over a rank window, one terminal division — the
+    // stubs-vs-whales mixing diagnostic.
+    "q175_gini" -> ((s, dir) =>
+      Summaries.giniByGroup(t(s, dir, "documents"), "source", "n_chars",
+        "doc_id")
+        .orderBy("source"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4002,7 +4010,20 @@ object SparkEntry {
         |FROM near p
         |JOIN documents da ON da.doc_id = p.doc_a
         |JOIN documents db ON db.doc_id = p.doc_b
-        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
+
+    // The identical rank form: row_number over (value, id), integer
+    // moment sums (HUGEINT in DuckDB), one terminal double division.
+    "q175_gini" ->
+      """WITH r AS (
+        | SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+        | FROM documents)
+        |SELECT source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS total,
+        | CAST(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars) AS DOUBLE)
+        |   / CAST(count(*) * sum(n_chars) AS DOUBLE) AS gini
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

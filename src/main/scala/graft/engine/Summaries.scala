@@ -835,6 +835,43 @@ object Summaries {
     * per-group counts and the scalar total ride along as broadcast
     * joins; output is groups-sized. No driver-side loop, no collect.
     */
+  /** Gini concentration of `valueCol` within each group —
+    * `(group, n, total, gini)` with the classic rank form
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over ascending xᵢ: 0 = every
+    * doc contributes equally, →1 = a handful of giants carry the group.
+    * The mixing diagnostic behind "is this source 10M uniform docs or
+    * 9.9M stubs plus 100k whales" — which changes how sampling rates
+    * and length filters hit it.
+    *
+    * Cross-engine exactness: ranks are `row_number` over
+    * `(value, idCol)` — within ties the value is constant, so Σ i·xᵢ is
+    * permutation-invariant and the id tiebreak only pins determinism;
+    * both moment sums are integers (Spark side accumulates in
+    * DECIMAL(38,0) — exact far past BIGINT's 2⁶³; DuckDB sums BIGINT
+    * into HUGEINT) and the single terminal division is one IEEE op.
+    *
+    * 100 TB shape: one range-partitioned per-group sort-window for the
+    * rank, one map-side-combinable aggregation to a groups-sized output.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String): DataFrame = {
+    df.select(col(groupCol), col(idCol).as("__id"),
+        col(valueCol).cast("long").as("__x"))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__x"), col("__id")))
+        .cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s0"),
+        sum(col("__i").cast("decimal(19,0)")
+          * col("__x").cast("decimal(19,0)")).as("__s1"))
+      .withColumn("total", col("__s0").cast("long"))
+      .withColumn("gini",
+        (lit(2) * col("__s1") - (col("n") + 1) * col("__s0")).cast("double")
+          / (col("n") * col("__s0")).cast("double"))
+      .select(groupCol, "n", "total", "gini")
+  }
+
   def ksDrift(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val groups = df.select(col(groupCol).as("__g")).distinct()
     val counts = df.groupBy(col(groupCol).as("__cg"))

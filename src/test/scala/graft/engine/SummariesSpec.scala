@@ -528,6 +528,20 @@ class SummariesSpec extends SparkSpec {
     assert(deg == Seq((5L, 5L, 1.0, 1.0, None)))
   }
 
+  test("giniByGroup matches closed forms: uniform 0, {1,9} 0.4, {0,0,10} 2/3") {
+    val df = Seq(
+      ("u", 1L, 5L), ("u", 2L, 5L), ("u", 3L, 5L),   // uniform → 0
+      ("p", 4L, 1L), ("p", 5L, 9L),                  // (2·19−3·10)/20 = 0.4
+      ("w", 6L, 0L), ("w", 7L, 0L), ("w", 8L, 10L)   // (2·30−4·10)/30 = 2/3
+    ).toDF("g", "id", "x")
+    val got = Summaries.giniByGroup(df, "g", "x", "id")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("u") == (("u", 3L, 15L, 0.0)))
+    assert(got("p") == (("p", 2L, 10L, 0.4)))
+    assert(got("w") == (("w", 3L, 10L, 2.0 / 3.0)))
+  }
+
   test("ksDrift equals the driver-side two-sample KS over merged step points") {
     // hand fixture: a vs rest on values with ties ACROSS the two sides
     // (v=2 appears in both) — the RANGE frame must evaluate both CDFs
