@@ -249,6 +249,25 @@ object PipelineScaleBench {
           length(col("text")).as("n_chars")),
         Seq("src", "lang"), "n_chars").count()
     }
+    timed("pipe_ks_drift", input = 5L) {
+      // corpus replicated ×G (G = 5 synthetic langs, broadcast NLJ) into
+      // ONE RANGE-frame sort-window: the deliberate ×G cost that buys all
+      // group-vs-rest KS statistics in one pass — wall must scale ~n·G,
+      // output is exactly one row per group
+      graft.engine.Summaries.ksDrift(
+        corpus.select(length(col("text")).as("v"),
+          pmod(xxhash64(col("doc_id"), lit(29)), lit(5L)).cast("string").as("lang")),
+        "v", "lang").count()
+    }
+    timed("pipe_gini", input = 20L) {
+      // per-group rank window + integer moment sums: one sort exchange,
+      // groups-sized output — FLAT output, ~linear wall in n
+      graft.engine.Summaries.giniByGroup(
+        corpus.select(col("doc_id"),
+          pmod(xxhash64(col("doc_id"), lit(23)), lit(20L)).cast("string").as("src"),
+          length(col("text")).as("n_chars")),
+        "src", "n_chars", "doc_id").count()
+    }
     timed("pipe_jaccard_exact_cands") {
       // PPJoin prefix-filter candidate volume — the corpus-shape-sensitive
       // quantity behind q133 (the 58 s → 4.8 s trigram episode): candidate
