@@ -1828,7 +1828,15 @@ object SparkEntry {
     "q175_gini" -> ((s, dir) =>
       Summaries.giniByGroup(t(s, dir, "documents"), "source", "n_chars",
         "doc_id")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ── Mann–Whitney rank-biserial effect size, each lang vs the rest on
+    // doc length: tie-correct integer midranks from per-distinct-value
+    // counts (ONE rank table serves every group) — the magnitude
+    // complement of q173's KS max-deviation.
+    "q176_rank_biserial" -> ((s, dir) =>
+      Summaries.rankBiserial(t(s, dir, "documents"), "n_chars", "lang")
+        .orderBy("lang"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4023,7 +4031,24 @@ object SparkEntry {
         | CAST(sum(n_chars) AS BIGINT) AS total,
         | CAST(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars) AS DOUBLE)
         |   / CAST(count(*) * sum(n_chars) AS DOUBLE) AS gini
-        |FROM r GROUP BY source ORDER BY source""".stripMargin
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // The identical midrank table from per-distinct-value counts:
+    // doubled midrank 2*cum_below + cnt + 1 stays integer; U2 and the
+    // terminal division restated verbatim.
+    "q176_rank_biserial" ->
+      """WITH pv AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1),
+        |rk AS (SELECT v,
+        |  2 * coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS dblmid
+        | FROM pv),
+        |tot AS (SELECT count(*) AS nn FROM documents)
+        |SELECT d.lang, count(*) AS n_target,
+        | CAST(tot.nn - count(*) AS BIGINT) AS n_rest,
+        | CAST(sum(r.dblmid) - count(*) * (count(*) + 1) AS DOUBLE)
+        |   / CAST(count(*) * (tot.nn - count(*)) AS DOUBLE) - 1.0 AS rank_biserial
+        |FROM documents d JOIN rk r ON r.v = d.n_chars CROSS JOIN tot
+        |GROUP BY d.lang, tot.nn ORDER BY lang""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

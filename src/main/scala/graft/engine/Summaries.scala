@@ -872,6 +872,52 @@ object Summaries {
       .select(groupCol, "n", "total", "gini")
   }
 
+  /** Mann–Whitney rank-biserial effect size, every group vs the REST:
+    * `(group, n_target, n_rest, rank_biserial)` with
+    * `r = 2U/(n_t·n_r) − 1` ∈ [−1, 1] — the magnitude complement of
+    * [[ksDrift]]'s max-deviation (KS says "the distributions differ
+    * somewhere"; r says "group docs are systematically longer/shorter
+    * than the rest, and by how much stochastic dominance").
+    *
+    * Tie-correct and INTEGER-exact: combined-sample midranks come from
+    * per-DISTINCT-VALUE counts — doubled midrank `2·cum_below + cnt_v
+    * + 1` stays integer — and because every group-vs-rest comparison
+    * shares the same combined sample (the whole corpus), ONE value-level
+    * rank table serves all groups. `U2 = 2U = Σ_target dblmid −
+    * n_t·(n_t+1)`; the single terminal division produces r.
+    *
+    * 100 TB shape: a map-side-combinable count per distinct value, a
+    * values-sized cumulative window, the rank table joined back on the
+    * value key (values-sized broadcast for bounded metrics like lengths
+    * and quantized scores — the operator's target domain; a
+    * continuous-double column should be quantized first or the rank
+    * table degenerates to row count), then one grouped integer sum.
+    * No global row window, no corpus replication.
+    */
+  def rankBiserial(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val perValue = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wv = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = perValue
+      .withColumn("__below", coalesce(sum(col("__cnt")).over(wv), lit(0L)))
+      .withColumn("__dblmid", lit(2) * col("__below") + col("__cnt") + lit(1))
+      .select("__v", "__dblmid")
+    val total = df.agg(count(lit(1)).as("__nn"))
+    df.select(col(groupCol), col(valueCol).as("__v"))
+      .join(broadcast(ranks), "__v")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_target"),
+        sum(col("__dblmid").cast("decimal(38,0)")).as("__r2"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_rest", col("__nn") - col("n_target"))
+      .withColumn("rank_biserial",
+        (col("__r2") - col("n_target").cast("decimal(38,0)")
+            * (col("n_target") + 1).cast("decimal(38,0)")).cast("double")
+          / (col("n_target") * col("n_rest")).cast("double") - lit(1.0))
+      .select(groupCol, "n_target", "n_rest", "rank_biserial")
+  }
+
   def ksDrift(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val groups = df.select(col(groupCol).as("__g")).distinct()
     val counts = df.groupBy(col(groupCol).as("__cg"))

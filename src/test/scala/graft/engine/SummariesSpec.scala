@@ -542,6 +542,21 @@ class SummariesSpec extends SparkSpec {
     assert(got("w") == (("w", 3L, 10L, 2.0 / 3.0)))
   }
 
+  test("rankBiserial matches closed forms with cross-group ties: +1 / -1 / 0") {
+    // a = {5,6} strictly above rest → +1; b = {1,2} strictly below → −1;
+    // c = {3,3} tied block exactly centered → 0 (midranks must be used:
+    // a min-rank or max-rank convention would break the symmetry)
+    val df = Seq(
+      ("a", 5L), ("a", 6L), ("b", 1L), ("b", 2L), ("c", 3L), ("c", 3L)
+    ).toDF("g", "v")
+    val got = Summaries.rankBiserial(df, "v", "g")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 4L, 1.0)))
+    assert(got("b") == (("b", 2L, 4L, -1.0)))
+    assert(got("c") == (("c", 2L, 4L, 0.0)))
+  }
+
   test("ksDrift equals the driver-side two-sample KS over merged step points") {
     // hand fixture: a vs rest on values with ties ACROSS the two sides
     // (v=2 appears in both) — the RANGE frame must evaluate both CDFs
