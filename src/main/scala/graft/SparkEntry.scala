@@ -1836,7 +1836,15 @@ object SparkEntry {
     // complement of q173's KS max-deviation.
     "q176_rank_biserial" -> ((s, dir) =>
       Summaries.rankBiserial(t(s, dir, "documents"), "n_chars", "lang")
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // ── Benford first-digit profile of extended price — the
+    // fabricated-data / unit-mixup canary; digit via integer string
+    // (floor then cast — a direct double→int cast diverges cross-engine).
+    "q177_benford" -> ((s, dir) =>
+      graft.operators.Profiling.benfordProfile(
+        t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4048,7 +4056,21 @@ object SparkEntry {
         | CAST(sum(r.dblmid) - count(*) * (count(*) + 1) AS DOUBLE)
         |   / CAST(count(*) * (tot.nn - count(*)) AS DOUBLE) - 1.0 AS rank_biserial
         |FROM documents d JOIN rk r ON r.v = d.n_chars CROSS JOIN tot
-        |GROUP BY d.lang, tot.nn ORDER BY lang""".stripMargin
+        |GROUP BY d.lang, tot.nn ORDER BY lang""".stripMargin,
+
+    // Identical digit extraction (floor → BIGINT → string → first char)
+    // and the same rounded expectation formula.
+    "q177_benford" ->
+      """WITH pos AS (
+        | SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        | FROM lineitem WHERE l_extendedprice >= 1),
+        |tot AS (SELECT count(*) AS nn FROM pos)
+        |SELECT digit, count(*) AS n,
+        | CAST(count(*) AS DOUBLE) / tot.nn AS share,
+        | round(log10(1.0 + 1.0 / digit), 6) AS expected,
+        | round(CAST(count(*) AS DOUBLE) / tot.nn - round(log10(1.0 + 1.0 / digit), 6), 6) AS deviation
+        |FROM pos CROSS JOIN tot
+        |GROUP BY digit, tot.nn ORDER BY digit""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

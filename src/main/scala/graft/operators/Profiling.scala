@@ -62,4 +62,35 @@ object Profiling {
           .as("null_frac"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Benford first-digit profile of a positive numeric column — the
+    * fabricated-data / unit-mixup canary for warehouse columns (organic
+    * multiplicative quantities follow `P(d) = log10(1+1/d)`; a flat or
+    * spiked profile flags synthetic rows, a wrong-unit feed, or a
+    * truncated extract): per digit 1–9, the observed count, observed
+    * share, Benford expectation, and signed deviation.
+    *
+    * Determinism: the digit comes from `substring(cast(floor(x) AS
+    * BIGINT) AS string), 1, 1)` — floor is IEEE-identical everywhere and
+    * integer→string has no format ambiguity (a direct double→int cast
+    * would diverge: Spark truncates, DuckDB rounds). Rows with x < 1 are
+    * excluded (their first significant digit sits in the fraction).
+    * Expectation and deviation round at 6 dp, parsecs away from any
+    * half-up/half-even boundary.
+    *
+    * 100 TB shape: one map-side-combinable 9-bucket count plus a
+    * broadcast scalar total — a single corpus pass, constant-size state.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val pos = df.filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val total = pos.agg(count(lit(1)).as("__nn"))
+    pos.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__nn").cast("double"))
+      .withColumn("expected", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("deviation", round(col("share") - col("expected"), 6))
+      .select("digit", "n", "share", "expected", "deviation")
+  }
 }

@@ -60,4 +60,15 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profiling.profileColumns(df, Seq("nope")))
     intercept[IllegalArgumentException](Profiling.profileColumns(df, Seq("a'b")))
   }
+
+  test("benfordProfile extracts first digits of the integer part, excluding x < 1") {
+    val vals = Seq(1.5, 23.0, 0.7, 999.99, 12.0).toDF("x")
+    val got = Profiling.benfordProfile(vals, "x")
+      .select("digit", "n", "share").as[(Int, Long, Double)].collect().toSet
+    // 0.7 excluded; digits: 1 (1.5), 2 (23), 9 (999.99), 1 (12)
+    assert(got == Set((1, 2L, 0.5), (2, 1L, 0.25), (9, 1L, 0.25)))
+    val exp = Profiling.benfordProfile(vals, "x")
+      .select("digit", "expected").as[(Int, Double)].collect().toMap
+    assert(exp(1) == 0.30103 && exp(2) == 0.176091 && exp(9) == 0.045757)
+  }
 }
