@@ -902,4 +902,28 @@ class PlanSpec extends SparkSpec {
     assert(windows.size == 2, s"lag + matrix-normalize expected, got ${windows.size}")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
   }
+
+  test("q173/q175/q176/q177 statistics queries keep their intended plan shapes") {
+    // q173 KS: the deliberate ×G replicate is a broadcast NLJ against the
+    // groups-sized distinct table, feeding exactly ONE RANGE sort-window
+    val ks = plan("q173_ks_drift")
+    assert(collectAll(ks) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "KS replicate must be a broadcast nested-loop, not a shuffled cross")
+    assert(collectAll(ks) { case w: WindowExec => w }.size == 1)
+    // q175 Gini: one per-group rank window, no joins anywhere
+    val gini = plan("q175_gini")
+    assert(collectAll(gini) { case w: WindowExec => w }.size == 1)
+    assert(collectAll(gini) { case j: BroadcastHashJoinExec => j }.isEmpty)
+    // q176 rank-biserial: the corpus never enters a window — the only
+    // WindowExec runs on the values-sized rank table, which joins back
+    // BROADCAST; no corpus-wide sort window anywhere
+    val rb = plan("q176_rank_biserial")
+    assert(collectAll(rb) { case w: WindowExec => w }.size == 1)
+    assert(collectAll(rb) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "rank table must broadcast back onto the corpus")
+    // q177 Benford: no window at all — one 9-bucket aggregation plus the
+    // broadcast scalar total
+    val ben = plan("q177_benford")
+    assert(collectAll(ben) { case w: WindowExec => w }.isEmpty)
+  }
 }
