@@ -124,4 +124,84 @@ class SummariesPropertySpec extends SparkSpec {
       assert(out == ref)
     }
   }
+
+  /** (group, value) samples with deliberate value collisions across
+    * groups — tie handling is where rank statistics implementations
+    * diverge.
+    */
+  private val groupedGen: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(2, 60)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0L, 12L)
+    } yield (g, v))
+  } yield rows
+
+  private def groupedSamples(n: Int): Seq[List[(String, Long)]] =
+    (0 until n).flatMap(i => groupedGen(Gen.Parameters.default, Seed(100L + i)))
+      .filter(rows => rows.map(_._1).distinct.size >= 2)
+
+  test("ksDrift equals the brute-force group-vs-rest KS on random tied samples") {
+    groupedSamples(25).foreach { rows =>
+      val got = Summaries.ksDrift(rows.toDF("g", "v"), "v", "g")
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      rows.map(_._1).distinct.foreach { g =>
+        val nt = rows.count(_._1 == g).toLong
+        val nr = rows.size - nt
+        val md = rows.map(_._2).distinct.map { v =>
+          val ct = rows.count(r => r._1 == g && r._2 <= v).toLong
+          val ca = rows.count(_._2 <= v).toLong
+          math.abs(ct * nr - (ca - ct) * nt)
+        }.max
+        val (_, gNt, gNr, gKs) = got(g)
+        assert((gNt, gNr) == (nt, nr))
+        assert(gKs == md.toDouble / (nt * nr), s"ks for $g on $rows")
+      }
+    }
+  }
+
+  test("rankBiserial equals the brute-force tie-corrected U on random samples") {
+    groupedSamples(25).foreach { rows =>
+      val got = Summaries.rankBiserial(rows.toDF("g", "v"), "v", "g")
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      val sorted = rows.map(_._2).sorted
+      // doubled midrank per value from the combined sample
+      val dblmid = rows.map(_._2).distinct.map { v =>
+        val below = sorted.count(_ < v).toLong
+        val cnt = sorted.count(_ == v).toLong
+        v -> (2 * below + cnt + 1)
+      }.toMap
+      rows.map(_._1).distinct.foreach { g =>
+        val nt = rows.count(_._1 == g).toLong
+        val nr = rows.size - nt
+        val r2 = rows.filter(_._1 == g).map(r => dblmid(r._2)).sum
+        val expected = (r2 - nt * (nt + 1)).toDouble / (nt * nr) - 1.0
+        assert(got(g)._4 == expected, s"r for $g on $rows")
+        // bounded in [-1, 1]
+        assert(got(g)._4 >= -1.0 && got(g)._4 <= 1.0)
+      }
+    }
+  }
+
+  test("giniByGroup equals the brute-force rank form and sits in [0, 1)") {
+    groupedSamples(25).foreach { rows =>
+      val withId = rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      val got = Summaries.giniByGroup(withId.toDF("g", "id", "v"), "g", "v", "id")
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      withId.map(_._1).distinct.foreach { g =>
+        val xs = withId.filter(_._1 == g).map(_._3).sorted
+        val n = xs.size.toLong
+        val s0 = xs.sum
+        val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+        if (s0 > 0) {
+          val expected = (2.0 * s1 - (n + 1) * s0) / (n.toDouble * s0)
+          assert(got(g)._4 == expected, s"gini for $g on $rows")
+          assert(got(g)._4 >= 0.0 && got(g)._4 < 1.0)
+        }
+      }
+    }
+  }
 }
