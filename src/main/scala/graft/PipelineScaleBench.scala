@@ -263,10 +263,10 @@ object PipelineScaleBench {
       // per-group rank window + integer moment sums: one sort exchange,
       // groups-sized output — FLAT output, ~linear wall in n
       graft.engine.Summaries.giniByGroup(
-        corpus.select(col("doc_id"),
+        corpus.select(
           pmod(xxhash64(col("doc_id"), lit(23)), lit(20L)).cast("string").as("src"),
           length(col("text")).as("n_chars")),
-        "src", "n_chars", "doc_id").count()
+        "src", "n_chars").count()
     }
     timed("pipe_jaccard_exact_cands") {
       // PPJoin prefix-filter candidate volume — the corpus-shape-sensitive

@@ -1826,8 +1826,7 @@ object SparkEntry {
     // sums over a rank window, one terminal division — the
     // stubs-vs-whales mixing diagnostic.
     "q175_gini" -> ((s, dir) =>
-      Summaries.giniByGroup(t(s, dir, "documents"), "source", "n_chars",
-        "doc_id")
+      Summaries.giniByGroup(t(s, dir, "documents"), "source", "n_chars")
         .orderBy("source")),
 
     // ── Mann–Whitney rank-biserial effect size, each lang vs the rest on
@@ -4037,8 +4036,9 @@ object SparkEntry {
         | FROM documents)
         |SELECT source, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS total,
-        | CAST(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars) AS DOUBLE)
-        |   / CAST(count(*) * sum(n_chars) AS DOUBLE) AS gini
+        | CASE WHEN sum(n_chars) = 0 THEN NULL
+        |      ELSE CAST(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars) AS DOUBLE)
+        |           / CAST(count(*) * sum(n_chars) AS DOUBLE) END AS gini
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // The identical midrank table from per-distinct-value counts:

@@ -809,32 +809,6 @@ object Summaries {
     floatCols.foldLeft(df)((acc, c) => acc.withColumn(c, round(col(c), n)))
   }
 
-  /** Exact two-sample Kolmogorov–Smirnov drift, every group vs the REST
-    * of the corpus: `(group, n_target, n_rest, ks)` where ks is the sup
-    * over all observations of |CDF_target − CDF_rest| on `valueCol` —
-    * the rank-based complement of the BINNED KL drift (q116): no binning
-    * choice, sensitive to location/shape shifts anywhere in the
-    * distribution. The sup of two step CDFs is attained just after one
-    * of the combined jump points, and a RANGE window frame evaluates
-    * both CDFs after the full step at tied values, so scanning every
-    * row captures it exactly.
-    *
-    * Cross-engine exactness: the maximized quantity is the INTEGER
-    * `|ct·n_rest − (ca−ct)·n_target|` (ct/ca = running target/combined
-    * counts) — argmax over integers, no floating-point boundary; the
-    * single terminal division to `ks` is one deterministic IEEE op.
-    * Products stay in BIGINT: exact while n_target·n_rest < 2⁶³ (≈3·10⁹
-    * rows per side); beyond that swap the two products to
-    * DECIMAL(38,0) — same plan shape.
-    *
-    * 100 TB shape: the corpus is replicated once per group (a broadcast
-    * nested-loop join against the groups-sized distinct table — the
-    * deliberate ×G cost that buys ALL group-vs-rest statistics in ONE
-    * range-partitioned sort-window; G is a handful of langs/sources, and
-    * a single-target call is the same plan filtered to one group). The
-    * per-group counts and the scalar total ride along as broadcast
-    * joins; output is groups-sized. No driver-side loop, no collect.
-    */
   /** Gini concentration of `valueCol` within each group —
     * `(group, n, total, gini)` with the classic rank form
     * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over ascending xᵢ: 0 = every
@@ -843,32 +817,47 @@ object Summaries {
     * 9.9M stubs plus 100k whales" — which changes how sampling rates
     * and length filters hit it.
     *
-    * Cross-engine exactness: ranks are `row_number` over
-    * `(value, idCol)` — within ties the value is constant, so Σ i·xᵢ is
-    * permutation-invariant and the id tiebreak only pins determinism;
-    * both moment sums are integers (Spark side accumulates in
-    * DECIMAL(38,0) — exact far past BIGINT's 2⁶³; DuckDB sums BIGINT
-    * into HUGEINT) and the single terminal division is one IEEE op.
+    * Cross-engine exactness: within a tie block Σ i·xᵢ is
+    * permutation-invariant, so the block's whole contribution collapses
+    * to the closed form `x·(c·below + c(c+1)/2)` over the per-VALUE
+    * count table — the ranks never materialize; both moment sums are
+    * integers (Spark accumulates in DECIMAL(38,0) — exact far past
+    * BIGINT's 2⁶³; DuckDB sums BIGINT into HUGEINT; the triangular term
+    * stays in BIGINT, exact to ≈3·10⁹ rows per (group, value) cell) and
+    * the single terminal division is one IEEE op. An all-zero group
+    * yields NULL, never an engine-dependent 0/0.
     *
-    * 100 TB shape: one range-partitioned per-group sort-window for the
-    * rank, one map-side-combinable aggregation to a groups-sized output.
+    * 100 TB shape: ONE corpus pass into the map-side-combinable
+    * `(group, value)` count table; the cumulative-below window and the
+    * moment aggregation run over that table at (groups × values)-bounded
+    * cost — no per-group corpus-sized window task even when one group
+    * dominates the corpus. Like [[rankBiserial]]/[[ksDrift]], targets
+    * bounded-cardinality metrics; quantize continuous doubles first.
     */
-  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
-                  idCol: String): DataFrame = {
-    df.select(col(groupCol), col(idCol).as("__id"),
-        col(valueCol).cast("long").as("__x"))
-      .withColumn("__i", row_number().over(
-        Window.partitionBy(col(groupCol)).orderBy(col("__x"), col("__id")))
-        .cast("long"))
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vg = df.select(col(groupCol), col(valueCol).cast("long").as("__x"))
+      .groupBy(col(groupCol), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    vg.withColumn("__below", coalesce(sum(col("__c")).over(wg), lit(0L)))
+      // tie block at value x with c members after `below` lighter rows
+      // contributes x·(c·below + c(c+1)/2) to Σ i·xᵢ and c·x to Σx
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__x").cast("decimal(38,0)")).as("__s0"),
-        sum(col("__i").cast("decimal(19,0)")
-          * col("__x").cast("decimal(19,0)")).as("__s1"))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__c").cast("decimal(19,0)")
+          * col("__x").cast("decimal(19,0)")).as("__s0"),
+        sum(col("__x").cast("decimal(19,0)")
+          * (col("__c").cast("decimal(19,0)") * col("__below").cast("decimal(19,0)")
+            + expr("__c * (__c + 1) div 2").cast("decimal(19,0)"))).as("__s1"))
       .withColumn("total", col("__s0").cast("long"))
+      // an all-zero group has no concentration to measure: NULL, never
+      // the engine-dependent 0/0 artifact
       .withColumn("gini",
-        (lit(2) * col("__s1") - (col("n") + 1) * col("__s0")).cast("double")
-          / (col("n") * col("__s0")).cast("double"))
+        when(col("__s0") === 0, lit(null).cast("double"))
+          .otherwise(
+            (lit(2) * col("__s1") - (col("n") + 1) * col("__s0")).cast("double")
+              / (col("n") * col("__s0")).cast("double")))
       .select(groupCol, "n", "total", "gini")
   }
 
@@ -903,7 +892,9 @@ object Summaries {
       .withColumn("__below", coalesce(sum(col("__cnt")).over(wv), lit(0L)))
       .withColumn("__dblmid", lit(2) * col("__below") + col("__cnt") + lit(1))
       .select("__v", "__dblmid")
-    val total = df.agg(count(lit(1)).as("__nn"))
+    // combined-sample size derives from the value table — no second
+    // corpus scan
+    val total = perValue.agg(sum(col("__cnt")).as("__nn"))
     df.select(col(groupCol), col(valueCol).as("__v"))
       .join(broadcast(ranks), "__v")
       .groupBy(col(groupCol))
@@ -918,19 +909,55 @@ object Summaries {
       .select(groupCol, "n_target", "n_rest", "rank_biserial")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift, every group vs the REST
+    * of the corpus: `(group, n_target, n_rest, ks)` where ks is the sup
+    * over all observations of |CDF_target − CDF_rest| on `valueCol` —
+    * the rank-based complement of the BINNED KL drift (q116): no binning
+    * choice, sensitive to location/shape shifts anywhere in the
+    * distribution. The sup of two step CDFs is attained just after one
+    * of the combined jump points, and every jump point is a corpus
+    * value, so evaluating both CDFs after the full step at every
+    * DISTINCT value captures it exactly.
+    *
+    * Cross-engine exactness: the maximized quantity is the INTEGER
+    * `|ct·n_rest − (ca−ct)·n_target|` (ct/ca = running target/combined
+    * counts) — argmax over integers, no floating-point boundary; the
+    * single terminal division to `ks` is one deterministic IEEE op.
+    * Products stay in BIGINT: exact while n_target·n_rest < 2⁶³ (≈3·10⁹
+    * rows per side); beyond that swap the two products to
+    * DECIMAL(38,0) — same plan shape.
+    *
+    * 100 TB shape: the corpus is scanned ONCE, into the
+    * map-side-combinable `(value, group)` count table; everything
+    * downstream — the values × groups evaluation grid, both cumulative
+    * windows, the group/total counts — derives from that table at
+    * values-bounded cost. Like [[rankBiserial]], the operator targets
+    * bounded-cardinality metrics (lengths, quantized scores); quantize a
+    * continuous double column first or the value table degenerates to
+    * row count. No corpus-sized window, no corpus replication, no
+    * driver-side loop.
+    */
   def ksDrift(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
-    val groups = df.select(col(groupCol).as("__g")).distinct()
-    val counts = df.groupBy(col(groupCol).as("__cg"))
-      .agg(count(lit(1)).as("__nt"))
-    val total = df.agg(count(lit(1)).as("__nn"))
-    val x = df.select(col(valueCol).as("__v"), col(groupCol).as("__dg"))
-      .join(broadcast(groups))
-      .withColumn("__it", when(col("__dg") === col("__g"), 1L).otherwise(0L))
-    val w = Window.partitionBy("__g").orderBy("__v")
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    x.withColumn("__ct", sum(col("__it")).over(w))
-      .withColumn("__ca", count(lit(1)).over(w))
-      .join(broadcast(counts), col("__g") === col("__cg"))
+    // the only corpus-sized pass
+    val vg = df.groupBy(col(valueCol).as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perValue = vg.groupBy("__v").agg(sum(col("__c")).as("__cv"))
+    val groups = vg.groupBy("__g").agg(sum(col("__c")).as("__nt"))
+    val total = groups.agg(sum(col("__nt")).as("__nn"))
+    // both CDFs step only at corpus values: evaluate on the values ×
+    // groups grid (absent cells are zero-count; the per-group cum fills
+    // the plateau between that group's own jumps)
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wv = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumTot = perValue.withColumn("__ca", sum(col("__cv")).over(wv))
+      .select("__v", "__ca")
+    perValue.select("__v")
+      .crossJoin(broadcast(groups))
+      .join(vg, Seq("__v", "__g"), "left")
+      .withColumn("__ct", sum(coalesce(col("__c"), lit(0L))).over(wg))
+      .join(cumTot, "__v")
       .crossJoin(broadcast(total))
       .withColumn("__diff",
         abs(col("__ct") * (col("__nn") - col("__nt"))

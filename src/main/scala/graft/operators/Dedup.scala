@@ -1428,6 +1428,93 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Shared exact-first scaffolding for the pair-census reports
+    * ([[crossSourceOverlap]], [[thresholdSweep]]): `(digestGroups,
+    * canonDocs)` where digestGroups is one row per content digest
+    * (null-safe, the [[dedupCorpusKeeping]] convention) carrying the
+    * min-id representative, the member count, and whether the content
+    * shingles at all (`tokens ≥ n` — shingle-less docs never band, so
+    * their identical copies never pair in the naive semantics either),
+    * and canonDocs is the corpus restricted to representatives.
+    *
+    * This is the mega-cluster guard applied to CENSUS queries: running
+    * LSH over the raw corpus would put a byte-identical boilerplate
+    * cluster of k docs into one band bucket (the maxBucketDocs abort —
+    * and a giant identical cluster is exactly what these reports exist
+    * to surface). Instead LSH sees one representative per content and
+    * the member counts multiply the results back EXACTLY: an identical
+    * copy has its canon's shingle set verbatim, so every naive pair
+    * (a, b) is the canon pair (cA, cB) with the same Jaccard, counted
+    * |A|·|B| times across digests and C(|A|, 2) times within one.
+    */
+  private def exactFirstGroups(df: DataFrame, idCol: String,
+                               textCol: String, n: Int)
+      : (DataFrame, DataFrame) = {
+    val hashed = df.select(col(idCol), sha2(col(textCol), 256).as("__h"),
+      (size(split(col(textCol), " ")) >= n).as("__elig"))
+    val digestGroups = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cnt"),
+        max(when(col("__elig"), 1).otherwise(0)).as("__e"))
+    val canonDocs = df.select(col(idCol), col(textCol))
+      .join(digestGroups.select(col("__rep").as(idCol)), Seq(idCol))
+    (digestGroups, canonDocs)
+  }
+
+  /** Cross-source duplication matrix — the provenance diagnostic behind
+    * source-level mixing decisions: verified near-dup pair counts per
+    * unordered source pair (`least/greatest` canonical order, so A↔B
+    * copies land in one cell). A heavy off-diagonal cell is a mirror or
+    * scraped re-post between two feeds — evidence to drop or down-weight
+    * one side wholesale instead of paying per-doc dedup for it; the
+    * diagonal is within-source duplication.
+    *
+    * 100 TB shape: LSH runs over one representative per content digest
+    * ([[exactFirstGroups]] — a million-copy boilerplate mirror is ONE
+    * banded doc, not a maxBucketDocs abort), and member counts multiply
+    * the canon pairs back exactly: within-digest cells from the
+    * digest×source count table alone (`C(c_s,2)` diagonal, `c_s·c_t`
+    * off-diagonal — no pair materialization at all), cross-digest cells
+    * from the canon pair table joined to both sides' source-count
+    * vectors (fanout bounded by sources per digest). The corpus text is
+    * scanned by the digest pass and the canon shingle pass; everything
+    * else is digest- or pairs-sized. Output is bounded by sources².
+    */
+  def crossSourceOverlap(df: DataFrame, idCol: String, textCol: String,
+                         srcCol: String, minJaccard: Double, n: Int = 2,
+                         k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val (digestGroups, canonDocs) = exactFirstGroups(df, idCol, textCol, n)
+    val dsCounts = df.select(sha2(col(textCol), 256).as("__h"),
+        col(srcCol).as("__src"))
+      .groupBy(col("__h"), col("__src")).agg(count(lit(1)).as("__c"))
+    // within-digest member pairs, straight from the count table
+    val elig = digestGroups.filter(col("__e") === 1).select("__h")
+    val dsElig = dsCounts.join(elig, Seq("__h"))
+    val sameSrc = dsElig.filter(col("__c") >= 2)
+      .select(col("__src").as("source_a"), col("__src").as("source_b"),
+        expr("__c * (__c - 1) div 2").as("__w"))
+    val crossSrc = dsElig.select(col("__h"), col("__src").as("__sx"), col("__c").as("__cx"))
+      .join(dsElig.select(col("__h"), col("__src").as("__sy"), col("__c").as("__cy")),
+        Seq("__h"))
+      .filter(col("__sx") < col("__sy"))
+      .select(col("__sx").as("source_a"), col("__sy").as("source_b"),
+        (col("__cx") * col("__cy")).as("__w"))
+    // cross-digest canon pairs × both sides' source-count vectors
+    val canonDigest = digestGroups.select(col("__rep"), col("__h"))
+    val crossDigest = nearDups(canonDocs, idCol, textCol, minJaccard, n, k, rowsPerBand)
+      .select("doc_a", "doc_b")
+      .join(canonDigest.select(col("__rep").as("doc_a"), col("__h").as("__ha")), "doc_a")
+      .join(canonDigest.select(col("__rep").as("doc_b"), col("__h").as("__hb")), "doc_b")
+      .join(dsCounts.select(col("__h").as("__ha"), col("__src").as("__sa"),
+        col("__c").as("__ca")), "__ha")
+      .join(dsCounts.select(col("__h").as("__hb"), col("__src").as("__sb"),
+        col("__c").as("__cb")), "__hb")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        (col("__ca") * col("__cb")).as("__w"))
+    sameSrc.unionByName(crossSrc).unionByName(crossDigest)
+      .groupBy("source_a", "source_b").agg(sum(col("__w")).as("n_pairs"))
+  }
+
   /** Dedup threshold-sweep report — the tuning artifact for picking
     * `minJaccard`: verified pair counts per Jaccard band among
     * LSH-surfaced candidates, with the descending-cumulative count of
@@ -1443,52 +1530,35 @@ object Dedup {
     * bins-1)` over the intersect/size counts — no floating-point
     * boundary can disagree cross-engine.
     *
-    * 100 TB shape: pair generation is the guarded [[nearDups]] machinery
-    * (banded candidates, sorted-set intersect kernel); the sweep itself
-    * is one map-side-combinable count to ≤ `bins` rows, and the
+    * 100 TB shape: [[exactFirstGroups]] mega-cluster guard — LSH bands
+    * one representative per content digest; identical-copy pairs land in
+    * the TOP band (Jaccard exactly 1) as `C(cnt, 2)` weights straight
+    * from the digest count table, and each cross-digest canon pair
+    * carries weight `cntA·cntB` into its band. The sweep itself is one
+    * map-side-combinable weighted count to ≤ `bins` rows, and the
     * cumulative window runs over that bins-sized frame (a single task by
     * design — the frame can never exceed `bins` rows).
     */
-  /** Cross-source duplication matrix — the provenance diagnostic behind
-    * source-level mixing decisions: verified near-dup pair counts per
-    * unordered source pair (`least/greatest` canonical order, so A↔B
-    * copies land in one cell). A heavy off-diagonal cell is a mirror or
-    * scraped re-post between two feeds — evidence to drop or down-weight
-    * one side wholesale instead of paying per-doc dedup for it; the
-    * diagonal is within-source duplication.
-    *
-    * 100 TB shape: pair generation is the guarded [[nearDups]] machinery;
-    * attaching provenance is two id-keyed joins of the pairs table
-    * against the (id, source) projection (pairs-sized exchanges — the
-    * corpus text never reshuffles), and the output is bounded by
-    * sources², not rows.
-    */
-  def crossSourceOverlap(df: DataFrame, idCol: String, textCol: String,
-                         srcCol: String, minJaccard: Double, n: Int = 2,
-                         k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val pairs = nearDups(df, idCol, textCol, minJaccard, n, k, rowsPerBand)
-      .select("doc_a", "doc_b")
-    val src = df.select(col(idCol), col(srcCol))
-    pairs
-      .join(src.select(col(idCol).as("doc_a"), col(srcCol).as("__sa")), "doc_a")
-      .join(src.select(col(idCol).as("doc_b"), col(srcCol).as("__sb")), "doc_b")
-      .select(least(col("__sa"), col("__sb")).as("source_a"),
-        greatest(col("__sa"), col("__sb")).as("source_b"))
-      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
-  }
-
   def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
                      floor: Double = 0.05, bins: Int = 20, n: Int = 2,
                      k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     require(bins > 0, s"bins must be positive: $bins")
     require(floor > 0 && floor <= 1, s"floor out of (0,1]: $floor")
-    val pairs = nearDups(df, idCol, textCol, floor, n, k, rowsPerBand)
-    val binned = pairs
+    val (digestGroups, canonDocs) = exactFirstGroups(df, idCol, textCol, n)
+    val cnts = digestGroups.select(col("__rep"), col("__cnt"))
+    val crossBins = nearDups(canonDocs, idCol, textCol, floor, n, k, rowsPerBand)
       .withColumn("bin",
         least(expr(s"($bins * n_inter) div (sz_a + sz_b - n_inter)"),
           lit(bins - 1L)).cast("int"))
-      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
-    binned
+      .join(cnts.select(col("__rep").as("doc_a"), col("__cnt").as("__ca")), "doc_a")
+      .join(cnts.select(col("__rep").as("doc_b"), col("__cnt").as("__cb")), "doc_b")
+      .select(col("bin"), (col("__ca") * col("__cb")).as("__w"))
+    val withinBins = digestGroups
+      .filter(col("__e") === 1 && col("__cnt") >= 2)
+      .select(lit(bins - 1).cast("int").as("bin"),
+        expr("__cnt * (__cnt - 1) div 2").as("__w"))
+    crossBins.unionByName(withinBins)
+      .groupBy("bin").agg(sum(col("__w")).as("n_pairs"))
       .withColumn("bin_lo", round(col("bin").cast("double") / bins, 4))
       .withColumn("cum_pairs",
         sum(col("n_pairs")).over(

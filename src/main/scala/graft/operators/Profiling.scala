@@ -82,11 +82,13 @@ object Profiling {
     * broadcast scalar total — a single corpus pass, constant-size state.
     */
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
-    val pos = df.filter(col(valueCol) >= 1)
+    val counts = df.filter(col(valueCol) >= 1)
       .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
-    val total = pos.agg(count(lit(1)).as("__nn"))
-    pos.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // the total derives from the 9-row count table — truly one pass
+    val total = counts.agg(sum(col("n")).as("__nn"))
+    counts
       .crossJoin(broadcast(total))
       .withColumn("share", col("n").cast("double") / col("__nn").cast("double"))
       .withColumn("expected", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))

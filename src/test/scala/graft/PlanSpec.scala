@@ -904,12 +904,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q173/q175/q176/q177 statistics queries keep their intended plan shapes") {
-    // q173 KS: the deliberate ×G replicate is a broadcast NLJ against the
-    // groups-sized distinct table, feeding exactly ONE RANGE sort-window
+    // q173 KS: the corpus never enters a window — both cumulative windows
+    // run on VALUES-sized tables (the grid cum and the total cum), and
+    // the values × groups evaluation grid is a broadcast NLJ of two
+    // aggregate outputs, never a shuffled cross of corpus rows
     val ks = plan("q173_ks_drift")
     assert(collectAll(ks) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
-      "KS replicate must be a broadcast nested-loop, not a shuffled cross")
-    assert(collectAll(ks) { case w: WindowExec => w }.size == 1)
+      "values × groups grid must be a broadcast nested-loop")
+    assert(collectAll(ks) { case w: WindowExec => w }.size == 2)
     // q175 Gini: one per-group rank window, no joins anywhere
     val gini = plan("q175_gini")
     assert(collectAll(gini) { case w: WindowExec => w }.size == 1)

@@ -188,8 +188,8 @@ class SummariesPropertySpec extends SparkSpec {
   test("giniByGroup equals the brute-force rank form and sits in [0, 1)") {
     groupedSamples(25).foreach { rows =>
       val withId = rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
-      val got = Summaries.giniByGroup(withId.toDF("g", "id", "v"), "g", "v", "id")
-        .as[(String, Long, Long, Double)].collect()
+      val got = Summaries.giniByGroup(withId.toDF("g", "id", "v"), "g", "v")
+        .as[(String, Long, Long, Option[Double])].collect()
         .map(r => r._1 -> r).toMap
       withId.map(_._1).distinct.foreach { g =>
         val xs = withId.filter(_._1 == g).map(_._3).sorted
@@ -198,8 +198,10 @@ class SummariesPropertySpec extends SparkSpec {
         val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
         if (s0 > 0) {
           val expected = (2.0 * s1 - (n + 1) * s0) / (n.toDouble * s0)
-          assert(got(g)._4 == expected, s"gini for $g on $rows")
-          assert(got(g)._4 >= 0.0 && got(g)._4 < 1.0)
+          assert(got(g)._4 == Some(expected), s"gini for $g on $rows")
+          assert(got(g)._4.get >= 0.0 && got(g)._4.get < 1.0)
+        } else {
+          assert(got(g)._4.isEmpty, s"all-zero group $g must be NULL")
         }
       }
     }

@@ -532,14 +532,16 @@ class SummariesSpec extends SparkSpec {
     val df = Seq(
       ("u", 1L, 5L), ("u", 2L, 5L), ("u", 3L, 5L),   // uniform → 0
       ("p", 4L, 1L), ("p", 5L, 9L),                  // (2·19−3·10)/20 = 0.4
-      ("w", 6L, 0L), ("w", 7L, 0L), ("w", 8L, 10L)   // (2·30−4·10)/30 = 2/3
+      ("w", 6L, 0L), ("w", 7L, 0L), ("w", 8L, 10L),  // (2·30−4·10)/30 = 2/3
+      ("z", 9L, 0L), ("z", 10L, 0L)                  // all-zero → NULL
     ).toDF("g", "id", "x")
-    val got = Summaries.giniByGroup(df, "g", "x", "id")
-      .as[(String, Long, Long, Double)].collect()
+    val got = Summaries.giniByGroup(df, "g", "x")
+      .as[(String, Long, Long, Option[Double])].collect()
       .map(r => r._1 -> r).toMap
-    assert(got("u") == (("u", 3L, 15L, 0.0)))
-    assert(got("p") == (("p", 2L, 10L, 0.4)))
-    assert(got("w") == (("w", 3L, 10L, 2.0 / 3.0)))
+    assert(got("u") == (("u", 3L, 15L, Some(0.0))))
+    assert(got("p") == (("p", 2L, 10L, Some(0.4))))
+    assert(got("w") == (("w", 3L, 10L, Some(2.0 / 3.0))))
+    assert(got("z") == (("z", 2L, 0L, None)))
   }
 
   test("rankBiserial matches closed forms with cross-group ties: +1 / -1 / 0") {

@@ -578,6 +578,32 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(("s1", "s2", 2L), ("s2", "s2", 1L)))
   }
 
+  test("exact-first expansion counts identical-copy clusters without banding them") {
+    // 30 byte-identical copies across two sources (18 s1 + 12 s2) plus
+    // one near-dup in s2: LSH must band ONE representative, yet the
+    // matrix and the sweep must count every member pair exactly
+    val copies = (0 until 30).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog",
+        if (i < 18) "s1" else "s2"))
+    val corpus = (copies :+
+      ((99L, "the quick brown fox jumps over the lazy cat", "s2")))
+      .toDF("doc_id", "text", "source")
+    val cells = Dedup.crossSourceOverlap(corpus, "doc_id", "text", "source",
+      minJaccard = 0.3)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // within-cluster: C(18,2)=153 (s1,s1), C(12,2)=66 (s2,s2), 18·12=216 (s1,s2)
+    // near-dup 99 pairs with all 30 copies: 18 → (s1,s2), 12 → (s2,s2)
+    assert(cells == Map(("s1", "s1") -> 153L, ("s2", "s2") -> (66L + 12L),
+      ("s1", "s2") -> (216L + 18L)))
+    val sweep = Dedup.thresholdSweep(corpus.select("doc_id", "text"),
+      "doc_id", "text", floor = 0.05, bins = 20)
+      .as[(Int, Double, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // top bin: C(30,2)=435 identical pairs; near pair j=7/9≈0.78 → bin 15
+    // expanded ×30 (once per copy)
+    assert(sweep(19) == 435L)
+    assert(sweep(15) == 30L)
+  }
+
   test("thresholdSweep bins and cumulative counts match a driver-side fold of the verified pairs") {
     val docsT = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val sweep = Dedup.thresholdSweep(docsT, "doc_id", "text", floor = 0.05, bins = 20)
