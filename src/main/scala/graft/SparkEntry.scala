@@ -1843,7 +1843,24 @@ object SparkEntry {
     "q177_benford" -> ((s, dir) =>
       graft.operators.Profiling.benfordProfile(
         t(s, dir, "lineitem"), "l_extendedprice")
-        .orderBy("digit"))
+        .orderBy("digit")),
+
+    // ── referential-integrity fanout audit orders → lineitem: per-k
+    // parent counts incl. childless (k=0), orphan children as k=-1 —
+    // the broken-FK canary after every ingest.
+    "q178_fanout_audit" -> ((s, dir) =>
+      graft.operators.Profiling.fanoutAudit(
+        t(s, dir, "orders"), t(s, dir, "lineitem"),
+        "o_orderkey", "l_orderkey")
+        .orderBy("k")),
+
+    // ── duplicate-cluster size histogram over the q58 graph: the dedup
+    // budgeting diagnostic (pair-noise tail vs boilerplate giants);
+    // unclustered docs are the sz=1 row.
+    "q179_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(t(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.1)
+        .orderBy("sz"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4070,7 +4087,60 @@ object SparkEntry {
         | round(log10(1.0 + 1.0 / digit), 6) AS expected,
         | round(CAST(count(*) AS DOUBLE) / tot.nn - round(log10(1.0 + 1.0 / digit), 6), 6) AS deviation
         |FROM pos CROSS JOIN tot
-        |GROUP BY digit, tot.nn ORDER BY digit""".stripMargin
+        |GROUP BY digit, tot.nn ORDER BY digit""".stripMargin,
+
+    // Identical two-level aggregation; orphan sentinel always present.
+    "q178_fanout_audit" ->
+      """WITH perkey AS (SELECT l_orderkey AS kk, count(*) AS c FROM lineitem GROUP BY 1),
+        |fan AS (
+        | SELECT coalesce(p.c, 0) AS k, count(*) AS n_parents
+        | FROM orders o LEFT JOIN perkey p ON p.kk = o.o_orderkey
+        | GROUP BY 1),
+        |orph AS (
+        | SELECT CAST(-1 AS BIGINT) AS k,
+        |  coalesce(sum(c), 0) AS n_parents
+        | FROM perkey WHERE kk NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT k, CAST(n_parents AS BIGINT) AS n_parents FROM fan
+        |UNION ALL SELECT k, CAST(n_parents AS BIGINT) FROM orph
+        |ORDER BY k""".stripMargin,
+
+    // The q58 duplicate-graph chain, then component-size counts; the
+    // singleton row is total docs minus clustered nodes.
+    "q179_cluster_sizes" ->
+      (s"""WITH RECURSIVE sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |near AS (
+         | SELECT i.doc_a, i.doc_b FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
+         |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM documents GROUP BY 1),
+         |exacte AS (SELECT g.canon AS doc_a, d.doc_id AS doc_b
+         |           FROM documents d JOIN exactg g ON sha256(d.text) IS NOT DISTINCT FROM g.h
+         |           WHERE d.doc_id <> g.canon),
+         |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
+         |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+         |cc(node, label) AS (
+         | SELECT nn, nn FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
+         |comp AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         |csize AS (SELECT comp, count(*) AS sz FROM comp GROUP BY 1),
+         |hist AS (SELECT sz, count(*) AS n_clusters FROM csize GROUP BY 1),
+         |singles AS (
+         | SELECT CAST(1 AS BIGINT) AS sz,
+         |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n_clusters)
+        |SELECT sz, CAST(n_clusters AS BIGINT) AS n_clusters FROM hist
+        |UNION ALL SELECT sz, CAST(n_clusters AS BIGINT) FROM singles
+        |ORDER BY sz""".stripMargin)
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

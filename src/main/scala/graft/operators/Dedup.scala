@@ -1428,6 +1428,32 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Duplicate-cluster size histogram — `(sz, n_clusters)`: how many
+    * verified duplicate clusters (exact ∪ near, [[dedupCorpus]]'s graph)
+    * have exactly sz members, with unclustered docs reported as the
+    * sz = 1 row (graph components always have ≥ 2 nodes, so the row
+    * never collides). The shape diagnostic behind dedup budgeting: a
+    * long tail of pair-clusters means near-dup noise; a few giant
+    * clusters mean boilerplate/mirrors that source-level action
+    * ([[crossSourceOverlap]]) handles cheaper than per-doc dedup.
+    *
+    * 100 TB shape: the graph is the shared [[dedupCorpus]] machinery;
+    * the histogram is two node-sized map-side-combinable aggregations
+    * plus a broadcast-scalar subtraction for the singleton row.
+    */
+  def clusterSizeHistogram(df: DataFrame, idCol: String, textCol: String,
+                           minJaccard: Double, n: Int = 2, k: Int = 8,
+                           rowsPerBand: Int = 2): DataFrame = {
+    val (_, cc) = corpusDupGraph(df, idCol, textCol, minJaccard, n, k, rowsPerBand)
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    val clustered = cc.agg(count(lit(1)).as("__cn"))
+    val singles = df.agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(clustered))
+      .select(lit(1L).as("sz"), (col("__n") - col("__cn")).as("n_clusters"))
+    sizes.unionByName(singles)
+  }
+
   /** Shared exact-first scaffolding for the pair-census reports
     * ([[crossSourceOverlap]], [[thresholdSweep]]): `(digestGroups,
     * canonDocs)` where digestGroups is one row per content digest

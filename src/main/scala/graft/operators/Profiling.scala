@@ -81,6 +81,35 @@ object Profiling {
     * 100 TB shape: one map-side-combinable 9-bucket count plus a
     * broadcast scalar total — a single corpus pass, constant-size state.
     */
+  /** Referential-integrity fanout audit between a parent and child
+    * relation — `(k, n_parents)` where row k ≥ 0 counts parents with
+    * exactly k child rows (k = 0 surfaces childless parents, invisible
+    * to any inner-join report) and the sentinel row k = −1 counts
+    * ORPHAN child rows whose key matches no parent (always emitted, 0
+    * when clean). The load-shape + broken-FK canary run after every
+    * ingest: a fanout histogram that suddenly grows a tail means
+    * duplicated children; a non-zero orphan row means the feed shipped
+    * children before (or without) their parents.
+    *
+    * 100 TB shape: the child never joins row-level — one
+    * map-side-combinable count per foreign key, then a keys-sized left
+    * join onto the parent keys and a second tiny histogram aggregation;
+    * the orphan row is a keys-sized anti-join summed to one value.
+    */
+  def fanoutAudit(parent: DataFrame, child: DataFrame,
+                  parentKey: String, childKey: String): DataFrame = {
+    val perKey = child.groupBy(col(childKey).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val pk = parent.select(col(parentKey).as("__k"))
+    val fan = pk.join(perKey, Seq("__k"), "left")
+      .select(coalesce(col("__c"), lit(0L)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_parents"))
+    val orphans = perKey.join(pk, Seq("__k"), "left_anti")
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_parents"))
+      .select(lit(-1L).as("k"), col("n_parents"))
+    fan.unionByName(orphans)
+  }
+
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
     val counts = df.filter(col(valueCol) >= 1)
       .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)

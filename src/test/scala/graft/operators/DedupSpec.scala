@@ -578,6 +578,14 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(("s1", "s2", 2L), ("s2", "s2", 1L)))
   }
 
+  test("clusterSizeHistogram reports component sizes plus the singleton row") {
+    // fixture: {0,1,2} is one 3-cluster (exact 0~2, near 0~1); docs 3/4
+    // unclustered → sz=1 row of 2
+    val got = Dedup.clusterSizeHistogram(docs, "doc_id", "text", minJaccard = 0.1)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L), (1L, 2L)))
+  }
+
   test("exact-first expansion counts identical-copy clusters without banding them") {
     // 30 byte-identical copies across two sources (18 s1 + 12 s2) plus
     // one near-dup in s2: LSH must band ONE representative, yet the

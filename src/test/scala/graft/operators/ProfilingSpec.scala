@@ -61,6 +61,19 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profiling.profileColumns(df, Seq("a'b")))
   }
 
+  test("fanoutAudit counts childless parents and orphan children") {
+    val parent = Seq(1L, 2L, 3L).toDF("pid")
+    val child = Seq(1L, 1L, 4L, 4L, 4L).toDF("fk")
+    val got = Profiling.fanoutAudit(parent, child, "pid", "fk")
+      .as[(Long, Long)].collect().toSet
+    // parent 1 has 2 children, parents 2/3 none; 3 orphan child rows (fk=4)
+    assert(got == Set((2L, 1L), (0L, 2L), (-1L, 3L)))
+    // clean corpus: orphan sentinel still present at 0
+    val clean = Profiling.fanoutAudit(parent, Seq(1L, 2L).toDF("fk"), "pid", "fk")
+      .as[(Long, Long)].collect().toSet
+    assert(clean == Set((1L, 2L), (0L, 1L), (-1L, 0L)))
+  }
+
   test("benfordProfile extracts first digits of the integer part, excluding x < 1") {
     val vals = Seq(1.5, 23.0, 0.7, 999.99, 12.0).toDF("x")
     val got = Profiling.benfordProfile(vals, "x")
