@@ -4097,9 +4097,13 @@ object SparkEntry {
         | FROM orders o LEFT JOIN perkey p ON p.kk = o.o_orderkey
         | GROUP BY 1),
         |orph AS (
+        | -- anti-join form, NOT `NOT IN`: a NULL key row must count as an
+        | -- orphan (Spark's left_anti semantics), and a NULL parent key
+        | -- must not poison the whole predicate
         | SELECT CAST(-1 AS BIGINT) AS k,
-        |  coalesce(sum(c), 0) AS n_parents
-        | FROM perkey WHERE kk NOT IN (SELECT o_orderkey FROM orders))
+        |  coalesce(sum(p.c), 0) AS n_parents
+        | FROM perkey p LEFT JOIN orders o ON o.o_orderkey = p.kk
+        | WHERE o.o_orderkey IS NULL)
         |SELECT k, CAST(n_parents AS BIGINT) AS n_parents FROM fan
         |UNION ALL SELECT k, CAST(n_parents AS BIGINT) FROM orph
         |ORDER BY k""".stripMargin,

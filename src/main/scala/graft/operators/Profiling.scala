@@ -81,6 +81,21 @@ object Profiling {
     * 100 TB shape: one map-side-combinable 9-bucket count plus a
     * broadcast scalar total — a single corpus pass, constant-size state.
     */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // the total derives from the 9-row count table — truly one pass
+    val total = counts.agg(sum(col("n")).as("__nn"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") / col("__nn").cast("double"))
+      .withColumn("expected", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("deviation", round(col("share") - col("expected"), 6))
+      .select("digit", "n", "share", "expected", "deviation")
+  }
+
   /** Referential-integrity fanout audit between a parent and child
     * relation — `(k, n_parents)` where row k ≥ 0 counts parents with
     * exactly k child rows (k = 0 surfaces childless parents, invisible
@@ -90,6 +105,12 @@ object Profiling {
     * ingest: a fanout histogram that suddenly grows a tail means
     * duplicated children; a non-zero orphan row means the feed shipped
     * children before (or without) their parents.
+    *
+    * NULL keys follow equi-join semantics on BOTH sides: a NULL child
+    * key never matches any parent, so its rows count as orphans; a
+    * NULL-keyed parent matches no children, so it counts at k = 0 (the
+    * q178 oracle states the orphan side as an anti-join, not `NOT IN`,
+    * precisely so one NULL cannot poison the predicate — spec-pinned).
     *
     * 100 TB shape: the child never joins row-level — one
     * map-side-combinable count per foreign key, then a keys-sized left
@@ -108,20 +129,5 @@ object Profiling {
       .agg(coalesce(sum(col("__c")), lit(0L)).as("n_parents"))
       .select(lit(-1L).as("k"), col("n_parents"))
     fan.unionByName(orphans)
-  }
-
-  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
-    val counts = df.filter(col(valueCol) >= 1)
-      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
-        .cast("int").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    // the total derives from the 9-row count table — truly one pass
-    val total = counts.agg(sum(col("n")).as("__nn"))
-    counts
-      .crossJoin(broadcast(total))
-      .withColumn("share", col("n").cast("double") / col("__nn").cast("double"))
-      .withColumn("expected", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
-      .withColumn("deviation", round(col("share") - col("expected"), 6))
-      .select("digit", "n", "share", "expected", "deviation")
   }
 }

@@ -72,6 +72,13 @@ class ProfilingSpec extends SparkSpec {
     val clean = Profiling.fanoutAudit(parent, Seq(1L, 2L).toDF("fk"), "pid", "fk")
       .as[(Long, Long)].collect().toSet
     assert(clean == Set((1L, 2L), (0L, 1L), (-1L, 0L)))
+    // NULL keys: a NULL child key is an orphan, a NULL parent key is
+    // childless — and neither poisons the other side (the NOT IN trap)
+    val pNull = Seq(Some(1L), None).toDF("pid")
+    val cNull = Seq(Some(1L), None, None).toDF("fk")
+    val gotNull = Profiling.fanoutAudit(pNull, cNull, "pid", "fk")
+      .as[(Long, Long)].collect().toSet
+    assert(gotNull == Set((1L, 1L), (0L, 1L), (-1L, 2L)))
   }
 
   test("benfordProfile extracts first digits of the integer part, excluding x < 1") {
