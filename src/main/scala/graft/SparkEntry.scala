@@ -1860,7 +1860,28 @@ object SparkEntry {
     "q179_cluster_sizes" -> ((s, dir) =>
       Dedup.clusterSizeHistogram(t(s, dir, "documents"), "doc_id", "text",
         minJaccard = 0.1)
-        .orderBy("sz"))
+        .orderBy("sz")),
+
+    // ── top user journey prefixes: each user's first-5 event types in
+    // (ts, event_id) order as one path string, top-50 by frequency —
+    // the product-analytics "common paths" report; one user window +
+    // two aggregations, path assembly via array_sort on the unique rn.
+    "q180_top_paths" -> ((s, dir) => {
+      val rn = row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")))
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", rn).filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(50)
+    })
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4144,7 +4165,21 @@ object SparkEntry {
          |  (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n_clusters)
         |SELECT sz, CAST(n_clusters AS BIGINT) AS n_clusters FROM hist
         |UNION ALL SELECT sz, CAST(n_clusters AS BIGINT) FROM singles
-        |ORDER BY sz""".stripMargin)
+        |ORDER BY sz""".stripMargin),
+
+    // Identical (ts, event_id) ordering; string_agg with ORDER BY rn is
+    // the array_sort twin; the (n_users DESC, path) order is total so
+    // LIMIT 50 cuts deterministically.
+    "q180_top_paths" ->
+      """WITH e AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |p AS (
+        | SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        | FROM e WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path LIMIT 50""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
