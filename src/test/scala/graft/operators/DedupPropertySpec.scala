@@ -50,4 +50,59 @@ class DedupPropertySpec extends SparkSpec {
         s"p=$p docs=$docs\n got=$got\n expect=$expect")
     }
   }
+
+  /** Random corpora with PLANTED byte-identical copy clusters: the
+    * exact-first expansion ([[Dedup.crossSourceOverlap]] /
+    * [[Dedup.thresholdSweep]]) must equal the naive census computed from
+    * raw-corpus [[Dedup.nearDups]] — the lossless-expansion claim, pinned
+    * beyond the single fixture.
+    */
+  private val copyCorpusGen: Gen[List[(Long, String, String)]] = for {
+    nBase <- Gen.choose(2, 8)
+    base <- Gen.listOfN(nBase, for {
+      len <- Gen.choose(2, 8)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield ws.mkString(" "))
+    copies <- Gen.listOfN(nBase, Gen.choose(0, 3))
+    srcs <- Gen.listOfN(nBase * 4 + nBase, Gen.oneOf("s1", "s2", "s3"))
+  } yield {
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      (0 to copies(i)).map(c => (i * 10L + c, t))
+    }
+    rows.zipWithIndex.map { case ((id, t), j) => (id, t, srcs(j % srcs.size)) }
+  }
+
+  test("exact-first expansion equals the naive raw-corpus census on random copy clusters") {
+    val cases = (0 until 12).flatMap(i =>
+      copyCorpusGen(Gen.Parameters.default, Seed(500L + i)))
+    cases.foreach { rows =>
+      val df = rows.toDF("doc_id", "text", "source")
+      val srcOf = rows.map(r => r._1 -> r._3).toMap
+      // naive reference: pairs from LSH over the RAW corpus
+      val rawPairs = Dedup.nearDups(df.select("doc_id", "text"), "doc_id", "text",
+        minJaccard = 0.3)
+        .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val expCells = rawPairs
+        .groupBy { case (a, b, _, _, _) =>
+          val (sa, sb) = (srcOf(a), srcOf(b))
+          (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa) }
+        .view.mapValues(_.length.toLong).toMap
+      val gotCells = Dedup.crossSourceOverlap(df, "doc_id", "text", "source",
+        minJaccard = 0.3)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(gotCells == expCells, s"cells on $rows")
+      // threshold sweep at floor 0.3, 20 bins
+      val expBins = rawPairs
+        .groupBy { case (_, _, ni, sa, sb) =>
+          math.min(20L * ni / (sa + sb - ni), 19L).toInt }
+        .view.mapValues(_.length.toLong).toMap
+      val gotBins = Dedup.thresholdSweep(df.select("doc_id", "text"),
+        "doc_id", "text", floor = 0.3, bins = 20)
+        .as[(Int, Double, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(gotBins == expBins, s"bins on $rows")
+    }
+  }
 }
