@@ -81,6 +81,29 @@ class ProfilingSpec extends SparkSpec {
     assert(gotNull == Set((1L, 1L), (0L, 1L), (-1L, 2L)))
   }
 
+  test("fanoutAudit invariants hold on random parent/child sets") {
+    // deterministic pseudo-random cases: keys drawn from a small range so
+    // fanout, childless, and orphan all occur
+    (0 until 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val parents = (0 until rnd.nextInt(6) + 1).map(_ => rnd.nextInt(8).toLong).distinct
+      val children = (0 until rnd.nextInt(15)).map(_ => rnd.nextInt(10).toLong)
+      val got = Profiling.fanoutAudit(parents.toDF("pid"), children.toDF("fk"),
+        "pid", "fk")
+        .as[(Long, Long)].collect().toMap
+      val fanRef = parents.map(p => children.count(_ == p))
+        .groupBy(identity).map { case (k, v) => k.toLong -> v.size.toLong }
+      val orphRef = children.count(c => !parents.contains(c)).toLong
+      assert(got.filter(_._1 >= 0) == fanRef, s"seed $seed fanout")
+      assert(got(-1L) == orphRef, s"seed $seed orphans")
+      // conservation: parents partition across k ≥ 0; children split
+      // between matched fanout mass and orphans
+      assert(got.filter(_._1 >= 0).values.sum == parents.size.toLong)
+      assert(got.filter(_._1 >= 0).map { case (k, n) => k * n }.sum + got(-1L)
+        == children.size.toLong)
+    }
+  }
+
   test("benfordProfile extracts first digits of the integer part, excluding x < 1") {
     val vals = Seq(1.5, 23.0, 0.7, 999.99, 12.0).toDF("x")
     val got = Profiling.benfordProfile(vals, "x")
