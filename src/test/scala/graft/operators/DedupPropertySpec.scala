@@ -105,4 +105,24 @@ class DedupPropertySpec extends SparkSpec {
       assert(gotBins == expBins, s"bins on $rows")
     }
   }
+
+  test("clusterSafeSplit never splits a verified duplicate cluster on random copy corpora") {
+    val cases = (0 until 8).flatMap(i =>
+      copyCorpusGen(Gen.Parameters.default, Seed(900L + i)))
+    cases.foreach { rows =>
+      val df = rows.map(r => (r._1, r._2)).toDF("doc_id", "text")
+      val out = Dedup.clusterSafeSplit(df, "doc_id", "text",
+        minJaccard = 0.3, testPermille = 400, salt = "pp")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(out.size == rows.size)
+      // every doc pair the dedup graph connects must share a split: use
+      // the audit's winner_id as the cluster label (same graph code)
+      val cluster = Dedup.dedupAudit(df, "doc_id", "text", minJaccard = 0.3)
+        .select("doc_id", "winner_id").as[(Long, Long)].collect()
+      cluster.groupBy(_._2).values.foreach { members =>
+        val splits = members.map { case (id, _) => out(id) }.toSet
+        assert(splits.size == 1, s"cluster ${members.map(_._1)} split $splits on $rows")
+      }
+    }
+  }
 }
