@@ -123,6 +123,15 @@ class DedupPropertySpec extends SparkSpec {
         val splits = members.map { case (id, _) => out(id) }.toSet
         assert(splits.size == 1, s"cluster ${members.map(_._1)} split $splits on $rows")
       }
+      // histogram twin over the same graph: sizes must match the audit's
+      // winner groups exactly, and Σ sz·n_clusters must conserve the corpus
+      val hist = Dedup.clusterSizeHistogram(df, "doc_id", "text", minJaccard = 0.3)
+        .as[(Long, Long)].collect().toMap
+      val refHist = cluster.groupBy(_._2).values.map(_.size.toLong)
+        .groupBy(identity).map { case (sz, g) => sz -> g.size.toLong }
+      assert(hist.filter(_._2 != 0) == refHist.filter(_._2 != 0),
+        s"histogram on $rows")
+      assert(hist.map { case (sz, n) => sz * n }.sum == rows.size.toLong)
     }
   }
 }
