@@ -1881,7 +1881,22 @@ object SparkEntry {
         .groupBy("path").agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
         .limit(50)
-    })
+    }),
+
+    // ── Welch's t-test, each lang vs the rest on doc length: decimal
+    // moment sums, rest derived by exact subtraction from grand totals,
+    // fixed-shape IEEE t / Welch–Satterthwaite df — the "did the mean
+    // move?" parametric complement of q173's KS and q176's effect size.
+    "q181_welch_ttest" -> ((s, dir) =>
+      Summaries.welchTTest(t(s, dir, "documents"), "n_chars", "lang")
+        .orderBy("lang")),
+
+    // ── categorical association source × lang in one row: full-grid χ²
+    // (common-denominator integer form), Cramér's V, mutual information —
+    // per-cell terms rounded then decimal-summed (the q72/q111 rule), so
+    // cell order can never change the answer.
+    "q182_cat_assoc" -> ((s, dir) =>
+      Summaries.categoricalAssociation(t(s, dir, "documents"), "source", "lang"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4179,7 +4194,75 @@ object SparkEntry {
         | SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
         | FROM e WHERE rn <= 5 GROUP BY user_id)
         |SELECT path, count(*) AS n_users FROM p
-        |GROUP BY path ORDER BY n_users DESC, path LIMIT 50""".stripMargin
+        |GROUP BY path ORDER BY n_users DESC, path LIMIT 50""".stripMargin,
+
+    // The identical decimal moment sums (Σx DECIMAL(38,0), Σx² from a
+    // 19,0×19,0 product), rest by exact decimal subtraction from grand
+    // totals, then the same fixed-shape double expressions staged
+    // through CTEs so both engines evaluate t and the Welch df verbatim.
+    "q181_welch_ttest" ->
+      """WITH g AS (
+        | SELECT lang, count(*) AS nt,
+        |  sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+        |  sum(CAST(CAST(n_chars AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx
+        | FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(nt) AS nn, sum(sx) AS tsx, sum(sxx) AS tsxx FROM g),
+        |w AS (
+        | SELECT g.lang, g.nt, tot.nn - g.nt AS nr,
+        |  CAST(g.nt AS DOUBLE) AS ntd, CAST(tot.nn - g.nt AS DOUBLE) AS nrd,
+        |  CAST(g.sx AS DOUBLE) AS sxd, CAST(g.sxx AS DOUBLE) AS sxxd,
+        |  CAST(tot.tsx - g.sx AS DOUBLE) AS rsxd,
+        |  CAST(tot.tsxx - g.sxx AS DOUBLE) AS rsxxd
+        | FROM g CROSS JOIN tot),
+        |v AS (
+        | SELECT lang, nt, nr, ntd, nrd,
+        |  sxd / ntd AS mt, rsxd / nrd AS mr,
+        |  (sxxd - sxd * sxd / ntd) / (ntd - 1.0) AS vt,
+        |  (rsxxd - rsxd * rsxd / nrd) / (nrd - 1.0) AS vr
+        | FROM w),
+        |u AS (SELECT lang, nt, nr, ntd, nrd, mt, mr,
+        |  vt / ntd AS st, vr / nrd AS sr FROM v)
+        |SELECT lang, CAST(nt AS BIGINT) AS n_target, CAST(nr AS BIGINT) AS n_rest,
+        | CASE WHEN nt >= 2 AND nr >= 2 AND st + sr > 0
+        |      THEN round((mt - mr) / sqrt(st + sr), 6) END AS t_stat,
+        | CASE WHEN nt >= 2 AND nr >= 2 AND st + sr > 0
+        |      THEN round((st + sr) * (st + sr)
+        |           / (st * st / (ntd - 1.0) + sr * sr / (nrd - 1.0)), 6) END AS deg_f
+        |FROM u ORDER BY lang""".stripMargin,
+
+    // OBSERVED cells only (χ² = N + Σ_obs[(o−e)²/e − e]; the absent
+    // cells' Σe is the +N), margins as windows over the cell table, the
+    // common-denominator χ² term and the all-integer-ratio ln MI term —
+    // each rounded to 9 dp, decimal-summed, terminal 6 dp.
+    "q182_cat_assoc" ->
+      """WITH cells AS (
+        | SELECT source AS a, lang AS b, count(*) AS o FROM documents
+        | WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        | SELECT a, b, o, CAST(o AS DOUBLE) AS od,
+        |  CAST(sum(o) OVER (PARTITION BY a) AS DOUBLE) AS rd,
+        |  CAST(sum(o) OVER (PARTITION BY b) AS DOUBLE) AS cd,
+        |  sum(o) OVER () AS nn,
+        |  CAST(sum(o) OVER () AS DOUBLE) AS nd
+        | FROM cells),
+        |terms AS (
+        | SELECT nn,
+        |  CAST(round((od * nd - rd * cd) * (od * nd - rd * cd) / (nd * rd * cd)
+        |             - rd * cd / nd, 9) AS DECIMAL(28,12)) AS chit,
+        |  CAST(round((od / nd) * ln(od * nd / (rd * cd)), 9) AS DECIMAL(28,12)) AS mit,
+        |  a, b
+        | FROM m),
+        |agg AS (SELECT CAST(max(nn) AS BIGINT) AS n,
+        |  count(DISTINCT a) AS r_levels, count(DISTINCT b) AS c_levels,
+        |  sum(chit) AS chi, sum(mit) AS mi FROM terms)
+        |SELECT n, r_levels, c_levels,
+        | round(CAST(chi AS DOUBLE) + CAST(n AS DOUBLE), 6) AS chi2,
+        | CASE WHEN least(r_levels, c_levels) >= 2
+        |      THEN round(sqrt((CAST(chi AS DOUBLE) + CAST(n AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
+        | END AS cramers_v,
+        | round(CAST(mi AS DOUBLE), 6) AS mi_nats
+        |FROM agg""".stripMargin
   )
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────

@@ -971,4 +971,122 @@ object Summaries {
           / (col("n_target") * col("n_rest")).cast("double"))
       .select(groupCol, "n_target", "n_rest", "ks")
   }
+
+  /** Welch's unequal-variance t-test, every group vs the REST of the
+    * corpus: `(group, n_target, n_rest, t_stat, deg_f)` — the
+    * parametric complement of [[ksDrift]] (KS asks "does the shape
+    * differ anywhere?"; Welch asks "did the MEAN move, scaled by how
+    * noisy both sides are?" — the metric a feed-regression dashboard
+    * alarms on). `deg_f` is the Welch–Satterthwaite effective degrees
+    * of freedom.
+    *
+    * Determinism contract ([[pearsonByGroup]]'s): ONE map-side-
+    * combinable aggregation of exact DECIMAL moment sums (n, Σx, Σx²)
+    * per group; the complement side is derived by exact decimal
+    * subtraction from the grand totals (the rest is never re-scanned —
+    * totals come from a window over the GROUPS-sized moment table, so
+    * the corpus subtree plans exactly once); then fixed-shape IEEE
+    * double expressions, 6 dp. Degenerate sides (n < 2 either side, or
+    * both variances zero) yield NULL t/df.
+    *
+    * 100 TB shape: one corpus pass, groups-sized everything after —
+    * the only window runs over the groups table, no second scan, no
+    * driver loop. Σx² stays exact in DECIMAL(38,0) (good to
+    * |x| ≈ 3·10⁹ at 10⁹ rows per group).
+    */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val xs = df.select(col(groupCol), col(valueCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val g = xs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_target"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum((col("__x").cast("decimal(19,0)") * col("__x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("__sxx"))
+    val wAll = Window.partitionBy()
+    val nT = col("n_target").cast("double")
+    val nR = col("n_rest").cast("double")
+    val mT = col("__sx").cast("double") / nT
+    val mR = col("__rsx").cast("double") / nR
+    val vT = (col("__sxx").cast("double")
+      - col("__sx").cast("double") * col("__sx").cast("double") / nT) / (nT - lit(1.0))
+    val vR = (col("__rsxx").cast("double")
+      - col("__rsx").cast("double") * col("__rsx").cast("double") / nR) / (nR - lit(1.0))
+    val seT = vT / nT
+    val seR = vR / nR
+    val se2 = seT + seR
+    g.withColumn("__nn", sum(col("n_target")).over(wAll))
+      .withColumn("__tsx", sum(col("__sx")).over(wAll))
+      .withColumn("__tsxx", sum(col("__sxx")).over(wAll))
+      .withColumn("n_rest", col("__nn") - col("n_target"))
+      .withColumn("__rsx", col("__tsx") - col("__sx"))
+      .withColumn("__rsxx", col("__tsxx") - col("__sxx"))
+      .withColumn("t_stat",
+        when(col("n_target") >= 2 && col("n_rest") >= 2 && se2 > 0,
+          round((mT - mR) / sqrt(se2), 6)))
+      .withColumn("deg_f",
+        when(col("n_target") >= 2 && col("n_rest") >= 2 && se2 > 0,
+          round(se2 * se2
+            / (seT * seT / (nT - lit(1.0)) + seR * seR / (nR - lit(1.0))), 6)))
+      .select(groupCol, "n_target", "n_rest", "t_stat", "deg_f")
+  }
+
+  /** Categorical association between two bounded-cardinality columns in
+    * one row: `(n, r_levels, c_levels, chi2, cramers_v, mi_nats)` —
+    * "is `source` independent of `lang`, and how strongly not?" (the
+    * pipeline screen for a feed that only ships one language, or a
+    * train/test split that leaked a source). χ² sums over the FULL
+    * R×C grid (absent cells contribute their expectation); Cramér's V
+    * normalizes χ² to [0,1]; mutual information (nats) sums over
+    * observed cells (0·ln 0 = 0).
+    *
+    * Cross-engine exactness (the q72/q111 per-term rule): every
+    * per-cell term is a fixed-shape IEEE expression over exact
+    * integers — χ² via the common-denominator form
+    * `(o·N − r·c)²/(N·r·c)`, MI with an all-integer ratio inside ln —
+    * rounded to 9 dp and decimal-summed, so the cell-sum order can
+    * never change the answer; terminal values 6 dp.
+    *
+    * The R×C grid never materializes: `Σ_absent e = N − Σ_obs e`
+    * (expectations over the full grid sum to N), so
+    * `χ² = N + Σ_obs[(o−e)²/e − e]` needs OBSERVED cells only.
+    *
+    * 100 TB shape: ONE corpus pass into the map-side-combinable
+    * `(a, b)` count table; margins and totals are windows over that
+    * cells-sized table — no joins, no second scan, the corpus subtree
+    * plans exactly once. Like [[ksDrift]], targets bounded-cardinality
+    * columns — quantize continuous values first or the cell table
+    * degenerates.
+    */
+  def categoricalAssociation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val m = cells
+      .withColumn("__ra", sum(col("__o")).over(Window.partitionBy("__a")))
+      .withColumn("__cb", sum(col("__o")).over(Window.partitionBy("__b")))
+      .withColumn("__nn", sum(col("__o")).over(Window.partitionBy()))
+    val oD = col("__o").cast("double")
+    val nD = col("__nn").cast("double")
+    val raD = col("__ra").cast("double")
+    val cbD = col("__cb").cast("double")
+    val dev = oD * nD - raD * cbD
+    // (o−e)²/e − e in the common-denominator form; the absent cells'
+    // Σe re-enters as the +N below
+    val chiTerm = dev * dev / (nD * raD * cbD) - raD * cbD / nD
+    val miTerm = (oD / nD) * log(oD * nD / (raD * cbD))
+    val agg = m.agg(max(col("__nn")).as("n"),
+      count_distinct(col("__a")).as("r_levels"),
+      count_distinct(col("__b")).as("c_levels"),
+      sum(round(chiTerm, 9).cast("decimal(28,12)")).as("__chi"),
+      sum(round(miTerm, 9).cast("decimal(28,12)")).as("__mi"))
+    val chi2u = col("__chi").cast("double") + col("n").cast("double")
+    agg.select(col("n"), col("r_levels"), col("c_levels"),
+      round(chi2u, 6).as("chi2"),
+      when(least(col("r_levels"), col("c_levels")) >= 2,
+        round(sqrt(chi2u
+          / (col("n").cast("double")
+            * (least(col("r_levels"), col("c_levels")) - lit(1)).cast("double"))), 6))
+        .as("cramers_v"),
+      round(col("__mi").cast("double"), 6).as("mi_nats"))
+  }
 }

@@ -928,4 +928,31 @@ class PlanSpec extends SparkSpec {
     val ben = plan("q177_benford")
     assert(collectAll(ben) { case w: WindowExec => w }.isEmpty)
   }
+
+  test("q181/q182 moment statistics: one corpus scan, windows only on aggregate tables") {
+    // q181 Welch: ONE corpus pass into the per-group moment table; the
+    // rest side derives by exact subtraction from window totals over
+    // that GROUPS-sized table — never a second scan, never a join
+    val w = plan("q181_welch_ttest")
+    val wScans = collectAll(w) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(wScans.size == 1, s"corpus must be scanned once, got ${wScans.size}")
+    assert(collectAll(w) { case x: WindowExec => x }.size == 1,
+      "grand totals must be ONE window over the groups table")
+    assert(collectAll(w) { case j: BroadcastHashJoinExec => j }.isEmpty)
+    assert(collectAll(w) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    // q182 association: one corpus pass into the (a, b) cell table;
+    // margins/totals are windows over that cells-sized table (the R×C
+    // grid never materializes — observed-cells identity), no joins
+    val a = plan("q182_cat_assoc")
+    val aScans = collectAll(a) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(aScans.size == 1, s"corpus must be scanned once, got ${aScans.size}")
+    assert(collectAll(a) { case j: BroadcastHashJoinExec => j }.isEmpty)
+    assert(collectAll(a) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(collectAll(a) { case x: WindowExec => x }.size == 3,
+      "row/col/total margins are three cells-sized windows")
+  }
 }

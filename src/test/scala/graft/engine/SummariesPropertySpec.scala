@@ -206,4 +206,101 @@ class SummariesPropertySpec extends SparkSpec {
       }
     }
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("welchTTest equals the brute-force moment form on random samples") {
+    groupedSamples(25).foreach { rows =>
+      val got = Summaries.welchTTest(rows.toDF("g", "v"), "v", "g")
+        .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> r).toMap
+      val nn = rows.size.toLong
+      val tsx = rows.map(_._2).sum
+      val tsxx = rows.map(v => v._2 * v._2).sum
+      rows.map(_._1).distinct.foreach { g =>
+        val xs = rows.filter(_._1 == g).map(_._2)
+        val nt = xs.size.toLong
+        val nr = nn - nt
+        val (ntd, nrd) = (nt.toDouble, nr.toDouble)
+        val (sx, sxx) = (xs.sum, xs.map(v => v * v).sum)
+        val (rsx, rsxx) = (tsx - sx, tsxx - sxx)
+        // the operator's exact fixed-shape double expressions, restated
+        val mt = sx.toDouble / ntd
+        val mr = rsx.toDouble / nrd
+        val vt = (sxx.toDouble - sx.toDouble * sx.toDouble / ntd) / (ntd - 1.0)
+        val vr = (rsxx.toDouble - rsx.toDouble * rsx.toDouble / nrd) / (nrd - 1.0)
+        val (st, sr) = (vt / ntd, vr / nrd)
+        val se2 = st + sr
+        val (_, gNt, gNr, gT, gDf) = got(g)
+        assert((gNt, gNr) == (nt, nr))
+        if (nt >= 2 && nr >= 2 && se2 > 0) {
+          assert(gT.contains(round6((mt - mr) / math.sqrt(se2))), s"t for $g on $rows")
+          val df = se2 * se2 / (st * st / (ntd - 1.0) + sr * sr / (nrd - 1.0))
+          assert(gDf.contains(round6(df)), s"df for $g on $rows")
+          // Welch df sits between min(n)-1 and the pooled n-2 (+rounding slack)
+          assert(gDf.get >= math.min(ntd, nrd) - 1.0 - 1e-6 && gDf.get <= nn - 2.0 + 1e-6)
+        } else {
+          assert(gT.isEmpty && gDf.isEmpty, s"degenerate $g on $rows")
+        }
+      }
+    }
+  }
+
+  /** (a, b) categorical pairs with absent-cell grids — zero-observed
+    * cells still contribute their expectation to χ², the classic
+    * implementation slip.
+    */
+  private val pairGen: Gen[List[(String, String)]] = for {
+    n <- Gen.choose(2, 60)
+    rows <- Gen.listOfN(n, for {
+      a <- Gen.oneOf("a", "b", "c")
+      b <- Gen.oneOf("x", "y")
+    } yield (a, b))
+  } yield rows
+
+  test("categoricalAssociation equals the brute-force full-grid form") {
+    val samples = (0 until 25)
+      .flatMap(i => pairGen(Gen.Parameters.default, Seed(500L + i)))
+    samples.foreach { rows =>
+      val Array((n, rl, cl, chi2, vOpt, mi)) =
+        Summaries.categoricalAssociation(rows.toDF("a", "b"), "a", "b")
+          .as[(Long, Long, Long, Double, Option[Double], Double)].collect()
+      val as = rows.map(_._1).distinct.sorted
+      val bs = rows.map(_._2).distinct.sorted
+      assert((n, rl, cl) == (rows.size.toLong, as.size.toLong, bs.size.toLong))
+      val nd = rows.size.toDouble
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      // the operator's observed-cells-only identity, restated: χ² =
+      // N + Σ_obs[(o−e)²/e − e] — but verified against the NAIVE full
+      // R×C grid too (chiGrid below), the form a textbook states
+      var chi = BigDecimal(0)
+      var miSum = BigDecimal(0)
+      var chiGrid = 0.0
+      for (a <- as; b <- bs) {
+        val o = rows.count(r => r == (a, b))
+        val od = o.toDouble
+        val rd = rows.count(_._1 == a).toDouble
+        val cd = rows.count(_._2 == b).toDouble
+        val e = rd * cd / nd
+        chiGrid += (od - e) * (od - e) / e
+        if (o > 0) {
+          val dev = od * nd - rd * cd
+          chi += r9(dev * dev / (nd * rd * cd) - rd * cd / nd)
+          miSum += r9((od / nd) * math.log(od * nd / (rd * cd)))
+        }
+      }
+      val chiOp = chi.toDouble + nd
+      assert(chi2 == round6(chiOp), s"chi2 on $rows")
+      // the identity holds vs the naive grid up to rounding dust
+      assert(math.abs(chiOp - chiGrid) < 1e-6, s"grid identity on $rows")
+      assert(mi == round6(miSum.toDouble), s"mi on $rows")
+      assert(chi2 >= -1e-6 && mi >= -1e-6)
+      if (math.min(rl, cl) >= 2) {
+        val v = math.sqrt(chiOp / (nd * (math.min(rl, cl) - 1.0)))
+        assert(vOpt.contains(round6(v)), s"V on $rows")
+        assert(vOpt.get >= 0.0 && vOpt.get <= 1.0 + 1e-6)
+      } else assert(vOpt.isEmpty)
+    }
+  }
 }
