@@ -513,7 +513,7 @@ object PipelineScaleBench {
     // its generation + write is one of the most expensive steps in the
     // bench, and a doc-stage-only run must not pay for it
     val embStages = Seq("pipe_lsh_bucket_assign", "pipe_ann_lsh_topk_100q",
-      "pipe_embedding_neardup")
+      "pipe_embedding_neardup", "pipe_kmeans")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
     if (!needEmb) { spark.stop(); return }
     // float32, like real embedding tables — the near-dup verification
@@ -549,6 +549,15 @@ object PipelineScaleBench {
       // corpus (SCALE.md §Embedding near-dup pair growth).
       Similarity.nearDupPairsBanded(vecs, "vec_id", "embedding", threshold = 0.9,
         planes = Similarity.bandedPlanesFor(total)).count()
+    }
+    timed("pipe_kmeans") {
+      // output_per_input is rows labeled / corpus (always 1.0 — the
+      // guard's signal is WALL linearity: each of the 2 iterations is a
+      // narrow per-row k×dim fold plus one k×dim-cell aggregation, so
+      // superlinear growth means the update shuffle stopped combining
+      // map-side)
+      Similarity.kmeansLloyd(vecs, "vec_id", "embedding", k = 8, iters = 2)
+        .count()
     }
     spark.stop()
   }

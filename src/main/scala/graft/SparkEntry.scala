@@ -1896,7 +1896,17 @@ object SparkEntry {
     // per-cell terms rounded then decimal-summed (the q72/q111 rule), so
     // cell order can never change the answer.
     "q182_cat_assoc" -> ((s, dir) =>
-      Summaries.categoricalAssociation(t(s, dir, "documents"), "source", "lang"))
+      Summaries.categoricalAssociation(t(s, dir, "documents"), "source", "lang")),
+
+    // ── distributed Lloyd k-means over the full embedding corpus
+    // (k=4, 2 full assign→update steps, deterministic min-id init):
+    // per-row argmin over the literal codebook, decimal-exact centroid
+    // updates, 6-dp distance rounding + id tiebreak so assignments are
+    // engine-identical — the mixture-profiling clustering.
+    "q183_kmeans" -> ((s, dir) =>
+      Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2)
+        .orderBy("vec_id"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4262,8 +4272,60 @@ object SparkEntry {
         |           / (CAST(n AS DOUBLE) * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
         | END AS cramers_v,
         | round(CAST(mi AS DOUBLE), 6) AS mi_nats
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // The identical Lloyd chain unrolled as CTEs: 9-dp component entry,
+    // decimal-exact per-(cluster, pos) centroid sums, 6-dp distance +
+    // cluster-id tiebreak argmin — iter CTEs generated to match the
+    // operator's iters exactly.
+    "q183_kmeans" -> kmeansOracleSql(k = 4, iters = 2, dim = 64)
   )
+
+  /** DuckDB twin of [[graft.operators.Similarity.kmeansLloyd]]: the
+    * assign→update recurrence unrolled into `iters` CTE pairs plus the
+    * final assignment — the same 9-dp component entry, DECIMAL(28,12)
+    * centroid sums, and 6-dp distance argmin with the cluster-id
+    * tiebreak.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+    // the |v|²−2vc+|c|² identity the Spark kernel computes, with the
+    // same fixed shape: vn2 − 2.0·dot + cn2 then round 6
+    def assign(i: Int, c: String): String =
+      s"""cn$i AS (SELECT cl, sum(cv * cv) AS cn2 FROM $c GROUP BY 1),
+         |d$i AS (
+         | SELECT v.vec_id, c.cl,
+         |  round(max(n2.vn2) - 2.0 * sum(v.vd * c.cv) + max(cn.cn2), 6) AS d
+         | FROM v JOIN $c c ON c.pos = v.pos
+         | JOIN n2 ON n2.vec_id = v.vec_id
+         | JOIN cn$i cn ON cn.cl = c.cl
+         | GROUP BY 1, 2),
+         |a$i AS (
+         | SELECT vec_id, cl AS cluster FROM (
+         |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+         |  FROM d$i)
+         | WHERE rn = 1)""".stripMargin
+    def update(i: Int): String =
+      s"""c$i AS (
+         | SELECT a.cluster AS cl, v.pos,
+         |  round(CAST(sum(CAST(v.vd AS DECIMAL(28,12))) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 9) AS cv
+         | FROM a$i a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    val steps = (1 to iters).map(i => assign(i, s"c${i - 1}") + ",\n" + update(i))
+    val finalAssign = assign(iters + 1, s"c$iters")
+    s"""WITH v AS (
+       | SELECT vec_id, r.i AS pos,
+       |  round(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE), 9) AS vd
+       | FROM embeddings, range($dim) r(i)),
+       |n2 AS (SELECT vec_id, sum(vd * vd) AS vn2 FROM v GROUP BY 1),
+       |init AS (
+       | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, vec_id
+       | FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS (SELECT i.cl, v.pos, v.vd AS cv FROM init i JOIN v ON v.vec_id = i.vec_id),
+       |${steps.mkString(",\n")},
+       |$finalAssign
+       |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a${iters + 1}
+       |ORDER BY vec_id""".stripMargin
+  }
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
   /** Shingle/signature oracle fragments, parameterized on the source

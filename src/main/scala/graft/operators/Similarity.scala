@@ -651,6 +651,83 @@ object Similarity {
     centroids.zipWithIndex.map { case (cv, i) => (i.toLong, cv.toSeq) }
   }
 
+  /** Distributed Lloyd k-means over the FULL corpus (fixed-iteration,
+    * engine-reproducible) — unlike [[kmeansCodebook]] (which trains on
+    * a bounded driver sample for IVF), every row participates in every
+    * update, so the final `(id, cluster)` assignment is the clustering
+    * a mixture-profiling / stratification pipeline reports. Init is
+    * deterministic (the k smallest ids' vectors); output is the
+    * assignment after `iters` full assign→update steps.
+    *
+    * Cross-engine exactness (the Graph.scala decimal recipe): vector
+    * components enter as round(double, 9); per-(cluster, dim) sums are
+    * DECIMAL — exact and order-independent — so updated centroids
+    * `round(sum/count, 9)` are IDENTICAL real numbers in any engine;
+    * squared distances round to 6 dp before an argmin with a
+    * cluster-id tiebreak, so a last-ulp summation difference can never
+    * flip an assignment.
+    *
+    * 100 TB shape: assignment is a per-row fold over the k×dim LITERAL
+    * codebook — the corpus never shuffles for it; each update is ONE
+    * map-side-combinable posexplode aggregation into k×dim cells; only
+    * k×dim doubles reach the driver per iteration (`iters`+1 jobs, the
+    * [[graft.operators.Graph]] fixed-iteration contract). Empty
+    * clusters keep their previous centroid.
+    */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 4, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0, got k=$k iters=$iters")
+    val all = df
+      .filter(col(vecCol).isNotNull && forall(col(vecCol), x => x.isNotNull))
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), x => round(x.cast("double"), 9)).as("__vd"))
+    val init = all.orderBy("__id").limit(k)
+      .select(col("__vd")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.nonEmpty, "cannot cluster an empty corpus")
+    val dims = init.head.length
+    // ragged vectors would null out the distance fold — drop them, like
+    // kmeansCodebook's majority-width rule. Persisted for the loop's
+    // 2·iters passes (assign + update per iteration); unpersisted before
+    // returning, so the final frame recomputes from source lazily — the
+    // Graph.hits cache-lifetime contract
+    val vecs = all.filter(size(col("__vd")) === dims)
+    if (iters > 0) vecs.persist()
+    var centroids: Array[Array[Double]] = init.filter(_.length == dims)
+
+    // distance via |v|² − 2·v·c + |c|² through the codegen'd dot kernel:
+    // |v|² is computed ONCE per row across all k centroids, and a k×dim
+    // unrolled (v−c)² chain would blow past JIT method limits (measured
+    // ~3× slower at 500k×64×8); the 6-dp round keeps the fp-rearranged
+    // value engine-identical exactly like the direct form
+    def assigned(cs: Array[Array[Double]]): DataFrame = {
+      val structs = cs.toSeq.zipWithIndex.map { case (cv, c) =>
+        var cn2 = 0.0
+        var j = 0
+        while (j < cv.length) { cn2 += cv(j) * cv(j); j += 1 }
+        val dist = col("__vn2") - lit(2.0) * dot(col("__vd"), typedlit(cv.toSeq)) + lit(cn2)
+        struct(round(dist, 6).as("d"), lit(c).as("cl"))
+      }
+      vecs.withColumn("__vn2", dot(col("__vd"), col("__vd")))
+        .withColumn("cluster", least(structs: _*).getField("cl"))
+    }
+    for (_ <- 0 until iters) {
+      val cells = assigned(centroids)
+        .select(col("cluster"), posexplode(col("__vd")).as(Seq("__pos", "__x")))
+        .groupBy("cluster", "__pos")
+        .agg(sum(col("__x").cast("decimal(28,12)")).as("__s"),
+          count(lit(1)).as("__c"))
+        .select(col("cluster"), col("__pos"),
+          round(col("__s").cast("double") / col("__c").cast("double"), 9).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      cells.foreach { r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+      centroids = next
+    }
+    if (iters > 0) vecs.unpersist(blocking = false)
+    assigned(centroids).select(col("__id").as(idCol), col("cluster"))
+  }
+
   /** Two-stage retrieval — the production ANN pattern: a cheap QUANTIZED
     * scan ranks every (query, candidate) pair by int8 dot product and
     * keeps the top `rerank` per query; only those survivors get the exact

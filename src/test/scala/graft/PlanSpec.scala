@@ -955,4 +955,19 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(a) { case x: WindowExec => x }.size == 3,
       "row/col/total margins are three cells-sized windows")
   }
+
+  test("q183 k-means assignment is a narrow per-row fold over the literal codebook") {
+    // the RETURNED frame (final assignment) must never join or window —
+    // cluster labels come from a per-row argmin against literal
+    // centroids; the only exchange is the terminal presentation sort
+    val p = plan("q183_kmeans")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    val exchanges = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1,
+      s"assignment must not shuffle beyond the terminal sort, got ${exchanges.size}")
+  }
 }

@@ -539,4 +539,52 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.principalComponent(df, "embedding", iters = 0))
   }
+
+  test("kmeansLloyd recovers planted clusters and matches a driver-side Lloyd") {
+    // three tight planted clusters far apart; ids interleaved so the
+    // min-id init starts with one seed in each of clusters 0/1/2
+    val centers = Seq(Array(10.0f, 0.0f, 0.0f), Array(0.0f, 10.0f, 0.0f),
+      Array(0.0f, 0.0f, 10.0f))
+    val rows = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      (i, centers(c).zipWithIndex.map { case (x, j) =>
+        x + ((i * 7 + j) % 5) * 0.01f })
+    }
+    val got = Similarity.kmeansLloyd(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    // planted recovery: cluster label == id mod 3 (init seeds 0,1,2)
+    rows.foreach { case (i, _) =>
+      assert(got(i) == (i % 3).toInt, s"vec $i landed in ${got(i)}")
+    }
+    // driver-side Lloyd with the operator's exact rounding contract
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = rows.map { case (i, v) => i -> v.map(x => r(x.toDouble, 9)) }
+    var cs = pts.sortBy(_._1).take(3).map(_._2.clone())
+    def assign(p: Array[Double]) =
+      cs.zipWithIndex.map { case (c, ci) =>
+        (r(p.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, 6), ci)
+      }.min._2
+    for (_ <- 0 until 2) {
+      val byC = pts.groupBy { case (_, p) => assign(p) }
+      cs = cs.zipWithIndex.map { case (c, ci) =>
+        byC.get(ci).fold(c) { members =>
+          val n = members.size
+          // decimal-exact sum → double, then ONE IEEE division — the
+          // operator's exact expression shape
+          Array.tabulate(c.length)(j =>
+            r(members.map { case (_, p) => BigDecimal(p(j)) }.sum.toDouble / n, 9))
+        }
+      }
+    }
+    pts.foreach { case (i, p) => assert(got(i) == assign(p), s"ref mismatch vec $i") }
+    // empty-cluster edge: k larger than distinct points — survivors keep
+    // their seed centroid, every row still gets a label in [0, k)
+    val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val lbl = Similarity.kmeansLloyd(tiny, "vec_id", "embedding", k = 3, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(lbl.values.forall(c => c >= 0 && c < 3))
+    assert(lbl(0L) == lbl(1L) && lbl(0L) != lbl(2L))
+  }
 }
