@@ -1906,7 +1906,40 @@ object SparkEntry {
     "q183_kmeans" -> ((s, dir) =>
       Similarity.kmeansLloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 4, iters = 2)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ── Misra–Gries heavy hitters over the token stream: top-50 by
+    // sketch estimate. Capacity 100k ≥ the fixture vocab → the exact
+    // regime, so the DuckDB exact-count twin hash-matches; under
+    // capacity pressure (the 100 TB URL/n-gram regime) the partials
+    // stay capacity-bounded and the spec pins the n/(cap+1) guarantee.
+    "q184_heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens("text")).as("token"))
+        .agg(graft.functions.HeavyHittersOps
+          .heavyHitters(100000, 50, col("token")).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("rn", "e")))
+        .select(col("rn"), col("e.item").as("token"), col("e.est").as("est"))),
+
+    // ── embedding-table quality audit per label: null/NaN/zero-vector
+    // counters, dim range, 6-dp norm stats — the post-re-embed canary
+    // that catches a poisoned feed before ANN/centroid operators do.
+    "q185_embedding_audit" -> ((s, dir) =>
+      graft.operators.Profiling.embeddingAudit(
+        t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")),
+
+    // ── split drift audit: deterministic 80/10/10 hash split, then
+    // exact KS of doc length for each split vs the rest — "did the split
+    // skew lengths?" (it must not: hash fate is length-blind, so ks ≈ 0
+    // is the healthy reading); q173's machinery over the split label.
+    "q186_split_drift" -> ((s, dir) => {
+      val b = Sampling.hashBucket(col("doc_id"))
+      val withSplit = t(s, dir, "documents").withColumn("split",
+        when(b < 800, lit("train")).when(b < 900, lit("valid"))
+          .otherwise(lit("test")))
+      Summaries.ksDrift(withSplit, "n_chars", "split").orderBy("split")
+    })
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4278,7 +4311,80 @@ object SparkEntry {
     // decimal-exact per-(cluster, pos) centroid sums, 6-dp distance +
     // cluster-id tiebreak argmin — iter CTEs generated to match the
     // operator's iters exactly.
-    "q183_kmeans" -> kmeansOracleSql(k = 4, iters = 2, dim = 64)
+    "q183_kmeans" -> kmeansOracleSql(k = 4, iters = 2, dim = 64),
+
+    // Capacity ≥ vocab → MG is exact, so the twin is the plain exact
+    // count with the sketch's (est desc, item asc) rank order; rn is the
+    // 0-based posexplode ordinal.
+    "q184_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS est FROM toks GROUP BY 1),
+        |r AS (SELECT token, CAST(est AS BIGINT) AS est,
+        |  CAST(row_number() OVER (ORDER BY est DESC, token) - 1 AS INT) AS rn
+        | FROM cnt)
+        |SELECT rn, token, est FROM r WHERE rn < 50 ORDER BY rn""".stripMargin,
+
+    // Identical clean gate (non-null, NaN-free), 6-dp per-row norms
+    // (fold of double squares), decimal-summed mean — counters over
+    // everything, norm stats over clean rows only.
+    "q185_embedding_audit" ->
+      """WITH e AS (
+        | SELECT label, embedding,
+        |  embedding IS NOT NULL
+        |   AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0 AS clean
+        | FROM embeddings),
+        |m AS (
+        | SELECT label, embedding, clean,
+        |  CASE WHEN clean THEN round(sqrt(list_sum(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+        |  END AS nrm
+        | FROM e)
+        |SELECT label, count(*) AS n,
+        | CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        | CAST(sum(CASE WHEN embedding IS NOT NULL AND NOT clean THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        | CAST(sum(CASE WHEN clean
+        |   AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0)) = 0
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        | CAST(min(CASE WHEN clean THEN len(embedding) END) AS INT) AS dim_min,
+        | CAST(max(CASE WHEN clean THEN len(embedding) END) AS INT) AS dim_max,
+        | min(CASE WHEN clean THEN nrm END) AS min_norm,
+        | max(CASE WHEN clean THEN nrm END) AS max_norm,
+        | round(CAST(sum(CASE WHEN clean THEN CAST(nrm AS DECIMAL(28,12)) END) AS DOUBLE)
+        |       / CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS DOUBLE), 6) AS mean_norm
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    // The q60 md5 permille split (80/10/10) feeding the q173 KS chain —
+    // the same integer-exact sup over the split-vs-rest CDFs.
+    "q186_split_drift" ->
+      """WITH d AS (
+        | SELECT n_chars,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 < 800
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000 < 900
+        |       THEN 'valid'
+        |       ELSE 'test' END AS split
+        | FROM documents),
+        |g AS (SELECT DISTINCT split AS grp FROM d),
+        |n AS (SELECT split, count(*) AS nt FROM d GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn FROM d),
+        |c AS (
+        | SELECT g.grp,
+        |  sum(CASE WHEN dd.split = g.grp THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY g.grp ORDER BY dd.n_chars
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+        |  count(*)
+        |    OVER (PARTITION BY g.grp ORDER BY dd.n_chars
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+        | FROM d dd CROSS JOIN g)
+        |SELECT c.grp AS split,
+        | CAST(n.nt AS BIGINT) AS n_target,
+        | CAST(tot.nn - n.nt AS BIGINT) AS n_rest,
+        | CAST(max(abs(ct * (tot.nn - n.nt) - (ca - ct) * n.nt)) AS DOUBLE)
+        |   / (n.nt * (tot.nn - n.nt)) AS ks
+        |FROM c JOIN n ON n.split = c.grp CROSS JOIN tot
+        |GROUP BY c.grp, n.nt, tot.nn
+        |ORDER BY split""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.kmeansLloyd]]: the

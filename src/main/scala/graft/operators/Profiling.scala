@@ -130,4 +130,42 @@ object Profiling {
       .select(lit(-1L).as("k"), col("n_parents"))
     fan.unionByName(orphans)
   }
+
+  /** Embedding-table quality audit per label: `(label, n, n_null,
+    * n_nan, n_zero, dim_min, dim_max, min_norm, max_norm, mean_norm)` —
+    * the canary a vector pipeline runs after every re-embed (a feed
+    * that started shipping zero vectors, NaNs from an fp16 overflow, or
+    * a dimension change silently poisons every ANN/centroid operator
+    * downstream). Norm stats cover CLEAN rows only (non-null, NaN-free);
+    * the defect counters cover everything.
+    *
+    * Determinism: per-row norms round to 6 dp (`sqrt` of the fold —
+    * the q71 transcendental rule), the mean decimal-sums those rounded
+    * norms — order-independent, engine-identical.
+    *
+    * 100 TB shape: ONE map-side-combinable aggregation; per-row
+    * kernels only, nothing but the (labels × 10) result ever shuffles.
+    */
+  def embeddingAudit(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val hasNan = exists(v, x => isnan(x.cast("double")))
+    val clean = v.isNotNull && !hasNan
+    val norm2 = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nrm = round(sqrt(norm2), 6)
+    val one = lit(1L)
+    val zero = lit(0L)
+    df.groupBy(col(labelCol).as("label")).agg(
+      count(lit(1)).as("n"),
+      sum(when(v.isNull, one).otherwise(zero)).as("n_null"),
+      sum(when(v.isNotNull && hasNan, one).otherwise(zero)).as("n_nan"),
+      sum(when(clean && forall(v, x => x.cast("double") === 0.0), one)
+        .otherwise(zero)).as("n_zero"),
+      min(when(clean, size(v))).as("dim_min"),
+      max(when(clean, size(v))).as("dim_max"),
+      min(when(clean, nrm)).as("min_norm"),
+      max(when(clean, nrm)).as("max_norm"),
+      round(sum(when(clean, nrm.cast("decimal(28,12)"))).cast("double")
+        / sum(when(clean, one).otherwise(zero)).cast("double"), 6).as("mean_norm"))
+  }
 }

@@ -114,4 +114,29 @@ class ProfilingSpec extends SparkSpec {
       .select("digit", "expected").as[(Int, Double)].collect().toMap
     assert(exp(1) == 0.30103 && exp(2) == 0.176091 && exp(9) == 0.045757)
   }
+
+  test("embeddingAudit counts defects and keeps norm stats clean-rows-only") {
+    val rows = Seq(
+      ("a", Some(Array(3.0f, 4.0f))),            // norm 5
+      ("a", Some(Array(0.0f, 0.0f))),            // zero vector, norm 0
+      ("a", None),                               // null
+      ("a", Some(Array(Float.NaN, 1.0f))),       // NaN
+      ("a", Some(Array(1.0f, 0.0f, 0.0f))),      // ragged dim 3, norm 1
+      ("b", Some(Array(6.0f, 8.0f)))             // norm 10
+    ).toDF("label", "embedding")
+    val got = Profiling.embeddingAudit(rows, "label", "embedding")
+      .orderBy("label")
+      .as[(String, Long, Long, Long, Long, Int, Int, Double, Double, Double)]
+      .collect()
+    val a = got(0)
+    // n=5, one null, one NaN, one zero; dims 2..3; norms {5, 0, 1}
+    assert(a == (("a", 5L, 1L, 1L, 1L, 2, 3, 0.0, 5.0, 2.0)))
+    assert(got(1) == (("b", 1L, 0L, 0L, 0L, 2, 2, 10.0, 10.0, 10.0)))
+    // all-dirty label: counters live, norm stats NULL
+    val dirty = Seq(("c", Option.empty[Array[Float]])).toDF("label", "embedding")
+    val c = Profiling.embeddingAudit(dirty, "label", "embedding")
+      .select("n", "n_null", "min_norm", "mean_norm")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(c == ((1L, 1L, None, None)))
+  }
 }
