@@ -1939,6 +1939,87 @@ object SparkEntry {
         when(b < 800, lit("train")).when(b < 900, lit("valid"))
           .otherwise(lit("test")))
       Summaries.ksDrift(withSplit, "n_chars", "split").orderBy("split")
+    }),
+
+    // ── synchronous label propagation over the q143 rare-shingle
+    // similarity graph, 5 iterations: communities finer than connected
+    // components (a bridge edge can't outvote a family's own labels).
+    // Deterministic by the smallest-label tie rule — oracle unrolls it.
+    "q187_label_prop" -> ((s, dir) => {
+      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df").between(2, 4)).select("shingle")
+      val rare = sh.join(f, Seq("shingle"))
+      val edges = rare.select(col("shingle"), col("doc_id").as("a"))
+        .join(rare.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      graft.operators.Graph.labelPropagation(edges, "a", "b", iters = 5)
+        .orderBy("node")
+    }),
+
+    // ── multi-source BFS: exact hop distance from the doc_id%50=0 seed
+    // docs over the same similarity graph, ≤4 hops — the hard-radius
+    // curation query (personalized PageRank is the soft version).
+    "q188_bfs_hops" -> ((s, dir) => {
+      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df").between(2, 4)).select("shingle")
+      val rare = sh.join(f, Seq("shingle"))
+      val edges = rare.select(col("shingle"), col("doc_id").as("a"))
+        .join(rare.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val seeds = t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+        .select("doc_id")
+      graft.operators.Graph.bfsHops(edges, "a", "b", seeds, "doc_id", maxHops = 4)
+        .orderBy("node")
+    }),
+
+    // ── Kaplan–Meier survival over per-user activity lifetimes:
+    // censor = last event ON the corpus-edge day (the synthetic users
+    // are near-uniformly active, so wider censor windows mark everyone
+    // alive and the curve degenerates to 1.0); factors 12-dp,
+    // ascending-order product, 6-dp survival.
+    "q189_kaplan_meier" -> ((s, dir) =>
+      Summaries.kaplanMeier(events(s, dir), "user_id", "ts", censorDays = 1)
+        .orderBy("duration_days")),
+
+    // ── sorted-neighborhood near-dup pairs: rank by text within 8-char
+    // prefix blocks, compare each row to its 10 successors, Levenshtein
+    // ≤ 30 — the sort-order blocking twin of q125's q-gram blocking.
+    "q190_snm_pairs" -> ((s, dir) =>
+      graft.operators.Linkage.sortedNeighborhood(
+        t(s, dir, "documents"), "doc_id", "text",
+        window = 10, prefixLen = 8, maxDist = 30)
+        .orderBy("idA", "idB")),
+
+    // ── functional-dependency discovery over four customer columns:
+    // which column determines which (the join-key / denormalization
+    // census a profiler runs on a new feed).
+    "q191_fd_discovery" -> ((s, dir) =>
+      graft.operators.Profiling.functionalDeps(
+        t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .orderBy("determinant", "dependent")),
+
+    // ── count-min sketch (depth 4 × width 16, md5 buckets) over the
+    // token stream, point-estimates for a ~30% hash-chosen probe vocab
+    // vs exact counts: est ≥ exact always, overcount = collision mass
+    // (width < the fixture vocab ON PURPOSE — the sf0.01 sketch is under
+    // collision pressure, so nonzero overcounts are part of the pin).
+    "q192_countmin" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens("text")).as("token"))
+      val sk = graft.operators.Profiling.countMinSketch(toks, "token", 4, 16)
+      val probes = toks.distinct()
+        .filter(Sampling.hashBucket(col("token"), "cms") < 300)
+      val est = graft.operators.Profiling.countMinEstimate(sk, probes, "token", 4, 16)
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("token"))
+        .select(col("token"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"))
+        .orderBy("token")
     })
   )
 
@@ -4384,8 +4465,154 @@ object SparkEntry {
         |   / (n.nt * (tot.nn - n.nt)) AS ks
         |FROM c JOIN n ON n.split = c.grp CROSS JOIN tot
         |GROUP BY c.grp, n.nt, tot.nn
-        |ORDER BY split""".stripMargin
+        |ORDER BY split""".stripMargin,
+
+    // Synchronous LPA unrolled 5 iterations over the q143 trigram edge
+    // graph: per-iteration argmax = most-frequent neighbor label, ties
+    // to the SMALLEST label — row_number states the same tiebreak the
+    // Spark max(struct(cnt, -label)) computes.
+    "q187_label_prop" -> {
+      // NB: trigramEdgeSql and the step CTEs are concatenated OUTSIDE
+      // any stripMargin — interpolating multi-line SQL into a
+      // stripMargin template would eat the first pipe of every `||`
+      def step(i: Int): String =
+        s"""l$i AS (
+           | SELECT v AS node, label FROM (
+           |  SELECT nb.v, l.label, count(*) AS cnt,
+           |   row_number() OVER (PARTITION BY nb.v
+           |     ORDER BY count(*) DESC, l.label) AS rn
+           |  FROM nb JOIN l${i - 1} l ON l.node = nb.u
+           |  GROUP BY nb.v, l.label)
+           | WHERE rn = 1)""".stripMargin
+      "WITH " + trigramEdgeSql + ",\n" +
+        "nb AS (SELECT lo AS v, hi AS u FROM e UNION ALL SELECT hi, lo FROM e),\n" +
+        "l0 AS (SELECT DISTINCT v AS node, CAST(v AS BIGINT) AS label FROM nb),\n" +
+        (1 to 5).map(step).mkString(",\n") + "\n" +
+        "SELECT node, label FROM l5 ORDER BY node"
+    },
+
+    // Multi-source BFS unrolled 4 hops: d_{t+1} = min(d_t, 1 + min over
+    // neighbors' d_t), seeds at 0 (including seeds absent from the graph).
+    "q188_bfs_hops" -> {
+      // same concatenation rule as q187 (stripMargin vs interpolated `||`)
+      def hop(i: Int): String =
+        s"""d$i AS (
+           | SELECT node, CAST(min(hops) AS INT) AS hops FROM (
+           |  SELECT node, hops FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT nb.v AS node, d.hops + 1 AS hops
+           |  FROM nb JOIN d${i - 1} d ON d.node = nb.u)
+           | GROUP BY node)""".stripMargin
+      "WITH " + trigramEdgeSql + ",\n" +
+        "nb AS (SELECT lo AS v, hi AS u FROM e UNION ALL SELECT hi, lo FROM e),\n" +
+        "d0 AS (SELECT DISTINCT doc_id AS node, CAST(0 AS INT) AS hops\n" +
+        "       FROM documents WHERE doc_id % 50 = 0),\n" +
+        (1 to 4).map(hop).mkString(",\n") + "\n" +
+        "SELECT node, hops FROM d4 ORDER BY node"
+    },
+
+    // Kaplan–Meier: identical lifetimes (event DATEs), 14-day censor
+    // edge, suffix-sum at-risk, 12-dp factors, ASCENDING-order product
+    // fold (list_reduce left-folds exactly like the Spark aggregate with
+    // unit init — 1.0·f ≡ f in IEEE), 6-dp survival.
+    "q189_kaplan_meier" ->
+      """WITH pu AS (
+        | SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+        | FROM events GROUP BY 1),
+        |mx AS (SELECT max(l) AS edge FROM pu),
+        |life AS (
+        | SELECT CAST(date_diff('day', f, l) AS INT) AS duration_days,
+        |  date_diff('day', l, edge) < 1 AS cens
+        | FROM pu CROSS JOIN mx),
+        |pd AS (
+        | SELECT duration_days,
+        |  CAST(sum(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        | FROM life GROUP BY 1),
+        |r AS (
+        | SELECT duration_days, n_events, n_censored,
+        |  CAST(sum(n_events + n_censored) OVER (ORDER BY duration_days DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        | FROM pd),
+        |f AS (
+        | SELECT *, round(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE), 12) AS fac
+        | FROM r)
+        |SELECT a.duration_days, a.n_risk, a.n_events, a.n_censored,
+        | round(list_reduce(list(b.fac ORDER BY b.duration_days), (x, y) -> x * y), 6) AS survival
+        |FROM f a JOIN f b ON b.duration_days <= a.duration_days
+        |GROUP BY a.duration_days, a.n_risk, a.n_events, a.n_censored
+        |ORDER BY a.duration_days""".stripMargin,
+
+    // Sorted-neighborhood: identical (key, id) rank within 8-char prefix
+    // blocks, ≤10-rank candidates, Levenshtein ≤ 30 on candidates only.
+    "q190_snm_pairs" ->
+      """WITH r AS (
+        | SELECT doc_id AS id, text AS k, substr(text, 1, 8) AS blk,
+        |  row_number() OVER (PARTITION BY substr(text, 1, 8)
+        |    ORDER BY text, doc_id) AS rn
+        | FROM documents WHERE text IS NOT NULL)
+        |SELECT a.id AS idA, b.id AS idB, CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn - a.rn <= 10
+        |WHERE levenshtein(a.k, b.k) <= 30
+        |ORDER BY idA, idB""".stripMargin,
+
+    // FD discovery: per ordered pair, distinct-(a,b) reduction then
+    // violations = Σ (distinct b per a − 1); NULL groups as a value
+    // (GROUP BY semantics) on both engines.
+    "q191_fd_discovery" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      val pairs = for (a <- cols; b <- cols if a != b) yield
+        s"""SELECT '$a' AS determinant, '$b' AS dependent,
+           | CAST(count(*) AS BIGINT) AS n_groups,
+           | CAST(sum(nb - 1) AS BIGINT) AS violations,
+           | sum(nb - 1) = 0 AS holds
+           |FROM (SELECT __a, count(*) AS nb
+           |      FROM (SELECT DISTINCT $a AS __a, $b AS __b FROM customer)
+           |      GROUP BY 1)""".stripMargin
+      pairs.mkString("", "\nUNION ALL\n", "\nORDER BY determinant, dependent")
+    },
+
+    // Count-min: identical md5 bucket hash (seed:token, 60-bit prefix,
+    // mod 1024), cell-count sketch, min-over-depth estimates for the
+    // md5-chosen ~3% probe vocab, exact-count audit join.
+    "q192_countmin" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |sk AS (
+        | SELECT s.seed,
+        |  ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 16 AS bucket,
+        |  count(*) AS cnt
+        | FROM toks CROSS JOIN range(4) s(seed) GROUP BY 1, 2),
+        |probes AS (
+        | SELECT DISTINCT token FROM toks
+        | WHERE ('0x' || substr(md5('cms' || token), 1, 15))::BIGINT % 1000 < 300),
+        |pe AS (
+        | SELECT p.token, min(coalesce(sk.cnt, 0)) AS est
+        | FROM probes p CROSS JOIN range(4) s(seed)
+        | LEFT JOIN sk ON sk.seed = s.seed AND sk.bucket =
+        |  ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || p.token), 1, 15))::BIGINT % 16
+        | GROUP BY 1),
+        |ex AS (SELECT token, count(*) AS c FROM toks GROUP BY 1)
+        |SELECT pe.token, CAST(pe.est AS BIGINT) AS est, CAST(ex.c AS BIGINT) AS exact,
+        | CAST(pe.est - ex.c AS BIGINT) AS overcount
+        |FROM pe JOIN ex USING (token) ORDER BY token""".stripMargin
   )
+
+  /** The q143 trigram-similarity edge CTE chain (`sh`/`f`/`r`/`e`,
+    * canonical lo<hi edges between docs sharing a df∈[2,4] trigram) —
+    * shared by the q187/q188 graph oracles.
+    */
+  private val trigramEdgeSql: String =
+    """sh AS (SELECT DISTINCT doc_id,
+      |  unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |         || ' ' || string_split(text, ' ')[i+2])) AS shingle
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |f AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+      |      WHERE df BETWEEN 2 AND 4),
+      |r AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN f USING (shingle)),
+      |e AS (SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+      |      FROM r a JOIN r b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Similarity.kmeansLloyd]]: the
     * assign→update recurrence unrolled into `iters` CTE pairs plus the

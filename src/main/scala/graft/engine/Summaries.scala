@@ -1089,4 +1089,58 @@ object Summaries {
         .as("cramers_v"),
       round(col("__mi").cast("double"), 6).as("mi_nats"))
   }
+
+  /** Kaplan–Meier survival curve over per-entity activity lifetimes —
+    * "how long does a user/source stay active", the churn analysis run
+    * on event logs before weighting a corpus by contributor longevity.
+    *
+    * Lifetimes: per `idCol`, `duration = datediff(last, first)` event
+    * DATE; an entity is CENSORED (still alive at the observation edge)
+    * when its last event falls within `censorDays` of the corpus-wide
+    * max date, else its lifetime ended (an "event" at `duration`). The
+    * estimator over distinct durations t ascending:
+    * `n_risk(t) = Σ_{t' ≥ t} (events + censored)(t')`,
+    * `S(t) = Π_{t' ≤ t} (1 − events(t')/n_risk(t'))` — factors quantized
+    * to 12 dp, the product folded in ASCENDING duration order (both
+    * engines state the same fold, so the doubles multiply in the same
+    * order — bit-identical), rounded 6 dp.
+    *
+    * 100 TB shape: ONE corpus-sized pass (the per-entity first/last
+    * aggregation, map-side combinable); everything after lives on the
+    * duration-level table, which is bounded by the observation window in
+    * DAYS (thousands of rows at any corpus size) — its unpartitioned
+    * windows and O(k²) prefix-fold are duration-sized by construction,
+    * the same inherently-small contract as the q115 boundary table.
+    */
+  def kaplanMeier(df: DataFrame, idCol: String, tsCol: String,
+                  censorDays: Int): DataFrame = {
+    require(censorDays >= 0, s"censorDays must be non-negative: $censorDays")
+    val perUser = df.groupBy(col(idCol))
+      .agg(min(to_date(col(tsCol))).as("__first"),
+        max(to_date(col(tsCol))).as("__last"))
+    val maxDate = perUser.agg(max(col("__last")).as("__edge"))
+    val life = perUser.crossJoin(broadcast(maxDate))
+      .select(datediff(col("__last"), col("__first")).as("duration_days"),
+        (datediff(col("__edge"), col("__last")) < censorDays).as("__cens"))
+    val perDur = life.groupBy(col("duration_days"))
+      .agg(sum(when(!col("__cens"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("__cens"), 1L).otherwise(0L)).as("n_censored"))
+    // duration-level (inherently small): at-risk = suffix sum desc
+    val wDesc = Window.orderBy(col("duration_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("duration_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = perDur
+      .withColumn("n_risk", sum(col("n_events") + col("n_censored")).over(wDesc))
+      .withColumn("__f",
+        round(lit(1.0) - col("n_events").cast("double")
+          / col("n_risk").cast("double"), 12))
+    risked
+      .withColumn("__fs", sort_array(
+        collect_list(struct(col("duration_days"), col("__f"))).over(wAsc)))
+      .select(col("duration_days"), col("n_risk"), col("n_events"),
+        col("n_censored"),
+        round(aggregate(transform(col("__fs"), s => s("__f")),
+          lit(1.0), (acc, x) => acc * x), 6).as("survival"))
+  }
 }

@@ -329,4 +329,98 @@ object Graph {
     (loopCaches ++ Seq(e, eSrc, eDst, nodes)).foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Synchronous label propagation (community detection) over an
+    * UNDIRECTED simple graph, `iters` fixed iterations — the cheap
+    * community refinement a dedup pipeline runs on its similarity graph
+    * when connected components are too coarse (one bridge edge welds two
+    * genuine duplicate families into one CC; LPA splits them because
+    * each side's labels outvote the single bridge).
+    *
+    * Update rule (deterministic by construction, unlike the classic
+    * randomized-order LPA): every node simultaneously adopts the label
+    * most frequent among its NEIGHBORS at iteration t, ties broken by
+    * the SMALLEST label; `l_0(v) = v`. Isolated nodes cannot occur
+    * (nodes are defined as edge endpoints). Synchronous + smallest-label
+    * ties means any engine stating the rule reproduces the labels
+    * exactly — the DuckDB oracle does, unrolled.
+    *
+    * 100 TB shape: the both-direction neighbor list is built once and
+    * persisted; each iteration is ONE label-join (node-keyed) plus ONE
+    * map-side-combinable aggregation — the argmax is
+    * `max(struct(cnt, -label))`, a plain partial-aggregatable `max`, NOT
+    * a per-node window (no second shuffle, no rank materialization).
+    * Labels are node-sized; nothing is collected or broadcast.
+    * Cache lifetime is caller-owned, as in [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"iters out of [1,50] (fixed-iteration contract, see scaladoc): $iters")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val nbrs = canon.select(col("lo").as("__v"), col("hi").as("__u"))
+      .unionByName(canon.select(col("hi").as("__v"), col("lo").as("__u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nbrs.select(col("__v").as("node")).distinct()
+      .select(col("node"), col("node").cast("long").as("label"))
+    for (_ <- 1 to iters) {
+      labels = nbrs.join(labels, nbrs("__u") === labels("node"))
+        .groupBy(col("__v"), col("label")).agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("__v"))
+        .agg(max(struct(col("__cnt"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("__v").as("node"), (-col("__m.__nl")).as("label"))
+    }
+    labels
+  }
+
+  /** Multi-source BFS hop distance: for every node reachable from the
+    * SEED set within `maxHops` undirected hops, the exact minimum hop
+    * count — "how far is each document from the trusted exemplars in the
+    * similarity graph", the curation radius query (personalized PageRank
+    * gives a soft version; this is the hard hop metric).
+    *
+    * Semantics: `d_0 = 0` on seeds (seeds not present in the graph are
+    * still emitted at distance 0); `d_{t+1}(v) = min(d_t(v),
+    * 1 + min_{u∈N(v)} d_t(u))` over undirected edges, `maxHops` fixed
+    * iterations; unreached nodes are ABSENT from the result. The
+    * recurrence is integer-exact — nothing to quantize.
+    *
+    * 100 TB shape: the both-direction neighbor list is built once and
+    * persisted; each hop is one node-keyed join against the CURRENT
+    * distance table plus one map-side-combinable `min` aggregation and a
+    * full-outer merge — all node-sized. Distances only ever shrink, and
+    * the table only grows by the new frontier, so plan depth is bounded
+    * by the `maxHops` contract (same regime as [[pageRank]], not the
+    * open-ended [[Dedup.connectedComponents]] fixpoint).
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50,
+      s"maxHops out of [1,50] (fixed-iteration contract, see scaladoc): $maxHops")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val nbrs = canon.select(col("lo").as("__v"), col("hi").as("__u"))
+      .unionByName(canon.select(col("hi").as("__v"), col("lo").as("__u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0))
+    for (_ <- 1 to maxHops) {
+      val reach = dist.join(nbrs, dist("node") === nbrs("__u"))
+        .groupBy(col("__v"))
+        .agg((min(col("hops")) + 1).as("__h"))
+        .select(col("__v").as("node"), col("__h"))
+      dist = dist.join(reach, Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("hops"), lit(Int.MaxValue)),
+            coalesce(col("__h"), lit(Int.MaxValue))).as("hops"))
+    }
+    dist
+  }
 }

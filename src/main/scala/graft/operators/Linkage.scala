@@ -82,4 +82,56 @@ object Linkage {
       .filter(col("dist") <= maxDist)
       .select(col("__idl").as(idLeft), col("__idr").as(idRight), col("dist"))
   }
+
+  /** Sorted-neighborhood near-dup pairs — the OTHER classic blocking
+    * family ([[fuzzyJoin]] blocks by shared content q-grams; this blocks
+    * by SORT ORDER): sort the corpus by `keyCol`, compare each row only
+    * to its `window` successors, verify with Levenshtein. Catches the
+    * "same record, one typo early in the string" pairs that sort
+    * adjacently, at linear candidate cost `n·window`.
+    *
+    * Blocking contract (part of the semantics, pinned by the oracle
+    * twin): rows are ranked by `(key, id)` WITHIN prefix blocks (the
+    * first `prefixLen` chars of the key); a pair is a candidate iff both
+    * rows share a block and their ranks differ by ≤ `window`. Pairs that
+    * straddle a block boundary are NOT compared — the standard blocked-
+    * SNM recall tradeoff, which is also what makes the global sort
+    * shardable. Output `(idA, idB, dist)`, A before B in block order.
+    *
+    * SIZING RULE (the [[fuzzyJoin]] gram-space analogue): blocks must
+    * stay small enough for a within-block rank — `prefixLen` must grow
+    * with the corpus until |alphabet|^prefixLen ≳ rows/10⁶, or a hot
+    * prefix becomes one giant sort partition. At 100 TB that means
+    * prefixes of 8+ chars on natural text; the within-block window is
+    * then the ONLY sort, and the bucket equi-join (each rank-bucket
+    * joins itself and its successor — never all-pairs) bounds fan-out at
+    * `2·window` per row regardless of block size.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, keyCol: String,
+                         window: Int, prefixLen: Int,
+                         maxDist: Int): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    require(prefixLen >= 1, s"prefixLen must be positive: $prefixLen")
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__blk")).orderBy(col("__k"), col("__id"))
+    val ranked = df
+      .select(col(idCol).as("__id"), col(keyCol).as("__k"),
+        substring(col(keyCol), 1, prefixLen).as("__blk"))
+      .filter(col("__k").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__b", ((col("__rn") - 1) / window).cast("long"))
+    val a = ranked.select(col("__blk"), col("__b"),
+      col("__id").as("__ida"), col("__k").as("__ka"), col("__rn").as("__ra"))
+    // each rank-bucket probes itself and its successor bucket: every
+    // pair within `window` ranks lands in exactly one of the two
+    val b = ranked.select(col("__blk"),
+      explode(array(col("__b"), col("__b") - 1)).as("__b"),
+      col("__id").as("__idb"), col("__k").as("__kb"), col("__rn").as("__rb"))
+    a.join(b, Seq("__blk", "__b"))
+      .filter(col("__rb") > col("__ra") && col("__rb") - col("__ra") <= window)
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__ida").as("idA"), col("__idb").as("idB"), col("dist"))
+  }
 }

@@ -168,4 +168,91 @@ object Profiling {
       round(sum(when(clean, nrm.cast("decimal(28,12)"))).cast("double")
         / sum(when(clean, one).otherwise(zero)).cast("double"), 6).as("mean_norm"))
   }
+
+  /** Functional-dependency discovery over a candidate column set: for
+    * every ordered pair `(a, b)`, does `a → b` hold (every `a` value maps
+    * to exactly one `b` value)? The schema-inference pass a pipeline runs
+    * on a new feed to find join keys and denormalized columns —
+    * `violations = Σ_groups (distinct b − 1)` counts the rows of evidence
+    * against the dependency, `holds` iff zero. NULL is treated as a
+    * value on both sides (two NULLs agree), the SQL `GROUP BY` reading —
+    * stated in the oracle twin too.
+    *
+    * 100 TB shape: one pass PER PAIR, but each pass reads exactly two
+    * columns (parquet column pruning) and is a distinct-pair reduction —
+    * `select(a,b).distinct` (map-side combinable) then an `a`-sized
+    * aggregation. Pair passes are independent; the union is lazy, so
+    * Spark schedules them concurrently. Candidate sets are small by
+    * meaning (the columns a human suspects) — this is |cols|² scans of
+    * a 2-column projection, not of the table.
+    */
+  def functionalDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "functionalDeps needs at least two columns")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val pairs = for (a <- cols; b <- cols if a != b) yield {
+      df.select(col(a).as("__a"), col(b).as("__b")).distinct()
+        .groupBy(col("__a")).agg(count(lit(1)).as("__nb"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("__nb") - 1).as("violations"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"),
+          col("n_groups"), col("violations"),
+          (col("violations") === 0L).as("holds"))
+    }
+    pairs.reduce(_.unionByName(_))
+  }
+
+  /** Count-min sketch AS A RELATION: `(seed, bucket, cnt)`, depth rows ×
+    * width buckets, `bucket = md5-hash(seed : item) mod width`. The
+    * OTHER frequency sketch next to [[graft.functions.HeavyHittersOps]]:
+    * Misra–Gries keeps the top keys and forgets the tail; count-min
+    * answers point queries about ANY key, always over-estimating
+    * (`est ≥ true`, error ≤ 2n/width with prob 1 − 2^−depth). Because
+    * the sketch is pure bucket SUMS it is order- and partition-
+    * independent — unlike an undercapacity MG sketch — so the whole
+    * construction is exactly reproducible by any engine stating the
+    * hash, which is how the oracle twin pins it.
+    *
+    * 100 TB shape: explode items × `depth` seeds (narrow, ×depth
+    * volume), then ONE map-side-combinable count into at most
+    * `depth·width` cells — the exchange carries the CELL table, never
+    * the key universe. Estimates ([[countMinEstimate]]) hash the probes
+    * the same way and take `min` over depth cells; the sketch side of
+    * that join is at most `depth·width` rows — broadcastable.
+    */
+  def countMinSketch(df: DataFrame, itemCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of [1,16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    df.select(col(itemCol).cast("string").as("__item"))
+      .filter(col("__item").isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("seed"), col("__item"))
+      .select(col("seed"),
+        pmod(graft.operators.Sampling.hash60(
+          md5(concat(col("seed").cast("string"), lit(":"), col("__item")))),
+          lit(width.toLong)).as("bucket"))
+      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]] relation: for each probe
+    * item, `est = min over seeds of its cell count` (absent cell = 0).
+    * Output `(item, est)`. The sketch side is ≤ depth·width rows —
+    * broadcast it.
+    */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
+                       depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of [1,16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    probes.select(col(itemCol).cast("string").as("item")).distinct()
+      .filter(col("item").isNotNull)
+      .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .select(col("item"), col("seed"),
+        pmod(graft.operators.Sampling.hash60(
+          md5(concat(col("seed").cast("string"), lit(":"), col("item")))),
+          lit(width.toLong)).as("bucket"))
+      .join(broadcast(sketch), Seq("seed", "bucket"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .select(col("item").as(itemCol), col("est"))
+  }
 }

@@ -592,4 +592,28 @@ class SummariesSpec extends SparkSpec {
     // the singleton outlier group 'c' must show the strongest drift
     assert(got("c")._4 > got("a")._4 && got("c")._4 > got("b")._4)
   }
+
+  test("kaplanMeier: hand-checked curve, censor edge, at-risk suffix sums") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // lifetimes (first..last): u1 01-01..01-05, u2 01-01..01-10 (at the
+    // edge → censored under censorDays=2), u3 01-02..01-06,
+    // u4 01-03..01-07, u5 01-01..01-01; edge = 01-10
+    val ev = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-05 09:00:00"),
+      (2L, "2024-01-01 10:00:00"), (2L, "2024-01-10 11:00:00"),
+      (3L, "2024-01-02 12:00:00"), (3L, "2024-01-06 13:00:00"),
+      (4L, "2024-01-03 14:00:00"), (4L, "2024-01-07 15:00:00"),
+      (5L, "2024-01-01 16:00:00")
+    ).toDF("user_id", "s").select(col("user_id"), to_timestamp(col("s")).as("ts"))
+    val got = Summaries.kaplanMeier(ev, "user_id", "ts", censorDays = 2)
+      .orderBy("duration_days")
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    // dur 0: risk 5, 1 event → S = 0.8
+    // dur 4: risk 4, 3 events → S = 0.8·0.25 = 0.2
+    // dur 9: risk 1, 0 events, 1 censored → S stays 0.2
+    assert(got == Seq((0, 5L, 1L, 0L, 0.8), (4, 4L, 3L, 0L, 0.2),
+      (9, 1L, 0L, 1L, 0.2)))
+    intercept[IllegalArgumentException](
+      Summaries.kaplanMeier(ev, "user_id", "ts", censorDays = -1))
+  }
 }

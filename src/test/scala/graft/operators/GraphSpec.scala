@@ -144,4 +144,56 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.hits(edgeSeq.toDF("src", "dst"), "src", "dst", iters = 0))
   }
+
+  test("labelPropagation splits bridge-joined triangles that CC would weld") {
+    // two triangles {0,1,2} and {10,11,12} joined by one bridge 2–10:
+    // one connected component, but LPA's neighbor vote keeps each
+    // triangle on its own (smallest-member) label
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 10L, 11L, 12L))
+    assert(got(0L) == got(1L) && got(1L) == got(2L))
+    assert(got(10L) == got(11L) && got(11L) == got(12L))
+    assert(got(0L) != got(10L))
+  }
+
+  test("labelPropagation matches the synchronous driver-side recurrence") {
+    // deterministic reference: same smallest-label tie rule, same
+    // synchronous update, on an asymmetric graph with a contested node
+    val edgeSeq = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val nbrs = edgeSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var l = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      l = nbrs.map { case (v, us) =>
+        val votes = us.groupBy(l).view.mapValues(_.size).toSeq
+        v -> votes.minBy { case (lab, c) => (-c, lab) }._1
+      }
+    }
+    val got = Graph.labelPropagation(edgeSeq.toDF("a", "b"), "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == l)
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(edgeSeq.toDF("a", "b"), "a", "b", iters = 0))
+  }
+
+  test("bfsHops: exact hop distances, off-graph seeds kept, unreached absent") {
+    // path 0–1–2–3–4–5 plus isolated edge 8–9; seeds {0, 100}
+    // (100 is not in the graph — emitted at distance 0 by contract)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("a", "b")
+    val seeds = Seq(0L, 100L).toDF("id")
+    val got = Graph.bfsHops(edges, "a", "b", seeds, "id", maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 100L -> 0))
+
+    // two seeds: distance is the MIN over sources; direction-free
+    val got2 = Graph.bfsHops(edges, "a", "b", Seq(5L, 0L).toDF("id"), "id",
+      maxHops = 5).as[(Long, Int)].collect().toMap
+    assert(got2 == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 1, 5L -> 0))
+    intercept[IllegalArgumentException](
+      Graph.bfsHops(edges, "a", "b", seeds, "id", maxHops = 0))
+  }
 }

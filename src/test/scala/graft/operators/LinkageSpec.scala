@@ -57,4 +57,44 @@ class LinkageSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Linkage.fuzzyJoin(left, r, "id", "name", "rid", "rname", 1, maxGramDf = 0))
   }
+
+  test("sortedNeighborhood matches the brute-force blocked-rank reference") {
+    val rnd = new scala.util.Random(42)
+    val base = Seq("alpha corp", "alpha corpn", "alpha crop", "beta llc",
+      "beta lc", "gamma inc", "gamma incorporated", "delta co")
+    val rows = (0 until 60).map { i =>
+      val s = base(rnd.nextInt(base.size))
+      val mut = if (rnd.nextBoolean()) s.updated(rnd.nextInt(s.length),
+        ('a' + rnd.nextInt(26)).toChar) else s
+      (i.toLong, mut)
+    }
+    val (window, prefixLen, maxDist) = (3, 4, 4)
+    val got = Linkage.sortedNeighborhood(rows.toDF("id", "key"), "id", "key",
+      window, prefixLen, maxDist)
+      .as[(Long, Long, Int)].collect().toSet
+
+    // reference: rank by (key, id) within prefix blocks, all pairs with
+    // rank diff in (0, window], Levenshtein on the full keys
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val exp = rows.groupBy(_._2.take(prefixLen)).values.flatMap { blk =>
+      val ranked = blk.sortBy(r => (r._2, r._1)).zipWithIndex
+      for {
+        (ra, ia) <- ranked; (rb, ib) <- ranked
+        if ib > ia && ib - ia <= window
+        d = lev(ra._2, rb._2) if d <= maxDist
+      } yield (ra._1, rb._1, d)
+    }.toSet
+    assert(got == exp)
+    assert(got.nonEmpty)
+    intercept[IllegalArgumentException](
+      Linkage.sortedNeighborhood(rows.toDF("id", "key"), "id", "key",
+        0, prefixLen, maxDist))
+  }
 }

@@ -139,4 +139,60 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long, Option[Double], Option[Double])].head()
     assert(c == ((1L, 1L, None, None)))
   }
+
+  test("functionalDeps: keys determine everything, violations counted, NULL is a value") {
+    val df = Seq(
+      (1L, "x", "p"), (2L, "x", "p"), (3L, "y", "q"), (4L, "y", "r")
+    ).toDF("id", "b", "c")
+    val got = Profiling.functionalDeps(df, Seq("id", "b", "c"))
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("id", "b")) == ((4L, 0L, true)))   // id is a key
+    assert(got(("id", "c")) == ((4L, 0L, true)))
+    assert(got(("b", "c")) == ((2L, 1L, false)))   // y → {q, r}
+    assert(got(("c", "b")) == ((3L, 0L, true)))    // p→x, q→y, r→y
+    assert(got(("b", "id")) == ((2L, 2L, false)))
+    // NULL determinant groups as a value: (null → p) and (null → q)
+    // is one group with two dependents = one violation
+    val withNull = Seq((Option.empty[String], "p"), (None, "q"), (Some("a"), "p"))
+      .toDF("k", "v")
+    val n = Profiling.functionalDeps(withNull, Seq("k", "v"))
+      .filter($"determinant" === "k")
+      .as[(String, String, Long, Long, Boolean)].head()
+    assert(n == (("k", "v", 2L, 1L, false)))
+    intercept[IllegalArgumentException](Profiling.functionalDeps(df, Seq("id")))
+  }
+
+  test("countMin: est >= exact always, exact when width clears the vocab") {
+    val items = (Seq.fill(50)("heavy") ++ Seq.fill(7)("mid") ++
+      ('a' to 'z').map(_.toString)).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = items.toDF("i", "item")
+    val exact = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val probes = exact.keys.toSeq.toDF("item")
+
+    // collision regime: width 4 << vocab 28 — every estimate still
+    // upper-bounds the true count (the CMS one-sided guarantee)
+    val tight = Profiling.countMinEstimate(
+      Profiling.countMinSketch(df, "item", depth = 3, width = 4),
+      probes, "item", depth = 3, width = 4)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) =>
+      assert(tight(k) >= c, s"$k: est ${tight(k)} < true $c")
+    }
+    // wide regime: width 4096 ≫ vocab — no collisions, every est exact
+    val wide = Profiling.countMinEstimate(
+      Profiling.countMinSketch(df, "item", depth = 3, width = 4096),
+      probes, "item", depth = 3, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(wide == exact)
+    // a probe absent from the corpus estimates only collision mass
+    val ghost = Profiling.countMinEstimate(
+      Profiling.countMinSketch(df, "item", depth = 3, width = 4096),
+      Seq("zzz-never-seen").toDF("item"), "item", depth = 3, width = 4096)
+      .as[(String, Long)].head()
+    assert(ghost._2 == 0L)
+    intercept[IllegalArgumentException](
+      Profiling.countMinSketch(df, "item", depth = 0, width = 4))
+  }
 }
