@@ -494,6 +494,63 @@ object PipelineScaleBench {
       comps
     }
 
+    timed("pipe_heavy_hitters", input = 100L) {
+      // Misra–Gries UNDER CAPACITY PRESSURE: capacity 256 ≪ the
+      // Heaps'-law vocab (1k at 500k docs, 10k at 5M), so decrements
+      // fire constantly — the 100 TB regime. Each partial buffer stays
+      // ≤ capacity entries; the exchange carries partitions × 256
+      // counters no matter the key universe, so wall must scale
+      // linearly in TOKENS and output is exactly `emit`
+      val toks = corpus.select(explode(TextAnalysis.tokens("text")).as("token"))
+      toks.agg(graft.functions.HeavyHittersOps
+        .heavyHitters(256, 100, col("token")).as("hh"))
+        .select(explode(col("hh"))).count()
+    }
+    timed("pipe_countmin", input = vocabSize.toLong) {
+      // CMS build (4×4096 cells) + an estimate for EVERY vocab word:
+      // the sketch exchange is cell-bounded (≤16k rows) regardless of
+      // vocab, the probe join broadcasts it; wall linear in tokens,
+      // output == vocab (ratio pinned 1.0)
+      val toks = corpus.select(explode(TextAnalysis.tokens("text")).as("token"))
+      val sk = graft.operators.Profiling.countMinSketch(toks, "token", 4, 4096)
+      graft.operators.Profiling.countMinEstimate(sk, toks.distinct(), "token", 4, 4096)
+        .count()
+    }
+    timed("pipe_label_prop") {
+      // 5 synchronous LPA iterations over the closed-form 3-out-link
+      // graph: one neighbor join + one two-level agg per iteration, the
+      // argmax a partial-aggregatable max(struct) — wall linear in edges
+      val edges = spark.range(total)
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 7 + col("k")) % total).as("dst"))
+      val out = graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 5)
+      out.agg(max(xxhash64(out.columns.map(col).toSeq: _*))).head()
+      total
+    }
+    timed("pipe_bfs_hops") {
+      // 4-hop multi-source BFS from a 1‰ seed set over the same graph:
+      // the distance table grows by the frontier only; each hop is one
+      // node-keyed join + min-agg + full-outer merge. output_per_input
+      // is REACHED nodes per corpus row — the 3-regular graph saturates
+      // fast, so the ratio must stay flat across 500k→5M
+      val edges = spark.range(total)
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"), ((col("src") * 7 + col("k")) % total).as("dst"))
+      val seeds = spark.range(total).filter(col("id") % 1000 === 0).toDF()
+      graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 4)
+        .count()
+    }
+    timed("pipe_snm_pairs") {
+      // sorted-neighborhood near-dup pass: within-prefix rank (the
+      // "w<hash>"-leading texts spread across ~vocab prefix blocks, so
+      // no block exceeds ~n/vocab rows), bucketed rank join bounding
+      // fan-out at 2·window per row, Levenshtein on candidates only.
+      // output_per_input pins pairs-per-doc flat across scales
+      graft.operators.Linkage.sortedNeighborhood(corpus, "doc_id", "text",
+        window = 10, prefixLen = 8, maxDist = 30).count()
+    }
     // embeddings: 64 deterministic pseudo-random dims per row; 2% of rows
     // are near-copies of row (id - 1) (same dims, one nudged by 0.05) so
     // the near-dup guard has planted TRUE pairs growing linearly with n.

@@ -78,8 +78,10 @@ object Linkage {
     cand
       .join(left.select(col(idLeft).as("__idl"), col(strLeft).as("__sl")), Seq("__idl"))
       .join(right.select(col(idRight).as("__idr"), col(strRight).as("__sr")), Seq("__idr"))
-      .withColumn("dist", levenshtein(col("__sl"), col("__sr")))
-      .filter(col("dist") <= maxDist)
+      // the banded variant: O(maxDist·len) per pair instead of O(len²),
+      // -1 when the distance exceeds the threshold (filtered out)
+      .withColumn("dist", levenshtein(col("__sl"), col("__sr"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("__idl").as(idLeft), col("__idr").as(idRight), col("dist"))
   }
 
@@ -130,8 +132,9 @@ object Linkage {
       col("__id").as("__idb"), col("__k").as("__kb"), col("__rn").as("__rb"))
     a.join(b, Seq("__blk", "__b"))
       .filter(col("__rb") > col("__ra") && col("__rb") - col("__ra") <= window)
-      .withColumn("dist", levenshtein(col("__ka"), col("__kb")))
-      .filter(col("dist") <= maxDist)
+      // banded Levenshtein: O(maxDist·len) per candidate, -1 = over
+      .withColumn("dist", levenshtein(col("__ka"), col("__kb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("__ida").as("idA"), col("__idb").as("idB"), col("dist"))
   }
 }
