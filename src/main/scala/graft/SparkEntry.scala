@@ -2020,7 +2020,22 @@ object SparkEntry {
         .select(col("token"), col("est"), col("exact"),
           (col("est") - col("exact")).as("overcount"))
         .orderBy("token")
-    })
+    }),
+
+    // ── BPE tokenizer training, 3 merge rounds: the q131 pair
+    // statistics turned into the actual Sennrich loop — one corpus pass
+    // to word frequencies, then vocab-sized iterations. The merge table
+    // is the shipped artifact.
+    "q193_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMerges(t(s, dir, "documents"), "text", merges = 3)
+        .orderBy("step")),
+
+    // ── word2vec-style negative sampling: 3 integer-exact draws per doc
+    // from the corpus unigram distribution via the bucketized interval
+    // join — the embedding-training data generator.
+    "q194_neg_samples" -> ((s, dir) =>
+      Sampling.negativeSamples(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "j"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4595,8 +4610,69 @@ object SparkEntry {
         |ex AS (SELECT token, count(*) AS c FROM toks GROUP BY 1)
         |SELECT pe.token, CAST(pe.est AS BIGINT) AS est, CAST(ex.c AS BIGINT) AS exact,
         | CAST(pe.est - ex.c AS BIGINT) AS overcount
-        |FROM pe JOIN ex USING (token) ORDER BY token""".stripMargin
+        |FROM pe JOIN ex USING (token) ORDER BY token""".stripMargin,
+
+    // BPE unrolled 3 merges: char-split word-frequency table, adjacent-
+    // overlapping pair counts with word multiplicity, (count desc,
+    // l, r) argmax, pipe-wrapped replace() merge — replace's left-to-
+    // right non-overlapping scan IS the BPE rewrite (the Spark side
+    // states the identical string kernel).
+    "q193_bpe_train" -> bpeOracleSql(merges = 3),
+
+    // Negative sampling: identical md5 hash-bucket vocab layout on
+    // [0, W), integer draw u = md5(doc:j:ns) mod W, covering-interval
+    // membership (the Spark side buckets the same range join).
+    "q194_neg_samples" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (
+        | SELECT token, count(*) AS cnt,
+        |  ('0x' || substr(md5('ns' || token), 1, 15))::BIGINT % 1000 AS b
+        | FROM toks WHERE token <> '' GROUP BY 1),
+        |cdf AS (
+        | SELECT token, cnt,
+        |  coalesce(sum(cnt) OVER (ORDER BY b, token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        | FROM v),
+        |tot AS (SELECT sum(cnt) AS w FROM v),
+        |d AS (
+        | SELECT doc_id, CAST(j.j AS INT) AS j,
+        |  ('0x' || substr(md5(doc_id || ':' || j.j || ':ns'), 1, 15))::BIGINT % w AS u
+        | FROM documents CROSS JOIN range(3) j(j) CROSS JOIN tot)
+        |SELECT d.doc_id, d.j, c.token
+        |FROM d JOIN cdf c ON d.u >= c.lo AND d.u < c.lo + c.cnt
+        |ORDER BY doc_id, j""".stripMargin
   )
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:
+    * the count→argmax→replace loop unrolled into `merges` CTE rounds
+    * over the word-frequency table.
+    */
+  private def bpeOracleSql(merges: Int): String = {
+    def round(i: Int): String =
+      s"""p$i AS (
+         | SELECT sy[i] AS l, sy[i + 1] AS r, sum(cnt) AS pc FROM (
+         |  SELECT cnt, sy, unnest(range(1, len(sy))) AS i FROM (
+         |   SELECT cnt, list_filter(string_split(s, '|'), x -> x <> '') AS sy
+         |   FROM w${i - 1}))
+         | GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |w$i AS (
+         | SELECT w.cnt,
+         |  replace(w.s, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS s
+         | FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+    val finalRows = (1 to merges)
+      .map(i => s"""SELECT $i AS step, l AS "left", r AS "right", pc AS pair_count FROM b$i""")
+      .mkString("\nUNION ALL\n")
+    "WITH w0 AS (\n" +
+      " SELECT cnt, '|' || array_to_string(string_split(w, ''), '||') || '|' AS s\n" +
+      " FROM (SELECT w, count(*) AS cnt FROM\n" +
+      "  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)\n" +
+      "  WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY 1)),\n" +
+      (1 to merges).map(round).mkString(",\n") + "\n" +
+      "SELECT CAST(step AS INT) AS step, \"left\", \"right\", CAST(pair_count AS BIGINT) AS pair_count FROM (\n" +
+      finalRows + ") ORDER BY step"
+  }
 
   /** The q143 trigram-similarity edge CTE chain (`sh`/`f`/`r`/`e`,
     * canonical lo<hi edges between docs sharing a df∈[2,4] trigram) —

@@ -305,4 +305,69 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), salt) < rate)
   }
+
+  /** Frequency-proportional negative sampling — the word2vec training
+    * primitive: for every row, `k` deterministic draws from the corpus
+    * unigram distribution (each token's probability = its corpus count /
+    * total tokens). Output `(id, j, token)`, `j` in `0..k-1`.
+    *
+    * Everything is INTEGER-exact, so any engine stating the rule draws
+    * the identical tokens: the vocabulary is laid out on `[0, W)` (W =
+    * total token count) as count-width intervals in `(hash-bucket,
+    * token)` order; draw `u = md5-hash(id:j:salt) mod W` selects the
+    * covering interval. (word2vec's count^0.75 flattening is a float
+    * weight — the integer-exact contract here is the plain-count
+    * distribution; flatten upstream by capping counts if needed.)
+    *
+    * 100 TB shape: one corpus pass for the vocab counts (map-side
+    * combinable). The CDF needs a GLOBAL prefix sum over the vocab —
+    * computed two-level (per-hash-bucket sums → 1000-row broadcast
+    * offsets → within-bucket window), never a single-partition window
+    * over the full vocabulary. Draw→interval matching is a BUCKETIZED
+    * range join (the [[graft.operators.Intervals]] pattern on integer
+    * keys): `[0, W)` splits into ~4096 equi-width buckets, draws equi-
+    * join their bucket, intervals explode over the buckets they span —
+    * total explode ≈ vocab + 4096, and a mega-frequent token spanning
+    * many buckets still meets each draw exactly once.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, salt: String = "ns"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of [1,1000]: $k")
+    val vocab = df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__b", hashBucket(col("token"), salt))
+    // two-level global prefix sum in (__b, token) order
+    val bucketSums = vocab.groupBy("__b").agg(sum(col("__cnt")).as("__bs"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketSums // ≤1000 rows: the offset window is tiny
+      .withColumn("__off", coalesce(sum(col("__bs")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+      .orderBy(col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cdf = vocab.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__lo",
+        col("__off") + coalesce(sum(col("__cnt")).over(wIn), lit(0L)))
+      .select(col("token"), col("__lo"), (col("__lo") + col("__cnt")).as("__hi"))
+    val total = vocab.agg(sum(col("__cnt")).as("__w"))
+      .select(col("__w"),
+        greatest(expr("__w div 4096"), lit(1L)).as("__bw"))
+    // bucketized integer range join: ~4096 equi-width u-buckets; an
+    // interval explodes over every bucket it spans
+    val iv = cdf.crossJoin(broadcast(total))
+      .select(col("token"), col("__lo"), col("__hi"),
+        explode(sequence(expr("__lo div __bw"),
+          expr("(__hi - 1) div __bw"))).as("__ub"))
+    val drawn = df.select(col(idCol).as("id"),
+      explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .crossJoin(broadcast(total))
+      .withColumn("__u", pmod(hash60(md5(concat(col("id").cast("string"),
+        lit(":"), col("j").cast("string"), lit(":"), lit(salt)))), col("__w")))
+      .withColumn("__ub", expr("__u div __bw"))
+    drawn.join(iv, Seq("__ub"))
+      .filter(col("__u") >= col("__lo") && col("__u") < col("__hi"))
+      .select(col("id").as(idCol), col("j"), col("token"))
+  }
 }

@@ -962,4 +962,73 @@ object TextAnalysis {
           - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
           6))
   }
+
+  /** BPE tokenizer training over the corpus: `merges` rounds of "count
+    * adjacent symbol pairs, merge the most frequent" (Sennrich-style,
+    * q131's pair statistics turned into the actual training loop).
+    * Output: the merge table `(step, left, right, pair_count)` — the
+    * artifact a tokenizer ships.
+    *
+    * Semantics (pinned by the oracle twin): symbols start as single
+    * characters of each whitespace word (no end-of-word marker); pair
+    * counts are ADJACENT-OVERLAPPING with word-frequency multiplicity
+    * ("aaa" counts (a,a) twice); the best pair is max count, ties to the
+    * lexicographically smallest (left, right); a merge rewrites every
+    * word LEFT-TO-RIGHT NON-OVERLAPPING ("aaaa" → "aa","aa"). The
+    * rewrite runs as a string `replace` over a pipe-wrapped symbol
+    * string (`|a||b|…` — every symbol wrapped in its own pipes, so a
+    * pattern can only bind at symbol boundaries AND adjacent matches
+    * don't share delimiter characters, which is what makes `replace`'s
+    * left-to-right scan exactly the BPE merge); `|` is excluded from
+    * the vocabulary for it.
+    *
+    * 100 TB shape — the real tokenizer-training shape: ONE corpus pass
+    * (the word-frequency aggregation, map-side combinable); every
+    * iteration after runs on the Heaps'-law-bounded VOCAB table
+    * (persisted, swapped per round): one narrow pair explode + one
+    * map-side-combinable count, then a SINGLE-ROW collect of the argmax
+    * (the one driver action per round — the bounded-scalar exemption,
+    * same as the k-means codebook). Nothing corpus-sized moves after
+    * pass one.
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"merges out of [1,64] (fixed-iteration contract): $merges")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        filter(split(col("w"), ""), c => c =!= "").as("syms"))
+    var state = words.persist(StorageLevel.MEMORY_AND_DISK)
+    val found = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (i <- 1 to merges) {
+      val best = state.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        found += ((i, l, r, pc))
+        val next = state.select(col("cnt"),
+          filter(split(replace(
+            concat(lit("|"), array_join(col("syms"), "||"), lit("|")),
+            lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")),
+            "\\|"), c => c =!= "").as("syms"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        state.unpersist(blocking = false)
+        state = next
+      }
+    }
+    state.unpersist(blocking = false)
+    import spark.implicits._
+    found.toSeq.toDF("step", "left", "right", "pair_count")
+  }
 }

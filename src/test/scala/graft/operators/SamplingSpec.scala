@@ -256,4 +256,29 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.targetShareResample(docs100, "doc_id", "src", shares, budgetFrac = 0.0))
   }
+
+  test("negativeSamples: exactly k draws per row, deterministic, frequency-proportional") {
+    // skewed vocabulary: "the" dominates, so draws must too
+    val docs = (0 until 200).map { i =>
+      (i.toLong, "the the the the cat " + (if (i % 2 == 0) "sat" else "mat"))
+    }.toDF("doc_id", "text")
+    val got = Sampling.negativeSamples(docs, "doc_id", "text", k = 5)
+      .as[(Long, Int, String)].collect().toSeq
+
+    // exactly one token per (id, j) — the covering interval is unique
+    assert(got.size == 200 * 5)
+    assert(got.map(r => (r._1, r._2)).distinct.size == 200 * 5)
+    // deterministic: a second run draws the identical multiset
+    val again = Sampling.negativeSamples(docs, "doc_id", "text", k = 5)
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got.sorted == again.sorted)
+    // frequency-proportional: "the" is 4/6 of the corpus mass; with
+    // 1000 draws the observed share is tightly around it (±0.1)
+    val theShare = got.count(_._3 == "the").toDouble / got.size
+    assert(math.abs(theShare - 4.0 / 6.0) < 0.1, s"the-share $theShare")
+    // every drawn token exists in the vocabulary
+    assert(got.map(_._3).toSet.subsetOf(Set("the", "cat", "sat", "mat")))
+    intercept[IllegalArgumentException](
+      Sampling.negativeSamples(docs, "doc_id", "text", k = 0))
+  }
 }

@@ -536,4 +536,42 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.filterAttribution(df, Seq("a'b" -> col("text").isNotNull)))
   }
+
+  test("bpeTrainMerges matches a driver-side BPE reference") {
+    // corpus exercising multiplicity ("low" ×3 beats ×1 words),
+    // overlap ("aaaa" merges non-overlapping → "aa","aa"), and the
+    // lexicographic tiebreak
+    val docs = Seq("low low lower", "low aaaa newest", "widest newest aaaa")
+      .toDF("text")
+    val got = TextAnalysis.bpeTrainMerges(docs, "text", merges = 4)
+      .orderBy("step")
+      .as[(Int, String, String, Long)].collect().toSeq
+
+    // reference: classic Sennrich loop on the word-frequency table
+    var words: Map[Vector[String], Long] = docs.as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.toVector.map(_.toString) -> ws.length.toLong
+      }
+    val exp = (1 to 4).map { step =>
+      val pairs = words.toSeq.flatMap { case (syms, cnt) =>
+        syms.zip(syms.tail).map(p => p -> cnt)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((l, r), pc) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.toSeq.map { case (syms, cnt) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> cnt
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (step, l, r, pc)
+    }
+    assert(got == exp)
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeTrainMerges(docs, "text", merges = 0))
+  }
 }
