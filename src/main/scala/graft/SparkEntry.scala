@@ -2035,7 +2035,56 @@ object SparkEntry {
     // join — the embedding-training data generator.
     "q194_neg_samples" -> ((s, dir) =>
       Sampling.negativeSamples(t(s, dir, "documents"), "doc_id", "text", k = 3)
-        .orderBy("doc_id", "j"))
+        .orderBy("doc_id", "j")),
+
+    // ── corpus similarity structure: cosine histogram (0.05 bins) over
+    // the deterministic (i, i+137) pair sample — the "is my embedding
+    // space collapsing" diagnostic, linear in rows via an equi-join
+    // (never all-pairs; the offset is coprime-ish to the id space).
+    "q195_cos_histogram" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id"), col("embedding").as("va"))
+      val b = e.select((col("vec_id") - 137L).as("id"), col("embedding").as("vb"))
+      a.join(b, Seq("id"))
+        .select(round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+        .select(floor(col("cos") * 20).cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
+    // ── degree assortativity of the q143 similarity graph: Pearson r of
+    // endpoint degrees over both edge orientations, integer-exact moment
+    // sums — positive r = hubs link hubs (one dup family's shingles
+    // dominating), the one-number graph health reading next to q143's
+    // per-node clustering.
+    "q196_assortativity" -> ((s, dir) => {
+      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df").between(2, 4)).select("shingle")
+      val rare = sh.join(f, Seq("shingle"))
+      val edges = rare.select(col("shingle"), col("doc_id").as("a"))
+        .join(rare.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      graft.operators.Graph.degreeAssortativity(edges, "a", "b")
+    }),
+
+    // ── entity resolution: SNM near-dup pairs (q190) welded into
+    // entities by connected components, canonical id = smallest member
+    // — the linkage pipeline's final step.
+    "q197_entity_resolution" -> ((s, dir) => {
+      val pairs = graft.operators.Linkage.sortedNeighborhood(
+        t(s, dir, "documents"), "doc_id", "text",
+        window = 10, prefixLen = 8, maxDist = 30)
+        .select(col("idA").as("doc_a"), col("idB").as("doc_b"))
+      val cc = Dedup.connectedComponents(pairs)
+      val sizes = cc.groupBy(col("component"))
+        .agg(count(lit(1)).as("entity_size"))
+      cc.join(sizes, Seq("component"))
+        .select(col("node").as("doc_id"), col("component").as("entity"),
+          col("entity_size"))
+        .orderBy("doc_id")
+    })
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4641,7 +4690,62 @@ object SparkEntry {
         | FROM documents CROSS JOIN range(3) j(j) CROSS JOIN tot)
         |SELECT d.doc_id, d.j, c.token
         |FROM d JOIN cdf c ON d.u >= c.lo AND d.u < c.lo + c.cnt
-        |ORDER BY doc_id, j""".stripMargin
+        |ORDER BY doc_id, j""".stripMargin,
+
+    // Deterministic (i, i+137) pair sample, 6-dp cosine, 0.05-wide bins.
+    "q195_cos_histogram" ->
+      """WITH v AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |p AS (SELECT a.v AS va, b.v AS vb
+        |      FROM v a JOIN v b ON b.vec_id = a.vec_id + 137),
+        |c AS (SELECT round(list_cosine_similarity(va, vb), 6) AS cos FROM p)
+        |SELECT CAST(floor(cos * 20) AS INT) AS bin, count(*) AS n
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Assortativity over the q143 graph: both-orientation DECIMAL(38,0)
+    // moment sums, the symmetric closed form, 6 dp.
+    "q196_assortativity" ->
+      ("WITH " + trigramEdgeSql + ",\n" +
+        """deg AS (SELECT node, count(*) AS degree FROM
+          |  (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e) GROUP BY 1),
+          |o AS (SELECT dl.degree AS x, dh.degree AS y
+          |      FROM e JOIN deg dl ON dl.node = e.lo JOIN deg dh ON dh.node = e.hi),
+          |b AS (SELECT x, y FROM o UNION ALL SELECT y, x FROM o),
+          |m AS (SELECT count(*) AS n,
+          |  sum(CAST(x AS DECIMAL(38,0))) AS sx,
+          |  sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sx2,
+          |  sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+          | FROM b)
+          |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+          | CASE WHEN n * sx2 - sx * sx > 0
+          |  THEN round(CAST(n * sxy - sx * sx AS DOUBLE)
+          |             / CAST(n * sx2 - sx * sx AS DOUBLE), 6)
+          | END AS assortativity
+          |FROM m""".stripMargin),
+
+    // SNM pairs (q190 verbatim) welded by the q52 recursive min-label
+    // closure; entity = smallest member, plus its size.
+    "q197_entity_resolution" ->
+      """WITH RECURSIVE r AS (
+        | SELECT doc_id AS id, text AS k, substr(text, 1, 8) AS blk,
+        |  row_number() OVER (PARTITION BY substr(text, 1, 8)
+        |    ORDER BY text, doc_id) AS rn
+        | FROM documents WHERE text IS NOT NULL),
+        |cand AS (
+        | SELECT a.id AS doc_a, b.id AS doc_b
+        | FROM r a JOIN r b ON a.blk = b.blk AND b.rn > a.rn AND b.rn - a.rn <= 10
+        | WHERE levenshtein(a.k, b.k) <= 30),
+        |nodes(n) AS (SELECT doc_a FROM cand UNION SELECT doc_b FROM cand),
+        |und(a, b) AS (SELECT doc_a, doc_b FROM cand UNION SELECT doc_b, doc_a FROM cand),
+        |cc(node, label) AS (
+        | SELECT n, n FROM nodes
+        | UNION
+        | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
+        |m AS (SELECT node, min(label) AS entity FROM cc GROUP BY node),
+        |sz AS (SELECT entity, count(*) AS entity_size FROM m GROUP BY 1)
+        |SELECT m.node AS doc_id, m.entity, CAST(sz.entity_size AS BIGINT) AS entity_size
+        |FROM m JOIN sz USING (entity) ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

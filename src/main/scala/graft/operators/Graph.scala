@@ -423,4 +423,52 @@ object Graph {
     }
     dist
   }
+
+  /** Degree assortativity of an UNDIRECTED simple graph: Pearson r of
+    * endpoint degrees over BOTH orientations of every canonical edge
+    * (the standard undirected treatment — making the moment sums
+    * symmetric). Positive r = hubs attach to hubs; on a dedup
+    * similarity graph that reads as one family's shingles dominating
+    * the candidate space. One row: `(n_edges, assortativity)`,
+    * NULL when the degree sequence is constant (zero variance).
+    *
+    * Integer-exact: degrees are BIGINTs, all five moment sums aggregate
+    * as DECIMAL(38,0) (order-independent), one decimal→double cast
+    * feeds the closed form, rounded 6 dp — engine-identical.
+    *
+    * 100 TB shape: degrees are one map-side-combinable aggregation;
+    * attaching them to edges is two node-keyed joins; the moments are a
+    * single scalar aggregate. Nothing is collected or broadcast.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val deg = canon.select(col("lo").as("node"))
+      .unionByName(canon.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val oriented = canon
+      .join(deg.select(col("node").as("lo"), col("degree").as("__dl")), Seq("lo"))
+      .join(deg.select(col("node").as("hi"), col("degree").as("__dh")), Seq("hi"))
+    val both = oriented.select(col("__dl").as("x"), col("__dh").as("y"))
+      .unionByName(oriented.select(col("__dh").as("x"), col("__dl").as("y")))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    both.agg(
+      count(lit(1)).as("__n"),
+      sum(d(col("x"))).as("__sx"),
+      sum(d(col("x")) * d(col("x"))).as("__sx2"),
+      sum(d(col("x")) * d(col("y"))).as("__sxy"))
+      .select((col("__n") / 2).cast("long").as("n_edges"),
+        col("__n"), col("__sx"), col("__sx2"), col("__sxy"))
+      // symmetry (sx = sy, sx2 = sy2) collapses the usual
+      // sqrt((n·sx2−sx²)(n·sy2−sy²)) denominator to n·sx2 − sx²
+      .select(col("n_edges"),
+        when(col("__n") * col("__sx2") - col("__sx") * col("__sx") > 0,
+          round(((col("__n") * col("__sxy") - col("__sx") * col("__sx")).cast("double"))
+            / ((col("__n") * col("__sx2") - col("__sx") * col("__sx")).cast("double")),
+            6))
+          .as("assortativity"))
+  }
 }

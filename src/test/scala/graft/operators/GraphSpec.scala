@@ -196,4 +196,32 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.bfsHops(edges, "a", "b", seeds, "id", maxHops = 0))
   }
+
+  test("degreeAssortativity: star = -1, cycle degenerates NULL, mixed matches Pearson") {
+    // star K1,4: every edge joins deg-4 hub to deg-1 leaf → r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val s = Graph.degreeAssortativity(star, "a", "b")
+      .as[(Long, Option[Double])].head()
+    assert(s == ((4L, Some(-1.0))))
+    // 4-cycle: all degrees 2 → zero variance → NULL
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("a", "b")
+    val c = Graph.degreeAssortativity(cyc, "a", "b")
+      .as[(Long, Option[Double])].head()
+    assert(c == ((4L, None)))
+    // mixed graph vs a driver-side Pearson over both orientations
+    val edgeSeq = Seq((0L, 1L), (1L, 2L), (1L, 3L), (3L, 4L), (2L, 3L))
+    val deg = edgeSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val xs = edgeSeq.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = xs.size.toDouble
+    val sx = xs.map(_._1).sum.toDouble
+    val sx2 = xs.map(p => p._1 * p._1).sum.toDouble
+    val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+    val expR = BigDecimal((n * sxy - sx * sx) / (n * sx2 - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = Graph.degreeAssortativity(edgeSeq.toDF("a", "b"), "a", "b")
+      .as[(Long, Option[Double])].head()
+    assert(m == ((5L, Some(expR))))
+  }
 }
