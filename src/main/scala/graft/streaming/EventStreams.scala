@@ -371,4 +371,30 @@ object EventStreams {
     q.processAllAvailable()
     q
   }
+
+  /** Streaming heavy hitters: per tumbling window, the Misra–Gries
+    * top-`emit` of `itemCol` (update mode). [[graft.functions
+    * .HeavyHitters]] is a partial-aggregatable `TypedImperativeAggregate`,
+    * so the streaming engine checkpoints its CAPACITY-BOUNDED buffer in
+    * the state store like any builtin agg — per-window state is ≤
+    * `capacity` counters no matter how many distinct items the stream
+    * carries, which is the whole point on an unbounded URL/token stream
+    * (the exact `groupBy(item).count()` twin's state grows with the key
+    * universe). Batch twin = the same expression over a static frame
+    * (q184's aggregate); in the capacity ≥ distinct-keys regime both are
+    * exact and merge-order-independent, which is what the spec pins
+    * across micro-batch cuts.
+    */
+  def heavyHittersPerWindow(events: DataFrame, itemCol: String,
+                            duration: String = "1 hour",
+                            capacity: Int = 4096, emit: Int = 10): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), duration).as("w"))
+      .agg(graft.functions.HeavyHittersOps
+        .heavyHitters(capacity, emit, col(itemCol)).as("hh"))
+      .select(col("w.start").as("ws"),
+        posexplode(col("hh")).as(Seq("rn", "e")))
+      .select(col("ws"), col("rn"), col("e.item").as("item"),
+        col("e.est").as("est"))
 }

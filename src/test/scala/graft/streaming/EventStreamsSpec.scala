@@ -340,4 +340,39 @@ class EventStreamsSpec extends SparkSpec {
         ("2024-01-01 01:00:00", "view", 1L)))
     } finally q.stop()
   }
+
+  test("heavyHittersPerWindow: MG buffers merge across micro-batch cuts, batch parity") {
+    val dir = s"$tmp/hh-src"
+    def at(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // the same window's items split across two micro-batches: the MG
+    // state-store buffer must absorb batch 2 into batch 1's counters
+    val b1 = Seq((at(5), "x"), (at(6), "x"), (at(7), "y"), (at(8), "z"))
+    val b2 = Seq((at(9), "x"), (at(10), "y"), (at(11), "x"))
+    b1.toDF("ts", "item").coalesce(1).write.parquet(s"$dir/b1")
+    b2.toDF("ts", "item").coalesce(1).write.parquet(s"$dir/b2")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("item", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val q = EventStreams.heavyHittersPerWindow(src, "item", "1 hour",
+      capacity = 16, emit = 3).writeStream
+      .outputMode("update").format("memory").queryName("hh_stream").start()
+    try {
+      q.processAllAvailable()
+      // last update for the window: exact merged counts (capacity ≥ vocab)
+      val last = spark.table("hh_stream")
+        .groupBy("item").agg(max("est").as("est"), min("rn").as("rn"))
+        .orderBy("rn")
+        .as[(String, Long, Int)].collect().toSeq
+      assert(last == Seq(("x", 4L, 0), ("y", 2L, 1), ("z", 1L, 2)))
+      // batch twin over the union of both batches agrees row-for-row
+      val twin = EventStreams.heavyHittersPerWindow(
+        (b1 ++ b2).toDF("ts", "item"), "item", "1 hour",
+        capacity = 16, emit = 3)
+        .select($"item", $"est", $"rn").orderBy("rn")
+        .as[(String, Long, Int)].collect().toSeq
+      assert(twin == last)
+    } finally q.stop()
+  }
 }
