@@ -1118,7 +1118,11 @@ object Summaries {
     val perUser = df.groupBy(col(idCol))
       .agg(min(to_date(col(tsCol))).as("__first"),
         max(to_date(col(tsCol))).as("__last"))
-    val maxDate = perUser.agg(max(col("__last")).as("__edge"))
+    // the corpus edge comes from the RAW table (max over users' __last
+    // equals it): that branch is a column-pruned scan + scalar max — no
+    // per-user re-aggregation (deriving it from perUser would replay the
+    // user-keyed exchange; Catalyst does not reuse the shared subtree)
+    val maxDate = df.agg(max(to_date(col(tsCol))).as("__edge"))
     val life = perUser.crossJoin(broadcast(maxDate))
       .select(datediff(col("__last"), col("__first")).as("duration_days"),
         (datediff(col("__edge"), col("__last")) < censorDays).as("__cens"))

@@ -970,4 +970,99 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.size <= 1,
       s"assignment must not shuffle beyond the terminal sort, got ${exchanges.size}")
   }
+
+  test("q184 heavy hitters: capacity-bounded partial aggregate, no window, no join") {
+    val p = plan("q184_heavy_hitters")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "the sketch IS the rank — a row_number window would shuffle the key universe")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty)
+    // partial MG buffers combine map-side: the aggregate appears in
+    // partial + final mode around ONE exchange
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.size == 2, s"expected partial+final MG aggregate, got ${aggs.size}")
+  }
+
+  test("q190/q197 sorted-neighborhood: rank-bucket equi-joins only, block-local windows") {
+    for (name <- Seq("q190_snm_pairs", "q197_entity_resolution")) {
+      val p = plan(name)
+      assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$name: candidates must equi-join on (block, rank-bucket)")
+      assert(collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$name: no cartesian")
+    }
+  }
+
+  test("q192 count-min: the cell-bounded sketch broadcasts into the probe join") {
+    val p = plan("q192_countmin")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the ≤ depth·width sketch must be the broadcast side")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q194 negative sampling: bucketized range join is equi — no nested loop") {
+    val p = plan("q194_neg_samples")
+    // the only nested-loop joins allowed are the 1-row scalar attaches
+    // (crossJoin(broadcast(total)) — the house broadcast-scalar idiom);
+    // the draw→interval match itself must be an equi-join on the u-bucket
+    val equiOnBucket = collectAll(p) {
+      case j: BroadcastHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+    }.exists(_.exists(_.toString.contains("__ub")))
+    assert(equiOnBucket,
+      "draw→interval matching must equi-join on the u-bucket; otherwise the " +
+        "range predicate reached the join as a nested-loop condition")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    // the vocab-order prefix sum is two-level: the within-bucket window
+    // partitions by the hash bucket, plus the ≤1000-row offset window —
+    // never one global window over the whole vocabulary
+    val parts = collectAll(p) { case w: WindowExec => w.partitionSpec }
+    assert(parts.exists(_.nonEmpty),
+      "within-bucket cumsum must be partitioned by the hash bucket")
+  }
+
+  test("q187/q188 graph iterations: equi-joins only, argmax is an aggregate not a window") {
+    for (name <- Seq("q187_label_prop", "q188_bfs_hops")) {
+      val p = plan(name)
+      assert(collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$name: no cartesian")
+      assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$name: neighbor joins must be keyed")
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+        s"$name: per-node argmax/min must partial-aggregate, not rank")
+    }
+  }
+
+  test("q189 Kaplan-Meier: one aggregating pass; the edge branch prunes to ts only") {
+    val p = plan("q189_kaplan_meier")
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata("ReadSchema")
+    }
+    assert(scans.size == 2, s"expected lifetime pass + edge pass, got ${scans.size}")
+    // the corpus-edge branch is a scalar max over the ts column alone —
+    // NOT a replay of the per-user aggregation (decayedScore precedent)
+    assert(scans.exists(s => s.contains("ts") && !s.contains("user_id")),
+      s"edge branch must prune to the ts column, saw: $scans")
+    // the at-risk suffix sum and the survival prefix fold are the only
+    // windows, both over the duration-level aggregate (global order on
+    // an inherently tiny table)
+    assert(collectAll(p) { case w: WindowExec => w }.size == 2)
+  }
+
+  test("q196 assortativity: degree joins are keyed; one scalar moment aggregate") {
+    val p = plan("q196_assortativity")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
 }
