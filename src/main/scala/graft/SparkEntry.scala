@@ -2084,7 +2084,16 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("component").as("entity"),
           col("entity_size"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ── per-day top-3 event types via the streaming operator's batch
+    // twin (graft.streaming.EventStreams.heavyHittersPerWindow): MG in
+    // the exact regime (capacity ≫ the event-type domain), tumbling
+    // 1-day windows — the oracle anchor for the streaming family.
+    "q198_hh_per_window" -> ((s, dir) =>
+      graft.streaming.EventStreams.heavyHittersPerWindow(
+        events(s, dir), "event_type", "1 day", capacity = 1024, emit = 3)
+        .orderBy("ws", "rn"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4745,7 +4754,21 @@ object SparkEntry {
         |m AS (SELECT node, min(label) AS entity FROM cc GROUP BY node),
         |sz AS (SELECT entity, count(*) AS entity_size FROM m GROUP BY 1)
         |SELECT m.node AS doc_id, m.entity, CAST(sz.entity_size AS BIGINT) AS entity_size
-        |FROM m JOIN sz USING (entity) ORDER BY doc_id""".stripMargin
+        |FROM m JOIN sz USING (entity) ORDER BY doc_id""".stripMargin,
+
+    // Exact-regime MG per 1-day tumbling window = plain per-window
+    // counts with the sketch's (est desc, item asc) rank, top 3; rn is
+    // the 0-based posexplode ordinal.
+    "q198_hh_per_window" ->
+      """WITH c AS (
+        | SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+        |  event_type AS item, count(*) AS est
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT ws, item, CAST(est AS BIGINT) AS est,
+        |  CAST(row_number() OVER (PARTITION BY ws ORDER BY est DESC, item) - 1 AS INT) AS rn
+        | FROM c)
+        |SELECT ws, rn, item, est FROM r WHERE rn < 3 ORDER BY ws, rn""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:
