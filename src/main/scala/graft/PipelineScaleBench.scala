@@ -513,7 +513,7 @@ object PipelineScaleBench {
       // output == vocab (ratio pinned 1.0)
       val toks = corpus.select(explode(TextAnalysis.tokens("text")).as("token"))
       val sk = graft.operators.Profiling.countMinSketch(toks, "token", 4, 4096)
-      graft.operators.Profiling.countMinEstimate(sk, toks.distinct(), "token", 4, 4096)
+      graft.operators.Profiling.countMinEstimate(sk, toks, "token", 4, 4096)
         .count()
     }
     timed("pipe_label_prop") {

@@ -1473,14 +1473,7 @@ object SparkEntry {
     // rare-shingle similarity graph (docs sharing a trigram with
     // corpus df in [2,4] — ≤6 pairs per gram, never all-pairs).
     "q143_triangles" -> ((s, dir) => {
-      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)
-      val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df").between(2, 4)).select("shingle")
-      val rare = sh.join(f, Seq("shingle"))
-      val edges = rare.select(col("shingle"), col("doc_id").as("a"))
-        .join(rare.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+      val edges = trigramEdges(s, dir)
       graft.operators.Graph.triangleStats(edges, "a", "b")
         .orderBy("node")
     }),
@@ -1921,8 +1914,9 @@ object SparkEntry {
         .select(posexplode(col("hh")).as(Seq("rn", "e")))
         .select(col("rn"), col("e.item").as("token"), col("e.est").as("est"))),
 
-    // ── embedding-table quality audit per label: null/NaN/zero-vector
-    // counters, dim range, 6-dp norm stats — the post-re-embed canary
+    // ── embedding-table quality audit per label: null / bad-element
+    // (NaN or null dim) / zero-vector counters, dim range, 6-dp norm
+    // stats — the post-re-embed canary
     // that catches a poisoned feed before ANN/centroid operators do.
     "q185_embedding_audit" -> ((s, dir) =>
       graft.operators.Profiling.embeddingAudit(
@@ -1946,14 +1940,7 @@ object SparkEntry {
     // components (a bridge edge can't outvote a family's own labels).
     // Deterministic by the smallest-label tie rule — oracle unrolls it.
     "q187_label_prop" -> ((s, dir) => {
-      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)
-      val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df").between(2, 4)).select("shingle")
-      val rare = sh.join(f, Seq("shingle"))
-      val edges = rare.select(col("shingle"), col("doc_id").as("a"))
-        .join(rare.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+      val edges = trigramEdges(s, dir)
       graft.operators.Graph.labelPropagation(edges, "a", "b", iters = 5)
         .orderBy("node")
     }),
@@ -1962,14 +1949,7 @@ object SparkEntry {
     // docs over the same similarity graph, ≤4 hops — the hard-radius
     // curation query (personalized PageRank is the soft version).
     "q188_bfs_hops" -> ((s, dir) => {
-      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)
-      val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df").between(2, 4)).select("shingle")
-      val rare = sh.join(f, Seq("shingle"))
-      val edges = rare.select(col("shingle"), col("doc_id").as("a"))
-        .join(rare.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+      val edges = trigramEdges(s, dir)
       val seeds = t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
         .select("doc_id")
       graft.operators.Graph.bfsHops(edges, "a", "b", seeds, "doc_id", maxHops = 4)
@@ -2012,7 +1992,7 @@ object SparkEntry {
       val toks = t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens("text")).as("token"))
       val sk = graft.operators.Profiling.countMinSketch(toks, "token", 4, 16)
-      val probes = toks.distinct()
+      val probes = toks
         .filter(Sampling.hashBucket(col("token"), "cms") < 300)
       val est = graft.operators.Profiling.countMinEstimate(sk, probes, "token", 4, 16)
       val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
@@ -2058,14 +2038,7 @@ object SparkEntry {
     // dominating), the one-number graph health reading next to q143's
     // per-node clustering.
     "q196_assortativity" -> ((s, dir) => {
-      val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)
-      val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df").between(2, 4)).select("shingle")
-      val rare = sh.join(f, Seq("shingle"))
-      val edges = rare.select(col("shingle"), col("doc_id").as("a"))
-        .join(rare.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
+      val edges = trigramEdges(s, dir)
       graft.operators.Graph.degreeAssortativity(edges, "a", "b")
     }),
 
@@ -4486,7 +4459,8 @@ object SparkEntry {
       """WITH e AS (
         | SELECT label, embedding,
         |  embedding IS NOT NULL
-        |   AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0 AS clean
+        |   AND len(list_filter(embedding,
+        |        x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0 AS clean
         | FROM embeddings),
         |m AS (
         | SELECT label, embedding, clean,
@@ -4496,7 +4470,7 @@ object SparkEntry {
         | FROM e)
         |SELECT label, count(*) AS n,
         | CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-        | CAST(sum(CASE WHEN embedding IS NOT NULL AND NOT clean THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        | CAST(sum(CASE WHEN embedding IS NOT NULL AND NOT clean THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
         | CAST(sum(CASE WHEN clean
         |   AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) <> 0.0)) = 0
         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
@@ -4584,7 +4558,7 @@ object SparkEntry {
         "SELECT node, hops FROM d4 ORDER BY node"
     },
 
-    // Kaplan–Meier: identical lifetimes (event DATEs), 14-day censor
+    // Kaplan–Meier: identical lifetimes (event DATEs), 1-day censor
     // edge, suffix-sum at-risk, 12-dp factors, ASCENDING-order product
     // fold (list_reduce left-folds exactly like the Spark aggregate with
     // unit init — 1.0·f ≡ f in IEEE), 6-dp survival.
@@ -4646,8 +4620,8 @@ object SparkEntry {
     },
 
     // Count-min: identical md5 bucket hash (seed:token, 60-bit prefix,
-    // mod 1024), cell-count sketch, min-over-depth estimates for the
-    // md5-chosen ~3% probe vocab, exact-count audit join.
+    // mod 16), cell-count sketch, min-over-depth estimates for the
+    // md5-chosen ~30% probe vocab, exact-count audit join.
     "q192_countmin" ->
       """WITH toks AS (
         | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -4799,6 +4773,21 @@ object SparkEntry {
       (1 to merges).map(round).mkString(",\n") + "\n" +
       "SELECT CAST(step AS INT) AS step, \"left\", \"right\", CAST(pair_count AS BIGINT) AS pair_count FROM (\n" +
       finalRows + ") ORDER BY step"
+  }
+
+  /** Spark twin of [[trigramEdgeSql]]: canonical a<b edges between docs
+    * sharing a df-[2,4] trigram — the similarity graph under
+    * q143/q187/q188/q196 (one definition, one parity surface).
+    */
+  private def trigramEdges(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3)
+    val f = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, 4)).select("shingle")
+    val rare = sh.join(f, Seq("shingle"))
+    rare.select(col("shingle"), col("doc_id").as("a"))
+      .join(rare.select(col("shingle"), col("doc_id").as("b")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
   }
 
   /** The q143 trigram-similarity edge CTE chain (`sh`/`f`/`r`/`e`,

@@ -106,7 +106,8 @@ case class HeavyHitters(
   * adds across merges.
   */
 final class MgBuffer(val capacity: Int) {
-  private val map = new java.util.HashMap[String, Long](math.min(capacity * 2, 1 << 16))
+  private val map =
+    new java.util.HashMap[String, Long](math.min(capacity.toLong * 2, 1L << 16).toInt)
 
   def size: Int = map.size
 
@@ -146,14 +147,21 @@ final class MgBuffer(val capacity: Int) {
     }
   }
 
-  /** top `emit` retained entries, (est desc, item asc) */
+  /** top `emit` retained entries, (est desc, item asc) — item ties in
+    * UTF-8 BYTE order (what `ORDER BY` means to a binary-collation
+    * engine), not Java's UTF-16 code-unit order: the two disagree for
+    * supplementary-plane characters (U+FFFF vs surrogate-led emoji).
+    */
   def topEntries(emit: Int): Array[(String, Long)] = {
     val all = new Array[(String, Long)](map.size)
     var j = 0
     val it = map.entrySet().iterator()
     while (it.hasNext) { val e = it.next(); all(j) = (e.getKey, e.getValue); j += 1 }
+    def utf8Lt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8)) < 0
     val sorted = all.sortWith { (a, b) =>
-      if (a._2 != b._2) a._2 > b._2 else a._1 < b._1
+      if (a._2 != b._2) a._2 > b._2 else utf8Lt(a._1, b._1)
     }
     sorted.take(emit)
   }

@@ -350,8 +350,9 @@ object Graph {
     * map-side-combinable aggregation — the argmax is
     * `max(struct(cnt, -label))`, a plain partial-aggregatable `max`, NOT
     * a per-node window (no second shuffle, no rank materialization).
-    * Labels are node-sized; nothing is collected or broadcast.
-    * Cache lifetime is caller-owned, as in [[pageRank]].
+    * Labels are node-sized; nothing is collected or broadcast. The
+    * result materializes once and the internal edge cache self-releases
+    * (the [[hits]] pattern); the returned cache is caller-owned.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int = 5): DataFrame = {
@@ -374,7 +375,12 @@ object Graph {
         .agg(max(struct(col("__cnt"), (-col("label")).as("__nl"))).as("__m"))
         .select(col("__v").as("node"), (-col("__m.__nl")).as("label"))
     }
-    labels
+    // materialize once, self-release the edge cache (the hits pattern —
+    // the caller has no handle on nbrs, so caller-owned would leak)
+    val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    nbrs.unpersist(blocking = false)
+    out
   }
 
   /** Multi-source BFS hop distance: for every node reachable from the
@@ -421,7 +427,11 @@ object Graph {
           least(coalesce(col("hops"), lit(Int.MaxValue)),
             coalesce(col("__h"), lit(Int.MaxValue))).as("hops"))
     }
-    dist
+    // materialize once, self-release the edge cache (see labelPropagation)
+    val out = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    nbrs.unpersist(blocking = false)
+    out
   }
 
   /** Degree assortativity of an UNDIRECTED simple graph: Pearson r of

@@ -132,12 +132,14 @@ object Profiling {
   }
 
   /** Embedding-table quality audit per label: `(label, n, n_null,
-    * n_nan, n_zero, dim_min, dim_max, min_norm, max_norm, mean_norm)` —
+    * n_bad, n_zero, dim_min, dim_max, min_norm, max_norm, mean_norm)` —
     * the canary a vector pipeline runs after every re-embed (a feed
     * that started shipping zero vectors, NaNs from an fp16 overflow, or
     * a dimension change silently poisons every ANN/centroid operator
-    * downstream). Norm stats cover CLEAN rows only (non-null, NaN-free);
-    * the defect counters cover everything.
+    * downstream). `n_bad` counts non-null vectors carrying a NaN OR a
+    * null element (both poison downstream kernels the same way). Norm
+    * stats cover CLEAN rows only (non-null, bad-element-free); the
+    * defect counters cover everything.
     *
     * Determinism: per-row norms round to 6 dp (`sqrt` of the fold —
     * the q71 transcendental rule), the mean decimal-sums those rounded
@@ -148,7 +150,7 @@ object Profiling {
     */
   def embeddingAudit(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    val hasNan = exists(v, x => isnan(x.cast("double")))
+    val hasNan = exists(v, x => x.isNull || isnan(x.cast("double")))
     val clean = v.isNotNull && !hasNan
     val norm2 = aggregate(v, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
@@ -158,7 +160,7 @@ object Profiling {
     df.groupBy(col(labelCol).as("label")).agg(
       count(lit(1)).as("n"),
       sum(when(v.isNull, one).otherwise(zero)).as("n_null"),
-      sum(when(v.isNotNull && hasNan, one).otherwise(zero)).as("n_nan"),
+      sum(when(v.isNotNull && hasNan, one).otherwise(zero)).as("n_bad"),
       sum(when(clean && forall(v, x => x.cast("double") === 0.0), one)
         .otherwise(zero)).as("n_zero"),
       min(when(clean, size(v))).as("dim_min"),

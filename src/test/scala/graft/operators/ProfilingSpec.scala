@@ -117,20 +117,22 @@ class ProfilingSpec extends SparkSpec {
 
   test("embeddingAudit counts defects and keeps norm stats clean-rows-only") {
     val rows = Seq(
-      ("a", Some(Array(3.0f, 4.0f))),            // norm 5
-      ("a", Some(Array(0.0f, 0.0f))),            // zero vector, norm 0
-      ("a", None),                               // null
-      ("a", Some(Array(Float.NaN, 1.0f))),       // NaN
-      ("a", Some(Array(1.0f, 0.0f, 0.0f))),      // ragged dim 3, norm 1
-      ("b", Some(Array(6.0f, 8.0f)))             // norm 10
+      ("a", Seq[Option[Float]](Some(3.0f), Some(4.0f))),          // norm 5
+      ("a", Seq[Option[Float]](Some(0.0f), Some(0.0f))),          // zero vector
+      ("a", null),                                                // null
+      ("a", Seq[Option[Float]](Some(Float.NaN), Some(1.0f))),     // NaN → bad
+      ("a", Seq[Option[Float]](Some(1.0f), None)),                // null elem → bad
+      ("a", Seq[Option[Float]](Some(1.0f), Some(0.0f), Some(0.0f))), // dim 3, norm 1
+      ("b", Seq[Option[Float]](Some(6.0f), Some(8.0f)))           // norm 10
     ).toDF("label", "embedding")
     val got = Profiling.embeddingAudit(rows, "label", "embedding")
       .orderBy("label")
       .as[(String, Long, Long, Long, Long, Int, Int, Double, Double, Double)]
       .collect()
     val a = got(0)
-    // n=5, one null, one NaN, one zero; dims 2..3; norms {5, 0, 1}
-    assert(a == (("a", 5L, 1L, 1L, 1L, 2, 3, 0.0, 5.0, 2.0)))
+    // n=6, one null, two bad (NaN + null element), one zero; dims 2..3;
+    // clean norms {5, 0, 1} → mean 2.0
+    assert(a == (("a", 6L, 1L, 2L, 1L, 2, 3, 0.0, 5.0, 2.0)))
     assert(got(1) == (("b", 1L, 0L, 0L, 0L, 2, 2, 10.0, 10.0, 10.0)))
     // all-dirty label: counters live, norm stats NULL
     val dirty = Seq(("c", Option.empty[Array[Float]])).toDF("label", "embedding")
