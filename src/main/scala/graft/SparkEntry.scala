@@ -2066,7 +2066,58 @@ object SparkEntry {
     "q198_hh_per_window" -> ((s, dir) =>
       graft.streaming.EventStreams.heavyHittersPerWindow(
         events(s, dir), "event_type", "1 day", capacity = 1024, emit = 3)
-        .orderBy("ws", "rn"))
+        .orderBy("ws", "rn")),
+
+    // ── Johnson–Lindenstrauss random projection to 8 dims: the
+    // dimensionality-reduction front of ANN/clustering, a pure narrow
+    // kernel over the lshBucket plane-weight generator (full dot values
+    // instead of sign bits).
+    "q199_jl_projection" -> ((s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
+        "embedding", outDims = 8)
+        .orderBy("vec_id")),
+
+    // ── calibration report for a [0,1] scorer (unique-token ratio)
+    // against the lang='en' label, 10 bins: mean score vs observed
+    // positive fraction per bin — the reliability audit before using
+    // scores as sampling weights.
+    "q200_calibration" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens("text")
+      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("score",
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .withColumn("label", col("lang") === "en")
+      Summaries.calibrationReport(scored, "score", "label", bins = 10)
+        .orderBy("bin")
+    }),
+
+    // ── CUSUM changepoint per event type: the date where cumulative
+    // deviation from the mean daily count peaks — level-shift detection
+    // (q134's z-scores see local windows; CUSUM integrates drift).
+    "q201_cusum" -> ((s, dir) =>
+      Summaries.cusumChangepoint(events(s, dir), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // ── HyperLogLog as a RELATION over the token vocabulary (m=64):
+    // register table → integer-exact harmonic sum → estimate, with the
+    // exact distinct count as the audit column — the third classic
+    // sketch (after MG q184 and CMS q192), here fully oracle-checked
+    // unlike approx_count_distinct's opaque engine sketch.
+    "q202_hll_relation" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens("text")).as("token"))
+      val est = graft.operators.Profiling.hllEstimate(
+        graft.operators.Profiling.hllSketch(toks, "token", m = 64), m = 64)
+      val exact = toks.agg(count_distinct(col("token")).as("exact"))
+      est.crossJoin(broadcast(exact))
+    }),
+
+    // ── day-of-week seasonal profile per event type + the date that
+    // broke the pattern hardest — periodic-component decomposition next
+    // to q170's raw dow×hour matrix.
+    "q203_seasonal" -> ((s, dir) =>
+      Summaries.seasonalProfile(events(s, dir), "event_type", "ts")
+        .orderBy("event_type", "dow"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4742,7 +4793,128 @@ object SparkEntry {
         | SELECT ws, item, CAST(est AS BIGINT) AS est,
         |  CAST(row_number() OVER (PARTITION BY ws ORDER BY est DESC, item) - 1 AS INT) AS rn
         | FROM c)
-        |SELECT ws, rn, item, est FROM r WHERE rn < 3 ORDER BY ws, rn""".stripMargin
+        |SELECT ws, rn, item, est FROM r WHERE rn < 3 ORDER BY ws, rn""".stripMargin,
+
+    // JL projection: the lshBucketSql plane-weight arithmetic with the
+    // full dot value kept (same left-to-right fold as the native
+    // kernel), 6 dp.
+    "q199_jl_projection" -> {
+      val projs = (0 until 8).map { p =>
+        s"""round(list_reduce(list_transform(range(1, 65),
+           | j -> CAST(embedding[j] AS DOUBLE) * CAST(${planeWeightSql(p)} AS DOUBLE)),
+           | (a, b) -> a + b), 6) AS proj_$p""".stripMargin
+      }
+      s"SELECT vec_id,\n${projs.mkString(",\n")}\nFROM embeddings ORDER BY vec_id"
+    },
+
+    // Calibration: identical IEEE score division (so identical bin
+    // floors), 9-dp decimal score sums, exact count divisions, 6 dp.
+    "q200_calibration" ->
+      """WITH s AS (
+        | SELECT CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+        |  lang = 'en' AS label
+        | FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score, label FROM s)
+        |SELECT bin, count(*) AS n,
+        | round(CAST(sum(CAST(round(score, 9) AS DECIMAL(28,12))) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+        | round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE), 6) AS frac_positive,
+        | round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE)
+        |     - CAST(sum(CAST(round(score, 9) AS DECIMAL(28,12))) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE), 6) AS gap
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // CUSUM: zero-filled grid, integer-scaled deviation
+    // D·cum − idx·total, |…| argmax with earliest-date ties.
+    "q201_cusum" ->
+      """WITH daily AS (
+        | SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |dates AS (SELECT DISTINCT d FROM daily),
+        |keys AS (SELECT k, sum(n) AS total FROM daily GROUP BY 1),
+        |grid AS (
+        | SELECT keys.k, dates.d, keys.total, coalesce(daily.n, 0) AS n
+        | FROM dates CROSS JOIN keys
+        | LEFT JOIN daily ON daily.k = keys.k AND daily.d = dates.d),
+        |dev AS (
+        | SELECT k, d, total,
+        |  sum(n) OVER (PARTITION BY k ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  row_number() OVER (PARTITION BY k ORDER BY d) AS idx,
+        |  count(*) OVER (PARTITION BY k) AS days
+        | FROM grid),
+        |x AS (SELECT k, d, days, days * cum - idx * total AS sd FROM dev),
+        |r AS (SELECT k, d, sd, days,
+        |  row_number() OVER (PARTITION BY k ORDER BY abs(sd) DESC, d) AS rn
+        | FROM x)
+        |SELECT k AS event_type, d AS change_date,
+        | round(CAST(abs(sd) AS DOUBLE) / CAST(days AS DOUBLE), 6) AS cusum,
+        | CASE WHEN sd >= 0 THEN 1 ELSE -1 END AS direction
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // HLL: identical md5 60-bit hash, reg = h mod 64, rho from bin()
+    // length on the 54-bit tail, DECIMAL-exact harmonic sum, one IEEE
+    // division; small-range ln correction quantized at 4 dp.
+    "q202_hll_relation" ->
+      """WITH t AS (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |h AS (
+        | SELECT ('0x' || substr(md5('hll' || token), 1, 15))::BIGINT AS h
+        | FROM t WHERE token IS NOT NULL),
+        |rr AS (
+        | SELECT h % 64 AS reg,
+        |  CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+        | FROM h),
+        |sk AS (SELECT reg, max(rho) AS max_rho FROM rr GROUP BY 1),
+        |f AS (
+        | SELECT r.reg, coalesce(sk.max_rho, 0) AS rho
+        | FROM range(64) r(reg) LEFT JOIN sk ON sk.reg = r.reg),
+        |agg AS (
+        | SELECT sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros,
+        |  sum(CAST((1::BIGINT << (60 - rho)) AS DECIMAL(38,0))) AS s
+        | FROM f),
+        |e AS (
+        | SELECT CAST(64 AS INT) AS m, CAST(zeros AS BIGINT) AS n_zero_regs,
+        |  round(0.709 * 64 * 64 * 1152921504606846976.0 / CAST(s AS DOUBLE), 4) AS est_raw
+        | FROM agg),
+        |ex AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact
+        |       FROM t WHERE token IS NOT NULL)
+        |SELECT e.m, e.n_zero_regs, e.est_raw,
+        | CASE WHEN e.n_zero_regs > 0 AND e.est_raw <= 160.0
+        |  THEN round(64.0 * ln(64.0 / CAST(e.n_zero_regs AS DOUBLE)), 4)
+        |  ELSE e.est_raw END AS est,
+        | ex.exact
+        |FROM e CROSS JOIN ex""".stripMargin,
+
+    // Seasonal: zero-filled grid, dow 0 = Sunday both engines
+    // (DuckDB dayofweek == Spark dayofweek − 1), integer-scaled
+    // residual argmax with earliest-date ties.
+    "q203_seasonal" ->
+      """WITH daily AS (
+        | SELECT event_type AS k, CAST(ts AS DATE) AS d, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |dates AS (SELECT DISTINCT d FROM daily),
+        |ks AS (SELECT DISTINCT k FROM daily),
+        |grid AS (
+        | SELECT ks.k, dates.d, dayofweek(dates.d) AS dow, coalesce(daily.n, 0) AS n
+        | FROM dates CROSS JOIN ks
+        | LEFT JOIN daily ON daily.k = ks.k AND daily.d = dates.d),
+        |prof AS (SELECT k, dow, count(*) AS n_days, sum(n) AS tot
+        |         FROM grid GROUP BY 1, 2),
+        |res AS (
+        | SELECT g.k, g.dow, g.d, p.n_days, p.tot, g.n * p.n_days - p.tot AS r
+        | FROM grid g JOIN prof p ON p.k = g.k AND p.dow = g.dow),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY k, dow
+        |         ORDER BY abs(r) DESC, d) AS rn FROM res)
+        |SELECT k AS event_type, CAST(dow AS INT) AS dow,
+        | CAST(n_days AS BIGINT) AS n_days,
+        | round(CAST(tot AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS dow_mean,
+        | d AS worst_date,
+        | round(CAST(r AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS worst_residual
+        |FROM rk WHERE rn = 1 ORDER BY event_type, dow""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

@@ -1147,4 +1147,124 @@ object Summaries {
         round(aggregate(transform(col("__fs"), s => s("__f")),
           lit(1.0), (acc, x) => acc * x), 6).as("survival"))
   }
+
+  /** Calibration (reliability) report for a probabilistic scorer: bin
+    * scores into `bins` equal-width buckets and compare each bucket's
+    * mean score against its observed positive fraction — the "is my
+    * quality classifier's 0.8 actually an 80%" audit run before using
+    * scores as sampling weights. Output per non-empty bin:
+    * `(bin, n, mean_score, frac_positive, gap)`, `gap =
+    * frac_positive − mean_score` (signed: positive = under-confident).
+    *
+    * Determinism: scores quantize to 9 dp before the decimal mean (the
+    * q71 rule); fractions are exact BIGINT/BIGINT divisions; 6-dp
+    * outputs. `score = 1.0` clamps into the top bin.
+    *
+    * 100 TB shape: ONE map-side-combinable aggregation into ≤ `bins`
+    * rows. Nothing else moves.
+    */
+  def calibrationReport(df: DataFrame, scoreCol: String, labelCol: String,
+                        bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins out of [2,10000]: $bins")
+    val b = least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col(scoreCol), 9).cast("decimal(28,12)")).as("__ss"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"))
+      .select(col("bin"), col("n"),
+        round(col("__ss").cast("double") / col("n").cast("double"), 6)
+          .as("mean_score"),
+        round(col("__pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_positive"),
+        round(col("__pos").cast("double") / col("n").cast("double")
+          - col("__ss").cast("double") / col("n").cast("double"), 6).as("gap"))
+  }
+
+  /** CUSUM changepoint detection over per-key daily activity: for each
+    * key, the date where the cumulative deviation from the key's mean
+    * daily count peaks — "when did this source's volume regime change",
+    * the level-shift detector next to q134's rolling spike z-scores
+    * (CUSUM integrates drift; z-scores see only the local window).
+    *
+    * Integer-exact: on the zero-filled (key × corpus-date) grid with
+    * D days, `S_d · D = D·cum_d − d·total` — all BIGINT; the argmax
+    * takes the largest |scaled deviation|, ties to the EARLIEST date;
+    * reported `cusum = round(|S_d·D| / D, 6)` in count units, signed
+    * `direction` (+1 = counts ran above the mean into the peak).
+    *
+    * 100 TB shape: one corpus pass to per-(key, date) counts; the grid,
+    * cumsums, and argmax all live on the keys × days table (windows
+    * partitioned BY KEY — day-bounded, corpus-independent).
+    */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d"))
+      .groupBy("__k", "__d").agg(count(lit(1)).as("__n"))
+    val dates = daily.select("__d").distinct()
+    val keys = daily.groupBy("__k")
+      .agg(sum(col("__n")).as("__total"))
+    val grid = dates.crossJoin(keys)
+      .join(daily, Seq("__k", "__d"), "left")
+      .select(col("__k"), col("__d"), col("__total"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+    val wCum = Window.partitionBy(col("__k")).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__k"))
+    val dev = grid
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      .withColumn("__idx", count(lit(1)).over(wCum))
+      .withColumn("__days", count(lit(1)).over(wAll))
+      .withColumn("__dev",
+        col("__days") * col("__cum") - col("__idx") * col("__total"))
+    dev.groupBy(col("__k"))
+      .agg(max(struct(abs(col("__dev")).as("__a"),
+        (-col("__idx")).as("__ni"), col("__d").as("__date"),
+        col("__dev").as("__sd"), col("__days").as("__dd"))).as("__m"))
+      .select(col("__k").as(keyCol), col("__m.__date").as("change_date"),
+        round(col("__m.__a").cast("double") / col("__m.__dd").cast("double"), 6)
+          .as("cusum"),
+        when(col("__m.__sd") >= 0, lit(1)).otherwise(lit(-1)).as("direction"))
+  }
+
+  /** Day-of-week seasonal profile + worst residual per cell: for each
+    * (key, dow), the mean daily count over the zero-filled corpus date
+    * spine and the date deviating hardest from it — "Tuesday volume is
+    * usually X; which Tuesday broke the pattern". `dow` is 0 = Sunday
+    * (the DuckDB convention; Spark's `dayofweek` − 1).
+    *
+    * Exactness: means are BIGINT sums / BIGINT day counts, one IEEE
+    * division, 6 dp; residual argmax scales to integers
+    * (`n·days − total`), ties to the earliest date.
+    *
+    * 100 TB shape: one corpus pass to (key, date) counts; everything
+    * after lives on the keys × days grid.
+    */
+  def seasonalProfile(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d"))
+      .groupBy("__k", "__d").agg(count(lit(1)).as("__n"))
+    val dates = daily.select("__d").distinct()
+    val grid = dates.crossJoin(daily.select("__k").distinct())
+      .join(daily, Seq("__k", "__d"), "left")
+      .select(col("__k"), col("__d"),
+        (dayofweek(col("__d")) - 1).as("dow"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+    val prof = grid.groupBy(col("__k"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__n")).as("__tot"))
+    // residual scaled to integers: n·n_days − tot; |…| argmax, earliest
+    // date on ties (unix_date negated inside the max-struct)
+    grid.join(prof, Seq("__k", "dow"))
+      .withColumn("__res", col("__n") * col("n_days") - col("__tot"))
+      .groupBy(col("__k"), col("dow"))
+      .agg(max(col("n_days")).as("__nd"), max(col("__tot")).as("__t"),
+        max(struct(abs(col("__res")).as("__a"),
+          (-unix_date(col("__d"))).as("__negd"),
+          col("__d").as("__date"), col("__res").as("__r"))).as("__m"))
+      .select(col("__k").as(keyCol), col("dow"),
+        col("__nd").as("n_days"),
+        round(col("__t").cast("double") / col("__nd").cast("double"), 6)
+          .as("dow_mean"),
+        col("__m.__date").as("worst_date"),
+        round(col("__m.__r").cast("double") / col("__nd").cast("double"), 6)
+          .as("worst_residual"))
+  }
 }

@@ -257,4 +257,68 @@ object Profiling {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
       .select(col("item").as(itemCol), col("est"))
   }
+
+  /** HyperLogLog sketch AS A RELATION (the third classic sketch next to
+    * Misra–Gries and count-min, here fully ORACLE-CHECKABLE — unlike
+    * `approx_count_distinct`'s opaque engine sketch): one row per
+    * occupied register, `(reg, max_rho)`, where the 60-bit md5 hash
+    * splits into `reg = h mod m` and a `(60 − log2 m)`-bit tail whose
+    * leading-zero count (+1) is rho — computed INTEGER-exactly as
+    * `budget + 1 − length(bin(tail))` (bin() drops leading zeros in
+    * both engines; tail 0 → budget + 1).
+    *
+    * 100 TB shape: a narrow per-row kernel + ONE map-side-combinable
+    * `max` into ≤ m rows — the exchange is register-sized no matter the
+    * key universe, and sketches of corpus shards union by the same
+    * `max` (mergeable-summaries).
+    */
+  def hllSketch(df: DataFrame, itemCol: String, m: Int): DataFrame = {
+    require(m >= 16 && m <= 65536 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16,65536]: $m")
+    val budget = 60 - Integer.numberOfTrailingZeros(m)
+    df.filter(col(itemCol).isNotNull)
+      .select(graft.operators.Sampling.hash60(
+        md5(concat(lit("hll"), col(itemCol).cast("string")))).as("__h"))
+      .select(pmod(col("__h"), lit(m.toLong)).as("reg"),
+        expr(s"__h div ${m}L").as("__tail"))
+      .select(col("reg"),
+        when(col("__tail") === 0L, lit(budget + 1))
+          .otherwise(lit(budget + 1) - length(bin(col("__tail")))).as("__rho"))
+      .groupBy("reg").agg(max(col("__rho")).as("max_rho"))
+  }
+
+  /** The HLL estimate from a [[hllSketch]] relation — one row:
+    * `(m, n_zero_regs, est_raw, est)`. The harmonic sum is EXACT:
+    * `Σ 2^(60 − rho)` over all m registers (empty = 2^60) as
+    * DECIMAL(38,0), so `est_raw = α·m²·2^60 / S` is one IEEE division
+    * of exactly-agreed operands. `est` applies the standard small-range
+    * correction (`m·ln(m / zeros)` when zeros > 0 and est_raw ≤ 2.5m),
+    * rounded 4 dp — the one transcendental, quantized coarsely enough
+    * to absorb engine ulp.
+    */
+  def hllEstimate(sketch: DataFrame, m: Int): DataFrame = {
+    require(m >= 16 && m <= 65536 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16,65536]: $m")
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val spark = sketch.sparkSession
+    val regs = spark.range(m).select(col("id").cast("long").as("reg"))
+    val full = regs.join(broadcast(sketch), Seq("reg"), "left")
+      .select(coalesce(col("max_rho"), lit(0)).as("__rho"))
+    val agg = full.agg(
+      sum(when(col("__rho") === 0, 1L).otherwise(0L)).as("n_zero_regs"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 60 - __rho)").cast("decimal(38,0)"))
+        .as("__s"))
+    agg.select(lit(m).as("m"), col("n_zero_regs"),
+      round((lit(alpha) * m * m * math.pow(2.0, 60))
+        / col("__s").cast("double"), 4).as("est_raw"))
+      .select(col("m"), col("n_zero_regs"), col("est_raw"),
+        when(col("n_zero_regs") > 0 && col("est_raw") <= lit(2.5 * m),
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs").cast("double")), 4))
+          .otherwise(col("est_raw")).as("est"))
+  }
 }

@@ -913,4 +913,29 @@ object Similarity {
       round(dot(kernelVec(df, vecCol), array(pc.map(lit).toSeq: _*)), 6)
         .as("score"))
   }
+
+  /** Johnson–Lindenstrauss random projection: `outDims` deterministic
+    * pseudo-random hyperplane projections per vector — the cheap
+    * dimensionality reduction in front of ANN/clustering (JL: pairwise
+    * distances survive within (1±ε) for outDims = O(log n / ε²)). The
+    * weights are the [[lshBucket]] plane-weight generator (the nonlinear
+    * integer mixer whose sign bits those buckets keep; here the full dot
+    * value is kept instead), so any engine stating the same integer
+    * arithmetic and fold order reproduces the projections bit-for-bit
+    * at 6 dp.
+    *
+    * 100 TB shape: a pure narrow per-row kernel — `outDims` codegen'd
+    * dot products, ZERO exchanges; column output `proj_0..proj_{k-1}`.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDims: Int): DataFrame = {
+    require(outDims >= 1 && outDims <= 64, s"outDims out of [1,64]: $outDims")
+    val v = col(vecCol)
+    val projs = (0 until outDims).map { p =>
+      val w = transform(sequence(lit(0), size(v) - 1),
+        j => planeWeight(p, j).cast("double"))
+      round(dot(v, w), 6).as(s"proj_$p")
+    }
+    df.select(col(idCol) +: projs: _*)
+  }
 }

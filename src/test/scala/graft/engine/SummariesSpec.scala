@@ -616,4 +616,60 @@ class SummariesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Summaries.kaplanMeier(ev, "user_id", "ts", censorDays = -1))
   }
+
+  test("calibrationReport: hand-checked bins, top-bin clamp, signed gap") {
+    val df = Seq(
+      (0.05, false), (0.05, false), (0.12, true),
+      (0.95, true), (1.0, true)  // 1.0 clamps into bin 9
+    ).toDF("score", "label")
+    val got = Summaries.calibrationReport(df, "score", "label", bins = 10)
+      .orderBy("bin")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 2L, 0.05, 0.0, -0.05),
+      (1, 1L, 0.12, 1.0, 0.88),
+      (9, 2L, 0.975, 1.0, 0.025)))
+    intercept[IllegalArgumentException](
+      Summaries.calibrationReport(df, "score", "label", bins = 1))
+  }
+
+  test("cusumChangepoint finds the level shift; direction signs the drift") {
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad, to_timestamp}
+    // key "up": 5 days at 1/day then 5 days at 5/day → S dips most
+    // negative at the shift boundary (counts ran BELOW the mean first)
+    val ev = (1 to 5).flatMap(d => Seq(("up", d))) ++
+      (6 to 10).flatMap(d => Seq.fill(5)(("up", d)))
+    val df = ev.toDF("k", "day")
+      .select(col("k"), to_timestamp(
+        concat(lit("2024-01-"), lpad(col("day").cast("string"), 2, "0"),
+          lit(" 12:00:00"))).as("ts"))
+    val got = Summaries.cusumChangepoint(df, "k", "ts")
+      .as[(String, java.sql.Date, Double, Int)].head()
+    // mean = 3/day; S_d = cum − 3d: minimized at d=5 (S=−10)
+    assert(got._1 == "up")
+    assert(got._2.toString == "2024-01-05")
+    assert(got._3 == 10.0)
+    assert(got._4 == -1)
+  }
+
+  test("seasonalProfile: dow means over the zero-filled spine, worst residual") {
+    import org.apache.spark.sql.functions.{col, concat, lit, to_timestamp}
+    // two weeks of Mondays and Tuesdays; one Tuesday triples.
+    // 2024-01-01 is a Monday (dow 1); 01-02/01-09 are Tuesdays (dow 2)
+    val rows = Seq(
+      ("a", "2024-01-01", 2), ("a", "2024-01-08", 2),
+      ("a", "2024-01-02", 2), ("a", "2024-01-09", 6)
+    ).flatMap { case (k, d, n) => Seq.fill(n)((k, d)) }
+    val df = rows.toDF("k", "d")
+      .select(col("k"), to_timestamp(concat(col("d"), lit(" 08:00:00"))).as("ts"))
+    val got = Summaries.seasonalProfile(df, "k", "ts")
+      .as[(String, Int, Long, Double, java.sql.Date, Double)]
+      .collect().map(r => r._2 -> r).toMap
+    // spine = OBSERVED dates (two Mondays, two Tuesdays) — no other dows
+    assert(got.keySet == Set(1, 2))
+    assert(got(1) == (("a", 1, 2L, 2.0, java.sql.Date.valueOf("2024-01-01"), 0.0)))
+    // Tuesday mean (2+6)/2 = 4; residuals −2 and +2 tie on |…| →
+    // earliest date wins: 01-02 at −2.0
+    assert(got(2) == (("a", 2, 2L, 4.0, java.sql.Date.valueOf("2024-01-02"), -2.0)))
+  }
 }

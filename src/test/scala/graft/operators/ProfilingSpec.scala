@@ -197,4 +197,29 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profiling.countMinSketch(df, "item", depth = 0, width = 4))
   }
+
+  test("hll: register-bounded sketch, estimate tracks exact, shards merge by max") {
+    def items(n: Int, salt: String) =
+      (0 until n).map(i => s"$salt-item-$i").toDF("item")
+    for (n <- Seq(10, 200, 2000)) {
+      val df = items(n, "a")
+      val sk = Profiling.hllSketch(df, "item", m = 256)
+      assert(sk.count() <= 256)
+      val est = Profiling.hllEstimate(sk, m = 256)
+        .select("est").as[Double].head()
+      // HLL with m=256 has ~6.5% rsd; allow 4 sigma
+      assert(math.abs(est - n) < math.max(4 * 0.065 * n, 8.0),
+        s"n=$n est=$est")
+    }
+    // mergeability: max-combining two shard sketches == whole-corpus sketch
+    val whole = items(500, "a")
+    val sA = Profiling.hllSketch(whole.limit(250), "item", m = 64)
+    val sB = Profiling.hllSketch(whole.except(whole.limit(250)), "item", m = 64)
+    val merged = sA.unionByName(sB).groupBy("reg")
+      .agg(org.apache.spark.sql.functions.max($"max_rho").as("max_rho"))
+    val direct = Profiling.hllSketch(whole, "item", m = 64)
+    assert(merged.orderBy("reg").collect().toSeq ==
+      direct.orderBy("reg").collect().toSeq)
+    intercept[IllegalArgumentException](Profiling.hllSketch(whole, "item", m = 100))
+  }
 }

@@ -587,4 +587,28 @@ class SimilaritySpec extends SparkSpec {
     assert(lbl.values.forall(c => c >= 0 && c < 3))
     assert(lbl(0L) == lbl(1L) && lbl(0L) != lbl(2L))
   }
+
+  test("randomProjection: signs agree with lshBucket bits; zero vector projects to 0") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val k = 8
+    val proj = Similarity.randomProjection(vecs, "vec_id", "embedding", k)
+      .orderBy("vec_id").collect()
+    val buckets = vecs.select($"vec_id", Similarity.lshBucket($"embedding", k).as("b"))
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    // plane p's bucket bit is set iff the full projection is positive —
+    // the two operators share the plane-weight generator by contract
+    proj.zip(buckets).foreach { case (row, (_, b)) =>
+      for (p <- 0 until k) {
+        val v = row.getDouble(1 + p)
+        assert((v > 0) == ((b & (1L << p)) != 0), s"plane $p: proj=$v bucket=$b")
+      }
+    }
+    val z = Seq((0L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding")
+    val zr = Similarity.randomProjection(z, "vec_id", "embedding", 4).head()
+    assert((1 to 4).forall(i => zr.getDouble(i) == 0.0))
+    intercept[IllegalArgumentException](
+      Similarity.randomProjection(z, "vec_id", "embedding", 0))
+  }
 }
