@@ -2117,7 +2117,37 @@ object SparkEntry {
     // to q170's raw dow×hour matrix.
     "q203_seasonal" -> ((s, dir) =>
       Summaries.seasonalProfile(events(s, dir), "event_type", "ts")
-        .orderBy("event_type", "dow"))
+        .orderBy("event_type", "dow")),
+
+    // ── Bloom filter as a RELATION (512 bits × 3 hashes, 32-bit word
+    // packing) over the token
+    // vocabulary, probed with every token AND a '-zz' mutation of each:
+    // no false negatives by construction, false positives counted
+    // against the actual-membership audit column — the oracle-checkable
+    // twin of q87's engine-opaque bloom_filter_agg, completing the
+    // sketch tetralogy (MG q184, CMS q192, HLL q202).
+    "q204_bloom_relation" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens("text")).as("token"))
+      val vocab = toks.distinct()
+      val sk = graft.operators.Profiling.bloomSketch(toks, "token", bits = 512, hashes = 3)
+      val probes = vocab.unionByName(
+        vocab.select(concat(col("token"), lit("-zz")).as("token")))
+      val mc = graft.operators.Profiling.bloomMaybeContains(
+        sk, probes, "token", bits = 512, hashes = 3)
+      mc.join(vocab.withColumn("__in", lit(true)), Seq("token"), "left")
+        .select(col("token"), col("maybe_present"),
+          coalesce(col("__in"), lit(false)).as("actual_present"))
+        .orderBy("token")
+    }),
+
+    // ── uniform 20-per-language sample without replacement: content-
+    // hash lottery tickets, k smallest per group via the BoundedTopK
+    // partial aggregate — deterministic eval-set cuts, no RNG, no
+    // per-group window.
+    "q205_uniform_per_group" -> ((s, dir) =>
+      Sampling.uniformKPerGroup(t(s, dir, "documents"), "doc_id", "lang", k = 20)
+        .orderBy("lang", "rn"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4914,7 +4944,51 @@ object SparkEntry {
         | round(CAST(tot AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS dow_mean,
         | d AS worst_date,
         | round(CAST(r AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS worst_residual
-        |FROM rk WHERE rn = 1 ORDER BY event_type, dow""".stripMargin
+        |FROM rk WHERE rn = 1 ORDER BY event_type, dow""".stripMargin,
+
+    // Bloom: identical md5 positions (seed:token mod 512), 64-bit word
+    // packing via bit_or, AND-of-bits membership, actual-presence audit.
+    "q204_bloom_relation" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT DISTINCT token FROM toks),
+        |pos AS (
+        | SELECT ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 512 AS p
+        | FROM toks CROSS JOIN range(3) s(seed)),
+        |sk AS (
+        | SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+        | FROM pos GROUP BY 1),
+        |probes AS (
+        | SELECT token FROM vocab
+        | UNION ALL SELECT token || '-zz' FROM vocab),
+        |pp AS (
+        | SELECT pr.token,
+        |  ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || pr.token), 1, 15))::BIGINT % 512 AS p
+        | FROM probes pr CROSS JOIN range(3) s(seed)),
+        |mc AS (
+        | SELECT pp.token,
+        |  min(CASE WHEN sk.bits IS NOT NULL
+        |       AND (sk.bits & (1::BIGINT << CAST(pp.p % 32 AS INT))) <> 0
+        |      THEN 1 ELSE 0 END) = 1 AS maybe_present
+        | FROM pp LEFT JOIN sk ON sk.word = pp.p // 32
+        | GROUP BY 1)
+        |SELECT mc.token, mc.maybe_present,
+        | v.token IS NOT NULL AS actual_present
+        |FROM mc LEFT JOIN vocab v ON v.token = mc.token
+        |ORDER BY mc.token""".stripMargin,
+
+    // Uniform per-group sample: identical md5 lottery tickets, k
+    // smallest per group, (hash asc, id asc) rank.
+    "q205_uniform_per_group" ->
+      """WITH h AS (
+        | SELECT lang, doc_id,
+        |  ('0x' || substr(md5('us' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+    % 1125899906842624 AS hv
+        | FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS rn
+        | FROM h)
+        |SELECT lang, doc_id, rn FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

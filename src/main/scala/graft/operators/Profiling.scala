@@ -287,6 +287,61 @@ object Profiling {
       .groupBy("reg").agg(max(col("__rho")).as("max_rho"))
   }
 
+  /** Bloom filter AS A RELATION — the fourth classic sketch next to
+    * Misra–Gries/count-min/HLL, and the oracle-checkable twin of the
+    * engine-opaque `bloom_filter_agg` the q87 decontamination path uses:
+    * `bits` filter bits packed 32-per-word into `(word, bits)` rows
+    * (32, not 64: engines that CHECK shift overflow reject `1 << 63`
+    * on a signed 64-bit lane; 32-bit packing keeps every mask positive
+    * everywhere),
+    * built by a `bit_or` aggregation (order- and partition-independent,
+    * mergeable across shards by the same `bit_or`). `hashes` md5-derived
+    * positions per item.
+    *
+    * 100 TB shape: a narrow per-row kernel (×hashes) + ONE map-side-
+    * combinable aggregation into ≤ bits/32 rows; probes join the
+    * broadcast word table ([[bloomMaybeContains]]) — no-false-negative
+    * membership with the standard fp rate `(1 − e^{−dn/m})^d`.
+    */
+  def bloomSketch(df: DataFrame, itemCol: String, bits: Int,
+                  hashes: Int): DataFrame = {
+    require(bits >= 64 && bits <= (1 << 26) && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two in [64, 2^26]: $bits")
+    require(hashes >= 1 && hashes <= 16, s"hashes out of [1,16]: $hashes")
+    df.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("__item"))
+      .select(explode(sequence(lit(0), lit(hashes - 1))).as("__seed"), col("__item"))
+      .select(pmod(graft.operators.Sampling.hash60(
+        md5(concat(col("__seed").cast("string"), lit(":"), col("__item")))),
+        lit(bits.toLong)).as("__pos"))
+      .select(expr("__pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").as("__mask"))
+      .groupBy(col("word")).agg(expr("bit_or(__mask)").as("bits"))
+  }
+
+  /** Membership probes against a [[bloomSketch]] relation: `(item,
+    * maybe_present)` — false ⇒ definitely absent; true ⇒ present or a
+    * false positive. The word table broadcasts (≤ bits/32 rows).
+    */
+  def bloomMaybeContains(sketch: DataFrame, probes: DataFrame, itemCol: String,
+                         bits: Int, hashes: Int): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0, s"bits must be a power of two: $bits")
+    require(hashes >= 1 && hashes <= 16, s"hashes out of [1,16]: $hashes")
+    probes.select(col(itemCol).cast("string").as("item")).distinct()
+      .filter(col("item").isNotNull)
+      .select(col("item"), explode(sequence(lit(0), lit(hashes - 1))).as("__seed"))
+      .select(col("item"), pmod(graft.operators.Sampling.hash60(
+        md5(concat(col("__seed").cast("string"), lit(":"), col("item")))),
+        lit(bits.toLong)).as("__pos"))
+      .select(col("item"), expr("__pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT))").as("__mask"))
+      .join(broadcast(sketch), Seq("word"), "left")
+      .groupBy(col("item"))
+      .agg(min(when(col("bits").isNotNull
+        && (col("bits").bitwiseAND(col("__mask")) =!= 0L), 1).otherwise(0)).as("__all"))
+      .select(col("item").as(itemCol), (col("__all") === 1).as("maybe_present"))
+  }
+
   /** The HLL estimate from a [[hllSketch]] relation — one row:
     * `(m, n_zero_regs, est_raw, est)`. The harmonic sum is EXACT:
     * `Σ 2^(60 − rho)` over all m registers (empty = 2^60) as

@@ -306,6 +306,32 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < rate)
   }
 
+  /** Uniform fixed-size sample WITHOUT replacement per group — the
+    * "exactly k docs per language" eval-set cut. The hash of the row id
+    * is the row's permanent lottery ticket (the content-hash fate rule:
+    * reruns, retries, and engines all agree), and the k SMALLEST
+    * tickets per group win — a deterministic "hash reservoir" with no
+    * RNG and no per-group window: the k-smallest selection rides the
+    * BoundedTopK bounded-heap partial aggregate (negated hash, the q99
+    * machinery), so per-group state is k entries and the exchange
+    * carries partials, never the group's rows. Output
+    * `(group, id, rn)`, rn 1-based in hash order.
+    */
+  def uniformKPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                       k: Int, salt: String = "us"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    // ticket = hash mod 2^50: BoundedTopK scores are doubles, and a
+    // 50-bit integer casts to double EXACTLY (a raw 60-bit hash would
+    // lose its low bits in the cast and desync from the integer-ordered
+    // oracle); collisions within a group are broken by id
+    val withTicket = df.select(col(groupCol), col(idCol))
+      .withColumn("__negh",
+        (-pmod(hash60(md5(concat(lit(salt), col(idCol).cast("string")))),
+          lit(1L << 50))).cast("double"))
+    graft.operators.Selection.topKPerGroup(withTicket, groupCol, "__negh", idCol, k)
+      .select(col(groupCol), col(idCol), col("rn"))
+  }
+
   /** Frequency-proportional negative sampling — the word2vec training
     * primitive: for every row, `k` deterministic draws from the corpus
     * unigram distribution (each token's probability = its corpus count /

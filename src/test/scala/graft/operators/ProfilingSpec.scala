@@ -222,4 +222,28 @@ class ProfilingSpec extends SparkSpec {
       direct.orderBy("reg").collect().toSeq)
     intercept[IllegalArgumentException](Profiling.hllSketch(whole, "item", m = 100))
   }
+
+  test("bloom: zero false negatives, shards merge by bit_or, absent probes mostly reject") {
+    val present = (0 until 100).map(i => s"in-$i").toDF("item")
+    val absent = (0 until 100).map(i => s"out-$i").toDF("item")
+    val sk = Profiling.bloomSketch(present, "item", bits = 4096, hashes = 3)
+    val gotP = Profiling.bloomMaybeContains(sk, present, "item", 4096, 3)
+      .as[(String, Boolean)].collect()
+    // the Bloom contract: NO false negative, ever
+    assert(gotP.forall(_._2), "false negative detected")
+    // 100 items × 3 hashes in 4096 bits → fp rate ~0.04%; all 100
+    // absent probes must reject (deterministic fixture)
+    val gotA = Profiling.bloomMaybeContains(sk, absent, "item", 4096, 3)
+      .as[(String, Boolean)].collect()
+    assert(gotA.count(_._2) <= 2, s"too many false positives: ${gotA.count(_._2)}")
+    // mergeability: bit_or of two half-corpus sketches == whole sketch
+    val sA = Profiling.bloomSketch(present.filter($"item" < "in-5"), "item", 4096, 3)
+    val sB = Profiling.bloomSketch(present.filter($"item" >= "in-5"), "item", 4096, 3)
+    val merged = sA.unionByName(sB).groupBy("word")
+      .agg(org.apache.spark.sql.functions.expr("bit_or(bits)").as("bits"))
+    assert(merged.orderBy("word").collect().toSeq ==
+      sk.orderBy("word").collect().toSeq)
+    intercept[IllegalArgumentException](
+      Profiling.bloomSketch(present, "item", bits = 100, hashes = 3))
+  }
 }

@@ -281,4 +281,28 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.negativeSamples(docs, "doc_id", "text", k = 0))
   }
+
+  test("uniformKPerGroup matches the brute-force hash-rank reference") {
+    val rows = (0L until 300L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val k = 10
+    val got = Sampling.uniformKPerGroup(rows, "id", "g", k)
+      .as[(String, Long, Long)].collect().toSet
+    // reference: rank by (md5-ticket mod 2^50, id) within each group
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ticket(id: Long): Long = {
+      val hex = md.digest(s"us$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % (1L << 50)
+    }
+    val exp = (0L until 300L).groupBy(i => s"g${i % 4}").flatMap { case (g, ids) =>
+      ids.sortBy(i => (ticket(i), i)).take(k).zipWithIndex
+        .map { case (id, r) => (g, id, (r + 1).toLong) }
+    }.toSet
+    assert(got == exp)
+    // small group: emits the whole group, never more
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
+    assert(Sampling.uniformKPerGroup(tiny, "id", "g", 10).count() == 2)
+    intercept[IllegalArgumentException](
+      Sampling.uniformKPerGroup(tiny, "id", "g", 0))
+  }
 }
