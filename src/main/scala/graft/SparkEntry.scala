@@ -2147,7 +2147,22 @@ object SparkEntry {
     // per-group window.
     "q205_uniform_per_group" -> ((s, dir) =>
       Sampling.uniformKPerGroup(t(s, dir, "documents"), "doc_id", "lang", k = 20)
-        .orderBy("lang", "rn"))
+        .orderBy("lang", "rn")),
+
+    // ── rolling 7-day active users per date (exact WAU): entity-days →
+    // ×7 support explode → distinct → per-date count; no sketch, no
+    // window function.
+    "q206_rolling_wau" -> ((s, dir) =>
+      Summaries.rollingActive(events(s, dir), "user_id", "ts", windowDays = 7)
+        .orderBy("report_date")),
+
+    // ── product quantization: 4 subspaces × 16 dims, k=4 codes each (8
+    // bits per vector) — four independent Lloyd chains on slices, the
+    // ANN compression standard; oracle = four suffixed q183 CTE chains.
+    "q207_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
+        subspaces = 4, subDim = 16, k = 4, iters = 2)
+        .orderBy("vec_id"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -4988,7 +5003,34 @@ object SparkEntry {
         |r AS (SELECT lang, doc_id,
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS rn
         | FROM h)
-        |SELECT lang, doc_id, rn FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+        |SELECT lang, doc_id, rn FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    // Rolling WAU: identical entity-day dedup, 7-day support explode
+    // clamped to the span edge, distinct, per-date count.
+    "q206_rolling_wau" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id AS id, CAST(ts AS DATE) AS d FROM events),
+        |mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+        |ex AS (
+        | SELECT DISTINCT id,
+        |  CAST(unnest(generate_series(d,
+        |    least(d + INTERVAL 6 DAY, CAST(maxd AS TIMESTAMP)),
+        |    INTERVAL 1 DAY)) AS DATE) AS report_date
+        | FROM ud CROSS JOIN mx)
+        |SELECT report_date, count(*) AS n_active
+        |FROM ex GROUP BY 1 ORDER BY report_date""".stripMargin,
+
+    // PQ: four suffixed kmeans chains over 16-dim slices (offsets
+    // 0/16/32/48), codes joined on vec_id.
+    "q207_pq_codes" -> {
+      val chains = (0 until 4).map(sp => kmeansCtes(4, 2, 16, sp * 16, s"_s$sp"))
+      val codeCols = (0 until 4)
+        .map(sp => s"CAST(s$sp.cluster AS INT) AS code_$sp").mkString(", ")
+      val joins = (1 until 4)
+        .map(sp => s"JOIN a3_s$sp s$sp ON s$sp.vec_id = s0.vec_id").mkString(" ")
+      "WITH " + chains.mkString(",\n") + "\n" +
+        s"SELECT s0.vec_id, $codeCols FROM a3_s0 s0 $joins ORDER BY s0.vec_id"
+    }
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:
@@ -5058,45 +5100,54 @@ object SparkEntry {
     * centroid sums, and 6-dp distance argmin with the cluster-id
     * tiebreak.
     */
-  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String =
+    "WITH " + kmeansCtes(k, iters, dim, off = 0, sfx = "") +
+      s"\nSELECT vec_id, CAST(cluster AS INT) AS cluster FROM a${iters + 1} ORDER BY vec_id"
+
+  /** The assign→update CTE chain of [[kmeansOracleSql]], parameterized
+    * with a slice OFFSET into the embedding and a relation-name SUFFIX
+    * so several independent chains compose in one query (the q207
+    * product-quantization oracle runs one chain per subspace). The
+    * final assignment relation is `a(iters+1)(sfx)`.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int, off: Int, sfx: String): String = {
     // the |v|²−2vc+|c|² identity the Spark kernel computes, with the
     // same fixed shape: vn2 − 2.0·dot + cn2 then round 6
     def assign(i: Int, c: String): String =
-      s"""cn$i AS (SELECT cl, sum(cv * cv) AS cn2 FROM $c GROUP BY 1),
-         |d$i AS (
+      s"""cn$i$sfx AS (SELECT cl, sum(cv * cv) AS cn2 FROM $c GROUP BY 1),
+         |d$i$sfx AS (
          | SELECT v.vec_id, c.cl,
          |  round(max(n2.vn2) - 2.0 * sum(v.vd * c.cv) + max(cn.cn2), 6) AS d
-         | FROM v JOIN $c c ON c.pos = v.pos
-         | JOIN n2 ON n2.vec_id = v.vec_id
-         | JOIN cn$i cn ON cn.cl = c.cl
+         | FROM v$sfx v JOIN $c c ON c.pos = v.pos
+         | JOIN n2$sfx n2 ON n2.vec_id = v.vec_id
+         | JOIN cn$i$sfx cn ON cn.cl = c.cl
          | GROUP BY 1, 2),
-         |a$i AS (
+         |a$i$sfx AS (
          | SELECT vec_id, cl AS cluster FROM (
          |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
-         |  FROM d$i)
+         |  FROM d$i$sfx)
          | WHERE rn = 1)""".stripMargin
     def update(i: Int): String =
-      s"""c$i AS (
+      s"""c$i$sfx AS (
          | SELECT a.cluster AS cl, v.pos,
          |  round(CAST(sum(CAST(v.vd AS DECIMAL(28,12))) AS DOUBLE)
          |        / CAST(count(*) AS DOUBLE), 9) AS cv
-         | FROM a$i a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
-    val steps = (1 to iters).map(i => assign(i, s"c${i - 1}") + ",\n" + update(i))
-    val finalAssign = assign(iters + 1, s"c$iters")
-    s"""WITH v AS (
+         | FROM a$i$sfx a JOIN v$sfx v ON v.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    val steps = (1 to iters).map(i => assign(i, s"c${i - 1}$sfx") + ",\n" + update(i))
+    val finalAssign = assign(iters + 1, s"c$iters$sfx")
+    s"""v$sfx AS (
        | SELECT vec_id, r.i AS pos,
-       |  round(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE), 9) AS vd
+       |  round(CAST(embedding[CAST(r.i AS INT) + 1 + $off] AS DOUBLE), 9) AS vd
        | FROM embeddings, range($dim) r(i)),
-       |n2 AS (SELECT vec_id, sum(vd * vd) AS vn2 FROM v GROUP BY 1),
-       |init AS (
+       |n2$sfx AS (SELECT vec_id, sum(vd * vd) AS vn2 FROM v$sfx GROUP BY 1),
+       |init$sfx AS (
        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, vec_id
        | FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
-       |c0 AS (SELECT i.cl, v.pos, v.vd AS cv FROM init i JOIN v ON v.vec_id = i.vec_id),
+       |c0$sfx AS (SELECT i.cl, v.pos, v.vd AS cv FROM init$sfx i JOIN v$sfx v ON v.vec_id = i.vec_id),
        |${steps.mkString(",\n")},
-       |$finalAssign
-       |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a${iters + 1}
-       |ORDER BY vec_id""".stripMargin
+       |$finalAssign""".stripMargin
   }
+
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
   /** Shingle/signature oracle fragments, parameterized on the source

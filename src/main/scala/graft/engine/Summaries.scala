@@ -1239,6 +1239,39 @@ object Summaries {
     * 100 TB shape: one corpus pass to (key, date) counts; everything
     * after lives on the keys × days grid.
     */
+  /** Rolling distinct-entity count (the DAU/WAU family): for every
+    * date in the corpus span, how many distinct `idCol` entities were
+    * active in the trailing `windowDays` (inclusive) — EXACT, not a
+    * sketch. A windowed `count(DISTINCT)` does not exist in SQL window
+    * functions; the standard exact shape is: dedup to entity-days (ONE
+    * corpus pass, map-side combinable), explode each entity-day to the
+    * `windowDays` report dates it supports (×windowDays entity-day
+    * volume — the bounded, honest cost), distinct again, count per
+    * date. Report dates clamp to the observed span.
+    *
+    * 100 TB shape: everything after pass one is entity-day sized ×
+    * windowDays; no window functions at all, three combinable
+    * aggregations. For 90-day windows at extreme scale, swap the
+    * explode for per-day HLL sketch unions (q75 machinery) — documented
+    * tradeoff, same output shape.
+    */
+  def rollingActive(df: DataFrame, idCol: String, tsCol: String,
+                    windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"windowDays out of [1,370]: $windowDays")
+    val ud = df.select(col(idCol).as("__id"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val span = df.agg(max(to_date(col(tsCol))).as("__maxd"))
+    ud.crossJoin(broadcast(span))
+      .select(col("__id"),
+        explode(sequence(col("__d"),
+          least(date_add(col("__d"), windowDays - 1), col("__maxd"))))
+          .as("report_date"))
+      .distinct()
+      .groupBy(col("report_date"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   def seasonalProfile(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val daily = df.select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d"))
       .groupBy("__k", "__d").agg(count(lit(1)).as("__n"))

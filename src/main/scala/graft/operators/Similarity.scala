@@ -927,6 +927,32 @@ object Similarity {
     * 100 TB shape: a pure narrow per-row kernel — `outDims` codegen'd
     * dot products, ZERO exchanges; column output `proj_0..proj_{k-1}`.
     */
+  /** Product-quantization encoding — the ANN compression standard: the
+    * vector splits into `subspaces` contiguous `subDim`-wide slices and
+    * each slice is k-means-coded independently ([[kmeansLloyd]] per
+    * subspace: same first-k seeds, decimal-exact updates, 6-dp + id
+    * tie argmin), giving `subspaces · log2(k)` bits per vector. Output
+    * `(id, code_0 … code_{subspaces−1})`.
+    *
+    * 100 TB shape: each subspace is an independent Lloyd run over a
+    * NARROW slice projection — per-row k×subDim folds, k×subDim-cell
+    * update aggregations, one bounded codebook collect per iteration;
+    * the final join of `subspaces` code columns is id-keyed.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+              subspaces: Int, subDim: Int, k: Int = 4, iters: Int = 2): DataFrame = {
+    require(subspaces >= 1 && subspaces <= 64,
+      s"subspaces out of [1,64]: $subspaces")
+    require(subDim >= 1, s"subDim must be positive: $subDim")
+    val parts = (0 until subspaces).map { sp =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), sp * subDim + 1, subDim).as("__sub"))
+      kmeansLloyd(sub, idCol, "__sub", k, iters)
+        .withColumnRenamed("cluster", s"code_$sp")
+    }
+    parts.reduce(_.join(_, Seq(idCol)))
+  }
+
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
                        outDims: Int): DataFrame = {
     require(outDims >= 1 && outDims <= 64, s"outDims out of [1,64]: $outDims")

@@ -672,4 +672,23 @@ class SummariesSpec extends SparkSpec {
     // earliest date wins: 01-02 at −2.0
     assert(got(2) == (("a", 2, 2L, 4.0, java.sql.Date.valueOf("2024-01-02"), -2.0)))
   }
+
+  test("rollingActive: exact trailing-window distinct counts, span clamp") {
+    import org.apache.spark.sql.functions.{col, concat, lit, to_timestamp}
+    // u1 active d1 and d3 (twice on d3 — dedups); u2 active d1; u3 d4
+    val rows = Seq((1L, 1), (1L, 3), (1L, 3), (2L, 1), (3L, 4))
+    val df = rows.toDF("u", "day")
+      .select(col("u"), to_timestamp(concat(lit("2024-01-0"),
+        col("day").cast("string"), lit(" 10:00:00"))).as("ts"))
+    val got = Summaries.rollingActive(df, "u", "ts", windowDays = 2)
+      .orderBy("report_date")
+      .as[(java.sql.Date, Long)].collect().toSeq
+      .map { case (d, n) => (d.toString, n) }
+    // windows of 2 days ending at each date, clamped to max d4:
+    // d1: {u1,u2}=2; d2: {u1,u2}=2; d3: {u1}=1; d4: {u1,u3}=2
+    assert(got == Seq(("2024-01-01", 2L), ("2024-01-02", 2L),
+      ("2024-01-03", 1L), ("2024-01-04", 2L)))
+    intercept[IllegalArgumentException](
+      Summaries.rollingActive(df, "u", "ts", windowDays = 0))
+  }
 }

@@ -611,4 +611,23 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.randomProjection(z, "vec_id", "embedding", 0))
   }
+
+  test("pqCodes: each subspace codes like kmeansLloyd on its slice") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val got = Similarity.pqCodes(vecs, "vec_id", "embedding",
+      subspaces = 2, subDim = 4, k = 3, iters = 2)
+      .orderBy("vec_id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got.forall(r => r._2 >= 0 && r._2 < 3 && r._3 >= 0 && r._3 < 3))
+    // subspace 1 must equal a standalone Lloyd run on the second slice
+    val sliced = vecs.select($"vec_id",
+      org.apache.spark.sql.functions.slice($"embedding", 5, 4).as("sub"))
+    val solo = Similarity.kmeansLloyd(sliced, "vec_id", "sub", k = 3, iters = 2)
+      .orderBy("vec_id").as[(Long, Int)].collect().toSeq
+    assert(got.map(r => (r._1, r._3)) == solo)
+    intercept[IllegalArgumentException](
+      Similarity.pqCodes(vecs, "vec_id", "embedding", 0, 4))
+  }
 }
