@@ -551,6 +551,30 @@ object PipelineScaleBench {
       graft.operators.Linkage.sortedNeighborhood(corpus, "doc_id", "text",
         window = 10, prefixLen = 8, maxDist = 30).count()
     }
+    timed("pipe_hll", input = 256L) {
+      // HLL-as-relation over the token stream: the exchange carries ≤ m
+      // register rows regardless of vocab; wall linear in tokens,
+      // output ≤ m (occupied registers)
+      val toks = corpus.select(explode(TextAnalysis.tokens("text")).as("token"))
+      graft.operators.Profiling.hllSketch(toks, "token", m = 256).count()
+    }
+    timed("pipe_bloom", input = vocabSize.toLong) {
+      // Bloom-as-relation build (64k bits) + a probe for every vocab
+      // word: the word table is ≤ bits/32 rows and broadcasts; wall
+      // linear in tokens ×hashes
+      val toks = corpus.select(explode(TextAnalysis.tokens("text")).as("token"))
+      val sk = graft.operators.Profiling.bloomSketch(toks, "token",
+        bits = 65536, hashes = 3)
+      graft.operators.Profiling.bloomMaybeContains(sk, toks, "token",
+        bits = 65536, hashes = 3).count()
+    }
+    timed("pipe_uniform_k", input = 1000L) {
+      // 100 per hash-derived 10-group: BoundedTopK keeps k entries per
+      // group per partition — no per-group window, no group's rows in
+      // one task; output exactly groups×k
+      val grouped = corpus.withColumn("g", pmod(xxhash64(col("doc_id")), lit(10L)))
+      Sampling.uniformKPerGroup(grouped, "doc_id", "g", k = 100).count()
+    }
     // embeddings: 64 deterministic pseudo-random dims per row; 2% of rows
     // are near-copies of row (id - 1) (same dims, one nudged by 0.05) so
     // the near-dup guard has planted TRUE pairs growing linearly with n.
@@ -570,7 +594,8 @@ object PipelineScaleBench {
     // its generation + write is one of the most expensive steps in the
     // bench, and a doc-stage-only run must not pay for it
     val embStages = Seq("pipe_lsh_bucket_assign", "pipe_ann_lsh_topk_100q",
-      "pipe_embedding_neardup", "pipe_kmeans")
+      "pipe_embedding_neardup", "pipe_kmeans", "pipe_jl_projection",
+      "pipe_pq_codes")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
     if (!needEmb) { spark.stop(); return }
     // float32, like real embedding tables — the near-dup verification
@@ -615,6 +640,20 @@ object PipelineScaleBench {
       // map-side)
       Similarity.kmeansLloyd(vecs, "vec_id", "embedding", k = 8, iters = 2)
         .count()
+    }
+    timed("pipe_jl_projection") {
+      // JL to 8 dims: a pure narrow per-row kernel (8 codegen'd dots),
+      // must run at scan speed; consumed via hash-max so pruning can't
+      // elide it
+      val out = Similarity.randomProjection(vecs, "vec_id", "embedding", 8)
+      out.agg(max(xxhash64(out.columns.map(col).toSeq: _*))).head()
+      total
+    }
+    timed("pipe_pq_codes") {
+      // PQ 4×16 (k=8): four independent narrow Lloyd chains — wall ≈
+      // 4 × a sliced pipe_kmeans; output == rows coded
+      Similarity.pqCodes(vecs, "vec_id", "embedding",
+        subspaces = 4, subDim = 16, k = 8, iters = 2).count()
     }
     spark.stop()
   }

@@ -1065,4 +1065,44 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
   }
+
+  test("q199 JL projection is a pure narrow kernel: one exchange (the output sort)") {
+    val p = plan("q199_jl_projection")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    val exchanges = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1,
+      s"projection must not shuffle beyond the terminal sort, got ${exchanges.size}")
+  }
+
+  test("q202/q204 sketch relations: register/word-bounded aggregates, broadcast probes") {
+    val hll = plan("q202_hll_relation")
+    assert(collectAll(hll) { case w: WindowExec => w }.isEmpty,
+      "HLL is max-per-register aggregation — no ranks anywhere")
+    val bloom = plan("q204_bloom_relation")
+    assert(collectAll(bloom) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the ≤ bits/32 word table must broadcast into the probe join")
+    assert(collectAll(bloom) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("q205 uniform sample is a BoundedTopK partial aggregate, not a per-group window") {
+    val p = plan("q205_uniform_per_group")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "k-smallest tickets must ride the bounded-heap aggregate")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.size == 2, s"expected partial+final topK aggregate, got ${aggs.size}")
+  }
+
+  test("q206 rolling WAU: no window functions — dedup/explode/dedup/count only") {
+    val p = plan("q206_rolling_wau")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "the exact rolling distinct is aggregation-shaped; a windowed " +
+        "count(DISTINCT) does not exist and a rank rewrite would sort the corpus")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
 }
