@@ -4961,8 +4961,9 @@ object SparkEntry {
         | round(CAST(r AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS worst_residual
         |FROM rk WHERE rn = 1 ORDER BY event_type, dow""".stripMargin,
 
-    // Bloom: identical md5 positions (seed:token mod 512), 64-bit word
-    // packing via bit_or, AND-of-bits membership, actual-presence audit.
+    // Bloom: identical md5 positions (seed:token mod 512), 32-bit word
+    // packing via bit_or (checked engines reject 1 << 63 on a signed
+    // 64-bit lane), AND-of-bits membership, actual-presence audit.
     "q204_bloom_relation" ->
       """WITH toks AS (
         | SELECT unnest(string_split(text, ' ')) AS token FROM documents),

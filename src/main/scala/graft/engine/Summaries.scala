@@ -1226,25 +1226,14 @@ object Summaries {
         when(col("__m.__sd") >= 0, lit(1)).otherwise(lit(-1)).as("direction"))
   }
 
-  /** Day-of-week seasonal profile + worst residual per cell: for each
-    * (key, dow), the mean daily count over the zero-filled corpus date
-    * spine and the date deviating hardest from it — "Tuesday volume is
-    * usually X; which Tuesday broke the pattern". `dow` is 0 = Sunday
-    * (the DuckDB convention; Spark's `dayofweek` − 1).
-    *
-    * Exactness: means are BIGINT sums / BIGINT day counts, one IEEE
-    * division, 6 dp; residual argmax scales to integers
-    * (`n·days − total`), ties to the earliest date.
-    *
-    * 100 TB shape: one corpus pass to (key, date) counts; everything
-    * after lives on the keys × days grid.
-    */
   /** Rolling distinct-entity count (the DAU/WAU family): for every
     * date in the corpus span, how many distinct `idCol` entities were
     * active in the trailing `windowDays` (inclusive) — EXACT, not a
     * sketch. A windowed `count(DISTINCT)` does not exist in SQL window
-    * functions; the standard exact shape is: dedup to entity-days (ONE
-    * corpus pass, map-side combinable), explode each entity-day to the
+    * functions; the standard exact shape is: dedup to entity-days (one
+    * aggregating corpus pass, map-side combinable; the span edge is a
+    * second ts-only column-pruned scalar scan — the decayedScore
+    * precedent), explode each entity-day to the
     * `windowDays` report dates it supports (×windowDays entity-day
     * volume — the bounded, honest cost), distinct again, count per
     * date. Report dates clamp to the observed span.
@@ -1272,6 +1261,19 @@ object Summaries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Day-of-week seasonal profile + worst residual per cell: for each
+    * (key, dow), the mean daily count over the zero-filled corpus date
+    * spine and the date deviating hardest from it — "Tuesday volume is
+    * usually X; which Tuesday broke the pattern". `dow` is 0 = Sunday
+    * (the DuckDB convention; Spark's `dayofweek` − 1).
+    *
+    * Exactness: means are BIGINT sums / BIGINT day counts, one IEEE
+    * division, 6 dp; residual argmax scales to integers
+    * (`n·days − total`), ties to the earliest date.
+    *
+    * 100 TB shape: one corpus pass to (key, date) counts; everything
+    * after lives on the keys × days grid.
+    */
   def seasonalProfile(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val daily = df.select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d"))
       .groupBy("__k", "__d").agg(count(lit(1)).as("__n"))

@@ -927,6 +927,18 @@ object Similarity {
     * 100 TB shape: a pure narrow per-row kernel — `outDims` codegen'd
     * dot products, ZERO exchanges; column output `proj_0..proj_{k-1}`.
     */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDims: Int): DataFrame = {
+    require(outDims >= 1 && outDims <= 64, s"outDims out of [1,64]: $outDims")
+    val v = col(vecCol)
+    val projs = (0 until outDims).map { p =>
+      val w = transform(sequence(lit(0), size(v) - 1),
+        j => planeWeight(p, j).cast("double"))
+      round(dot(v, w), 6).as(s"proj_$p")
+    }
+    df.select(col(idCol) +: projs: _*)
+  }
+
   /** Product-quantization encoding — the ANN compression standard: the
     * vector splits into `subspaces` contiguous `subDim`-wide slices and
     * each slice is k-means-coded independently ([[kmeansLloyd]] per
@@ -944,6 +956,13 @@ object Similarity {
     require(subspaces >= 1 && subspaces <= 64,
       s"subspaces out of [1,64]: $subspaces")
     require(subDim >= 1, s"subDim must be positive: $subDim")
+    // fail fast on a geometry mismatch: an out-of-range slice returns
+    // EMPTY arrays and every code silently collapses to cluster 0
+    df.select(size(col(vecCol)).as("__d")).limit(1).collect().headOption
+      .foreach { r =>
+        require(subspaces * subDim <= r.getInt(0),
+          s"subspaces*subDim = ${subspaces * subDim} exceeds vector length ${r.getInt(0)}")
+      }
     val parts = (0 until subspaces).map { sp =>
       val sub = df.select(col(idCol),
         slice(col(vecCol), sp * subDim + 1, subDim).as("__sub"))
@@ -951,17 +970,5 @@ object Similarity {
         .withColumnRenamed("cluster", s"code_$sp")
     }
     parts.reduce(_.join(_, Seq(idCol)))
-  }
-
-  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
-                       outDims: Int): DataFrame = {
-    require(outDims >= 1 && outDims <= 64, s"outDims out of [1,64]: $outDims")
-    val v = col(vecCol)
-    val projs = (0 until outDims).map { p =>
-      val w = transform(sequence(lit(0), size(v) - 1),
-        j => planeWeight(p, j).cast("double"))
-      round(dot(v, w), 6).as(s"proj_$p")
-    }
-    df.select(col(idCol) +: projs: _*)
   }
 }

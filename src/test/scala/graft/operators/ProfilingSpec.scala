@@ -213,8 +213,10 @@ class ProfilingSpec extends SparkSpec {
     }
     // mergeability: max-combining two shard sketches == whole-corpus sketch
     val whole = items(500, "a")
-    val sA = Profiling.hllSketch(whole.limit(250), "item", m = 64)
-    val sB = Profiling.hllSketch(whole.except(whole.limit(250)), "item", m = 64)
+    // split by a value predicate, not limit(): two limit() evaluations
+    // carry no guarantee of picking the same rows
+    val sA = Profiling.hllSketch(whole.filter($"item" < "a-item-3"), "item", m = 64)
+    val sB = Profiling.hllSketch(whole.filter($"item" >= "a-item-3"), "item", m = 64)
     val merged = sA.unionByName(sB).groupBy("reg")
       .agg(org.apache.spark.sql.functions.max($"max_rho").as("max_rho"))
     val direct = Profiling.hllSketch(whole, "item", m = 64)
