@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Changes, Sql, Summaries}
 import graft.functions.SimHash64Expr
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Regression, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2162,7 +2162,70 @@ object SparkEntry {
     "q207_pq_codes" -> ((s, dir) =>
       Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding",
         subspaces = 4, subDim = 16, k = 4, iters = 2)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ── closed-form OLS: predict distinct-token count from (n_chars,
+    // n_tokens) — ONE map-side-combinable pass to integer-exact
+    // DECIMAL(38,0) moments, then the 3×3 Cramer solve as scalar math
+    // on the single moment row. The whole "training run" is one scan.
+    "q208_linear_fit" -> ((s, dir) => {
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val feats = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("n_chars"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+      Regression.linearFit2(feats, "n_chars", "n_tokens", "n_distinct")
+    }),
+
+    // ── Poisson-bootstrap CI for the corpus mean: 100 deterministic
+    // hash-weighted resamples in one narrow explode (partial aggregation
+    // fires before the exchange — the shuffle carries partitions×B
+    // partial rows, never corpus×B), quantiles on the B-row table.
+    "q209_bootstrap_ci" -> ((s, dir) =>
+      Sampling.bootstrapMeanCI(t(s, dir, "documents"), "doc_id", "n_chars",
+        replicates = 100)),
+
+    // ── binned mutual information n_chars × n_tokens: the dependence
+    // audit Pearson (q149) is blind to; explicit bin domains (the q161
+    // pivot-domain contract), cells-bounded margins and entropy sums.
+    "q210_binned_mi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("n_chars"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast("long").as("n_tokens"))
+      Summaries.binnedMutualInformation(docs, "n_chars", "n_tokens",
+        xBins = 10, yBins = 10, xLo = 0, xHi = 600, yLo = 0, yHi = 100)
+    }),
+
+    // ── hard-negative mining: per sampled query vector, top-5 corpus
+    // neighbors with cosine in [0.05, 0.6) — similar enough to be hard,
+    // capped below the near-positive band so positives never leak into
+    // the negative set. Bounded-query eval contract (q153); ranking via
+    // the q26 bounded-heap aggregate.
+    "q211_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, minCos = 0.05, maxCos = 0.6)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── BPE encoding: train 3 merges (the q193 loop) and apply the
+    // final vocab segmentation back to every document — per-doc token
+    // budget for packing. The corpus is scanned twice; every merge
+    // round runs on the Heaps'-bounded vocab table.
+    "q212_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text",
+        merges = 3)
+        .orderBy("doc_id")),
+
+    // ── vocabulary growth (Heaps'-law) curve over nested hash
+    // subsamples: is the corpus still discovering new tokens at the
+    // margin — all fractions from TWO corpus passes (doc-level
+    // conditional sums + per-token min bucket).
+    "q213_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowthCurve(t(s, dir, "documents"), "doc_id", "text",
+        permilles = Seq(100, 250, 500, 1000))
+        .orderBy("permille"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -5031,14 +5094,212 @@ object SparkEntry {
         .map(sp => s"JOIN a3_s$sp s$sp ON s$sp.vec_id = s0.vec_id").mkString(" ")
       "WITH " + chains.mkString(",\n") + "\n" +
         s"SELECT s0.vec_id, $codeCols FROM a3_s0 s0 $joins ORDER BY s0.vec_id"
-    }
+    },
+
+    // OLS: integer-exact DECIMAL(38,0) moments, the same canonical
+    // cofactor expansion (det3Sql mirrors Regression.det3 verbatim —
+    // identical IEEE evaluation), SSE via Σy² − βᵀXᵀy, 6-dp outputs.
+    "q208_linear_fit" -> {
+      val det = det3Sql("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+      val det0 = det3Sql("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+      val det1 = det3Sql("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+      val det2 = det3Sql("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+      s"""WITH f AS (
+         | SELECT n_chars AS x1,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS x2,
+         |  CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS y
+         | FROM documents WHERE text IS NOT NULL),
+         |mm AS (
+         | SELECT count(*) AS nn,
+         |  sum(CAST(x1 AS DECIMAL(38,0))) AS ds1, sum(CAST(x2 AS DECIMAL(38,0))) AS ds2,
+         |  sum(CAST(y AS DECIMAL(38,0))) AS dsy,
+         |  sum(CAST(x1 * x1 AS DECIMAL(38,0))) AS ds11, sum(CAST(x2 * x2 AS DECIMAL(38,0))) AS ds22,
+         |  sum(CAST(x1 * x2 AS DECIMAL(38,0))) AS ds12, sum(CAST(x1 * y AS DECIMAL(38,0))) AS ds1y,
+         |  sum(CAST(x2 * y AS DECIMAL(38,0))) AS ds2y, sum(CAST(y * y AS DECIMAL(38,0))) AS dsyy
+         | FROM f),
+         |m AS (
+         | SELECT nn, CAST(nn AS DOUBLE) AS n, CAST(ds1 AS DOUBLE) AS s1,
+         |  CAST(ds2 AS DOUBLE) AS s2, CAST(dsy AS DOUBLE) AS sy,
+         |  CAST(ds11 AS DOUBLE) AS s11, CAST(ds22 AS DOUBLE) AS s22,
+         |  CAST(ds12 AS DOUBLE) AS s12, CAST(ds1y AS DOUBLE) AS s1y,
+         |  CAST(ds2y AS DOUBLE) AS s2y, CAST(dsyy AS DOUBLE) AS syy
+         | FROM mm),
+         |dets AS (SELECT *, $det AS det, $det0 AS det0, $det1 AS det1, $det2 AS det2 FROM m),
+         |bs AS (SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM dets),
+         |e AS (SELECT *, syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse,
+         |             syy - sy * sy / n AS sst FROM bs)
+         |SELECT CAST(nn AS BIGINT) AS n,
+         | CASE WHEN nn > 0 AND det <> 0 THEN round(b0, 6) END AS b0,
+         | CASE WHEN nn > 0 AND det <> 0 THEN round(b1, 6) END AS b1,
+         | CASE WHEN nn > 0 AND det <> 0 THEN round(b2, 6) END AS b2,
+         | CASE WHEN nn > 0 AND det <> 0 AND sst <> 0 THEN round(1.0 - sse / sst, 6) END AS r2,
+         | CASE WHEN nn > 0 AND det <> 0 THEN round(sqrt(greatest(sse, 0.0) / n), 6) END AS rmse
+         |FROM e""".stripMargin
+    },
+
+    // Poisson bootstrap: identical md5 ticket ('boot' ∥ b ∥ ':' ∥ id →
+    // micro-grid uniform) through the same literal Poisson(1) CDF CASE;
+    // replicate means quantize at 9 dp into decimal sums; quantile_cont
+    // over the B-row means table = Spark percentile (linear interp).
+    "q209_bootstrap_ci" ->
+      """WITH rws AS (
+        | SELECT doc_id AS id, CAST(round(n_chars, 9) AS DECIMAL(28,12)) AS v
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |fl AS (SELECT count(*) AS n, sum(v) AS sv FROM rws),
+        |x AS (
+        | SELECT b,
+        |  CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+        |       WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+        |       ELSE 6 END AS w, v
+        | FROM (
+        |  SELECT r.b,
+        |   ('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR) || ':' || CAST(rws.id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 1000000 AS u, rws.v
+        |  FROM rws CROSS JOIN range(100) r(b))),
+        |reps AS (SELECT b, sum(w * v) AS ws, sum(w) AS wn FROM x GROUP BY 1),
+        |means AS (SELECT CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS m FROM reps WHERE wn > 0),
+        |ci AS (
+        | SELECT count(*) AS n_replicates,
+        |  round(CAST(sum(CAST(round(m, 9) AS DECIMAL(28,12))) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS boot_mean,
+        |  round(quantile_cont(m, 0.025), 6) AS boot_lo,
+        |  round(quantile_cont(m, 0.975), 6) AS boot_hi
+        | FROM means)
+        |SELECT CAST(fl.n AS BIGINT) AS n,
+        | round(CAST(fl.sv AS DOUBLE) / CAST(fl.n AS DOUBLE), 6) AS mean_full,
+        | ci.n_replicates, ci.boot_mean, ci.boot_lo, ci.boot_hi
+        |FROM fl CROSS JOIN ci""".stripMargin,
+
+    // Binned MI: identical bin formula (the (x−lo)·bins/(hi−lo) floor
+    // clamp), integer-exact cells/margins, 9-dp decimal term sums (the
+    // q182 rule), entropies from distinct margin rows.
+    "q210_binned_mi" ->
+      """WITH d AS (
+        | SELECT n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        | FROM documents WHERE text IS NOT NULL),
+        |cells AS (
+        | SELECT least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) * 10 / (600.0 - 0.0)) AS INT), 0), 9) AS bx,
+        |  least(greatest(CAST(floor((CAST(n_tokens AS DOUBLE) - 0.0) * 10 / (100.0 - 0.0)) AS INT), 0), 9) AS by,
+        |  count(*) AS o
+        | FROM d WHERE n_chars IS NOT NULL AND n_tokens IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        | SELECT *, sum(o) OVER (PARTITION BY bx) AS rx,
+        |  sum(o) OVER (PARTITION BY by) AS ry, sum(o) OVER () AS nn
+        | FROM cells),
+        |joint AS (
+        | SELECT max(nn) AS n, count(DISTINCT bx) AS x_cells, count(DISTINCT by) AS y_cells,
+        |  sum(CAST(round((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * ln(CAST(o AS DOUBLE) * CAST(nn AS DOUBLE) / (CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE))), 9)
+        |    AS DECIMAL(28,12))) AS mi
+        | FROM m),
+        |hx AS (
+        | SELECT sum(CAST(round(-(CAST(rx AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * ln(CAST(rx AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,12))) AS h
+        | FROM (SELECT DISTINCT bx, rx, nn FROM m)),
+        |hy AS (
+        | SELECT sum(CAST(round(-(CAST(ry AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * ln(CAST(ry AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,12))) AS h
+        | FROM (SELECT DISTINCT by, ry, nn FROM m))
+        |SELECT CAST(joint.n AS BIGINT) AS n, joint.x_cells, joint.y_cells,
+        | round(CAST(joint.mi AS DOUBLE), 6) AS mi_nats,
+        | round(CAST(hx.h AS DOUBLE), 6) AS h_x, round(CAST(hy.h AS DOUBLE), 6) AS h_y,
+        | CASE WHEN CAST(hx.h AS DOUBLE) > 0 AND CAST(hy.h AS DOUBLE) > 0
+        |  THEN round(CAST(joint.mi AS DOUBLE) / sqrt(CAST(hx.h AS DOUBLE) * CAST(hy.h AS DOUBLE)), 6) END AS nmi
+        |FROM joint CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    // Hard negatives: the q26 exact-cosine chain with the dot/norm
+    // fold stated in Spark's exact shape (in-order list_reduce sums,
+    // √·√ per side) so the band filter sees identical doubles; per-query
+    // rank over the banded pairs only.
+    "q211_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |       list_reduce(list_transform(range(1, 65), j -> cv[j] * qv[j]), (a, b) -> a + b)
+        |        / (sqrt(list_reduce(list_transform(range(1, 65), j -> cv[j] * cv[j]), (a, b) -> a + b))
+        |           * sqrt(list_reduce(list_transform(range(1, 65), j -> qv[j] * qv[j]), (a, b) -> a + b))) AS cos
+        |      FROM c, q WHERE neighbor_id <> query_id),
+        |b AS (SELECT * FROM s WHERE cos >= 0.05 AND cos < 0.6),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+        |      FROM b)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "q212_bpe_encode" -> bpeEncodeOracleSql(merges = 3),
+
+    // Vocab growth: the same '' ∥ id md5 permille bucket; per-token MIN
+    // bucket on the vocab table; per-fraction conditional sums.
+    "q213_vocab_growth" ->
+      """WITH docs AS (
+        | SELECT ('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bk,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt
+        | FROM documents WHERE text IS NOT NULL),
+        |da AS (
+        | SELECT sum(CASE WHEN bk < 100 THEN 1 ELSE 0 END) AS d100,
+        |  sum(CASE WHEN bk < 100 THEN nt ELSE 0 END) AS t100,
+        |  sum(CASE WHEN bk < 250 THEN 1 ELSE 0 END) AS d250,
+        |  sum(CASE WHEN bk < 250 THEN nt ELSE 0 END) AS t250,
+        |  sum(CASE WHEN bk < 500 THEN 1 ELSE 0 END) AS d500,
+        |  sum(CASE WHEN bk < 500 THEN nt ELSE 0 END) AS t500,
+        |  sum(CASE WHEN bk < 1000 THEN 1 ELSE 0 END) AS d1000,
+        |  sum(CASE WHEN bk < 1000 THEN nt ELSE 0 END) AS t1000
+        | FROM docs),
+        |toks AS (
+        | SELECT w, min(bk) AS mb FROM (
+        |  SELECT ('0x' || substr(md5('' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bk,
+        |   unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL)
+        | WHERE w <> '' GROUP BY 1),
+        |va AS (
+        | SELECT sum(CASE WHEN mb < 100 THEN 1 ELSE 0 END) AS v100,
+        |  sum(CASE WHEN mb < 250 THEN 1 ELSE 0 END) AS v250,
+        |  sum(CASE WHEN mb < 500 THEN 1 ELSE 0 END) AS v500,
+        |  sum(CASE WHEN mb < 1000 THEN 1 ELSE 0 END) AS v1000
+        | FROM toks)
+        |SELECT * FROM (
+        | SELECT 100 AS permille, CAST(d100 AS BIGINT) AS n_docs, CAST(t100 AS BIGINT) AS n_tokens,
+        |  CAST(v100 AS BIGINT) AS vocab FROM da CROSS JOIN va
+        | UNION ALL SELECT 250, CAST(d250 AS BIGINT), CAST(t250 AS BIGINT), CAST(v250 AS BIGINT)
+        |  FROM da CROSS JOIN va
+        | UNION ALL SELECT 500, CAST(d500 AS BIGINT), CAST(t500 AS BIGINT), CAST(v500 AS BIGINT)
+        |  FROM da CROSS JOIN va
+        | UNION ALL SELECT 1000, CAST(d1000 AS BIGINT), CAST(t1000 AS BIGINT), CAST(v1000 AS BIGINT)
+        |  FROM da CROSS JOIN va
+        |) ORDER BY permille""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:
     * the count→argmax→replace loop unrolled into `merges` CTE rounds
     * over the word-frequency table.
     */
+  /** 3×3 determinant in the canonical cofactor order — the VERBATIM SQL
+    * mirror of [[graft.operators.Regression]]'s `det3` (same association,
+    * same operand order → identical IEEE evaluation).
+    */
+  private def det3Sql(a: String, b: String, c: String,
+                      d: String, e: String, f: String,
+                      g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g))"
+
   private def bpeOracleSql(merges: Int): String = {
+    val finalRows = (1 to merges)
+      .map(i => s"""SELECT $i AS step, l AS "left", r AS "right", pc AS pair_count FROM b$i""")
+      .mkString("\nUNION ALL\n")
+    "WITH " + bpeCtes(merges) + "\n" +
+      "SELECT CAST(step AS INT) AS step, \"left\", \"right\", CAST(pair_count AS BIGINT) AS pair_count FROM (\n" +
+      finalRows + ") ORDER BY step"
+  }
+
+  /** The shared BPE merge-loop CTE chain (`w0`…`w{merges}` word states,
+    * `b1`…`b{merges}` per-round argmax merges) — the word string `w`
+    * rides every state row so the final state doubles as the encoding
+    * map (q212); the training oracle (q193) reads only the `b$i` rows.
+    */
+  private def bpeCtes(merges: Int): String = {
     def round(i: Int): String =
       s"""p$i AS (
          | SELECT sy[i] AS l, sy[i + 1] AS r, sum(cnt) AS pc FROM (
@@ -5048,21 +5309,39 @@ object SparkEntry {
          | GROUP BY 1, 2),
          |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
          |w$i AS (
-         | SELECT w.cnt,
+         | SELECT w.w, w.cnt,
          |  replace(w.s, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS s
          | FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
-    val finalRows = (1 to merges)
-      .map(i => s"""SELECT $i AS step, l AS "left", r AS "right", pc AS pair_count FROM b$i""")
-      .mkString("\nUNION ALL\n")
-    "WITH w0 AS (\n" +
-      " SELECT cnt, '|' || array_to_string(string_split(w, ''), '||') || '|' AS s\n" +
+    "w0 AS (\n" +
+      " SELECT w, cnt, '|' || array_to_string(string_split(w, ''), '||') || '|' AS s\n" +
       " FROM (SELECT w, count(*) AS cnt FROM\n" +
       "  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)\n" +
       "  WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY 1)),\n" +
-      (1 to merges).map(round).mkString(",\n") + "\n" +
-      "SELECT CAST(step AS INT) AS step, \"left\", \"right\", CAST(pair_count AS BIGINT) AS pair_count FROM (\n" +
-      finalRows + ") ORDER BY step"
+      (1 to merges).map(round).mkString(",\n")
   }
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTokenCounts]]:
+    * the [[bpeCtes]] training chain, then the final state's
+    * pieces-per-word map joined back to each document's eligible words
+    * (left join from the doc base — all-excluded docs report 0/0).
+    */
+  private def bpeEncodeOracleSql(merges: Int): String =
+    "WITH " + bpeCtes(merges) + ",\n" +
+      s"""wl AS (
+         | SELECT w, CAST(len(list_filter(string_split(s, '|'), x -> x <> '')) AS BIGINT) AS np
+         | FROM w$merges),
+         |dw AS (
+         | SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL)
+         | WHERE w <> '' AND w NOT LIKE '%|%'),
+         |a AS (
+         | SELECT dw.doc_id, count(*) AS nw, sum(wl.np) AS nt
+         | FROM dw JOIN wl USING (w) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+         | CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         |LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Spark twin of [[trigramEdgeSql]]: canonical a<b edges between docs
     * sharing a df-[2,4] trigram — the similarity graph under

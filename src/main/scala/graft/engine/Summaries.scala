@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1088,6 +1088,71 @@ object Summaries {
             * (least(col("r_levels"), col("c_levels")) - lit(1)).cast("double"))), 6))
         .as("cramers_v"),
       round(col("__mi").cast("double"), 6).as("mi_nats"))
+  }
+
+  /** Mutual information between two CONTINUOUS columns via equal-width
+    * binning — "does doc length actually carry information about the
+    * quality score, beyond what a correlation sees" (Pearson q149 is
+    * blind to non-monotone dependence; binned MI is not). The bin
+    * domain is an EXPLICIT contract (`lo`/`hi` per axis, out-of-range
+    * values clamp into the edge bins, the q161 pivot-domain rule) so no
+    * extra min/max pass runs and the grid is stable across corpora.
+    *
+    * Output: ONE row `(n, x_cells, y_cells, mi_nats, h_x, h_y, nmi)` —
+    * joint MI in nats, the two marginal entropies, and the normalized
+    * MI `mi/√(h_x·h_y)` (NULL when either margin is deterministic).
+    *
+    * Determinism: cell/margin counts are integer-exact; each log term
+    * quantizes at 9 dp into a DECIMAL(28,12) sum (the q182 rule) so the
+    * cell-iteration order never changes a digit; outputs at 6 dp.
+    *
+    * 100 TB shape: ONE map-side-combinable aggregation into ≤
+    * `xBins·yBins` cells; margins, entropies, and the MI sum all live
+    * on the cells table (windows partitioned over bins — bounded by the
+    * grid, not the corpus).
+    */
+  def binnedMutualInformation(df: DataFrame, xCol: String, yCol: String,
+                              xBins: Int, yBins: Int,
+                              xLo: Double, xHi: Double,
+                              yLo: Double, yHi: Double): DataFrame = {
+    require(xBins >= 2 && xBins <= 1000 && yBins >= 2 && yBins <= 1000,
+      s"bins out of [2,1000]: $xBins × $yBins")
+    require(xHi > xLo && yHi > yLo, s"empty bin domain ($xLo,$xHi)×($yLo,$yHi)")
+    def bin(c: String, bins: Int, lo: Double, hi: Double): Column =
+      least(greatest(floor((col(c).cast("double") - lit(lo)) * bins / (lit(hi) - lit(lo)))
+        .cast("int"), lit(0)), lit(bins - 1))
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(bin(xCol, xBins, xLo, xHi).as("__bx"),
+        bin(yCol, yBins, yLo, yHi).as("__by"))
+      .agg(count(lit(1)).as("__o"))
+    val m = cells
+      .withColumn("__rx", sum(col("__o")).over(Window.partitionBy("__bx")))
+      .withColumn("__ry", sum(col("__o")).over(Window.partitionBy("__by")))
+      .withColumn("__nn", sum(col("__o")).over(Window.partitionBy()))
+    val oD = col("__o").cast("double")
+    val nD = col("__nn").cast("double")
+    val miTerm = (oD / nD) * log(oD * nD
+      / (col("__rx").cast("double") * col("__ry").cast("double")))
+    val joint = m.agg(max(col("__nn")).as("n"),
+      count_distinct(col("__bx")).as("x_cells"),
+      count_distinct(col("__by")).as("y_cells"),
+      sum(round(miTerm, 9).cast("decimal(28,12)")).as("__mi"))
+    def entropy(keyCol: String, marginCol: String): DataFrame = {
+      val hTerm = -(col(marginCol).cast("double") / col("__nn").cast("double")) *
+        log(col(marginCol).cast("double") / col("__nn").cast("double"))
+      m.select(col(keyCol), col(marginCol), col("__nn")).distinct()
+        .agg(sum(round(hTerm, 9).cast("decimal(28,12)")).as("__h"))
+    }
+    val hx = entropy("__bx", "__rx").select(col("__h").as("__hx"))
+    val hy = entropy("__by", "__ry").select(col("__h").as("__hy"))
+    val miD = col("__mi").cast("double")
+    val hxD = col("__hx").cast("double")
+    val hyD = col("__hy").cast("double")
+    joint.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("x_cells"), col("y_cells"),
+        round(miD, 6).as("mi_nats"),
+        round(hxD, 6).as("h_x"), round(hyD, 6).as("h_y"),
+        when(hxD > 0 && hyD > 0, round(miD / sqrt(hxD * hyD), 6)).as("nmi"))
   }
 
   /** Kaplan–Meier survival curve over per-entity activity lifetimes —

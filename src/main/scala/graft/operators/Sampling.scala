@@ -396,4 +396,73 @@ object Sampling {
       .filter(col("__u") >= col("__lo") && col("__u") < col("__hi"))
       .select(col("id").as(idCol), col("j"), col("token"))
   }
+
+  /** Poisson(1) bootstrap weight for a (replicate, row) pair — the
+    * classic distributed-bootstrap device (resampling n rows with
+    * replacement ≈ giving each row an independent Poisson(1) count, no
+    * global coordination needed). The weight is a PURE FUNCTION of
+    * (salt, replicate, id): u = hash mod 10⁶ uniform on the micro grid,
+    * inverted through the Poisson(1) CDF as a literal 6-threshold CASE
+    * (P(X ≥ 7) < 10⁻⁵ — truncation is below the grid's own resolution).
+    * Identical thresholds in the DuckDB twin → identical weights.
+    */
+  def poissonWeight(idCol: Column, replicate: Column, salt: String): Column = {
+    val u = pmod(hash60(md5(concat(lit(salt), replicate.cast("string"),
+      lit(":"), idCol.cast("string")))), lit(1000000L))
+    when(u < 367879, 0L).when(u < 735759, 1L).when(u < 919699, 2L)
+      .when(u < 981012, 3L).when(u < 996340, 4L).when(u < 999406, 5L)
+      .otherwise(6L)
+  }
+
+  /** Poisson-bootstrap confidence interval for the corpus mean of
+    * `valueCol`: `replicates` deterministic resamples, each a weighted
+    * mean under [[poissonWeight]], then the (loQ, hiQ) quantiles of the
+    * replicate means — "is the corpus-mean difference between two
+    * pipelines real or noise", the eval-report primitive behind every
+    * quality-score dashboard delta.
+    *
+    * Output: ONE row `(n, mean_full, n_replicates, boot_mean, boot_lo,
+    * boot_hi)` (6 dp). Values quantize at 9 dp into DECIMAL(28,12) sums
+    * (the q71 rule) so every replicate mean is order-independent.
+    *
+    * 100 TB shape: the replicate explode is NARROW (each input row emits
+    * `replicates` lightweight (b, w·v) pairs that partially aggregate
+    * IN THE SAME TASK before any exchange — the shuffle carries
+    * partitions × replicates partial rows, never the corpus ×B blowup),
+    * and the quantile runs on the `replicates`-row table. The per-row
+    * cost is `replicates` md5 evaluations: size `replicates` to the
+    * report's precision need (default 200), not to the corpus.
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+                      replicates: Int = 200, loQ: Double = 0.025,
+                      hiQ: Double = 0.975, salt: String = "boot"): DataFrame = {
+    require(replicates >= 10 && replicates <= 10000,
+      s"replicates out of [10,10000]: $replicates")
+    require(loQ > 0 && hiQ < 1 && loQ < hiQ, s"bad quantiles ($loQ, $hiQ)")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        round(col(valueCol), 9).cast("decimal(28,12)").as("__v"))
+    val full = rows.agg(count(lit(1)).as("n"),
+      sum(col("__v")).as("__sv"))
+    val reps = rows
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
+      .withColumn("__w", poissonWeight(col("__id"), col("__b"), salt))
+      .groupBy("__b")
+      .agg(sum(col("__w") * col("__v")).as("__ws"), sum(col("__w")).as("__wn"))
+      .filter(col("__wn") > 0)
+      .select((col("__ws").cast("double") / col("__wn").cast("double")).as("__m"))
+    val ci = reps.agg(count(lit(1)).as("n_replicates"),
+      sum(round(col("__m"), 9).cast("decimal(28,12)")).as("__bs"),
+      round(percentile(col("__m"), lit(loQ)), 6).as("boot_lo"),
+      round(percentile(col("__m"), lit(hiQ)), 6).as("boot_hi"))
+      .select(col("n_replicates"),
+        round(col("__bs").cast("double") / col("n_replicates").cast("double"), 6)
+          .as("boot_mean"),
+        col("boot_lo"), col("boot_hi"))
+    full.select(col("n"),
+        round(col("__sv").cast("double") / col("n").cast("double"), 6)
+          .as("mean_full"))
+      .crossJoin(broadcast(ci))
+  }
 }

@@ -77,18 +77,52 @@ object Similarity {
     * bounded-heap partial aggregate, so no task ever sorts a query's full
     * candidate set.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
-    // norms once per row on each side — the per-pair kernel is ONE native
-    // dot product plus two multiplies, not three interpreted folds
+  /** All (query, corpus) cosine pairs, self-matches excluded — the
+    * corpus stays fully partitioned, queries broadcast; norms computed
+    * once per row on each side so the per-pair kernel is ONE native dot
+    * product plus two multiplies, not three interpreted folds.
+    */
+  private def cosinePairs(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
-    val pairs = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
-    explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
+  }
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame =
+    explodeRanks(cosinePairs(corpus, queries, idCol, vecCol), k,
+      col("cos"), col("neighbor_id"))
+
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k corpus neighbors whose cosine falls in `[minCos, maxCos)`
+    * — similar enough to be HARD (the model must work to separate them),
+    * but capped below the near-duplicate ceiling so positives never leak
+    * into the negative set (the q25 near-dup band is exactly what
+    * `maxCos` excludes). Output `(query_id, neighbor_id, cos, rn)` —
+    * cos at 6 dp, rn 1-based best-first, rank-deterministic via
+    * (raw cos desc, id asc) through the same bounded-heap aggregate as
+    * [[bruteForceTopK]].
+    *
+    * This is the EVAL/bounded-query-side operator (the q153 contract):
+    * queries are expected to be a bounded sample — corpus-side cost is
+    * one broadcast-join pass, never corpus × corpus.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, minCos: Double, maxCos: Double): DataFrame = {
+    require(minCos < maxCos, s"empty cosine band [$minCos, $maxCos)")
+    val banded = cosinePairs(corpus, queries, idCol, vecCol)
+      .filter(col("cos") >= minCos && col("cos") < maxCos)
+    banded.groupBy("query_id")
+      .agg(TopKOps.topK(k, col("cos"), col("neighbor_id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 6).as("cos"),
+        (col("pos") + 1).cast("long").as("rn"))
   }
 
   /** All pairs with cosine above a threshold (embedding near-dup), the

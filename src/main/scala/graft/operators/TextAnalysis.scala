@@ -992,15 +992,29 @@ object TextAnalysis {
     * pass one.
     */
   def bpeTrainMerges(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    val (state, found) = bpeLoop(df, textCol, merges)
+    state.unpersist(blocking = false)
+    import spark.implicits._
+    found.toDF("step", "left", "right", "pair_count")
+  }
+
+  /** The shared Sennrich merge loop: runs `merges` rounds over the
+    * word-frequency table and returns BOTH artifacts — the final
+    * rewritten vocab state `(w, cnt, syms)` (persisted; the caller owns
+    * the unpersist) and the merge list. [[bpeTrainMerges]] ships the
+    * merge list; [[bpeTokenCounts]] applies the final segmentation.
+    */
+  private def bpeLoop(df: DataFrame, textCol: String, merges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     require(merges >= 1 && merges <= 64,
       s"merges out of [1,64] (fixed-iteration contract): $merges")
-    val spark = df.sparkSession
     import org.apache.spark.storage.StorageLevel
     val words = df
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "" && !col("w").contains("|"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
+      .select(col("w"), col("cnt"),
         filter(split(col("w"), ""), c => c =!= "").as("syms"))
     var state = words.persist(StorageLevel.MEMORY_AND_DISK)
     val found = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -1016,7 +1030,7 @@ object TextAnalysis {
       if (best.nonEmpty) {
         val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         found += ((i, l, r, pc))
-        val next = state.select(col("cnt"),
+        val next = state.select(col("w"), col("cnt"),
           filter(split(replace(
             concat(lit("|"), array_join(col("syms"), "||"), lit("|")),
             lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|")),
@@ -1027,8 +1041,91 @@ object TextAnalysis {
         state = next
       }
     }
-    state.unpersist(blocking = false)
-    import spark.implicits._
-    found.toSeq.toDF("step", "left", "right", "pair_count")
+    (state, found.toSeq)
+  }
+
+  /** BPE ENCODING — apply a freshly-trained merge table to the corpus
+    * and report per-document token counts `(doc_id, n_words, n_tokens)`
+    * — the "what does this tokenizer cost per document" budget pass run
+    * before sequence packing (the q65 packing manifest consumes exactly
+    * such counts). Trains and applies in one call so the segmentation
+    * is guaranteed to be the one the merge table produces (the final
+    * vocab state of [[bpeLoop]] IS the encoding: BPE applies merges in
+    * training order, which is what the loop's rewrites did).
+    *
+    * Contract mirror of training: empty words and words containing the
+    * `|` delimiter are excluded from BOTH training and encoding; a doc
+    * whose words are all excluded reports 0/0 (kept via the left join —
+    * a document never silently vanishes from a budget report).
+    *
+    * 100 TB shape: the encoding never re-tokenizes the corpus per merge
+    * — the loop's per-round rewrites run on the Heaps'-bounded VOCAB
+    * table, and the corpus is touched exactly twice (the word-frequency
+    * pass inside the loop + the final word→pieces broadcast-sized join).
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     merges: Int): DataFrame = {
+    val (state, _) = bpeLoop(df, textCol, merges)
+    val pieces = state.select(col("w"), size(col("syms")).cast("long").as("__np"))
+    val docWords = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("|"))
+    val perDoc = docWords.join(pieces, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nw"), sum(col("__np")).as("__ntok"))
+    df.filter(col(textCol).isNotNull).select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nw"), lit(0L)).as("n_words"),
+        coalesce(col("__ntok"), lit(0L)).as("n_tokens"))
+  }
+
+  /** Vocabulary growth (Heaps'-law) curve over NESTED deterministic
+    * subsamples — "how fast is the corpus still discovering new tokens",
+    * the scaling diagnostic run before paying for more data: a flattening
+    * curve says the next 10× of the same source buys almost no new
+    * vocabulary. Fractions are permille buckets of the [[Sampling]] hash,
+    * so each smaller sample is a SUBSET of every larger one (a true
+    * growth curve, not independent draws) and membership is a pure
+    * function of the row.
+    *
+    * Output: one row per requested permille,
+    * `(permille, n_docs, n_tokens, vocab)` — documents, running token
+    * volume, and distinct-token count within the subset.
+    *
+    * 100 TB shape: ALL fractions come out of two corpus passes, not one
+    * per fraction — a doc-level conditional aggregation (map-side
+    * combinable) and a token explode reduced to per-token MIN bucket
+    * (map-side combinable; vocab(f) = tokens with min-bucket < f on the
+    * vocab-sized table). The per-fraction explode runs on a 1-row frame.
+    */
+  def vocabGrowthCurve(df: DataFrame, idCol: String, textCol: String,
+                       permilles: Seq[Int], salt: String = ""): DataFrame = {
+    require(permilles.nonEmpty && permilles.size <= 100, "1..100 fractions")
+    require(permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles out of [1,1000]: $permilles")
+    require(permilles.distinct.size == permilles.size, s"duplicate permilles: $permilles")
+    val docs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        size(filter(tokens(textCol), t => t =!= "")).cast("long").as("__nt"))
+      .withColumn("__bk", Sampling.hashBucket(col("__id"), salt))
+    val docCols = permilles.flatMap(p => Seq(
+      sum(when(col("__bk") < p, 1L).otherwise(0L)).as(s"__d$p"),
+      sum(when(col("__bk") < p, col("__nt")).otherwise(0L)).as(s"__t$p")))
+    val docAgg = docs.agg(docCols.head, docCols.tail: _*)
+    val tokenMin = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), explode(tokens(textCol)).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .withColumn("__bk", Sampling.hashBucket(col("__id"), salt))
+      .groupBy("__tok").agg(min(col("__bk")).as("__mb"))
+    val vocabCols = permilles.map(p =>
+      sum(when(col("__mb") < p, 1L).otherwise(0L)).as(s"__v$p"))
+    val vocabAgg = tokenMin.agg(vocabCols.head, vocabCols.tail: _*)
+    docAgg.crossJoin(broadcast(vocabAgg))
+      .select(explode(array(permilles.map(p => struct(
+        lit(p).as("permille"), col(s"__d$p").as("n_docs"),
+        col(s"__t$p").as("n_tokens"), col(s"__v$p").as("vocab"))): _*)).as("__r"))
+      .select(col("__r.permille"), col("__r.n_docs"),
+        col("__r.n_tokens"), col("__r.vocab"))
   }
 }
