@@ -575,6 +575,54 @@ object PipelineScaleBench {
       val grouped = corpus.withColumn("g", pmod(xxhash64(col("doc_id")), lit(10L)))
       Sampling.uniformKPerGroup(grouped, "doc_id", "g", k = 100).count()
     }
+    timed("pipe_linear_fit", input = 1L) {
+      // closed-form OLS: ONE moment aggregation — must run at scan
+      // speed; wall linearity is the whole guard
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      val feats = corpus.select(length(col("text")).cast("long").as("nc"),
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      graft.operators.Regression.linearFit2(feats, "nc", "nt", "nd").head()
+      1L
+    }
+    timed("pipe_bootstrap", input = 50L) {
+      // Poisson bootstrap, 50 replicates: the per-row cost is 50 md5
+      // tickets, and the explode MUST partially aggregate in-task (the
+      // shuffle carries partitions×50 partial rows, never corpus×50) —
+      // superlinear wall at 10× data means that combine stopped firing
+      val vals = corpus.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      Sampling.bootstrapMeanCI(vals, "doc_id", "len", replicates = 50).head()
+      50L
+    }
+    timed("pipe_binned_mi", input = 100L) {
+      // 10×10 binned MI: one cells aggregation; margins/entropies reuse
+      // the cells exchange (PlanSpec-pinned) — wall must track the scan
+      val d = corpus.select(length(col("text")).cast("long").as("nc"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("nt"))
+      graft.engine.Summaries.binnedMutualInformation(d, "nc", "nt",
+        xBins = 10, yBins = 10, xLo = 0, xHi = 400, yLo = 0, yHi = 50).head()
+      100L
+    }
+    timed("pipe_vocab_growth", input = 4L) {
+      // Heaps'-law curve over 4 nested fractions: two corpus passes
+      // (doc-level conditional sums + per-token MIN bucket on the
+      // Heaps-bounded vocab table) — NOT one pass per fraction. Hash-
+      // consumed: a bare count() prunes both aggregates to empty
+      // projections (measured 0.63 s vs 4.63 s real at 500k)
+      val out = TextAnalysis.vocabGrowthCurve(corpus, "doc_id", "text",
+        Seq(100, 250, 500, 1000))
+      out.agg(max(xxhash64(out.columns.map(col).toSeq: _*))).head()
+      4L
+    }
+    timed("pipe_bpe_encode") {
+      // BPE train (3 merges on the vocab table) + apply back per doc:
+      // corpus touched twice; the merge rounds are vocab-sized. Consumed
+      // via hash-max so pruning cannot elide the per-doc sums
+      val out = TextAnalysis.bpeTokenCounts(corpus, "doc_id", "text", merges = 3)
+      out.agg(max(xxhash64(out.columns.map(col).toSeq: _*))).head()
+      total
+    }
     // embeddings: 64 deterministic pseudo-random dims per row; 2% of rows
     // are near-copies of row (id - 1) (same dims, one nudged by 0.05) so
     // the near-dup guard has planted TRUE pairs growing linearly with n.
@@ -595,7 +643,7 @@ object PipelineScaleBench {
     // bench, and a doc-stage-only run must not pay for it
     val embStages = Seq("pipe_lsh_bucket_assign", "pipe_ann_lsh_topk_100q",
       "pipe_embedding_neardup", "pipe_kmeans", "pipe_jl_projection",
-      "pipe_pq_codes")
+      "pipe_pq_codes", "pipe_hard_negatives")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
     if (!needEmb) { spark.stop(); return }
     // float32, like real embedding tables — the near-dup verification
@@ -619,6 +667,14 @@ object PipelineScaleBench {
       val stride = math.max(1L, nDocs.toLong / 100)
       Similarity.lshTopK(vecs, vecs.filter(col("vec_id") % stride === 0),
         "vec_id", "embedding", k = 10, planes = 4, probeBits = 1).count()
+    }
+    timed("pipe_hard_negatives", input = 20L) {
+      // brute-force banded top-k for 20 queries: ONE broadcast pass over
+      // the partitioned corpus (the documented bounded-query eval arm) —
+      // wall must be linear in corpus size, never queries × corpus shape
+      val stride = math.max(1L, nDocs.toLong / 20)
+      Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") % stride === 0),
+        "vec_id", "embedding", k = 10, minCos = 0.05, maxCos = 0.8).count()
     }
     timed("pipe_embedding_neardup") {
       // output_per_input here is FOUND PAIRS PER VECTOR ≈ planted rate

@@ -2225,7 +2225,28 @@ object SparkEntry {
     "q213_vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowthCurve(t(s, dir, "documents"), "doc_id", "text",
         permilles = Seq(100, 250, 500, 1000))
-        .orderBy("permille"))
+        .orderBy("permille")),
+
+    // ── per-source bootstrap CI: is source A's mean really above source
+    // B's — the q209 machinery per slice; the exchange carries
+    // groups × B partial rows.
+    "q214_bootstrap_by_group" -> ((s, dir) =>
+      Sampling.bootstrapMeanCIByGroup(t(s, dir, "documents"), "doc_id",
+        "n_chars", "source", replicates = 100)
+        .orderBy("group")),
+
+    // ── conformal threshold audit: fit the keep-80% score cutoff on a
+    // 300‰ calibration slice, report the OUT-OF-SAMPLE keep fraction —
+    // the honesty check before enabling a q102-style quantile gate.
+    "q215_conformal_coverage" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          (size(array_distinct(toks)).cast("double")
+            / size(toks).cast("double")).as("score"))
+      graft.operators.Selection.conformalCoverageReport(scored, "doc_id",
+        "score", calibPermille = 300, keepQuantile = 0.8)
+    })
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -5269,7 +5290,67 @@ object SparkEntry {
         |  FROM da CROSS JOIN va
         | UNION ALL SELECT 1000, CAST(d1000 AS BIGINT), CAST(t1000 AS BIGINT), CAST(v1000 AS BIGINT)
         |  FROM da CROSS JOIN va
-        |) ORDER BY permille""".stripMargin
+        |) ORDER BY permille""".stripMargin,
+
+    // Per-group bootstrap: the q209 chain with the group key carried
+    // through — same tickets (weight ignores the group), same decimal
+    // quantization, quantile_cont per group.
+    "q214_bootstrap_by_group" ->
+      """WITH rws AS (
+        | SELECT source AS g, doc_id AS id, CAST(round(n_chars, 9) AS DECIMAL(28,12)) AS v
+        | FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |fl AS (SELECT g, count(*) AS n, sum(v) AS sv FROM rws GROUP BY 1),
+        |x AS (
+        | SELECT g, b,
+        |  CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+        |       WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+        |       ELSE 6 END AS w, v
+        | FROM (
+        |  SELECT rws.g, r.b,
+        |   ('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR) || ':' || CAST(rws.id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 1000000 AS u, rws.v
+        |  FROM rws CROSS JOIN range(100) r(b))),
+        |reps AS (SELECT g, b, sum(w * v) AS ws, sum(w) AS wn FROM x GROUP BY 1, 2),
+        |means AS (SELECT g, CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS m FROM reps WHERE wn > 0),
+        |ci AS (
+        | SELECT g, count(*) AS n_replicates,
+        |  round(CAST(sum(CAST(round(m, 9) AS DECIMAL(28,12))) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS boot_mean,
+        |  round(quantile_cont(m, 0.025), 6) AS boot_lo,
+        |  round(quantile_cont(m, 0.975), 6) AS boot_hi
+        | FROM means GROUP BY 1)
+        |SELECT fl.g AS "group", CAST(fl.n AS BIGINT) AS n,
+        | round(CAST(fl.sv AS DOUBLE) / CAST(fl.n AS DOUBLE), 6) AS mean_full,
+        | ci.n_replicates, ci.boot_mean, ci.boot_lo, ci.boot_hi
+        |FROM fl LEFT JOIN ci USING (g) ORDER BY "group"""".stripMargin,
+
+    // Conformal coverage: identical 'conf' ∥ id permille split, the
+    // calibration quantile via the null-skipping CASE, eval comparison
+    // against the 9-dp-quantized threshold (cross-engine-stable under
+    // split-straddling score ties).
+    "q215_conformal_coverage" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+        | FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        | SELECT score,
+        |  ('0x' || substr(md5('conf' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 300 AS calib
+        | FROM s WHERE score IS NOT NULL),
+        |cal AS (
+        | SELECT sum(CASE WHEN calib THEN 1 ELSE 0 END) AS n_calib,
+        |  sum(CASE WHEN calib THEN 0 ELSE 1 END) AS n_eval,
+        |  quantile_cont(CASE WHEN calib THEN score END, 0.8) AS thr
+        | FROM b),
+        |k AS (
+        | SELECT sum(CASE WHEN b.score >= round(cal.thr, 9) THEN 1 ELSE 0 END) AS kept
+        | FROM b CROSS JOIN cal WHERE NOT b.calib)
+        |SELECT CAST(cal.n_calib AS BIGINT) AS n_calib, CAST(cal.n_eval AS BIGINT) AS n_eval,
+        | round(cal.thr, 6) AS threshold, round(1.0 - 0.8, 6) AS target_keep_frac,
+        | round(CAST(k.kept AS DOUBLE) / CAST(cal.n_eval AS DOUBLE), 6) AS eval_keep_frac,
+        | round(CAST(k.kept AS DOUBLE) / CAST(cal.n_eval AS DOUBLE) - (1.0 - 0.8), 6) AS gap
+        |FROM cal CROSS JOIN k""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

@@ -465,4 +465,56 @@ object Sampling {
           .as("mean_full"))
       .crossJoin(broadcast(ci))
   }
+
+  /** Per-group [[bootstrapMeanCI]] — one CI row PER `groupCol` value
+    * ("is source A's quality mean really above source B's, or is the
+    * difference inside the slices' noise"). Same deterministic
+    * [[poissonWeight]] tickets (a row's weight depends only on
+    * (salt, replicate, id) — group membership never perturbs another
+    * group's draw), same 9-dp decimal quantization.
+    *
+    * Output per group: `(group, n, mean_full, n_replicates, boot_mean,
+    * boot_lo, boot_hi)`; a group whose replicates all drew weight 0
+    * (only possible for tiny groups) keeps its mean with NULL CI columns.
+    *
+    * 100 TB shape: the explode partially aggregates per (group,
+    * replicate) in-task — the exchange carries partitions × groups × B
+    * partial rows; the quantile runs per group on its B-row means table,
+    * and the final join is groups-sized.
+    */
+  def bootstrapMeanCIByGroup(df: DataFrame, idCol: String, valueCol: String,
+                             groupCol: String, replicates: Int = 200,
+                             loQ: Double = 0.025, hiQ: Double = 0.975,
+                             salt: String = "boot"): DataFrame = {
+    require(replicates >= 10 && replicates <= 10000,
+      s"replicates out of [10,10000]: $replicates")
+    require(loQ > 0 && hiQ < 1 && loQ < hiQ, s"bad quantiles ($loQ, $hiQ)")
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        round(col(valueCol), 9).cast("decimal(28,12)").as("__v"))
+    val full = rows.groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__sv"))
+    val reps = rows
+      .select(col("__g"), col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
+      .withColumn("__w", poissonWeight(col("__id"), col("__b"), salt))
+      .groupBy("__g", "__b")
+      .agg(sum(col("__w") * col("__v")).as("__ws"), sum(col("__w")).as("__wn"))
+      .filter(col("__wn") > 0)
+      .select(col("__g"),
+        (col("__ws").cast("double") / col("__wn").cast("double")).as("__m"))
+    val ci = reps.groupBy("__g")
+      .agg(count(lit(1)).as("n_replicates"),
+        sum(round(col("__m"), 9).cast("decimal(28,12)")).as("__bs"),
+        round(percentile(col("__m"), lit(loQ)), 6).as("boot_lo"),
+        round(percentile(col("__m"), lit(hiQ)), 6).as("boot_hi"))
+    full.join(ci, Seq("__g"), "left")
+      .select(col("__g").as("group"), col("n"),
+        round(col("__sv").cast("double") / col("n").cast("double"), 6)
+          .as("mean_full"),
+        col("n_replicates"),
+        round(col("__bs").cast("double") / col("n_replicates").cast("double"), 6)
+          .as("boot_mean"),
+        col("boot_lo"), col("boot_hi"))
+  }
 }

@@ -241,4 +241,63 @@ object Selection {
       .drop("__bkt", "__run")
     keepWhole.unionByName(boundary)
   }
+
+  /** Conformal-style threshold calibration: learn the score cutoff on a
+    * held-out calibration slice, then report how it actually performs
+    * out-of-sample — the audit run before turning a [[keepAboveQuantile]]
+    * gate on in production (a threshold fit and evaluated on the same
+    * rows always "covers"; only the split makes the keep-rate claim
+    * honest). The split is the deterministic [[Sampling.hashBucket]]
+    * permille, so the report is reproducible row-for-row.
+    *
+    * Output: ONE row `(n_calib, n_eval, threshold, target_keep_frac,
+    * eval_keep_frac, gap)` — the calibration-quantile cutoff (6 dp; the
+    * eval filter uses the UNROUNDED value), the intended keep fraction
+    * `1 − keepQuantile`, the observed eval keep fraction (exact
+    * BIGINT/BIGINT division), and `gap = observed − intended`.
+    *
+    * 100 TB shape: TWO corpus passes — one aggregation computing the
+    * calibration percentile and both split counts together (the
+    * calibration scores enter via a null-skipping `when`, so no separate
+    * calibration scan), then one eval pass against the broadcast scalar
+    * threshold. `exact = false` swaps in the mergeable
+    * `approx_percentile` sketch (the q102 rule) for corpus-scale
+    * calibration slices.
+    */
+  def conformalCoverageReport(df: DataFrame, idCol: String, scoreCol: String,
+                              calibPermille: Int, keepQuantile: Double,
+                              exact: Boolean = true,
+                              salt: String = "conf"): DataFrame = {
+    require(calibPermille >= 1 && calibPermille <= 999,
+      s"calibPermille out of [1,999]: $calibPermille")
+    require(keepQuantile > 0.0 && keepQuantile < 1.0,
+      s"keepQuantile out of (0,1): $keepQuantile")
+    val isCalib = Sampling.hashBucket(col(idCol), salt) < calibPermille
+    val calibScore = when(isCalib, col(scoreCol))
+    val thrAgg =
+      if (exact) percentile(calibScore, lit(keepQuantile))
+      else percentile_approx(calibScore, lit(keepQuantile), lit(10000))
+    val base = df.filter(col(scoreCol).isNotNull)
+    val cal = base.agg(
+      sum(when(isCalib, 1L).otherwise(0L)).as("n_calib"),
+      sum(when(isCalib, 0L).otherwise(1L)).as("n_eval"),
+      thrAgg.as("__thr"))
+    // the coverage comparison quantizes the threshold at 9 dp: an
+    // interpolated quantile can differ across engines in the last ulp,
+    // and score ties straddling the split boundary would flip on it —
+    // the 9-dp grid restores a cross-engine-stable comparison while
+    // moving the cutoff by at most 5e-10 score units
+    val kept = base.filter(!isCalib)
+      .crossJoin(broadcast(cal.select(col("__thr"))))
+      .agg(sum(when(col(scoreCol) >= round(col("__thr"), 9), 1L).otherwise(0L))
+        .as("__kept"))
+    cal.crossJoin(broadcast(kept))
+      .select(col("n_calib"), col("n_eval"),
+        round(col("__thr"), 6).as("threshold"),
+        round(lit(1.0) - keepQuantile, 6).as("target_keep_frac"),
+        round(col("__kept").cast("double") / col("n_eval").cast("double"), 6)
+          .as("eval_keep_frac"),
+        round(col("__kept").cast("double") / col("n_eval").cast("double")
+          - (lit(1.0) - keepQuantile), 6).as("gap"))
+  }
 }

@@ -1105,4 +1105,118 @@ class PlanSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }.isEmpty)
   }
+
+  test("q208 OLS: one pruned corpus scan, one aggregate pair, no joins or windows") {
+    val p = plan("q208_linear_fit")
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"the whole training run is ONE scan, got ${scans.size}")
+    assert(scans.head.metadata("ReadSchema")
+      .startsWith("struct<text:string,n_chars:bigint"))
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "the Cramer solve is scalar math on the moment row, never a join")
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size == 2, s"expected partial+final moment aggregate, got ${aggs.size}")
+  }
+
+  test("q209/q214 bootstrap: the replicate explode partially aggregates before any exchange") {
+    def subtreeHas(pl: SparkPlan)(pf: PartialFunction[SparkPlan, Boolean]): Boolean =
+      pl.collect(pf).nonEmpty
+    Seq("q209_bootstrap_ci", "q214_bootstrap_by_group").foreach { name =>
+      val p = plan(name)
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+      assert(collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$name: the CI table joins back keyed/broadcast, never a cartesian")
+      // every exchange whose subtree holds the replicate Generate must have
+      // an aggregate strictly between them — the corpus×B blowup never shuffles
+      val exchanges = collectAll(p) { case e: ShuffleExchangeExec => e }
+      val overGenerate = exchanges.filter(e => subtreeHas(e.child) {
+        case _: org.apache.spark.sql.execution.GenerateExec => true
+      })
+      assert(overGenerate.nonEmpty, s"$name: expected the explode below a shuffle")
+      overGenerate.foreach { e =>
+        val between = e.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if subtreeHas(a) { case _: org.apache.spark.sql.execution.GenerateExec => true } => a
+        }
+        assert(between.nonEmpty,
+          s"$name: partial aggregation must fire between explode and exchange")
+      }
+    }
+  }
+
+  test("q215 conformal: threshold broadcasts as a scalar — no cartesian, no window") {
+    val p = plan("q215_conformal_coverage")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "the calibration threshold must reach the eval pass as a broadcast scalar")
+  }
+
+  test("q210 binned MI: ONE corpus scan at runtime — margins/entropies reuse the cells exchange") {
+    val df = SparkEntry.queries("q210_binned_mi")(spark, sfDir)
+    df.collect() // AQE applies exchange reuse at runtime; walk the final stages
+    def walk(pl: SparkPlan, out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      pl match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, out)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan, out)
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          out += "reuse"
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => out += "scan"
+        case _ => ()
+      }
+      pl match {
+        case _: AdaptiveSparkPlanExec |
+             _: org.apache.spark.sql.execution.adaptive.QueryStageExec => ()
+        case _ => pl.children.foreach(walk(_, out))
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    walk(df.queryExecution.executedPlan, out)
+    assert(out.count(_ == "scan") == 1,
+      s"h_x/h_y must reuse the cells exchange, not re-scan: $out")
+    assert(out.count(_ == "reuse") == 2, s"expected 2 reused exchanges: $out")
+  }
+
+  test("q211 hard negatives: broadcast-query join + bounded-heap aggregate, no window") {
+    val p = plan("q211_hard_negatives")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "ranking rides the TopK aggregate, never a per-query window sort")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      "the bounded query sample broadcasts against the partitioned corpus")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    val topk = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(topk.size == 2, s"expected partial+final topK aggregate, got ${topk.size}")
+  }
+
+  test("q212/q213 corpus passes stay narrow: equi-joins only, no windows") {
+    val enc = plan("q212_bpe_encode")
+    assert(collectAll(enc) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(enc) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "the word→pieces map joins by key; merge scalars broadcast")
+    val vg = plan("q213_vocab_growth")
+    assert(collectAll(vg) { case w: WindowExec => w }.isEmpty)
+    val scans = collectAll(vg) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2,
+      s"ALL fractions come from two corpus passes (docs + token-min), got ${scans.size}")
+    assert(collectAll(vg) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
 }

@@ -691,4 +691,63 @@ class SummariesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Summaries.rollingActive(df, "u", "ts", windowDays = 0))
   }
+
+  test("binnedMutualInformation: independence gives MI 0, NMI 0") {
+    // balanced product distribution: 25 rows per (x,y) ∈ {0,1}² — every
+    // joint cell equals the product of its margins, so each term is
+    // ln(1) = 0 EXACTLY
+    val rows = for (x <- 0 to 1; y <- 0 to 1; _ <- 1 to 25) yield (x, y)
+    val df = rows.toDF("x", "y")
+    val r = Summaries.binnedMutualInformation(df, "x", "y",
+      xBins = 2, yBins = 2, xLo = 0, xHi = 2, yLo = 0, yHi = 2).head()
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.0)                     // mi_nats
+    assert(r.getDouble(4) == 0.693147 && r.getDouble(5) == 0.693147) // ln 2
+    assert(r.getDouble(6) == 0.0)                     // nmi
+  }
+
+  test("binnedMutualInformation: perfect dependence gives MI = H and NMI 1") {
+    val rows = (0 until 100).map(i => (i % 2, i % 2))
+    val df = rows.toDF("x", "y")
+    val r = Summaries.binnedMutualInformation(df, "x", "y",
+      xBins = 2, yBins = 2, xLo = 0, xHi = 2, yLo = 0, yHi = 2).head()
+    assert(r.getDouble(3) == 0.693147)                // mi = ln 2
+    assert(r.getDouble(3) == r.getDouble(4) && r.getDouble(4) == r.getDouble(5))
+    assert(r.getDouble(6) == 1.0)                     // nmi
+  }
+
+  test("binnedMutualInformation: out-of-range values clamp into edge bins; gates fire") {
+    val df = Seq((-50, 0), (999, 1), (1, 0)).toDF("x", "y")
+    val r = Summaries.binnedMutualInformation(df, "x", "y",
+      xBins = 4, yBins = 2, xLo = 0, xHi = 4, yLo = 0, yHi = 2).head()
+    // -50 → bin 0 (with the in-range 1 → bin 1), 999 → bin 3
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    intercept[IllegalArgumentException](
+      Summaries.binnedMutualInformation(df, "x", "y", 1, 2, 0, 4, 0, 2))
+    intercept[IllegalArgumentException](
+      Summaries.binnedMutualInformation(df, "x", "y", 2, 2, 4, 4, 0, 2))
+  }
+
+  test("binnedMutualInformation matches a driver-side reference on a skewed fixture") {
+    val rows = (0 until 200).map(i => (i % 7, (i * i) % 5))
+    val df = rows.toDF("x", "y")
+    val r = Summaries.binnedMutualInformation(df, "x", "y",
+      xBins = 7, yBins = 5, xLo = 0, xHi = 7, yLo = 0, yHi = 5).head()
+    // reference with the same 9-dp quantization
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rx = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ry = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toDouble
+    def q9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val mi = cells.map { case ((x, y), o) =>
+      q9((o / n) * math.log(o * n / (rx(x).toDouble * ry(y).toDouble)))
+    }.sum.toDouble
+    val hx = rx.values.map(c => q9(-(c / n) * math.log(c / n))).sum.toDouble
+    val hy = ry.values.map(c => q9(-(c / n) * math.log(c / n))).sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == r6(mi))
+    assert(r.getDouble(4) == r6(hx) && r.getDouble(5) == r6(hy))
+    assert(r.getDouble(6) == r6(mi / math.sqrt(hx * hy)))
+  }
 }

@@ -305,4 +305,74 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.uniformKPerGroup(tiny, "id", "g", 0))
   }
+
+  test("bootstrapMeanCI matches the driver-side Poisson-hash reference exactly") {
+    val rows = (0L until 50L).map(i => (i, i)).toDF("id", "v")
+    val got = Sampling.bootstrapMeanCI(rows, "id", "v", replicates = 20).head()
+    // reference: same md5 micro-grid ticket, same CDF thresholds, same
+    // interpolated percentile
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(b: Int, id: Long): Long = {
+      val hex = md.digest(s"boot$b:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16) % 1000000L
+      if (u < 367879) 0L else if (u < 735759) 1L else if (u < 919699) 2L
+      else if (u < 981012) 3L else if (u < 996340) 4L else if (u < 999406) 5L
+      else 6L
+    }
+    val means = (0 until 20).flatMap { b =>
+      val ws = (0L until 50L).map(i => weight(b, i) * i).sum
+      val wn = (0L until 50L).map(i => weight(b, i)).sum
+      if (wn > 0) Some(ws.toDouble / wn.toDouble) else None
+    }.sorted
+    def pct(q: Double): Double = {
+      val h = (means.size - 1) * q
+      val lo = math.floor(h).toInt
+      val hi = math.ceil(h).toInt
+      means(lo) + (h - lo) * (means(hi) - means(lo))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bootMean = means.map(m =>
+      BigDecimal(m).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble /
+      means.size.toDouble
+    assert(got.getLong(0) == 50L)
+    assert(got.getDouble(1) == r6(49.0 / 2.0))            // mean_full = 24.5
+    assert(got.getLong(2) == means.size.toLong)           // n_replicates
+    assert(got.getDouble(3) == r6(bootMean))
+    assert(got.getDouble(4) == r6(pct(0.025)))
+    assert(got.getDouble(5) == r6(pct(0.975)))
+    assert(got.getDouble(4) <= got.getDouble(5))
+  }
+
+  test("bootstrapMeanCI is partitioning-independent and brackets the mean") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Sampling.bootstrapMeanCI(docs, "doc_id", "n_chars", replicates = 50).head()
+    val b = Sampling.bootstrapMeanCI(docs.repartition(7), "doc_id", "n_chars",
+      replicates = 50).head()
+    assert(a == b)
+    // the CI of the mean should bracket the full mean on a benign corpus
+    assert(a.getDouble(4) <= a.getDouble(1) && a.getDouble(1) <= a.getDouble(5))
+    intercept[IllegalArgumentException](
+      Sampling.bootstrapMeanCI(docs, "doc_id", "n_chars", replicates = 5))
+    intercept[IllegalArgumentException](
+      Sampling.bootstrapMeanCI(docs, "doc_id", "n_chars", loQ = 0.9, hiQ = 0.1))
+  }
+
+  test("bootstrapMeanCIByGroup: each group's CI equals the global operator on that slice") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val byGroup = Sampling.bootstrapMeanCIByGroup(docs, "doc_id", "n_chars",
+      "lang", replicates = 30)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // weights depend only on (salt, b, id), so the per-group rows must be
+    // EXACTLY the global operator run on that group's rows alone
+    val langs = docs.select("lang").distinct().as[String].collect()
+    langs.foreach { l =>
+      val solo = Sampling.bootstrapMeanCI(docs.filter($"lang" === l),
+        "doc_id", "n_chars", replicates = 30).head()
+      assert(byGroup(l) == Seq(solo.getLong(0), solo.getDouble(1),
+        solo.getLong(2), solo.getDouble(3), solo.getDouble(4), solo.getDouble(5)),
+        s"group $l diverged from the sliced global run")
+    }
+    assert(byGroup.keySet == langs.toSet)
+  }
 }

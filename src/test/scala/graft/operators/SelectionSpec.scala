@@ -149,4 +149,42 @@ class SelectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Selection.rankFusion(rows, "lang", "doc_id", Seq("quality"), 0))
   }
+
+  test("conformalCoverageReport matches the driver-side split+quantile reference") {
+    val rows = (0L until 200L).map(i => (i, (i % 97).toDouble / 97.0)).toDF("id", "score")
+    val got = Selection.conformalCoverageReport(rows, "id", "score",
+      calibPermille = 500, keepQuantile = 0.8).head()
+    // reference: same md5 permille split, Spark-style interpolated
+    // percentile, coverage against the 9-dp-quantized threshold
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(s"conf$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000L
+    }
+    val scores = (0L until 200L).map(i => i -> (i % 97).toDouble / 97.0)
+    val (calib, eval_) = scores.partition { case (id, _) => bucket(id) < 500 }
+    val cs = calib.map(_._2).sorted
+    val h = (cs.size - 1) * 0.8
+    val lo = math.floor(h).toInt
+    val thr = cs(lo) + (h - lo) * (cs(math.ceil(h).toInt) - cs(lo))
+    val thr9 = BigDecimal(thr).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kept = eval_.count(_._2 >= thr9)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == calib.size.toLong && got.getLong(1) == eval_.size.toLong)
+    assert(got.getDouble(2) == r6(thr))
+    assert(got.getDouble(3) == 0.2)
+    assert(got.getDouble(4) == r6(kept.toDouble / eval_.size.toDouble))
+    assert(got.getDouble(5) == r6(kept.toDouble / eval_.size.toDouble - (1.0 - 0.8)))
+    // with ~uniform scores the out-of-sample keep rate lands near target
+    assert(math.abs(got.getDouble(5)) < 0.1)
+    // the approx arm keeps the same report shape and a nearby threshold
+    val approx = Selection.conformalCoverageReport(rows, "id", "score",
+      calibPermille = 500, keepQuantile = 0.8, exact = false).head()
+    assert(math.abs(approx.getDouble(2) - got.getDouble(2)) < 0.05)
+    intercept[IllegalArgumentException](
+      Selection.conformalCoverageReport(rows, "id", "score", 0, 0.8))
+    intercept[IllegalArgumentException](
+      Selection.conformalCoverageReport(rows, "id", "score", 500, 1.0))
+  }
 }

@@ -630,4 +630,36 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.pqCodes(vecs, "vec_id", "embedding", 0, 4))
   }
+
+  test("hardNegatives: the cosine band keeps hard candidates, drops dups and randoms") {
+    // query (1,0); cos against it: id1 = 1.0 (near-dup), id3 = 0.8,
+    // id2 = 0.6, id4 = 0.0, id5 = −1.0
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(3f, 4f)),
+      (3L, Seq(4f, 3f)), (4L, Seq(0f, 1f)), (5L, Seq(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val got = Similarity.hardNegatives(vecs, q, "vec_id", "embedding",
+      k = 5, minCos = 0.1, maxCos = 0.95)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(_._4)
+    // dup (1.0) capped out, randoms (0.0, −1.0) floored out; best-first
+    assert(got == Seq((0L, 3L, 0.8, 1L), (0L, 2L, 0.6, 2L)))
+    // k truncates
+    assert(Similarity.hardNegatives(vecs, q, "vec_id", "embedding",
+      k = 1, minCos = 0.1, maxCos = 0.95).count() == 1)
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(vecs, q, "vec_id", "embedding", 5, 0.9, 0.1))
+  }
+
+  test("hardNegatives with an unbounded band reproduces bruteForceTopK's ranking") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = vecs.filter($"vec_id" % 10 === 0)
+    val brute = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val wide = Similarity.hardNegatives(vecs, q, "vec_id", "embedding",
+      k = 3, minCos = -2.0, maxCos = 2.0)
+      .select($"query_id", $"neighbor_id", $"rn")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wide == brute && wide.nonEmpty)
+  }
 }

@@ -574,4 +574,55 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.bpeTrainMerges(docs, "text", merges = 0))
   }
+
+  test("bpeTokenCounts applies the trained segmentation per document") {
+    // vocab: "aa"×3, "ab"×1 (the pipe word is excluded from training AND
+    // encoding); merge 1 = (a,a): "aa"→1 piece, "ab"→2 pieces
+    val docs = Seq((1L, "aa ab"), (2L, "aa aa"), (3L, "|x"))
+      .toDF("doc_id", "text")
+    val got1 = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges = 1)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got1 == Seq((1L, 2L, 3L), (2L, 2L, 2L), (3L, 0L, 0L)))
+    // merge 2 = (a,b): "ab" collapses to 1 piece
+    val got2 = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges = 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq((1L, 2L, 2L), (2L, 2L, 2L), (3L, 0L, 0L)))
+    // NULL text is excluded entirely (not reported as 0/0)
+    val withNull = Seq((1L, "aa"), (2L, null)).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTokenCounts(withNull, "doc_id", "text", 1)
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 1L, 1L)))
+  }
+
+  test("vocabGrowthCurve: nested subsets match the driver-side bucket reference") {
+    val docs = Seq(
+      (1L, "red blue"), (2L, "red green"), (3L, "blue blue yellow"),
+      (4L, "red"), (5L, "purple green"), (6L, null))
+      .toDF("doc_id", "text")
+    val fractions = Seq(250, 500, 1000)
+    val got = TextAnalysis.vocabGrowthCurve(docs, "doc_id", "text", fractions)
+      .orderBy("permille").as[(Int, Long, Long, Long)].collect().toSeq
+    // reference: same hash bucket per doc, nested membership
+    val buckets = docs.filter($"text".isNotNull)
+      .select($"doc_id", Sampling.hashBucket($"doc_id").as("bk"))
+      .as[(Long, Long)].collect().toMap
+    val texts = Map(1L -> "red blue", 2L -> "red green",
+      3L -> "blue blue yellow", 4L -> "red", 5L -> "purple green")
+    val exp = fractions.map { p =>
+      val in = buckets.filter(_._2 < p).keySet
+      val toks = in.toSeq.flatMap(id => texts(id).split(" ").filter(_.nonEmpty))
+      (p, in.size.toLong, toks.size.toLong, toks.distinct.size.toLong)
+    }
+    assert(got == exp)
+    // the full fraction sees the whole corpus
+    assert(got.last == ((1000, 5L, 10L, 5L)))
+    // every column is monotone non-decreasing (true nesting)
+    assert(got.sliding(2).forall { case Seq(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4 })
+    intercept[IllegalArgumentException](
+      TextAnalysis.vocabGrowthCurve(docs, "doc_id", "text", Seq.empty))
+    intercept[IllegalArgumentException](
+      TextAnalysis.vocabGrowthCurve(docs, "doc_id", "text", Seq(100, 100)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.vocabGrowthCurve(docs, "doc_id", "text", Seq(0)))
+  }
 }
