@@ -2235,9 +2235,10 @@ object SparkEntry {
         "n_chars", "source", replicates = 100)
         .orderBy("group")),
 
-    // ── conformal threshold audit: fit the keep-80% score cutoff on a
-    // 300‰ calibration slice, report the OUT-OF-SAMPLE keep fraction —
-    // the honesty check before enabling a q102-style quantile gate.
+    // ── conformal threshold audit: fit the top-20% score cutoff
+    // (keepQuantile 0.8) on a 300‰ calibration slice, report the
+    // OUT-OF-SAMPLE keep fraction — the honesty check before enabling a
+    // q102-style quantile gate.
     "q215_conformal_coverage" -> ((s, dir) => {
       val toks = split(col("text"), " ")
       val scored = t(s, dir, "documents").filter(col("text").isNotNull)
@@ -5129,7 +5130,7 @@ object SparkEntry {
          | SELECT n_chars AS x1,
          |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS x2,
          |  CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS y
-         | FROM documents WHERE text IS NOT NULL),
+         | FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
          |mm AS (
          | SELECT count(*) AS nn,
          |  sum(CAST(x1 AS DECIMAL(38,0))) AS ds1, sum(CAST(x2 AS DECIMAL(38,0))) AS ds2,
@@ -5391,8 +5392,8 @@ object SparkEntry {
          |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
          |w$i AS (
          | SELECT w.w, w.cnt,
-         |  replace(w.s, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS s
-         | FROM w${i - 1} w CROSS JOIN b$i b)""".stripMargin
+         |  coalesce(replace(w.s, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|'), w.s) AS s
+         | FROM w${i - 1} w LEFT JOIN b$i b ON TRUE)""".stripMargin
     "w0 AS (\n" +
       " SELECT w, cnt, '|' || array_to_string(string_split(w, ''), '||') || '|' AS s\n" +
       " FROM (SELECT w, count(*) AS cnt FROM\n" +

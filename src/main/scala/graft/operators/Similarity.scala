@@ -62,21 +62,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** `topk(k, score, id)` result exploded back to ranked rows
-    * `(query_id, neighbor_id, rn)` — rn 1-based, best-first.
+    * `(query_id, neighbor_id, [cos,] rn)` — rn 1-based, best-first;
+    * `withScore` additionally emits the 6-dp heap score as `cos`.
     */
-  private def explodeRanks(pairs: DataFrame, k: Int, score: Column, id: Column): DataFrame =
-    pairs.groupBy("query_id")
+  private def explodeRanks(pairs: DataFrame, k: Int, score: Column, id: Column,
+                           withScore: Boolean = false): DataFrame = {
+    val exploded = pairs.groupBy("query_id")
       .agg(TopKOps.topK(k, score, id).as("__top"))
       .select(col("query_id"), posexplode(col("__top")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        (col("pos") + 1).cast("long").as("rn"))
+    val base = Seq(col("query_id"), col("col.id").as("neighbor_id"))
+    val tail = Seq((col("pos") + 1).cast("long").as("rn"))
+    val cols =
+      if (withScore) base ++ Seq(round(col("col.score"), 6).as("cos")) ++ tail
+      else base ++ tail
+    exploded.select(cols: _*)
+  }
 
-  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
-    * vectors (self-match excluded), rank-deterministic via (cos desc, id).
-    * The corpus stays fully partitioned (queries broadcast); ranking is a
-    * bounded-heap partial aggregate, so no task ever sorts a query's full
-    * candidate set.
-    */
   /** All (query, corpus) cosine pairs, self-matches excluded — the
     * corpus stays fully partitioned, queries broadcast; norms computed
     * once per row on each side so the per-pair kernel is ONE native dot
@@ -93,6 +94,11 @@ object Similarity {
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
   }
 
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self-match excluded), rank-deterministic via (cos desc, id).
+    * Ranking is a bounded-heap partial aggregate, so no task ever sorts a
+    * query's full candidate set.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame =
     explodeRanks(cosinePairs(corpus, queries, idCol, vecCol), k,
@@ -117,12 +123,7 @@ object Similarity {
     require(minCos < maxCos, s"empty cosine band [$minCos, $maxCos)")
     val banded = cosinePairs(corpus, queries, idCol, vecCol)
       .filter(col("cos") >= minCos && col("cos") < maxCos)
-    banded.groupBy("query_id")
-      .agg(TopKOps.topK(k, col("cos"), col("neighbor_id")).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        round(col("col.score"), 6).as("cos"),
-        (col("pos") + 1).cast("long").as("rn"))
+    explodeRanks(banded, k, col("cos"), col("neighbor_id"), withScore = true)
   }
 
   /** All pairs with cosine above a threshold (embedding near-dup), the

@@ -1066,6 +1066,12 @@ object TextAnalysis {
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
                      merges: Int): DataFrame = {
     val (state, _) = bpeLoop(df, textCol, merges)
+    // self-release (the hits() rule): the loop's vocab cache would
+    // otherwise pin executor storage for the session. The rewrite chain
+    // bakes every merge as a LITERAL, so consuming the returned frame
+    // after release re-runs one narrow word-frequency pass + the
+    // vocab-sized rewrites — no driver actions re-fire
+    state.unpersist(blocking = false)
     val pieces = state.select(col("w"), size(col("syms")).cast("long").as("__np"))
     val docWords = df.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))

@@ -591,6 +591,14 @@ class TextAnalysisSpec extends SparkSpec {
     val withNull = Seq((1L, "aa"), (2L, null)).toDF("doc_id", "text")
     assert(TextAnalysis.bpeTokenCounts(withNull, "doc_id", "text", 1)
       .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 1L, 1L)))
+    // merge exhaustion: the vocab collapses after round 1 ("ab" is a
+    // single symbol) — later empty rounds must KEEP the state, not
+    // zero it (the review-found oracle divergence, mirrored by the
+    // LEFT JOIN + coalesce rounds in the DuckDB twin)
+    val tiny = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTokenCounts(tiny, "doc_id", "text", merges = 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
   test("vocabGrowthCurve: nested subsets match the driver-side bucket reference") {
