@@ -2247,6 +2247,22 @@ object SparkEntry {
             / size(toks).cast("double")).as("score"))
       graft.operators.Selection.conformalCoverageReport(scored, "doc_id",
         "score", calibPermille = 300, keepQuantile = 0.8)
+    }),
+
+    // ── streaming DAU sketch, batch twin: per-day distinct-user HLL
+    // (the q202 hash/estimate per tumbling window; register maxes ride
+    // ONE aggregate as m conditional max columns — state is m ints per
+    // window on an unbounded stream), joined against the exact per-day
+    // count(DISTINCT) the stream could never afford.
+    "q216_stream_cardinality" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val est = graft.streaming.EventStreams.cardinalityPerWindow(
+        ev, "user_id", "1 day", m = 64)
+      val exact = ev.filter(col("user_id").isNotNull)
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count_distinct(col("user_id")).as("exact"))
+        .select(col("w.start").as("ws"), col("exact"))
+      est.join(exact, Seq("ws")).orderBy("ws")
     })
   )
 
@@ -5351,7 +5367,44 @@ object SparkEntry {
         | round(cal.thr, 6) AS threshold, round(1.0 - 0.8, 6) AS target_keep_frac,
         | round(CAST(k.kept AS DOUBLE) / CAST(cal.n_eval AS DOUBLE), 6) AS eval_keep_frac,
         | round(CAST(k.kept AS DOUBLE) / CAST(cal.n_eval AS DOUBLE) - (1.0 - 0.8), 6) AS gap
-        |FROM cal CROSS JOIN k""".stripMargin
+        |FROM cal CROSS JOIN k""".stripMargin,
+
+    // Streaming-DAU batch twin: the q202 HLL chain PER day window
+    // (same md5/reg/rho, same decimal harmonic sum, same 4-dp ln
+    // correction), plus the exact per-window distinct.
+    "q216_stream_cardinality" ->
+      """WITH h AS (
+        | SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+        |  ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        | FROM events WHERE user_id IS NOT NULL),
+        |rr AS (
+        | SELECT ws, h % 64 AS reg,
+        |  CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+        | FROM h),
+        |sk AS (SELECT ws, reg, max(rho) AS max_rho FROM rr GROUP BY 1, 2),
+        |wins AS (SELECT DISTINCT ws FROM h),
+        |f AS (
+        | SELECT w.ws, r.reg, coalesce(sk.max_rho, 0) AS rho
+        | FROM wins w CROSS JOIN range(64) r(reg)
+        | LEFT JOIN sk ON sk.ws = w.ws AND sk.reg = r.reg),
+        |agg AS (
+        | SELECT ws, sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros,
+        |  sum(CAST((1::BIGINT << (60 - rho)) AS DECIMAL(38,0))) AS s
+        | FROM f GROUP BY 1),
+        |e AS (
+        | SELECT ws, CAST(64 AS INT) AS m, CAST(zeros AS BIGINT) AS n_zero_regs,
+        |  round(0.709 * 64 * 64 * 1152921504606846976.0 / CAST(s AS DOUBLE), 4) AS est_raw
+        | FROM agg),
+        |ex AS (
+        | SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT e.ws, e.m, e.n_zero_regs, e.est_raw,
+        | CASE WHEN e.n_zero_regs > 0 AND e.est_raw <= 160.0
+        |  THEN round(64.0 * ln(64.0 / CAST(e.n_zero_regs AS DOUBLE)), 4)
+        |  ELSE e.est_raw END AS est,
+        | ex.exact
+        |FROM e JOIN ex ON ex.ws = e.ws ORDER BY e.ws""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

@@ -397,4 +397,66 @@ object EventStreams {
         posexplode(col("hh")).as(Seq("rn", "e")))
       .select(col("ws"), col("rn"), col("e.item").as("item"),
         col("e.est").as("est"))
+
+  /** Streaming distinct-count sketch per tumbling window — the DAU
+    * counter an exact `count(DISTINCT)` cannot provide on a stream
+    * (its state grows with the key universe; HLL state is `m` register
+    * maxes per window, period). Hash/register/rho are EXACTLY
+    * [[graft.operators.Profiling.hllSketch]]'s (md5 60-bit, `reg =
+    * h mod m`, `bin()`-length rho), and the estimate EXACTLY
+    * [[graft.operators.Profiling.hllEstimate]]'s (DECIMAL-exact
+    * harmonic sum, 4-dp small-range ln correction) — the batch twin of
+    * this operator per window hash-matches the q202 oracle chain
+    * grouped by window.
+    *
+    * Register maxes ride ONE built-in hash aggregate as `m` conditional
+    * `max` columns — partial-aggregatable map-side, mergeable across
+    * micro-batch cuts by the same elementwise max (the canonical HLL
+    * merge), no custom state. The estimate is a stateless projection
+    * over the register array. `m ≤ 256` keeps the per-window state and
+    * aggregate width bounded (±~6.5 % error at 256; this is a
+    * dashboard counter, not a census).
+    *
+    * Output per window: `(ws, m, n_zero_regs, est_raw, est)`.
+    */
+  def cardinalityPerWindow(events: DataFrame, itemCol: String,
+                           duration: String = "1 day", m: Int = 64): DataFrame = {
+    require(m >= 16 && m <= 256 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16,256] (one max column per register): $m")
+    val budget = 60 - Integer.numberOfTrailingZeros(m)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val rr = events.filter(col(itemCol).isNotNull)
+      .select(col("ts"), graft.operators.Sampling.hash60(
+        md5(concat(lit("hll"), col(itemCol).cast("string")))).as("__h"))
+      .select(col("ts"), pmod(col("__h"), lit(m.toLong)).as("__reg"),
+        expr(s"__h div ${m}L").as("__tail"))
+      .select(col("ts"), col("__reg"),
+        when(col("__tail") === 0L, lit(budget + 1))
+          .otherwise(lit(budget + 1) - length(bin(col("__tail")))).as("__rho"))
+    val maxes = (0 until m).map(i =>
+      max(when(col("__reg") === i.toLong, col("__rho"))).as(s"__r$i"))
+    rr.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), duration).as("w"))
+      .agg(maxes.head, maxes.tail: _*)
+      .withColumn("__arr",
+        array((0 until m).map(i => coalesce(col(s"__r$i"), lit(0))): _*))
+      .select(col("w.start").as("ws"), col("__arr"))
+      .select(col("ws"), lit(m).as("m"),
+        size(filter(col("__arr"), r => r === 0)).cast("long").as("n_zero_regs"),
+        expr("aggregate(__arr, CAST(0 AS DECIMAL(38,0)), " +
+          "(acc, r) -> acc + CAST(shiftleft(CAST(1 AS BIGINT), 60 - r) AS DECIMAL(38,0)))")
+          .as("__s"))
+      .select(col("ws"), col("m"), col("n_zero_regs"),
+        round((lit(alpha) * m * m * math.pow(2.0, 60))
+          / col("__s").cast("double"), 4).as("est_raw"))
+      .select(col("ws"), col("m"), col("n_zero_regs"), col("est_raw"),
+        when(col("n_zero_regs") > 0 && col("est_raw") <= lit(2.5 * m),
+          round(lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs").cast("double")), 4))
+          .otherwise(col("est_raw")).as("est"))
+  }
 }

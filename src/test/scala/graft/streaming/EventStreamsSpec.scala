@@ -375,4 +375,48 @@ class EventStreamsSpec extends SparkSpec {
       assert(twin == last)
     } finally q.stop()
   }
+
+  test("cardinalityPerWindow: register maxes merge across micro-batch cuts; batch = hllEstimate") {
+    val dir = s"$tmp/card-src"
+    def at(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // one day window, users split across two micro-batches with overlap —
+    // the streamed register maxes must equal the batch sketch's
+    val b1 = (1L to 40L).map(u => (at((u % 50).toInt), u))
+    val b2 = (30L to 70L).map(u => (at((u % 50).toInt), u))
+    b1.toDF("ts", "user_id").coalesce(1).write.parquet(s"$dir/b1")
+    b2.toDF("ts", "user_id").coalesce(1).write.parquet(s"$dir/b2")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType),
+        StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val q = EventStreams.cardinalityPerWindow(src, "user_id", "1 day", m = 64)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("card_stream").start()
+    try {
+      q.processAllAvailable()
+      // final update row for the single day window
+      val last = spark.table("card_stream")
+        .orderBy($"est_raw".desc).limit(1)
+        .select("m", "n_zero_regs", "est_raw", "est")
+        .as[(Int, Long, Double, Double)].head()
+      // batch twin on the union
+      val union = (b1 ++ b2).toDF("ts", "user_id")
+      val twin = EventStreams.cardinalityPerWindow(union, "user_id", "1 day", m = 64)
+        .select("m", "n_zero_regs", "est_raw", "est")
+        .as[(Int, Long, Double, Double)].head()
+      assert(last == twin)
+      // ...and the estimate must equal the q202 operator pair on the
+      // same items (shared hash + estimate contract)
+      val ref = graft.operators.Profiling.hllEstimate(
+        graft.operators.Profiling.hllSketch(union, "user_id", m = 64), m = 64)
+        .select("n_zero_regs", "est_raw", "est")
+        .as[(Long, Double, Double)].head()
+      assert((twin._2, twin._3, twin._4) == ref)
+      // sketch tracks the exact distinct count (70 users) within HLL error
+      assert(twin._4 > 40 && twin._4 < 120)
+      intercept[IllegalArgumentException](
+        EventStreams.cardinalityPerWindow(union, "user_id", "1 day", m = 100))
+    } finally q.stop()
+  }
 }
