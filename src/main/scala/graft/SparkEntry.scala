@@ -2263,6 +2263,33 @@ object SparkEntry {
         .agg(count_distinct(col("user_id")).as("exact"))
         .select(col("w.start").as("ws"), col("exact"))
       est.join(exact, Seq("ws")).orderBy("ws")
+    }),
+
+    // ── audio perceptual near-dup: REAL WAV encode/decode → 64-segment
+    // energy fingerprint → the q157 pigeonhole Hamming join. Fixture:
+    // unique tone-burst pattern per doc (SplitMix64 bijection); every
+    // 4th doc also gets a one-segment-flipped copy at +500000, landing
+    // at fingerprint Hamming EXACTLY 1 (loud-segment energies sit far
+    // from the mean — Multimodal.audioFingerprint64's closed form), so
+    // the pair set is closed-form. The gate excludes patterns whose flip
+    // could reach the degenerate ALL-LOUD regime (popcount ≥ 63).
+    "q217_audio_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val p0 = graft.operators.Multimodal.mix64(id)
+          val pattern =
+            if (p0 == -1L || java.lang.Long.bitCount(p0) >= 63) 1L else p0
+          val base = graft.operators.Multimodal.MediaRow(id, "audio",
+            graft.operators.Multimodal.syntheticToneBurstWav(pattern))
+          if (id % 4 == 0)
+            Seq(base, graft.operators.Multimodal.MediaRow(id + 500000L, "audio",
+              graft.operators.Multimodal.syntheticToneBurstWav(pattern,
+                flipSegment = (id % 64).toInt)))
+          else Seq(base)
+        }
+      graft.operators.Multimodal.audioNearDups(media, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -5404,7 +5431,20 @@ object SparkEntry {
         |  THEN round(64.0 * ln(64.0 / CAST(e.n_zero_regs AS DOUBLE)), 4)
         |  ELSE e.est_raw END AS est,
         | ex.exact
-        |FROM e JOIN ex ON ex.ws = e.ws ORDER BY e.ws""".stripMargin
+        |FROM e JOIN ex ON ex.ws = e.ws ORDER BY e.ws""".stripMargin,
+
+    // The q217 fixture's pair set in closed form — the q157 argument for
+    // waveforms: SplitMix64 tone-burst patterns are unique per doc and
+    // well-mixed unrelated fingerprints sit ~32 bits apart (never within
+    // the Hamming-3 gate); each planted one-segment flip lands at
+    // fingerprint distance EXACTLY 1. DuckDB cannot decode WAVs — it
+    // does not need to: the encode→decode→fingerprint→join pipeline must
+    // REPRODUCE this closed form from real samples.
+    "q217_audio_near_dup" ->
+      """SELECT doc_id AS doc_a, doc_id + 500000 AS doc_b,
+        | CAST(1 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

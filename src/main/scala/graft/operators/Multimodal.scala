@@ -356,6 +356,115 @@ object Multimodal {
       math.log1p(w.nFrames.toDouble).toFloat, math.log1p(w.sampleRate).toFloat,
       w.channels.toFloat, w.bits.toFloat)
 
+  /** 64-bit perceptual AUDIO fingerprint — the [[aHash64]] twin for
+    * waveforms: the decoded samples split into 64 equal time segments,
+    * bit s = 1 iff segment s's energy (Σ sample², channel 0) exceeds the
+    * MEAN segment energy. Amplitude-scaling invariant (both sides of the
+    * comparison scale by the same factor), container-invariant (operates
+    * on decoded samples), and one bit flips when one segment's loudness
+    * regime flips — so near-identical recordings land within a small
+    * Hamming distance and [[hammingNearDups]] applies unchanged.
+    *
+    * Closed form on tone-burst fixtures ([[syntheticToneBurstWav]]): a
+    * loud/silent segment pattern with 0–63 loud segments fingerprints to
+    * EXACTLY its pattern bits (loud energy > mean unless everything is
+    * loud; silence is never above a positive mean), and the all-loud
+    * pattern (−1L) is the one degenerate input — excluded by fixtures,
+    * like syntheticBlockImage's all-bright pattern.
+    */
+  private[operators] def audioFingerprint64(samples: Array[Double]): Option[Long] = {
+    val n = samples.length
+    if (n < 64) None
+    else {
+      val seg = n / 64
+      val energies = new Array[Double](64)
+      var s = 0
+      while (s < 64) {
+        var e = 0.0
+        var i = s * seg
+        val end = i + seg // trailing n % 64 samples are ignored uniformly
+        while (i < end) { e += samples(i) * samples(i); i += 1 }
+        energies(s) = e
+        s += 1
+      }
+      var total = 0.0
+      s = 0
+      while (s < 64) { total += energies(s); s += 1 }
+      val mean = total / 64.0
+      var fp = 0L
+      s = 0
+      while (s < 64) {
+        if (energies(s) > mean) fp |= (1L << s)
+        s += 1
+      }
+      Some(fp)
+    }
+  }
+
+  /** Per-row decoded audio fingerprint: `(doc_id, afp)`. */
+  final case class AudioFingerprint(doc_id: Long, afp: Long)
+
+  /** REAL audio fingerprints for a media table — audio-typed rows whose
+    * payload decodes as WAV/PCM and carries ≥ 64 frames yield their
+    * [[audioFingerprint64]]; everything else drops. Batch-shaped like
+    * [[audioMeta]]: waveforms collapse to one long on the scan
+    * executors, payload bytes never shuffle.
+    */
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = if (r.media_type == "audio") decodeWavSamples(r.blob) else None
+        decoded.flatMap { case (samples, _) =>
+          audioFingerprint64(samples).map(AudioFingerprint(r.doc_id, _))
+        }
+      }
+    }
+  }
+
+  /** Audio perceptual near-dup: decode → fingerprint → the SAME
+    * pigeonhole Hamming machinery as [[imageNearDups]] — re-encoded,
+    * re-scaled, or lightly edited recordings pair up; emits
+    * `(doc_a, doc_b, hamming)`, `doc_a < doc_b`.
+    */
+  def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    hammingNearDups(audioFingerprints(media).toDF(), "doc_id", "afp", maxHamming)
+
+  /** Deterministic tone-burst WAV: 64 segments of `segFrames` frames;
+    * segment s carries a ±`amplitude` square wave (period 4) when bit s
+    * of `pattern` is set, silence otherwise; `flipSegment` inverts one
+    * segment's regime. The encoder half of the audio-fingerprint
+    * round-trip gate: [[audioFingerprint64]] over the DECODED samples
+    * recovers `pattern` exactly (see its closed form), and a one-segment
+    * flip lands at Hamming distance EXACTLY 1.
+    */
+  def syntheticToneBurstWav(pattern: Long, flipSegment: Int = -1,
+                            segFrames: Int = 80, amplitude: Int = 8192,
+                            sampleRate: Float = 8000f): Array[Byte] = {
+    require(segFrames >= 4, s"segFrames must be >= 4: $segFrames")
+    require(amplitude > 0 && amplitude <= Short.MaxValue,
+      s"amplitude out of (0, 32767]: $amplitude")
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val nFrames = 64 * segFrames
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = i / segFrames
+      val loud = (((pattern >>> s) & 1L) == 1L) ^ (s == flipSegment)
+      val v = if (!loud) 0 else if ((i / 4) % 2 == 0) amplitude else -amplitude
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   // ── STUB decode kernel (compressed audio / video ONLY) ────────────────
   // Real implementation would call a codec here (not available in this
   // container). This deterministic fake preserves the exact batch shape,

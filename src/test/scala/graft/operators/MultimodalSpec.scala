@@ -336,4 +336,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Seq((1L, "kept", 1L), (2L, "dropped_near", 1L),
       (3L, "dropped_near", 1L), (7L, "kept", 7L)))
   }
+
+  test("audioFingerprint64 recovers the tone-burst pattern from REAL decoded samples") {
+    def fp(pattern: Long, flip: Int = -1, amplitude: Int = 8192): Long = {
+      val media = Seq(Multimodal.MediaRow(1L, "audio",
+        Multimodal.syntheticToneBurstWav(pattern, flipSegment = flip,
+          amplitude = amplitude))).toDS()
+      Multimodal.audioFingerprints(media).as[(Long, Long)].head()._2
+    }
+    val p = 0x5A5AC3C3DEADBEEFL
+    assert(fp(p) == p)
+    assert(fp(0L) == 0L)                       // all-silent → fingerprint 0
+    assert(fp(1L) == 1L)                       // single loud segment
+    // amplitude invariance: the mean threshold scales with the signal
+    assert(fp(p, amplitude = 300) == p)
+    // a one-segment flip moves EXACTLY one bit
+    assert(java.lang.Long.bitCount(fp(p, flip = 17) ^ p) == 1)
+    assert(fp(p, flip = 17) == (p ^ (1L << 17)))
+  }
+
+  test("audioNearDups pairs planted one-segment flips; junk and non-audio drop") {
+    val p = 0x0F0F33CC55AA9966L
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.syntheticToneBurstWav(p)),
+      Multimodal.MediaRow(2L, "audio",
+        Multimodal.syntheticToneBurstWav(p, flipSegment = 5)),
+      Multimodal.MediaRow(7L, "audio",
+        Multimodal.syntheticToneBurstWav(0x7777DEAD5555BEEFL)),
+      Multimodal.MediaRow(8L, "audio", "junk".getBytes("UTF-8")),
+      Multimodal.MediaRow(9L, "image", Multimodal.syntheticToneBurstWav(p)))
+      .toDS()
+    val got = Multimodal.audioNearDups(media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // only the planted flip pairs up — the image-typed row never decodes
+    // as audio, junk drops, and the unrelated pattern sits ~32 bits away
+    assert(got == Seq((1L, 2L, 1L)))
+    // fingerprints exist only for decodable ≥64-frame audio rows
+    assert(Multimodal.audioFingerprints(media).count() == 3)
+    intercept[IllegalArgumentException](Multimodal.audioNearDups(media, 0))
+    intercept[IllegalArgumentException](
+      Multimodal.syntheticToneBurstWav(1L, amplitude = 0))
+  }
 }
