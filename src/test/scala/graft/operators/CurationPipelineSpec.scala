@@ -84,4 +84,52 @@ class CurationPipelineSpec extends SparkSpec {
     assert(again.as[(Long, Long, Long, Long)].collect().sorted.toSeq ==
       packed.as[(Long, Long, Long, Long)].collect().sorted.toSeq)
   }
+
+  test("score -> conformal gate -> per-source CI -> regression -> vocab curve composes") {
+    // the EVAL/report pipeline a data team runs AFTER curation: every
+    // stage is individually oracle-verified; this pins that the fifth
+    // wave's operators compose and their numbers reconcile
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"text".isNotNull)
+    val toks = split($"text", " ")
+    val scored = docs.select($"doc_id", $"text", $"source", $"n_chars",
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+    val n = scored.count()
+
+    // conformal audit: the out-of-sample keep fraction lands near the
+    // intended 20 % on a benign score distribution
+    val conf = Selection.conformalCoverageReport(scored, "doc_id", "score",
+      calibPermille = 400, keepQuantile = 0.8).head()
+    assert(conf.getLong(0) + conf.getLong(1) == n)
+    assert(math.abs(conf.getDouble(5)) < 0.15, s"gap too large: $conf")
+
+    // gate the corpus at the calibrated threshold and CI the kept slice
+    // per source: group ns reconcile with the kept count
+    val thr = conf.getDouble(2)
+    val kept = scored.filter($"score" >= thr)
+    val ci = Sampling.bootstrapMeanCIByGroup(kept, "doc_id", "n_chars",
+      "source", replicates = 30)
+    val perGroup = ci.agg(sum($"n")).as[Long].head()
+    assert(perGroup == kept.count())
+    assert(ci.collect().forall(r =>
+      r.isNullAt(5) || r.getDouble(5) <= r.getDouble(6)))
+
+    // regression over the kept slice: sane diagnostics
+    val feats = kept.select($"n_chars",
+      size(split($"text", " ")).cast("long").as("n_toks"),
+      size(array_distinct(split($"text", " "))).cast("long").as("n_distinct"))
+    val fit = Regression.linearFit2(feats, "n_chars", "n_toks", "n_distinct").head()
+    assert(fit.getLong(0) == kept.count())
+    assert(fit.isNullAt(4) || (fit.getDouble(4) <= 1.0))
+
+    // vocab growth on the kept slice: nested and capped by the full corpus
+    val curve = TextAnalysis.vocabGrowthCurve(kept, "doc_id", "text",
+      Seq(250, 1000)).orderBy("permille")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(curve.last._2 == kept.count())
+    assert(curve.head._4 <= curve.last._4)
+    val fullVocab = TextAnalysis.vocabGrowthCurve(scored, "doc_id", "text",
+      Seq(1000)).as[(Int, Long, Long, Long)].head()._4
+    assert(curve.last._4 <= fullVocab)
+  }
 }
