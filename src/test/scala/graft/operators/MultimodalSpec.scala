@@ -348,6 +348,12 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(p) == p)
     assert(fp(0L) == 0L)                       // all-silent → fingerprint 0
     assert(fp(1L) == 1L)                       // single loud segment
+    // sweep: every non-degenerate mix64 pattern round-trips exactly
+    (1L to 20L).foreach { seed =>
+      val q0 = Multimodal.mix64(seed)
+      val q = if (q0 == -1L || java.lang.Long.bitCount(q0) >= 63) 1L else q0
+      assert(fp(q) == q, s"pattern $q failed the WAV round-trip")
+    }
     // amplitude invariance: the mean threshold scales with the signal
     assert(fp(p, amplitude = 300) == p)
     // a one-segment flip moves EXACTLY one bit

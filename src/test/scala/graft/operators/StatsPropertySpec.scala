@@ -93,6 +93,36 @@ class StatsPropertySpec extends SparkSpec {
       }
   }
 
+  test("conformalCoverageReport matches the driver split+quantile reference on random corpora") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(s"conf$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000L
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    corpora(10, idValueGen).filter(_.size >= 12).foreach { rows =>
+      val scored = rows.map { case (id, v) => (id, v.toDouble / 1000.0) }
+      Seq((300, 0.5), (500, 0.8)).foreach { case (cp, kq) =>
+        val got = Selection.conformalCoverageReport(
+          scored.toDF("id", "score"), "id", "score",
+          calibPermille = cp, keepQuantile = kq).head()
+        val (calib, eval_) = scored.partition { case (id, _) => bucket(id) < cp }
+        assert(got.getLong(0) == calib.size.toLong && got.getLong(1) == eval_.size.toLong)
+        if (calib.nonEmpty && eval_.nonEmpty) {
+          val cs = calib.map(_._2).sorted
+          val h = (cs.size - 1) * kq
+          val lo = math.floor(h).toInt
+          val thr = cs(lo) + (h - lo) * (cs(math.ceil(h).toInt) - cs(lo))
+          val thr9 = BigDecimal(thr).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          val kept = eval_.count(_._2 >= thr9)
+          assert(got.getDouble(2) == r6(thr))
+          assert(got.getDouble(4) == r6(kept.toDouble / eval_.size.toDouble))
+        }
+      }
+    }
+  }
+
   test("linearFit2: translating y by a constant shifts b0 alone (up to 6-dp rounding)") {
     val base = (0L until 120L).map(i => (i % 13, (7 * i) % 11, (3 * i * i) % 97))
     Seq(5L, 1000L, -40L).foreach { c =>
