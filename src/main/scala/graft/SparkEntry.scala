@@ -2290,6 +2290,25 @@ object SparkEntry {
         }
       graft.operators.Multimodal.audioNearDups(media, maxHamming = 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // ── bottom-k rank-sample quantile sketch: the FIFTH classic
+    // mergeable sketch as a relation (MG/CMS/HLL/Bloom done) — k
+    // smallest md5 tickets through the bounded heap, quantiles off the
+    // sample vs the exact corpus quantiles. Every sampled row is
+    // oracle-checkable, unlike approx_percentile's opaque digest.
+    "q218_rank_sample_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ps = Seq(0.25, 0.5, 0.75)
+      val sk = graft.operators.Profiling.rankSampleSketch(
+        docs, "doc_id", "n_chars", k = 200)
+      val est = graft.operators.Profiling.rankSampleQuantiles(sk, ps)
+      val exact = docs.filter(col("n_chars").isNotNull)
+        .agg(percentile(col("n_chars"), array(ps.map(lit): _*)).as("__q"))
+        .select(posexplode(col("__q")))
+        .select(element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+          round(col("col"), 6).as("exact_q"))
+      est.join(exact, Seq("p")).orderBy("p")
     })
   )
 
@@ -5444,7 +5463,30 @@ object SparkEntry {
       """SELECT doc_id AS doc_a, doc_id + 500000 AS doc_b,
         | CAST(1 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id % 4 = 0
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Rank sample: identical 'rs' ∥ id ticket mod 2^50, bottom-200 by
+    // (ticket, value) — the heap's (−ticket desc, value asc) order
+    // stated as ORDER BY/LIMIT; quantile_cont on the sample and corpus.
+    "q218_rank_sample_quantiles" ->
+      """WITH t AS (
+        | SELECT ('0x' || substr(md5('rs' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |   % 1125899906842624 AS ticket,
+        |  CAST(n_chars AS BIGINT) AS value
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |sk AS (SELECT value FROM t ORDER BY ticket, value LIMIT 200),
+        |est AS (
+        | SELECT CAST(0.25 AS DOUBLE) AS p, round(quantile_cont(value, 0.25), 6) AS est FROM sk
+        | UNION ALL SELECT CAST(0.5 AS DOUBLE), round(quantile_cont(value, 0.5), 6) FROM sk
+        | UNION ALL SELECT CAST(0.75 AS DOUBLE), round(quantile_cont(value, 0.75), 6) FROM sk),
+        |ex AS (
+        | SELECT CAST(0.25 AS DOUBLE) AS p, round(quantile_cont(n_chars, 0.25), 6) AS exact_q
+        | FROM documents WHERE n_chars IS NOT NULL
+        | UNION ALL SELECT CAST(0.5 AS DOUBLE), round(quantile_cont(n_chars, 0.5), 6)
+        | FROM documents WHERE n_chars IS NOT NULL
+        | UNION ALL SELECT CAST(0.75 AS DOUBLE), round(quantile_cont(n_chars, 0.75), 6)
+        | FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT est.p, est.est, ex.exact_q FROM est JOIN ex USING (p) ORDER BY p""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

@@ -376,4 +376,57 @@ object Profiling {
           round(lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs").cast("double")), 4))
           .otherwise(col("est_raw")).as("est"))
   }
+
+  /** Bottom-k rank sample AS A RELATION — the FIFTH classic mergeable
+    * sketch next to Misra–Gries (frequency), count-min (counts), HLL
+    * (distinct), and Bloom (membership): a deterministic uniform row
+    * sample for QUANTILE estimation. Each row draws a 50-bit md5 ticket
+    * from its id; the sketch is the k rows with the SMALLEST tickets,
+    * `(rn, ticket, value)` — membership is a pure function of the row
+    * (retry/partitioning-stable), and the merge is closed-form:
+    * bottom-k of a union IS the bottom-k of the unioned sketches
+    * (re-run [[rankSampleSketch]]'s heap over the concatenation — the
+    * spec pins `sketch(A ∪ B) ≡ merge(sketch(A), sketch(B))`).
+    *
+    * Unlike `approx_percentile`'s opaque engine sketch, every row here
+    * is ORACLE-CHECKABLE: the twin is `ORDER BY ticket, value LIMIT k`.
+    * Standard bottom-k error: quantiles off the k-sample hold
+    * ±O(1/√k) rank error with high probability.
+    *
+    * 100 TB shape: ONE corpus pass through the bounded-heap aggregate
+    * ([[graft.functions.TopKOps]]) — each task keeps k entries, the
+    * exchange carries partitions × k rows, the final merge is a heap
+    * fold. Nothing corpus-sized moves.
+    */
+  def rankSampleSketch(df: DataFrame, idCol: String, valueCol: String,
+                       k: Int, salt: String = "rs"): DataFrame = {
+    require(k >= 8 && k <= 100000, s"k out of [8,100000]: $k")
+    // ticket ∈ [0, 2^50): exactly representable as double, so the heap's
+    // (score desc, id asc) order on −ticket is the exact (ticket asc,
+    // value asc) order the oracle states
+    val ticket = pmod(graft.operators.Sampling.hash60(
+      md5(concat(lit(salt), col(idCol).cast("string")))), lit(1L << 50))
+    df.filter(col(valueCol).isNotNull)
+      .select(ticket.as("__t"), col(valueCol).cast("long").as("__v"))
+      .agg(graft.functions.TopKOps.topK(k, -col("__t").cast("double"), col("__v"))
+        .as("__top"))
+      .select(posexplode(col("__top")))
+      .select((col("pos") + 1).cast("long").as("rn"),
+        (-col("col.score")).cast("long").as("ticket"),
+        col("col.id").as("value"))
+  }
+
+  /** Quantile estimates off a [[rankSampleSketch]] relation: exact
+    * percentile over the ≤k sampled values — one row per requested p,
+    * `(p, est)`. The sketch is the scale device; this is sketch-sized
+    * math.
+    */
+  def rankSampleQuantiles(sketch: DataFrame, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1), s"bad quantiles: $ps")
+    val agg = sketch.agg(
+      percentile(col("value"), array(ps.map(lit): _*)).as("__q"))
+    agg.select(posexplode(col("__q")))
+      .select(element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+        round(col("col"), 6).as("est"))
+  }
 }

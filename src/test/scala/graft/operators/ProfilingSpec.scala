@@ -248,4 +248,44 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profiling.bloomSketch(present, "item", bits = 100, hashes = 3))
   }
+
+  test("rankSampleSketch matches the driver bottom-k reference; merge = re-top-k") {
+    val rows = (0L until 400L).map(i => (i, (i * 37) % 1000))
+    val df = rows.toDF("id", "v")
+    val got = Profiling.rankSampleSketch(df, "id", "v", k = 50)
+      .orderBy("rn").as[(Long, Long, Long)].collect().toSeq
+    // reference: same md5 ticket, bottom-50 by (ticket, value)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ticket(id: Long): Long = {
+      val hex = md.digest(s"rs$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % (1L << 50)
+    }
+    val exp = rows.map { case (id, v) => (ticket(id), v) }
+      .sorted.take(50).zipWithIndex
+      .map { case ((t, v), i) => ((i + 1).toLong, t, v) }
+    assert(got == exp)
+    // partitioning-independent
+    assert(Profiling.rankSampleSketch(df.repartition(7), "id", "v", 50)
+      .orderBy("rn").as[(Long, Long, Long)].collect().toSeq == exp)
+    // MERGEABLE: bottom-k of the union == re-top-k over the two shards'
+    // sketches (the sketch rows carry everything the merge needs)
+    val a = Profiling.rankSampleSketch(df.filter($"id" < 200), "id", "v", 50)
+    val b = Profiling.rankSampleSketch(df.filter($"id" >= 200), "id", "v", 50)
+    val mergedRows = a.unionByName(b)
+      .orderBy($"ticket", $"value").limit(50)
+      .select($"ticket", $"value").as[(Long, Long)].collect().toSeq
+    assert(mergedRows == exp.map(e => (e._2, e._3)))
+    // quantile estimates off the sample track the exact corpus quantiles
+    val est = Profiling.rankSampleQuantiles(
+      Profiling.rankSampleSketch(df, "id", "v", 200), Seq(0.5))
+      .as[(Double, Double)].head()
+    val exact = df.agg(
+      org.apache.spark.sql.functions.expr("percentile(v, 0.5)")).as[Double].head()
+    assert(math.abs(est._2 - exact) < 150, s"median est ${est._2} vs $exact")
+    intercept[IllegalArgumentException](
+      Profiling.rankSampleSketch(df, "id", "v", k = 4))
+    intercept[IllegalArgumentException](
+      Profiling.rankSampleQuantiles(a, Seq(1.5)))
+  }
 }
