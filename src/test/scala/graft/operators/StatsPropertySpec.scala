@@ -123,6 +123,40 @@ class StatsPropertySpec extends SparkSpec {
     }
   }
 
+  test("cardinalityPerWindow per window equals the hllSketch→hllEstimate pair on that window's items") {
+    val dayGen: Gen[List[(Int, Long)]] = for {
+      n <- Gen.choose(5, 80)
+      rows <- Gen.listOfN(n, for {
+        day <- Gen.choose(1, 3)
+        user <- Gen.choose(0L, 300L)
+      } yield (day, user))
+    } yield rows
+    (0 until 8).flatMap(i => dayGen(Gen.Parameters.default, Seed(500L + i)))
+      .foreach { rows =>
+        val ev = rows.map { case (d, u) =>
+          (java.sql.Timestamp.valueOf(f"2024-01-0$d%d 06:00:00"), u)
+        }.toDF("ts", "user_id")
+        val got = graft.streaming.EventStreams
+          .cardinalityPerWindow(ev, "user_id", "1 day", m = 64)
+          .select(org.apache.spark.sql.functions.date_format(
+            org.apache.spark.sql.functions.col("ws"), "yyyy-MM-dd").as("d"),
+            org.apache.spark.sql.functions.col("n_zero_regs"),
+            org.apache.spark.sql.functions.col("est_raw"),
+            org.apache.spark.sql.functions.col("est"))
+          .as[(String, Long, Double, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        rows.groupBy(_._1).foreach { case (day, dayRows) =>
+          val items = dayRows.map(_._2).toDF("user_id")
+          val ref = Profiling.hllEstimate(
+            Profiling.hllSketch(items, "user_id", m = 64), m = 64)
+            .select("n_zero_regs", "est_raw", "est")
+            .as[(Long, Double, Double)].head()
+          assert(got(f"2024-01-0$day%d") == ref,
+            s"window $day diverged from the batch sketch pair")
+        }
+      }
+  }
+
   test("linearFit2: translating y by a constant shifts b0 alone (up to 6-dp rounding)") {
     val base = (0L until 120L).map(i => (i % 13, (7 * i) % 11, (3 * i * i) % 97))
     Seq(5L, 1000L, -40L).foreach { c =>
