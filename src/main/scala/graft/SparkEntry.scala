@@ -1632,11 +1632,15 @@ object SparkEntry {
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .flatMap { id =>
           val p0 = graft.operators.Multimodal.mix64(id)
-          // exclude the two degenerate patterns (all-dark / all-bright)
-          // whose flipped copy would not land at Hamming 1; mix64 is a
-          // bijection so no in-range id maps there, but the gate makes
-          // the fixture total rather than probabilistic
-          val pattern = if (p0 == 0L || p0 == -1L) 1L else p0
+          // exclude the degenerate patterns whose base or flipped copy
+          // would not land at Hamming 1: all-dark (hash collides with
+          // all-bright) and popcount >= 63 (a flip on the single dark
+          // block yields an all-bright copy at Hamming 63, not 1 — the
+          // q217 audio gate's rule). mix64 is a bijection so no in-range
+          // id realistically maps there, but the popcount gate makes the
+          // fixture TOTAL rather than probabilistic
+          val pattern =
+            if (p0 == 0L || java.lang.Long.bitCount(p0) >= 63) 1L else p0
           val base = graft.operators.Multimodal.MediaRow(id, "image",
             graft.operators.Multimodal.syntheticBlockImage(pattern))
           if (id % 4 == 0)
@@ -1658,7 +1662,9 @@ object SparkEntry {
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .flatMap { id =>
           val p0 = graft.operators.Multimodal.mix64(id)
-          val pattern = if (p0 == 0L || p0 == -1L) 1L else p0
+          // same total popcount gate as q157 (see comment there)
+          val pattern =
+            if (p0 == 0L || java.lang.Long.bitCount(p0) >= 63) 1L else p0
           val base = graft.operators.Multimodal.MediaRow(id, "image",
             graft.operators.Multimodal.syntheticBlockImage(pattern))
           if (id % 3 == 0)
@@ -3431,8 +3437,8 @@ object SparkEntry {
         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
         |t AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 200),
         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM t)
-        |SELECT round(regr_slope(ln(cnt), ln(rank)), 6) AS slope,
-        | round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
+        |SELECT round(regr_slope(ln(cnt), ln(rank)), 6) + 0.0 AS slope,
+        | round(regr_intercept(ln(cnt), ln(rank)), 6) + 0.0 AS intercept,
         | round(regr_r2(ln(cnt), ln(rank)), 6) AS r2,
         | count(*) AS n_points FROM r""".stripMargin,
     "q111_collocations" ->
@@ -3444,19 +3450,19 @@ object SparkEntry {
         |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
         |bc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2 HAVING count(*) >= 20)
         |SELECT bc.a || ' ' || bc.b AS bigram, bc.n_ab, ca.c AS n_a, cb.c AS n_b,
-        | round(ln(CAST(bc.n_ab * tot.n AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi
+        | round(ln(CAST(bc.n_ab * tot.n AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)), 6) + 0.0 AS pmi
         |FROM bc JOIN uc ca ON ca.w = bc.a JOIN uc cb ON cb.w = bc.b, tot
         |ORDER BY pmi DESC, bigram LIMIT 40""".stripMargin,
     "q112_label_centroids" ->
       """SELECT label, CAST(j - 1 AS BIGINT) AS dim,
-        | round(avg(CAST(embedding[j] AS DOUBLE)), 6) AS centroid,
+        | round(avg(CAST(embedding[j] AS DOUBLE)), 6) + 0.0 AS centroid,
         | count(*) AS n_vecs
         |FROM embeddings, (SELECT unnest(range(1, 65)) AS j) g
         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "q113_label_medoids" ->
       """WITH cen AS (
         | SELECT label, CAST(j - 1 AS BIGINT) AS dim,
-        |  round(avg(CAST(embedding[j] AS DOUBLE)), 6) AS centroid
+        |  round(avg(CAST(embedding[j] AS DOUBLE)), 6) + 0.0 AS centroid
         | FROM embeddings, (SELECT unnest(range(1, 65)) AS j) g GROUP BY 1, 2),
         |ex AS (
         | SELECT label, vec_id, CAST(j - 1 AS BIGINT) AS dim,
@@ -3465,7 +3471,7 @@ object SparkEntry {
         |sims AS (
         | SELECT e.label, e.vec_id,
         |  round(sum(e.v * c.centroid)
-        |        / (sqrt(sum(e.v * e.v)) * sqrt(sum(c.centroid * c.centroid))), 6) AS sim
+        |        / (sqrt(sum(e.v * e.v)) * sqrt(sum(c.centroid * c.centroid))), 6) + 0.0 AS sim
         | FROM ex e JOIN cen c ON c.label = e.label AND c.dim = e.dim
         | GROUP BY 1, 2),
         |best AS (SELECT label, max(sim) AS sim FROM sims GROUP BY 1)
@@ -3775,7 +3781,7 @@ object SparkEntry {
         |  FROM s WHERE k = 7)
         |SELECT event_type, day, n,
         | CASE WHEN std > 0
-        |      THEN round((CAST(n AS DOUBLE) - mean) / std, 6) END AS zscore,
+        |      THEN round((CAST(n AS DOUBLE) - mean) / std, 6) + 0.0 END AS zscore,
         | CAST(((std > 0 AND round((CAST(n AS DOUBLE) - mean) / std, 6) > 2.0)
         |    OR (std = 0 AND CAST(n AS DOUBLE) > mean)) AS INT) AS is_spike
         |FROM f ORDER BY event_type, day""".stripMargin,
@@ -3798,7 +3804,7 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy
         |  FROM m)
         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
-        | CASE WHEN dxx > 0 THEN round(dxy / dxx, 6) END AS slope,
+        | CASE WHEN dxx > 0 THEN round(dxy / dxx, 6) + 0.0 END AS slope,
         | CASE WHEN dxx > 0 AND dyy > 0 THEN round(dxy * dxy / (dxx * dyy), 6) END AS r2
         |FROM mm ORDER BY event_type""".stripMargin,
 
@@ -3855,7 +3861,7 @@ object SparkEntry {
         |  FROM embeddings),
         |av AS (SELECT label, CAST(sum(n2) AS DOUBLE) / count(*) AS avg2
         |       FROM nr GROUP BY 1)
-        |SELECT av.label, cn.n_vecs, round(av.avg2 - cn.c2, 6) AS dispersion
+        |SELECT av.label, cn.n_vecs, round(av.avg2 - cn.c2, 6) + 0.0 AS dispersion
         |FROM av JOIN cn USING (label)
         |ORDER BY label""".stripMargin,
 
@@ -4001,7 +4007,7 @@ object SparkEntry {
         |SELECT doc_id, n_words, n_sentences, n_syllables,
         | round(206.835::DOUBLE
         |   - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
-        |   - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 6) AS flesch
+        |   - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 6) + 0.0 AS flesch
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // Identical χ² arithmetic: every factor cast to double first, one
@@ -4046,9 +4052,9 @@ object SparkEntry {
         |  FROM m)
         |SELECT source, n,
         | CASE WHEN n >= 2 AND dxx > 0 AND dyy > 0
-        |  THEN round(dxy / (sqrt(dxx) * sqrt(dyy)), 6) END AS r,
+        |  THEN round(dxy / (sqrt(dxx) * sqrt(dyy)), 6) + 0.0 END AS r,
         | CASE WHEN n >= 2
-        |  THEN round(dxy / (n::DOUBLE * (n::DOUBLE - 1.0)), 6) END AS cov
+        |  THEN round(dxy / (n::DOUBLE * (n::DOUBLE - 1.0)), 6) + 0.0 END AS cov
         |FROM e ORDER BY source""".stripMargin,
 
     // Identical confusion-matrix κ: q18's prediction CASE chain, exact
@@ -4083,7 +4089,7 @@ object SparkEntry {
         | CASE WHEN coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE) < 1.0
         |  THEN round((n_agree::DOUBLE / n::DOUBLE
         |    - coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE))
-        |   / (1.0 - coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE)), 6)
+        |   / (1.0 - coalesce(sp::DOUBLE, 0.0) / (n::DOUBLE * n::DOUBLE)), 6) + 0.0
         |  END AS kappa
         |FROM t, c ORDER BY n""".stripMargin,
 
@@ -4293,7 +4299,10 @@ object SparkEntry {
 
     // Same raw-moment formulation, same DECIMAL(38,12) order-independent
     // sums, same one-shot double arithmetic — DuckDB's 1-based list
-    // indexing offset by the range() zero base.
+    // indexing offset by the range() zero base. The trailing `+ 0.0`
+    // matches the Spark arm's zround: DuckDB's round keeps IEEE -0.0 for
+    // tiny-negative cells, Spark's BigDecimal round has no signed zero —
+    // both arms canonicalize to +0.0 (the round-10 q162 hash defect).
     "q162_embedding_cov" ->
       """SELECT r1.i AS i, r2.j AS j,
         | round((CAST(sum(CAST(CAST(embedding[CAST(r1.i AS INT) + 1] AS DOUBLE)
@@ -4304,7 +4313,7 @@ object SparkEntry {
         |          * CAST(sum(CAST(CAST(embedding[CAST(r2.j AS INT) + 1] AS DOUBLE)
         |                          AS DECIMAL(38,12))) AS DOUBLE)
         |          / count(*)) / count(*),
-        |       6) AS cov
+        |       6) + 0.0 AS cov
         |FROM embeddings, range(64) r1(i), range(64) r2(j)
         |GROUP BY r1.i, r2.j
         |ORDER BY i, j""".stripMargin,
@@ -4447,9 +4456,10 @@ object SparkEntry {
     // The same RANGE-frame running counts; the maximized quantity is the
     // integer |ct*n_rest - (ca-ct)*n_target|, divided once at the end.
     "q173_ks_drift" ->
-      """WITH g AS (SELECT DISTINCT lang AS grp FROM documents),
-        |n AS (SELECT lang, count(*) AS nt FROM documents GROUP BY 1),
-        |tot AS (SELECT count(*) AS nn FROM documents),
+      """WITH dd AS (SELECT lang, n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |g AS (SELECT DISTINCT lang AS grp FROM dd),
+        |n AS (SELECT lang, count(*) AS nt FROM dd GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn FROM dd),
         |c AS (
         | SELECT g.grp,
         |  sum(CASE WHEN d.lang = g.grp THEN 1 ELSE 0 END)
@@ -4458,7 +4468,7 @@ object SparkEntry {
         |  count(*)
         |    OVER (PARTITION BY g.grp ORDER BY d.n_chars
         |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
-        | FROM documents d CROSS JOIN g)
+        | FROM dd d CROSS JOIN g)
         |SELECT c.grp AS lang,
         | CAST(n.nt AS BIGINT) AS n_target,
         | CAST(tot.nn - n.nt AS BIGINT) AS n_rest,
@@ -4511,17 +4521,18 @@ object SparkEntry {
     // doubled midrank 2*cum_below + cnt + 1 stays integer; U2 and the
     // terminal division restated verbatim.
     "q176_rank_biserial" ->
-      """WITH pv AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1),
+      """WITH dd AS (SELECT lang, n_chars FROM documents WHERE n_chars IS NOT NULL),
+        |pv AS (SELECT n_chars AS v, count(*) AS cnt FROM dd GROUP BY 1),
         |rk AS (SELECT v,
         |  2 * coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    + cnt + 1 AS dblmid
         | FROM pv),
-        |tot AS (SELECT count(*) AS nn FROM documents)
+        |tot AS (SELECT count(*) AS nn FROM dd)
         |SELECT d.lang, count(*) AS n_target,
         | CAST(tot.nn - count(*) AS BIGINT) AS n_rest,
         | CAST(sum(r.dblmid) - count(*) * (count(*) + 1) AS DOUBLE)
         |   / CAST(count(*) * (tot.nn - count(*)) AS DOUBLE) - 1.0 AS rank_biserial
-        |FROM documents d JOIN rk r ON r.v = d.n_chars CROSS JOIN tot
+        |FROM dd d JOIN rk r ON r.v = d.n_chars CROSS JOIN tot
         |GROUP BY d.lang, tot.nn ORDER BY lang""".stripMargin,
 
     // Identical digit extraction (floor → BIGINT → string → first char)
@@ -4534,7 +4545,7 @@ object SparkEntry {
         |SELECT digit, count(*) AS n,
         | CAST(count(*) AS DOUBLE) / tot.nn AS share,
         | round(log10(1.0 + 1.0 / digit), 6) AS expected,
-        | round(CAST(count(*) AS DOUBLE) / tot.nn - round(log10(1.0 + 1.0 / digit), 6), 6) AS deviation
+        | round(CAST(count(*) AS DOUBLE) / tot.nn - round(log10(1.0 + 1.0 / digit), 6), 6) + 0.0 AS deviation
         |FROM pos CROSS JOIN tot
         |GROUP BY digit, tot.nn ORDER BY digit""".stripMargin,
 
@@ -4637,7 +4648,7 @@ object SparkEntry {
         |  vt / ntd AS st, vr / nrd AS sr FROM v)
         |SELECT lang, CAST(nt AS BIGINT) AS n_target, CAST(nr AS BIGINT) AS n_rest,
         | CASE WHEN nt >= 2 AND nr >= 2 AND st + sr > 0
-        |      THEN round((mt - mr) / sqrt(st + sr), 6) END AS t_stat,
+        |      THEN round((mt - mr) / sqrt(st + sr), 6) + 0.0 END AS t_stat,
         | CASE WHEN nt >= 2 AND nr >= 2 AND st + sr > 0
         |      THEN round((st + sr) * (st + sr)
         |           / (st * st / (ntd - 1.0) + sr * sr / (nrd - 1.0)), 6) END AS deg_f
@@ -4669,12 +4680,12 @@ object SparkEntry {
         |  count(DISTINCT a) AS r_levels, count(DISTINCT b) AS c_levels,
         |  sum(chit) AS chi, sum(mit) AS mi FROM terms)
         |SELECT n, r_levels, c_levels,
-        | round(CAST(chi AS DOUBLE) + CAST(n AS DOUBLE), 6) AS chi2,
+        | round(CAST(chi AS DOUBLE) + CAST(n AS DOUBLE), 6) + 0.0 AS chi2,
         | CASE WHEN least(r_levels, c_levels) >= 2
         |      THEN round(sqrt((CAST(chi AS DOUBLE) + CAST(n AS DOUBLE))
         |           / (CAST(n AS DOUBLE) * CAST(least(r_levels, c_levels) - 1 AS DOUBLE))), 6)
         | END AS cramers_v,
-        | round(CAST(mi AS DOUBLE), 6) AS mi_nats
+        | round(CAST(mi AS DOUBLE), 6) + 0.0 AS mi_nats
         |FROM agg""".stripMargin,
 
     // The identical Lloyd chain unrolled as CTEs: 9-dp component entry,
@@ -4946,7 +4957,7 @@ object SparkEntry {
           |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
           | CASE WHEN n * sx2 - sx * sx > 0
           |  THEN round(CAST(n * sxy - sx * sx AS DOUBLE)
-          |             / CAST(n * sx2 - sx * sx AS DOUBLE), 6)
+          |             / CAST(n * sx2 - sx * sx AS DOUBLE), 6) + 0.0
           | END AS assortativity
           |FROM m""".stripMargin),
 
@@ -4994,7 +5005,7 @@ object SparkEntry {
       val projs = (0 until 8).map { p =>
         s"""round(list_reduce(list_transform(range(1, 65),
            | j -> CAST(embedding[j] AS DOUBLE) * CAST(${planeWeightSql(p)} AS DOUBLE)),
-           | (a, b) -> a + b), 6) AS proj_$p""".stripMargin
+           | (a, b) -> a + b), 6) + 0.0 AS proj_$p""".stripMargin
       }
       s"SELECT vec_id,\n${projs.mkString(",\n")}\nFROM embeddings ORDER BY vec_id"
     },
@@ -5016,7 +5027,7 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
         |       / CAST(count(*) AS DOUBLE)
         |     - CAST(sum(CAST(round(score, 9) AS DECIMAL(28,12))) AS DOUBLE)
-        |       / CAST(count(*) AS DOUBLE), 6) AS gap
+        |       / CAST(count(*) AS DOUBLE), 6) + 0.0 AS gap
         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // CUSUM: zero-filled grid, integer-scaled deviation
@@ -5213,10 +5224,10 @@ object SparkEntry {
          |e AS (SELECT *, syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse,
          |             syy - sy * sy / n AS sst FROM bs)
          |SELECT CAST(nn AS BIGINT) AS n,
-         | CASE WHEN nn > 0 AND det <> 0 THEN round(b0, 6) END AS b0,
-         | CASE WHEN nn > 0 AND det <> 0 THEN round(b1, 6) END AS b1,
-         | CASE WHEN nn > 0 AND det <> 0 THEN round(b2, 6) END AS b2,
-         | CASE WHEN nn > 0 AND det <> 0 AND sst <> 0 THEN round(1.0 - sse / sst, 6) END AS r2,
+         | CASE WHEN nn > 0 AND det <> 0 THEN round(b0, 6) + 0.0 END AS b0,
+         | CASE WHEN nn > 0 AND det <> 0 THEN round(b1, 6) + 0.0 END AS b1,
+         | CASE WHEN nn > 0 AND det <> 0 THEN round(b2, 6) + 0.0 END AS b2,
+         | CASE WHEN nn > 0 AND det <> 0 AND sst <> 0 THEN round(1.0 - sse / sst, 6) + 0.0 END AS r2,
          | CASE WHEN nn > 0 AND det <> 0 THEN round(sqrt(greatest(sse, 0.0) / n), 6) END AS rmse
          |FROM e""".stripMargin
     },
@@ -5286,10 +5297,10 @@ object SparkEntry {
         |    * ln(CAST(ry AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,12))) AS h
         | FROM (SELECT DISTINCT by, ry, nn FROM m))
         |SELECT CAST(joint.n AS BIGINT) AS n, joint.x_cells, joint.y_cells,
-        | round(CAST(joint.mi AS DOUBLE), 6) AS mi_nats,
+        | round(CAST(joint.mi AS DOUBLE), 6) + 0.0 AS mi_nats,
         | round(CAST(hx.h AS DOUBLE), 6) AS h_x, round(CAST(hy.h AS DOUBLE), 6) AS h_y,
         | CASE WHEN CAST(hx.h AS DOUBLE) > 0 AND CAST(hy.h AS DOUBLE) > 0
-        |  THEN round(CAST(joint.mi AS DOUBLE) / sqrt(CAST(hx.h AS DOUBLE) * CAST(hy.h AS DOUBLE)), 6) END AS nmi
+        |  THEN round(CAST(joint.mi AS DOUBLE) / sqrt(CAST(hx.h AS DOUBLE) * CAST(hy.h AS DOUBLE)), 6) + 0.0 END AS nmi
         |FROM joint CROSS JOIN hx CROSS JOIN hy""".stripMargin,
 
     // Hard negatives: the q26 exact-cosine chain with the dot/norm
@@ -5310,7 +5321,7 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, cos,
         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
         |      FROM b)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rn
+        |SELECT query_id, neighbor_id, round(cos, 6) + 0.0 AS cos, rn
         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "q212_bpe_encode" -> bpeEncodeOracleSql(merges = 3),
@@ -5412,7 +5423,7 @@ object SparkEntry {
         |SELECT CAST(cal.n_calib AS BIGINT) AS n_calib, CAST(cal.n_eval AS BIGINT) AS n_eval,
         | round(cal.thr, 6) AS threshold, round(1.0 - 0.8, 6) AS target_keep_frac,
         | round(CAST(k.kept AS DOUBLE) / CAST(cal.n_eval AS DOUBLE), 6) AS eval_keep_frac,
-        | round(CAST(k.kept AS DOUBLE) / CAST(cal.n_eval AS DOUBLE) - (1.0 - 0.8), 6) AS gap
+        | round(CAST(k.kept AS DOUBLE) / CAST(cal.n_eval AS DOUBLE) - (1.0 - 0.8), 6) + 0.0 AS gap
         |FROM cal CROSS JOIN k""".stripMargin,
 
     // Streaming-DAU batch twin: the q202 HLL chain PER day window
@@ -5624,12 +5635,20 @@ object SparkEntry {
          |  SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
          |  FROM d$i$sfx)
          | WHERE rn = 1)""".stripMargin
+    // an emptied cluster keeps its previous centroid (the Scala
+    // kmeansLloyd rule): the fresh member means left-join onto the prior
+    // centroid grid and coalesce, so a cluster that empties at any
+    // iteration stays in all later assignment rounds instead of silently
+    // vanishing from the CTE chain
     def update(i: Int): String =
-      s"""c$i$sfx AS (
+      s"""u$i$sfx AS (
          | SELECT a.cluster AS cl, v.pos,
          |  round(CAST(sum(CAST(v.vd AS DECIMAL(28,12))) AS DOUBLE)
          |        / CAST(count(*) AS DOUBLE), 9) AS cv
-         | FROM a$i$sfx a JOIN v$sfx v ON v.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+         | FROM a$i$sfx a JOIN v$sfx v ON v.vec_id = a.vec_id GROUP BY 1, 2),
+         |c$i$sfx AS (
+         | SELECT p.cl, p.pos, coalesce(u.cv, p.cv) AS cv
+         | FROM c${i - 1}$sfx p LEFT JOIN u$i$sfx u ON u.cl = p.cl AND u.pos = p.pos)""".stripMargin
     val steps = (1 to iters).map(i => assign(i, s"c${i - 1}$sfx") + ",\n" + update(i))
     val finalAssign = assign(iters + 1, s"c$iters$sfx")
     s"""v$sfx AS (

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Rounding.zround
+
 /** The declared analytic surface (reference TODO.md:6-28; SURVEY.md §2.5):
   * per-key summaries, lookback columns, per-date cardinality growth. All
   * groupBy/window primitives — partial aggregation, hash-vs-sort agg and
@@ -158,7 +160,7 @@ object Summaries {
     val std = sqrt(variance)
     withStats
       .withColumn("zscore",
-        when(std > 0, round((col("n").cast("double") - mean) / std, 6)))
+        when(std > 0, zround((col("n").cast("double") - mean) / std, 6)))
       .withColumn("is_spike",
         ((std > 0 && col("zscore") > z) ||
           (std === 0 && col("n").cast("double") > mean)).cast("int"))
@@ -201,7 +203,7 @@ object Summaries {
     val dxy = n * col("__sxy").cast("double") - col("__sx").cast("double") * col("__sy").cast("double")
     m.select(col(groupCol),
       col("__n").as("n_days"),
-      when(dxx > 0, round(dxy / dxx, 6)).as("slope"),
+      when(dxx > 0, zround(dxy / dxx, 6)).as("slope"),
       when(dxx > 0 && dyy > 0, round(dxy * dxy / (dxx * dyy), 6)).as("r2"))
   }
 
@@ -237,9 +239,9 @@ object Summaries {
     val dxy = n * col("__sxy").cast("double") - col("__sx").cast("double") * col("__sy").cast("double")
     m.select(col(groupCol), col("n"),
       when(col("n") >= 2 && dxx > 0 && dyy > 0,
-        round(dxy / (sqrt(dxx) * sqrt(dyy)), 6)).as("r"),
+        zround(dxy / (sqrt(dxx) * sqrt(dyy)), 6)).as("r"),
       when(col("n") >= 2,
-        round(dxy / (n * (n - lit(1.0))), 6)).as("cov"))
+        zround(dxy / (n * (n - lit(1.0))), 6)).as("cov"))
   }
 
   /** Per-group trimmed statistics: drop values outside the group's
@@ -266,6 +268,7 @@ object Summaries {
                    lo: Double = 0.05, hi: Double = 0.95,
                    exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(lo >= 0 && lo < hi && hi <= 1, s"quantile bounds bad: [$lo, $hi]")
+    logExactArm(df, exact, "trimmedStats")
     val thresholds = df.groupBy(col(groupCol)).agg(
       pctExpr(valueCol, lo.toString, exact, accuracy).as("__lo"),
       pctExpr(valueCol, hi.toString, exact, accuracy).as("__hi"))
@@ -317,7 +320,7 @@ object Summaries {
       .select(col("n"), col("n_agree"),
         round(po, 6).as("po"),
         round(pe, 6).as("pe"),
-        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+        when(pe < 1.0, zround((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
   /** Per-key sequence anomaly under the corpus's own first-order Markov
@@ -559,6 +562,7 @@ object Summaries {
                                exact: Boolean = true,
                                accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    logExactArm(df, exact, "quantileTransformByGroup")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
     val bounds = df.groupBy(col(groupCol)).agg(
       pctExpr(valueCol, s"array(${ps.mkString(", ")})", exact, accuracy)
@@ -695,6 +699,35 @@ object Summaries {
     else None
   }
 
+  /** Call-time wiring of [[exactPercentileBufferWarning]] for the
+    * percentile-BUFFERING exact arms ([[trimmedStats]],
+    * [[quantileTransformByGroup]], [[madOutliers]] — the sort-assisted
+    * exact arms buffer nothing and stay silent), invoked the way
+    * [[graft.operators.Sampling.assignShards]] invokes its sizing rule.
+    * Row count comes from the optimized plan's statistics: exact when
+    * the source states one (parquet footers, `range`), else a
+    * deliberately PESSIMISTIC 8 B/row floor over `sizeInBytes` — the
+    * exact arm is the dangerous one, so estimation error leans toward
+    * warning. The stratum count is unknowable before execution, so the
+    * rule evaluates the worst case (everything in one stratum) and the
+    * message says so. Returned (not just logged) so the spec pins the
+    * wiring without scraping logs.
+    */
+  private[graft] def exactArmWarning(df: DataFrame, exact: Boolean,
+                                     op: String): Option[String] =
+    if (!exact) None
+    else {
+      val stats = df.queryExecution.optimizedPlan.stats
+      val rows = stats.rowCount.map(_.toLong)
+        .getOrElse(stats.sizeInBytes.toLong / 8L)
+      exactPercentileBufferWarning(1L, math.max(rows, 1L))
+        .map(w => s"$op: worst-case single-stratum sizing estimate — $w")
+    }
+
+  private def logExactArm(df: DataFrame, exact: Boolean, op: String): Unit =
+    exactArmWarning(df, exact, op)
+      .foreach(org.slf4j.LoggerFactory.getLogger(Summaries.getClass).warn(_))
+
   /** Robust per-group outlier report: rows whose |value − median| exceeds
     * `z` × 1.4826 × MAD (median absolute deviation; 1.4826 rescales MAD
     * to σ under normality). Median/MAD survive the heavy tails and data
@@ -720,6 +753,7 @@ object Summaries {
                   z: Double = 3.0,
                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     require(z > 0, s"z must be positive: $z")
+    logExactArm(df, exact, "madOutliers")
     val med = df.groupBy(col(groupCol))
       .agg(pctExpr(valueCol, "0.5", exact, accuracy).as("__med"))
     val dev = df.join(broadcast(med), groupCol)
@@ -884,7 +918,11 @@ object Summaries {
     * No global row window, no corpus replication.
     */
   def rankBiserial(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
-    val perValue = df.groupBy(col(valueCol).as("__v"))
+    // NULL metric values carry no rank information and must not inflate
+    // n_rest / shift midranks — and their window placement is
+    // engine-divergent (Spark ORDER BY sorts NULLS FIRST, DuckDB LAST)
+    val nn = df.filter(col(valueCol).isNotNull)
+    val perValue = nn.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
     val wv = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -895,7 +933,7 @@ object Summaries {
     // combined-sample size derives from the value table — no second
     // corpus scan
     val total = perValue.agg(sum(col("__cnt")).as("__nn"))
-    df.select(col(groupCol), col(valueCol).as("__v"))
+    nn.select(col(groupCol), col(valueCol).as("__v"))
       .join(broadcast(ranks), "__v")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_target"),
@@ -938,8 +976,11 @@ object Summaries {
     * driver-side loop.
     */
   def ksDrift(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
-    // the only corpus-sized pass
-    val vg = df.groupBy(col(valueCol).as("__v"), col(groupCol).as("__g"))
+    // the only corpus-sized pass; NULL metric values are excluded
+    // symmetrically with [[rankBiserial]] (they carry no CDF step and
+    // their window placement is engine-divergent)
+    val vg = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"), col(groupCol).as("__g"))
       .agg(count(lit(1)).as("__c"))
     val perValue = vg.groupBy("__v").agg(sum(col("__c")).as("__cv"))
     val groups = vg.groupBy("__g").agg(sum(col("__c")).as("__nt"))
@@ -993,6 +1034,14 @@ object Summaries {
     * the only window runs over the groups table, no second scan, no
     * driver loop. Σx² stays exact in DECIMAL(38,0) (good to
     * |x| ≈ 3·10⁹ at 10⁹ rows per group).
+    *
+    * INPUT CONTRACT — integral values only (the [[giniByGroup]] /
+    * [[ksDrift]] rule): `valueCol` is cast to long BEFORE the moment
+    * sums, truncating fractional values toward zero — a double score
+    * column would yield a plausible but WRONG t-statistic. Quantize a
+    * continuous column to an integer grid first (e.g. `round(score ·
+    * 10⁶)`), exactly as [[Regression.linearFit2]] requires of its
+    * regressors.
     */
   def welchTTest(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val xs = df.select(col(groupCol), col(valueCol).cast("long").as("__x"))
@@ -1022,7 +1071,7 @@ object Summaries {
       .withColumn("__rsxx", col("__tsxx") - col("__sxx"))
       .withColumn("t_stat",
         when(col("n_target") >= 2 && col("n_rest") >= 2 && se2 > 0,
-          round((mT - mR) / sqrt(se2), 6)))
+          zround((mT - mR) / sqrt(se2), 6)))
       .withColumn("deg_f",
         when(col("n_target") >= 2 && col("n_rest") >= 2 && se2 > 0,
           round(se2 * se2
@@ -1081,13 +1130,13 @@ object Summaries {
       sum(round(miTerm, 9).cast("decimal(28,12)")).as("__mi"))
     val chi2u = col("__chi").cast("double") + col("n").cast("double")
     agg.select(col("n"), col("r_levels"), col("c_levels"),
-      round(chi2u, 6).as("chi2"),
+      zround(chi2u, 6).as("chi2"),
       when(least(col("r_levels"), col("c_levels")) >= 2,
         round(sqrt(chi2u
           / (col("n").cast("double")
             * (least(col("r_levels"), col("c_levels")) - lit(1)).cast("double"))), 6))
         .as("cramers_v"),
-      round(col("__mi").cast("double"), 6).as("mi_nats"))
+      zround(col("__mi").cast("double"), 6).as("mi_nats"))
   }
 
   /** Mutual information between two CONTINUOUS columns via equal-width
@@ -1150,9 +1199,9 @@ object Summaries {
     val hyD = col("__hy").cast("double")
     joint.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
       .select(col("n"), col("x_cells"), col("y_cells"),
-        round(miD, 6).as("mi_nats"),
+        zround(miD, 6).as("mi_nats"),
         round(hxD, 6).as("h_x"), round(hyD, 6).as("h_y"),
-        when(hxD > 0 && hyD > 0, round(miD / sqrt(hxD * hyD), 6)).as("nmi"))
+        when(hxD > 0 && hyD > 0, zround(miD / sqrt(hxD * hyD), 6)).as("nmi"))
   }
 
   /** Kaplan–Meier survival curve over per-entity activity lifetimes —
@@ -1242,7 +1291,7 @@ object Summaries {
           .as("mean_score"),
         round(col("__pos").cast("double") / col("n").cast("double"), 6)
           .as("frac_positive"),
-        round(col("__pos").cast("double") / col("n").cast("double")
+        zround(col("__pos").cast("double") / col("n").cast("double")
           - col("__ss").cast("double") / col("n").cast("double"), 6).as("gap"))
   }
 

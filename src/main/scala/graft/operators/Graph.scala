@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.zround
 import org.apache.spark.storage.StorageLevel
 
 /** Link-graph analytics over document/reference graphs (citation ranking
@@ -476,7 +478,7 @@ object Graph {
       // sqrt((n·sx2−sx²)(n·sy2−sy²)) denominator to n·sx2 − sx²
       .select(col("n_edges"),
         when(col("__n") * col("__sx2") - col("__sx") * col("__sx") > 0,
-          round(((col("__n") * col("__sxy") - col("__sx") * col("__sx")).cast("double"))
+          zround(((col("__n") * col("__sxy") - col("__sx") * col("__sx")).cast("double"))
             / ((col("__n") * col("__sx2") - col("__sx") * col("__sx")).cast("double")),
             6))
           .as("assortativity"))

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.Rounding.zround
+
 /** Column-level data profiling — the "describe my table" pass every
   * ingestion pipeline runs before trusting a new feed (reference scope:
   * the engine side of TODO.md's data-quality ambitions; no direct
@@ -92,7 +94,7 @@ object Profiling {
       .crossJoin(broadcast(total))
       .withColumn("share", col("n").cast("double") / col("__nn").cast("double"))
       .withColumn("expected", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
-      .withColumn("deviation", round(col("share") - col("expected"), 6))
+      .withColumn("deviation", zround(col("share") - col("expected"), 6))
       .select("digit", "n", "share", "expected", "deviation")
   }
 

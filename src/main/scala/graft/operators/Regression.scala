@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding.zround
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Closed-form ordinary least squares over integral feature columns —
@@ -85,10 +87,10 @@ object Regression {
     val ok = col("__n") > 0 && det =!= lit(0.0)
     m.select(
       col("__n").as("n"),
-      when(ok, round(b0, 6)).as("b0"),
-      when(ok, round(b1, 6)).as("b1"),
-      when(ok, round(b2, 6)).as("b2"),
-      when(ok && sst =!= lit(0.0), round(lit(1.0) - sse / sst, 6)).as("r2"),
+      when(ok, zround(b0, 6)).as("b0"),
+      when(ok, zround(b1, 6)).as("b1"),
+      when(ok, zround(b2, 6)).as("b2"),
+      when(ok && sst =!= lit(0.0), zround(lit(1.0) - sse / sst, 6)).as("r2"),
       when(ok, round(sqrt(greatest(sse, lit(0.0)) / n), 6)).as("rmse"))
   }
 }

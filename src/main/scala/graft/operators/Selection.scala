@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Rounding.zround
+
 /** Training-data selection under token budgets: keep documents in greedy
   * quality order (score desc, id asc as the deterministic tiebreak) while
   * the RUNNING cost total stays within budget — the data-mixing primitive
@@ -252,7 +254,9 @@ object Selection {
     *
     * Output: ONE row `(n_calib, n_eval, threshold, target_keep_frac,
     * eval_keep_frac, gap)` — the calibration-quantile cutoff (6 dp; the
-    * eval filter uses the UNROUNDED value), the intended keep fraction
+    * eval filter compares against the 9-dp-QUANTIZED threshold, the
+    * cross-engine-stable form — only the reported column is 6 dp), the
+    * intended keep fraction
     * `1 − keepQuantile`, the observed eval keep fraction (exact
     * BIGINT/BIGINT division), and `gap = observed − intended`.
     *
@@ -297,7 +301,7 @@ object Selection {
         round(lit(1.0) - keepQuantile, 6).as("target_keep_frac"),
         round(col("__kept").cast("double") / col("n_eval").cast("double"), 6)
           .as("eval_keep_frac"),
-        round(col("__kept").cast("double") / col("n_eval").cast("double")
+        zround(col("__kept").cast("double") / col("n_eval").cast("double")
           - (lit(1.0) - keepQuantile), 6).as("gap"))
   }
 }

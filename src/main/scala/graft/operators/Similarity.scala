@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 import graft.functions.{TopKOps, VectorOps}
+import graft.functions.Rounding.zround
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -73,7 +74,7 @@ object Similarity {
     val base = Seq(col("query_id"), col("col.id").as("neighbor_id"))
     val tail = Seq((col("pos") + 1).cast("long").as("rn"))
     val cols =
-      if (withScore) base ++ Seq(round(col("col.score"), 6).as("cos")) ++ tail
+      if (withScore) base ++ Seq(zround(col("col.score"), 6).as("cos")) ++ tail
       else base ++ tail
     exploded.select(cols: _*)
   }
@@ -378,7 +379,7 @@ object Similarity {
     df.select(col(labelCol), posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
       .withColumn("dim", col("dim").cast("long"))
       .groupBy(col(labelCol), col("dim"))
-      .agg(round(avg("v"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+      .agg(zround(avg("v"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
 
   /** Per-label embedding dispersion: `E‖x − c‖² = mean(‖x‖²) − ‖c‖²`
     * with `c` the 6-dp label centroid — the spread/collapse monitor for
@@ -409,7 +410,7 @@ object Similarity {
       .agg((sum(col("__n2")).cast("double") / count(lit(1))).as("__avg2"))
     norms.join(broadcast(cnorm), Seq(labelCol))
       .select(col(labelCol), col("n_vecs"),
-        round(col("__avg2") - col("__c2"), 6).as("dispersion"))
+        zround(col("__avg2") - col("__c2"), 6).as("dispersion"))
   }
 
   /** Per-label MEDOID: the member vector most cosine-similar to its
@@ -440,7 +441,7 @@ object Similarity {
         sum(col("v") * col("v")).as("__vv"),
         sum(col("centroid") * col("centroid")).as("__cc"))
       .withColumn("sim",
-        round(col("__dot") / (sqrt(col("__vv")) * sqrt(col("__cc"))), 6))
+        zround(col("__dot") / (sqrt(col("__vv")) * sqrt(col("__cc"))), 6))
       .select(col(labelCol), col(idCol), col("sim"))
     // (sim, −id) is unique (ids are unique), so max_by is deterministic:
     // max sim first, smallest id on rounded-sim ties
@@ -865,18 +866,28 @@ object Similarity {
     * order-independent; the divisions happen once, in double, on both
     * engines' identical sums.
     *
-    * 100 TB shape: the double `posexplode` generates d² moment rows per
-    * vector — the honest FLOP count of any Gram computation — which
-    * partial-aggregate map-side to d² rows per partition BEFORE the one
-    * d²-sized exchange; the d-sized first-moment table broadcasts onto
-    * the d² grid. `d` is an embedding dimension (≤ a few k by meaning):
-    * d² sits in one executor comfortably; n never does — nothing
-    * n-sized shuffles or reaches the driver.
+    * 100 TB shape: the explode pair generates only the UPPER-TRIANGLE
+    * d(d+1)/2 moment rows per vector (the j-explode runs over the tail
+    * slice `__v[i..]`, half the full Gram's FLOPs) which
+    * partial-aggregate map-side to that many cells per partition BEFORE
+    * the one exchange; the lower triangle is MIRRORED from the
+    * aggregated cells — symmetric-cell equality holds by construction,
+    * not by floating-point luck. `d` is an embedding dimension (≤ a few
+    * k by meaning): d² sits in one executor comfortably; n never does —
+    * nothing n-sized shuffles or reaches the driver.
+    *
+    * The rounded value is [[graft.functions.Rounding.zround]]-normalized
+    * (and the oracle twin states the same `+ 0.0`): a tiny-negative cell
+    * otherwise emits `-0.0` from DuckDB's round but `0.0` from Spark's —
+    * numerically equal, hash-different (the round-10 q162 defect).
     */
-  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame =
-    df.select(asDouble(col(vecCol)).as("__v"))
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val upper = df.select(asDouble(col(vecCol)).as("__v"))
       .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("__v"), col("i") + 1,
+          size(col("__v")) - col("i"))).as(Seq("__jo", "xj")))
+      .select(col("i"), col("xi"), (col("i") + col("__jo")).as("j"), col("xj"))
       .groupBy(col("i"), col("j"))
       // the first moments ride the SAME (i, j) aggregation — within one
       // cell every row contributes its xᵢ exactly once, so the cell's
@@ -888,8 +899,21 @@ object Similarity {
         sum(col("xj").cast("decimal(38,12)")).cast("double").as("__sy"),
         count(lit(1)).as("__n"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round((col("__sxy") - col("__sx") * col("__sy") / col("__n"))
+        zround((col("__sxy") - col("__sx") * col("__sy") / col("__n"))
           / col("__n"), 6).as("cov"))
+    // mirror: cov is symmetric in (xi, xj) — double multiplication
+    // commutes and the moment sums swap roles exactly, so the mirrored
+    // cell is bit-identical to its source. The mirror EXPLODES the
+    // aggregated cells (off-diagonal rows emit both orientations), so
+    // the plan keeps exactly ONE corpus scan — no second branch, no
+    // exchange-reuse reliance.
+    upper.select(explode(when(col("i") === col("j"),
+        array(struct(col("i"), col("j"), col("cov"))))
+      .otherwise(array(
+        struct(col("i"), col("j"), col("cov")),
+        struct(col("j").as("i"), col("i").as("j"), col("cov"))))).as("__c"))
+      .select(col("__c.i").as("i"), col("__c.j").as("j"), col("__c.cov").as("cov"))
+  }
 
   /** Top principal component of the embedding cloud: `iters` fixed
     * power-iteration steps on the 6-dp covariance matrix, each step
@@ -945,7 +969,7 @@ object Similarity {
     val pc = principalComponent(df, vecCol, iters)
       .orderBy("dim").collect().map(_.getDouble(1))
     df.select(col(idCol),
-      round(dot(kernelVec(df, vecCol), array(pc.map(lit).toSeq: _*)), 6)
+      zround(dot(kernelVec(df, vecCol), array(pc.map(lit).toSeq: _*)), 6)
         .as("score"))
   }
 
@@ -969,28 +993,76 @@ object Similarity {
     val projs = (0 until outDims).map { p =>
       val w = transform(sequence(lit(0), size(v) - 1),
         j => planeWeight(p, j).cast("double"))
-      round(dot(v, w), 6).as(s"proj_$p")
+      zround(dot(v, w), 6).as(s"proj_$p")
     }
     df.select(col(idCol) +: projs: _*)
   }
 
   /** Product-quantization encoding — the ANN compression standard: the
     * vector splits into `subspaces` contiguous `subDim`-wide slices and
-    * each slice is k-means-coded independently ([[kmeansLloyd]] per
-    * subspace: same first-k seeds, decimal-exact updates, 6-dp + id
-    * tie argmin), giving `subspaces · log2(k)` bits per vector. Output
-    * `(id, code_0 … code_{subspaces−1})`.
+    * each slice is k-means-coded independently (the [[kmeansLloyd]]
+    * semantics per subspace: same first-k seeds, 9-dp component entry,
+    * decimal-exact updates, 6-dp + id tie argmin — cell-for-cell the
+    * suffixed q183 oracle chains), giving `subspaces · log2(k)` bits per
+    * vector. Output `(id, code_0 … code_{subspaces−1})`.
     *
-    * 100 TB shape: each subspace is an independent Lloyd run over a
-    * NARROW slice projection — per-row k×subDim folds, k×subDim-cell
-    * update aggregations, one bounded codebook collect per iteration;
-    * the final join of `subspaces` code columns is id-keyed.
+    * FUSED iteration (the q144 barrier-fusion precedent): the subspace
+    * slices union into ONE (id, subspace, slice) relation and a single
+    * Lloyd loop runs over it with (subspace, cluster)-keyed centroids —
+    * each iteration is ONE corpus pass and ONE bounded
+    * subspaces×k×subDim codebook collect, where the naive per-subspace
+    * chains pay `subspaces` sequential driver barriers per iteration.
+    * Per-subspace assignment picks its own codebook through a
+    * short-circuiting `when` chain, so a row still folds only its k
+    * centroids. The code pivot is one id-keyed aggregation, not
+    * `subspaces − 1` self-joins.
+    *
+    * 100 TB shape: the slice explosion is a narrow pass (subspaces rows
+    * per vector, each subDim wide — the same bytes as the input vector);
+    * updates are map-side-combinable into subspaces×k×subDim cells; only
+    * the codebook reaches the driver, `iters` times not
+    * `subspaces · iters` times.
     */
   def pqCodes(df: DataFrame, idCol: String, vecCol: String,
               subspaces: Int, subDim: Int, k: Int = 4, iters: Int = 2): DataFrame = {
+    pqGeometryCheck(df, vecCol, subspaces, subDim, k, iters)
+    val slices = pqSlices(df, idCol, vecCol, subspaces, subDim)
+    if (iters > 0) slices.persist()
+    val centroids = pqTrainOn(slices, subspaces, k, iters)
+    if (iters > 0) slices.unpersist(blocking = false)
+    // code pivot: one id-keyed aggregation; an id missing any subspace
+    // (per-slice validity) drops, matching the inner joins it replaces
+    val codeCols = (0 until subspaces).map(sp =>
+      max(when(col("__sp") === sp, col("cluster"))).as(s"code_$sp"))
+    pqAssigned(slices, centroids)
+      .groupBy(col("__id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+      .filter((0 until subspaces).map(sp => col(s"code_$sp").isNotNull).reduce(_ && _))
+      .select(col("__id").as(idCol) +:
+        (0 until subspaces).map(sp => col(s"code_$sp")): _*)
+  }
+
+  /** The PQ codebooks alone — `centroids(subspace)(cluster)(dim)`, the
+    * [[pqCodes]] training loop without the code pivot; [[ivfPqTopK]]
+    * folds these back as LITERAL lookup tables.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+              subspaces: Int, subDim: Int, k: Int = 4,
+              iters: Int = 2): Array[Array[Array[Double]]] = {
+    pqGeometryCheck(df, vecCol, subspaces, subDim, k, iters)
+    val slices = pqSlices(df, idCol, vecCol, subspaces, subDim)
+    if (iters > 0) slices.persist()
+    val centroids = pqTrainOn(slices, subspaces, k, iters)
+    if (iters > 0) slices.unpersist(blocking = false)
+    centroids
+  }
+
+  private def pqGeometryCheck(df: DataFrame, vecCol: String, subspaces: Int,
+                              subDim: Int, k: Int, iters: Int): Unit = {
     require(subspaces >= 1 && subspaces <= 64,
       s"subspaces out of [1,64]: $subspaces")
     require(subDim >= 1, s"subDim must be positive: $subDim")
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0, got k=$k iters=$iters")
     // fail fast on a geometry mismatch: an out-of-range slice returns
     // EMPTY arrays and every code silently collapses to cluster 0
     df.select(size(col(vecCol)).as("__d")).limit(1).collect().headOption
@@ -998,12 +1070,184 @@ object Similarity {
         require(subspaces * subDim <= r.getInt(0),
           s"subspaces*subDim = ${subspaces * subDim} exceeds vector length ${r.getInt(0)}")
       }
-    val parts = (0 until subspaces).map { sp =>
-      val sub = df.select(col(idCol),
-        slice(col(vecCol), sp * subDim + 1, subDim).as("__sub"))
-      kmeansLloyd(sub, idCol, "__sub", k, iters)
-        .withColumnRenamed("cluster", s"code_$sp")
+  }
+
+  /** One (id, subspace, 9-dp slice) relation — kmeansLloyd's entry
+    * rounding and validity rules applied PER SLICE, so a vector invalid
+    * in one subspace (null element in that range) drops from that
+    * subspace only, exactly like the per-subspace chains this replaces.
+    */
+  private def pqSlices(df: DataFrame, idCol: String, vecCol: String,
+                       subspaces: Int, subDim: Int): DataFrame = {
+    val rawSlices = (0 until subspaces).map(sp =>
+      slice(col(vecCol), sp * subDim + 1, subDim))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(array(rawSlices: _*)).as(Seq("__sp", "__raw")))
+      .filter(forall(col("__raw"), x => x.isNotNull) &&
+        size(col("__raw")) === subDim)
+      .select(col("__id"), col("__sp"),
+        transform(col("__raw"), x => round(x.cast("double"), 9)).as("__vd"))
+  }
+
+  /** 9-dp slice `sp` of a kernel-ready double vector column — the PQ
+    * training space restated inline for per-row coding.
+    */
+  private def pqSliceExpr(v: Column, sp: Int, subDim: Int): Column =
+    transform(slice(v, sp * subDim + 1, subDim), x => round(x, 9))
+
+  /** The kmeansLloyd argmin over ONE subspace codebook as a per-row
+    * expression: `|s|² − 2·s·c + |c|²` rounded 6 dp, cluster-id
+    * tiebreak — bit-identical to [[pqAssigned]]'s fused when-chain arm.
+    */
+  private def pqCodeExpr(slice9: Column, cents: Array[Array[Double]]): Column = {
+    val structs = cents.toSeq.zipWithIndex.map { case (cv, c) =>
+      var cn2 = 0.0
+      var j = 0
+      while (j < cv.length) { cn2 += cv(j) * cv(j); j += 1 }
+      val dist = dot(slice9, slice9) -
+        lit(2.0) * dot(slice9, typedlit(cv.toSeq)) + lit(cn2)
+      struct(round(dist, 6).as("d"), lit(c).as("cl"))
     }
-    parts.reduce(_.join(_, Seq(idCol)))
+    least(structs: _*).getField("cl")
+  }
+
+  /** `slices` with a `cluster` column: |v|² − 2·v·c + |c|² through the
+    * codegen'd dot kernel (the kmeansLloyd distance shape), codebook
+    * selected by subspace via a short-circuiting when-chain, so a row
+    * still folds only its k centroids.
+    */
+  private def pqAssigned(slices: DataFrame,
+                         cs: Array[Array[Array[Double]]]): DataFrame = {
+    val perSp = cs.indices.map { sp =>
+      val structs = cs(sp).toSeq.zipWithIndex.map { case (cv, c) =>
+        var cn2 = 0.0
+        var j = 0
+        while (j < cv.length) { cn2 += cv(j) * cv(j); j += 1 }
+        val dist = col("__vn2") - lit(2.0) * dot(col("__vd"), typedlit(cv.toSeq)) + lit(cn2)
+        struct(round(dist, 6).as("d"), lit(c).as("cl"))
+      }
+      sp -> least(structs: _*).getField("cl")
+    }
+    val pick = perSp.tail.foldLeft(
+      when(col("__sp") === perSp.head._1, perSp.head._2)) {
+      case (acc, (sp, e)) => acc.when(col("__sp") === sp, e)
+    }
+    slices.withColumn("__vn2", dot(col("__vd"), col("__vd")))
+      .withColumn("cluster", pick)
+  }
+
+  /** The fused Lloyd loop over a [[pqSlices]] relation: per-subspace
+    * first-k seeds (kmeansLloyd's orderBy(id).limit(k) rule — `subspaces`
+    * bounded TakeOrdered jobs, once), then `iters` iterations of ONE
+    * corpus pass + ONE bounded subspaces×k×subDim codebook collect.
+    */
+  private def pqTrainOn(slices: DataFrame, subspaces: Int, k: Int,
+                        iters: Int): Array[Array[Array[Double]]] = {
+    var centroids: Array[Array[Array[Double]]] = (0 until subspaces).map { sp =>
+      val init = slices.where(col("__sp") === sp).orderBy("__id").limit(k)
+        .select("__vd").collect().map(_.getSeq[Double](0).toArray)
+      require(init.nonEmpty, s"cannot PQ-train subspace $sp on an empty corpus")
+      init
+    }.toArray
+    for (_ <- 0 until iters) {
+      val cells = pqAssigned(slices, centroids)
+        .select(col("__sp"), col("cluster"), posexplode(col("__vd")).as(Seq("__pos", "__x")))
+        .groupBy("__sp", "cluster", "__pos")
+        .agg(sum(col("__x").cast("decimal(28,12)")).as("__s"),
+          count(lit(1)).as("__c"))
+        .select(col("__sp"), col("cluster"), col("__pos"),
+          round(col("__s").cast("double") / col("__c").cast("double"), 9).as("__m"))
+        .collect()
+      // empty (subspace, cluster) cells keep their previous centroid —
+      // the kmeansLloyd rule
+      val next = centroids.map(_.map(_.clone()))
+      cells.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF-PQ ANN search — the production 100 TB retrieval pattern
+    * composed from this file's parts: IVF coarse cells ([[ivfTopK]]'s
+    * quantizer) prune the corpus, PQ codes ([[pqTrain]]) rank the
+    * surviving candidates by ASYMMETRIC DISTANCE (a per-query lookup
+    * table of query-slice × PQ-centroid dots — the candidate's
+    * contribution is `subspaces` table lookups, never a `d`-wide dot),
+    * and only the top `rerank` per query pay the exact float cosine.
+    * Output `(query_id, neighbor_id, rn)` — rn 1-based best-first,
+    * rank-deterministic at both stages (6-dp approx score + id, then
+    * raw cosine + id, the [[quantizedRerankTopK]] contract).
+    *
+    * 100 TB shape: the corpus NEVER shuffles — cell assignment and the
+    * `subspaces` PQ codes are per-row expressions over LITERAL codebooks
+    * (cells: nCentroids dots; codes: subspaces·pqK dots of subDim — the
+    * same FLOPs as one full-width dot per pqK); the probe join
+    * broadcasts the exploded query side; both rankings are bounded-heap
+    * partial top-k aggregates (stage 1's exchange carries
+    * queries×partitions×rerank heap entries, never the candidate set);
+    * the rerank joins broadcast the queries×rerank survivor list
+    * against the partitioned corpus. Training is [[pqTrain]]'s fused
+    * loop — `iters` bounded codebook collects total.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                subspaces: Int = 4, subDim: Int = 16, pqK: Int = 4,
+                pqIters: Int = 2, rerank: Int = 20): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val cents = pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters)
+    val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
+    require(codebook.nonEmpty, "codebook must be non-empty")
+
+    // corpus side: ONE narrow pass computes the coarse cell and the
+    // subspaces PQ codes per row — nothing precomputed, nothing joined
+    val cells = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__n", norm(col("__cv")))
+      .withColumn("cell", nearestCell(codebook, col("__cv"), col("__n")))
+    val coded = (0 until subspaces).foldLeft(cells) { (acc, sp) =>
+      acc.withColumn(s"__code_$sp",
+        pqCodeExpr(pqSliceExpr(col("__cv"), sp, subDim), cents(sp)))
+    }
+
+    // query side: nProbe probe cells + the ADC lookup table
+    // `__adc[sp][c] = q_sp(9 dp) · centroid(sp, c)` — pqK·subspaces dots
+    // per QUERY, computed once, broadcast with the probes
+    val adc = array((0 until subspaces).map(sp =>
+      array((0 until pqK).map { c =>
+        val cv = if (c < cents(sp).length) cents(sp)(c).toSeq
+                 else Seq.fill(subDim)(0.0)
+        dot(pqSliceExpr(col("__qv"), sp, subDim), typedlit(cv))
+      }: _*)): _*)
+    val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__adc", adc)
+      .withColumn("cell", explode(transform(
+        slice(cellDistances(codebook, col("__qv"), col("__qn")), 1, nProbe),
+        e => e.getField("cell"))))
+
+    // stage 1: probed candidates ranked by the 6-dp ADC score (the sum
+    // of subspaces table lookups; 6-dp absorbs summation-order ulps, id
+    // breaks ties — the kmeans assignment determinism recipe)
+    val approx = round((0 until subspaces).map(sp =>
+      element_at(element_at(col("__adc"), sp + 1), col(s"__code_$sp") + 1))
+      .reduce(_ + _), 6)
+    val survivors = coded.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(TopKOps.topK(rerank, approx, col("neighbor_id")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"))
+
+    // stage 2: exact cosine rerank of the <= queries×rerank survivors —
+    // survivor list broadcast onto the partitioned corpus, query vectors
+    // broadcast onto the survivors
+    val qvs = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val pairs = cells.join(broadcast(survivors), "neighbor_id")
+      .join(broadcast(qvs), "query_id")
+      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
+    explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
   }
 }

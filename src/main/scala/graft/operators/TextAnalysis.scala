@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Rounding.zround
+
 /** Text-analysis operators for large-scale training-data pipelines: token
   * counting, quality scoring, language-ID heuristics, document
   * fingerprinting. All built from codegen'd `functions._` primitives — no
@@ -287,8 +289,8 @@ object TextAnalysis {
     val y = log(col("cnt").cast("double"))
     val x = log(col("rank").cast("double"))
     ranked.agg(
-      round(regr_slope(y, x), 6).as("slope"),
-      round(regr_intercept(y, x), 6).as("intercept"),
+      zround(regr_slope(y, x), 6).as("slope"),
+      zround(regr_intercept(y, x), 6).as("intercept"),
       round(regr_r2(y, x), 6).as("r2"),
       count(lit(1)).as("n_points"))
   }
@@ -327,7 +329,7 @@ object TextAnalysis {
       .join(uni.select(col("w").as("a"), col("c").as("n_a")), "a")
       .join(uni.select(col("w").as("b"), col("c").as("n_b")), "b")
       .crossJoin(broadcast(n))
-      .withColumn("pmi", round(
+      .withColumn("pmi", zround(
         log((col("n_ab") * col("__n")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")), 6))
       .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
@@ -957,7 +959,7 @@ object TextAnalysis {
         syllables.as("n_syllables"))
       .filter(col("n_words") > 0)
       .withColumn("flesch",
-        round(lit(206.835)
+        zround(lit(206.835)
           - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
           - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
           6))

@@ -479,6 +479,20 @@ class SummariesSpec extends SparkSpec {
       Summaries.exactPercentileBufferWarning(0L, 1L))
   }
 
+  test("exactArmWarning wires the sizing rule into the buffering exact arms") {
+    // range() states an exact plan-time rowCount: 60M rows over the 50M
+    // default trips the rule on the exact arm, stays silent on approx
+    val big = spark.range(60000000L).toDF("v")
+    val warn = Summaries.exactArmWarning(big, exact = true, "trimmedStats")
+    assert(warn.exists(_.contains("trimmedStats")))
+    assert(warn.exists(_.contains("exact = false")))
+    assert(warn.exists(_.contains("single-stratum")))
+    assert(Summaries.exactArmWarning(big, exact = false, "trimmedStats").isEmpty)
+    // a small input stays quiet on both arms
+    val small = spark.range(1000L).toDF("v")
+    assert(Summaries.exactArmWarning(small, exact = true, "madOutliers").isEmpty)
+  }
+
   test("rollupReport: prefix subtotals labeled (all); cube adds the column margins") {
     val df = Seq(("a", "x", 10L), ("a", "y", 20L), ("b", "x", 5L))
       .toDF("s", "l", "w")

@@ -77,7 +77,10 @@ def main():
             continue
         grows = [tuple(norm(v) for v in r) for r in got.itertuples(index=False)]
         erows = [tuple(norm(v) for v in r) for r in exp.itertuples(index=False)]
-        ordered = grows == erows
+        # repr-strict, like the driver's hash: -0.0 vs 0.0 must FAIL here
+        # exactly as it fails there (tuple == treats them equal and let
+        # the round-10 q162 defect through this gate)
+        ordered = list(map(repr, grows)) == list(map(repr, erows))
         unordered = sorted(map(repr, grows)) == sorted(map(repr, erows))
         if ordered:
             print(f"PASS {name} ({len(got)} rows, exact+ordered)")
@@ -86,7 +89,8 @@ def main():
             print(f"WARN {name}: values match but ROW ORDER differs")
             n_fail += 1
         else:
-            bad = [i for i, (a, b) in enumerate(zip(grows, erows)) if a != b][:3]
+            bad = [i for i, (a, b) in enumerate(zip(grows, erows))
+                   if repr(a) != repr(b)][:3]
             print(f"FAIL {name}: first diffs at rows {bad}")
             for i in bad:
                 print(f"   got {grows[i]}")
