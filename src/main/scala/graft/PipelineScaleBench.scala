@@ -643,7 +643,7 @@ object PipelineScaleBench {
     // bench, and a doc-stage-only run must not pay for it
     val embStages = Seq("pipe_lsh_bucket_assign", "pipe_ann_lsh_topk_100q",
       "pipe_embedding_neardup", "pipe_kmeans", "pipe_jl_projection",
-      "pipe_pq_codes", "pipe_hard_negatives")
+      "pipe_pq_codes", "pipe_hard_negatives", "pipe_ivf_pq")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
     if (!needEmb) { spark.stop(); return }
     // float32, like real embedding tables — the near-dup verification
@@ -706,10 +706,21 @@ object PipelineScaleBench {
       total
     }
     timed("pipe_pq_codes") {
-      // PQ 4×16 (k=8): four independent narrow Lloyd chains — wall ≈
-      // 4 × a sliced pipe_kmeans; output == rows coded
+      // PQ 4×16 (k=8): ONE fused Lloyd loop over the (subspace, slice)
+      // union — each iteration is one corpus pass + one bounded codebook
+      // collect (was 4 sequential chains); output == rows coded
       Similarity.pqCodes(vecs, "vec_id", "embedding",
         subspaces = 4, subDim = 16, k = 8, iters = 2).count()
+    }
+    timed("pipe_ivf_pq", input = 100L) {
+      // the composed production retrieval path for 100 queries: PQ
+      // training (fused), per-row cell+code expressions over literal
+      // codebooks, ADC-gated stage 1, exact rerank of 100×20 survivors.
+      // Corpus never shuffles — wall must be linear in corpus size
+      val stride = math.max(1L, nDocs.toLong / 100)
+      Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") % stride === 0),
+        "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4,
+        subspaces = 4, subDim = 16, pqK = 8, pqIters = 2, rerank = 20).count()
     }
     spark.stop()
   }

@@ -2315,6 +2315,20 @@ object SparkEntry {
         .select(element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
           round(col("col"), 6).as("exact_q"))
       est.join(exact, Seq("p")).orderBy("p")
+    }),
+
+    // ── IVF-PQ ANN search — the production retrieval composition: IVF
+    // coarse cells (q37's quantizer) prune, PQ codes (q207's fused
+    // training) rank candidates by a per-query asymmetric-distance
+    // lookup table, exact cosine reranks only the top-20 survivors.
+    // Corpus never shuffles: cells + codes are per-row expressions over
+    // literal codebooks; both rankings are bounded heaps.
+    "q219_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+        subspaces = 4, subDim = 16, pqK = 4, pqIters = 2, rerank = 20)
+        .orderBy("query_id", "rn")
     })
   )
 
@@ -5497,7 +5511,75 @@ object SparkEntry {
         | FROM documents WHERE n_chars IS NOT NULL
         | UNION ALL SELECT CAST(0.75 AS DOUBLE), round(quantile_cont(n_chars, 0.75), 6)
         | FROM documents WHERE n_chars IS NOT NULL)
-        |SELECT est.p, est.est, ex.exact_q FROM est JOIN ex USING (p) ORDER BY p""".stripMargin
+        |SELECT est.p, est.est, ex.exact_q FROM est JOIN ex USING (p) ORDER BY p""".stripMargin,
+
+    // IVF-PQ: the q37 cell/probe CTEs + four suffixed q183 chains (the
+    // q207 composition) + per-query ADC tables (query 9-dp slice ·
+    // final centroid, the chains' own v/c relations), stage-1 rank on
+    // the 6-dp ADC sum over the candidate norm (id ties), exact-cosine
+    // rerank of the top 20. Every CTE is MATERIALIZED: the chains are
+    // referenced by training, ADC, AND the code pivot, and DuckDB's
+    // default inlining re-evaluates multiply-referenced CTEs — measured
+    // >25 min at sf0.1 inlined vs 0.9 s materialized, same result.
+    "q219_ivf_pq" -> {
+      val chains = (0 until 4).map(sp => kmeansCtes(4, 2, 16, sp * 16, s"_s$sp"))
+      val adcs = (0 until 4).map { sp =>
+        s"""adc$sp AS (
+           | SELECT v.vec_id AS query_id, c.cl, sum(v.vd * c.cv) AS t
+           | FROM v_s$sp v JOIN c2_s$sp c ON c.pos = v.pos
+           | WHERE v.vec_id % 50 = 0
+           | GROUP BY 1, 2)""".stripMargin
+      }
+      val adcJoins = (0 until 4).map(sp =>
+        s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
+        .mkString("\n| ")
+      "WITH " + chains.mkString(",\n") + ",\n" + adcs.mkString(",\n") + ",\n" +
+        s"""codes AS (
+           | SELECT s0.vec_id, s0.cluster AS code_0, s1.cluster AS code_1,
+           |  s2.cluster AS code_2, s3.cluster AS code_3
+           | FROM a3_s0 s0 JOIN a3_s1 s1 USING (vec_id)
+           | JOIN a3_s2 s2 USING (vec_id) JOIN a3_s3 s3 USING (vec_id)),
+           |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |nrm AS (SELECT vec_id,
+           |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
+           |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+           |assign AS (
+           | SELECT vec_id, cell FROM (
+           |  SELECT c.vec_id, ct.cell,
+           |   row_number() OVER (PARTITION BY c.vec_id
+           |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+           |  FROM c, cents ct) WHERE arn = 1),
+           |probes AS (
+           | SELECT query_id, cell FROM (
+           |  SELECT q.vec_id AS query_id, ct.cell,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
+           |  FROM (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0) q, cents ct) WHERE prn <= 4),
+           |s1 AS (
+           | SELECT p.query_id, a.vec_id AS neighbor_id,
+           |  round((t0.t + t1.t + t2.t + t3.t) / nm.n, 6) AS approx
+           | FROM assign a JOIN probes p ON a.cell = p.cell
+           | JOIN codes cd ON cd.vec_id = a.vec_id
+           | JOIN nrm nm ON nm.vec_id = a.vec_id
+           | $adcJoins
+           | WHERE a.vec_id <> p.query_id),
+           |surv AS (
+           | SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id
+           |    ORDER BY approx DESC, neighbor_id) AS srn
+           |  FROM s1) WHERE srn <= 20),
+           |rer AS (
+           | SELECT s.query_id, s.neighbor_id,
+           |  list_cosine_similarity(cn.v, cq.v) AS cos
+           | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
+           | JOIN c cq ON cq.vec_id = s.query_id),
+           |r AS (SELECT query_id, neighbor_id,
+           | CAST(row_number() OVER (PARTITION BY query_id
+           |  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM rer)
+           |SELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5
+           |ORDER BY query_id, rn""".stripMargin
+    }.replaceAll("AS \\(", "AS MATERIALIZED (")
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

@@ -1113,28 +1113,41 @@ object Similarity {
   }
 
   /** `slices` with a `cluster` column: |v|² − 2·v·c + |c|² through the
-    * codegen'd dot kernel (the kmeansLloyd distance shape), codebook
-    * selected by subspace via a short-circuiting when-chain, so a row
-    * still folds only its k centroids.
+    * codegen'd dot kernel (the kmeansLloyd distance shape). The codebook
+    * is selected by subspace through LITERAL 2-D array lookups
+    * (`centroids[__sp][c]`, `|c|²[__sp][c]`), so the per-row expression
+    * is k dots + k lookups REGARDLESS of the subspace count — a
+    * when-chain over subspaces multiplies the codegen'd method size by
+    * `subspaces` and blows the JIT limit (measured 4.4× slower at
+    * 500k×4 subspaces, the kmeansLloyd unrolled-chain lesson again).
+    * Ragged codebooks (a subspace with fewer than k clusters — possible
+    * only on corpora smaller than k) pad with +∞ |c|², which can never
+    * win the argmin.
     */
   private def pqAssigned(slices: DataFrame,
                          cs: Array[Array[Array[Double]]]): DataFrame = {
-    val perSp = cs.indices.map { sp =>
-      val structs = cs(sp).toSeq.zipWithIndex.map { case (cv, c) =>
-        var cn2 = 0.0
+    val k = cs.map(_.length).max
+    val subDim = cs.head.head.length
+    val centLit = typedlit(cs.map { spc =>
+      spc.map(_.toSeq).toSeq ++
+        Seq.fill(k - spc.length)(Seq.fill(subDim)(0.0))
+    }.toSeq)
+    val cn2Lit = typedlit(cs.map { spc =>
+      spc.map { cv =>
+        var s = 0.0
         var j = 0
-        while (j < cv.length) { cn2 += cv(j) * cv(j); j += 1 }
-        val dist = col("__vn2") - lit(2.0) * dot(col("__vd"), typedlit(cv.toSeq)) + lit(cn2)
-        struct(round(dist, 6).as("d"), lit(c).as("cl"))
-      }
-      sp -> least(structs: _*).getField("cl")
-    }
-    val pick = perSp.tail.foldLeft(
-      when(col("__sp") === perSp.head._1, perSp.head._2)) {
-      case (acc, (sp, e)) => acc.when(col("__sp") === sp, e)
+        while (j < cv.length) { s += cv(j) * cv(j); j += 1 }
+        s
+      }.toSeq ++ Seq.fill(k - spc.length)(Double.PositiveInfinity)
+    }.toSeq)
+    val structs = (0 until k).map { c =>
+      val cent = element_at(element_at(centLit, col("__sp") + 1), c + 1)
+      val cn2 = element_at(element_at(cn2Lit, col("__sp") + 1), c + 1)
+      val dist = col("__vn2") - lit(2.0) * dot(col("__vd"), cent) + cn2
+      struct(round(dist, 6).as("d"), lit(c).as("cl"))
     }
     slices.withColumn("__vn2", dot(col("__vd"), col("__vd")))
-      .withColumn("cluster", pick)
+      .withColumn("cluster", least(structs: _*).getField("cl"))
   }
 
   /** The fused Lloyd loop over a [[pqSlices]] relation: per-subspace
@@ -1227,12 +1240,16 @@ object Similarity {
         slice(cellDistances(codebook, col("__qv"), col("__qn")), 1, nProbe),
         e => e.getField("cell"))))
 
-    // stage 1: probed candidates ranked by the 6-dp ADC score (the sum
-    // of subspaces table lookups; 6-dp absorbs summation-order ulps, id
-    // breaks ties — the kmeans assignment determinism recipe)
+    // stage 1: probed candidates ranked by the 6-dp ADC score — the sum
+    // of subspaces table lookups approximates q·reconstruction(n), and
+    // dividing by the candidate's norm makes the ranking
+    // COSINE-consistent with stage 2 (the query norm is constant per
+    // query, so it cannot change any per-query ranking and stays out);
+    // 6-dp absorbs summation-order ulps, id breaks ties — the kmeans
+    // assignment determinism recipe
     val approx = round((0 until subspaces).map(sp =>
       element_at(element_at(col("__adc"), sp + 1), col(s"__code_$sp") + 1))
-      .reduce(_ + _), 6)
+      .reduce(_ + _) / col("__n"), 6)
     val survivors = coded.join(broadcast(probes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy("query_id")

@@ -1219,4 +1219,24 @@ class PlanSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }.isEmpty)
   }
+
+  test("q219 IVF-PQ: codebooks fold as literals, all joins broadcast, rankings are heaps") {
+    val p = plan("q219_ivf_pq")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "both rankings ride bounded-heap TopK aggregates, never a per-query window")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "no corpus×query cartesian anywhere in the composition")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "probe/survivor/query joins all broadcast their bounded side")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.size >= 3,
+      "probes, survivors, and query vectors each join on a broadcast build side")
+    // stage-1 + stage-2 bounded-heap TopK aggregates (partial + final each)
+    val topk = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(topk.size == 4,
+      s"expected 2×(partial+final) topK aggregates, got ${topk.size}")
+  }
 }
