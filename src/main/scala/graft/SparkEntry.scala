@@ -2329,7 +2329,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
         subspaces = 4, subDim = 16, pqK = 4, pqIters = 2, rerank = 20)
         .orderBy("query_id", "rn")
-    })
+    }),
+
+    // ── SemDeDup: k-means clusters bound the candidate set, exact cosine
+    // welds within-cluster pairs, components keep their smallest id —
+    // the embedding-space dedup production recipe (q58's audit shape).
+    "q220_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, k = 4, iters = 2)
+        .orderBy("vec_id"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -5579,7 +5587,49 @@ object SparkEntry {
            |  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM rer)
            |SELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5
            |ORDER BY query_id, rn""".stripMargin
-    }.replaceAll("AS \\(", "AS MATERIALIZED (")
+    }.replaceAll("AS \\(", "AS MATERIALIZED ("),
+
+    // SemDeDup: the q183 kmeans chain (MATERIALIZED — multiply
+    // referenced) + within-cluster pairs through the q211 exact cosine
+    // fold + the q197 recursive min-label closure (recursive members
+    // stay plain — DuckDB cannot materialize them).
+    "q220_semantic_dedup" -> {
+      val chain = kmeansCtes(4, 2, 64, off = 0, sfx = "")
+        .replaceAll("AS \\(", "AS MATERIALIZED (")
+      s"""WITH RECURSIVE $chain,
+         |vv AS MATERIALIZED (
+         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings),
+         |nn AS MATERIALIZED (
+         | SELECT vec_id,
+         |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n
+         | FROM vv),
+         |ed AS MATERIALIZED (
+         | SELECT aa.vec_id AS doc_a, ab.vec_id AS doc_b
+         | FROM a3 aa JOIN a3 ab
+         |   ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+         | JOIN vv va ON va.vec_id = aa.vec_id
+         | JOIN vv vb ON vb.vec_id = ab.vec_id
+         | JOIN nn na ON na.vec_id = aa.vec_id
+         | JOIN nn nb ON nb.vec_id = ab.vec_id
+         | WHERE list_reduce(list_transform(range(1, 65), j -> va.v[j] * vb.v[j]),
+         |        (a, b) -> a + b) / (na.n * nb.n) >= 0.4),
+         |nodes(nd) AS (SELECT doc_a FROM ed UNION SELECT doc_b FROM ed),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM ed
+         |              UNION SELECT doc_b, doc_a FROM ed),
+         |cc(node, label) AS (
+         | SELECT nd, nd FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node
+         | WHERE cc.label < u.b),
+         |m AS (SELECT node, min(label) AS component FROM cc GROUP BY node)
+         |SELECT e.vec_id,
+         | CASE WHEN m.component IS NOT NULL AND m.component <> e.vec_id
+         |      THEN 'dropped_semantic' ELSE 'kept' END AS status,
+         | coalesce(m.component, e.vec_id) AS winner_id
+         |FROM embeddings e LEFT JOIN m ON m.node = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    }
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

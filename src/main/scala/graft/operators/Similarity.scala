@@ -1267,4 +1267,59 @@ object Similarity {
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
     explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
   }
+
+  /** SemDeDup — SEMANTIC deduplication, the embedding-space production
+    * recipe: k-means partitions the corpus into clusters, candidate
+    * pairs form ONLY within a cluster (that is the whole point — the
+    * clustering replaces an all-pairs or LSH candidate stage with a
+    * learned one), pairs at or above the cosine `threshold` weld into
+    * components, and each component keeps its smallest id. Output
+    * `(idCol, status ∈ kept|dropped_semantic, winner_id)` — the
+    * q58 / [[graft.operators.Multimodal.imageDedup]] audit shape.
+    *
+    * Recall contract: a near-dup pair SPLIT ACROSS clusters is unseen by
+    * design (SemDeDup trades that tail for a candidate set the clusters
+    * bound); within a cluster, verification is exact. The spec pins both
+    * directions: every emitted edge passes the exhaustive threshold, and
+    * every same-cluster exhaustive pair is found.
+    *
+    * 100 TB shape: clustering is [[kmeansLloyd]] (narrow literal-codebook
+    * assignment, bounded collects); candidate generation is ONE
+    * cluster-keyed equi-self-join — Σ|cluster|² candidate pairs, so `k`
+    * must scale with the corpus to keep clusters bounded (the paper
+    * sizes k ≈ √n); verification is one codegen'd dot per candidate; the
+    * closure is [[graft.operators.Dedup.connectedComponents]] (driver
+    * union-find under 4M edges, RDD hash-min pointer jumping beyond).
+    *
+    * k ceiling: [[kmeansLloyd]] assigns through a `least()` over k
+    * distance structs, so k is bounded by the codegen'd method size
+    * (≲64 before the JIT limit bites — the pqAssigned lesson). A
+    * corpus-scale deployment reaches k ≈ √n hierarchically (cluster the
+    * centroids of a first-level clustering), which composes from this
+    * same operator; the fixture-scale queries stay single-level.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 4, iters: Int = 2): DataFrame = {
+    val assigned = kmeansLloyd(df, idCol, vecCol, k, iters)
+      .select(col(idCol).as("__id"), col("cluster"))
+    val vecs = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .join(assigned, "__id")
+    val a = vecs.select(col("__id").as("doc_a"), col("__v").as("__va"),
+      col("__n").as("__na"), col("cluster"))
+    val b = vecs.select(col("__id").as("doc_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("cluster"))
+    val edges = a.join(b, Seq("cluster"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+        >= threshold)
+      .select("doc_a", "doc_b")
+    val comp = graft.operators.Dedup.connectedComponents(edges)
+    df.select(col(idCol))
+      .join(comp.select(col("node").as(idCol), col("component")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("component").isNotNull && col("component") =!= col(idCol),
+          lit("dropped_semantic")).otherwise(lit("kept")).as("status"),
+        coalesce(col("component"), col(idCol)).as("winner_id"))
+  }
 }

@@ -713,6 +713,74 @@ class SimilaritySpec extends SparkSpec {
       s"wide-rerank recall $wide must recover the IVF ceiling $ivfRecall")
   }
 
+  test("semanticDedup: planted semantic clusters collapse to min-id winners") {
+    // two tight direction-clusters far apart (+axis0-ish vs +axis1-ish)
+    // plus one isolated vector: each tight cluster welds to ONE winner,
+    // the isolated vector survives untouched
+    val dim = 8
+    def v(axis: Int, wiggle: Int): Array[Float] =
+      Array.tabulate(dim)(j =>
+        (if (j == axis) 1.0f else 0.0f) + (if (j == (axis + 1) % dim) wiggle * 0.01f else 0.0f))
+    // ids 0/1/2 are one member of each group: kmeansLloyd seeds on the
+    // first k ids, so each group gets exactly one seed
+    val df = Seq(
+      (0L, v(0, 0)), (3L, v(0, 1)), (4L, v(0, 2)),   // cluster A
+      (1L, v(3, 0)), (10L, v(3, 1)),                  // cluster B
+      (2L, Array.tabulate(dim)(j => if (j % 2 == 0) 1.0f else -1.0f))) // loner
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.9, k = 3, iters = 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L) == ("kept", 0L))
+    assert(out(3L) == ("dropped_semantic", 0L))
+    assert(out(4L) == ("dropped_semantic", 0L))
+    assert(out(1L) == ("kept", 1L))
+    assert(out(10L) == ("dropped_semantic", 1L))
+    assert(out(2L) == ("kept", 2L))
+  }
+
+  test("semanticDedup matches a driver-side reference: within-cluster exact, cross-cluster unseen") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.4, k = 4, iters = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference: trusted kmeansLloyd assignments + brute-force
+    // within-cluster cosine edges + union-find, all on the driver
+    val cl = Similarity.kmeansLloyd(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    val vecs = emb.select($"vec_id",
+      Similarity.asDouble($"embedding")).as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var j = 0
+      while (j < x.length) { d += x(j) * y(j); nx += x(j) * x(j); ny += y(j) * y(j); j += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    def union(x: Long, y: Long): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if cl(ids(i)) == cl(ids(j))                       // same cluster only
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
+    } union(ids(i), ids(j))
+    ids.foreach { id =>
+      val w = find(id)
+      val exp = if (w == id) ("kept", id) else ("dropped_semantic", w)
+      assert(got(id) == exp, s"id $id: got ${got(id)}, expected $exp")
+    }
+    assert(got.values.count(_._1 == "dropped_semantic") > 0,
+      "fixture must exercise at least one semantic drop")
+  }
+
   test("ivfPqTopK stage-1 ADC ranking actually gates: tiny rerank still returns k rows") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qs = emb.filter($"vec_id" === 0)
