@@ -2337,7 +2337,31 @@ object SparkEntry {
     "q220_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, k = 4, iters = 2)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ── per-source ROC AUC of the q200 quality score against the
+    // is-English label — integer-exact Mann–Whitney midranks, one
+    // terminal division (NULL on degenerate sides).
+    "q221_group_auc" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens("text")
+      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("score",
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .withColumn("label", col("lang") === "en")
+      Summaries.aucByGroup(scored, "source", "score", "label")
+        .orderBy("source")
+    }),
+
+    // ── one-row score evaluation: Brier + ECE + worst-bin gap over the
+    // q200 score/label/bins — 9-dp decimal term sums, all metrics ≥ 0.
+    "q222_score_eval" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens("text")
+      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("score",
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .withColumn("label", col("lang") === "en")
+      Summaries.scoreEvalReport(scored, "score", "label", bins = 10)
+    })
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -5629,7 +5653,69 @@ object SparkEntry {
          | coalesce(m.component, e.vec_id) AS winner_id
          |FROM embeddings e LEFT JOIN m ON m.node = e.vec_id
          |ORDER BY e.vec_id""".stripMargin
-    }
+    },
+
+    // Per-group Mann–Whitney AUC: same per-(group, DISTINCT score)
+    // midrank table (ties share 2·below + c + 1), DECIMAL(38,0) rank
+    // sums, ONE terminal division of exact integers — no rounding.
+    "q221_group_auc" ->
+      """WITH s AS (
+        | SELECT source,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+        |  lang = 'en' AS label
+        | FROM documents WHERE text IS NOT NULL),
+        |pv AS (
+        | SELECT source, score, count(*) AS c,
+        |  sum(CASE WHEN label THEN 1 ELSE 0 END) AS cp
+        | FROM s WHERE score IS NOT NULL AND label IS NOT NULL GROUP BY 1, 2),
+        |rk AS (
+        | SELECT source, c, cp,
+        |  2 * coalesce(sum(c) OVER (PARTITION BY source ORDER BY score
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS dblmid
+        | FROM pv),
+        |agg AS (
+        | SELECT source, sum(cp) AS n_pos, sum(c - cp) AS n_neg,
+        |  sum(CAST(dblmid AS DECIMAL(38,0)) * CAST(cp AS DECIMAL(38,0))) AS rp
+        | FROM rk GROUP BY 1)
+        |SELECT source, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        | CASE WHEN n_pos > 0 AND n_neg > 0
+        |  THEN (CAST(rp AS DOUBLE) - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+        |       / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // Brier/ECE/worst-gap: identical IEEE bin floors, 9-dp decimal term
+    // sums for the Brier squares and the n_b/n-weighted |gap| terms,
+    // terminal 6 dp — all metrics >= 0 by construction.
+    "q222_score_eval" ->
+      """WITH s AS (
+        | SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+        |  lang = 'en' AS label
+        | FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        | SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score, label,
+        |  CASE WHEN label THEN 1.0 ELSE 0.0 END AS y
+        | FROM s WHERE score IS NOT NULL AND label IS NOT NULL),
+        |bt AS (
+        | SELECT bin, count(*) AS n,
+        |  sum(CAST(round(score, 9) AS DECIMAL(28,12))) AS ss,
+        |  sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos,
+        |  sum(CAST(round((score - y) * (score - y), 9) AS DECIMAL(28,12))) AS sq
+        | FROM b GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn FROM bt),
+        |g AS (
+        | SELECT bt.*, tot.nn,
+        |  abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+        | FROM bt CROSS JOIN tot)
+        |SELECT CAST(max(nn) AS BIGINT) AS n, count(*) AS n_bins,
+        | round(CAST(sum(sq) AS DOUBLE) / CAST(max(nn) AS DOUBLE), 6) AS brier,
+        | round(CAST(sum(CAST(round(gap * CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 9)
+        |   AS DECIMAL(28,12))) AS DOUBLE), 6) AS ece,
+        | max(round(gap, 6)) AS max_abs_gap
+        |FROM g""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

@@ -1295,6 +1295,97 @@ object Summaries {
           - col("__ss").cast("double") / col("n").cast("double"), 6).as("gap"))
   }
 
+  /** Per-group ROC AUC of a score column against a boolean label — the
+    * Mann–Whitney formulation, INTEGER-exact through midranks (the
+    * [[rankBiserial]] machinery, partitioned per group because AUC
+    * ranks each group's scores among themselves): per (group, DISTINCT
+    * score) counts carry the positive count, doubled midranks
+    * `2·cum_below + cnt + 1` stay integer, `2·R⁺ = Σ dblmid · n_pos(v)`,
+    * and `AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻)` is ONE terminal division
+    * of exact integers — no rounding, engine-identical bits. Degenerate
+    * groups (no positives or no negatives) yield NULL.
+    *
+    * This is the model-eval staple ("does the quality score actually
+    * rank good docs above bad ones, per source") and the AUC face of
+    * [[rankBiserial]]: `auc = (rank_biserial + 1) / 2` when the target
+    * class plays the positive label.
+    *
+    * 100 TB shape: one corpus pass into the (group, value)-sized count
+    * table; the midrank window runs per group over DISTINCT scores —
+    * quantize a continuous score first or the value table degenerates
+    * to row count (the [[rankBiserial]] rule); one grouped integer
+    * aggregation after.
+    */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                 labelCol: String): DataFrame = {
+    val nn = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    val pv = nn.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__cp"))
+    val wv = Window.partitionBy(col("__g")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = pv
+      .withColumn("__below", coalesce(sum(col("__c")).over(wv), lit(0L)))
+      .withColumn("__dblmid", lit(2) * col("__below") + col("__c") + lit(1))
+    ranked.groupBy(col("__g"))
+      .agg(sum(col("__cp")).as("n_pos"),
+        sum(col("__c") - col("__cp")).as("n_neg"),
+        sum(col("__dblmid").cast("decimal(38,0)")
+          * col("__cp").cast("decimal(38,0)")).as("__rp"))
+      .select(col("__g").as(groupCol),
+        col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__rp").cast("double")
+            - col("n_pos").cast("double") * (col("n_pos") + 1).cast("double"))
+            / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
+  /** One-row probabilistic-score evaluation: Brier score, expected
+    * calibration error, and the worst single-bin gap — the scalar
+    * summary a model-quality dashboard alarms on, next to the per-bin
+    * [[calibrationReport]] it aggregates.
+    *
+    * Cross-engine exactness: the Brier terms `(s − y)²` and the per-bin
+    * |gap| · n_b/n ECE terms are rounded to 9 dp and decimal-summed
+    * (the q182 recipe — order-independent), the terminal values round
+    * to 6 dp; all three metrics are ≥ 0 by construction, so no signed
+    * zero can arise.
+    *
+    * 100 TB shape: ONE corpus pass into the bins-sized table (the
+    * Brier sum rides the same aggregation), then one bins-sized
+    * reduction — nothing corpus-sized past the first aggregation.
+    */
+  def scoreEvalReport(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins out of [2,10000]: $bins")
+    val b = least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+    val y = when(col(labelCol), lit(1.0)).otherwise(lit(0.0))
+    val binTable = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(b.as("__bin"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col(scoreCol), 9).cast("decimal(28,12)")).as("__ss"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
+        sum(round((col(scoreCol) - y) * (col(scoreCol) - y), 9)
+          .cast("decimal(28,12)")).as("__sq"))
+    val gap = abs(col("__pos").cast("double") / col("__n").cast("double")
+      - col("__ss").cast("double") / col("__n").cast("double"))
+    binTable
+      .withColumn("__nn", sum(col("__n")).over(Window.partitionBy(lit(1))))
+      .groupBy(col("__nn"))
+      .agg(sum(col("__sq")).as("__sqt"),
+        sum(round(gap * col("__n").cast("double") / col("__nn").cast("double"), 9)
+          .cast("decimal(28,12)")).as("__ece"),
+        max(round(gap, 6)).as("max_abs_gap"),
+        count(lit(1)).as("n_bins"))
+      .select(col("__nn").cast("long").as("n"), col("n_bins"),
+        round(col("__sqt").cast("double") / col("__nn").cast("double"), 6)
+          .as("brier"),
+        round(col("__ece").cast("double"), 6).as("ece"),
+        col("max_abs_gap"))
+  }
+
   /** CUSUM changepoint detection over per-key daily activity: for each
     * key, the date where the cumulative deviation from the key's mean
     * daily count peaks — "when did this source's volume regime change",

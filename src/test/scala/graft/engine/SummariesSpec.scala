@@ -479,6 +479,67 @@ class SummariesSpec extends SparkSpec {
       Summaries.exactPercentileBufferWarning(0L, 1L))
   }
 
+  test("aucByGroup: separable/inverted/tied/degenerate hand fixtures") {
+    val df = Seq(
+      // g1: positives strictly above negatives -> AUC 1
+      ("g1", 3.0, true), ("g1", 4.0, true), ("g1", 1.0, false), ("g1", 2.0, false),
+      // g2: pos {1,3} vs neg {2,4} -> 1 of 4 winning pairs -> 0.25
+      ("g2", 1.0, true), ("g2", 3.0, true), ("g2", 2.0, false), ("g2", 4.0, false),
+      // g3: one tied score both classes -> 0.5 (midrank half credit)
+      ("g3", 2.0, true), ("g3", 2.0, false),
+      // g4: no negatives -> NULL
+      ("g4", 1.0, true), ("g4", 2.0, true))
+      .toDF("g", "score", "label")
+    val got = Summaries.aucByGroup(df, "g", "score", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(got("g1") == ((2L, 2L, Some(1.0))))
+    assert(got("g2") == ((2L, 2L, Some(0.25))))
+    assert(got("g3") == ((1L, 1L, Some(0.5))))
+    assert(got("g4") == ((2L, 0L, None)))
+  }
+
+  test("aucByGroup equals the pairwise-count reference on pseudo-random corpora") {
+    val rows = (0 until 400).map { i =>
+      val g = s"g${i % 3}"
+      val score = ((i * 31 + 7) % 23).toDouble / 4.0
+      val label = (i * 17 + 3) % 5 < 2
+      (g, score, label)
+    }
+    val got = Summaries.aucByGroup(rows.toDF("g", "score", "label"),
+      "g", "score", "label")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val pos = rs.filter(_._3).map(_._2)
+      val neg = rs.filterNot(_._3).map(_._2)
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val ref = wins / (pos.size.toDouble * neg.size.toDouble)
+      assert(math.abs(got(g) - ref) < 1e-12, s"$g: ${got(g)} vs $ref")
+    }
+  }
+
+  test("scoreEvalReport: perfect predictions score 0; a planted miss moves brier and the gaps") {
+    val perfect = Seq((0.05, false), (0.04, false), (0.95, true), (0.96, true))
+      .toDF("score", "label")
+    val p = Summaries.scoreEvalReport(perfect, "score", "label", bins = 10).head()
+    // brier = mean((s-y)^2) = (0.0025+0.0016+0.0025+0.0016)/4 = 0.00205
+    assert(p.getAs[Double]("brier") == 0.00205)
+    // bin0 gap = |0 - 0.045| = 0.045; bin9 gap = |1 - 0.955| = 0.045
+    assert(p.getAs[Double]("max_abs_gap") == 0.045)
+    assert(p.getAs[Double]("ece") == 0.045)
+    assert(p.getAs[Long]("n") == 4L && p.getAs[Long]("n_bins") == 2L)
+    // one confident wrong prediction dominates brier and widens its bin gap
+    val missed = Seq((0.05, false), (0.95, true), (0.9, false))
+      .toDF("score", "label")
+    val m = Summaries.scoreEvalReport(missed, "score", "label", bins = 10).head()
+    // (0.0025 + 0.0025 + 0.81) / 3 = 0.271667 (6 dp)
+    assert(m.getAs[Double]("brier") == 0.271667)
+    // bin9 holds {0.95 true, 0.9 false}: gap = |0.5 - 0.925| = 0.425
+    assert(m.getAs[Double]("max_abs_gap") == 0.425)
+  }
+
   test("exactArmWarning wires the sizing rule into the buffering exact arms") {
     // range() states an exact plan-time rowCount: 60M rows over the 50M
     // default trips the rule on the exact arm, stays silent on approx
