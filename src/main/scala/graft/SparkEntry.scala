@@ -2361,7 +2361,30 @@ object SparkEntry {
           size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
         .withColumn("label", col("lang") === "en")
       Summaries.scoreEvalReport(scored, "score", "label", bins = 10)
-    })
+    }),
+
+    // ── declarative data-quality gate: five typed expectations over the
+    // documents feed in ONE aggregation pass (unique via the exact
+    // Expand-planned distinct count; in_range planted to violate — the
+    // 400-char cap catches the long tail).
+    "q223_expectations" -> ((s, dir) =>
+      graft.operators.Profiling.expectationReport(t(s, dir, "documents"), Seq(
+        graft.operators.Profiling.ExpectNotNull("text"),
+        graft.operators.Profiling.ExpectUnique("doc_id"),
+        graft.operators.Profiling.ExpectInRange("n_chars", 1, 400),
+        graft.operators.Profiling.ExpectInSet("lang", Seq("de", "en", "es", "fr", "zh")),
+        graft.operators.Profiling.ExpectMatches("source", "src[0-9]+")))
+        .orderBy("rule")),
+
+    // ── quantile normalization: per-source n_chars mapped onto the
+    // GLOBAL length distribution at its own source's rank — the
+    // batch-effect harmonizer (per-group boundary fold + sort-assisted
+    // global inverse CDF as a literal).
+    "q224_quantile_normalize" -> ((s, dir) =>
+      Summaries.quantileNormalize(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", nBuckets = 10)
+        .orderBy("doc_id"))
   )
 
   // ── shared SQL texts run VERBATIM by both engines (the q07 pattern:
@@ -5715,7 +5738,53 @@ object SparkEntry {
         | round(CAST(sum(CAST(round(gap * CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 9)
         |   AS DECIMAL(28,12))) AS DOUBLE), 6) AS ece,
         | max(round(gap, 6)) AS max_abs_gap
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // Expectations: one SELECT per rule over the same scan semantics —
+    // the anchored regex stated as regexp_full_match to mirror Spark's
+    // ^(?:...)$ rlike wrap.
+    "q223_expectations" ->
+      """WITH t AS (SELECT count(*) AS n FROM documents),
+        |r AS (
+        | SELECT 'in_range(n_chars,1.0,400.0)' AS rule,
+        |  (SELECT count(*) FROM documents
+        |   WHERE n_chars IS NOT NULL AND (n_chars < 1.0 OR n_chars > 400.0)) AS v
+        | UNION ALL
+        | SELECT 'in_set(lang)',
+        |  (SELECT count(*) FROM documents
+        |   WHERE lang IS NOT NULL AND lang NOT IN ('de','en','es','fr','zh'))
+        | UNION ALL
+        | SELECT 'matches(source)',
+        |  (SELECT count(*) FROM documents
+        |   WHERE source IS NOT NULL AND NOT regexp_full_match(source, '(?:src[0-9]+)'))
+        | UNION ALL
+        | SELECT 'not_null(text)',
+        |  (SELECT count(*) FROM documents WHERE text IS NULL)
+        | UNION ALL
+        | SELECT 'unique(doc_id)',
+        |  (SELECT count(doc_id) - count(DISTINCT doc_id) FROM documents))
+        |SELECT r.rule, CAST(t.n AS BIGINT) AS n_rows,
+        | CAST(r.v AS BIGINT) AS n_violations,
+        | round(CAST(r.v AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS violation_frac
+        |FROM r CROSS JOIN t ORDER BY rule""".stripMargin,
+
+    // Quantile normalization: per-group quantile_cont boundary arrays,
+    // the q168 list_filter rank fold, global inverse CDF at the bucket
+    // midpoints, list lookup, 6 dp (+0.0 — generic value domains can be
+    // signed even though n_chars is not).
+    "q224_quantile_normalize" ->
+      """WITH b AS (
+        | SELECT source, quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        | FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |g AS (
+        | SELECT quantile_cont(n_chars, [0.05, 0.15, 0.25, 0.35, 0.45, 0.55, 0.65, 0.75, 0.85, 0.95]) AS gq
+        | FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        | CASE WHEN d.n_chars IS NOT NULL THEN
+        |  round(g.gq[len(list_filter(b.qs, q -> d.n_chars > q)) + 1], 6) + 0.0
+        | END AS normalized
+        |FROM documents d JOIN b USING (source) CROSS JOIN g
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.bpeTrainMerges]]:

@@ -574,6 +574,61 @@ object Summaries {
       .drop("__qs")
   }
 
+  /** Quantile NORMALIZATION across groups — the batch-effect
+    * harmonizer: every row's value maps to the GLOBAL quantile at its
+    * own group's rank, so differently-scaled per-source score
+    * distributions become directly comparable before mixing (each
+    * source's empirical CDF is composed with the global inverse CDF at
+    * `1/nBuckets` resolution). Appends `normalized`; NULL values stay
+    * NULL.
+    *
+    * Cross-engine exactness: the per-group rank is
+    * [[quantileTransformByGroup]]'s boundary-count fold (exact
+    * interpolated boundaries are ulp-robust — they sit strictly between
+    * consecutive data values); the global inverse CDF is evaluated at
+    * the nBuckets bucket MIDPOINTS and folded back as a literal array;
+    * the lookup rounds to 6 dp through [[graft.functions.Rounding]].
+    *
+    * 100 TB shape: groups-sized boundary aggregation broadcast back
+    * (the exact arm buffers per-group multisets — [[exactArmWarning]]
+    * fires on mis-sizing; `exact = false` swaps in the
+    * `approx_percentile` sketch); the global midpoint quantiles come
+    * from the SORT-ASSISTED exact path (no corpus-sized buffer, ≤
+    * 2·nBuckets rows to the driver) or the same sketch; normalization
+    * itself is a per-row fold + literal lookup, no second corpus pass.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        nBuckets: Int = 100, exact: Boolean = true,
+                        accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 10000,
+      s"nBuckets out of [2,10000]: $nBuckets")
+    logExactArm(df, exact, "quantileNormalize")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df.groupBy(col(groupCol)).agg(
+      pctExpr(valueCol, s"array(${ps.mkString(", ")})", exact, accuracy)
+        .as("__qs"))
+    val mids = (0 until nBuckets).map(b => (b + 0.5) / nBuckets)
+    val joined =
+      if (exact) {
+        val gq = exactSortedBoundaries(df, valueCol, mids) match {
+          case Some(a) => array(a.map(lit).toSeq: _*)
+          case None => array(mids.map(_ => lit(null).cast("double")): _*)
+        }
+        df.join(broadcast(bounds), groupCol).withColumn("__gq", gq)
+      } else {
+        val g = df.agg(pctExpr(valueCol, s"array(${mids.mkString(", ")})",
+          exact, accuracy).as("__gq"))
+        df.join(broadcast(bounds), groupCol).crossJoin(broadcast(g))
+      }
+    joined
+      .withColumn("__bucket", expr(
+        s"aggregate(__qs, 0L, (acc, q) -> acc + IF(`$valueCol` > q, 1L, 0L))"))
+      .withColumn("normalized",
+        when(col(valueCol).isNotNull,
+          zround(element_at(col("__gq"), col("__bucket").cast("int") + 1), 6)))
+      .drop("__qs", "__gq", "__bucket")
+  }
+
   /** Shared core of [[equiDepthHistogram]] and [[quantileTransform]]:
     * append `__bucket` = #{`i/nBuckets` percentile boundaries strictly
     * below the value}. The boundary array is ONE row (broadcast scalar

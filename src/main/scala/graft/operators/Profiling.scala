@@ -431,4 +431,85 @@ object Profiling {
       .select(element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
         round(col("col"), 6).as("est"))
   }
+
+  /** Declarative data-quality expectations (the great-expectations-style
+    * gate an ingestion pipeline runs before promoting a feed). Each rule
+    * is a typed constraint; the report is one row per rule:
+    * `(rule, n_rows, n_violations, violation_frac)`.
+    */
+  sealed trait Expectation { def label: String }
+  /** Column must never be NULL. */
+  final case class ExpectNotNull(column: String) extends Expectation {
+    val label = s"not_null($column)"
+  }
+  /** Non-null values must be unique (violations = non-null rows minus
+    * distinct non-null values — each extra copy counts once).
+    */
+  final case class ExpectUnique(column: String) extends Expectation {
+    val label = s"unique($column)"
+  }
+  /** Non-null values must sit in [lo, hi] (inclusive). */
+  final case class ExpectInRange(column: String, lo: Double, hi: Double)
+      extends Expectation {
+    val label = s"in_range($column,$lo,$hi)"
+  }
+  /** Non-null values must be one of `values`. */
+  final case class ExpectInSet(column: String, values: Seq[String])
+      extends Expectation {
+    require(values.nonEmpty, s"empty allowed set for $column")
+    val label = s"in_set($column)"
+  }
+  /** Non-null values must fully match `pattern` (anchored rlike). */
+  final case class ExpectMatches(column: String, pattern: String)
+      extends Expectation {
+    val label = s"matches($column)"
+  }
+
+  /** Evaluate every expectation in ONE corpus pass: each rule compiles
+    * to a conditional-count aggregate ([[ExpectUnique]] adds a
+    * `count_distinct`, planned through the same Expand as
+    * [[profileColumns]]' exact arm), and the per-rule rollup is a
+    * `stack` unpivot of the single aggregate row — rules-count-sized,
+    * never a per-rule corpus pass.
+    *
+    * 100 TB shape: one map-side-combinable aggregation (plus one Expand
+    * replication per distinct-count rule — drop [[ExpectUnique]] rules
+    * or pre-dedup if that matters at the extreme); nothing else touches
+    * the corpus.
+    */
+  def expectationReport(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expectationReport needs at least one rule")
+    require(rules.map(_.label).distinct.size == rules.size,
+      s"duplicate rule labels: ${rules.map(_.label).mkString(", ")}")
+    rules.foreach {
+      case e: ExpectInRange => require(e.lo <= e.hi, s"bad range in ${e.label}")
+      case _ => ()
+    }
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      (r match {
+        case ExpectNotNull(c) =>
+          sum(when(col(c).isNull, 1L).otherwise(0L))
+        case ExpectUnique(c) =>
+          count(col(c)) - count_distinct(col(c))
+        case ExpectInRange(c, lo, hi) =>
+          sum(when(col(c).isNotNull &&
+            (col(c) < lit(lo) || col(c) > lit(hi)), 1L).otherwise(0L))
+        case ExpectInSet(c, vs) =>
+          sum(when(col(c).isNotNull && !col(c).isInCollection(vs), 1L)
+            .otherwise(0L))
+        case ExpectMatches(c, p) =>
+          sum(when(col(c).isNotNull && !col(c).rlike(s"^(?:$p)$$"), 1L)
+            .otherwise(0L))
+      }).cast("long").as(s"__v_$i")
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = rules.zipWithIndex.map { case (r, i) =>
+      s"'${r.label}', `__v_$i`"
+    }.mkString(", ")
+    row.select(col("__n").as("n_rows"),
+      expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)"))
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        round(col("n_violations").cast("double") / col("n_rows").cast("double"), 6)
+          .as("violation_frac"))
+  }
 }

@@ -479,6 +479,32 @@ class SummariesSpec extends SparkSpec {
       Summaries.exactPercentileBufferWarning(0L, 1L))
   }
 
+  test("quantileNormalize maps equal within-group ranks to the SAME global value") {
+    // two sources with disjoint scales: after normalization, the r-th
+    // smallest of A and the r-th smallest of B land on the same global
+    // inverse-CDF midpoint — scale harmonized, order preserved
+    val rows = (1 to 10).map(v => ("a", v * 1.0, v)) ++
+      (1 to 10).map(v => ("b", 100.0 + v, v))
+    val out = Summaries.quantileNormalize(
+      rows.toDF("g", "v", "rank"), "g", "v", nBuckets = 5)
+      .select("g", "rank", "normalized")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    (1 to 10).foreach { r =>
+      assert(out(("a", r)) == out(("b", r)),
+        s"rank $r: a=${out(("a", r))} b=${out(("b", r))}")
+    }
+    // monotone within each group
+    (2 to 10).foreach { r =>
+      assert(out(("a", r)) >= out(("a", r - 1)))
+    }
+    // NULL values stay NULL
+    val withNull = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", None))
+      .toDF("g", "v")
+    val nrow = Summaries.quantileNormalize(withNull, "g", "v", nBuckets = 2)
+      .filter(col("v").isNull).head()
+    assert(nrow.isNullAt(nrow.fieldIndex("normalized")))
+  }
+
   test("aucByGroup: separable/inverted/tied/degenerate hand fixtures") {
     val df = Seq(
       // g1: positives strictly above negatives -> AUC 1

@@ -288,4 +288,36 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profiling.rankSampleQuantiles(a, Seq(1.5)))
   }
+
+  test("expectationReport: every rule type counts its planted violations, in one pass") {
+    import Profiling._
+    val rows = Seq(
+      (1L, Some("en"), Some(10L), Some("src1")),
+      (1L, Some("de"), Some(20L), Some("src2")),      // duplicate id
+      (2L, None, Some(999L), Some("SRC3")),           // null lang, range+regex violations
+      (3L, Some("xx"), None, None),                   // bad lang, null range col ok, null src ok
+      (4L, Some("fr"), Some(-5L), Some("src9")))      // below range
+      .toDF("id", "lang", "n", "src")
+    val got = expectationReport(rows, Seq(
+      ExpectNotNull("lang"),
+      ExpectUnique("id"),
+      ExpectInRange("n", 0, 100),
+      ExpectInSet("lang", Seq("de", "en", "es", "fr", "zh")),
+      ExpectMatches("src", "src[0-9]+")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("not_null(lang)") == ((5L, 1L)))
+    assert(got("unique(id)") == ((5L, 1L)))          // id 1 twice: one extra copy
+    assert(got("in_range(n,0.0,100.0)") == ((5L, 2L))) // 999 and -5; NULL exempt
+    assert(got("in_set(lang)") == ((5L, 1L)))        // 'xx'; NULLs exempt
+    assert(got("matches(src)") == ((5L, 1L)))        // 'SRC3'; NULL exempt; regex anchored
+    // the anchored wrap rejects partial matches ('src1x' is not src[0-9]+)
+    val partial = expectationReport(Seq(("src1x")).toDF("src"),
+      Seq(ExpectMatches("src", "src[0-9]+"))).head()
+    assert(partial.getLong(2) == 1L)
+    intercept[IllegalArgumentException](expectationReport(rows, Seq.empty))
+    intercept[IllegalArgumentException](
+      expectationReport(rows, Seq(ExpectInRange("n", 5, 1))))
+    intercept[IllegalArgumentException](
+      expectationReport(rows, Seq(ExpectNotNull("lang"), ExpectNotNull("lang"))))
+  }
 }
