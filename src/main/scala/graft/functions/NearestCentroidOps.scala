@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native argmin-over-codebook assignment — the constant-code-size
+  * replacement for `least(struct(dist_0, id_0), …, struct(dist_k, id_k))`.
+  *
+  * The declarative least-of-k-structs form inlines k dot products into the
+  * generated method, so its code size GROWS with k: past a few dozen
+  * centroids the method blows the JIT inline/compile limits and execution
+  * falls off the codegen cliff (measured 4.4× on the PQ when-chain, the
+  * same pathology at the subspace level). This expression keeps the
+  * generated code CONSTANT — one call into a loop kernel that scans the
+  * plan-time codebook — so k is bounded by arithmetic cost, not by
+  * bytecode size: k-means/IVF/PQ assignment now scales to the k ≈ √n
+  * regimes the SemDeDup/IVF literature actually uses.
+  *
+  * Two distance modes, each a STRICT drop-in for the declarative
+  * formulation it replaces (bit-identical assignments, pinned by
+  * property spec):
+  *   - `cosine = false` (Lloyd): `dist_c = round₆(|v|² − 2·v·c + |c|²)`
+  *     with the 6-dp HALF_UP quantization and ascending-id tiebreak of
+  *     [[graft.operators.Similarity.kmeansLloyd]];
+  *   - `cosine = true` (IVF): `dist_c = 1 − v·c / (‖v‖·‖c‖)` RAW (no
+  *     rounding), NaN ordered largest, ties to the smallest cell id —
+  *     the `cellDistStructs` contract.
+  *
+  * `sp` selects the codebook (PQ's per-subspace training); single-codebook
+  * callers pass `lit(0)`. All folds are sequential left-to-right like
+  * [[DotProductExpr]]; `|c|²`/`‖c‖` are precomputed once at PLAN time with
+  * the same fold. NULL vector, null element slot, codebook-dimension
+  * mismatch, or out-of-range `sp` ⇒ NULL (callers pre-filter validity,
+  * exactly as they did for the struct form).
+  *
+  * `cellIds(sp)` must ascend — the scan-order tiebreak then equals the
+  * struct form's smallest-ID tiebreak.
+  */
+case class NearestCentroidExpr(vec: Expression, sp: Expression,
+                               codebooks: Array[Array[Array[Double]]],
+                               cellIds: Array[Array[Long]],
+                               cosine: Boolean)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = sp
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, sp.dataType) match {
+    case (ArrayType(DoubleType | FloatType | LongType | IntegerType |
+                    ShortType | ByteType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (v, s) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires (array<numeric>, int), got " +
+        s"(${v.catalogString}, ${s.catalogString})")
+  }
+
+  require(codebooks.nonEmpty && codebooks.length == cellIds.length,
+    "codebooks and cellIds must be non-empty and parallel")
+  require(codebooks.indices.forall(i =>
+    codebooks(i).nonEmpty && codebooks(i).length == cellIds(i).length),
+    "every subspace needs parallel non-empty centroid/id arrays")
+  require(cellIds.forall(ids => ids.sameElements(ids.sorted)),
+    "cellIds must ascend per subspace (the smallest-id tiebreak contract)")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  private def kind: Int = vec.dataType match {
+    case ArrayType(DoubleType, _) => 0
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case ArrayType(IntegerType, _) => 3
+    case ArrayType(ShortType, _) => 4
+    case _ => 5
+  }
+
+  @transient private lazy val state =
+    new NearestCentroidState(codebooks, cellIds, cosine)
+
+  override def nullSafeEval(v: Any, s: Any): Any = {
+    val r = state.nearest(v.asInstanceOf[ArrayData], s.asInstanceOf[Int], kind)
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stateRef = ctx.addReferenceObj("ncState", state,
+      classOf[NearestCentroidState].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("ncR")
+      s"""
+         |java.lang.Long $r = $stateRef.nearest($a, $b, $kind);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.longValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): NearestCentroidExpr =
+    copy(vec = newLeft, sp = newRight)
+}
+
+/** Plan-time-frozen codebook state shared by interpreted eval and the
+  * generated code (shipped through the codegen references array).
+  */
+final class NearestCentroidState(codebooks: Array[Array[Array[Double]]],
+                                 cellIds: Array[Array[Long]],
+                                 cosine: Boolean) extends Serializable {
+
+  // flat per-subspace layout: centroids row-major + per-centroid |c|²
+  // (Lloyd) or ‖c‖ (cosine), both via the sequential fold
+  private val dims: Array[Int] = codebooks.map(_.head.length)
+  private val ks: Array[Int] = codebooks.map(_.length)
+  private val flat: Array[Array[Double]] = codebooks.map { cb =>
+    val d = cb.head.length
+    val out = new Array[Double](cb.length * d)
+    var c = 0
+    while (c < cb.length) {
+      require(cb(c).length == d, "ragged centroids within one subspace")
+      System.arraycopy(cb(c), 0, out, c * d, d)
+      c += 1
+    }
+    out
+  }
+  private val norms: Array[Array[Double]] = codebooks.map { cb =>
+    cb.map { cv =>
+      var s = 0.0
+      var j = 0
+      while (j < cv.length) { s += cv(j) * cv(j); j += 1 }
+      if (cosine) math.sqrt(s) else s
+    }
+  }
+
+  /** The 6-dp HALF_UP quantization `round(col, 6)` applies to doubles
+    * (shortest-decimal BigDecimal, like Spark's and Scala's `BigDecimal`
+    * of a double).
+    */
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def nearest(arr: ArrayData, sp: Int, kind: Int): java.lang.Long = {
+    if (sp < 0 || sp >= flat.length) return null
+    val d = dims(sp)
+    val n = arr.numElements()
+    if (n != d) return null
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    val v = new Array[Double](n)
+    i = 0
+    kind match {
+      case 0 => while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+      case 1 => while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+      case 2 => while (i < n) { v(i) = arr.getLong(i).toDouble; i += 1 }
+      case 3 => while (i < n) { v(i) = arr.getInt(i).toDouble; i += 1 }
+      case 4 => while (i < n) { v(i) = arr.getShort(i).toDouble; i += 1 }
+      case _ => while (i < n) { v(i) = arr.getByte(i).toDouble; i += 1 }
+    }
+    var vn2 = 0.0
+    i = 0
+    while (i < n) { vn2 += v(i) * v(i); i += 1 }
+    val vNorm = if (cosine) math.sqrt(vn2) else 0.0
+    val cb = flat(sp)
+    val nm = norms(sp)
+    val k = ks(sp)
+    var best = Double.PositiveInfinity
+    var bestId = cellIds(sp)(0)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var j = 0
+      val base = c * d
+      while (j < d) { dot += v(j) * cb(base + j); j += 1 }
+      val dist =
+        if (cosine) 1.0 - dot / (vNorm * nm(c))
+        else round6(vn2 - 2.0 * dot + nm(c))
+      // strict < with an ascending-id scan = the struct form's
+      // (dist, id) least; NaN never beats a finite best, and an all-NaN
+      // row keeps the smallest id — both matching Spark's NaN-largest
+      // struct ordering
+      if (dist < best) { best = dist; bestId = cellIds(sp)(c) }
+      c += 1
+    }
+    java.lang.Long.valueOf(bestId)
+  }
+}
+
+object NearestCentroidOps {
+
+  /** Column API: nearest centroid id of `vec` within `codebooks(sp)`. */
+  def nearestCentroid(vec: Column, sp: Column,
+                      codebooks: Array[Array[Array[Double]]],
+                      cellIds: Array[Array[Long]],
+                      cosine: Boolean): Column =
+    ColumnBridge.column(NearestCentroidExpr(
+      ColumnBridge.expression(vec), ColumnBridge.expression(sp),
+      codebooks, cellIds, cosine))
+
+  /** Single-codebook convenience with 0..k−1 ids (the Lloyd shape). */
+  def nearestCluster(vec: Column, codebook: Array[Array[Double]],
+                     cosine: Boolean = false): Column = {
+    import org.apache.spark.sql.functions.lit
+    nearestCentroid(vec, lit(0), Array(codebook),
+      Array(codebook.indices.map(_.toLong).toArray), cosine)
+  }
+}

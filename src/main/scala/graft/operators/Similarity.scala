@@ -572,17 +572,22 @@ object Similarity {
         lit(cell).as("cell"))
     }
 
-  /** Assignment argmin WITHOUT building + sorting a per-row array:
-    * `least()` over the distance structs compares by (dist, cell) — struct
-    * natural order, identical to `array_sort(...)[1]` including NaN-last —
-    * so the corpus side pays one running min per row instead of
-    * materializing and sorting `nCentroids` structs (measured ~40% of q37
-    * wall time at sf0.1). The sorted-array form survives only on the query
-    * side, which genuinely needs the `nProbe` best cells.
+  /** Assignment argmin WITHOUT building + sorting a per-row array — the
+    * NATIVE cosine-mode kernel: one runtime loop over the codebook,
+    * generated code constant-size in nCentroids (the earlier least-of-
+    * structs form — itself 40% of q37's wall vs array_sort — still grew
+    * its method with the codebook; IVF at corpus scale wants thousands
+    * of cells). Ties and NaN order exactly like the struct form
+    * (NearestCentroidSpec), and a zero-norm vector assigns to the
+    * smallest cell instead of ANSI-crashing the division. The
+    * sorted-array form survives only on the query side, which genuinely
+    * needs the `nProbe` best cells.
     */
   private def nearestCell(codebook: Array[(Long, Seq[Double])],
                           v: Column, n: Column): Column =
-    least(cellDistStructs(codebook, v, n): _*).getField("cell")
+    graft.functions.NearestCentroidOps.nearestCentroid(v, lit(0),
+      Array(codebook.map(_._2.toArray)), Array(codebook.map(_._1)),
+      cosine = true)
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid cell; queries probe only the `nProbe` nearest cells. Centroids
@@ -731,22 +736,16 @@ object Similarity {
     if (iters > 0) vecs.persist()
     var centroids: Array[Array[Double]] = init.filter(_.length == dims)
 
-    // distance via |v|² − 2·v·c + |c|² through the codegen'd dot kernel:
-    // |v|² is computed ONCE per row across all k centroids, and a k×dim
-    // unrolled (v−c)² chain would blow past JIT method limits (measured
-    // ~3× slower at 500k×64×8); the 6-dp round keeps the fp-rearranged
-    // value engine-identical exactly like the direct form
-    def assigned(cs: Array[Array[Double]]): DataFrame = {
-      val structs = cs.toSeq.zipWithIndex.map { case (cv, c) =>
-        var cn2 = 0.0
-        var j = 0
-        while (j < cv.length) { cn2 += cv(j) * cv(j); j += 1 }
-        val dist = col("__vn2") - lit(2.0) * dot(col("__vd"), typedlit(cv.toSeq)) + lit(cn2)
-        struct(round(dist, 6).as("d"), lit(c).as("cl"))
-      }
-      vecs.withColumn("__vn2", dot(col("__vd"), col("__vd")))
-        .withColumn("cluster", least(structs: _*).getField("cl"))
-    }
+    // distance via |v|² − 2·v·c + |c|² inside the NATIVE argmin kernel
+    // ([[graft.functions.NearestCentroidOps]]): constant generated-code
+    // size at ANY k (a least-of-k-structs or unrolled (v−c)² chain blows
+    // the JIT method limits past a few dozen centroids — measured ~3-4×
+    // slower), same 6-dp quantization and ascending-id tiebreak,
+    // assignment-identical (NearestCentroidSpec property parity)
+    def assigned(cs: Array[Array[Double]]): DataFrame =
+      vecs.withColumn("cluster",
+        graft.functions.NearestCentroidOps.nearestCluster(col("__vd"), cs)
+          .cast("int"))
     for (_ <- 0 until iters) {
       val cells = assigned(centroids)
         .select(col("cluster"), posexplode(col("__vd")).as(Seq("__pos", "__x")))
@@ -1097,58 +1096,27 @@ object Similarity {
     transform(slice(v, sp * subDim + 1, subDim), x => round(x, 9))
 
   /** The kmeansLloyd argmin over ONE subspace codebook as a per-row
-    * expression: `|s|² − 2·s·c + |c|²` rounded 6 dp, cluster-id
-    * tiebreak — bit-identical to [[pqAssigned]]'s fused when-chain arm.
+    * expression — the native kernel, bit-identical to [[pqAssigned]]'s
+    * arm (same 6-dp quantization + id tiebreak).
     */
-  private def pqCodeExpr(slice9: Column, cents: Array[Array[Double]]): Column = {
-    val structs = cents.toSeq.zipWithIndex.map { case (cv, c) =>
-      var cn2 = 0.0
-      var j = 0
-      while (j < cv.length) { cn2 += cv(j) * cv(j); j += 1 }
-      val dist = dot(slice9, slice9) -
-        lit(2.0) * dot(slice9, typedlit(cv.toSeq)) + lit(cn2)
-      struct(round(dist, 6).as("d"), lit(c).as("cl"))
-    }
-    least(structs: _*).getField("cl")
-  }
+  private def pqCodeExpr(slice9: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroidOps.nearestCluster(slice9, cents).cast("int")
 
-  /** `slices` with a `cluster` column: |v|² − 2·v·c + |c|² through the
-    * codegen'd dot kernel (the kmeansLloyd distance shape). The codebook
-    * is selected by subspace through LITERAL 2-D array lookups
-    * (`centroids[__sp][c]`, `|c|²[__sp][c]`), so the per-row expression
-    * is k dots + k lookups REGARDLESS of the subspace count — a
-    * when-chain over subspaces multiplies the codegen'd method size by
-    * `subspaces` and blows the JIT limit (measured 4.4× slower at
-    * 500k×4 subspaces, the kmeansLloyd unrolled-chain lesson again).
-    * Ragged codebooks (a subspace with fewer than k clusters — possible
-    * only on corpora smaller than k) pad with +∞ |c|², which can never
-    * win the argmin.
+  /** `slices` with a `cluster` column: the kmeansLloyd distance shape
+    * through the NATIVE per-subspace argmin kernel — generated code is
+    * constant-size in BOTH k and the subspace count (the first fusion
+    * attempt's when-chain over subspaces and its literal-lookup
+    * successor both kept k structs inline; the kernel loops at runtime
+    * instead). Ragged codebooks (a subspace with fewer than k clusters)
+    * need no padding — the kernel scans each subspace's own length.
     */
   private def pqAssigned(slices: DataFrame,
-                         cs: Array[Array[Array[Double]]]): DataFrame = {
-    val k = cs.map(_.length).max
-    val subDim = cs.head.head.length
-    val centLit = typedlit(cs.map { spc =>
-      spc.map(_.toSeq).toSeq ++
-        Seq.fill(k - spc.length)(Seq.fill(subDim)(0.0))
-    }.toSeq)
-    val cn2Lit = typedlit(cs.map { spc =>
-      spc.map { cv =>
-        var s = 0.0
-        var j = 0
-        while (j < cv.length) { s += cv(j) * cv(j); j += 1 }
-        s
-      }.toSeq ++ Seq.fill(k - spc.length)(Double.PositiveInfinity)
-    }.toSeq)
-    val structs = (0 until k).map { c =>
-      val cent = element_at(element_at(centLit, col("__sp") + 1), c + 1)
-      val cn2 = element_at(element_at(cn2Lit, col("__sp") + 1), c + 1)
-      val dist = col("__vn2") - lit(2.0) * dot(col("__vd"), cent) + cn2
-      struct(round(dist, 6).as("d"), lit(c).as("cl"))
-    }
-    slices.withColumn("__vn2", dot(col("__vd"), col("__vd")))
-      .withColumn("cluster", least(structs: _*).getField("cl"))
-  }
+                         cs: Array[Array[Array[Double]]]): DataFrame =
+    slices.withColumn("cluster",
+      graft.functions.NearestCentroidOps.nearestCentroid(
+        col("__vd"), col("__sp"), cs,
+        cs.map(cb => cb.indices.map(_.toLong).toArray), cosine = false)
+        .cast("int"))
 
   /** The fused Lloyd loop over a [[pqSlices]] relation: per-subspace
     * first-k seeds (kmeansLloyd's orderBy(id).limit(k) rule — `subspaces`
@@ -1291,12 +1259,13 @@ object Similarity {
     * closure is [[graft.operators.Dedup.connectedComponents]] (driver
     * union-find under 4M edges, RDD hash-min pointer jumping beyond).
     *
-    * k ceiling: [[kmeansLloyd]] assigns through a `least()` over k
-    * distance structs, so k is bounded by the codegen'd method size
-    * (≲64 before the JIT limit bites — the pqAssigned lesson). A
-    * corpus-scale deployment reaches k ≈ √n hierarchically (cluster the
-    * centroids of a first-level clustering), which composes from this
-    * same operator; the fixture-scale queries stay single-level.
+    * k ceiling: assignment runs through the NATIVE argmin kernel
+    * ([[graft.functions.NearestCentroidOps]] — constant generated-code
+    * size, one runtime loop), so k is bounded by the per-iteration
+    * k×dim codebook collect and broadcast (k ≈ √n at 10⁹ vectors is a
+    * ~32k×64 ≈ 16 MB codebook — broadcast-class), not by bytecode
+    * limits. Beyond that, k ≈ √n composes hierarchically (cluster the
+    * centroids of a first-level clustering) from this same operator.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, k: Int = 4, iters: Int = 2): DataFrame = {
