@@ -2363,6 +2363,20 @@ object SparkEntry {
       Summaries.scoreEvalReport(scored, "score", "label", bins = 10)
     }),
 
+    // ── isotonic calibration of the q200 score: weighted PAV through the
+    // exact minimax identity over the bins table — the monotone
+    // recalibration map; all levels are single divisions of integer
+    // range sums.
+    "q225_isotonic" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens("text")
+      val scored = t(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("score",
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .withColumn("label", col("lang") === "en")
+      Summaries.isotonicCalibration(scored, "score", "label", bins = 10)
+        .orderBy("bin")
+    }),
+
     // ── declarative data-quality gate: five typed expectations over the
     // documents feed in ONE aggregation pass (unique via the exact
     // Expand-planned distinct count; in_range planted to violate — the
@@ -5739,6 +5753,44 @@ object SparkEntry {
         |   AS DECIMAL(28,12))) AS DOUBLE), 6) AS ece,
         | max(round(gap, 6)) AS max_abs_gap
         |FROM g""".stripMargin,
+
+    // Isotonic: identical bin floors, the same minimax
+    // max_{i<=b} min_{j>=b} of integer-range-sum averages, terminal 6 dp.
+    "q225_isotonic" ->
+      """WITH s AS (
+        | SELECT
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score,
+        |  lang = 'en' AS label
+        | FROM documents WHERE text IS NOT NULL),
+        |bb AS (
+        | SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, label
+        | FROM s WHERE score IS NOT NULL AND label IS NOT NULL),
+        |bt AS (
+        | SELECT bin, count(*) AS n,
+        |  sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos
+        | FROM bb GROUP BY 1),
+        |cum AS (
+        | SELECT bin, n, pos,
+        |  sum(n) OVER (ORDER BY bin
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |  sum(pos) OVER (ORDER BY bin
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        | FROM bt),
+        |rg AS (
+        | SELECT l.bin AS i, h.bin AS j,
+        |  CAST(h.cp - (l.cp - l.pos) AS DOUBLE)
+        |   / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS r
+        | FROM cum l, cum h WHERE l.bin <= h.bin),
+        |inn AS (
+        | SELECT a.bin AS b, rg.i, min(rg.r) AS m
+        | FROM rg, (SELECT bin FROM bt) a
+        | WHERE rg.i <= a.bin AND rg.j >= a.bin GROUP BY 1, 2),
+        |f AS (SELECT b AS bin, max(m) AS fv FROM inn GROUP BY 1)
+        |SELECT bt.bin, bt.n,
+        | round(CAST(bt.pos AS DOUBLE) / CAST(bt.n AS DOUBLE), 6) AS frac_positive,
+        | round(f.fv, 6) AS fitted
+        |FROM bt JOIN f USING (bin) ORDER BY bin""".stripMargin,
 
     // Expectations: one SELECT per rule over the same scan semantics —
     // the anchored regex stated as regexp_full_match to mirror Spark's

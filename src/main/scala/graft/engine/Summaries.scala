@@ -1441,6 +1441,64 @@ object Summaries {
         col("max_abs_gap"))
   }
 
+  /** Isotonic calibration of a probabilistic score — weighted isotonic
+    * regression of the per-bin positive rates, fitted through the EXACT
+    * minimax identity `fitted_b = max_{i≤b} min_{j≥b} (Σpos_{i..j} /
+    * Σn_{i..j})` (the closed form of pool-adjacent-violators): the
+    * monotone recalibration map a pipeline applies when a model's raw
+    * scores rank well (q221's AUC) but read miscalibrated (q200's gaps).
+    * Output one row per OCCUPIED bin: `(bin, n, frac_positive, fitted)`,
+    * fitted non-decreasing in bin by construction.
+    *
+    * Cross-engine exactness: every candidate level is ONE division of
+    * exact integer range sums; min/max over identical doubles are
+    * engine-identical; the only rounding is the terminal 6 dp (values in
+    * [0, 1] — no signed zero possible).
+    *
+    * 100 TB shape: ONE corpus pass into the bins-sized table; the
+    * minimax is O(bins³) pairs over that TINY relation (bins ≤ 500
+    * enforced — calibration bins, not data bins; the corpus never
+    * re-enters).
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+                          bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 500, s"bins out of [2,500]: $bins")
+    val b = least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+    val binTable = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binTable
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cp", sum(col("__pos")).over(w))
+    // range averages r(i, j) = (P_j − P_{i−1}) / (N_j − N_{i−1}) over the
+    // bins×bins grid — i enters via its EXCLUSIVE prefix (cum − own)
+    val lo = cum.select(col("bin").as("__i"),
+      (col("__cn") - col("n")).as("__n0"), (col("__cp") - col("__pos")).as("__p0"))
+    val hi = cum.select(col("bin").as("__j"),
+      col("__cn").as("__n1"), col("__cp").as("__p1"))
+    val ranges = lo.crossJoin(hi).filter(col("__i") <= col("__j"))
+      .select(col("__i"), col("__j"),
+        ((col("__p1") - col("__p0")).cast("double")
+          / (col("__n1") - col("__n0")).cast("double")).as("__r"))
+    // fitted_b = max_{i≤b} min_{j≥b} r(i, j): triple join on the tiny
+    // bin axis, two grouped reductions
+    val bAxis = binTable.select(col("bin").as("__b"))
+    val inner = ranges.crossJoin(bAxis)
+      .filter(col("__i") <= col("__b") && col("__j") >= col("__b"))
+      .groupBy(col("__b"), col("__i"))
+      .agg(min(col("__r")).as("__m"))
+    val fitted = inner.groupBy(col("__b"))
+      .agg(max(col("__m")).as("__f"))
+    binTable.join(fitted, col("bin") === col("__b"))
+      .select(col("bin"), col("n"),
+        round(col("__pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_positive"),
+        round(col("__f"), 6).as("fitted"))
+  }
+
   /** CUSUM changepoint detection over per-key daily activity: for each
     * key, the date where the cumulative deviation from the key's mean
     * daily count peaks — "when did this source's volume regime change",

@@ -479,6 +479,56 @@ class SummariesSpec extends SparkSpec {
       Summaries.exactPercentileBufferWarning(0L, 1L))
   }
 
+  test("isotonicCalibration: monotone output, PAV reference, passthrough and full-pool edges") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // driver PAV over (n, pos) per occupied bin, ascending
+    def pav(cells: Seq[(Int, Long, Long)]): Map[Int, Double] = {
+      case class Block(bins: List[Int], n: Long, pos: Long)
+      var stack = List.empty[Block]
+      cells.sortBy(_._1).foreach { case (b, n, p) =>
+        var blk = Block(List(b), n, p)
+        while (stack.nonEmpty &&
+          stack.head.pos.toDouble / stack.head.n >= blk.pos.toDouble / blk.n) {
+          val top = stack.head
+          stack = stack.tail
+          blk = Block(top.bins ++ blk.bins, top.n + blk.n, top.pos + blk.pos)
+        }
+        stack = blk :: stack
+      }
+      stack.flatMap(bl => bl.bins.map(_ -> bl.pos.toDouble / bl.n)).toMap
+    }
+    // pseudo-random scores/labels exercising violations
+    val rows = (0 until 500).map { i =>
+      val score = ((i * 37 + 11) % 100) / 100.0
+      val label = (i * 53 + 7) % 10 < 4 || score > 0.8 && i % 3 == 0
+      (score, label)
+    }
+    val got = Summaries.isotonicCalibration(rows.toDF("score", "label"),
+      "score", "label", bins = 10)
+      .orderBy("bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    val fitted = got.map(_._3)
+    assert(fitted.zip(fitted.tail).forall { case (a, b) => a <= b },
+      s"fitted not monotone: ${fitted.toSeq}")
+    val cells = rows.groupBy(r => math.min((r._1 * 10).toInt, 9)).toSeq
+      .map { case (b, rs) => (b, rs.size.toLong, rs.count(_._2).toLong) }
+    val ref = pav(cells)
+    got.foreach { case (b, _, f) => assert(f == r6(ref(b)), s"bin $b: $f vs ${ref(b)}") }
+    // already-monotone rates pass through untouched
+    val mono = Seq.fill(20)((0.05, false)) ++ Seq((0.05, true)) ++
+      Seq.fill(10)((0.95, true)) ++ Seq((0.95, false))
+    val m = Summaries.isotonicCalibration(mono.toDF("score", "label"),
+      "score", "label", bins = 10).orderBy("bin")
+      .collect().map(r => r.getDouble(2) -> r.getDouble(3))
+    m.foreach { case (frac, fit) => assert(frac == fit) }
+    // fully inverted rates pool into one global block
+    val inv = Seq.fill(10)((0.05, true)) ++ Seq.fill(10)((0.95, false))
+    val i2 = Summaries.isotonicCalibration(inv.toDF("score", "label"),
+      "score", "label", bins = 10)
+      .collect().map(_.getDouble(3)).distinct
+    assert(i2.toSeq == Seq(0.5))
+  }
+
   test("quantileNormalize maps equal within-group ranks to the SAME global value") {
     // two sources with disjoint scales: after normalization, the r-th
     // smallest of A and the r-th smallest of B land on the same global
