@@ -2377,6 +2377,16 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // ── contrastive training triples from ONE LSH candidate pass:
+    // cos > 0.4 pairs anchor↔positive (both orientations), bucket
+    // cohabitants in [0.05, 0.35) are the hard negatives (top-2 per
+    // anchor via the bounded heap).
+    "q226_contrastive_triples" -> ((s, dir) =>
+      Similarity.contrastiveTriples(t(s, dir, "embeddings"), "vec_id",
+        "embedding", posThreshold = 0.4, negMin = 0.05, negMax = 0.35,
+        negPerAnchor = 2)
+        .orderBy("anchor_id", "positive_id", "rn")),
+
     // ── declarative data-quality gate: five typed expectations over the
     // documents feed in ONE aggregation pass (unique via the exact
     // Expand-planned distinct count; in_range planted to violate — the
@@ -5791,6 +5801,33 @@ object SparkEntry {
         | round(CAST(bt.pos AS DOUBLE) / CAST(bt.n AS DOUBLE), 6) AS frac_positive,
         | round(f.fv, 6) AS fitted
         |FROM bt JOIN f USING (bin) ORDER BY bin""".stripMargin,
+
+    // Contrastive triples: the q25 bucket candidates with the q211
+    // exact cosine fold kept, band negatives ranked per anchor, both
+    // pair orientations, anchor-keyed weld.
+    "q226_contrastive_triples" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM v),
+         |cand AS (
+         | SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  list_reduce(list_transform(range(1, 65), j -> a.v[j] * c.v[j]), (x, y) -> x + y)
+         |   / (sqrt(list_reduce(list_transform(range(1, 65), j -> a.v[j] * a.v[j]), (x, y) -> x + y))
+         |      * sqrt(list_reduce(list_transform(range(1, 65), j -> c.v[j] * c.v[j]), (x, y) -> x + y))) AS cos
+         | FROM b a JOIN b c ON a.vec_id < c.vec_id
+         | WHERE bit_count(xor(a.bucket, c.bucket)) <= 1),
+         |bo AS (SELECT id_a AS anchor_id, id_b AS other, cos FROM cand
+         |       UNION ALL SELECT id_b, id_a, cos FROM cand),
+         |negs AS (
+         | SELECT anchor_id, other AS negative_id, round(cos, 6) + 0.0 AS neg_cos,
+         |  CAST(row_number() OVER (PARTITION BY anchor_id
+         |   ORDER BY cos DESC, other) AS BIGINT) AS rn
+         | FROM bo WHERE cos >= 0.05 AND cos < 0.35),
+         |pos AS (SELECT id_a AS anchor_id, id_b AS positive_id FROM cand WHERE cos > 0.4
+         |        UNION ALL SELECT id_b, id_a FROM cand WHERE cos > 0.4)
+         |SELECT p.anchor_id, p.positive_id, n.negative_id, n.neg_cos, n.rn
+         |FROM pos p JOIN negs n USING (anchor_id) WHERE n.rn <= 2
+         |ORDER BY anchor_id, positive_id, rn""".stripMargin,
 
     // Expectations: one SELECT per rule over the same scan semantics —
     // the anchored regex stated as regexp_full_match to mirror Spark's

@@ -1236,6 +1236,73 @@ object Similarity {
     explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
   }
 
+  /** Contrastive training-triple assembly — the "make embedding training
+    * data" composition: one LSH-bucketed candidate pass (the
+    * [[nearDupPairs]] machinery, cosine kept) yields BOTH sides of the
+    * triple — pairs above `posThreshold` become (anchor, positive) in
+    * both orientations, and each anchor's bucket-cohabitants inside
+    * `[negMin, negMax)` become its hard negatives (top `negPerAnchor` by
+    * cosine desc, id ties — the near-misses LSH surfaces naturally,
+    * which is exactly the hard-negative band: random negatives are below
+    * `negMin`, positives are capped out by `negMax ≤ posThreshold`).
+    * Output `(anchor_id, positive_id, negative_id, neg_cos, rn)`.
+    *
+    * 100 TB shape: ONE candidate generation (compact-key bucket
+    * self-join + two payload joins, the nearDupPairs contract), the
+    * scored candidate table localCheckpointed once and read by both
+    * consumers; negative ranking is the bounded-heap topK; the final
+    * weld is an anchor-keyed equi-join of two candidate-bounded tables.
+    * Nothing corpus×corpus, no windows.
+    */
+  def contrastiveTriples(df: DataFrame, idCol: String, vecCol: String,
+                         posThreshold: Double, negMin: Double, negMax: Double,
+                         negPerAnchor: Int, planes: Int = 4,
+                         probeBits: Int = 1): DataFrame = {
+    require(negMin < negMax && negMax <= posThreshold,
+      s"need negMin < negMax <= posThreshold, got [$negMin, $negMax) vs $posThreshold")
+    require(negPerAnchor >= 1 && negPerAnchor <= 1000,
+      s"negPerAnchor out of [1,1000]: $negPerAnchor")
+    val ids = df.select(col(idCol).as("__id"),
+      lshBucket(kernelVec(df, vecCol), planes).as("__b"))
+    val a = ids.select(col("__id").as("id_a"), col("__b").as("bucket"))
+    val masks = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeBits)
+    val b = ids.select(col("__id").as("id_b"), col("__b").as("__bb"))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("__bb").bitwiseXOR(lit(m.toLong))): _*)))
+    val cands = a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("__vid"), kernelVec(df, vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    // scored once, read twice (positives + negatives) — localCheckpoint
+    // like the q58 dup graph, or each consumer would replan the whole
+    // candidate generation
+    val scored = cands
+      .join(vecs.select(col("__vid").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")), "id_a")
+      .join(vecs.select(col("__vid").as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("__cos"))
+      .localCheckpoint()
+    val both = scored.select(col("id_a").as("anchor_id"), col("id_b").as("other"), col("__cos"))
+      .unionByName(scored.select(col("id_b").as("anchor_id"), col("id_a").as("other"), col("__cos")))
+    val negs = both.filter(col("__cos") >= negMin && col("__cos") < negMax)
+      .groupBy(col("anchor_id"))
+      .agg(TopKOps.topK(negPerAnchor, col("__cos"), col("other")).as("__top"))
+      .select(col("anchor_id"), posexplode(col("__top")))
+      .select(col("anchor_id"), col("col.id").as("negative_id"),
+        zround(col("col.score"), 6).as("neg_cos"),
+        (col("pos") + 1).cast("long").as("rn"))
+    val positives = scored.filter(col("__cos") > posThreshold)
+    val posBoth = positives
+      .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"))
+      .unionByName(positives
+        .select(col("id_b").as("anchor_id"), col("id_a").as("positive_id")))
+    posBoth.join(negs, "anchor_id")
+      .select("anchor_id", "positive_id", "negative_id", "neg_cos", "rn")
+  }
+
   /** SemDeDup — SEMANTIC deduplication, the embedding-space production
     * recipe: k-means partitions the corpus into clusters, candidate
     * pairs form ONLY within a cluster (that is the whole point — the

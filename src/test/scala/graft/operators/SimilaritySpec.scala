@@ -713,6 +713,39 @@ class SimilaritySpec extends SparkSpec {
       s"wide-rerank recall $wide must recover the IVF ceiling $ivfRecall")
   }
 
+  test("contrastiveTriples: positives from the near-dup set, negatives band-bounded and ranked") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val triples = Similarity.contrastiveTriples(emb, "vec_id", "embedding",
+      posThreshold = 0.4, negMin = 0.05, negMax = 0.35, negPerAnchor = 2)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(triples.nonEmpty)
+    // (anchor, positive) pairs are exactly the q25 near-dup pair set, in
+    // both orientations (anchors that have no in-band negative drop out)
+    val posPairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    triples.foreach { case (a, p, n, c, rn) =>
+      assert(posPairs.contains((a, p)), s"($a, $p) not a near-dup pair")
+      assert(c >= 0.05 && c < 0.35, s"neg_cos $c outside the band")
+      assert(rn >= 1 && rn <= 2)
+      assert(n != a && n != p || n == p, s"negative $n equals anchor $a")
+    }
+    // per (anchor, positive), ranks are dense from 1 and cos non-increasing
+    triples.groupBy(t => (t._1, t._2)).foreach { case (_, ts) =>
+      val byRn = ts.sortBy(_._5)
+      assert(byRn.map(_._5).toSeq == (1L to byRn.size).toSeq)
+      assert(byRn.map(_._4).zip(byRn.map(_._4).tail).forall { case (x, y) => x >= y })
+    }
+    // every negative really is a bucket cohabitant within the probe
+    // radius of its anchor (the LSH-surfaced hard-negative contract)
+    val buckets = emb.select($"vec_id", Similarity.lshBucket($"embedding").as("b"))
+      .as[(Long, Long)].collect().toMap
+    triples.foreach { case (a, _, n, _, _) =>
+      assert(java.lang.Long.bitCount(buckets(a) ^ buckets(n)) <= 1,
+        s"negative $n not in anchor $a's probe radius")
+    }
+  }
+
   test("semanticDedup: planted semantic clusters collapse to min-id winners") {
     // two tight direction-clusters far apart (+axis0-ish vs +axis1-ish)
     // plus one isolated vector: each tight cluster welds to ONE winner,
