@@ -2387,6 +2387,30 @@ object SparkEntry {
         negPerAnchor = 2)
         .orderBy("anchor_id", "positive_id", "rn")),
 
+    // ── curriculum ordering: easiest-first within each source (length
+    // as the difficulty proxy), sources interleaved ARITHMETICALLY —
+    // position = (rank−1)·|groups| + group_index, no global window.
+    "q227_curriculum" -> ((s, dir) =>
+      graft.operators.Selection.curriculumOrder(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", "source")
+        .orderBy("position")),
+
+    // ── water-filling mixture plan: per-source supply vs synthetic
+    // weights under a 300-row budget — undersupplied sources saturate,
+    // the shortfall redistributes; all saturation decisions are
+    // DECIMAL(38,0) cross-products.
+    "q228_mixture_plan" -> ((s, dir) => {
+      val sup = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("supply"))
+        .withColumn("weight",
+          when(expr("CAST(substring(source, 4) AS INT)") % 2 === 0,
+            lit(50000L)).otherwise(lit(100000L)))
+      Sampling.mixtureAllocation(sup, "source", "supply", "weight",
+        budget = 300L)
+        .orderBy("source")
+    }),
+
     // ── declarative data-quality gate: five typed expectations over the
     // documents feed in ONE aggregation pass (unique via the exact
     // Expand-planned distinct count; in_range planted to violate — the
@@ -5828,6 +5852,59 @@ object SparkEntry {
          |SELECT p.anchor_id, p.positive_id, n.negative_id, n.neg_cos, n.rn
          |FROM pos p JOIN negs n USING (anchor_id) WHERE n.rn <= 2
          |ORDER BY anchor_id, positive_id, rn""".stripMargin,
+
+    // Curriculum: identical per-group rank windows, sorted-distinct
+    // group indexing, and the same interleave arithmetic.
+    "q227_curriculum" ->
+      """WITH g AS (
+        | SELECT source, row_number() OVER (ORDER BY source) - 1 AS gidx
+        | FROM (SELECT DISTINCT source FROM documents WHERE n_chars IS NOT NULL)),
+        |ng AS (SELECT count(*) AS n FROM g),
+        |r AS (
+        | SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS BIGINT) AS rank_in_group
+        | FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT r.doc_id, r.source, r.n_chars, r.rank_in_group,
+        | CAST((r.rank_in_group - 1) * ng.n + g.gidx AS BIGINT) AS position
+        |FROM r JOIN g USING (source) CROSS JOIN ng
+        |ORDER BY position""".stripMargin,
+
+    // Mixture plan: the same double ratio ordering, DECIMAL(38,0)
+    // saturation cross-products against the pre-i prefix state, prefix
+    // min for the water-filling cut, and the identical terminal lambda*w.
+    "q228_mixture_plan" ->
+      """WITH sup AS (
+        | SELECT source, count(*) AS supply,
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |       THEN 50000 ELSE 100000 END AS weight
+        | FROM documents GROUP BY source),
+        |k AS (SELECT source, supply, weight,
+        |  CAST(supply AS DOUBLE) / CAST(weight AS DOUBLE) AS key FROM sup),
+        |c AS (SELECT source, supply, weight, key,
+        |  sum(supply) OVER w AS s, sum(weight) OVER w AS ws,
+        |  sum(weight) OVER () AS wt
+        | FROM k WINDOW w AS (ORDER BY key, source
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT *,
+        |  CASE WHEN CAST(supply AS DECIMAL(38,0))
+        |        * (CAST(wt AS DECIMAL(38,0)) - CAST(ws AS DECIMAL(38,0))
+        |           + CAST(weight AS DECIMAL(38,0)))
+        |       <= (CAST(300 AS DECIMAL(38,0))
+        |           - (CAST(s AS DECIMAL(38,0)) - CAST(supply AS DECIMAL(38,0))))
+        |          * CAST(weight AS DECIMAL(38,0))
+        |   THEN 1 ELSE 0 END AS cc FROM c),
+        |sat AS (SELECT *, min(cc) OVER (ORDER BY key, source
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS satf FROM f),
+        |cut AS (
+        | SELECT coalesce(sum(CASE WHEN satf = 1 THEN supply END), 0) AS ss,
+        |  coalesce(sum(CASE WHEN satf = 1 THEN weight END), 0) AS sw FROM sat)
+        |SELECT sat.source, CAST(sat.supply AS BIGINT) AS supply,
+        | CAST(sat.weight AS BIGINT) AS weight,
+        | CASE WHEN sat.satf = 1 THEN round(CAST(sat.supply AS DOUBLE), 6)
+        |  ELSE round(CAST(300 - cut.ss AS DOUBLE) * CAST(sat.weight AS DOUBLE)
+        |       / CAST(sat.wt - cut.sw AS DOUBLE), 6) END AS allocation
+        |FROM sat CROSS JOIN cut ORDER BY source""".stripMargin,
 
     // Expectations: one SELECT per rule over the same scan semantics —
     // the anchored regex stated as regexp_full_match to mirror Spark's

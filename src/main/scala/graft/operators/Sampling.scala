@@ -517,4 +517,72 @@ object Sampling {
           .as("boot_mean"),
         col("boot_lo"), col("boot_hi"))
   }
+
+  /** Mixture allocation under finite supply — the WATER-FILLING planner
+    * behind "mix these sources at weights w under a total budget B":
+    * every group gets `min(supply, λ·w)` rows with one global level λ
+    * chosen so the total spends exactly `min(B, Σsupply)`. Groups too
+    * small for their weight saturate (contribute all they have); the
+    * shortfall redistributes to the rest — the step [[
+    * targetShareResample]] (fixed per-group rates, no redistribution)
+    * deliberately does not take. Input is the PRE-AGGREGATED groups
+    * relation `(groupCol, supplyCol, weightCol)` with integer supplies
+    * and integer weights (parts-per-whatever — only ratios matter);
+    * output `(group, supply, weight, allocation)` with allocation a
+    * 6-dp double (exact integers for saturated groups).
+    *
+    * Cross-engine exactness: the saturated set is a PREFIX of the
+    * supply/weight-ratio order (the water-filling property), located by
+    * the integer condition `supply_i · W_rem_{i−1} ≤ (B − S_{i−1}) ·
+    * w_i` in DECIMAL(38,0) cross-products — the exact decisions never
+    * divide. The sort key is the single IEEE double `supply / weight`
+    * (ties by group): both engines compute the identical bits, so the
+    * ordering is engine-exact without decimal-division scale traps.
+    *
+    * 100 TB shape: the operator runs entirely on the groups-sized
+    * relation (the corpus pass producing supplies happens upstream);
+    * windows span ≤ |groups| rows.
+    */
+  def mixtureAllocation(groups: DataFrame, groupCol: String,
+                        supplyCol: String, weightCol: String,
+                        budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .orderBy(col("__key"), col(groupCol))
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val keyed = groups.select(col(groupCol),
+      col(supplyCol).cast("long").as("supply"),
+      col(weightCol).cast("long").as("weight"))
+      .filter(col("supply").isNotNull && col("weight") > 0)
+      // ORDERING key only (the exact saturation decisions never divide):
+      // one IEEE division of exact longs — bit-identical in any engine
+      .withColumn("__key",
+        col("supply").cast("double") / col("weight").cast("double"))
+    val cum = keyed
+      .withColumn("__s", sum(col("supply")).over(wCum))   // S_i inclusive
+      .withColumn("__ws", sum(col("weight")).over(wCum))  // ΣW_i inclusive
+      .withColumn("__wt", sum(col("weight")).over(wAll))
+      // saturation test against the PRE-i state: S_{i−1}, W_rem_{i−1}
+      .withColumn("__c",
+        when(d38(col("supply")) * (d38(col("__wt")) - d38(col("__ws")) + d38(col("weight")))
+          <= (d38(lit(budget)) - (d38(col("__s")) - d38(col("supply")))) * d38(col("weight")),
+          1).otherwise(0))
+      // water-filling: the saturated set is a prefix — cut at the first 0
+      .withColumn("__sat", min(col("__c")).over(wCum))
+    val cut = cum.agg(
+      coalesce(sum(when(col("__sat") === 1, col("supply"))), lit(0L)).as("__ss"),
+      coalesce(sum(when(col("__sat") === 1, col("weight"))), lit(0L)).as("__sw"))
+    cum.crossJoin(broadcast(cut))
+      .select(col(groupCol), col("supply"), col("weight"),
+        when(col("__sat") === 1, round(col("supply").cast("double"), 6))
+          .otherwise(round(
+            (d38(lit(budget)) - d38(col("__ss"))).cast("double") * col("weight").cast("double")
+              / (d38(col("__wt")) - d38(col("__sw"))).cast("double"), 6))
+          .as("allocation"))
+  }
 }

@@ -304,4 +304,45 @@ object Selection {
         zround(col("__kept").cast("double") / col("n_eval").cast("double")
           - (lit(1.0) - keepQuantile), 6).as("gap"))
   }
+
+  /** Curriculum ordering with round-robin source interleaving: rows sort
+    * easiest-first WITHIN each group (`scoreCol` asc = difficulty proxy,
+    * id ties), and the global curriculum position interleaves the groups
+    * ARITHMETICALLY — `position = (rank_in_group − 1) · |groups| +
+    * group_index` — so consecutive positions cycle through the sources
+    * (no source runs, the data-ordering shape curriculum training
+    * wants). Output: input columns + `(rank_in_group, position)`;
+    * writing sorted by `position` is the consumer's `orderBy` (a
+    * distributed range sort), never a global row_number here.
+    *
+    * 100 TB shape: one per-GROUP rank window (hash-partitioned by group —
+    * the q01 flagship pattern; groups are sources, so partitions stay
+    * balanced), a groups-sized index table broadcast back, and pure
+    * per-row arithmetic for the position. NO global window: a global
+    * row_number would funnel the corpus through one task, and the
+    * arithmetic interleave is exactly equivalent for distinct
+    * (rank, group_index) pairs, which ranks and indexes are by
+    * construction.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+                      groupCol: String): DataFrame = {
+    // NULL difficulty carries no order (and its window placement is
+    // engine-divergent — the rankBiserial lesson): excluded up front
+    val nn = df.filter(col(scoreCol).isNotNull && col(groupCol).isNotNull)
+    val groups = nn.select(col(groupCol)).distinct()
+    val gIdx = groups
+      .groupBy()
+      .agg(sort_array(collect_list(col(groupCol))).as("__gs"))
+      .select(posexplode(col("__gs")).as(Seq("__gidx", groupCol)))
+    val nGroups = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
+    val sized = gIdx.withColumn("__ng", nGroups)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    nn.join(broadcast(sized), Seq(groupCol))
+      .withColumn("rank_in_group", row_number().over(w).cast("long"))
+      .withColumn("position",
+        (col("rank_in_group") - 1) * col("__ng") + col("__gidx").cast("long"))
+      .drop("__gidx", "__ng")
+  }
 }

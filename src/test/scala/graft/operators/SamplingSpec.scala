@@ -375,4 +375,45 @@ class SamplingSpec extends SparkSpec {
     }
     assert(byGroup.keySet == langs.toSet)
   }
+
+  test("mixtureAllocation: saturation, redistribution, and budget edges by hand") {
+    def plan(rows: Seq[(String, Long, Long)], b: Long): Map[String, Double] =
+      Sampling.mixtureAllocation(rows.toDF("g", "supply", "weight"),
+        "g", "supply", "weight", b)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // tiny source saturates; the rest absorbs the remaining budget
+    assert(plan(Seq(("a", 10L, 1L), ("b", 100L, 1L)), 60L) ==
+      Map("a" -> 10.0, "b" -> 50.0))
+    // chained: a saturates, b and c split 200 at weights 1:3
+    assert(plan(Seq(("a", 5L, 1L), ("b", 1000L, 1L), ("c", 1000L, 3L)), 205L) ==
+      Map("a" -> 5.0, "b" -> 50.0, "c" -> 150.0))
+    // budget above total supply: everything saturates
+    assert(plan(Seq(("a", 7L, 1L), ("b", 3L, 5L)), 100L) ==
+      Map("a" -> 7.0, "b" -> 3.0))
+    // zero budget: nothing allocated
+    assert(plan(Seq(("a", 7L, 1L), ("b", 3L, 5L)), 0L) ==
+      Map("a" -> 0.0, "b" -> 0.0))
+    intercept[IllegalArgumentException](
+      plan(Seq(("a", 1L, 1L)), -1L))
+  }
+
+  test("mixtureAllocation invariants on pseudo-random groups") {
+    val rows = (0 until 30).map(i =>
+      (s"g$i", ((i * 37 + 11) % 500 + 1).toLong, ((i * 53 + 7) % 9 + 1).toLong))
+    val budget = 3000L
+    val out = Sampling.mixtureAllocation(rows.toDF("g", "supply", "weight"),
+      "g", "supply", "weight", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val total = out.map(_._4).sum
+    val cap = math.min(budget, rows.map(_._2).sum).toDouble
+    assert(math.abs(total - cap) < 1e-3, s"total $total vs cap $cap")
+    out.foreach { case (g, sup, _, a) =>
+      assert(a >= 0 && a <= sup + 1e-9, s"$g: allocation $a out of [0, $sup]") }
+    // unsaturated groups share one lambda = alloc/weight
+    val lambdas = out.filter { case (_, sup, _, a) => a < sup - 1e-9 }
+      .map { case (_, _, w, a) => a / w }
+    if (lambdas.nonEmpty)
+      assert(lambdas.forall(l => math.abs(l - lambdas.head) < 1e-6),
+        s"unsaturated groups disagree on lambda: ${lambdas.toSeq}")
+  }
 }

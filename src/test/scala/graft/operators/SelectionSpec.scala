@@ -187,4 +187,25 @@ class SelectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Selection.conformalCoverageReport(rows, "id", "score", 500, 1.0))
   }
+
+  test("curriculumOrder: easiest-first per group, arithmetic round-robin interleave") {
+    val rows = Seq(
+      ("a", 10L, 3.0), ("a", 11L, 1.0), ("a", 12L, 2.0),
+      ("b", 20L, 9.0), ("b", 21L, 5.0))
+    val df = (rows.map { case (g, i, v) => (g, i, Some(v)) } :+
+      (("a", 13L, Option.empty[Double]))).toDF("g", "id", "score")
+    val out = Selection.curriculumOrder(df, "id", "score", "g")
+      .select("g", "id", "rank_in_group", "position")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    // null-score row dropped
+    assert(!out.exists(_._2 == 13L))
+    // within-group order: easiest (smallest score) first
+    assert(out.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq == Seq(11L, 12L, 10L))
+    assert(out.filter(_._1 == "b").sortBy(_._3).map(_._2).toSeq == Seq(21L, 20L))
+    // interleave: positions cycle a, b, a, b, a (gidx: a=0, b=1; G=2)
+    assert(out.map(t => (t._4, t._1)).toSeq ==
+      Seq((0L, "a"), (1L, "b"), (2L, "a"), (3L, "b"), (4L, "a")))
+    // positions are collision-free and strictly increasing in rank per group
+    assert(out.map(_._4).distinct.length == out.length)
+  }
 }
