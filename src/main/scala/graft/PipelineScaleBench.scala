@@ -643,7 +643,8 @@ object PipelineScaleBench {
     // bench, and a doc-stage-only run must not pay for it
     val embStages = Seq("pipe_lsh_bucket_assign", "pipe_ann_lsh_topk_100q",
       "pipe_embedding_neardup", "pipe_kmeans", "pipe_jl_projection",
-      "pipe_pq_codes", "pipe_hard_negatives", "pipe_ivf_pq")
+      "pipe_pq_codes", "pipe_hard_negatives", "pipe_ivf_pq",
+      "pipe_semantic_dedup", "pipe_contrastive")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
     if (!needEmb) { spark.stop(); return }
     // float32, like real embedding tables — the near-dup verification
@@ -721,6 +722,27 @@ object PipelineScaleBench {
       Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") % stride === 0),
         "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4,
         subspaces = 4, subDim = 16, pqK = 8, pqIters = 2, rerank = 20).count()
+    }
+    timed("pipe_semantic_dedup", input = total / 5) {
+      // SemDeDup at the paper's k ≈ √n sizing (possible ONLY since the
+      // native argmin kernel — a struct-least plan at k=141+ would blow
+      // codegen): 1-in-5 subsample, k = √(n/5), candidate pairs bounded
+      // at (n/5)²/k per the cluster-size contract. The guard's signal is
+      // wall linearity in n/5 — superlinear growth means cluster skew is
+      // concentrating pairs.
+      val sub = vecs.filter(col("vec_id") % 5 === 0)
+      val k = math.max(4, math.sqrt(total / 5.0).toInt)
+      Similarity.semanticDedup(sub, "vec_id", "embedding",
+        threshold = 0.9, k = k, iters = 1).count()
+      total / 5
+    }
+    timed("pipe_contrastive", input = total) {
+      // training-triple assembly: ONE banded candidate pass feeds both
+      // positives and band negatives; wall tracks the candidate volume
+      // (the pipe_embedding_neardup knob rules apply verbatim)
+      Similarity.contrastiveTriples(vecs, "vec_id", "embedding",
+        posThreshold = 0.9, negMin = 0.2, negMax = 0.8, negPerAnchor = 2,
+        planes = Similarity.bandedPlanesFor(total)).count()
     }
     spark.stop()
   }

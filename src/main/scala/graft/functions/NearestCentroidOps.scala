@@ -109,6 +109,74 @@ case class NearestCentroidExpr(vec: Expression, sp: Expression,
     copy(vec = newLeft, sp = newRight)
 }
 
+/** The query-side probe list: the `nProbe` nearest cell ids of the
+  * codebook, best-first, as `array<long>` — the constant-code-size
+  * replacement for `slice(array_sort(array(struct…)), 1, nProbe)`, whose
+  * expression tree (and generated method) grows with the codebook. Same
+  * (dist, id) total order including NaN-largest; same NULL contract as
+  * [[NearestCentroidExpr]].
+  */
+case class NearestCellsExpr(vec: Expression, sp: Expression,
+                            codebooks: Array[Array[Array[Double]]],
+                            cellIds: Array[Array[Long]],
+                            cosine: Boolean, nProbe: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = sp
+
+  require(nProbe >= 1, s"nProbe must be positive: $nProbe")
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, sp.dataType) match {
+    case (ArrayType(DoubleType | FloatType | LongType | IntegerType |
+                    ShortType | ByteType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (v, s) => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires (array<numeric>, int), got " +
+        s"(${v.catalogString}, ${s.catalogString})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  private def kind: Int = vec.dataType match {
+    case ArrayType(DoubleType, _) => 0
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case ArrayType(IntegerType, _) => 3
+    case ArrayType(ShortType, _) => 4
+    case _ => 5
+  }
+
+  @transient private lazy val state =
+    new NearestCentroidState(codebooks, cellIds, cosine)
+
+  override def nullSafeEval(v: Any, s: Any): Any =
+    state.nearestKData(v.asInstanceOf[ArrayData], s.asInstanceOf[Int], kind, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stateRef = ctx.addReferenceObj("ncsState", state,
+      classOf[NearestCentroidState].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("ncsR")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  $stateRef.nearestKData($a, $b, $kind, $nProbe);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): NearestCellsExpr =
+    copy(vec = newLeft, sp = newRight)
+}
+
 /** Plan-time-frozen codebook state shared by interpreted eval and the
   * generated code (shipped through the codegen references array).
   */
@@ -195,6 +263,91 @@ final class NearestCentroidState(codebooks: Array[Array[Array[Double]]],
     }
     java.lang.Long.valueOf(bestId)
   }
+
+  /** Spark's total order on (dist, id) structs: NaN sorts LARGEST and
+    * equals itself, ties fall to the id.
+    */
+  private def before(d1: Double, c1: Long, d2: Double, c2: Long): Boolean = {
+    val n1 = java.lang.Double.isNaN(d1)
+    val n2 = java.lang.Double.isNaN(d2)
+    if (n1 && n2) c1 < c2
+    else if (n1) false
+    else if (n2) true
+    else if (d1 < d2) true
+    else if (d1 > d2) false
+    else c1 < c2
+  }
+
+  /** The `nProbe` nearest cell ids, best-first — the query-side twin of
+    * [[nearest]], replacing `slice(array_sort(structs), 1, nProbe)`
+    * with a partial selection over the same (dist, id) order (including
+    * NaN-largest). Null contract identical to [[nearest]].
+    */
+  def nearestK(arr: ArrayData, sp: Int, kind: Int, nProbe: Int): Array[Long] = {
+    if (sp < 0 || sp >= flat.length) return null
+    val d = dims(sp)
+    val n = arr.numElements()
+    if (n != d) return null
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    val v = new Array[Double](n)
+    i = 0
+    kind match {
+      case 0 => while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+      case 1 => while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+      case 2 => while (i < n) { v(i) = arr.getLong(i).toDouble; i += 1 }
+      case 3 => while (i < n) { v(i) = arr.getInt(i).toDouble; i += 1 }
+      case 4 => while (i < n) { v(i) = arr.getShort(i).toDouble; i += 1 }
+      case _ => while (i < n) { v(i) = arr.getByte(i).toDouble; i += 1 }
+    }
+    var vn2 = 0.0
+    i = 0
+    while (i < n) { vn2 += v(i) * v(i); i += 1 }
+    val vNorm = if (cosine) math.sqrt(vn2) else 0.0
+    val cb = flat(sp)
+    val nm = norms(sp)
+    val k = ks(sp)
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var j = 0
+      val base = c * d
+      while (j < d) { dot += v(j) * cb(base + j); j += 1 }
+      dists(c) =
+        if (cosine) 1.0 - dot / (vNorm * nm(c))
+        else round6(vn2 - 2.0 * dot + nm(c))
+      c += 1
+    }
+    val take = math.min(nProbe, k)
+    val out = new Array[Long](take)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < take) {
+      var bi = -1
+      c = 0
+      while (c < k) {
+        if (!used(c) && (bi < 0 ||
+          before(dists(c), cellIds(sp)(c), dists(bi), cellIds(sp)(bi)))) bi = c
+        c += 1
+      }
+      used(bi) = true
+      out(r) = cellIds(sp)(bi)
+      r += 1
+    }
+    out
+  }
+
+  /** [[nearestK]] boxed as Catalyst ArrayData (codegen entry point). */
+  def nearestKData(arr: ArrayData, sp: Int, kind: Int,
+                   nProbe: Int): ArrayData = {
+    val r = nearestK(arr, sp, kind, nProbe)
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
 }
 
 object NearestCentroidOps {
@@ -207,6 +360,15 @@ object NearestCentroidOps {
     ColumnBridge.column(NearestCentroidExpr(
       ColumnBridge.expression(vec), ColumnBridge.expression(sp),
       codebooks, cellIds, cosine))
+
+  /** Column API: the nProbe nearest cell ids, best-first. */
+  def nearestCells(vec: Column, sp: Column,
+                   codebooks: Array[Array[Array[Double]]],
+                   cellIds: Array[Array[Long]],
+                   cosine: Boolean, nProbe: Int): Column =
+    ColumnBridge.column(NearestCellsExpr(
+      ColumnBridge.expression(vec), ColumnBridge.expression(sp),
+      codebooks, cellIds, cosine, nProbe))
 
   /** Single-codebook convenience with 0..k−1 ids (the Lloyd shape). */
   def nearestCluster(vec: Column, codebook: Array[Array[Double]],

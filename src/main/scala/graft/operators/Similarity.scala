@@ -552,25 +552,19 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
   /** Cosine distance of `v` (with precomputed norm `n`) to every codebook
-    * centroid, as a SORTED `array<struct<dist, cell>>` literal-folded
-    * expression: `array_sort` orders by (dist asc, cell asc) — struct
-    * natural order — so element 1 is the assignment argmin and the first
-    * `nProbe` are the probe cells. Centroid norms are constant-folded by
-    * Catalyst at plan time (same dot kernel, bit-identical values). ZERO
-    * exchanges: assignment costs one expression per row, not an explode +
-    * window re-shuffle of the corpus.
+    * centroid, probe list as `array<long>` best-first — the NATIVE
+    * top-nProbe kernel ([[graft.functions.NearestCellsExpr]]): the
+    * sorted-struct-array form it replaces grew its expression tree (and
+    * generated method) with the codebook, the same bytecode cliff the
+    * assignment side hit; the kernel's partial selection keeps the
+    * (dist asc, cell asc, NaN-largest) order exactly. ZERO exchanges:
+    * probing costs one expression per query row.
     */
-  private def cellDistances(codebook: Array[(Long, Seq[Double])],
-                            v: Column, n: Column): Column =
-    array_sort(array(cellDistStructs(codebook, v, n): _*))
-
-  private def cellDistStructs(codebook: Array[(Long, Seq[Double])],
-                              v: Column, n: Column): Seq[Column] =
-    codebook.toSeq.map { case (cell, cv) =>
-      val c = typedlit(cv)
-      struct((lit(1.0) - dot(v, c) / (n * norm(c))).as("dist"),
-        lit(cell).as("cell"))
-    }
+  private def nearestCells(codebook: Array[(Long, Seq[Double])],
+                           v: Column, nProbe: Int): Column =
+    graft.functions.NearestCentroidOps.nearestCells(v, lit(0),
+      Array(codebook.map(_._2.toArray)), Array(codebook.map(_._1)),
+      cosine = true, nProbe)
 
   /** Assignment argmin WITHOUT building + sorting a per-row array — the
     * NATIVE cosine-mode kernel: one runtime loop over the codebook,
@@ -616,9 +610,7 @@ object Similarity {
     // each query probes its nProbe nearest cells — per-row slice + explode
     val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
-      .withColumn("cell", explode(transform(
-        slice(cellDistances(codebook, col("__qv"), col("__qn")), 1, nProbe),
-        e => e.getField("cell"))))
+      .withColumn("cell", explode(nearestCells(codebook, col("__qv"), nProbe)))
     val pairs = cells.join(broadcast(probes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
@@ -1204,9 +1196,7 @@ object Similarity {
     val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
       .withColumn("__adc", adc)
-      .withColumn("cell", explode(transform(
-        slice(cellDistances(codebook, col("__qv"), col("__qn")), 1, nProbe),
-        e => e.getField("cell"))))
+      .withColumn("cell", explode(nearestCells(codebook, col("__qv"), nProbe)))
 
     // stage 1: probed candidates ranked by the 6-dp ADC score — the sum
     // of subspaces table lookups approximates q·reconstruction(n), and

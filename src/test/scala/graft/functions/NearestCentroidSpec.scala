@@ -130,6 +130,36 @@ class NearestCentroidSpec extends SparkSpec {
     out.foreach { case (id, n, d) => assert(n == d, s"id $id: $n vs $d") }
   }
 
+  test("nearestCells matches slice(array_sort(structs)) on random data, ties and all") {
+    val dim = 8
+    val cb0 = sample(vecGen(dim), 6, 3000).toArray
+    val cb = cb0.updated(4, cb0(1).clone()) // planted duplicate → tie
+    val ids = Array(2L, 5L, 11L, 12L, 40L, 41L)
+    val vecs = sample(vecGen(dim), 200, 3500)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "v")
+    val declarative = {
+      val n = sqrt(VectorOps.dotProduct($"v", $"v"))
+      val structs = cb.toSeq.zip(ids).map { case (cv, cell) =>
+        val c = typedlit(cv.toSeq)
+        struct((lit(1.0) - VectorOps.dotProduct($"v", c)
+          / (n * sqrt(VectorOps.dotProduct(c, c)))).as("dist"),
+          lit(cell).as("cell"))
+      }
+      transform(slice(array_sort(array(structs: _*)), 1, 3), e => e.getField("cell"))
+    }
+    val out = df.select($"id",
+      NearestCentroidOps.nearestCells($"v", lit(0), Array(cb), Array(ids),
+        cosine = true, nProbe = 3).as("native"),
+      declarative.as("decl"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    out.foreach { case (id, n, d) => assert(n == d, s"id $id: $n vs $d") }
+    // nProbe beyond the codebook returns every cell, ordered
+    val all = df.limit(1).select(NearestCentroidOps.nearestCells($"v", lit(0),
+      Array(cb), Array(ids), cosine = true, nProbe = 99)).as[Seq[Long]].head()
+    assert(all.size == 6 && all.toSet == ids.toSet)
+  }
+
   test("NULL contract: null vector, null slot, ragged length, bad subspace all yield NULL") {
     val cb = Array(Array(1.0, 2.0), Array(0.5, -1.0))
     val rows = Seq(
