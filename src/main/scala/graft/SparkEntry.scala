@@ -2411,6 +2411,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ── dedup ROI: the q58 duplicate graph's per-doc verdicts rolled up
+    // into the "what did dedup actually buy" report — docs and tokens
+    // kept vs dropped, per source.
+    "q230_dedup_roi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val audit = Dedup.dedupAudit(docs.select("doc_id", "text"),
+        "doc_id", "text", minJaccard = 0.1)
+      val toks = docs.select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("__toks"))
+      audit.join(toks, "doc_id")
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"))
+        .orderBy("source", "status")
+    }),
+
     // ── declarative data-quality gate: five typed expectations over the
     // documents feed in ONE aggregation pass (unique via the exact
     // Expand-planned distinct count; in_range planted to violate — the
@@ -5905,6 +5921,47 @@ object SparkEntry {
         |  ELSE round(CAST(300 - cut.ss AS DOUBLE) * CAST(sat.weight AS DOUBLE)
         |       / CAST(sat.wt - cut.sw AS DOUBLE), 6) END AS allocation
         |FROM sat CROSS JOIN cut ORDER BY source""".stripMargin,
+
+    // Dedup ROI: the q58 chain verbatim (bands → Jaccard-verified near
+    // edges ∪ exact-digest edges → recursive min-label closure), labels
+    // exactly like q156, rolled up with the token counts.
+    "q230_dedup_roi" ->
+      (s"""WITH RECURSIVE sig AS ($minhashSigSql), bands AS ($bandsSql),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleSql),
+         |sz AS (SELECT doc_id, count(*) AS szz FROM sh GROUP BY 1),
+         |inter AS (
+         | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         | FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         | GROUP BY 1, 2),
+         |near AS (
+         | SELECT i.doc_a, i.doc_b FROM inter i
+         | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+         | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
+         |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM documents GROUP BY 1),
+         |exacte AS (SELECT g.canon AS doc_a, d.doc_id AS doc_b
+         |           FROM documents d JOIN exactg g ON sha256(d.text) IS NOT DISTINCT FROM g.h
+         |           WHERE d.doc_id <> g.canon),
+         |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
+         |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+         |cc(node, label) AS (
+         | SELECT nn, nn FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
+         |comp AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+         |lab AS (
+         | SELECT d.doc_id, d.source,
+         |  CAST(len(list_filter(string_split(d.text, ' '), t -> t <> '')) AS BIGINT) AS toks,
+         |  CASE WHEN d.doc_id IN (SELECT doc_b FROM exacte) THEN 'dropped_exact'
+         |       WHEN c.comp IS NOT NULL AND c.comp <> d.doc_id THEN 'dropped_near'
+         |       ELSE 'kept' END AS status
+         | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT source, status, count(*) AS n_docs,
+        | CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM lab GROUP BY 1, 2 ORDER BY source, status""".stripMargin),
 
     // Expectations: one SELECT per rule over the same scan semantics —
     // the anchored regex stated as regexp_full_match to mirror Spark's
