@@ -2411,6 +2411,14 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ── padding-waste accounting: pad-to-max batches of 8 per source,
+    // length-sorted vs arrival order — the delta is what length
+    // bucketing saves; exact integers until one terminal division.
+    "q229_padding_waste" -> ((s, dir) =>
+      graft.operators.Packing.paddingWasteByGroup(
+        t(s, dir, "documents"), "doc_id", "n_chars", "source", batchSize = 8)
+        .orderBy("source")),
+
     // ── dedup ROI: the q58 duplicate graph's per-doc verdicts rolled up
     // into the "what did dedup actually buy" report — docs and tokens
     // kept vs dropped, per source.
@@ -5921,6 +5929,40 @@ object SparkEntry {
         |  ELSE round(CAST(300 - cut.ss AS DOUBLE) * CAST(sat.weight AS DOUBLE)
         |       / CAST(sat.wt - cut.sw AS DOUBLE), 6) END AS allocation
         |FROM sat CROSS JOIN cut ORDER BY source""".stripMargin,
+
+    // Padding waste: identical rank windows and batch floors, exact
+    // integer n·max sums, one terminal division (+0.0: a pre-sorted
+    // arrival order makes the saving an exact signed zero).
+    "q229_padding_waste" ->
+      """WITH nn AS (
+        | SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (
+        | SELECT source, len,
+        |  CAST(floor((row_number() OVER (PARTITION BY source
+        |    ORDER BY len, doc_id) - 1) / 8.0) AS BIGINT) AS bs,
+        |  CAST(floor((row_number() OVER (PARTITION BY source
+        |    ORDER BY doc_id) - 1) / 8.0) AS BIGINT) AS ba
+        | FROM nn),
+        |ps AS (
+        | SELECT source, sum(n) AS n_rows, count(*) AS n_batches,
+        |  sum(sm) AS tokens, sum(n * mx) AS padded_sorted
+        | FROM (SELECT source, bs, count(*) AS n, max(len) AS mx,
+        |        sum(len) AS sm FROM b GROUP BY 1, 2)
+        | GROUP BY 1),
+        |pa AS (
+        | SELECT source, sum(n * mx) AS padded_arrival
+        | FROM (SELECT source, ba, count(*) AS n, max(len) AS mx
+        |        FROM b GROUP BY 1, 2)
+        | GROUP BY 1)
+        |SELECT ps.source, CAST(ps.n_rows AS BIGINT) AS n_rows,
+        | CAST(ps.n_batches AS BIGINT) AS n_batches,
+        | CAST(ps.tokens AS BIGINT) AS tokens,
+        | CAST(ps.padded_sorted AS BIGINT) AS padded_sorted,
+        | CAST(pa.padded_arrival AS BIGINT) AS padded_arrival,
+        | round(1.0 - CAST(ps.padded_sorted AS DOUBLE)
+        |   / CAST(pa.padded_arrival AS DOUBLE), 6) + 0.0 AS saving_frac
+        |FROM ps JOIN pa USING (source) ORDER BY source""".stripMargin,
 
     // Dedup ROI: the q58 chain verbatim (bands → Jaccard-verified near
     // edges ∪ exact-digest edges → recursive min-label closure), labels

@@ -48,4 +48,54 @@ object Packing {
         concat_ws(" ", array_sort(collect_list(struct(col(idCol), col(textCol))))
           .getField(textCol)).as("packed_text"))
   }
+
+  /** Padding-waste accounting for LENGTH-BATCHED training (the pad-to-
+    * max-in-batch model, the alternative to concat-packing above): per
+    * group, consecutive batches of `batchSize` rows pay `n_b · max_b`
+    * padded tokens. Reported BOTH for length-sorted batching (the
+    * bucketing data loaders do) and for arrival (id) order — the delta
+    * is what length-bucketing actually saves. Output per group:
+    * `(group, n_rows, n_batches, tokens, padded_sorted, padded_arrival,
+    * saving_frac)`, `saving_frac = 1 − padded_sorted/padded_arrival`
+    * ([[graft.functions.Rounding.zround]]-normalized: an already-sorted
+    * arrival order makes the delta a float-exact 0).
+    *
+    * 100 TB shape: two keyed rank windows per group (the q01 flagship
+    * shape — groups are sources, partitions balanced), two
+    * (group, batch)-sized aggregations, one groups-sized join. All
+    * arithmetic is exact integers until the single terminal division.
+    */
+  def paddingWasteByGroup(df: DataFrame, idCol: String, lenCol: String,
+                          groupCol: String, batchSize: Int): DataFrame = {
+    require(batchSize >= 1 && batchSize <= 1000000,
+      s"batchSize out of [1,1e6]: $batchSize")
+    val nn = df.filter(col(lenCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), col(idCol).as("__id"), col(lenCol).cast("long").as("__len"))
+    val wSorted = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__len"), col("__id"))
+    val wArrival = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__id"))
+    val batched = nn
+      .withColumn("__bs", floor((row_number().over(wSorted) - 1) / lit(batchSize)))
+      .withColumn("__ba", floor((row_number().over(wArrival) - 1) / lit(batchSize)))
+    def padded(batchCol: String, out: String) = batched
+      .groupBy(col(groupCol), col(batchCol))
+      .agg(count(lit(1)).as("__n"), max(col("__len")).as("__mx"),
+        sum(col("__len")).as("__sum"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as(s"${out}_rows"),
+        count(lit(1)).as(s"${out}_batches"),
+        sum(col("__sum")).as(s"${out}_tokens"),
+        sum(col("__n") * col("__mx")).as(out))
+    padded("__bs", "padded_sorted")
+      .join(padded("__ba", "padded_arrival"), Seq(groupCol))
+      .select(col(groupCol),
+        col("padded_sorted_rows").as("n_rows"),
+        col("padded_sorted_batches").as("n_batches"),
+        col("padded_sorted_tokens").as("tokens"),
+        col("padded_sorted"), col("padded_arrival"),
+        graft.functions.Rounding.zround(
+          lit(1.0) - col("padded_sorted").cast("double")
+            / col("padded_arrival").cast("double"), 6).as("saving_frac"))
+  }
 }

@@ -34,4 +34,31 @@ class PackingSpec extends SparkSpec {
     assert(bins.map(_._4).sum == 9)       // n_tokens total
     assert(bins.head._5 == "a b c d e f g") // bin 0 = docs 1,2 in id order
   }
+
+  test("paddingWasteByGroup: hand batches, sorted-batching savings, presorted zero") {
+    // group g: lengths 1,1,1,9 in arrival order 9 first — batchSize 2:
+    // arrival batches {9,1},{1,1}: padded 18+2=20; sorted {1,1},{1,9}:
+    // padded 2+18=20 → saving 0 (worst case: the long doc pairs anyway)
+    // group h: lengths 1,9,1,9 arrival → {1,9},{1,9}: 18+18=36;
+    // sorted {1,1},{9,9}: 2+18=20 → saving 1 − 20/36
+    val df = Seq(
+      ("g", 1L, 9L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 1L),
+      ("h", 11L, 1L), ("h", 12L, 9L), ("h", 13L, 1L), ("h", 14L, 9L))
+      .toDF("grp", "id", "len")
+    val out = Packing.paddingWasteByGroup(df, "id", "len", "grp", batchSize = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(out("g") == ((4L, 2L, 12L, 20L, 20L, 0.0)))
+    assert(java.lang.Double.doubleToRawLongBits(out("g")._6) == 0L,
+      "zero saving must be POSITIVE zero")
+    val h = out("h")
+    assert(h._4 == 20L && h._5 == 36L)
+    assert(h._6 == BigDecimal(1.0 - 20.0 / 36.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // null lengths drop
+    val withNull = Seq(("g", 1L, Some(5L)), ("g", 2L, None)).toDF("grp", "id", "len")
+    assert(Packing.paddingWasteByGroup(withNull, "id", "len", "grp", 2)
+      .head().getLong(1) == 1L)
+  }
 }
