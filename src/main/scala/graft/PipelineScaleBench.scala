@@ -737,12 +737,15 @@ object PipelineScaleBench {
       total / 5
     }
     timed("pipe_contrastive", input = total) {
-      // training-triple assembly: ONE banded candidate pass feeds both
-      // positives and band negatives; wall tracks the candidate volume
-      // (the pipe_embedding_neardup knob rules apply verbatim)
+      // training-triple assembly at the BANDED sizing: 3 independent
+      // tables, no probe masks (single-table multi-probe at
+      // bandedPlanesFor planes explodes planes+1 masks per row —
+      // measured 212 s at 5M vs the table union; the
+      // pipe_embedding_neardup knob rules apply verbatim)
       Similarity.contrastiveTriples(vecs, "vec_id", "embedding",
         posThreshold = 0.9, negMin = 0.2, negMax = 0.8, negPerAnchor = 2,
-        planes = Similarity.bandedPlanesFor(total)).count()
+        planes = Similarity.bandedPlanesFor(total), probeBits = 0,
+        tables = 3).count()
     }
     spark.stop()
   }

@@ -1247,21 +1247,34 @@ object Similarity {
   def contrastiveTriples(df: DataFrame, idCol: String, vecCol: String,
                          posThreshold: Double, negMin: Double, negMax: Double,
                          negPerAnchor: Int, planes: Int = 4,
-                         probeBits: Int = 1): DataFrame = {
+                         probeBits: Int = 1, tables: Int = 1): DataFrame = {
     require(negMin < negMax && negMax <= posThreshold,
       s"need negMin < negMax <= posThreshold, got [$negMin, $negMax) vs $posThreshold")
     require(negPerAnchor >= 1 && negPerAnchor <= 1000,
       s"negPerAnchor out of [1,1000]: $negPerAnchor")
-    val ids = df.select(col(idCol).as("__id"),
-      lshBucket(kernelVec(df, vecCol), planes).as("__b"))
-    val a = ids.select(col("__id").as("id_a"), col("__b").as("bucket"))
-    val masks = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeBits)
-    val b = ids.select(col("__id").as("id_b"), col("__b").as("__bb"))
-      .withColumn("bucket",
-        explode(array(masks.map(m => col("__bb").bitwiseXOR(lit(m.toLong))): _*)))
-    val cands = a.join(b, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    require(tables >= 1 && tables <= 16, s"tables out of [1,16]: $tables")
+    // candidate generation mirrors the two near-dup generators: one
+    // multi-probed table (small-corpus knob) or `tables` independent
+    // plane sets OR-amplifying recall (the corpus-scale knob — at
+    // bandedPlanesFor sizing, multi-probe would explode planes+1 probe
+    // masks per row, measured 212 s vs banded's table union at 5M)
+    val masks = (0 until (1 << math.min(planes, 30)))
+      .filter(m => Integer.bitCount(m) <= probeBits)
+    val perTable = (0 until tables).map { t =>
+      val ids = df.select(col(idCol).as("__id"),
+        lshBucket(kernelVec(df, vecCol), planes, t * planes).as("__b"))
+      val a = ids.select(col("__id").as("id_a"), col("__b").as("bucket"))
+      val b = ids.select(col("__id").as("id_b"), col("__b").as("__bb"))
+        .withColumn("bucket",
+          explode(array(masks.map(m => col("__bb").bitwiseXOR(lit(m.toLong))): _*)))
+      a.join(b, "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    // a pair colliding in several tables must score once
+    val cands =
+      if (tables == 1) perTable.head
+      else perTable.reduce(_.unionByName(_)).distinct()
     val vecs = df.select(col(idCol).as("__vid"), kernelVec(df, vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
     // scored once, read twice (positives + negatives) — localCheckpoint
