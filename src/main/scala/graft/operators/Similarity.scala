@@ -857,13 +857,11 @@ object Similarity {
     * order-independent; the divisions happen once, in double, on both
     * engines' identical sums.
     *
-    * 100 TB shape: the explode pair generates only the UPPER-TRIANGLE
-    * d(d+1)/2 moment rows per vector (the j-explode runs over the tail
-    * slice `__v[i..]`, half the full Gram's FLOPs) which
-    * partial-aggregate map-side to that many cells per partition BEFORE
-    * the one exchange; the lower triangle is MIRRORED from the
-    * aggregated cells — symmetric-cell equality holds by construction,
-    * not by floating-point luck. `d` is an embedding dimension (≤ a few
+    * 100 TB shape: the explode pair generates d² rows per vector but
+    * only the UPPER-TRIANGLE d(d+1)/2 survive to the aggregation (the
+    * j ≥ i filter halves the map-side combine work); the lower triangle
+    * is MIRRORED from the aggregated cells — symmetric-cell equality
+    * holds by construction, not by floating-point luck. `d` is an embedding dimension (≤ a few
     * k by meaning): d² sits in one executor comfortably; n never does —
     * nothing n-sized shuffles or reaches the driver.
     *
@@ -875,10 +873,13 @@ object Similarity {
   def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
     val upper = df.select(asDouble(col(vecCol)).as("__v"))
       .select(col("__v"), posexplode(col("__v")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"),
-        posexplode(slice(col("__v"), col("i") + 1,
-          size(col("__v")) - col("i"))).as(Seq("__jo", "xj")))
-      .select(col("i"), col("xi"), (col("i") + col("__jo")).as("j"), col("xj"))
+      .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
+      // upper triangle: the filter sits between the generate and the
+      // aggregation, halving the agg input. (A column-bounded slice()
+      // before the second explode would halve GENERATION too, but its
+      // per-output-row array copy measured 37× slower at sf0.1 — the
+      // full explode is allocation-free.)
+      .where(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
       // the first moments ride the SAME (i, j) aggregation — within one
       // cell every row contributes its xᵢ exactly once, so the cell's
@@ -895,15 +896,18 @@ object Similarity {
     // mirror: cov is symmetric in (xi, xj) — double multiplication
     // commutes and the moment sums swap roles exactly, so the mirrored
     // cell is bit-identical to its source. The mirror EXPLODES the
-    // aggregated cells (off-diagonal rows emit both orientations), so
-    // the plan keeps exactly ONE corpus scan — no second branch, no
-    // exchange-reuse reliance.
-    upper.select(explode(when(col("i") === col("j"),
-        array(struct(col("i"), col("j"), col("cov"))))
+    // aggregated cells (off-diagonal rows emit both coordinate
+    // orientations), so the plan keeps exactly ONE corpus scan — no
+    // second branch, no exchange-reuse reliance. `cov` rides OUTSIDE
+    // the exploded structs: carrying it inside the CASE arrays made the
+    // optimizer inline the whole rounded-moment expression into every
+    // struct field — measured 35× slower at sf0.1 (CovBisect V2 vs V5).
+    upper.select(col("cov"), explode(when(col("i") === col("j"),
+        array(struct(col("i"), col("j"))))
       .otherwise(array(
-        struct(col("i"), col("j"), col("cov")),
-        struct(col("j").as("i"), col("i").as("j"), col("cov"))))).as("__c"))
-      .select(col("__c.i").as("i"), col("__c.j").as("j"), col("__c.cov").as("cov"))
+        struct(col("i"), col("j")),
+        struct(col("j").as("i"), col("i").as("j"))))).as("__c"))
+      .select(col("__c.i").as("i"), col("__c.j").as("j"), col("cov"))
   }
 
   /** Top principal component of the embedding cloud: `iters` fixed
