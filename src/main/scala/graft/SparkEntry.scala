@@ -2331,6 +2331,17 @@ object SparkEntry {
         .orderBy("query_id", "rn")
     }),
 
+    // ── residual IVF-PQ: the full FAISS recipe — PQ trains on
+    // v − centroid(cell), stage 1 scores base + residual-ADC over the
+    // candidate norm; same bounded-heap/broadcast shape as q219.
+    "q231_ivf_pq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+        subspaces = 4, subDim = 16, pqK = 4, pqIters = 2, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
     // ── SemDeDup: k-means clusters bound the candidate set, exact cosine
     // welds within-cluster pairs, components keep their smallest id —
     // the embedding-space dedup production recipe (q58's audit shape).
@@ -5708,6 +5719,93 @@ object SparkEntry {
            |ORDER BY query_id, rn""".stripMargin
     }.replaceAll("AS \\(", "AS MATERIALIZED ("),
 
+    // Residual IVF-PQ: the q219 skeleton with a residual relation
+    // (v − centroid(assigned cell)) feeding the suffixed chains, a raw
+    // 9-dp query-slice relation for the ADC, and the per-probe base
+    // dot added before the norm division. Every CTE MATERIALIZED.
+    "q231_ivf_pq_residual" -> {
+      val chains = (0 until 4).map(sp =>
+        kmeansCtes(4, 2, 16, sp * 16, s"_s$sp", srcRel = "remb"))
+      val adcs = (0 until 4).map { sp =>
+        s"""adc$sp AS (
+           | SELECT q.vec_id AS query_id, cq.cl, sum(q.vd * cq.cv) AS t
+           | FROM qsl q JOIN c2_s$sp cq ON cq.pos = q.pos - ${sp * 16}
+           | WHERE q.pos >= ${sp * 16} AND q.pos < ${(sp + 1) * 16}
+           | GROUP BY 1, 2)""".stripMargin
+      }
+      val adcJoins = (0 until 4).map(sp =>
+        s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
+        .mkString("\n| ")
+      ("WITH " +
+        s"""c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |nrm AS (SELECT vec_id,
+           |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
+           |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+           |assign AS (
+           | SELECT vec_id, cell FROM (
+           |  SELECT c.vec_id, ct.cell,
+           |   row_number() OVER (PARTITION BY c.vec_id
+           |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+           |  FROM c, cents ct) WHERE arn = 1),
+           |remb AS (
+           | SELECT c.vec_id,
+           |  list_transform(range(1, 65), j -> c.v[j] - ct.cv[j]) AS embedding
+           | FROM c JOIN assign a ON a.vec_id = c.vec_id
+           | JOIN cents ct ON ct.cell = a.cell),
+           |""".stripMargin +
+        chains.mkString(",\n") + ",\n" +
+        s"""qsl AS (
+           | SELECT vec_id, r.i AS pos,
+           |  round(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE), 9) AS vd
+           | FROM embeddings, range(64) r(i) WHERE vec_id % 50 = 0),
+           |""".stripMargin +
+        adcs.mkString(",\n") + ",\n" +
+        s"""codes AS (
+           | SELECT s0.vec_id, s0.cluster AS code_0, s1.cluster AS code_1,
+           |  s2.cluster AS code_2, s3.cluster AS code_3
+           | FROM a3_s0 s0 JOIN a3_s1 s1 USING (vec_id)
+           | JOIN a3_s2 s2 USING (vec_id) JOIN a3_s3 s3 USING (vec_id)),
+           |probes AS (
+           | SELECT query_id, cell FROM (
+           |  SELECT q.vec_id AS query_id, ct.cell,
+           |   row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
+           |  FROM (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0) q, cents ct) WHERE prn <= 4),
+           |bs AS (
+           | SELECT q.vec_id AS query_id, p.cell,
+           |  list_reduce(list_transform(range(1, 65), j -> q.v[j] * ct.cv[j]),
+           |   (a, b) -> a + b) AS base
+           | FROM (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0) q
+           | JOIN probes p ON p.query_id = q.vec_id
+           | JOIN cents ct ON ct.cell = p.cell),
+           |s1 AS (
+           | SELECT p.query_id, a.vec_id AS neighbor_id,
+           |  round((b.base + t0.t + t1.t + t2.t + t3.t) / nm.n, 6) AS approx
+           | FROM assign a JOIN probes p ON a.cell = p.cell
+           | JOIN codes cd ON cd.vec_id = a.vec_id
+           | JOIN nrm nm ON nm.vec_id = a.vec_id
+           | JOIN bs b ON b.query_id = p.query_id AND b.cell = p.cell
+           | $adcJoins
+           | WHERE a.vec_id <> p.query_id),
+           |surv AS (
+           | SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |   row_number() OVER (PARTITION BY query_id
+           |    ORDER BY approx DESC, neighbor_id) AS srn
+           |  FROM s1) WHERE srn <= 20),
+           |rer AS (
+           | SELECT s.query_id, s.neighbor_id,
+           |  list_cosine_similarity(cn.v, cq.v) AS cos
+           | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
+           | JOIN c cq ON cq.vec_id = s.query_id),
+           |r AS (SELECT query_id, neighbor_id,
+           | CAST(row_number() OVER (PARTITION BY query_id
+           |  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM rer)
+           |SELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5
+           |ORDER BY query_id, rn""".stripMargin)
+        .replaceAll("AS \\(", "AS MATERIALIZED (")
+    },
+
     // SemDeDup: the q183 kmeans chain (MATERIALIZED — multiply
     // referenced) + within-cluster pairs through the q211 exact cosine
     // fold + the q197 recursive min-label closure (recursive members
@@ -6170,7 +6268,8 @@ object SparkEntry {
     * product-quantization oracle runs one chain per subspace). The
     * final assignment relation is `a(iters+1)(sfx)`.
     */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int, off: Int, sfx: String): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int, off: Int, sfx: String,
+                         srcRel: String = "embeddings"): String = {
     // the |v|²−2vc+|c|² identity the Spark kernel computes, with the
     // same fixed shape: vn2 − 2.0·dot + cn2 then round 6
     def assign(i: Int, c: String): String =
@@ -6206,11 +6305,11 @@ object SparkEntry {
     s"""v$sfx AS (
        | SELECT vec_id, r.i AS pos,
        |  round(CAST(embedding[CAST(r.i AS INT) + 1 + $off] AS DOUBLE), 9) AS vd
-       | FROM embeddings, range($dim) r(i)),
+       | FROM $srcRel, range($dim) r(i)),
        |n2$sfx AS (SELECT vec_id, sum(vd * vd) AS vn2 FROM v$sfx GROUP BY 1),
        |init$sfx AS (
        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, vec_id
-       | FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       | FROM (SELECT vec_id FROM $srcRel ORDER BY vec_id LIMIT $k)),
        |c0$sfx AS (SELECT i.cl, v.pos, v.vd AS cv FROM init$sfx i JOIN v$sfx v ON v.vec_id = i.vec_id),
        |${steps.mkString(",\n")},
        |$finalAssign""".stripMargin

@@ -1230,6 +1230,77 @@ object Similarity {
     explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the full FAISS-style recipe:
+    * PQ codebooks train on `v − centroid(cell)` instead of raw vectors
+    * (residuals are smaller and better centered, so the same code
+    * budget quantizes finer), and the stage-1 score decomposes as
+    * `q·v ≈ q·centroid(cell) + q·recon(residual codes)` — a per-probe
+    * BASE dot plus the same `subspaces` ADC lookups, still divided by
+    * the candidate norm for cosine consistency with the exact rerank.
+    * Same output and determinism contract as [[ivfPqTopK]] (6-dp
+    * stage-1 score + id ties, raw cosine + id at stage 2).
+    *
+    * 100 TB shape identical to [[ivfPqTopK]] plus one narrow zip_with
+    * per corpus row (the residual) and one map-literal lookup per
+    * probed (query, cell) pair for the base term; PQ training is the
+    * same fused loop, over the residual relation.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nCentroids: Int = 16,
+                        nProbe: Int = 4, subspaces: Int = 4, subDim: Int = 16,
+                        pqK: Int = 4, pqIters: Int = 2,
+                        rerank: Int = 20): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
+    require(codebook.nonEmpty, "codebook must be non-empty")
+    val centMap = typedlit(codebook.toMap)
+
+    // corpus: ONE narrow pass — cell, residual, norm; PQ trains on the
+    // residual relation (same fused loop)
+    val cells = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__n", norm(col("__cv")))
+      .withColumn("cell", nearestCell(codebook, col("__cv"), col("__n")))
+    val withRes = cells.withColumn("__r",
+      zip_with(col("__cv"), element_at(centMap, col("cell")), (x, c) => x - c))
+    val cents = pqTrain(withRes.select(col("neighbor_id"), col("__r")),
+      "neighbor_id", "__r", subspaces, subDim, pqK, pqIters)
+    val coded = (0 until subspaces).foldLeft(withRes) { (acc, sp) =>
+      acc.withColumn(s"__code_$sp",
+        pqCodeExpr(pqSliceExpr(col("__r"), sp, subDim), cents(sp)))
+    }
+
+    // query: probe cells + the residual-PQ ADC table (RAW-query 9-dp
+    // slices against residual centroids) + the per-probe base dot
+    val adc = array((0 until subspaces).map(sp =>
+      array((0 until pqK).map { c =>
+        val cv = if (c < cents(sp).length) cents(sp)(c).toSeq
+                 else Seq.fill(subDim)(0.0)
+        dot(pqSliceExpr(col("__qv"), sp, subDim), typedlit(cv))
+      }: _*)): _*)
+    val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__adc", adc)
+      .withColumn("cell", explode(nearestCells(codebook, col("__qv"), nProbe)))
+      .withColumn("__base", dot(col("__qv"), element_at(centMap, col("cell"))))
+
+    val approx = round((col("__base") + (0 until subspaces).map(sp =>
+      element_at(element_at(col("__adc"), sp + 1), col(s"__code_$sp") + 1))
+      .reduce(_ + _)) / col("__n"), 6)
+    val survivors = coded.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(TopKOps.topK(rerank, approx, col("neighbor_id")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"))
+
+    val qvs = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val pairs = cells.join(broadcast(survivors), "neighbor_id")
+      .join(broadcast(qvs), "query_id")
+      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
+    explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
+  }
+
   /** Contrastive training-triple assembly — the "make embedding training
     * data" composition: one LSH-bucketed candidate pass (the
     * [[nearDupPairs]] machinery, cosine kept) yields BOTH sides of the

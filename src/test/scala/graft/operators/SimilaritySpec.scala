@@ -814,6 +814,36 @@ class SimilaritySpec extends SparkSpec {
       "fixture must exercise at least one semantic drop")
   }
 
+  test("ivfPqResidualTopK: full probes + unbounded rerank equals brute force; residual ADC competitive") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    // the residual decomposition is still only a GATE: with every cell
+    // probed and every candidate reranked, output ≡ bruteForceTopK
+    val full = Similarity.ivfPqResidualTopK(emb, qs, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 16, subspaces = 4, subDim = 16,
+      pqK = 4, pqIters = 2, rerank = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == brute && brute.nonEmpty)
+    // at the production knobs, residual-ADC recall stays competitive
+    // with the raw-ADC gate (classically it is finer; random vectors
+    // only guarantee the same ballpark)
+    def recall(got: Set[(Long, Long)]): Double = {
+      val b5 = brute.map(t => (t._1, t._2))
+      (got & b5).size.toDouble / b5.size
+    }
+    val res = recall(Similarity.ivfPqResidualTopK(emb, qs, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16,
+      pqK = 4, pqIters = 2, rerank = 20).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet)
+    val raw = recall(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16,
+      pqK = 4, pqIters = 2, rerank = 20).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet)
+    assert(res >= 0.8 * raw, s"residual recall $res fell far below raw $raw")
+  }
+
   test("ivfPqTopK stage-1 ADC ranking actually gates: tiny rerank still returns k rows") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qs = emb.filter($"vec_id" === 0)
