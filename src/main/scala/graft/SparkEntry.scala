@@ -5980,13 +5980,14 @@ object SparkEntry {
     "q227_curriculum" ->
       """WITH g AS (
         | SELECT source, row_number() OVER (ORDER BY source) - 1 AS gidx
-        | FROM (SELECT DISTINCT source FROM documents WHERE n_chars IS NOT NULL)),
+        | FROM (SELECT DISTINCT source FROM documents
+        |       WHERE n_chars IS NOT NULL AND source IS NOT NULL)),
         |ng AS (SELECT count(*) AS n FROM g),
         |r AS (
         | SELECT doc_id, source, n_chars,
         |  CAST(row_number() OVER (PARTITION BY source
         |   ORDER BY n_chars, doc_id) AS BIGINT) AS rank_in_group
-        | FROM documents WHERE n_chars IS NOT NULL)
+        | FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL)
         |SELECT r.doc_id, r.source, r.n_chars, r.rank_in_group,
         | CAST((r.rank_in_group - 1) * ng.n + g.gidx AS BIGINT) AS position
         |FROM r JOIN g USING (source) CROSS JOIN ng
@@ -6034,7 +6035,7 @@ object SparkEntry {
     "q229_padding_waste" ->
       """WITH nn AS (
         | SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len
-        | FROM documents WHERE n_chars IS NOT NULL),
+        | FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
         |b AS (
         | SELECT source, len,
         |  CAST(floor((row_number() OVER (PARTITION BY source

@@ -210,10 +210,14 @@ final class NearestCentroidState(codebooks: Array[Array[Array[Double]]],
 
   /** The 6-dp HALF_UP quantization `round(col, 6)` applies to doubles
     * (shortest-decimal BigDecimal, like Spark's and Scala's `BigDecimal`
-    * of a double).
+    * of a double). NaN/±Inf pass through like Spark's Round does —
+    * BigDecimal.valueOf would THROW on them, and a corrupt embedding
+    * must degrade to the struct form's NaN-largest ordering, not crash
+    * the job (review finding, round 11).
     */
   private def round6(d: Double): Double =
-    java.math.BigDecimal.valueOf(d)
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def nearest(arr: ArrayData, sp: Int, kind: Int): java.lang.Long = {

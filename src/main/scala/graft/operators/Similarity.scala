@@ -1333,8 +1333,17 @@ object Similarity {
     // plane sets OR-amplifying recall (the corpus-scale knob — at
     // bandedPlanesFor sizing, multi-probe would explode planes+1 probe
     // masks per row, measured 212 s vs banded's table union at 5M)
-    val masks = (0 until (1 << math.min(planes, 30)))
-      .filter(m => Integer.bitCount(m) <= probeBits)
+    // probeBits = 0 needs only the identity mask — enumerating 2^planes
+    // ints on the driver for it would burn minutes at banded plane
+    // counts; and a silent cap would shrink the promised probe radius,
+    // so multi-probe requires an enumerable plane space instead
+    val masks =
+      if (probeBits == 0) Seq(0)
+      else {
+        require(planes <= 30,
+          s"multi-probe enumerates 2^planes masks; planes=$planes needs probeBits=0 (use tables for recall)")
+        (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeBits)
+      }
     val perTable = (0 until tables).map { t =>
       val ids = df.select(col(idCol).as("__id"),
         lshBucket(kernelVec(df, vecCol), planes, t * planes).as("__b"))

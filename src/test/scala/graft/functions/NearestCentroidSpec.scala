@@ -160,6 +160,23 @@ class NearestCentroidSpec extends SparkSpec {
     assert(all.size == 6 && all.toSet == ids.toSet)
   }
 
+  test("NaN/Inf elements degrade to NaN-largest ordering instead of crashing round6") {
+    // a corrupt embedding (NaN element) passes the null-slot validity
+    // gates; the Lloyd kernel must assign it deterministically (all
+    // distances NaN -> smallest id), not throw from BigDecimal.valueOf
+    val cb = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val got = Seq(
+      (1L, Seq(Double.NaN, 2.0)),
+      (2L, Seq(Double.PositiveInfinity, 0.0)),
+      (3L, Seq(1.0, 0.1))).toDF("id", "v")
+      .select($"id", NearestCentroidOps.nearestCluster($"v", cb).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L)  // all-NaN distances keep the smallest id
+    assert(got(3L) == 0L)  // sanity: finite row picks its true argmin
+    // +Inf vector: distances are +Inf (ordered below NaN), smallest id wins
+    assert(got(2L) == 0L)
+  }
+
   test("NULL contract: null vector, null slot, ragged length, bad subspace all yield NULL") {
     val cb = Array(Array(1.0, 2.0), Array(0.5, -1.0))
     val rows = Seq(
