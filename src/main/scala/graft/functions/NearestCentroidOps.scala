@@ -107,6 +107,26 @@ case class NearestCentroidExpr(vec: Expression, sp: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): NearestCentroidExpr =
     copy(vec = newLeft, sp = newRight)
+
+  // the Array fields make case-class equality REFERENCE equality, which
+  // defeats Catalyst canonicalization/subexpression elimination when the
+  // same codebook kernels both sides of a plan — compare them deeply
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCentroidExpr =>
+      vec == that.vec && sp == that.sp && cosine == that.cosine &&
+        java.util.Arrays.deepEquals(
+          codebooks.asInstanceOf[Array[AnyRef]],
+          that.codebooks.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          cellIds.asInstanceOf[Array[AnyRef]],
+          that.cellIds.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(vec, sp, Boolean.box(cosine),
+      Int.box(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])),
+      Int.box(java.util.Arrays.deepHashCode(cellIds.asInstanceOf[Array[AnyRef]])))
 }
 
 /** The query-side probe list: the `nProbe` nearest cell ids of the
@@ -175,6 +195,26 @@ case class NearestCellsExpr(vec: Expression, sp: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): NearestCellsExpr =
     copy(vec = newLeft, sp = newRight)
+
+  // deep equality over the Array codebook fields — the
+  // [[NearestCentroidExpr]] canonicalization rationale
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCellsExpr =>
+      vec == that.vec && sp == that.sp && cosine == that.cosine &&
+        nProbe == that.nProbe &&
+        java.util.Arrays.deepEquals(
+          codebooks.asInstanceOf[Array[AnyRef]],
+          that.codebooks.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.deepEquals(
+          cellIds.asInstanceOf[Array[AnyRef]],
+          that.cellIds.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(vec, sp, Boolean.box(cosine), Int.box(nProbe),
+      Int.box(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])),
+      Int.box(java.util.Arrays.deepHashCode(cellIds.asInstanceOf[Array[AnyRef]])))
 }
 
 /** Plan-time-frozen codebook state shared by interpreted eval and the

@@ -503,13 +503,18 @@ object Profiling {
       }).cast("long").as(s"__v_$i")
     }
     val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stackArgs = rules.zipWithIndex.map { case (r, i) =>
-      s"'${r.label}', `__v_$i`"
-    }.mkString(", ")
+    // unpivot as explode-of-structs, NOT a string-built stack(...) expr:
+    // rule labels embed raw column names, and interpolating them into
+    // SQL text would let a quoted column name break (or inject into)
+    // the query — lit() carries any label verbatim
+    val entries = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.label).as("rule"), col(s"__v_$i").as("n_violations"))
+    }
     row.select(col("__n").as("n_rows"),
-      expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)"))
-      .select(col("rule"), col("n_rows"), col("n_violations"),
-        round(col("n_violations").cast("double") / col("n_rows").cast("double"), 6)
+      explode(array(entries: _*)).as("__e"))
+      .select(col("__e.rule").as("rule"), col("n_rows"),
+        col("__e.n_violations").as("n_violations"),
+        round(col("__e.n_violations").cast("double") / col("n_rows").cast("double"), 6)
           .as("violation_frac"))
   }
 }

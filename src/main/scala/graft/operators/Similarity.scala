@@ -83,13 +83,24 @@ object Similarity {
     * corpus stays fully partitioned, queries broadcast; norms computed
     * once per row on each side so the per-pair kernel is ONE native dot
     * product plus two multiplies, not three interpreted folds.
+    *
+    * ZERO-NORM POLICY (every cosine consumer in this file): a zero-norm
+    * vector has no cosine direction, so it is DROPPED from both roles by
+    * an explicit norm-positive filter stated on the relation BEFORE any
+    * division — the division then never sees a zero denominator (on
+    * ANSI engines that is the difference between a dropped row and a
+    * query-killing error; on IEEE engines it removes NaN rows whose sort
+    * position is engine-defined). Pinned by the SimilaritySpec planted
+    * zero-vector suite.
     */
   private def cosinePairs(corpus: DataFrame, queries: DataFrame,
                           idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
+      .filter(col("__cn") > 0)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
@@ -147,6 +158,25 @@ object Similarity {
     * under budget; measured growth numbers and guidance live in
     * SCALE.md §"Embedding near-dup pair growth".
     */
+  /** Every bucket-XOR probe mask of popcount ≤ `probeBits`, ascending —
+    * generated COMBINATORIALLY from bit-position choices
+    * (Σ_{i≤probeBits} C(planes, i) masks, O(planes^probeBits) work), so
+    * the mask list never enumerates the 2^planes bucket space: banded
+    * plane counts (up to the 62-bit bucket width) stay enumerable at any
+    * probe radius, where the filtered 0..2^planes range burned ~1 B
+    * driver iterations for a handful of masks past planes ≈ 30.
+    * probeBits = 0 yields exactly the identity mask.
+    */
+  private[operators] def probeMasks(planes: Int, probeBits: Int): Seq[Long] = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    require(probeBits >= 0 && probeBits <= planes,
+      s"probeBits must be in [0, planes=$planes], got $probeBits")
+    (0 to probeBits).iterator
+      .flatMap(b => (0 until planes).combinations(b)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
+      .toSeq.sorted
+  }
+
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                    planes: Int = 4, probeBits: Int = 1): DataFrame = {
     // CANDIDATES ON COMPACT KEYS: the bucket self-join sees only
@@ -162,10 +192,10 @@ object Similarity {
     val a = ids.select(col("__id").as("id_a"), col("__b").as("bucket"))
     // side B probes every bucket within Hamming distance probeBits of its
     // own (masks of popcount <= probeBits, including the identity mask 0)
-    val masks = (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeBits)
+    val masks = probeMasks(planes, probeBits)
     val b = ids.select(col("__id").as("id_b"), col("__b").as("__bb"))
       .withColumn("bucket",
-        explode(array(masks.map(m => col("__bb").bitwiseXOR(lit(m.toLong))): _*)))
+        explode(array(masks.map(m => col("__bb").bitwiseXOR(lit(m))): _*)))
     val cands = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -583,6 +613,19 @@ object Similarity {
       Array(codebook.map(_._2.toArray)), Array(codebook.map(_._1)),
       cosine = true)
 
+  /** The ONE corpus-side pass every IVF-family operator starts from:
+    * `(neighbor_id, __cv, __n, cell)` — widened vector, norm, and the
+    * literal-codebook cell assignment; zero-norm rows drop here (the
+    * [[cosinePairs]] policy), so every downstream norm division is
+    * structurally nonzero.
+    */
+  private def ivfCells(corpus: DataFrame, idCol: String, vecCol: String,
+                       codebook: Array[(Long, Seq[Double])]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__n", norm(col("__cv")))
+      .filter(col("__n") > 0)
+      .withColumn("cell", nearestCell(codebook, col("__cv"), col("__n")))
+
   /** IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     * centroid cell; queries probe only the `nProbe` nearest cells. Centroids
     * here are a deterministic sample (first `nCentroids` corpus vectors by
@@ -603,13 +646,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, codebook: Array[(Long, Seq[Double])], nProbe: Int): DataFrame = {
     require(codebook.nonEmpty, "codebook must be non-empty")
-    // assign each corpus vector to its nearest centroid — per-row, no join
-    val cells = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__n", norm(col("__cv")))
-      .withColumn("cell", nearestCell(codebook, col("__cv"), col("__n")))
+    // assign each corpus vector to its nearest centroid — per-row, no
+    // join; zero-norm rows drop (the cosinePairs policy)
+    val cells = ivfCells(corpus, idCol, vecCol, codebook)
     // each query probes its nProbe nearest cells — per-row slice + explode
     val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
       .withColumn("cell", explode(nearestCells(codebook, col("__qv"), nProbe)))
     val pairs = cells.join(broadcast(probes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -784,6 +827,7 @@ object Similarity {
     def floats(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
         .withColumn(n, norm(col(v)))
+        .filter(col(n) > 0)
     val pairs = floats(corpus, "neighbor_id", "__cv", "__cn")
       .join(broadcast(survivors), "neighbor_id")     // <= Q·rerank survivors
       .join(broadcast(floats(queries, "query_id", "__qv", "__qn")), "query_id")
@@ -801,14 +845,16 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"),
       lshBucket(kernelVec(corpus, vecCol), planes).as("bucket"))
       .withColumn("__cn", norm(col("__cv")))
+      .filter(col("__cn") > 0)
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"),
       lshBucket(kernelVec(queries, vecCol), planes).as("bucket"))
       .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
     // multi-probe: explode each query over its own bucket plus every bucket
     // within Hamming distance `probeBits` — recall rises, candidates stay few
     val q = if (probeBits <= 0) q0 else {
-      val masks = (1 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeBits)
-      val flips = masks.map(m => col("bucket").bitwiseXOR(lit(m.toLong)))
+      val masks = probeMasks(planes, probeBits).filter(_ != 0L)
+      val flips = masks.map(m => col("bucket").bitwiseXOR(lit(m)))
       q0.withColumn("bucket", explode(array(col("bucket") +: flips: _*)))
     }
     val pairs = c.join(broadcast(q), "bucket")
@@ -833,11 +879,22 @@ object Similarity {
     */
   def annRecallReport(corpus: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, planes: Int = 4,
-                      probeBits: Int = 0): DataFrame = {
+                      probeBits: Int = 0): DataFrame =
+    annRecallReportFor(corpus, queries, idCol, vecCol, k,
+      lshTopK(corpus, queries, idCol, vecCol, k, planes, probeBits))
+
+  /** [[annRecallReport]] against an EXPLICIT approximate result relation
+    * `ann` (`(query_id, neighbor_id, …)` — any of this file's top-k
+    * operators, e.g. [[ivfPqTopK]] or [[ivfPqSearch]]): the graded way
+    * to put a composed index's recall-vs-brute on the oracle surface
+    * instead of spec-only. Same `(query_id, n_hit, recall)` output and
+    * bounded-query-sample cost contract.
+    */
+  def annRecallReportFor(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, k: Int, ann: DataFrame): DataFrame = {
     val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
-    val ap = lshTopK(corpus, queries, idCol, vecCol, k, planes, probeBits)
-      .select(col("query_id"), col("neighbor_id"))
+    val ap = ann.select(col("query_id"), col("neighbor_id"))
     bf.join(ap.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
@@ -1147,6 +1204,94 @@ object Similarity {
     centroids
   }
 
+  /** `__code_0 … __code_{s−1}` PQ-code columns appended to `src` by
+    * coding the 9-dp slices of `vec` against literal codebooks — the
+    * per-row corpus encoding shared by the inline searches and the
+    * index build.
+    */
+  private def withPqCodeCols(src: DataFrame, vec: Column,
+                             cents: Array[Array[Array[Double]]],
+                             subspaces: Int, subDim: Int): DataFrame =
+    (0 until subspaces).foldLeft(src) { (acc, sp) =>
+      acc.withColumn(s"__code_$sp",
+        pqCodeExpr(pqSliceExpr(vec, sp, subDim), cents(sp)))
+    }
+
+  /** The shared IVF-PQ probe → ADC → survivor → rerank composition —
+    * ONE builder parameterized by the stage-1 base term, so the raw
+    * ([[ivfPqTopK]]), residual ([[ivfPqResidualTopK]]), and persisted-
+    * index ([[ivfPqSearch]]) entries are thin wrappers that can never
+    * drift apart (the round-11 duplication hazard).
+    *
+    *   - `coded`: `(neighbor_id, cell, __n, __code_0…)` — the encoded
+    *     corpus (inline pass or persisted index relation);
+    *   - `rerankVecs`: `(neighbor_id, __cv, __n)` — raw vectors for the
+    *     exact stage-2 cosine, zero-norm rows already dropped;
+    *   - `baseDot`: the per-probe `q · centroid(cell)` term residual
+    *     encoding adds to the ADC sum (None ⇒ raw encoding — the sum is
+    *     used as-is, bit-identical to the pre-split formulation).
+    *
+    * Stage 1 ranks by the 6-dp ADC score over the candidate norm (id
+    * ties), stage 2 exact-cosine-reranks the ≤ queries×rerank
+    * survivors; both rankings are bounded-heap partial top-k
+    * aggregates, every join broadcasts its bounded side, and zero-norm
+    * queries drop under the [[cosinePairs]] policy.
+    */
+  private def ivfPqRank(coded: DataFrame, rerankVecs: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        codebook: Array[(Long, Seq[Double])],
+                        cents: Array[Array[Array[Double]]],
+                        baseDot: Option[Column], k: Int, nProbe: Int,
+                        subspaces: Int, subDim: Int, pqK: Int,
+                        rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    // query side: nProbe probe cells + the ADC lookup table
+    // `__adc[sp][c] = q_sp(9 dp) · centroid(sp, c)` — pqK·subspaces dots
+    // per QUERY, computed once, broadcast with the probes
+    val adc = array((0 until subspaces).map(sp =>
+      array((0 until pqK).map { c =>
+        val cv = if (c < cents(sp).length) cents(sp)(c).toSeq
+                 else Seq.fill(subDim)(0.0)
+        dot(pqSliceExpr(col("__qv"), sp, subDim), typedlit(cv))
+      }: _*)): _*)
+    val probes0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
+      .withColumn("__adc", adc)
+      .withColumn("cell", explode(nearestCells(codebook, col("__qv"), nProbe)))
+    val probes = baseDot.fold(probes0)(b => probes0.withColumn("__base", b))
+
+    // stage 1: probed candidates ranked by the 6-dp ADC score — the sum
+    // of subspaces table lookups approximates q·reconstruction(n) (plus
+    // the per-probe base dot under residual encoding), and dividing by
+    // the candidate's norm makes the ranking COSINE-consistent with
+    // stage 2 (the query norm is constant per query, so it cannot change
+    // any per-query ranking and stays out); 6-dp absorbs summation-order
+    // ulps, id breaks ties — the kmeans assignment determinism recipe
+    val adcSum = (0 until subspaces).map(sp =>
+      element_at(element_at(col("__adc"), sp + 1), col(s"__code_$sp") + 1))
+      .reduce(_ + _)
+    val approx = round(
+      baseDot.map(_ => col("__base") + adcSum).getOrElse(adcSum) / col("__n"), 6)
+    val survivors = coded.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(TopKOps.topK(rerank, approx, col("neighbor_id")).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"))
+
+    // stage 2: exact cosine rerank of the <= queries×rerank survivors —
+    // survivor list broadcast onto the partitioned corpus, query vectors
+    // broadcast onto the survivors; both norms structurally positive
+    val qvs = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
+    val pairs = rerankVecs.join(broadcast(survivors), "neighbor_id")
+      .join(broadcast(qvs), "query_id")
+      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
+    explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
+  }
+
   /** IVF-PQ ANN search — the production 100 TB retrieval pattern
     * composed from this file's parts: IVF coarse cells ([[ivfTopK]]'s
     * quantizer) prune the corpus, PQ codes ([[pqTrain]]) rank the
@@ -1167,67 +1312,25 @@ object Similarity {
     * queries×partitions×rerank heap entries, never the candidate set);
     * the rerank joins broadcast the queries×rerank survivor list
     * against the partitioned corpus. Training is [[pqTrain]]'s fused
-    * loop — `iters` bounded codebook collects total.
+    * loop — `iters` bounded codebook collects total, paid on EVERY call
+    * here: this inline entry is the one-shot/exploratory form. The
+    * production lifecycle is the [[ivfPqIndexBuild]]/[[ivfPqSearch]]
+    * split, which persists the codes + codebooks as relations and
+    * searches them retrain-free (bit-identical results).
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
                 subspaces: Int = 4, subDim: Int = 16, pqK: Int = 4,
                 pqIters: Int = 2, rerank: Int = 20): DataFrame = {
-    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     val cents = pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters)
     val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
     require(codebook.nonEmpty, "codebook must be non-empty")
-
     // corpus side: ONE narrow pass computes the coarse cell and the
     // subspaces PQ codes per row — nothing precomputed, nothing joined
-    val cells = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__n", norm(col("__cv")))
-      .withColumn("cell", nearestCell(codebook, col("__cv"), col("__n")))
-    val coded = (0 until subspaces).foldLeft(cells) { (acc, sp) =>
-      acc.withColumn(s"__code_$sp",
-        pqCodeExpr(pqSliceExpr(col("__cv"), sp, subDim), cents(sp)))
-    }
-
-    // query side: nProbe probe cells + the ADC lookup table
-    // `__adc[sp][c] = q_sp(9 dp) · centroid(sp, c)` — pqK·subspaces dots
-    // per QUERY, computed once, broadcast with the probes
-    val adc = array((0 until subspaces).map(sp =>
-      array((0 until pqK).map { c =>
-        val cv = if (c < cents(sp).length) cents(sp)(c).toSeq
-                 else Seq.fill(subDim)(0.0)
-        dot(pqSliceExpr(col("__qv"), sp, subDim), typedlit(cv))
-      }: _*)): _*)
-    val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .withColumn("__qn", norm(col("__qv")))
-      .withColumn("__adc", adc)
-      .withColumn("cell", explode(nearestCells(codebook, col("__qv"), nProbe)))
-
-    // stage 1: probed candidates ranked by the 6-dp ADC score — the sum
-    // of subspaces table lookups approximates q·reconstruction(n), and
-    // dividing by the candidate's norm makes the ranking
-    // COSINE-consistent with stage 2 (the query norm is constant per
-    // query, so it cannot change any per-query ranking and stays out);
-    // 6-dp absorbs summation-order ulps, id breaks ties — the kmeans
-    // assignment determinism recipe
-    val approx = round((0 until subspaces).map(sp =>
-      element_at(element_at(col("__adc"), sp + 1), col(s"__code_$sp") + 1))
-      .reduce(_ + _) / col("__n"), 6)
-    val survivors = coded.join(broadcast(probes), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id")
-      .agg(TopKOps.topK(rerank, approx, col("neighbor_id")).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__e"))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"))
-
-    // stage 2: exact cosine rerank of the <= queries×rerank survivors —
-    // survivor list broadcast onto the partitioned corpus, query vectors
-    // broadcast onto the survivors
-    val qvs = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .withColumn("__qn", norm(col("__qv")))
-    val pairs = cells.join(broadcast(survivors), "neighbor_id")
-      .join(broadcast(qvs), "query_id")
-      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
-    explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
+    val cells = ivfCells(corpus, idCol, vecCol, codebook)
+    val coded = withPqCodeCols(cells, col("__cv"), cents, subspaces, subDim)
+    ivfPqRank(coded, cells, queries, idCol, vecCol, codebook, cents,
+      baseDot = None, k, nProbe, subspaces, subDim, pqK, rerank)
   }
 
   /** IVF-PQ with RESIDUAL encoding — the full FAISS-style recipe:
@@ -1243,62 +1346,138 @@ object Similarity {
     * 100 TB shape identical to [[ivfPqTopK]] plus one narrow zip_with
     * per corpus row (the residual) and one map-literal lookup per
     * probed (query, cell) pair for the base term; PQ training is the
-    * same fused loop, over the residual relation.
+    * same fused loop, over the residual relation. The probe/ADC/
+    * survivor/rerank stages ARE [[ivfPqRank]] — shared with the raw
+    * and persisted-index entries, parameterized only by the base term.
     */
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, k: Int, nCentroids: Int = 16,
                         nProbe: Int = 4, subspaces: Int = 4, subDim: Int = 16,
                         pqK: Int = 4, pqIters: Int = 2,
                         rerank: Int = 20): DataFrame = {
-    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
     require(codebook.nonEmpty, "codebook must be non-empty")
     val centMap = typedlit(codebook.toMap)
-
     // corpus: ONE narrow pass — cell, residual, norm; PQ trains on the
     // residual relation (same fused loop)
-    val cells = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__n", norm(col("__cv")))
-      .withColumn("cell", nearestCell(codebook, col("__cv"), col("__n")))
+    val cells = ivfCells(corpus, idCol, vecCol, codebook)
     val withRes = cells.withColumn("__r",
       zip_with(col("__cv"), element_at(centMap, col("cell")), (x, c) => x - c))
     val cents = pqTrain(withRes.select(col("neighbor_id"), col("__r")),
       "neighbor_id", "__r", subspaces, subDim, pqK, pqIters)
-    val coded = (0 until subspaces).foldLeft(withRes) { (acc, sp) =>
-      acc.withColumn(s"__code_$sp",
-        pqCodeExpr(pqSliceExpr(col("__r"), sp, subDim), cents(sp)))
+    val coded = withPqCodeCols(withRes, col("__r"), cents, subspaces, subDim)
+    // the residual stage-1 base: q · centroid(cell), one map-literal
+    // lookup per probed (query, cell) pair; the ADC table is the RAW-
+    // query 9-dp slices against the residual centroids
+    ivfPqRank(coded, cells, queries, idCol, vecCol, codebook, cents,
+      baseDot = Some(dot(col("__qv"), element_at(centMap, col("cell")))),
+      k, nProbe, subspaces, subDim, pqK, rerank)
+  }
+
+  /** A persisted-form IVF-PQ index — the build/search split every
+    * production ANN deployment runs (FAISS's train → add → search):
+    * three plain RELATIONS a caller writes once (parquet) and searches
+    * many times, so the `pqIters` training barriers amortize to ZERO
+    * per query batch instead of recurring on every call.
+    *
+    *   - `codes`: one row per corpus vector —
+    *     `(id, cell, nrm, code_0 … code_{s−1})` (zero-norm rows already
+    *     dropped under the [[cosinePairs]] policy);
+    *   - `coarse`: `(cell, centroid)` — the IVF quantizer, nCentroids
+    *     rows;
+    *   - `pq`: `(subspace, code, centroid)` — the PQ codebooks
+    *     (residual-space when `residual`), subspaces·pqK rows.
+    *
+    * `residual` and `subDim` are carried as constructor fields (record
+    * them beside the relations when persisting); everything else the
+    * search needs is IN the relations.
+    */
+  final case class IvfPqIndex(codes: DataFrame, coarse: DataFrame,
+                              pq: DataFrame, residual: Boolean, subDim: Int)
+
+  /** Train and encode ONCE — the index half of the IVF-PQ split. One
+    * corpus pass encodes every vector (cell + PQ codes + norm, all
+    * per-row expressions over literal codebooks, nothing shuffles);
+    * training is [[pqTrain]]'s fused loop (`pqIters` bounded codebook
+    * collects, the LAST time they run for this corpus). Write the three
+    * relations and search with [[ivfPqSearch]] — results are
+    * bit-identical to the inline [[ivfPqTopK]]/[[ivfPqResidualTopK]]
+    * at the same parameters (spec-pinned, and q232's oracle IS q219's).
+    */
+  def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int = 16, subspaces: Int = 4,
+                      subDim: Int = 16, pqK: Int = 4, pqIters: Int = 2,
+                      residual: Boolean = false): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
+    require(codebook.nonEmpty, "codebook must be non-empty")
+    val cells = ivfCells(corpus, idCol, vecCol, codebook)
+    val (codeSrc, codeVec, cents) =
+      if (residual) {
+        val centMap = typedlit(codebook.toMap)
+        val withRes = cells.withColumn("__r",
+          zip_with(col("__cv"), element_at(centMap, col("cell")), (x, c) => x - c))
+        (withRes, col("__r"),
+          pqTrain(withRes.select(col("neighbor_id"), col("__r")),
+            "neighbor_id", "__r", subspaces, subDim, pqK, pqIters))
+      } else
+        (cells, col("__cv"),
+          pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters))
+    val coded = withPqCodeCols(codeSrc, codeVec, cents, subspaces, subDim)
+    val codes = coded.select(
+      col("neighbor_id").as("id") +: col("cell") +: col("__n").as("nrm") +:
+        (0 until subspaces).map(sp => col(s"__code_$sp").as(s"code_$sp")): _*)
+    val coarse = codebook.toSeq.toDF("cell", "centroid")
+    val pq = (for {
+      sp <- cents.indices
+      c <- cents(sp).indices
+    } yield (sp, c, cents(sp)(c).toSeq)).toDF("subspace", "code", "centroid")
+    IvfPqIndex(codes, coarse, pq, residual, subDim)
+  }
+
+  /** Search a PERSISTED IVF-PQ index — retrain-free by construction:
+    * the only driver-side work is two bounded collects of the codebook
+    * RELATIONS (nCentroids + subspaces·pqK rows — reading an index is
+    * not training; no Lloyd barrier can occur because no training code
+    * is reachable from here), folded back into the same literal-codebook
+    * expressions the inline operators use. The corpus appears only for
+    * the stage-2 exact rerank vectors; stage 1 runs entirely on the
+    * index's `codes` relation. Same output and determinism contract as
+    * [[ivfPqTopK]] — same parameters, bit-identical results.
+    */
+  def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+                  rerank: Int = 20): DataFrame = {
+    val codebook: Array[(Long, Seq[Double])] = index.coarse
+      .orderBy("cell").select(col("cell").cast("long"), col("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(codebook.nonEmpty, "coarse codebook relation is empty")
+    val pqRows = index.pq
+      .orderBy("subspace", "code")
+      .select(col("subspace").cast("int"), col("code").cast("int"), col("centroid"))
+      .collect()
+    require(pqRows.nonEmpty, "pq codebook relation is empty")
+    val subspaces = pqRows.map(_.getInt(0)).max + 1
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(subspaces) { sp =>
+      pqRows.filter(_.getInt(0) == sp).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
     }
-
-    // query: probe cells + the residual-PQ ADC table (RAW-query 9-dp
-    // slices against residual centroids) + the per-probe base dot
-    val adc = array((0 until subspaces).map(sp =>
-      array((0 until pqK).map { c =>
-        val cv = if (c < cents(sp).length) cents(sp)(c).toSeq
-                 else Seq.fill(subDim)(0.0)
-        dot(pqSliceExpr(col("__qv"), sp, subDim), typedlit(cv))
-      }: _*)): _*)
-    val probes = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .withColumn("__qn", norm(col("__qv")))
-      .withColumn("__adc", adc)
-      .withColumn("cell", explode(nearestCells(codebook, col("__qv"), nProbe)))
-      .withColumn("__base", dot(col("__qv"), element_at(centMap, col("cell"))))
-
-    val approx = round((col("__base") + (0 until subspaces).map(sp =>
-      element_at(element_at(col("__adc"), sp + 1), col(s"__code_$sp") + 1))
-      .reduce(_ + _)) / col("__n"), 6)
-    val survivors = coded.join(broadcast(probes), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id")
-      .agg(TopKOps.topK(rerank, approx, col("neighbor_id")).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__e"))
-      .select(col("query_id"), col("__e.id").as("neighbor_id"))
-
-    val qvs = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
-      .withColumn("__qn", norm(col("__qv")))
-    val pairs = cells.join(broadcast(survivors), "neighbor_id")
-      .join(broadcast(qvs), "query_id")
-      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
-    explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
+    require(cents.forall(_.nonEmpty), "pq codebook has an empty subspace")
+    val pqK = cents.map(_.length).max
+    val coded = index.codes.select(
+      col("id").as("neighbor_id") +: col("cell") +: col("nrm").as("__n") +:
+        (0 until subspaces).map(sp => col(s"code_$sp").as(s"__code_$sp")): _*)
+    val rerankVecs = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__n", norm(col("__cv")))
+      .filter(col("__n") > 0)
+    val baseDot =
+      if (index.residual)
+        Some(dot(col("__qv"), element_at(typedlit(codebook.toMap), col("cell"))))
+      else None
+    ivfPqRank(coded, rerankVecs, queries, idCol, vecCol, codebook, cents,
+      baseDot, k, nProbe, subspaces, index.subDim, pqK, rerank)
   }
 
   /** Contrastive training-triple assembly — the "make embedding training
@@ -1313,11 +1492,17 @@ object Similarity {
     * Output `(anchor_id, positive_id, negative_id, neg_cos, rn)`.
     *
     * 100 TB shape: ONE candidate generation (compact-key bucket
-    * self-join + two payload joins, the nearDupPairs contract), the
-    * scored candidate table localCheckpointed once and read by both
-    * consumers; negative ranking is the bounded-heap topK; the final
-    * weld is an anchor-keyed equi-join of two candidate-bounded tables.
-    * Nothing corpus×corpus, no windows.
+    * self-join + two payload joins, the nearDupPairs contract) over the
+    * [[bandedBuckets]] compact table — ALL tables' buckets come from a
+    * single localCheckpointed corpus pass, and every per-table join
+    * re-reads `8·(tables+1)`-byte rows (the round-11 shape recomputed
+    * per-table buckets from raw vectors on each join side ≈ 2·tables
+    * corpus passes); the scored candidate table localCheckpointed once
+    * and read by both consumers; negative ranking is the bounded-heap
+    * topK; the final weld is an anchor-keyed equi-join of two
+    * candidate-bounded tables. Nothing corpus×corpus, no windows.
+    * Zero-norm vectors drop before scoring ([[cosinePairs]] policy) —
+    * they can never anchor, positive, or negative.
     */
   def contrastiveTriples(df: DataFrame, idCol: String, vecCol: String,
                          posThreshold: Double, negMin: Double, negMax: Double,
@@ -1332,25 +1517,16 @@ object Similarity {
     // multi-probed table (small-corpus knob) or `tables` independent
     // plane sets OR-amplifying recall (the corpus-scale knob — at
     // bandedPlanesFor sizing, multi-probe would explode planes+1 probe
-    // masks per row, measured 212 s vs banded's table union at 5M)
-    // probeBits = 0 needs only the identity mask — enumerating 2^planes
-    // ints on the driver for it would burn minutes at banded plane
-    // counts; and a silent cap would shrink the promised probe radius,
-    // so multi-probe requires an enumerable plane space instead
-    val masks =
-      if (probeBits == 0) Seq(0)
-      else {
-        require(planes <= 30,
-          s"multi-probe enumerates 2^planes masks; planes=$planes needs probeBits=0 (use tables for recall)")
-        (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= probeBits)
-      }
+    // masks per row, measured 212 s vs banded's table union at 5M);
+    // masks generate combinatorially, so any banded plane count stays
+    // enumerable at any probe radius
+    val masks = probeMasks(planes, probeBits)
+    val ids = bandedBuckets(df, idCol, vecCol, planes, tables)
     val perTable = (0 until tables).map { t =>
-      val ids = df.select(col(idCol).as("__id"),
-        lshBucket(kernelVec(df, vecCol), planes, t * planes).as("__b"))
-      val a = ids.select(col("__id").as("id_a"), col("__b").as("bucket"))
-      val b = ids.select(col("__id").as("id_b"), col("__b").as("__bb"))
+      val a = ids.select(col("__id").as("id_a"), col(s"__b$t").as("bucket"))
+      val b = ids.select(col("__id").as("id_b"), col(s"__b$t").as("__bb"))
         .withColumn("bucket",
-          explode(array(masks.map(m => col("__bb").bitwiseXOR(lit(m.toLong))): _*)))
+          explode(array(masks.map(m => col("__bb").bitwiseXOR(lit(m))): _*)))
       a.join(b, "bucket")
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
@@ -1361,6 +1537,7 @@ object Similarity {
       else perTable.reduce(_.unionByName(_)).distinct()
     val vecs = df.select(col(idCol).as("__vid"), kernelVec(df, vecCol).as("__v"))
       .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
     // scored once, read twice (positives + negatives) — localCheckpoint
     // like the q58 dup graph, or each consumer would replan the whole
     // candidate generation
@@ -1413,20 +1590,32 @@ object Similarity {
     * closure is [[graft.operators.Dedup.connectedComponents]] (driver
     * union-find under 4M edges, RDD hash-min pointer jumping beyond).
     *
+    * THE Σ|cluster|² CONTRACT IS SUPER-LINEAR (~n^1.5 at k ≈ √n; the 5M
+    * guard measured 13.7× wall at 10× input) — this flat operator is the
+    * exact-within-cluster SEMANTICS baseline. Past the point where
+    * clusters outgrow their pair budget, use [[semanticDedupBanded]]:
+    * same clustering, same verification and audit, but in-cluster LSH
+    * banding caps every cluster's candidate load (pipe_semantic_dedup
+    * vs pipe_semantic_dedup_banded in the 500k/5M guard).
+    *
     * k ceiling: assignment runs through the NATIVE argmin kernel
     * ([[graft.functions.NearestCentroidOps]] — constant generated-code
     * size, one runtime loop), so k is bounded by the per-iteration
     * k×dim codebook collect and broadcast (k ≈ √n at 10⁹ vectors is a
     * ~32k×64 ≈ 16 MB codebook — broadcast-class), not by bytecode
-    * limits. Beyond that, k ≈ √n composes hierarchically (cluster the
-    * centroids of a first-level clustering) from this same operator.
+    * limits — and the banded path removes the pressure to grow k at all.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, k: Int = 4, iters: Int = 2): DataFrame = {
     val assigned = kmeansLloyd(df, idCol, vecCol, k, iters)
       .select(col(idCol).as("__id"), col("cluster"))
+    // zero-norm vectors have no cosine direction: dropped from candidacy
+    // here ([[cosinePairs]] policy — the threshold division below is then
+    // structurally nonzero), so they can never weld and always audit as
+    // `kept` through the final left join
     val vecs = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
       .join(assigned, "__id")
     val a = vecs.select(col("__id").as("doc_a"), col("__v").as("__va"),
       col("__n").as("__na"), col("cluster"))
@@ -1437,6 +1626,74 @@ object Similarity {
       .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
         >= threshold)
       .select("doc_a", "doc_b")
+    semanticAudit(df, idCol, edges)
+  }
+
+  /** [[semanticDedup]] with the candidate stage BOUNDED by in-cluster
+    * LSH banding — the code path that retires the flat operator's
+    * Σ|cluster|² contract (~n^1.5 candidates at the paper's k ≈ √n; the
+    * 5M guard measured 13.7× wall at 10× input): candidates must share
+    * a k-means cluster AND an LSH band bucket in at least one of
+    * `tables` independent tables, so per-vector candidate load is
+    * `tables · |cluster| / 2^planes` — the `planes` knob caps any
+    * cluster's pair budget regardless of its size (size it with
+    * [[bandedPlanesFor]] against the EXPECTED cluster occupancy n/k).
+    * Exact verification, welding, and the audit output are byte-for-
+    * byte [[semanticDedup]]'s.
+    *
+    * Recall contract (two-stage, both directions spec-pinned): a
+    * near-dup pair must land in the same cluster (the SemDeDup trade)
+    * AND collide in some band table (1 − (1 − (1 − θ/π)^planes)^tables,
+    * the [[nearDupPairsBanded]] amplification — ≥ 95% at cos ≥ 0.999
+    * with 3 tables through billions of vectors); every emitted edge
+    * still passes the exact threshold. Banding can only REMOVE
+    * candidates, so the banded drop set is a subset of the flat one.
+    *
+    * 100 TB shape: clustering is [[kmeansLloyd]] (k stays MODEST — the
+    * quality knob, no longer forced to √n for cost); buckets are ONE
+    * [[bandedBuckets]] pass (compact localCheckpointed table); the
+    * per-table self-joins key on (cluster, bucket) — compact ids only;
+    * verification joins the vector payload for candidates only.
+    */
+  def semanticDedupBanded(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, k: Int = 4, iters: Int = 2,
+                          planes: Int = 4, tables: Int = 3): DataFrame = {
+    val assigned = kmeansLloyd(df, idCol, vecCol, k, iters)
+      .select(col(idCol).as("__id"), col("cluster"))
+    val buckets = bandedBuckets(df, idCol, vecCol, planes, tables)
+    val keyed = assigned.join(buckets, "__id")
+    val cands = (0 until tables).map { t =>
+      keyed.select(col("__id").as("doc_a"), col("cluster"),
+          col(s"__b$t").as("bucket"))
+        .join(keyed.select(col("__id").as("doc_b"), col("cluster"),
+          col(s"__b$t").as("bucket")), Seq("cluster", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }.reduce(_ unionByName _).distinct()
+    val vecs = df.select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
+    val edges = cands
+      .join(vecs.select(col("__vid").as("doc_a"), col("__v").as("__va"),
+        col("__n").as("__na")), "doc_a")
+      .join(vecs.select(col("__vid").as("doc_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "doc_b")
+      // same inclusive-threshold division as semanticDedup — boundary
+      // behavior identical between the flat and banded paths
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+        >= threshold)
+      .select("doc_a", "doc_b")
+    semanticAudit(df, idCol, edges)
+  }
+
+  /** The shared audit tail of both semantic dedup paths: weld `edges`
+    * into components (driver union-find under 4M edges, RDD hash-min
+    * beyond — [[graft.operators.Dedup.connectedComponents]]), keep each
+    * component's smallest id, and left-join every input row back to the
+    * q58 audit shape `(idCol, status, winner_id)`.
+    */
+  private def semanticAudit(df: DataFrame, idCol: String,
+                            edges: DataFrame): DataFrame = {
     val comp = graft.operators.Dedup.connectedComponents(edges)
     df.select(col(idCol))
       .join(comp.select(col("node").as(idCol), col("component")), Seq(idCol), "left")
