@@ -1,0 +1,233 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-12 robustness + lifecycle suite for the ANN family:
+  *   - the zero-norm policy (a planted all-zeros embedding must be
+  *     DROPPED by every cosine consumer, never crash a division or
+  *     float to an engine-defined NaN rank);
+  *   - the IVF-PQ build/search split (bit-identical to the inline
+  *     operators, retrain-free through a parquet round-trip);
+  *   - combinatorial probe-mask generation;
+  *   - banded semantic dedup's subset + recall contracts.
+  */
+class SimilarityIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 deterministic 8-d vectors + one all-zeros row (id 99); ids 0 and
+  // 1 are a planted near-dup pair (cosine ≈ 1)
+  private lazy val vec0 = Array.tabulate(8)(j => math.cos(j + 1).toFloat + 1.5f)
+  private lazy val zed = (
+    Seq((0L, vec0),
+        (1L, vec0.zipWithIndex.map { case (x, j) =>
+          x + (if (j == 0) 0.01f else 0f) })) ++
+      (2 until 12).map { i =>
+        (i.toLong, Array.tabulate(8)(j =>
+          math.sin(i * 8 + j + 1).toFloat * 2f + (if (j == i % 8) 3f else 0f)))
+      } :+ ((99L, Array.fill(8)(0.0f)))
+  ).toDF("vec_id", "embedding")
+
+  test("zero-norm policy: every cosine consumer drops the planted zero vector, no crash") {
+    val qs = zed // the zero vector also queries
+    def ids(df: org.apache.spark.sql.DataFrame, c: String): Set[Long] =
+      df.select(col(c).cast("long")).as[Long].collect().toSet
+
+    val brute = Similarity.bruteForceTopK(zed, qs, "vec_id", "embedding", 3)
+    assert(!ids(brute, "neighbor_id").contains(99L) &&
+      !ids(brute, "query_id").contains(99L))
+
+    val lsh = Similarity.lshTopK(zed, qs, "vec_id", "embedding", 3, planes = 2, probeBits = 1)
+    assert(!ids(lsh, "neighbor_id").contains(99L) && !ids(lsh, "query_id").contains(99L))
+
+    val ivf = Similarity.ivfTopK(zed, qs, "vec_id", "embedding", 3, nCentroids = 4, nProbe = 4)
+    assert(!ids(ivf, "neighbor_id").contains(99L) && !ids(ivf, "query_id").contains(99L))
+
+    val qr = Similarity.quantizedRerankTopK(zed, qs, "vec_id", "embedding", 3, rerank = 10)
+    assert(!ids(qr, "neighbor_id").contains(99L) && !ids(qr, "query_id").contains(99L))
+
+    val pq = Similarity.ivfPqTopK(zed, qs, "vec_id", "embedding", k = 3,
+      nCentroids = 4, nProbe = 4, subspaces = 2, subDim = 4, pqK = 2,
+      pqIters = 1, rerank = 10)
+    assert(!ids(pq, "neighbor_id").contains(99L) && !ids(pq, "query_id").contains(99L))
+
+    val pqr = Similarity.ivfPqResidualTopK(zed, qs, "vec_id", "embedding", k = 3,
+      nCentroids = 4, nProbe = 4, subspaces = 2, subDim = 4, pqK = 2,
+      pqIters = 1, rerank = 10)
+    assert(!ids(pqr, "neighbor_id").contains(99L) && !ids(pqr, "query_id").contains(99L))
+
+    val sd = Similarity.semanticDedup(zed, "vec_id", "embedding",
+      threshold = 0.9, k = 2, iters = 1)
+      .as[(Long, String, Long)].collect()
+    val sd99 = sd.find(_._1 == 99L).get
+    assert(sd99._2 == "kept" && sd99._3 == 99L,
+      "the zero-norm row audits as kept — it can never be a candidate")
+    assert(sd.exists(r => r._2 == "dropped_semantic"),
+      "the planted (0,1) near-dup still welds")
+
+    val sdb = Similarity.semanticDedupBanded(zed, "vec_id", "embedding",
+      threshold = 0.9, k = 2, iters = 1, planes = 1, tables = 3)
+      .as[(Long, String, Long)].collect()
+    val sdb99 = sdb.find(_._1 == 99L).get
+    assert(sdb99._2 == "kept" && sdb99._3 == 99L)
+
+    val ct = Similarity.contrastiveTriples(zed, "vec_id", "embedding",
+      posThreshold = 0.9, negMin = -0.5, negMax = 0.5, negPerAnchor = 3,
+      planes = 1, probeBits = 1)
+    val ctIds = ct.select(col("anchor_id")).as[Long].collect().toSet ++
+      ct.select(col("positive_id")).as[Long].collect().toSet ++
+      ct.select(col("negative_id")).as[Long].collect().toSet
+    assert(!ctIds.contains(99L), "zero-norm rows never anchor, positive, or negative")
+  }
+
+  test("probeMasks equals the exhaustive enumeration, combinatorially") {
+    for (planes <- 1 to 12; probeBits <- 0 to math.min(3, planes)) {
+      val exhaustive = (0 until (1 << planes))
+        .filter(m => Integer.bitCount(m) <= probeBits).map(_.toLong)
+      assert(Similarity.probeMasks(planes, probeBits) == exhaustive,
+        s"planes=$planes probeBits=$probeBits")
+    }
+    // banded plane counts stay enumerable: 62 planes, 1-bit probing is
+    // 63 masks, not a 2^62 range scan
+    val wide = Similarity.probeMasks(62, 1)
+    assert(wide.size == 63 && wide.head == 0L && wide.contains(1L << 61))
+    assert(Similarity.probeMasks(30, 0) == Seq(0L))
+  }
+
+  test("ivfPqSearch over a built index is bit-identical to the inline operators") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+
+    val raw = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    assert(rows(Similarity.ivfPqSearch(raw, emb, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20)) ==
+      rows(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
+        pqIters = 2, rerank = 20)))
+
+    val res = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+      residual = true)
+    assert(rows(Similarity.ivfPqSearch(res, emb, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20)) ==
+      rows(Similarity.ivfPqResidualTopK(emb, qs, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
+        pqIters = 2, rerank = 20)))
+  }
+
+  test("the index survives a parquet round-trip and searches retrain-free") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val built = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val dir = Files.createTempDirectory("graft-ivfpq-").toString
+    built.codes.write.parquet(s"$dir/codes")
+    built.coarse.write.parquet(s"$dir/coarse")
+    built.pq.write.parquet(s"$dir/pq")
+    val loaded = Similarity.IvfPqIndex(
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/pq"),
+      residual = false, subDim = 16)
+    val got = Similarity.ivfPqSearch(loaded, emb, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20)
+    val want = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
+      pqIters = 2, rerank = 20)
+    assert(got.as[(Long, Long, Long)].collect().toSet ==
+      want.as[(Long, Long, Long)].collect().toSet)
+    // retrain-free structurally: the search plan aggregates EXACTLY the
+    // two bounded-heap topK stages (partial+final each) — a Lloyd
+    // iteration in the lineage would add per-(cluster, dim) hash
+    // aggregations here
+    val root = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val aggs = root.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size == 4, s"search plan must hold only the 2x(partial+final) " +
+      s"topK aggregates, got ${aggs.size}")
+  }
+
+  test("semanticDedupBanded: drops are a subset of flat; full recall at planes=0-equivalent") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val flat = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.4, k = 4, iters = 2)
+      .as[(Long, String, Long)].collect()
+    val banded = Similarity.semanticDedupBanded(emb, "vec_id", "embedding",
+      threshold = 0.4, k = 4, iters = 2, planes = 4, tables = 3)
+      .as[(Long, String, Long)].collect()
+    val flatDropped = flat.filter(_._2 == "dropped_semantic").map(_._1).toSet
+    val bandedDropped = banded.filter(_._2 == "dropped_semantic").map(_._1).toSet
+    assert(bandedDropped.subsetOf(flatDropped),
+      "banding only removes candidates — banded drops are a subset of flat drops")
+    assert(banded.length == flat.length, "every input row audits in both")
+
+    // recall contract, both directions, against a driver-side reference:
+    // candidate = same cluster AND same bucket in >= 1 table; edge =
+    // candidate with cosine >= threshold; weld = min-id component
+    val clusters = Similarity.kmeansLloyd(emb, "vec_id", "embedding", 4, 2)
+      .as[(Long, Int)].collect().toMap
+    val buckets = emb.select($"vec_id",
+        Similarity.lshBucket($"embedding", 4, 0).as("b0"),
+        Similarity.lshBucket($"embedding", 4, 4).as("b1"),
+        Similarity.lshBucket($"embedding", 4, 8).as("b2"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    val v = emb.select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val idsSorted = v.keys.toSeq.sorted
+    val parent = scala.collection.mutable.Map(idsSorted.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for {
+      i <- idsSorted; j <- idsSorted if i < j
+      if clusters(i) == clusters(j)
+      if buckets(i).zip(buckets(j)).exists { case (x, y) => x == y }
+      if cos(v(i), v(j)) >= 0.4
+    } {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expected = idsSorted.map { i =>
+      val root = find(i)
+      (i, if (root != i) "dropped_semantic" else "kept", root)
+    }.toSet
+    assert(banded.toSet == expected,
+      "banded dedup must match the same-cluster same-bucket exact-threshold reference")
+  }
+
+  test("annRecallReportFor grades an explicit ANN relation against brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 50 === 0)
+    val ann = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
+      pqIters = 2, rerank = 20)
+    val rep = Similarity.annRecallReportFor(emb, qs, "vec_id", "embedding", 5, ann)
+      .as[(Long, Long, Double)].collect()
+    assert(rep.nonEmpty && rep.forall(r => r._2 >= 0 && r._2 <= 5 &&
+      r._3 >= 0.0 && r._3 <= 1.0 && math.abs(r._3 - r._2 / 5.0) < 1e-9))
+    // cross-check one query by hand
+    val q0 = rep.head._1
+    val bf = Similarity.bruteForceTopK(emb, qs.filter($"vec_id" === q0),
+      "vec_id", "embedding", 5)
+      .select($"neighbor_id").as[Long].collect().toSet
+    val ap = ann.filter($"query_id" === q0)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(rep.find(_._1 == q0).get._2 == (bf & ap).size.toLong)
+  }
+}
