@@ -2342,6 +2342,45 @@ object SparkEntry {
         .orderBy("query_id", "rn")
     }),
 
+    // ── IVF-PQ index LIFECYCLE: build once (codes + codebooks as
+    // persistable relations — the FAISS train→add→search split), then
+    // search retrain-free: the search's only driver work is two bounded
+    // collects of the codebook relations, amortizing the pqIters
+    // training barriers across every query batch. Same parameters as
+    // q219 ⇒ bit-identical results, graded against the same oracle.
+    "q232_ivf_pq_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      Similarity.ivfPqSearch(idx, emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── banded SemDeDup: q220's clustering/verify/audit with the
+    // candidate stage BOUNDED by in-cluster LSH banding — candidates
+    // must share a k-means cluster AND a band bucket in >= 1 of 3
+    // tables, so per-cluster pair budgets cap at tables·|cluster|/2^planes
+    // (the scale path that retires the flat Σ|cluster|² contract).
+    "q233_semantic_dedup_banded" -> ((s, dir) =>
+      Similarity.semanticDedupBanded(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, k = 4, iters = 2, planes = 4,
+        tables = 3)
+        .orderBy("vec_id")),
+
+    // ── recall of the composed IVF-PQ stack vs exact brute force — the
+    // index-quality gate as a GRADED relation (annRecallReportFor), not
+    // a spec-only check: (query_id, n_hit, recall) per query.
+    "q234_ivf_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val ann = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
+        pqIters = 2, rerank = 20)
+      Similarity.annRecallReportFor(emb, qs, "vec_id", "embedding", 5, ann)
+        .orderBy("query_id")
+    }),
+
     // ── SemDeDup: k-means clusters bound the candidate set, exact cosine
     // welds within-cluster pairs, components keep their smallest id —
     // the embedding-space dedup production recipe (q58's audit shape).
@@ -5659,65 +5698,17 @@ object SparkEntry {
     // referenced by training, ADC, AND the code pivot, and DuckDB's
     // default inlining re-evaluates multiply-referenced CTEs — measured
     // >25 min at sf0.1 inlined vs 0.9 s materialized, same result.
-    "q219_ivf_pq" -> {
-      val chains = (0 until 4).map(sp => kmeansCtes(4, 2, 16, sp * 16, s"_s$sp"))
-      val adcs = (0 until 4).map { sp =>
-        s"""adc$sp AS (
-           | SELECT v.vec_id AS query_id, c.cl, sum(v.vd * c.cv) AS t
-           | FROM v_s$sp v JOIN c2_s$sp c ON c.pos = v.pos
-           | WHERE v.vec_id % 50 = 0
-           | GROUP BY 1, 2)""".stripMargin
-      }
-      val adcJoins = (0 until 4).map(sp =>
-        s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
-        .mkString("\n| ")
-      "WITH " + chains.mkString(",\n") + ",\n" + adcs.mkString(",\n") + ",\n" +
-        s"""codes AS (
-           | SELECT s0.vec_id, s0.cluster AS code_0, s1.cluster AS code_1,
-           |  s2.cluster AS code_2, s3.cluster AS code_3
-           | FROM a3_s0 s0 JOIN a3_s1 s1 USING (vec_id)
-           | JOIN a3_s2 s2 USING (vec_id) JOIN a3_s3 s3 USING (vec_id)),
-           |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-           |nrm AS (SELECT vec_id,
-           |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
-           |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
-           |assign AS (
-           | SELECT vec_id, cell FROM (
-           |  SELECT c.vec_id, ct.cell,
-           |   row_number() OVER (PARTITION BY c.vec_id
-           |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
-           |  FROM c, cents ct) WHERE arn = 1),
-           |probes AS (
-           | SELECT query_id, cell FROM (
-           |  SELECT q.vec_id AS query_id, ct.cell,
-           |   row_number() OVER (PARTITION BY q.vec_id
-           |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
-           |  FROM (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0) q, cents ct) WHERE prn <= 4),
-           |s1 AS (
-           | SELECT p.query_id, a.vec_id AS neighbor_id,
-           |  round((t0.t + t1.t + t2.t + t3.t) / nm.n, 6) AS approx
-           | FROM assign a JOIN probes p ON a.cell = p.cell
-           | JOIN codes cd ON cd.vec_id = a.vec_id
-           | JOIN nrm nm ON nm.vec_id = a.vec_id
-           | $adcJoins
-           | WHERE a.vec_id <> p.query_id),
-           |surv AS (
-           | SELECT query_id, neighbor_id FROM (
-           |  SELECT query_id, neighbor_id,
-           |   row_number() OVER (PARTITION BY query_id
-           |    ORDER BY approx DESC, neighbor_id) AS srn
-           |  FROM s1) WHERE srn <= 20),
-           |rer AS (
-           | SELECT s.query_id, s.neighbor_id,
-           |  list_cosine_similarity(cn.v, cq.v) AS cos
-           | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
-           | JOIN c cq ON cq.vec_id = s.query_id),
-           |r AS (SELECT query_id, neighbor_id,
-           | CAST(row_number() OVER (PARTITION BY query_id
-           |  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM rer)
-           |SELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5
-           |ORDER BY query_id, rn""".stripMargin
-    }.replaceAll("AS \\(", "AS MATERIALIZED ("),
+    "q219_ivf_pq" -> ivfPqRawOracleSql,
+
+    // Persisted-index IVF-PQ search: ivfPqSearch over ivfPqIndexBuild is
+    // bit-identical to the inline ivfPqTopK at the same parameters (the
+    // shared ivfPqRank composition; spec-pinned), so the lifecycle query
+    // grades against the SAME SQL.
+    "q232_ivf_pq_index" -> ivfPqRawOracleSql,
+
+    // IVF-PQ recall vs brute force: the shared CTE chain + an exact
+    // brute-force top-5 CTE + the left-join recall rollup.
+    "q234_ivf_pq_recall" -> ivfPqRecallOracleSql,
 
     // Residual IVF-PQ: the q219 skeleton with a residual relation
     // (v − centroid(assigned cell)) feeding the suffixed chains, a raw
@@ -5751,7 +5742,8 @@ object SparkEntry {
            | SELECT c.vec_id,
            |  list_transform(range(1, 65), j -> c.v[j] - ct.cv[j]) AS embedding
            | FROM c JOIN assign a ON a.vec_id = c.vec_id
-           | JOIN cents ct ON ct.cell = a.cell),
+           | JOIN cents ct ON ct.cell = a.cell
+           | JOIN nrm nr ON nr.vec_id = c.vec_id AND nr.n > 0),
            |""".stripMargin +
         chains.mkString(",\n") + ",\n" +
         s"""qsl AS (
@@ -5765,17 +5757,20 @@ object SparkEntry {
            |  s2.cluster AS code_2, s3.cluster AS code_3
            | FROM a3_s0 s0 JOIN a3_s1 s1 USING (vec_id)
            | JOIN a3_s2 s2 USING (vec_id) JOIN a3_s3 s3 USING (vec_id)),
+           |qset AS (
+           | SELECT c.vec_id, c.v FROM c JOIN nrm nq ON nq.vec_id = c.vec_id
+           | WHERE c.vec_id % 50 = 0 AND nq.n > 0),
            |probes AS (
            | SELECT query_id, cell FROM (
            |  SELECT q.vec_id AS query_id, ct.cell,
            |   row_number() OVER (PARTITION BY q.vec_id
            |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
-           |  FROM (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0) q, cents ct) WHERE prn <= 4),
+           |  FROM qset q, cents ct) WHERE prn <= 4),
            |bs AS (
            | SELECT q.vec_id AS query_id, p.cell,
            |  list_reduce(list_transform(range(1, 65), j -> q.v[j] * ct.cv[j]),
            |   (a, b) -> a + b) AS base
-           | FROM (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0) q
+           | FROM qset q
            | JOIN probes p ON p.query_id = q.vec_id
            | JOIN cents ct ON ct.cell = p.cell),
            |s1 AS (
@@ -5786,7 +5781,7 @@ object SparkEntry {
            | JOIN nrm nm ON nm.vec_id = a.vec_id
            | JOIN bs b ON b.query_id = p.query_id AND b.cell = p.cell
            | $adcJoins
-           | WHERE a.vec_id <> p.query_id),
+           | WHERE a.vec_id <> p.query_id AND nm.n > 0),
            |surv AS (
            | SELECT query_id, neighbor_id FROM (
            |  SELECT query_id, neighbor_id,
@@ -5829,7 +5824,59 @@ object SparkEntry {
          | JOIN vv vb ON vb.vec_id = ab.vec_id
          | JOIN nn na ON na.vec_id = aa.vec_id
          | JOIN nn nb ON nb.vec_id = ab.vec_id
-         | WHERE list_reduce(list_transform(range(1, 65), j -> va.v[j] * vb.v[j]),
+         | WHERE na.n > 0 AND nb.n > 0
+         |   AND list_reduce(list_transform(range(1, 65), j -> va.v[j] * vb.v[j]),
+         |        (a, b) -> a + b) / (na.n * nb.n) >= 0.4),
+         |nodes(nd) AS (SELECT doc_a FROM ed UNION SELECT doc_b FROM ed),
+         |und(a, b) AS (SELECT doc_a, doc_b FROM ed
+         |              UNION SELECT doc_b, doc_a FROM ed),
+         |cc(node, label) AS (
+         | SELECT nd, nd FROM nodes
+         | UNION
+         | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node
+         | WHERE cc.label < u.b),
+         |m AS (SELECT node, min(label) AS component FROM cc GROUP BY node)
+         |SELECT e.vec_id,
+         | CASE WHEN m.component IS NOT NULL AND m.component <> e.vec_id
+         |      THEN 'dropped_semantic' ELSE 'kept' END AS status,
+         | coalesce(m.component, e.vec_id) AS winner_id
+         |FROM embeddings e LEFT JOIN m ON m.node = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // Banded SemDeDup: the q220 oracle with the candidate stage
+    // additionally gated on sharing an LSH band bucket in >= 1 of the 3
+    // independent tables (the q81 lshBucketSql twins at plane offsets
+    // 0/4/8) — same exact-threshold verification, same recursive
+    // min-label closure, same audit shape.
+    "q233_semantic_dedup_banded" -> {
+      val chain = kmeansCtes(4, 2, 64, off = 0, sfx = "")
+        .replaceAll("AS \\(", "AS MATERIALIZED (")
+      s"""WITH RECURSIVE $chain,
+         |vv AS MATERIALIZED (
+         | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         | FROM embeddings),
+         |nn AS MATERIALIZED (
+         | SELECT vec_id,
+         |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n
+         | FROM vv),
+         |bk AS MATERIALIZED (
+         | SELECT vec_id, ${lshBucketSql("v", 4, 0)} AS b0,
+         |        ${lshBucketSql("v", 4, 4)} AS b1,
+         |        ${lshBucketSql("v", 4, 8)} AS b2 FROM vv),
+         |ed AS MATERIALIZED (
+         | SELECT aa.vec_id AS doc_a, ab.vec_id AS doc_b
+         | FROM a3 aa JOIN a3 ab
+         |   ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+         | JOIN bk ba ON ba.vec_id = aa.vec_id
+         | JOIN bk bb ON bb.vec_id = ab.vec_id
+         | JOIN vv va ON va.vec_id = aa.vec_id
+         | JOIN vv vb ON vb.vec_id = ab.vec_id
+         | JOIN nn na ON na.vec_id = aa.vec_id
+         | JOIN nn nb ON nb.vec_id = ab.vec_id
+         | WHERE (ba.b0 = bb.b0 OR ba.b1 = bb.b1 OR ba.b2 = bb.b2)
+         |   AND na.n > 0 AND nb.n > 0
+         |   AND list_reduce(list_transform(range(1, 65), j -> va.v[j] * vb.v[j]),
          |        (a, b) -> a + b) / (na.n * nb.n) >= 0.4),
          |nodes(nd) AS (SELECT doc_a FROM ed UNION SELECT doc_b FROM ed),
          |und(a, b) AS (SELECT doc_a, doc_b FROM ed
@@ -5954,7 +6001,8 @@ object SparkEntry {
     "q226_contrastive_triples" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
-         |b AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM v),
+         |b AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM v
+         |      WHERE sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) > 0),
          |cand AS (
          | SELECT a.vec_id AS id_a, c.vec_id AS id_b,
          |  list_reduce(list_transform(range(1, 65), j -> a.v[j] * c.v[j]), (x, y) -> x + y)
@@ -6316,6 +6364,112 @@ object SparkEntry {
        |$finalAssign""".stripMargin
   }
 
+
+  /** The IVF-PQ oracle CTE chain through relation `r` (per-query ANN
+    * ranks): the q37 cell/probe CTEs + four suffixed q183 chains (the
+    * q207 composition) + per-query ADC tables, stage-1 rank on the 6-dp
+    * ADC sum over the candidate norm (id ties), exact-cosine rerank of
+    * the top 20. SHARED verbatim by q219 (top-k rows), q232 (the
+    * persisted-index search — [[graft.operators.Similarity.ivfPqSearch]]
+    * is bit-identical to the inline operator BY CONSTRUCTION, so the
+    * lifecycle query grades against the same SQL), and q234 (recall
+    * join against a brute-force CTE). Every CTE is MATERIALIZED: the
+    * chains are referenced by training, ADC, AND the code pivot, and
+    * DuckDB's default inlining re-evaluates multiply-referenced CTEs —
+    * measured >25 min at sf0.1 inlined vs 0.9 s materialized, same
+    * result. Norm-positive guards on the stage-1 candidates and the
+    * query set mirror the engine's zero-norm drop policy.
+    */
+  private lazy val ivfPqOracleCtes: String = {
+    val chains = (0 until 4).map(sp => kmeansCtes(4, 2, 16, sp * 16, s"_s$sp"))
+    val adcs = (0 until 4).map { sp =>
+      s"""adc$sp AS (
+         | SELECT v.vec_id AS query_id, c.cl, sum(v.vd * c.cv) AS t
+         | FROM v_s$sp v JOIN c2_s$sp c ON c.pos = v.pos
+         | WHERE v.vec_id % 50 = 0
+         | GROUP BY 1, 2)""".stripMargin
+    }
+    val adcJoins = (0 until 4).map(sp =>
+      s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
+      .mkString("\n| ")
+    (chains.mkString(",\n") + ",\n" + adcs.mkString(",\n") + ",\n" +
+      s"""codes AS (
+         | SELECT s0.vec_id, s0.cluster AS code_0, s1.cluster AS code_1,
+         |  s2.cluster AS code_2, s3.cluster AS code_3
+         | FROM a3_s0 s0 JOIN a3_s1 s1 USING (vec_id)
+         | JOIN a3_s2 s2 USING (vec_id) JOIN a3_s3 s3 USING (vec_id)),
+         |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id,
+         |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
+         |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+         |assign AS (
+         | SELECT vec_id, cell FROM (
+         |  SELECT c.vec_id, ct.cell,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+         |  FROM c, cents ct) WHERE arn = 1),
+         |qset AS (
+         | SELECT c.vec_id, c.v FROM c JOIN nrm nq ON nq.vec_id = c.vec_id
+         | WHERE c.vec_id % 50 = 0 AND nq.n > 0),
+         |probes AS (
+         | SELECT query_id, cell FROM (
+         |  SELECT q.vec_id AS query_id, ct.cell,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
+         |  FROM qset q, cents ct) WHERE prn <= 4),
+         |s1 AS (
+         | SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  round((t0.t + t1.t + t2.t + t3.t) / nm.n, 6) AS approx
+         | FROM assign a JOIN probes p ON a.cell = p.cell
+         | JOIN codes cd ON cd.vec_id = a.vec_id
+         | JOIN nrm nm ON nm.vec_id = a.vec_id
+         | $adcJoins
+         | WHERE a.vec_id <> p.query_id AND nm.n > 0),
+         |surv AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |    ORDER BY approx DESC, neighbor_id) AS srn
+         |  FROM s1) WHERE srn <= 20),
+         |rer AS (
+         | SELECT s.query_id, s.neighbor_id,
+         |  list_cosine_similarity(cn.v, cq.v) AS cos
+         | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
+         | JOIN c cq ON cq.vec_id = s.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         | CAST(row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM rer)""".stripMargin)
+      .replaceAll("AS \\(", "AS MATERIALIZED (")
+  }
+
+  private lazy val ivfPqRawOracleSql: String =
+    "WITH " + ivfPqOracleCtes +
+      "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
+      "\nORDER BY query_id, rn"
+
+  /** q234: recall of the composed IVF-PQ top-5 against the exact
+    * brute-force top-5 — the [[graft.operators.Similarity
+    * .annRecallReportFor]] twin. Brute force ranks by the same
+    * cosine-desc/id total order as the rerank CTE; zero-norm rows are
+    * excluded on both sides (the engine's drop policy).
+    */
+  private lazy val ivfPqRecallOracleSql: String =
+    "WITH " + ivfPqOracleCtes + ",\n" +
+      """bf AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(cn.v, q.v) DESC, cn.vec_id) AS brn
+        |  FROM qset q JOIN c cn ON cn.vec_id <> q.vec_id
+        |  JOIN nrm nc ON nc.vec_id = cn.vec_id AND nc.n > 0)
+        | WHERE brn <= 5),
+        |ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM r WHERE rn <= 5)
+        |SELECT bf.query_id,
+        | CAST(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        | round(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+        |FROM bf LEFT JOIN ann
+        | ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
+        |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
   /** Shingle/signature oracle fragments, parameterized on the source
