@@ -644,7 +644,9 @@ object PipelineScaleBench {
     val embStages = Seq("pipe_lsh_bucket_assign", "pipe_ann_lsh_topk_100q",
       "pipe_embedding_neardup", "pipe_kmeans", "pipe_jl_projection",
       "pipe_pq_codes", "pipe_hard_negatives", "pipe_ivf_pq",
-      "pipe_semantic_dedup", "pipe_contrastive")
+      "pipe_ivf_pq_build", "pipe_ivf_pq_search",
+      "pipe_semantic_dedup", "pipe_semantic_dedup_banded",
+      "pipe_contrastive")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
     if (!needEmb) { spark.stop(); return }
     // float32, like real embedding tables — the near-dup verification
@@ -723,6 +725,33 @@ object PipelineScaleBench {
         "vec_id", "embedding", k = 10, nCentroids = 16, nProbe = 4,
         subspaces = 4, subDim = 16, pqK = 8, pqIters = 2, rerank = 20).count()
     }
+    // the index LIFECYCLE split: build once (train + encode + persist the
+    // three relations), search many — the search stage must cost a
+    // FRACTION of pipe_ivf_pq (same query load) because the pqIters
+    // training barriers and the corpus encode are amortized away
+    def buildIvfPqIndex(): Unit = {
+      val idx = Similarity.ivfPqIndexBuild(vecs, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 8, pqIters = 2)
+      idx.codes.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_codes.parquet")
+      idx.coarse.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_coarse.parquet")
+      idx.pq.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_pq.parquet")
+    }
+    timed("pipe_ivf_pq_build", input = total) {
+      buildIvfPqIndex()
+      total
+    }
+    timed("pipe_ivf_pq_search", input = 100L) {
+      // a PIPE_ONLY run that skipped the build stage still needs an index
+      if (!new java.io.File(s"$work/ivfpq_codes.parquet").exists()) buildIvfPqIndex()
+      val idx = Similarity.IvfPqIndex(
+        spark.read.parquet(s"$work/ivfpq_codes.parquet"),
+        spark.read.parquet(s"$work/ivfpq_coarse.parquet"),
+        spark.read.parquet(s"$work/ivfpq_pq.parquet"),
+        residual = false, subDim = 16)
+      val stride = math.max(1L, nDocs.toLong / 100)
+      Similarity.ivfPqSearch(idx, vecs, vecs.filter(col("vec_id") % stride === 0),
+        "vec_id", "embedding", k = 10, nProbe = 4, rerank = 20).count()
+    }
     timed("pipe_semantic_dedup", input = total / 5) {
       // SemDeDup at the paper's k ≈ √n sizing (possible ONLY since the
       // native argmin kernel — a struct-least plan at k=141+ would blow
@@ -734,6 +763,18 @@ object PipelineScaleBench {
       val k = math.max(4, math.sqrt(total / 5.0).toInt)
       Similarity.semanticDedup(sub, "vec_id", "embedding",
         threshold = 0.9, k = k, iters = 1).count()
+      total / 5
+    }
+    timed("pipe_semantic_dedup_banded", input = total / 5) {
+      // the SAME subsample and threshold as pipe_semantic_dedup, with the
+      // banded candidate stage and a MODEST fixed k (the banding caps
+      // per-cluster pair budgets, so k no longer needs to chase √n): the
+      // guard's signal is that 10x input grows wall ~linearly where the
+      // flat Σ|cluster|² stage measured 13.7x
+      val sub = vecs.filter(col("vec_id") % 5 === 0)
+      Similarity.semanticDedupBanded(sub, "vec_id", "embedding",
+        threshold = 0.9, k = 8, iters = 1,
+        planes = Similarity.bandedPlanesFor(total / 5), tables = 3).count()
       total / 5
     }
     timed("pipe_contrastive", input = total) {

@@ -1239,4 +1239,49 @@ class PlanSpec extends SparkSpec {
     assert(topk.size == 4,
       s"expected 2×(partial+final) topK aggregates, got ${topk.size}")
   }
+
+  test("q232 persisted-index search: ZERO training aggregations — only the 2 topK stages") {
+    val p = plan("q232_ivf_pq_index")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "probe/survivor/query joins all broadcast their bounded side")
+    // retrain-free structurally: a Lloyd iteration in the search lineage
+    // would surface as per-(cluster, dim) hash aggregations; the search
+    // plan holds EXACTLY the stage-1/stage-2 bounded-heap topK pairs
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size == 4,
+      s"expected only 2×(partial+final) topK aggregates, got ${aggs.size}")
+  }
+
+  test("q233 banded semantic dedup: (cluster, bucket) equi-joins only — no cartesian, no window") {
+    val p = plan("q233_semantic_dedup_banded")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "no per-cluster or per-bucket window anywhere")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "the candidate stage is a keyed self-join, never a cross product")
+    assert(collectAll(p) {
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "no nested-loop fallback in the candidate or audit joins")
+  }
+
+  test("q234 IVF-PQ recall: rankings are heap aggregates, overlap is a keyed join") {
+    val p = plan("q234_ivf_pq_recall")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "brute-force AND ANN rankings both ride bounded-heap topK aggregates")
+    // the one nested-loop is the DELIBERATE brute-force corpus × bounded
+    // query-sample broadcast (the eval-operator contract); nothing else
+    val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size <= 1, s"only the brute-force broadcast cross join, got ${bnl.size}")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "no unbroadcast cartesian anywhere")
+  }
 }
