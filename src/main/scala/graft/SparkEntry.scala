@@ -2381,6 +2381,18 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ── the residual stack's recall twin: q231's ANN relation through
+    // the same graded recall report.
+    "q235_ivf_pq_residual_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val ann = Similarity.ivfPqResidualTopK(emb, qs, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16,
+        pqK = 4, pqIters = 2, rerank = 20)
+      Similarity.annRecallReportFor(emb, qs, "vec_id", "embedding", 5, ann)
+        .orderBy("query_id")
+    }),
+
     // ── SemDeDup: k-means clusters bound the candidate set, exact cosine
     // welds within-cluster pairs, components keep their smallest id —
     // the embedding-space dedup production recipe (q58's audit shape).
@@ -5714,92 +5726,11 @@ object SparkEntry {
     // (v − centroid(assigned cell)) feeding the suffixed chains, a raw
     // 9-dp query-slice relation for the ADC, and the per-probe base
     // dot added before the norm division. Every CTE MATERIALIZED.
-    "q231_ivf_pq_residual" -> {
-      val chains = (0 until 4).map(sp =>
-        kmeansCtes(4, 2, 16, sp * 16, s"_s$sp", srcRel = "remb"))
-      val adcs = (0 until 4).map { sp =>
-        s"""adc$sp AS (
-           | SELECT q.vec_id AS query_id, cq.cl, sum(q.vd * cq.cv) AS t
-           | FROM qsl q JOIN c2_s$sp cq ON cq.pos = q.pos - ${sp * 16}
-           | WHERE q.pos >= ${sp * 16} AND q.pos < ${(sp + 1) * 16}
-           | GROUP BY 1, 2)""".stripMargin
-      }
-      val adcJoins = (0 until 4).map(sp =>
-        s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
-        .mkString("\n| ")
-      ("WITH " +
-        s"""c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-           |nrm AS (SELECT vec_id,
-           |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
-           |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
-           |assign AS (
-           | SELECT vec_id, cell FROM (
-           |  SELECT c.vec_id, ct.cell,
-           |   row_number() OVER (PARTITION BY c.vec_id
-           |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
-           |  FROM c, cents ct) WHERE arn = 1),
-           |remb AS (
-           | SELECT c.vec_id,
-           |  list_transform(range(1, 65), j -> c.v[j] - ct.cv[j]) AS embedding
-           | FROM c JOIN assign a ON a.vec_id = c.vec_id
-           | JOIN cents ct ON ct.cell = a.cell
-           | JOIN nrm nr ON nr.vec_id = c.vec_id AND nr.n > 0),
-           |""".stripMargin +
-        chains.mkString(",\n") + ",\n" +
-        s"""qsl AS (
-           | SELECT vec_id, r.i AS pos,
-           |  round(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE), 9) AS vd
-           | FROM embeddings, range(64) r(i) WHERE vec_id % 50 = 0),
-           |""".stripMargin +
-        adcs.mkString(",\n") + ",\n" +
-        s"""codes AS (
-           | SELECT s0.vec_id, s0.cluster AS code_0, s1.cluster AS code_1,
-           |  s2.cluster AS code_2, s3.cluster AS code_3
-           | FROM a3_s0 s0 JOIN a3_s1 s1 USING (vec_id)
-           | JOIN a3_s2 s2 USING (vec_id) JOIN a3_s3 s3 USING (vec_id)),
-           |qset AS (
-           | SELECT c.vec_id, c.v FROM c JOIN nrm nq ON nq.vec_id = c.vec_id
-           | WHERE c.vec_id % 50 = 0 AND nq.n > 0),
-           |probes AS (
-           | SELECT query_id, cell FROM (
-           |  SELECT q.vec_id AS query_id, ct.cell,
-           |   row_number() OVER (PARTITION BY q.vec_id
-           |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
-           |  FROM qset q, cents ct) WHERE prn <= 4),
-           |bs AS (
-           | SELECT q.vec_id AS query_id, p.cell,
-           |  list_reduce(list_transform(range(1, 65), j -> q.v[j] * ct.cv[j]),
-           |   (a, b) -> a + b) AS base
-           | FROM qset q
-           | JOIN probes p ON p.query_id = q.vec_id
-           | JOIN cents ct ON ct.cell = p.cell),
-           |s1 AS (
-           | SELECT p.query_id, a.vec_id AS neighbor_id,
-           |  round((b.base + t0.t + t1.t + t2.t + t3.t) / nm.n, 6) AS approx
-           | FROM assign a JOIN probes p ON a.cell = p.cell
-           | JOIN codes cd ON cd.vec_id = a.vec_id
-           | JOIN nrm nm ON nm.vec_id = a.vec_id
-           | JOIN bs b ON b.query_id = p.query_id AND b.cell = p.cell
-           | $adcJoins
-           | WHERE a.vec_id <> p.query_id AND nm.n > 0),
-           |surv AS (
-           | SELECT query_id, neighbor_id FROM (
-           |  SELECT query_id, neighbor_id,
-           |   row_number() OVER (PARTITION BY query_id
-           |    ORDER BY approx DESC, neighbor_id) AS srn
-           |  FROM s1) WHERE srn <= 20),
-           |rer AS (
-           | SELECT s.query_id, s.neighbor_id,
-           |  list_cosine_similarity(cn.v, cq.v) AS cos
-           | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
-           | JOIN c cq ON cq.vec_id = s.query_id),
-           |r AS (SELECT query_id, neighbor_id,
-           | CAST(row_number() OVER (PARTITION BY query_id
-           |  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM rer)
-           |SELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5
-           |ORDER BY query_id, rn""".stripMargin)
-        .replaceAll("AS \\(", "AS MATERIALIZED (")
-    },
+    "q231_ivf_pq_residual" -> ivfPqResidualOracleSql,
+
+    // Residual IVF-PQ recall vs brute force: the residual CTE chain +
+    // the same brute-force top-5 / recall rollup tail as q234.
+    "q235_ivf_pq_residual_recall" -> ivfPqResidualRecallOracleSql,
 
     // SemDeDup: the q183 kmeans chain (MATERIALIZED — multiply
     // referenced) + within-cluster pairs through the q211 exact cosine
@@ -6447,29 +6378,137 @@ object SparkEntry {
       "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
       "\nORDER BY query_id, rn"
 
-  /** q234: recall of the composed IVF-PQ top-5 against the exact
-    * brute-force top-5 — the [[graft.operators.Similarity
-    * .annRecallReportFor]] twin. Brute force ranks by the same
-    * cosine-desc/id total order as the rerank CTE; zero-norm rows are
-    * excluded on both sides (the engine's drop policy).
+  /** The brute-force-top-5 + recall-rollup tail shared by the q234/q235
+    * recall oracles — the [[graft.operators.Similarity
+    * .annRecallReportFor]] twin, appended after a CTE chain exposing
+    * `qset` (norm-positive query vectors), `c` (all vectors), `nrm`
+    * (norms), and `r` (per-query ANN ranks). Brute force ranks by the
+    * same cosine-desc/id total order as the rerank CTE; zero-norm rows
+    * are excluded on both sides (the engine's drop policy).
     */
+  private lazy val annRecallOracleTail: String =
+    """bf AS (
+      | SELECT query_id, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
+      |   row_number() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(cn.v, q.v) DESC, cn.vec_id) AS brn
+      |  FROM qset q JOIN c cn ON cn.vec_id <> q.vec_id
+      |  JOIN nrm nc ON nc.vec_id = cn.vec_id AND nc.n > 0)
+      | WHERE brn <= 5),
+      |ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM r WHERE rn <= 5)
+      |SELECT bf.query_id,
+      | CAST(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      | round(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+      |FROM bf LEFT JOIN ann
+      | ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
+      |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
+
   private lazy val ivfPqRecallOracleSql: String =
-    "WITH " + ivfPqOracleCtes + ",\n" +
-      """bf AS (
-        | SELECT query_id, neighbor_id FROM (
-        |  SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
-        |   row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_cosine_similarity(cn.v, q.v) DESC, cn.vec_id) AS brn
-        |  FROM qset q JOIN c cn ON cn.vec_id <> q.vec_id
-        |  JOIN nrm nc ON nc.vec_id = cn.vec_id AND nc.n > 0)
-        | WHERE brn <= 5),
-        |ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM r WHERE rn <= 5)
-        |SELECT bf.query_id,
-        | CAST(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        | round(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
-        |FROM bf LEFT JOIN ann
-        | ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
-        |GROUP BY 1 ORDER BY bf.query_id""".stripMargin
+    "WITH " + ivfPqOracleCtes + ",\n" + annRecallOracleTail
+
+
+  /** The residual IVF-PQ oracle CTE chain through relation `r` — the
+    * [[ivfPqOracleCtes]] skeleton with a residual relation
+    * (v − centroid(assigned cell), zero-norm rows dropped) feeding the
+    * suffixed chains, a raw 9-dp query-slice relation for the ADC, and
+    * the per-probe base dot added before the norm division. Shared by
+    * q231 (top-k rows) and q235 (recall join). Every CTE MATERIALIZED.
+    */
+  private lazy val ivfPqResidualOracleCtes: String = {
+        val chains = (0 until 4).map(sp =>
+          kmeansCtes(4, 2, 16, sp * 16, s"_s$sp", srcRel = "remb"))
+        val adcs = (0 until 4).map { sp =>
+          s"""adc$sp AS (
+             | SELECT q.vec_id AS query_id, cq.cl, sum(q.vd * cq.cv) AS t
+             | FROM qsl q JOIN c2_s$sp cq ON cq.pos = q.pos - ${sp * 16}
+             | WHERE q.pos >= ${sp * 16} AND q.pos < ${(sp + 1) * 16}
+             | GROUP BY 1, 2)""".stripMargin
+        }
+        val adcJoins = (0 until 4).map(sp =>
+          s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
+          .mkString("\n| ")
+        (        s"""c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |nrm AS (SELECT vec_id,
+             |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
+             |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+             |assign AS (
+             | SELECT vec_id, cell FROM (
+             |  SELECT c.vec_id, ct.cell,
+             |   row_number() OVER (PARTITION BY c.vec_id
+             |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+             |  FROM c, cents ct) WHERE arn = 1),
+             |remb AS (
+             | SELECT c.vec_id,
+             |  list_transform(range(1, 65), j -> c.v[j] - ct.cv[j]) AS embedding
+             | FROM c JOIN assign a ON a.vec_id = c.vec_id
+             | JOIN cents ct ON ct.cell = a.cell
+             | JOIN nrm nr ON nr.vec_id = c.vec_id AND nr.n > 0),
+             |""".stripMargin +
+          chains.mkString(",\n") + ",\n" +
+          s"""qsl AS (
+             | SELECT vec_id, r.i AS pos,
+             |  round(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE), 9) AS vd
+             | FROM embeddings, range(64) r(i) WHERE vec_id % 50 = 0),
+             |""".stripMargin +
+          adcs.mkString(",\n") + ",\n" +
+          s"""codes AS (
+             | SELECT s0.vec_id, s0.cluster AS code_0, s1.cluster AS code_1,
+             |  s2.cluster AS code_2, s3.cluster AS code_3
+             | FROM a3_s0 s0 JOIN a3_s1 s1 USING (vec_id)
+             | JOIN a3_s2 s2 USING (vec_id) JOIN a3_s3 s3 USING (vec_id)),
+             |qset AS (
+             | SELECT c.vec_id, c.v FROM c JOIN nrm nq ON nq.vec_id = c.vec_id
+             | WHERE c.vec_id % 50 = 0 AND nq.n > 0),
+             |probes AS (
+             | SELECT query_id, cell FROM (
+             |  SELECT q.vec_id AS query_id, ct.cell,
+             |   row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
+             |  FROM qset q, cents ct) WHERE prn <= 4),
+             |bs AS (
+             | SELECT q.vec_id AS query_id, p.cell,
+             |  list_reduce(list_transform(range(1, 65), j -> q.v[j] * ct.cv[j]),
+             |   (a, b) -> a + b) AS base
+             | FROM qset q
+             | JOIN probes p ON p.query_id = q.vec_id
+             | JOIN cents ct ON ct.cell = p.cell),
+             |s1 AS (
+             | SELECT p.query_id, a.vec_id AS neighbor_id,
+             |  round((b.base + t0.t + t1.t + t2.t + t3.t) / nm.n, 6) AS approx
+             | FROM assign a JOIN probes p ON a.cell = p.cell
+             | JOIN codes cd ON cd.vec_id = a.vec_id
+             | JOIN nrm nm ON nm.vec_id = a.vec_id
+             | JOIN bs b ON b.query_id = p.query_id AND b.cell = p.cell
+             | $adcJoins
+             | WHERE a.vec_id <> p.query_id AND nm.n > 0),
+             |surv AS (
+             | SELECT query_id, neighbor_id FROM (
+             |  SELECT query_id, neighbor_id,
+             |   row_number() OVER (PARTITION BY query_id
+             |    ORDER BY approx DESC, neighbor_id) AS srn
+             |  FROM s1) WHERE srn <= 20),
+             |rer AS (
+             | SELECT s.query_id, s.neighbor_id,
+             |  list_cosine_similarity(cn.v, cq.v) AS cos
+             | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
+             | JOIN c cq ON cq.vec_id = s.query_id),
+             |r AS (SELECT query_id, neighbor_id,
+             | CAST(row_number() OVER (PARTITION BY query_id
+             |  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM rer)""".stripMargin)
+        .replaceAll("AS \\(", "AS MATERIALIZED (")
+  }
+
+  private lazy val ivfPqResidualOracleSql: String =
+    "WITH " + ivfPqResidualOracleCtes +
+      "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
+      "\nORDER BY query_id, rn"
+
+  /** q235: recall of the RESIDUAL IVF-PQ top-5 vs exact brute force —
+    * the same brute-force/rollup tail as [[ivfPqRecallOracleSql]] over
+    * the residual chain's qset/c/nrm/r relations.
+    */
+  private lazy val ivfPqResidualRecallOracleSql: String =
+    "WITH " + ivfPqResidualOracleCtes + ",\n" + annRecallOracleTail
 
   // ── shared oracle-SQL fragments (DuckDB dialect) ──────────────────────
   /** Shingle/signature oracle fragments, parameterized on the source
