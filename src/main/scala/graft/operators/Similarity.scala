@@ -60,6 +60,11 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Raw cosine — a PURE expression helper: it divides by the norms
+    * unguarded, so callers own the zero-norm policy (every operator in
+    * this file filters norm-positive first — the [[cosinePairs]]
+    * policy; ad-hoc callers should too, or guard with `when`).
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** `topk(k, score, id)` result exploded back to ranked rows
@@ -470,6 +475,10 @@ object Similarity {
         sum(col("v") * col("centroid")).as("__dot"),
         sum(col("v") * col("v")).as("__vv"),
         sum(col("centroid") * col("centroid")).as("__cc"))
+      // zero-norm members (or a zero centroid) have no cosine direction:
+      // dropped from medoid candidacy before the division — the
+      // [[cosinePairs]] policy
+      .filter(col("__vv") > 0 && col("__cc") > 0)
       .withColumn("sim",
         zround(col("__dot") / (sqrt(col("__vv")) * sqrt(col("__cc"))), 6))
       .select(col(labelCol), col(idCol), col("sim"))

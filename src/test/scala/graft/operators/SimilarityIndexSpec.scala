@@ -81,6 +81,12 @@ class SimilarityIndexSpec extends SparkSpec {
       ct.select(col("positive_id")).as[Long].collect().toSet ++
       ct.select(col("negative_id")).as[Long].collect().toSet
     assert(!ctIds.contains(99L), "zero-norm rows never anchor, positive, or negative")
+
+    val med = Similarity.labelMedoids(zed.withColumn("label", col("vec_id") % 2),
+      "vec_id", "embedding", "label")
+      .as[(Long, Long, Double)].collect()
+    assert(med.length == 2 && !med.map(_._2).contains(99L),
+      "a zero-norm member is never a medoid")
   }
 
   test("probeMasks equals the exhaustive enumeration, combinatorially") {
