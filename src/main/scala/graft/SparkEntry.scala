@@ -2381,6 +2381,19 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ── the residual stack's index lifecycle: build with residual
+    // encoding, search retrain-free — bit-identical to q231 (the shared
+    // ivfPqRank composition), graded against the same oracle.
+    "q236_ivf_pq_residual_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+        residual = true)
+      Similarity.ivfPqSearch(idx, emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
     // ── the residual stack's recall twin: q231's ANN relation through
     // the same graded recall report.
     "q235_ivf_pq_residual_recall" -> ((s, dir) => {
@@ -5731,6 +5744,11 @@ object SparkEntry {
     // Residual IVF-PQ recall vs brute force: the residual CTE chain +
     // the same brute-force top-5 / recall rollup tail as q234.
     "q235_ivf_pq_residual_recall" -> ivfPqResidualRecallOracleSql,
+
+    // Persisted-index residual search: bit-identical to the inline q231
+    // (the shared ivfPqRank composition), so it grades against the same
+    // SQL — the q232/q219 relationship for the residual stack.
+    "q236_ivf_pq_residual_index" -> ivfPqResidualOracleSql,
 
     // SemDeDup: the q183 kmeans chain (MATERIALIZED — multiply
     // referenced) + within-cluster pairs through the q211 exact cosine
