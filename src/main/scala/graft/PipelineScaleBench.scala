@@ -58,7 +58,11 @@ object PipelineScaleBench {
 
     // SPARK_GRAFT_PIPE_ONLY=substr1,substr2 runs only matching stages —
     // the 5M-doc runs take minutes per stage, so re-measuring one operator
-    // must not pay for the other eight
+    // must not pay for the other eight. Matching is SUBSTRING: nested
+    // names run together ("pipe_ivf_pq" also selects _build/_search,
+    // "pipe_semantic_dedup" also selects _banded) — per-metric timings
+    // are unaffected (each stage times separately); use the full stage
+    // name to select exactly one
     val only = sys.env.get("SPARK_GRAFT_PIPE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
@@ -728,25 +732,32 @@ object PipelineScaleBench {
     // the index LIFECYCLE split: build once (train + encode + persist the
     // three relations), search many — the search stage must cost a
     // FRACTION of pipe_ivf_pq (same query load) because the pqIters
-    // training barriers and the corpus encode are amortized away
+    // training barriers and the corpus encode are amortized away. Index
+    // paths are keyed on nDocs: workDir persists across runs, and a 5M
+    // search must never silently consume a stale 500k index
+    val idxSfx = s"_$nDocs.parquet"
     def buildIvfPqIndex(): Unit = {
       val idx = Similarity.ivfPqIndexBuild(vecs, "vec_id", "embedding",
         nCentroids = 16, subspaces = 4, subDim = 16, pqK = 8, pqIters = 2)
-      idx.codes.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_codes.parquet")
-      idx.coarse.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_coarse.parquet")
-      idx.pq.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_pq.parquet")
+      idx.codes.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_codes$idxSfx")
+      idx.coarse.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_coarse$idxSfx")
+      idx.pq.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_pq$idxSfx")
     }
     timed("pipe_ivf_pq_build", input = total) {
       buildIvfPqIndex()
       total
     }
+    // a PIPE_ONLY run that skipped the build stage still needs an index —
+    // built OUTSIDE the timer, or the search metric would include the
+    // exact train+encode cost the stage exists to prove is amortized
+    val searchWillRun = only.forall(_.exists("pipe_ivf_pq_search".contains))
+    if (searchWillRun && !new java.io.File(s"$work/ivfpq_codes$idxSfx").exists())
+      buildIvfPqIndex()
     timed("pipe_ivf_pq_search", input = 100L) {
-      // a PIPE_ONLY run that skipped the build stage still needs an index
-      if (!new java.io.File(s"$work/ivfpq_codes.parquet").exists()) buildIvfPqIndex()
       val idx = Similarity.IvfPqIndex(
-        spark.read.parquet(s"$work/ivfpq_codes.parquet"),
-        spark.read.parquet(s"$work/ivfpq_coarse.parquet"),
-        spark.read.parquet(s"$work/ivfpq_pq.parquet"),
+        spark.read.parquet(s"$work/ivfpq_codes$idxSfx"),
+        spark.read.parquet(s"$work/ivfpq_coarse$idxSfx"),
+        spark.read.parquet(s"$work/ivfpq_pq$idxSfx"),
         residual = false, subDim = 16)
       val stride = math.max(1L, nDocs.toLong / 100)
       Similarity.ivfPqSearch(idx, vecs, vecs.filter(col("vec_id") % stride === 0),

@@ -110,23 +110,25 @@ case class NearestCentroidExpr(vec: Expression, sp: Expression,
 
   // the Array fields make case-class equality REFERENCE equality, which
   // defeats Catalyst canonicalization/subexpression elimination when the
-  // same codebook kernels both sides of a plan — compare them deeply
+  // same codebook kernels both sides of a plan — compare them deeply.
+  // Catalyst probes hashCode/equals constantly during planning
+  // (ExpressionSet, EquivalentExpressions, canonicalization), so the
+  // O(k·dim) deep hash is computed ONCE (cached) and equals
+  // short-circuits on reference-equal codebooks (the common case: one
+  // collected codebook shared across a plan's expressions)
+  @transient private lazy val deepHash: Int =
+    NearestCentroidOps.codebookHash(codebooks, cellIds)
+
   override def equals(other: Any): Boolean = other match {
     case that: NearestCentroidExpr =>
       vec == that.vec && sp == that.sp && cosine == that.cosine &&
-        java.util.Arrays.deepEquals(
-          codebooks.asInstanceOf[Array[AnyRef]],
-          that.codebooks.asInstanceOf[Array[AnyRef]]) &&
-        java.util.Arrays.deepEquals(
-          cellIds.asInstanceOf[Array[AnyRef]],
-          that.cellIds.asInstanceOf[Array[AnyRef]])
+        NearestCentroidOps.codebooksEqual(codebooks, cellIds,
+          that.codebooks, that.cellIds)
     case _ => false
   }
 
   override def hashCode(): Int =
-    java.util.Objects.hash(vec, sp, Boolean.box(cosine),
-      Int.box(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])),
-      Int.box(java.util.Arrays.deepHashCode(cellIds.asInstanceOf[Array[AnyRef]])))
+    java.util.Objects.hash(vec, sp, Boolean.box(cosine), Int.box(deepHash))
 }
 
 /** The query-side probe list: the `nProbe` nearest cell ids of the
@@ -197,24 +199,23 @@ case class NearestCellsExpr(vec: Expression, sp: Expression,
     copy(vec = newLeft, sp = newRight)
 
   // deep equality over the Array codebook fields — the
-  // [[NearestCentroidExpr]] canonicalization rationale
+  // [[NearestCentroidExpr]] canonicalization rationale (same cached
+  // hash + reference short-circuit)
+  @transient private lazy val deepHash: Int =
+    NearestCentroidOps.codebookHash(codebooks, cellIds)
+
   override def equals(other: Any): Boolean = other match {
     case that: NearestCellsExpr =>
       vec == that.vec && sp == that.sp && cosine == that.cosine &&
         nProbe == that.nProbe &&
-        java.util.Arrays.deepEquals(
-          codebooks.asInstanceOf[Array[AnyRef]],
-          that.codebooks.asInstanceOf[Array[AnyRef]]) &&
-        java.util.Arrays.deepEquals(
-          cellIds.asInstanceOf[Array[AnyRef]],
-          that.cellIds.asInstanceOf[Array[AnyRef]])
+        NearestCentroidOps.codebooksEqual(codebooks, cellIds,
+          that.codebooks, that.cellIds)
     case _ => false
   }
 
   override def hashCode(): Int =
     java.util.Objects.hash(vec, sp, Boolean.box(cosine), Int.box(nProbe),
-      Int.box(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])),
-      Int.box(java.util.Arrays.deepHashCode(cellIds.asInstanceOf[Array[AnyRef]])))
+      Int.box(deepHash))
 }
 
 /** Plan-time-frozen codebook state shared by interpreted eval and the
@@ -395,6 +396,27 @@ final class NearestCentroidState(codebooks: Array[Array[Array[Double]]],
 }
 
 object NearestCentroidOps {
+
+  /** One-time deep hash of a (codebooks, cellIds) pair — cached by the
+    * expressions so Catalyst's constant hashCode probing never re-walks
+    * the k×dim arrays.
+    */
+  private[functions] def codebookHash(codebooks: Array[Array[Array[Double]]],
+                                      cellIds: Array[Array[Long]]): Int =
+    31 * java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]]) +
+      java.util.Arrays.deepHashCode(cellIds.asInstanceOf[Array[AnyRef]])
+
+  /** Deep equality with a reference short-circuit (the common case: one
+    * collected codebook array shared across a plan's expressions).
+    */
+  private[functions] def codebooksEqual(a: Array[Array[Array[Double]]],
+                                        ai: Array[Array[Long]],
+                                        b: Array[Array[Array[Double]]],
+                                        bi: Array[Array[Long]]): Boolean =
+    ((a eq b) || java.util.Arrays.deepEquals(
+      a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]])) &&
+      ((ai eq bi) || java.util.Arrays.deepEquals(
+        ai.asInstanceOf[Array[AnyRef]], bi.asInstanceOf[Array[AnyRef]]))
 
   /** Column API: nearest centroid id of `vec` within `codebooks(sp)`. */
   def nearestCentroid(vec: Column, sp: Column,

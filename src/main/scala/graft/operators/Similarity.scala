@@ -143,6 +143,26 @@ object Similarity {
     explodeRanks(banded, k, col("cos"), col("neighbor_id"), withScore = true)
   }
 
+  /** Every bucket-XOR probe mask of popcount ≤ min(probeBits, planes),
+    * ascending — generated COMBINATORIALLY from bit-position choices
+    * (Σ_{i≤probeBits} C(planes, i) masks, O(planes^probeBits) work), so
+    * the mask list never enumerates the 2^planes bucket space: banded
+    * plane counts (up to the 62-bit bucket width) stay enumerable at any
+    * probe radius, where the filtered 0..2^planes range burned ~1 B
+    * driver iterations for a handful of masks past planes ≈ 30.
+    * probeBits = 0 yields exactly the identity mask; probeBits ≥ planes
+    * clamps to the full mask space (the pre-round-12 enumeration
+    * semantics — callers may legally over-probe).
+    */
+  private[operators] def probeMasks(planes: Int, probeBits: Int): Seq[Long] = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    require(probeBits >= 0, s"probeBits must be >= 0, got $probeBits")
+    (0 to math.min(probeBits, planes)).iterator
+      .flatMap(b => (0 until planes).combinations(b)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
+      .toSeq.sorted
+  }
+
   /** All pairs with cosine above a threshold (embedding near-dup), the
     * GRADED plan: hyperplane-LSH bucket equi-join with `probeBits`-bit
     * multi-probe. A pair is a candidate iff its bucket ids differ in at
@@ -163,25 +183,6 @@ object Similarity {
     * under budget; measured growth numbers and guidance live in
     * SCALE.md §"Embedding near-dup pair growth".
     */
-  /** Every bucket-XOR probe mask of popcount ≤ `probeBits`, ascending —
-    * generated COMBINATORIALLY from bit-position choices
-    * (Σ_{i≤probeBits} C(planes, i) masks, O(planes^probeBits) work), so
-    * the mask list never enumerates the 2^planes bucket space: banded
-    * plane counts (up to the 62-bit bucket width) stay enumerable at any
-    * probe radius, where the filtered 0..2^planes range burned ~1 B
-    * driver iterations for a handful of masks past planes ≈ 30.
-    * probeBits = 0 yields exactly the identity mask.
-    */
-  private[operators] def probeMasks(planes: Int, probeBits: Int): Seq[Long] = {
-    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
-    require(probeBits >= 0 && probeBits <= planes,
-      s"probeBits must be in [0, planes=$planes], got $probeBits")
-    (0 to probeBits).iterator
-      .flatMap(b => (0 until planes).combinations(b)
-        .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
-      .toSeq.sorted
-  }
-
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
                    planes: Int = 4, probeBits: Int = 1): DataFrame = {
     // CANDIDATES ON COMPACT KEYS: the bucket self-join sees only
@@ -452,6 +453,12 @@ object Similarity {
     * label's centroid — the "most representative real example" picker
     * (cluster naming, prototype mining, eval-set seeding). Ties on the
     * 6-dp-rounded similarity break to the smallest id.
+    *
+    * Zero-norm policy ([[cosinePairs]]): zero-norm MEMBERS drop from
+    * medoid candidacy, and a label whose centroid is exactly the zero
+    * vector (e.g. perfectly cancelling members v and −v) emits NO
+    * medoid row — there is no direction to be similar to. Both drops
+    * happen in a filter BEFORE the cosine division.
     *
     * 100 TB shape: exactly TWO corpus passes — one builds the centroid
     * table ([[labelCentroids]], labels × dims, riding the (label, dim)
@@ -1331,6 +1338,8 @@ object Similarity {
                 vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
                 subspaces: Int = 4, subDim: Int = 16, pqK: Int = 4,
                 pqIters: Int = 2, rerank: Int = 20): DataFrame = {
+    // fail argument errors BEFORE the pqIters training barriers run
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     val cents = pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters)
     val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
     require(codebook.nonEmpty, "codebook must be non-empty")
@@ -1364,6 +1373,8 @@ object Similarity {
                         nProbe: Int = 4, subspaces: Int = 4, subDim: Int = 16,
                         pqK: Int = 4, pqIters: Int = 2,
                         rerank: Int = 20): DataFrame = {
+    // fail argument errors BEFORE the pqIters training barriers run
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
     require(codebook.nonEmpty, "codebook must be non-empty")
     val centMap = typedlit(codebook.toMap)

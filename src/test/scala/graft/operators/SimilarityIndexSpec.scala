@@ -101,6 +101,21 @@ class SimilarityIndexSpec extends SparkSpec {
     val wide = Similarity.probeMasks(62, 1)
     assert(wide.size == 63 && wide.head == 0L && wide.contains(1L << 61))
     assert(Similarity.probeMasks(30, 0) == Seq(0L))
+    // over-probing clamps to the full mask space (pre-round-12 semantics)
+    assert(Similarity.probeMasks(3, 7) == (0L until 8L))
+  }
+
+  test("labelMedoids: zero-norm members drop; a zero-centroid label emits no medoid") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0L),   // label 0: v and -v — centroid = 0
+      (1L, Array(-1.0f, 0.0f), 0L),
+      (2L, Array(0.0f, 1.0f), 1L),   // label 1: one real + one zero member
+      (3L, Array(0.0f, 0.0f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val med = Similarity.labelMedoids(df, "vec_id", "embedding", "label")
+      .as[(Long, Long, Double)].collect()
+    assert(med.toSeq == Seq((1L, 2L, 1.0)),
+      "label 0 (zero centroid) emits nothing; label 1's medoid skips the zero member")
   }
 
   test("ivfPqSearch over a built index is bit-identical to the inline operators") {
