@@ -2394,6 +2394,34 @@ object SparkEntry {
         .orderBy("query_id", "rn")
     }),
 
+    // ── k-NN label consistency: per label, the fraction of query
+    // vectors whose 5 nearest neighbors majority-vote the query's own
+    // label — the supervised embedding-quality gate (count ties break
+    // to the lexicographically smallest label).
+    "q237_knn_label_consistency" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnLabelConsistency(emb, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("label")
+    }),
+
+    // ── two-NN intrinsic dimension (Facco et al. MLE): one row —
+    // n / Σ ln(d2/d1) over the query sample, 6-dp distances, 9-dp
+    // decimal log sums; duplicate-neighbor queries (d1 = 0) drop.
+    "q238_intrinsic_dimension" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.intrinsicDimensionTwoNN(emb,
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+    }),
+
+    // ── MinHash-LSH banding planner: the datasketch optimal-(b, r)
+    // search as a relation over the engine's own 8-hash signature —
+    // fp/fn Riemann masses per split, minimum-score split flagged.
+    "q239_banding_plan" -> ((s, dir) =>
+      graft.operators.Dedup.bandingPlan(s, threshold = 0.5, k = 8,
+        grid = 100, fpWeight = 0.5, fnWeight = 0.5)
+        .orderBy("rows_per_band")),
+
     // ── the residual stack's recall twin: q231's ANN relation through
     // the same graded recall report.
     "q235_ivf_pq_residual_recall" -> ((s, dir) => {
@@ -5749,6 +5777,86 @@ object SparkEntry {
     // (the shared ivfPqRank composition), so it grades against the same
     // SQL — the q232/q219 relationship for the residual stack.
     "q236_ivf_pq_residual_index" -> ivfPqResidualOracleSql,
+
+    // k-NN label consistency: the q26 brute-force ranking (cos desc, id
+    // ties, zero-norm drops on both sides) + per-query vote counts +
+    // the (count DESC, label ASC) majority window + per-label rollup.
+    "q237_knn_label_consistency" ->
+      """WITH c AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nm
+        | FROM c),
+        |q AS (SELECT c.vec_id, c.label, c.v FROM c
+        |      JOIN n ON n.vec_id = c.vec_id
+        |      WHERE c.vec_id % 10 = 0 AND n.nm > 0),
+        |nn AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(cn.v, q.v) DESC, cn.vec_id) AS rn
+        |  FROM q JOIN c cn ON cn.vec_id <> q.vec_id
+        |  JOIN n nc ON nc.vec_id = cn.vec_id AND nc.nm > 0) WHERE rn <= 5),
+        |votes AS (SELECT nn.query_id, cl.label AS nl, count(*) AS c
+        |          FROM nn JOIN c cl ON cl.vec_id = nn.neighbor_id GROUP BY 1, 2),
+        |maj AS (SELECT query_id, nl AS knn_label FROM (
+        |  SELECT query_id, nl,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nl ASC) AS vr
+        |  FROM votes) WHERE vr = 1)
+        |SELECT q.label, count(*) AS n_queries,
+        | CAST(sum(CASE WHEN m.knn_label = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        | round(CAST(sum(CASE WHEN m.knn_label = q.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / count(*), 6) AS consistency
+        |FROM q JOIN maj m ON m.query_id = q.vec_id
+        |GROUP BY 1 ORDER BY q.label""".stripMargin,
+
+    // Two-NN intrinsic dimension: squared distances via the SAME
+    // |a|^2 - 2ab + |b|^2 fold order at 6 dp, (d2 asc, id asc) ranks,
+    // 9-dp decimal log-mu sums (the q79 recipe), one terminal division.
+    "q238_intrinsic_dimension" ->
+      """WITH c AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM c WHERE vec_id % 10 = 0),
+        |d AS (SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
+        |  round(list_reduce(list_transform(range(1, 65), j -> cn.v[j] * cn.v[j]), (a, b) -> a + b)
+        |   - 2.0 * list_reduce(list_transform(range(1, 65), j -> cn.v[j] * q.v[j]), (a, b) -> a + b)
+        |   + list_reduce(list_transform(range(1, 65), j -> q.v[j] * q.v[j]), (a, b) -> a + b), 6) AS d2
+        | FROM q JOIN c cn ON cn.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, d2,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rn
+        | FROM d),
+        |tw AS (SELECT a.query_id, a.d2 AS d1, b.d2 AS dd2
+        |       FROM r a JOIN r b ON a.query_id = b.query_id AND a.rn = 1 AND b.rn = 2
+        |       WHERE a.d2 > 0),
+        |lm AS (SELECT query_id, round(0.5 * ln(dd2 / d1), 9) AS logmu FROM tw)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        | round(CAST(sum(CAST(logmu AS DECIMAL(28,12))) AS DOUBLE), 6) AS sum_log_mu,
+        | round(CAST(count(*) AS DOUBLE) /
+        |  (CASE WHEN sum(CAST(logmu AS DECIMAL(28,12))) > 0
+        |        THEN CAST(sum(CAST(logmu AS DECIMAL(28,12))) AS DOUBLE) END), 6)
+        |  AS id_estimate
+        |FROM lm""".stripMargin,
+
+    // Banding planner: identical splits, midpoint grid, 9-dp curve
+    // points, decimal Riemann masses, 6-dp score, (score, bands DESC)
+    // chosen window.
+    "q239_banding_plan" ->
+      """WITH sp AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4), (1, 8))
+        |            AS t(bands, rows_per_band)),
+        |g AS (SELECT (CAST(i AS DOUBLE) + 0.5) / 100 AS s FROM range(100) r(i)),
+        |p AS (SELECT bands, rows_per_band, s,
+        |  round(1.0 - pow(1.0 - pow(s, rows_per_band), bands), 9) AS p
+        | FROM sp, g),
+        |agg AS (SELECT bands, rows_per_band,
+        |  round(CAST(sum(CASE WHEN s < 0.5 THEN CAST(p AS DECIMAL(28,12))
+        |                      ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) / 100, 6) AS fp,
+        |  round(CAST(sum(CASE WHEN s >= 0.5 THEN CAST(1.0 - p AS DECIMAL(28,12))
+        |                      ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) / 100, 6) AS fn
+        | FROM p GROUP BY 1, 2),
+        |sc AS (SELECT bands, rows_per_band, fp, fn,
+        |  round(0.5 * fp + 0.5 * fn, 6) AS score FROM agg)
+        |SELECT bands, rows_per_band, fp, fn, score,
+        | row_number() OVER (ORDER BY score, bands DESC) = 1 AS chosen
+        |FROM sc ORDER BY rows_per_band""".stripMargin,
 
     // SemDeDup: the q183 kmeans chain (MATERIALIZED — multiply
     // referenced) + within-cluster pairs through the q211 exact cosine

@@ -93,6 +93,54 @@ object Dedup {
     withSig.select(col(idCol) +: sigCols: _*)
   }
 
+  /** MinHash-LSH banding PLANNER — the datasketch optimal-(b, r) search
+    * as a relation: for every (bands, rows_per_band) split of the k-hash
+    * signature (bands · rows = k), the candidate-probability s-curve
+    * `p(s) = 1 − (1 − s^rows)^bands` integrates into a false-positive
+    * mass below `threshold` and a false-negative mass above it (midpoint
+    * Riemann sums over a `grid`-point similarity grid), and the split
+    * minimizing `fpWeight·fp + fnWeight·fn` is flagged `chosen` — the
+    * banding to hand [[lshBands]] before a dedup run, instead of
+    * guessing. One row per split:
+    * `(bands, rows_per_band, fp, fn, score, chosen)`, 6 dp.
+    *
+    * Cross-engine exactness: each curve point rounds to 9 dp before the
+    * DECIMAL Riemann sums (the q79 log-sum recipe applied to pow), the
+    * masses and score round at 6; `chosen` breaks score ties to the
+    * most-bands split (highest recall at equal cost). Pure closed-form
+    * arithmetic over splits×grid rows — no corpus access, trivially
+    * broadcast-size at any scale.
+    */
+  def bandingPlan(spark: org.apache.spark.sql.SparkSession, threshold: Double,
+                  k: Int = 8, grid: Int = 100, fpWeight: Double = 0.5,
+                  fnWeight: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold out of (0,1): $threshold")
+    require(k >= 1 && grid >= 10, s"need k >= 1, grid >= 10, got k=$k grid=$grid")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "weights must be non-negative and not both zero")
+    import spark.implicits._
+    val splits = (1 to k).filter(k % _ == 0).map(r => (k / r, r))
+      .toDF("bands", "rows_per_band")
+    val pts = splits.crossJoin(
+        spark.range(grid).select(col("id").as("__i")))
+      .withColumn("__s", (col("__i").cast("double") + 0.5) / grid)
+      .withColumn("__p", round(lit(1.0) -
+        pow(lit(1.0) - pow(col("__s"), col("rows_per_band")), col("bands")), 9))
+    val masses = pts.groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        round(sum(when(col("__s") < threshold, col("__p")).otherwise(lit(0.0))
+          .cast("decimal(28,12)")).cast("double") / grid, 6).as("fp"),
+        round(sum(when(col("__s") >= threshold, lit(1.0) - col("__p"))
+          .otherwise(lit(0.0)).cast("decimal(28,12)")).cast("double") / grid, 6)
+          .as("fn"))
+      .withColumn("score",
+        round(lit(fpWeight) * col("fp") + lit(fnWeight) * col("fn"), 6))
+    // the splits relation is divisors-of-k-sized: a global window is free
+    masses.withColumn("chosen",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"), col("bands").desc)) === 1)
+  }
+
   /** Banded signature rows: (id, band_id, band_key). k signature columns are
     * split into k/rowsPerBand bands; docs agreeing on ANY full band collide.
     * One explode — the signature columns are computed once, not once per

@@ -918,6 +918,102 @@ object Similarity {
         round(col("n_hit").cast("double") / lit(k.toDouble), 6))
   }
 
+  /** k-NN label consistency — the SUPERVISED embedding-quality probe
+    * ([[annRecallReport]]'s labeled twin): per label, the fraction of
+    * query vectors whose k nearest corpus neighbors (exact cosine,
+    * self excluded) majority-vote the query's own label. Low
+    * consistency for a label means the embedding does not separate it —
+    * the standard "is this embedding good enough to train on" gate
+    * before a pipeline trusts the vectors. Output
+    * `(label, n_queries, n_match, consistency)` — consistency 6 dp.
+    *
+    * Determinism: neighbors rank (cos desc, id asc) through the
+    * bounded heap; the majority vote breaks count ties to the
+    * LEXICOGRAPHICALLY SMALLEST label (min_by over (−count, label)).
+    * Zero-norm queries/corpus rows drop ([[cosinePairs]] policy); a
+    * query with no scorable neighbor drops from its label's tally.
+    *
+    * 100 TB shape: the eval-operator contract ([[annRecallReport]]) —
+    * queries are a bounded sample, the corpus pays one broadcast-join
+    * pass; everything after the heap is (queries × k)-sized.
+    */
+  def knnLabelConsistency(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, labelCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val nn = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = nn
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__c"))
+    val majority = votes.groupBy(col("query_id"))
+      .agg(min_by(col("__nl"), struct((-col("__c")).as("nc"), col("__nl")))
+        .as("knn_label"))
+    queries.select(col(idCol).as("query_id"), col(labelCol).as("label"))
+      .join(majority, "query_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("knn_label") === col("label"), 1L).otherwise(0L))
+          .as("n_match"))
+      .withColumn("consistency",
+        round(col("n_match").cast("double") / col("n_queries").cast("double"), 6))
+  }
+
+  /** Two-NN intrinsic-dimension estimate (Facco et al. 2017, the
+    * "TwoNN" MLE): for each query point, μ = d₂/d₁ — the ratio of its
+    * second- to first-nearest-neighbor EUCLIDEAN distance — and the
+    * corpus's intrinsic dimension is `n / Σ ln μ`. The "how many
+    * degrees of freedom do these embeddings really use" diagnostic: a
+    * 64-wide embedding cloud living on a ~9-D manifold dedups, clusters,
+    * and quantizes like 9-D data, and a COLLAPSING embedding model shows
+    * up as the estimate trending to ~1 long before retrieval metrics
+    * sag. Output ONE row `(n_queries, sum_log_mu, id_estimate)`.
+    *
+    * Cross-engine exactness: squared distances enter at 6 dp (the
+    * kmeans quantization recipe — also makes the (d asc, id asc) NN
+    * ranking tie-stable), `ln μ = 0.5·ln(d₂²/d₁²)` rounds to 9 dp and
+    * sums as DECIMAL (the q79 log-sum recipe), the estimate is one
+    * terminal division at 6 dp. Queries with d₁ = 0 (an exact duplicate
+    * neighbor — μ undefined) drop, documented; NULL estimate if every
+    * μ = 1 (all mass at equal distance).
+    *
+    * Zero-norm vectors are LEGITIMATE here (Euclidean geometry, no
+    * norm division) — no drop. Eval-operator contract: bounded query
+    * sample, one broadcast pass over the partitioned corpus, bounded
+    * top-2 heap per query.
+    */
+  def intrinsicDimensionTwoNN(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__c2", dot(col("__cv"), col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__q2", dot(col("__qv"), col("__qv")))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      // |a−b|² = |a|² − 2ab + |b|², 6-dp quantized for rank stability
+      .withColumn("__d2",
+        round(col("__c2") - lit(2.0) * dot(col("__cv"), col("__qv")) + col("__q2"), 6))
+    val two = pairs.groupBy(col("query_id"))
+      .agg(TopKOps.topK(2, -col("__d2"), col("neighbor_id")).as("__top"))
+      .filter(size(col("__top")) === 2)
+      .select(col("query_id"),
+        (-element_at(col("__top"), 1).getField("score")).as("__d1"),
+        (-element_at(col("__top"), 2).getField("score")).as("__d2"))
+      // d₁ = 0 ⇒ an exact duplicate sits closest: μ is undefined — drop
+      .filter(col("__d1") > 0)
+      .withColumn("__logmu", round(lit(0.5) * log(col("__d2") / col("__d1")), 9))
+    two.agg(
+      count(lit(1)).as("n_queries"),
+      round(sum(col("__logmu").cast("decimal(28,12)")).cast("double"), 6)
+        .as("sum_log_mu"),
+      round(count(lit(1)).cast("double") /
+        when(sum(col("__logmu").cast("decimal(28,12)")) > 0,
+          sum(col("__logmu").cast("decimal(28,12)")).cast("double")), 6)
+        .as("id_estimate"))
+  }
+
   /** Embedding covariance matrix `(i, j, cov)`, `cov = (Σxᵢxⱼ −
     * ΣxᵢΣxⱼ/n)/n` rounded 6 dp — the d² moment table behind PCA,
     * whitening, and drift monitors, computed from RAW moments so the

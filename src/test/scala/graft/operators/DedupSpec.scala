@@ -651,4 +651,35 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.clusterSafeSplit(docs, "doc_id", "text", 0.1, 1500))
   }
+
+  test("bandingPlan matches a driver-side reference and flags exactly one minimum-score split") {
+    val got = Dedup.bandingPlan(spark, threshold = 0.5, k = 8)
+      .as[(Int, Int, Double, Double, Double, Boolean)].collect()
+      .sortBy(_._2)
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq((8, 1), (4, 2), (2, 4), (1, 8)), "every (bands, rows) split of k = 8")
+    // driver reference: the same 9-dp curve points and decimal Riemann sums
+    def r(x: Double, dp: Int) =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+    val ref = got.map { case (b, rr, _, _, _, _) =>
+      var fp = BigDecimal(0); var fn = BigDecimal(0)
+      for (i <- 0 until 100) {
+        val s = (i + 0.5) / 100
+        val p = r(1.0 - math.pow(1.0 - math.pow(s, rr), b), 9)
+        if (s < 0.5) fp += p else fn += (BigDecimal(1) - p)
+      }
+      ((b, rr), (r(fp.toDouble / 100, 6).toDouble, r(fn.toDouble / 100, 6).toDouble))
+    }.toMap
+    got.foreach { case (b, rr, fp, fn, score, _) =>
+      assert((fp, fn) == ref((b, rr)), s"masses for ($b, $rr)")
+      assert(score == r(0.5 * fp + 0.5 * fn, 6).toDouble)
+      assert(fp >= 0 && fn >= 0 && fp <= 1 && fn <= 1)
+    }
+    // exactly one chosen row, and it carries the minimum score
+    val chosen = got.filter(_._6)
+    assert(chosen.length == 1 && chosen.head._5 == got.map(_._5).min)
+    intercept[IllegalArgumentException](Dedup.bandingPlan(spark, 1.5))
+    intercept[IllegalArgumentException](
+      Dedup.bandingPlan(spark, 0.5, fpWeight = 0.0, fnWeight = 0.0))
+  }
 }

@@ -105,6 +105,54 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(Similarity.probeMasks(3, 7) == (0L until 8L))
   }
 
+  test("knnLabelConsistency: separable labels score 1.0; vote count ties break to the smallest label") {
+    // two tight, well-separated clusters — every query's 2 neighbors
+    // share its label
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.01f), "a"), (1L, Array(1.0f, 0.01f, 0.0f), "a"),
+      (2L, Array(0.99f, 0.0f, 0.0f), "a"),
+      (3L, Array(0.0f, 1.0f, 0.01f), "b"), (4L, Array(0.0f, 1.0f, 0.0f), "b"),
+      (5L, Array(0.01f, 0.99f, 0.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val rep = Similarity.knnLabelConsistency(df, df, "vec_id", "embedding", "label", 2)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rep.toSeq == Seq(("a", 3L, 3L, 1.0), ("b", 3L, 3L, 1.0)))
+
+    // k=2 over a 1-vs-1 vote: the majority window must pick the
+    // LEXICOGRAPHICALLY SMALLEST label on the count tie
+    val tie = Seq(
+      (0L, Array(1.0f, 0.0f), "z"),
+      (1L, Array(0.99f, 0.1f), "b"),   // nearest to 0
+      (2L, Array(0.98f, 0.15f), "a")   // second-nearest to 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelConsistency(tie, tie.filter($"vec_id" === 0),
+      "vec_id", "embedding", "label", 2)
+      .as[(String, Long, Long, Double)].collect()
+    // votes are {a: 1, b: 1} → majority "a" ≠ "z" → no match
+    assert(got.toSeq == Seq(("z", 1L, 0L, 0.0)))
+  }
+
+  test("intrinsicDimensionTwoNN: closed-form line fixture; duplicate-neighbor queries drop") {
+    // 3 points on a line — squared NN distances (1,9), (1,4), (4,9):
+    // sum_log_mu = round(.5 ln9,9)+round(.5 ln4,9)+round(.5 ln(9/4),9)
+    val line = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (3L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.intrinsicDimensionTwoNN(line, line, "vec_id", "embedding")
+      .as[(Long, Double, Double)].head()
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s = BigDecimal(r9(0.5 * math.log(9.0))) + BigDecimal(r9(0.5 * math.log(4.0))) +
+      BigDecimal(r9(0.5 * math.log(9.0 / 4.0)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == 3L && got._2 == r6(s.toDouble) && got._3 == r6(3.0 / s.toDouble))
+
+    // a planted exact duplicate makes d1 = 0 for both copies — they drop
+    val withDup = line.unionByName(Seq((7L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val n = Similarity.intrinsicDimensionTwoNN(withDup, withDup, "vec_id", "embedding")
+      .select($"n_queries").as[Long].head()
+    assert(n == 2L, "the duplicate pair (0, 7) drops; 1 and 3 remain")
+  }
+
   test("labelMedoids: zero-norm members drop; a zero-centroid label emits no medoid") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f), 0L),   // label 0: v and -v — centroid = 0
