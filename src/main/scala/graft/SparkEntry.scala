@@ -2422,6 +2422,14 @@ object SparkEntry {
         grid = 100, fpWeight = 0.5, fnWeight = 0.5)
         .orderBy("rows_per_band")),
 
+    // ── banded near-dup recall gate: exhaustive vs banded pair counts
+    // on a 1-in-2 hash sample — "is my planes/tables sizing safe on MY
+    // data", one row.
+    "q240_neardup_recall" -> ((s, dir) =>
+      Similarity.nearDupRecallReport(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, planes = 4, tables = 3,
+        samplePermille = 500)),
+
     // ── the residual stack's recall twin: q231's ANN relation through
     // the same graded recall report.
     "q235_ivf_pq_residual_recall" -> ((s, dir) => {
@@ -5835,6 +5843,34 @@ object SparkEntry {
         |        THEN CAST(sum(CAST(logmu AS DECIMAL(28,12))) AS DOUBLE) END), 6)
         |  AS id_estimate
         |FROM lm""".stripMargin,
+
+    // Near-dup recall gate: the q60 md5-permille sample + the q25-style
+    // division-free exact pairs + the q81 three-table bucket collision
+    // (banded pairs = exact pairs that collide in >= 1 table).
+    "q240_neardup_recall" ->
+      s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings
+         |           WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 1000 < 500),
+         |n AS (SELECT vec_id,
+         |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nm FROM s),
+         |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         | FROM s a JOIN s b ON a.vec_id < b.vec_id
+         | JOIN n na ON na.vec_id = a.vec_id
+         | JOIN n nb ON nb.vec_id = b.vec_id
+         | WHERE list_reduce(list_transform(range(1, 65), j -> a.v[j] * b.v[j]),
+         |        (x, y) -> x + y) > 0.4 * na.nm * nb.nm),
+         |bk AS (SELECT vec_id, ${lshBucketSql("v", 4, 0)} AS b0,
+         |       ${lshBucketSql("v", 4, 4)} AS b1,
+         |       ${lshBucketSql("v", 4, 8)} AS b2 FROM s),
+         |bd AS (SELECT e.id_a, e.id_b FROM ex e
+         | JOIN bk x ON x.vec_id = e.id_a
+         | JOIN bk y ON y.vec_id = e.id_b
+         | WHERE x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2)
+         |SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         | CAST((SELECT count(*) FROM bd) AS BIGINT) AS n_banded,
+         | round(CAST((SELECT count(*) FROM bd) AS DOUBLE) /
+         |  (CASE WHEN (SELECT count(*) FROM ex) > 0
+         |        THEN CAST((SELECT count(*) FROM ex) AS DOUBLE) END), 6) AS recall""".stripMargin,
 
     // Banding planner: identical splits, midpoint grid, 9-dp curve
     // points, decimal Riemann masses, 6-dp score, (score, bands DESC)

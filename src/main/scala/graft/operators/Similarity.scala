@@ -918,6 +918,43 @@ object Similarity {
         round(col("n_hit").cast("double") / lit(k.toDouble), 6))
   }
 
+  /** Banded near-dup RECALL gate — [[annRecallReport]]'s twin for the
+    * all-pairs generators: on a deterministic hash SAMPLE of the corpus
+    * (the [[graft.operators.Sampling.hashBucket]] permille contract),
+    * compare [[nearDupPairsBanded]]'s pair set against the exhaustive
+    * exact-threshold pair set and report ONE row
+    * `(n_exact, n_banded, recall)` — "is my `planes`/`tables` sizing
+    * safe on MY data", measured before a full dedup run trusts it.
+    * Banded pairs are a SUBSET of exact pairs by construction (same
+    * division-free `dot > t·‖a‖·‖b‖` verification), so recall is the
+    * one number that can move; NULL when the sample holds no exact pair.
+    *
+    * 100 TB shape: the O(m²) exhaustive arm is the point of the sample
+    * bound — size `samplePermille` so m stays eval-sized (tens of
+    * thousands); the banded arm runs the production candidate path on
+    * the same sample. Bucket-collision rates on a uniform hash sample
+    * are unbiased for the corpus's rates at equal `planes` LOAD, so
+    * evaluate with the planes the sample's size implies and extrapolate
+    * by the [[bandedPlanesFor]] model, or simply gate the recall knob
+    * (`tables`), which is size-independent.
+    */
+  def nearDupRecallReport(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, planes: Int, tables: Int = 3,
+                          samplePermille: Int = 100,
+                          salt: String = ""): DataFrame = {
+    require(samplePermille > 0 && samplePermille <= 1000,
+      s"samplePermille out of (0,1000]: $samplePermille")
+    val sample = df.filter(
+      graft.operators.Sampling.hashBucket(col(idCol), salt) < samplePermille)
+    val exact = nearDupPairsExhaustive(sample, idCol, vecCol, threshold)
+    val banded = nearDupPairsBanded(sample, idCol, vecCol, threshold, planes, tables)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(banded.agg(count(lit(1)).as("n_banded")))
+      .withColumn("recall",
+        round(col("n_banded").cast("double") /
+          when(col("n_exact") > 0, col("n_exact").cast("double")), 6))
+  }
+
   /** k-NN label consistency — the SUPERVISED embedding-quality probe
     * ([[annRecallReport]]'s labeled twin): per label, the fraction of
     * query vectors whose k nearest corpus neighbors (exact cosine,

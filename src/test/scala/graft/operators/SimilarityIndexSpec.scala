@@ -280,6 +280,28 @@ class SimilarityIndexSpec extends SparkSpec {
       "banded dedup must match the same-cluster same-bucket exact-threshold reference")
   }
 
+  test("nearDupRecallReport: banded count is bounded by exact; recall matches the pair sets") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (nExact, nBanded, recall) = Similarity.nearDupRecallReport(emb,
+      "vec_id", "embedding", threshold = 0.4, planes = 4, tables = 3,
+      samplePermille = 500)
+      .as[(Long, Long, Double)].head()
+    assert(nBanded <= nExact && nExact > 0)
+    // cross-check against the raw pair sets on the same sample
+    val sample = emb.filter(
+      graft.operators.Sampling.hashBucket($"vec_id") < 500)
+    val exact = Similarity.nearDupPairsExhaustive(sample, "vec_id", "embedding", 0.4)
+      .as[(Long, Long)].collect().toSet
+    val banded = Similarity.nearDupPairsBanded(sample, "vec_id", "embedding", 0.4,
+      planes = 4, tables = 3).as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(exact), "banded pairs all pass the exact threshold")
+    assert(nExact == exact.size && nBanded == banded.size)
+    assert(recall == BigDecimal(banded.size.toDouble / exact.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    intercept[IllegalArgumentException](Similarity.nearDupRecallReport(
+      emb, "vec_id", "embedding", 0.4, 4, samplePermille = 0))
+  }
+
   test("annRecallReportFor grades an explicit ANN relation against brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qs = emb.filter($"vec_id" % 50 === 0)
