@@ -730,18 +730,20 @@ object PipelineScaleBench {
         subspaces = 4, subDim = 16, pqK = 8, pqIters = 2, rerank = 20).count()
     }
     // the index LIFECYCLE split: build once (train + encode + persist the
-    // three relations), search many — the search stage must cost a
+    // four relations), search many — the search stage must cost a
     // FRACTION of pipe_ivf_pq (same query load) because the pqIters
     // training barriers and the corpus encode are amortized away. Index
-    // paths are keyed on nDocs: workDir persists across runs, and a 5M
-    // search must never silently consume a stale 500k index
-    val idxSfx = s"_$nDocs.parquet"
+    // paths are keyed on nDocs AND the build parameters: workDir persists
+    // across runs, and a PIPE_ONLY search must never silently consume a
+    // stale index from a different corpus size or an older revision's
+    // parameterization
+    val (idxCents, idxSub, idxSubDim, idxPqK) = (16, 4, 16, 8)
+    val idxSfx = s"_${nDocs}_c${idxCents}_pq${idxPqK}x${idxSub}d$idxSubDim.parquet"
     def buildIvfPqIndex(): Unit = {
       val idx = Similarity.ivfPqIndexBuild(vecs, "vec_id", "embedding",
-        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 8, pqIters = 2)
-      idx.codes.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_codes$idxSfx")
-      idx.coarse.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_coarse$idxSfx")
-      idx.pq.write.mode(SaveMode.Overwrite).parquet(s"$work/ivfpq_pq$idxSfx")
+        nCentroids = idxCents, subspaces = idxSub, subDim = idxSubDim,
+        pqK = idxPqK, pqIters = 2)
+      Similarity.ivfPqIndexSave(idx, s"$work/ivfpq$idxSfx")
     }
     timed("pipe_ivf_pq_build", input = total) {
       buildIvfPqIndex()
@@ -751,14 +753,13 @@ object PipelineScaleBench {
     // built OUTSIDE the timer, or the search metric would include the
     // exact train+encode cost the stage exists to prove is amortized
     val searchWillRun = only.forall(_.exists("pipe_ivf_pq_search".contains))
-    if (searchWillRun && !new java.io.File(s"$work/ivfpq_codes$idxSfx").exists())
+    if (searchWillRun && !new java.io.File(s"$work/ivfpq$idxSfx/codes").exists())
       buildIvfPqIndex()
     timed("pipe_ivf_pq_search", input = 100L) {
-      val idx = Similarity.IvfPqIndex(
-        spark.read.parquet(s"$work/ivfpq_codes$idxSfx"),
-        spark.read.parquet(s"$work/ivfpq_coarse$idxSfx"),
-        spark.read.parquet(s"$work/ivfpq_pq$idxSfx"),
-        residual = false, subDim = 16)
+      // the flag-free loader: residual/subDim from the meta relation,
+      // derivable fields cross-checked — a stale or mixed index dir is
+      // a fast failure here, not a silently-skewed search metric
+      val idx = Similarity.ivfPqIndexLoad(spark, s"$work/ivfpq$idxSfx")
       val stride = math.max(1L, nDocs.toLong / 100)
       Similarity.ivfPqSearch(idx, vecs, vecs.filter(col("vec_id") % stride === 0),
         "vec_id", "embedding", k = 10, nProbe = 4, rerank = 20).count()
@@ -781,11 +782,11 @@ object PipelineScaleBench {
       // banded candidate stage and a MODEST fixed k (the banding caps
       // per-cluster pair budgets, so k no longer needs to chase √n): the
       // guard's signal is that 10x input grows wall ~linearly where the
-      // flat Σ|cluster|² stage measured 13.7x
-      val sub = vecs.filter(col("vec_id") % 5 === 0)
-      Similarity.semanticDedupBanded(sub, "vec_id", "embedding",
-        threshold = 0.9, k = 8, iters = 1,
-        planes = Similarity.bandedPlanesFor(total / 5), tables = 3).count()
+      // flat Σ|cluster|² stage measured 13.7x. DEFAULT knobs: the Auto
+      // entry sizes planes itself from the expected n/k cluster occupancy
+      // (one count job), so this stage also guards the hands-off sizing
+      Similarity.semanticDedupBandedAuto(vecs.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", threshold = 0.9, k = 8, iters = 1).count()
       total / 5
     }
     timed("pipe_contrastive", input = total) {

@@ -28,6 +28,27 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** THE bounded-eval-sample convention (every graded eval operator —
+    * recall reports, kNN consistency, TwoNN, the operating-point
+    * planner — states its query set this way): a deterministic
+    * md5-permille hash sample of the id space
+    * ([[graft.operators.Sampling.hashBucket]]), NOT `id % N` — a modulo
+    * stride is coupled to id assignment order and its absolute size
+    * grows with the corpus by construction, while a hash-permille
+    * sample is order-free and lets a production caller hold the sample
+    * ABSOLUTE (divide the permille as the corpus grows: the bucket of a
+    * given id never changes, so a tighter permille is always a subset
+    * of the looser sample — eval continuity for free). DuckDB twin:
+    * `('0x' || substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT % 1000 <
+    * permille`.
+    */
+  private def evalSample(df: DataFrame, idCol: String, permille: Int): DataFrame =
+    df.filter(graft.operators.Sampling.hashBucket(col(idCol)) < permille)
+
+  /** [[evalSample]]'s SQL twin over a column reference. */
+  private def evalSampleSql(colRef: String, permille: Int): String =
+    s"('0x' || substr(md5(CAST($colRef AS VARCHAR)),1,15))::BIGINT % 1000 < $permille"
+
   /** events.parquet's `ts` column has shipped as either TIMESTAMP(NANOS)
     * (which Spark's parquet reader rejects without `nanosAsLong`) or plain
     * TIMESTAMP_NTZ(MICROS), depending on harness generation. Dispatch on the
@@ -2325,7 +2346,7 @@ object SparkEntry {
     // literal codebooks; both rankings are bounded heaps.
     "q219_ivf_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      Similarity.ivfPqTopK(emb, evalSample(emb, "vec_id", 20),
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
         subspaces = 4, subDim = 16, pqK = 4, pqIters = 2, rerank = 20)
         .orderBy("query_id", "rn")
@@ -2336,7 +2357,7 @@ object SparkEntry {
     // candidate norm; same bounded-heap/broadcast shape as q219.
     "q231_ivf_pq_residual" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      Similarity.ivfPqResidualTopK(emb, evalSample(emb, "vec_id", 20),
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
         subspaces = 4, subDim = 16, pqK = 4, pqIters = 2, rerank = 20)
         .orderBy("query_id", "rn")
@@ -2352,7 +2373,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
         nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
-      Similarity.ivfPqSearch(idx, emb, emb.filter(col("vec_id") % 50 === 0),
+      Similarity.ivfPqSearch(idx, emb, evalSample(emb, "vec_id", 20),
         "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
         .orderBy("query_id", "rn")
     }),
@@ -2373,7 +2394,7 @@ object SparkEntry {
     // a spec-only check: (query_id, n_hit, recall) per query.
     "q234_ivf_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val qs = evalSample(emb, "vec_id", 20)
       val ann = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
         nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
         pqIters = 2, rerank = 20)
@@ -2389,7 +2410,7 @@ object SparkEntry {
       val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
         nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
         residual = true)
-      Similarity.ivfPqSearch(idx, emb, emb.filter(col("vec_id") % 50 === 0),
+      Similarity.ivfPqSearch(idx, emb, evalSample(emb, "vec_id", 20),
         "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
         .orderBy("query_id", "rn")
     }),
@@ -2400,7 +2421,7 @@ object SparkEntry {
     // to the lexicographically smallest label).
     "q237_knn_label_consistency" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.knnLabelConsistency(emb, emb.filter(col("vec_id") % 10 === 0),
+      Similarity.knnLabelConsistency(emb, evalSample(emb, "vec_id", 100),
         "vec_id", "embedding", "label", k = 5)
         .orderBy("label")
     }),
@@ -2411,7 +2432,7 @@ object SparkEntry {
     "q238_intrinsic_dimension" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.intrinsicDimensionTwoNN(emb,
-        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+        evalSample(emb, "vec_id", 100), "vec_id", "embedding")
     }),
 
     // ── MinHash-LSH banding planner: the datasketch optimal-(b, r)
@@ -2434,7 +2455,7 @@ object SparkEntry {
     // the same graded recall report.
     "q235_ivf_pq_residual_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val qs = evalSample(emb, "vec_id", 20)
       val ann = Similarity.ivfPqResidualTopK(emb, qs, "vec_id", "embedding",
         k = 5, nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16,
         pqK = 4, pqIters = 2, rerank = 20)
@@ -5790,14 +5811,14 @@ object SparkEntry {
     // ties, zero-norm drops on both sides) + per-query vote counts +
     // the (count DESC, label ASC) majority window + per-label rollup.
     "q237_knn_label_consistency" ->
-      """WITH c AS (SELECT vec_id, label,
+      s"""WITH c AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id,
         |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nm
         | FROM c),
         |q AS (SELECT c.vec_id, c.label, c.v FROM c
         |      JOIN n ON n.vec_id = c.vec_id
-        |      WHERE c.vec_id % 10 = 0 AND n.nm > 0),
+        |      WHERE ${evalSampleSql("c.vec_id", 100)} AND n.nm > 0),
         |nn AS (SELECT query_id, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
         |   row_number() OVER (PARTITION BY q.vec_id
@@ -5821,9 +5842,9 @@ object SparkEntry {
     // |a|^2 - 2ab + |b|^2 fold order at 6 dp, (d2 asc, id asc) ranks,
     // 9-dp decimal log-mu sums (the q79 recipe), one terminal division.
     "q238_intrinsic_dimension" ->
-      """WITH c AS (SELECT vec_id,
+      s"""WITH c AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |q AS (SELECT vec_id, v FROM c WHERE vec_id % 10 = 0),
+        |q AS (SELECT vec_id, v FROM c WHERE ${evalSampleSql("vec_id", 100)}),
         |d AS (SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
         |  round(list_reduce(list_transform(range(1, 65), j -> cn.v[j] * cn.v[j]), (a, b) -> a + b)
         |   - 2.0 * list_reduce(list_transform(range(1, 65), j -> cn.v[j] * q.v[j]), (a, b) -> a + b)
@@ -6408,19 +6429,24 @@ object SparkEntry {
     * with a slice OFFSET into the embedding and a relation-name SUFFIX
     * so several independent chains compose in one query (the q207
     * product-quantization oracle runs one chain per subspace). The
-    * final assignment relation is `a(iters+1)(sfx)`.
+    * final assignment relation is `a(iters+1)(sfx)`. A non-empty
+    * `assignRel` decouples TRAINING from the final assignment (the q241
+    * frozen-codebook add): iterations see only `srcRel`'s slices, but
+    * the terminal assignment codes every `assignRel` row against the
+    * final centroids.
     */
   private def kmeansCtes(k: Int, iters: Int, dim: Int, off: Int, sfx: String,
-                         srcRel: String = "embeddings"): String = {
+                         srcRel: String = "embeddings",
+                         assignRel: String = ""): String = {
     // the |v|²−2vc+|c|² identity the Spark kernel computes, with the
     // same fixed shape: vn2 − 2.0·dot + cn2 then round 6
-    def assign(i: Int, c: String): String =
+    def assign(i: Int, c: String, vRel: String, n2Rel: String): String =
       s"""cn$i$sfx AS (SELECT cl, sum(cv * cv) AS cn2 FROM $c GROUP BY 1),
          |d$i$sfx AS (
          | SELECT v.vec_id, c.cl,
          |  round(max(n2.vn2) - 2.0 * sum(v.vd * c.cv) + max(cn.cn2), 6) AS d
-         | FROM v$sfx v JOIN $c c ON c.pos = v.pos
-         | JOIN n2$sfx n2 ON n2.vec_id = v.vec_id
+         | FROM $vRel v JOIN $c c ON c.pos = v.pos
+         | JOIN $n2Rel n2 ON n2.vec_id = v.vec_id
          | JOIN cn$i$sfx cn ON cn.cl = c.cl
          | GROUP BY 1, 2),
          |a$i$sfx AS (
@@ -6442,14 +6468,24 @@ object SparkEntry {
          |c$i$sfx AS (
          | SELECT p.cl, p.pos, coalesce(u.cv, p.cv) AS cv
          | FROM c${i - 1}$sfx p LEFT JOIN u$i$sfx u ON u.cl = p.cl AND u.pos = p.pos)""".stripMargin
-    val steps = (1 to iters).map(i => assign(i, s"c${i - 1}$sfx") + ",\n" + update(i))
-    val finalAssign = assign(iters + 1, s"c$iters$sfx")
+    val steps = (1 to iters).map(i =>
+      assign(i, s"c${i - 1}$sfx", s"v$sfx", s"n2$sfx") + ",\n" + update(i))
+    val finalAssign =
+      if (assignRel.isEmpty) assign(iters + 1, s"c$iters$sfx", s"v$sfx", s"n2$sfx")
+      else assign(iters + 1, s"c$iters$sfx", s"va$sfx", s"na2$sfx")
+    val assignSlices = if (assignRel.isEmpty) "" else
+      s"""va$sfx AS (
+         | SELECT vec_id, r.i AS pos,
+         |  round(CAST(embedding[CAST(r.i AS INT) + 1 + $off] AS DOUBLE), 9) AS vd
+         | FROM $assignRel, range($dim) r(i)),
+         |na2$sfx AS (SELECT vec_id, sum(vd * vd) AS vn2 FROM va$sfx GROUP BY 1),
+         |""".stripMargin
     s"""v$sfx AS (
        | SELECT vec_id, r.i AS pos,
        |  round(CAST(embedding[CAST(r.i AS INT) + 1 + $off] AS DOUBLE), 9) AS vd
        | FROM $srcRel, range($dim) r(i)),
        |n2$sfx AS (SELECT vec_id, sum(vd * vd) AS vn2 FROM v$sfx GROUP BY 1),
-       |init$sfx AS (
+       |${assignSlices}init$sfx AS (
        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, vec_id
        | FROM (SELECT vec_id FROM $srcRel ORDER BY vec_id LIMIT $k)),
        |c0$sfx AS (SELECT i.cl, v.pos, v.vd AS cv FROM init$sfx i JOIN v$sfx v ON v.vec_id = i.vec_id),
@@ -6473,19 +6509,38 @@ object SparkEntry {
     * result. Norm-positive guards on the stage-1 candidates and the
     * query set mirror the engine's zero-norm drop policy.
     */
-  private lazy val ivfPqOracleCtes: String = {
-    val chains = (0 until 4).map(sp => kmeansCtes(4, 2, 16, sp * 16, s"_s$sp"))
+  private lazy val ivfPqOracleCtes: String =
+    ivfPqTrainCtes() + ",\n" + ivfPqSearchTailCtes(4, 20, "")
+
+  /** The TRAINING half of the IVF-PQ oracle chain — four suffixed q183
+    * k-means chains (PQ codebooks), per-query ADC tables over the
+    * 20-permille hash sample, the code pivot, and the coarse
+    * cells/assignment relations through `qset`. Parameterized for the
+    * q241 incremental-add oracle: `pre` prepends a CTE (the base
+    * relation), `srcRel` restricts TRAINING to it, `assignRel` widens
+    * the FINAL code assignment back to the full corpus, and `centsPred`
+    * restricts the coarse-centroid pick — the from-scratch SQL
+    * statement of "frozen codebooks, grown codes".
+    */
+  private def ivfPqTrainCtes(srcRel: String = "embeddings",
+                             assignRel: String = "",
+                             centsPred: String = "TRUE",
+                             pre: String = ""): String = {
+    val chains = (0 until 4).map(sp =>
+      kmeansCtes(4, 2, 16, sp * 16, s"_s$sp", srcRel, assignRel))
+    // the query slices live in the per-subspace v CTEs over the TRAINED
+    // relation — under an assignRel split they must come from the
+    // full-corpus va CTEs instead (queries are sampled from everything)
+    val adcV = if (assignRel.isEmpty) "v" else "va"
     val adcs = (0 until 4).map { sp =>
       s"""adc$sp AS (
          | SELECT v.vec_id AS query_id, c.cl, sum(v.vd * c.cv) AS t
-         | FROM v_s$sp v JOIN c2_s$sp c ON c.pos = v.pos
-         | WHERE v.vec_id % 50 = 0
+         | FROM ${adcV}_s$sp v JOIN c2_s$sp c ON c.pos = v.pos
+         | WHERE ${evalSampleSql("v.vec_id", 20)}
          | GROUP BY 1, 2)""".stripMargin
     }
-    val adcJoins = (0 until 4).map(sp =>
-      s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
-      .mkString("\n| ")
-    (chains.mkString(",\n") + ",\n" + adcs.mkString(",\n") + ",\n" +
+    ((if (pre.isEmpty) "" else pre + ",\n") +
+      chains.mkString(",\n") + ",\n" + adcs.mkString(",\n") + ",\n" +
       s"""codes AS (
          | SELECT s0.vec_id, s0.cluster AS code_0, s1.cluster AS code_1,
          |  s2.cluster AS code_2, s3.cluster AS code_3
@@ -6494,7 +6549,7 @@ object SparkEntry {
          |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |nrm AS (SELECT vec_id,
          |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
-         |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+         |cents AS (SELECT vec_id AS cell, v AS cv FROM c WHERE $centsPred ORDER BY vec_id LIMIT 16),
          |assign AS (
          | SELECT vec_id, cell FROM (
          |  SELECT c.vec_id, ct.cell,
@@ -6503,35 +6558,48 @@ object SparkEntry {
          |  FROM c, cents ct) WHERE arn = 1),
          |qset AS (
          | SELECT c.vec_id, c.v FROM c JOIN nrm nq ON nq.vec_id = c.vec_id
-         | WHERE c.vec_id % 50 = 0 AND nq.n > 0),
-         |probes AS (
-         | SELECT query_id, cell FROM (
-         |  SELECT q.vec_id AS query_id, ct.cell,
-         |   row_number() OVER (PARTITION BY q.vec_id
-         |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
-         |  FROM qset q, cents ct) WHERE prn <= 4),
-         |s1 AS (
-         | SELECT p.query_id, a.vec_id AS neighbor_id,
-         |  round((t0.t + t1.t + t2.t + t3.t) / nm.n, 6) AS approx
-         | FROM assign a JOIN probes p ON a.cell = p.cell
-         | JOIN codes cd ON cd.vec_id = a.vec_id
-         | JOIN nrm nm ON nm.vec_id = a.vec_id
-         | $adcJoins
-         | WHERE a.vec_id <> p.query_id AND nm.n > 0),
-         |surv AS (
-         | SELECT query_id, neighbor_id FROM (
-         |  SELECT query_id, neighbor_id,
-         |   row_number() OVER (PARTITION BY query_id
-         |    ORDER BY approx DESC, neighbor_id) AS srn
-         |  FROM s1) WHERE srn <= 20),
-         |rer AS (
-         | SELECT s.query_id, s.neighbor_id,
-         |  list_cosine_similarity(cn.v, cq.v) AS cos
-         | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
-         | JOIN c cq ON cq.vec_id = s.query_id),
-         |r AS (SELECT query_id, neighbor_id,
-         | CAST(row_number() OVER (PARTITION BY query_id
-         |  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM rer)""".stripMargin)
+         | WHERE ${evalSampleSql("c.vec_id", 20)} AND nq.n > 0)""".stripMargin)
+      .replaceAll("AS \\(", "AS MATERIALIZED (")
+  }
+
+  /** The SEARCH half — probe cells, ADC-scored stage 1, top-`rerank`
+    * survivors, exact-cosine rerank — through relation `r$sfx`,
+    * parameterized on (nProbe, rerank) so the q242 operating-point
+    * oracle states one tail per grid point over ONE shared training
+    * chain.
+    */
+  private def ivfPqSearchTailCtes(nProbe: Int, rerank: Int, sfx: String): String = {
+    val adcJoins = (0 until 4).map(sp =>
+      s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
+      .mkString("\n| ")
+    s"""probes$sfx AS (
+       | SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, ct.cell,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
+       |  FROM qset q, cents ct) WHERE prn <= $nProbe),
+       |s1$sfx AS (
+       | SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  round((t0.t + t1.t + t2.t + t3.t) / nm.n, 6) AS approx
+       | FROM assign a JOIN probes$sfx p ON a.cell = p.cell
+       | JOIN codes cd ON cd.vec_id = a.vec_id
+       | JOIN nrm nm ON nm.vec_id = a.vec_id
+       | $adcJoins
+       | WHERE a.vec_id <> p.query_id AND nm.n > 0),
+       |surv$sfx AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, neighbor_id) AS srn
+       |  FROM s1$sfx) WHERE srn <= $rerank),
+       |rer$sfx AS (
+       | SELECT s.query_id, s.neighbor_id,
+       |  list_cosine_similarity(cn.v, cq.v) AS cos
+       | FROM surv$sfx s JOIN c cn ON cn.vec_id = s.neighbor_id
+       | JOIN c cq ON cq.vec_id = s.query_id),
+       |r$sfx AS (SELECT query_id, neighbor_id,
+       | CAST(row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM rer$sfx)""".stripMargin
       .replaceAll("AS \\(", "AS MATERIALIZED (")
   }
 
@@ -6610,7 +6678,7 @@ object SparkEntry {
           s"""qsl AS (
              | SELECT vec_id, r.i AS pos,
              |  round(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE), 9) AS vd
-             | FROM embeddings, range(64) r(i) WHERE vec_id % 50 = 0),
+             | FROM embeddings, range(64) r(i) WHERE ${evalSampleSql("vec_id", 20)}),
              |""".stripMargin +
           adcs.mkString(",\n") + ",\n" +
           s"""codes AS (
@@ -6620,7 +6688,7 @@ object SparkEntry {
              | JOIN a3_s2 s2 USING (vec_id) JOIN a3_s3 s3 USING (vec_id)),
              |qset AS (
              | SELECT c.vec_id, c.v FROM c JOIN nrm nq ON nq.vec_id = c.vec_id
-             | WHERE c.vec_id % 50 = 0 AND nq.n > 0),
+             | WHERE ${evalSampleSql("c.vec_id", 20)} AND nq.n > 0),
              |probes AS (
              | SELECT query_id, cell FROM (
              |  SELECT q.vec_id AS query_id, ct.cell,

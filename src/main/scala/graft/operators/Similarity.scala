@@ -152,11 +152,31 @@ object Similarity {
     * driver iterations for a handful of masks past planes ≈ 30.
     * probeBits = 0 yields exactly the identity mask; probeBits ≥ planes
     * clamps to the full mask space (the pre-round-12 enumeration
-    * semantics — callers may legally over-probe).
+    * semantics — callers may legally over-probe, within the cap).
+    *
+    * DRIVER-SIZE CAP: the cumulative count Σ_{i≤probeBits} C(planes, i)
+    * must stay ≤ [[MaxProbeMasks]] — each mask is a driver-held literal
+    * AND a branch of the probe `explode(array(...))` expression, so an
+    * unbounded count (e.g. planes = 40, probeBits = 20 ≈ 10¹¹ masks)
+    * would hang the driver long before the executors saw a row. The
+    * count is checked incrementally, so the guard itself never
+    * overflows or enumerates.
     */
+  private[operators] val MaxProbeMasks = 4096L
+
   private[operators] def probeMasks(planes: Int, probeBits: Int): Seq[Long] = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
     require(probeBits >= 0, s"probeBits must be >= 0, got $probeBits")
+    var total = 0L
+    var choose = 1L // C(planes, b), built incrementally
+    (0 to math.min(probeBits, planes)).foreach { b =>
+      if (b > 0) choose = choose * (planes - b + 1) / b
+      total += choose
+      require(total <= MaxProbeMasks,
+        s"probe mask count exceeds $MaxProbeMasks at popcount $b " +
+          s"(planes=$planes, probeBits=$probeBits): lower probeBits or " +
+          s"planes — a mask list this size is driver-side work, not recall")
+    }
     (0 to math.min(probeBits, planes)).iterator
       .flatMap(b => (0 until planes).combinations(b)
         .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
@@ -905,6 +925,13 @@ object Similarity {
     * to put a composed index's recall-vs-brute on the oracle surface
     * instead of spec-only. Same `(query_id, n_hit, recall)` output and
     * bounded-query-sample cost contract.
+    *
+    * PRECONDITION: `ann` must have been computed over the SAME `queries`
+    * relation (or a superset) — the report left-joins the brute-force
+    * side, so a query missing from `ann` silently grades as recall 0,
+    * which is indistinguishable from a genuinely recall-0 index. Pass
+    * the identical query sample to both arms (every graded caller here
+    * derives both from one hash-sample relation).
     */
   def annRecallReportFor(corpus: DataFrame, queries: DataFrame, idCol: String,
                          vecCol: String, k: Int, ann: DataFrame): DataFrame = {
@@ -916,6 +943,78 @@ object Similarity {
       .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
       .withColumn("recall",
         round(col("n_hit").cast("double") / lit(k.toDouble), 6))
+  }
+
+  /** The (nProbe, rerank) operating-point PLANNER —
+    * [[graft.operators.Dedup.bandingPlan]]'s ANN twin: sweep the probe/
+    * rerank grid against [[annRecallReportFor]]'s recall on a bounded
+    * query sample and emit ONE relation
+    * `(n_probe, rerank, mean_recall, est_cost, chosen)`, so an index's
+    * operating point is MEASURED on the caller's own data instead of
+    * guessed. `mean_recall` is `Σ hits / (k · |queries|)` at 6 dp (the
+    * per-query recalls' mean, since every query contributes exactly k
+    * brute-force rows); `est_cost` is the uniform-occupancy per-query
+    * work model at 6 dp:
+    * `nProbe · subspaces · nCodes / nCentroids` stage-1 ADC adds plus
+    * `rerank · subspaces · subDim` exact-dot FLOPs — a RANKING cost
+    * proxy (right ordering, not microseconds). `chosen` flags the
+    * cheapest point meeting `targetRecall`, falling back to the highest
+    * recall when none does; ties break (est_cost, mean_recall desc,
+    * n_probe, rerank) — fully deterministic.
+    *
+    * 100 TB shape: the eval-operator contract — queries are a bounded
+    * hash sample ([[graft.operators.Sampling.hashBucket]]); the
+    * brute-force arm appears ONCE in the plan (the grid's searches
+    * union before the single hit-join), each grid point costs one
+    * retrain-free [[ivfPqSearch]] over the persisted codes, and
+    * everything after the heaps is (grid × queries × k)-sized.
+    */
+  def ivfPqOperatingPointPlan(index: IvfPqIndex, corpus: DataFrame,
+                              queries: DataFrame, idCol: String, vecCol: String,
+                              k: Int, nProbes: Seq[Int], reranks: Seq[Int],
+                              targetRecall: Double): DataFrame = {
+    require(nProbes.nonEmpty && reranks.nonEmpty, "empty operating-point grid")
+    require(nProbes == nProbes.distinct && reranks == reranks.distinct,
+      "duplicate grid points")
+    require(reranks.forall(_ >= k), s"every rerank must be >= k=$k: $reranks")
+    require(targetRecall >= 0.0 && targetRecall <= 1.0,
+      s"targetRecall out of [0,1]: $targetRecall")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val combos = for { p <- nProbes; r <- reranks } yield (p, r)
+    val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val anns = combos.map { case (p, r) =>
+      ivfPqSearch(index, corpus, queries, idCol, vecCol, k, p, r)
+        .select(lit(p).as("n_probe"), lit(r).as("rerank"),
+          col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hits = anns.join(bf, Seq("query_id", "neighbor_id"))
+      .groupBy(col("n_probe"), col("rerank"))
+      .agg(count(lit(1)).as("__hits"))
+    // all one-row/bounded: |queries|, |codes|, nCentroids, subspaces
+    val stats = bf.agg(countDistinct(col("query_id")).as("__nq"))
+      .crossJoin(index.codes.agg(count(lit(1)).as("__ncodes")))
+      .crossJoin(index.coarse.agg(count(lit(1)).as("__ncent")))
+      .crossJoin(index.pq.agg((max(col("subspace")) + 1).cast("int").as("__sp")))
+    val meets = col("mean_recall") >= targetRecall
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      meets.desc, when(meets, col("est_cost")).asc_nulls_last,
+      col("mean_recall").desc, col("est_cost").asc,
+      col("n_probe").asc, col("rerank").asc)
+    combos.toDF("n_probe", "rerank")
+      .join(hits, Seq("n_probe", "rerank"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("mean_recall",
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          (lit(k.toLong) * col("__nq")).cast("double"), 6))
+      .withColumn("est_cost", round(
+        col("n_probe").cast("double") * col("__sp").cast("double") *
+          col("__ncodes").cast("double") / col("__ncent").cast("double") +
+          col("rerank").cast("double") * col("__sp").cast("double") *
+            lit(index.subDim.toDouble), 6))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .select("n_probe", "rerank", "mean_recall", "est_cost", "chosen")
   }
 
   /** Banded near-dup RECALL gate — [[annRecallReport]]'s twin for the
@@ -967,6 +1066,10 @@ object Similarity {
     * Determinism: neighbors rank (cos desc, id asc) through the
     * bounded heap; the majority vote breaks count ties to the
     * LEXICOGRAPHICALLY SMALLEST label (min_by over (−count, label)).
+    * NULL neighbor labels are excluded from the vote (Spark's struct
+    * ordering puts nulls first where SQL row_number tie-breaks put them
+    * last — filtering is the one convention both engines state
+    * identically); a query whose every neighbor label is null drops.
     * Zero-norm queries/corpus rows drop ([[cosinePairs]] policy); a
     * query with no scorable neighbor drops from its label's tally.
     *
@@ -983,6 +1086,7 @@ object Similarity {
     val votes = nn
       .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl")),
         "neighbor_id")
+      .filter(col("__nl").isNotNull)
       .groupBy(col("query_id"), col("__nl"))
       .agg(count(lit(1)).as("__c"))
     val majority = votes.groupBy(col("query_id"))
@@ -1541,12 +1645,91 @@ object Similarity {
     *   - `pq`: `(subspace, code, centroid)` — the PQ codebooks
     *     (residual-space when `residual`), subspaces·pqK rows.
     *
-    * `residual` and `subDim` are carried as constructor fields (record
-    * them beside the relations when persisting); everything else the
-    * search needs is IN the relations.
+    * `residual` and `subDim` are carried as constructor fields AND in
+    * the one-row [[IvfPqIndex.meta]] relation — persist all FOUR
+    * relations with [[ivfPqIndexSave]] and reopen with
+    * [[ivfPqIndexLoad]], which takes NO flags: `residual` at load time
+    * is read from meta (a mis-stated residual flag is a silent
+    * mis-search, not an error — so there is no flag to mis-state), and
+    * every meta field that is ALSO derivable from the relations is
+    * re-derived and cross-checked, failing fast on a mixed or tampered
+    * directory.
     */
   final case class IvfPqIndex(codes: DataFrame, coarse: DataFrame,
-                              pq: DataFrame, residual: Boolean, subDim: Int)
+                              pq: DataFrame, residual: Boolean, subDim: Int) {
+
+    /** The index's one-row self-description
+      * `(residual, sub_dim, subspaces, pq_k, n_centroids)` — scalar
+      * lifecycle metadata AS A RELATION, so persisting the index loses
+      * nothing that reopening needs. `subspaces`/`pq_k`/`n_centroids`
+      * are stated redundantly with the codebook relations on purpose:
+      * [[ivfPqIndexLoad]] re-derives them and fails fast on mismatch.
+      */
+    def meta: DataFrame =
+      pq.agg((max(col("subspace")).cast("int") + 1).as("subspaces"),
+          (max(col("code")).cast("int") + 1).as("pq_k"))
+        .crossJoin(coarse.agg(count(lit(1)).cast("int").as("n_centroids")))
+        .select(lit(residual).as("residual"), lit(subDim).as("sub_dim"),
+          col("subspaces"), col("pq_k"), col("n_centroids"))
+  }
+
+  /** Persist all four index relations (codes/coarse/pq/meta) under one
+    * directory — the durable half of the build/search lifecycle. Plain
+    * parquet: any engine can read the codes, and [[ivfPqIndexLoad]]
+    * reopens flag-free.
+    */
+  def ivfPqIndexSave(index: IvfPqIndex, dir: String): Unit = {
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    index.codes.write.mode(mode).parquet(s"$dir/codes")
+    index.coarse.write.mode(mode).parquet(s"$dir/coarse")
+    index.pq.write.mode(mode).parquet(s"$dir/pq")
+    index.meta.write.mode(mode).parquet(s"$dir/meta")
+  }
+
+  /** Reopen a persisted index — NO caller-supplied parameters, by
+    * design: `residual` and `sub_dim` come from the meta relation (the
+    * two scalars a caller could previously mis-state, silently
+    * mis-searching), and everything meta states redundantly with the
+    * codebook relations (`subspaces`, `pq_k`, `n_centroids`, plus the
+    * pq centroid widths vs `sub_dim` and the codes relation's code
+    * columns) is re-derived and REQUIRED to match — a stale meta, a
+    * mixed directory, or a truncated codebook fails here, not as
+    * plausible-looking wrong neighbors. Cost: two bounded aggregates
+    * over the codebook relations plus the one-row meta read.
+    */
+  def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): IvfPqIndex = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val pq = spark.read.parquet(s"$dir/pq")
+    val metaRows = spark.read.parquet(s"$dir/meta")
+      .select(col("residual").cast("boolean"), col("sub_dim").cast("int"),
+        col("subspaces").cast("int"), col("pq_k").cast("int"),
+        col("n_centroids").cast("int"))
+      .collect()
+    require(metaRows.length == 1,
+      s"$dir/meta must hold exactly one row, got ${metaRows.length}")
+    val m = metaRows.head
+    val (residual, subDim) = (m.getBoolean(0), m.getInt(1))
+    val d = pq.agg((max(col("subspace")).cast("int") + 1).as("s"),
+        (max(col("code")).cast("int") + 1).as("k"),
+        min(size(col("centroid"))).as("lo"),
+        max(size(col("centroid"))).as("hi"))
+      .collect().head
+    require(d.getInt(0) == m.getInt(2),
+      s"meta says ${m.getInt(2)} subspaces but $dir/pq holds ${d.getInt(0)}")
+    require(d.getInt(1) == m.getInt(3),
+      s"meta says pq_k ${m.getInt(3)} but $dir/pq holds ${d.getInt(1)} codes")
+    require(d.getInt(2) == subDim && d.getInt(3) == subDim,
+      s"meta says sub_dim $subDim but $dir/pq centroids span " +
+        s"[${d.getInt(2)}, ${d.getInt(3)}] dims")
+    val nC = coarse.count()
+    require(nC == m.getInt(4).toLong,
+      s"meta says ${m.getInt(4)} coarse centroids but $dir/coarse holds $nC")
+    (0 until d.getInt(0)).foreach(sp => require(codes.columns.contains(s"code_$sp"),
+      s"$dir/codes is missing column code_$sp for the ${d.getInt(0)}-subspace codebook"))
+    IvfPqIndex(codes, coarse, pq, residual, subDim)
+  }
 
   /** Train and encode ONCE — the index half of the IVF-PQ split. One
     * corpus pass encodes every vector (cell + PQ codes + norm, all
@@ -1577,10 +1760,8 @@ object Similarity {
       } else
         (cells, col("__cv"),
           pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters))
-    val coded = withPqCodeCols(codeSrc, codeVec, cents, subspaces, subDim)
-    val codes = coded.select(
-      col("neighbor_id").as("id") +: col("cell") +: col("__n").as("nrm") +:
-        (0 until subspaces).map(sp => col(s"__code_$sp").as(s"code_$sp")): _*)
+    val codes = codesShape(
+      withPqCodeCols(codeSrc, codeVec, cents, subspaces, subDim), subspaces)
     val coarse = codebook.toSeq.toDF("cell", "centroid")
     val pq = (for {
       sp <- cents.indices
@@ -1602,6 +1783,31 @@ object Similarity {
   def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
                   rerank: Int = 20): DataFrame = {
+    val (codebook, cents, subspaces, pqK) = collectIndexCodebooks(index)
+    val coded = index.codes.select(
+      col("id").as("neighbor_id") +: col("cell") +: col("nrm").as("__n") +:
+        (0 until subspaces).map(sp => col(s"code_$sp").as(s"__code_$sp")): _*)
+    val rerankVecs = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__n", norm(col("__cv")))
+      .filter(col("__n") > 0)
+    val baseDot =
+      if (index.residual)
+        Some(dot(col("__qv"), element_at(typedlit(codebook.toMap), col("cell"))))
+      else None
+    ivfPqRank(coded, rerankVecs, queries, idCol, vecCol, codebook, cents,
+      baseDot, k, nProbe, subspaces, index.subDim, pqK, rerank)
+  }
+
+  /** The two bounded codebook-relation collects every retrain-free verb
+    * shares (search, encode, add): coarse → `(cell, centroid)` literals,
+    * pq → ragged `centroids(subspace)(code)(dim)` — nCentroids +
+    * subspaces·pqK rows total, folded back into the same literal
+    * expressions the inline operators use. Reading an index is not
+    * training: no Lloyd barrier is reachable from here.
+    */
+  private def collectIndexCodebooks(index: IvfPqIndex)
+      : (Array[(Long, Seq[Double])], Array[Array[Array[Double]]], Int, Int) = {
     val codebook: Array[(Long, Seq[Double])] = index.coarse
       .orderBy("cell").select(col("cell").cast("long"), col("centroid"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -1618,20 +1824,63 @@ object Similarity {
     }
     require(cents.forall(_.nonEmpty), "pq codebook has an empty subspace")
     val pqK = cents.map(_.length).max
-    val coded = index.codes.select(
-      col("id").as("neighbor_id") +: col("cell") +: col("nrm").as("__n") +:
-        (0 until subspaces).map(sp => col(s"code_$sp").as(s"__code_$sp")): _*)
-    val rerankVecs = corpus
-      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__n", norm(col("__cv")))
-      .filter(col("__n") > 0)
-    val baseDot =
-      if (index.residual)
-        Some(dot(col("__qv"), element_at(typedlit(codebook.toMap), col("cell"))))
-      else None
-    ivfPqRank(coded, rerankVecs, queries, idCol, vecCol, codebook, cents,
-      baseDot, k, nProbe, subspaces, index.subDim, pqK, rerank)
+    (codebook, cents, subspaces, pqK)
   }
+
+  /** Encode a batch against an index's FROZEN codebooks — FAISS's `add`
+    * step as a relation: one narrow per-row pass (coarse cell, norm,
+    * `subspaces` PQ codes — residual-space when the index is residual)
+    * over literal codebooks collected from the index, emitting rows in
+    * the codes-relation shape `(id, cell, nrm, code_0 …)`. NO training
+    * is reachable from here (the [[ivfPqSearch]] retrain-free
+    * guarantee): encoding row-for-row matches what [[ivfPqIndexBuild]]
+    * would have produced had the batch been in the build corpus, so
+    * incremental growth is bit-identical to a rebuild over the same
+    * codebooks — the [[ivfPqIndexAdd]] contract. Zero-norm rows drop
+    * ([[cosinePairs]] policy), exactly as at build.
+    */
+  def ivfPqEncode(index: IvfPqIndex, batch: DataFrame, idCol: String,
+                  vecCol: String): DataFrame = {
+    val (codebook, cents, subspaces, _) = collectIndexCodebooks(index)
+    val cells = ivfCells(batch, idCol, vecCol, codebook)
+    val (codeSrc, codeVec) =
+      if (index.residual) {
+        val centMap = typedlit(codebook.toMap)
+        (cells.withColumn("__r",
+          zip_with(col("__cv"), element_at(centMap, col("cell")), (x, c) => x - c)),
+          col("__r"))
+      } else (cells, col("__cv"))
+    codesShape(withPqCodeCols(codeSrc, codeVec, cents, subspaces, index.subDim),
+      subspaces)
+  }
+
+  /** Grow a persisted index WITHOUT retraining: [[ivfPqEncode]] the new
+    * batch against the frozen codebooks and union it into the codes
+    * relation — coarse/pq/meta unchanged. Searching the grown index is
+    * bit-identical to searching a rebuild that reuses the same
+    * codebooks over base ∪ batch (spec-pinned, and q241 grades the
+    * composition end-to-end against a from-scratch SQL oracle). The
+    * caller owns dedup semantics: adding an id that is already in the
+    * codes relation simply duplicates it, exactly like FAISS `add`.
+    *
+    * 100 TB shape: the add path is one narrow batch pass plus a
+    * union-all — no shuffle, no training barrier, no full-corpus read;
+    * the quantization-drift question ("are the frozen codebooks still
+    * good for the new data?") is [[annRecallReportFor]]'s job, graded
+    * per batch on a hash sample.
+    */
+  def ivfPqIndexAdd(index: IvfPqIndex, batch: DataFrame, idCol: String,
+                    vecCol: String): IvfPqIndex =
+    index.copy(codes =
+      index.codes.unionByName(ivfPqEncode(index, batch, idCol, vecCol)))
+
+  /** The codes-relation projection `(id, cell, nrm, code_0 …)` shared by
+    * the build and encode passes.
+    */
+  private def codesShape(coded: DataFrame, subspaces: Int): DataFrame =
+    coded.select(
+      col("neighbor_id").as("id") +: col("cell") +: col("__n").as("nrm") +:
+        (0 until subspaces).map(sp => col(s"__code_$sp").as(s"code_$sp")): _*)
 
   /** Contrastive training-triple assembly — the "make embedding training
     * data" composition: one LSH-bucketed candidate pass (the
@@ -1837,6 +2086,36 @@ object Similarity {
         >= threshold)
       .select("doc_a", "doc_b")
     semanticAudit(df, idCol, edges)
+  }
+
+  /** [[semanticDedupBanded]] with `planes` SIZED FROM THE DATA — the
+    * no-hand-tuning entry point (costs one count() job up front, the
+    * [[nearDupPairsAuto]] pattern): the bounded path stays bounded at
+    * any corpus size because [[semanticBandedPlanes]] re-derives the
+    * plane count from the measured n, instead of a fixed default that
+    * is right at one scale and super-linear at another.
+    */
+  def semanticDedupBandedAuto(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, k: Int = 4, iters: Int = 2,
+                              tables: Int = 3,
+                              pairBudgetPerVec: Long = 3L): DataFrame =
+    semanticDedupBanded(df, idCol, vecCol, threshold, k, iters,
+      semanticBandedPlanes(df.count(), k, pairBudgetPerVec, tables), tables)
+
+  /** `planes` sizing for [[semanticDedupBanded]]: [[bandedPlanesFor]]
+    * against the EXPECTED CLUSTER OCCUPANCY ⌈n/k⌉, not the corpus n —
+    * banding there runs INSIDE a k-means cluster, so the per-vector
+    * candidate load is `tables · |cluster| / 2^planes` and sizing
+    * against the full corpus would overshoot planes by ~log₂(k) bits,
+    * paying recall for headroom the clustering already bought.
+    * Uniform-occupancy model: a skewed mega-cluster exceeds n/k, which
+    * is exactly the case the planes cap exists to bound — its budget
+    * overrun is the `pairBudgetPerVec` slack, not a blowup.
+    */
+  def semanticBandedPlanes(n: Long, k: Int, pairBudgetPerVec: Long = 3L,
+                           tables: Int = 3): Int = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    bandedPlanesFor(math.max(1L, (n + k - 1) / k), pairBudgetPerVec, tables)
   }
 
   /** The shared audit tail of both semantic dedup paths: weld `edges`
