@@ -2463,6 +2463,42 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ── incremental index ADD (FAISS's add verb): build on the ~half
+    // hash-split base, encode the delta against the FROZEN codebooks
+    // (no retrain — zero training aggregations in the add path,
+    // PlanSpec-pinned), union the codes relation, search the grown
+    // index over the full corpus. The oracle states the equivalent
+    // rebuild from scratch: train on the base, code EVERYTHING against
+    // the final codebooks — bit-identical by the ivfPqEncode contract.
+    "q241_ivf_pq_index_add" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = evalSample(emb, "vec_id", 500)
+      val delta = emb.filter(
+        graft.operators.Sampling.hashBucket(col("vec_id")) >= 500)
+      val idx = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      Similarity.ivfPqSearch(
+        Similarity.ivfPqIndexAdd(idx, delta, "vec_id", "embedding"),
+        emb, evalSample(emb, "vec_id", 20), "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── (nProbe, rerank) operating-point planner — bandingPlan's ANN
+    // twin: each grid point searches the SAME built index retrain-free,
+    // recall grades against one shared brute-force arm, est_cost is the
+    // uniform-occupancy work model, chosen = cheapest point meeting the
+    // 0.9 recall target (max recall if none does).
+    "q242_ivf_pq_operating_plan" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      Similarity.ivfPqOperatingPointPlan(idx, emb, evalSample(emb, "vec_id", 20),
+        "vec_id", "embedding", k = 5, nProbes = Seq(2, 4),
+        reranks = Seq(10, 20), targetRecall = 0.9)
+        .orderBy("n_probe", "rerank")
+    }),
+
     // ── SemDeDup: k-means clusters bound the candidate set, exact cosine
     // welds within-cluster pairs, components keep their smallest id —
     // the embedding-space dedup production recipe (q58's audit shape).
@@ -5807,6 +5843,17 @@ object SparkEntry {
     // SQL — the q232/q219 relationship for the residual stack.
     "q236_ivf_pq_residual_index" -> ivfPqResidualOracleSql,
 
+    // Incremental index add: the engine encodes the delta against the
+    // FROZEN base-trained codebooks and unions the codes; the oracle is
+    // the from-scratch rebuild over the same codebooks (train on base,
+    // code everything, q219's search tail).
+    "q241_ivf_pq_index_add" -> ivfPqAddOracleSql,
+
+    // Operating-point planner: one shared training chain + per-grid-
+    // point search tails + the shared brute-force top-5, then recall/
+    // cost arithmetic and the deterministic chosen window.
+    "q242_ivf_pq_operating_plan" -> ivfPqPlanOracleSql,
+
     // k-NN label consistency: the q26 brute-force ranking (cos desc, id
     // ties, zero-norm drops on both sides) + per-query vote counts +
     // the (count DESC, label ASC) majority window + per-label rollup.
@@ -6616,16 +6663,19 @@ object SparkEntry {
     * same cosine-desc/id total order as the rerank CTE; zero-norm rows
     * are excluded on both sides (the engine's drop policy).
     */
-  private lazy val annRecallOracleTail: String =
-    """bf AS (
+  private lazy val bfTop5Cte: String =
+    """bf AS MATERIALIZED (
       | SELECT query_id, neighbor_id FROM (
       |  SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
       |   row_number() OVER (PARTITION BY q.vec_id
       |    ORDER BY list_cosine_similarity(cn.v, q.v) DESC, cn.vec_id) AS brn
       |  FROM qset q JOIN c cn ON cn.vec_id <> q.vec_id
       |  JOIN nrm nc ON nc.vec_id = cn.vec_id AND nc.n > 0)
-      | WHERE brn <= 5),
-      |ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM r WHERE rn <= 5)
+      | WHERE brn <= 5)""".stripMargin
+
+  private lazy val annRecallOracleTail: String =
+    bfTop5Cte + ",\n" +
+    """ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM r WHERE rn <= 5)
       |SELECT bf.query_id,
       | CAST(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
       | round(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
@@ -6635,6 +6685,58 @@ object SparkEntry {
 
   private lazy val ivfPqRecallOracleSql: String =
     "WITH " + ivfPqOracleCtes + ",\n" + annRecallOracleTail
+
+  /** q241: the incremental-add oracle — the REBUILD the add must be
+    * bit-identical to, stated from scratch: PQ chains and the coarse
+    * centroid pick TRAIN on the hash-split base relation only
+    * (srcRel/centsPred), the terminal code assignment covers the FULL
+    * corpus against those frozen codebooks (assignRel), and the search
+    * tail is verbatim q219's.
+    */
+  private lazy val ivfPqAddOracleSql: String = {
+    val basePred = evalSampleSql("vec_id", 500)
+    "WITH " + ivfPqTrainCtes(srcRel = "bemb", assignRel = "embeddings",
+      centsPred = basePred,
+      pre = s"bemb AS (SELECT vec_id, embedding FROM embeddings WHERE $basePred)") +
+      ",\n" + ivfPqSearchTailCtes(4, 20, "") +
+      "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
+      "\nORDER BY query_id, rn"
+  }
+
+  /** q242: the operating-point planner oracle — ONE shared training
+    * chain + one parameterized search tail per (nProbe, rerank) grid
+    * point + the shared brute-force top-5, then per-point recall/cost
+    * arithmetic and the deterministic chosen window (cheapest meeting
+    * the 0.9 target, else highest recall; est_cost/recall/n_probe/
+    * rerank ties).
+    */
+  private lazy val ivfPqPlanOracleSql: String = {
+    val combos = Seq((2, 10), (2, 20), (4, 10), (4, 20))
+    val tails = combos.map { case (p, r) =>
+      ivfPqSearchTailCtes(p, r, s"_p${p}r$r") }
+    val grid = combos.map { case (p, r) =>
+      s"""SELECT $p AS n_probe, $r AS rerank,
+         | (SELECT count(*) FROM bf JOIN r_p${p}r$r a
+         |   ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+         |   AND a.rn <= 5) AS hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + ivfPqTrainCtes() + ",\n" + tails.mkString(",\n") + ",\n" +
+      bfTop5Cte + ",\n" +
+      s"""grid AS ($grid),
+         |st AS (SELECT (SELECT count(DISTINCT query_id) FROM bf) AS nq,
+         |              (SELECT count(*) FROM nrm WHERE n > 0) AS ncodes,
+         |              (SELECT count(*) FROM cents) AS ncent),
+         |rep AS (SELECT g.n_probe, g.rerank,
+         |  round(CAST(g.hits AS DOUBLE) / CAST(5 * st.nq AS DOUBLE), 6) AS mean_recall,
+         |  round(CAST(g.n_probe AS DOUBLE) * 4 * st.ncodes / st.ncent
+         |        + CAST(g.rerank AS DOUBLE) * 4 * 16, 6) AS est_cost
+         | FROM grid g, st)
+         |SELECT n_probe, rerank, mean_recall, est_cost,
+         | row_number() OVER (ORDER BY (mean_recall >= 0.9) DESC,
+         |   CASE WHEN mean_recall >= 0.9 THEN est_cost END ASC NULLS LAST,
+         |   mean_recall DESC, est_cost ASC, n_probe, rerank) = 1 AS chosen
+         |FROM rep ORDER BY n_probe, rerank""".stripMargin
+  }
 
 
   /** The residual IVF-PQ oracle CTE chain through relation `r` — the

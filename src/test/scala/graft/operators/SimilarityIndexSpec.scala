@@ -196,14 +196,12 @@ class SimilarityIndexSpec extends SparkSpec {
     val built = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
       nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
     val dir = Files.createTempDirectory("graft-ivfpq-").toString
-    built.codes.write.parquet(s"$dir/codes")
-    built.coarse.write.parquet(s"$dir/coarse")
-    built.pq.write.parquet(s"$dir/pq")
-    val loaded = Similarity.IvfPqIndex(
-      spark.read.parquet(s"$dir/codes"),
-      spark.read.parquet(s"$dir/coarse"),
-      spark.read.parquet(s"$dir/pq"),
-      residual = false, subDim = 16)
+    // save → load takes NO caller-supplied flags: residual/sub_dim come
+    // from the meta relation, so a wrong-flag load cannot exist
+    Similarity.ivfPqIndexSave(built, dir)
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir)
+    assert(!loaded.residual && loaded.subDim == 16,
+      "meta round-trips the scalar fields")
     val got = Similarity.ivfPqSearch(loaded, emb, qs, "vec_id", "embedding",
       k = 5, nProbe = 4, rerank = 20)
     val want = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
@@ -320,5 +318,155 @@ class SimilarityIndexSpec extends SparkSpec {
     val ap = ann.filter($"query_id" === q0)
       .select($"neighbor_id").as[Long].collect().toSet
     assert(rep.find(_._1 == q0).get._2 == (bf & ap).size.toLong)
+  }
+
+  test("a residual index round-trips; a tampered or mixed directory fails fast at load") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val res = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+      residual = true)
+    val dir = Files.createTempDirectory("graft-ivfpq-res-").toString
+    Similarity.ivfPqIndexSave(res, dir)
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir)
+    assert(loaded.residual && loaded.subDim == 16,
+      "residual=true comes back from meta, not from a caller flag")
+    assert(Similarity.ivfPqSearch(loaded, emb, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20).as[(Long, Long, Long)].collect().toSet ==
+      Similarity.ivfPqResidualTopK(emb, qs, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
+        pqIters = 2, rerank = 20).as[(Long, Long, Long)].collect().toSet)
+
+    // tamper: meta claiming a different subspace count than the pq
+    // relation — the load must refuse, not silently mis-search
+    val bad = Files.createTempDirectory("graft-ivfpq-bad-").toString
+    Similarity.ivfPqIndexSave(res, bad)
+    val badMeta = spark.read.parquet(s"$bad/meta")
+      .withColumn("subspaces", lit(8))
+    badMeta.write.mode("overwrite").parquet(s"$bad/meta2")
+    spark.read.parquet(s"$bad/meta2").write.mode("overwrite").parquet(s"$bad/meta")
+    val e = intercept[IllegalArgumentException](Similarity.ivfPqIndexLoad(spark, bad))
+    assert(e.getMessage.contains("subspaces"))
+    // mixed directory: a pq relation from a subDim=8 build under a
+    // subDim=16 meta — refused on the derived centroid width
+    val mixed = Files.createTempDirectory("graft-ivfpq-mixed-").toString
+    Similarity.ivfPqIndexSave(res, mixed)
+    Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding", nCentroids = 16,
+      subspaces = 4, subDim = 8, pqK = 4, pqIters = 1)
+      .pq.write.mode("overwrite").parquet(s"$mixed/pq2")
+    spark.read.parquet(s"$mixed/pq2").write.mode("overwrite").parquet(s"$mixed/pq")
+    val e2 = intercept[IllegalArgumentException](Similarity.ivfPqIndexLoad(spark, mixed))
+    assert(e2.getMessage.contains("sub_dim"))
+  }
+
+  test("ivfPqIndexAdd is bit-identical to a rebuild over the same frozen codebooks") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val base = emb.filter(Sampling.hashBucket($"vec_id") < 500)
+    val delta = emb.filter(Sampling.hashBucket($"vec_id") >= 500)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    for (residual <- Seq(false, true)) {
+      val idx = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+        residual = residual)
+      val grown = Similarity.ivfPqIndexAdd(idx, delta, "vec_id", "embedding")
+      // the rebuild that reuses the same codebooks: re-encode EVERYTHING
+      // against the frozen relations and swap the codes wholesale
+      val rebuilt = idx.copy(codes =
+        Similarity.ivfPqEncode(idx, emb, "vec_id", "embedding"))
+      val got = Similarity.ivfPqSearch(grown, emb, qs, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 20)
+      assert(rows(got) ==
+        rows(Similarity.ivfPqSearch(rebuilt, emb, qs, "vec_id", "embedding",
+          k = 5, nProbe = 4, rerank = 20)),
+        s"residual=$residual: add(base, delta) must equal the frozen-codebook rebuild")
+      // the add path is retrain-free STRUCTURALLY: searching the grown
+      // index still aggregates exactly the 2x(partial+final) topK
+      // stages — a Lloyd iteration anywhere in the add lineage would
+      // surface extra hash aggregations here
+      val root = got.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      val aggs = root.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+      }
+      assert(aggs.size == 4,
+        s"residual=$residual: add-path search must hold only the 2x(partial+final) " +
+          s"topK aggregates, got ${aggs.size}")
+    }
+  }
+
+  test("ivfPqOperatingPointPlan: recall matches the per-point recall report; cost model and chosen are deterministic") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(Sampling.hashBucket($"vec_id") < 100)
+    val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val plan = Similarity.ivfPqOperatingPointPlan(idx, emb, qs, "vec_id",
+      "embedding", k = 5, nProbes = Seq(2, 4), reranks = Seq(10, 20),
+      targetRecall = 0.9)
+      .as[(Int, Int, Double, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(plan.length == 4 && plan.count(_._5) == 1, "full grid, exactly one chosen")
+    // one grid point cross-checked against the graded recall report
+    val (p, r) = (4, 20)
+    val rep = Similarity.annRecallReportFor(emb, qs, "vec_id", "embedding", 5,
+      Similarity.ivfPqSearch(idx, emb, qs, "vec_id", "embedding", 5, p, r))
+      .as[(Long, Long, Double)].collect()
+    val want = BigDecimal(rep.map(_._2).sum.toDouble / (5.0 * rep.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(plan.find(x => x._1 == p && x._2 == r).get._3 == want)
+    // the stated uniform-occupancy cost model, recomputed by hand
+    val nCodes = idx.codes.count()
+    plan.foreach { case (np, rr, _, cost, _) =>
+      val wantCost = BigDecimal(np.toDouble * 4 * nCodes / 16 + rr.toDouble * 4 * 16)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cost == wantCost, s"est_cost at ($np, $rr)")
+    }
+    // recall cannot exceed 1; more rerank at fixed probes never hurts here
+    assert(plan.forall(x => x._3 >= 0.0 && x._3 <= 1.0))
+    intercept[IllegalArgumentException](Similarity.ivfPqOperatingPointPlan(
+      idx, emb, qs, "vec_id", "embedding", k = 5, Seq(2), Seq(3), 0.9))
+  }
+
+  test("probeMasks refuses a driver-breaking cumulative mask count") {
+    val e = intercept[IllegalArgumentException](Similarity.probeMasks(40, 20))
+    assert(e.getMessage.contains("probe mask count"))
+    // the cap is on the CUMULATIVE count, checked incrementally — wide
+    // planes at small radius stay legal
+    assert(Similarity.probeMasks(62, 2).size == 1 + 62 + 62 * 61 / 2)
+  }
+
+  test("knnLabelConsistency excludes NULL neighbor labels from the vote") {
+    // query 0's two nearest neighbors: id 1 (label NULL) and id 2
+    // (label "b") — the null must not out-vote or tie "b"
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), Some("b")),
+      (1L, Array(0.999f, 0.02f), None),
+      (2L, Array(0.99f, 0.1f), Some("b")),
+      (3L, Array(0.0f, 1.0f), Some("z"))
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelConsistency(df, df.filter($"vec_id" === 0),
+      "vec_id", "embedding", "label", 2)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(("b", 1L, 1L, 1.0)),
+      "the null-labeled nearest neighbor drops; 'b' carries the vote")
+  }
+
+  test("semanticDedupBandedAuto sizes planes from the expected cluster occupancy") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val planes = Similarity.semanticBandedPlanes(n, k = 4)
+    assert(planes == Similarity.bandedPlanesFor((n + 3) / 4),
+      "sizing is bandedPlanesFor against ceil(n/k), not the corpus n")
+    val auto = Similarity.semanticDedupBandedAuto(emb, "vec_id", "embedding",
+      threshold = 0.4, k = 4, iters = 2)
+      .as[(Long, String, Long)].collect().toSet
+    val explicit = Similarity.semanticDedupBanded(emb, "vec_id", "embedding",
+      threshold = 0.4, k = 4, iters = 2, planes = planes, tables = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(auto == explicit)
   }
 }
