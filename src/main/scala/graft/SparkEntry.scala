@@ -2499,6 +2499,28 @@ object SparkEntry {
         .orderBy("n_probe", "rerank")
     }),
 
+    // ── IVF cell-occupancy health report: one row per coarse cell with
+    // count/fraction/load_factor (1 = uniform), DEAD cells included as
+    // zero rows — the after-every-add quantizer-balance gate. pqIters=0:
+    // occupancy depends only on the coarse assignment, so the stage
+    // skips the Lloyd barriers entirely.
+    "q243_ivf_cell_occupancy" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 0)
+      Similarity.ivfCellOccupancy(idx).orderBy("cell")
+    }),
+
+    // ── hyperplane-banding recall planner: bandingPlan's embedding twin
+    // — fp/fn Riemann masses of the any-of-3-tables collision curve in
+    // angle space per candidate planes value; 0.369 ≈ acos(0.4)/π, the
+    // q240 family's cosine threshold restated as an angle fraction.
+    "q244_banded_recall_plan" -> ((s, dir) =>
+      Similarity.bandedRecallPlan(s, angleThreshold = 0.369,
+        planesGrid = Seq(2, 4, 6, 8), tables = 3, grid = 100,
+        fpWeight = 0.5, fnWeight = 0.5)
+        .orderBy("planes")),
+
     // ── SemDeDup: k-means clusters bound the candidate set, exact cosine
     // welds within-cluster pairs, components keep their smallest id —
     // the embedding-space dedup production recipe (q58's audit shape).
@@ -5853,6 +5875,52 @@ object SparkEntry {
     // point search tails + the shared brute-force top-5, then recall/
     // cost arithmetic and the deterministic chosen window.
     "q242_ivf_pq_operating_plan" -> ivfPqPlanOracleSql,
+
+    // IVF cell occupancy: the q37 first-16 centroid pick + argmin
+    // assignment, zero-norm rows excluded from the counts (the codes
+    // relation's drop policy), dead cells preserved by the left join.
+    "q243_ivf_cell_occupancy" ->
+      """WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
+        |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT c.vec_id, ct.cell,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+        |  FROM c, cents ct) WHERE arn = 1),
+        |occ AS (SELECT a.cell, count(*) AS n FROM assign a
+        |        JOIN nrm nn ON nn.vec_id = a.vec_id AND nn.n > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM occ),
+        |kc AS (SELECT count(*) AS k FROM cents)
+        |SELECT ct.cell, CAST(coalesce(o.n, 0) AS BIGINT) AS n_vectors,
+        | round(CAST(coalesce(o.n, 0) AS DOUBLE) / t.t, 6) AS frac,
+        | round(CAST(coalesce(o.n, 0) AS DOUBLE) * kc.k / t.t, 6) AS load_factor
+        |FROM cents ct LEFT JOIN occ o ON o.cell = ct.cell, tot t, kc
+        |ORDER BY ct.cell""".stripMargin,
+
+    // Banded recall planner: identical angle grid, 9-dp collision curve
+    // points, decimal Riemann masses, 6-dp score, (score, planes DESC)
+    // chosen window — the q239 recipe in angle space.
+    "q244_banded_recall_plan" ->
+      """WITH sp AS (SELECT * FROM (VALUES (2), (4), (6), (8)) t(planes)),
+        |g AS (SELECT (CAST(i AS DOUBLE) + 0.5) / 100 AS t FROM range(100) r(i)),
+        |p AS (SELECT planes, t,
+        |  round(1.0 - pow(1.0 - pow(1.0 - t, planes), 3), 9) AS p
+        | FROM sp, g),
+        |agg AS (SELECT planes,
+        |  round(CAST(sum(CASE WHEN t > 0.369 THEN CAST(p AS DECIMAL(28,12))
+        |                      ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) / 100, 6) AS fp,
+        |  round(CAST(sum(CASE WHEN t <= 0.369 THEN CAST(1.0 - p AS DECIMAL(28,12))
+        |                      ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) / 100, 6) AS fn
+        | FROM p GROUP BY 1),
+        |sc AS (SELECT planes, 3 AS tables, fp, fn,
+        |  round(0.5 * fp + 0.5 * fn, 6) AS score FROM agg)
+        |SELECT planes, tables, fp, fn, score,
+        | row_number() OVER (ORDER BY score, planes DESC) = 1 AS chosen
+        |FROM sc ORDER BY planes""".stripMargin,
 
     // k-NN label consistency: the q26 brute-force ranking (cos desc, id
     // ties, zero-norm drops on both sides) + per-query vote counts +

@@ -356,6 +356,65 @@ object Similarity {
     }.get
   }
 
+  /** Hyperplane-banding RECALL planner —
+    * [[graft.operators.Dedup.bandingPlan]]'s twin for the EMBEDDING
+    * banded generators ([[nearDupPairsBanded]], [[semanticDedupBanded]]):
+    * [[bandedPlanesFor]] bounds COST but says nothing about quality;
+    * this relation states the quality side of each candidate `planes`
+    * value so the (planes, tables) point is chosen with both eyes open.
+    * For a pair at angle fraction `t = θ/π ∈ (0,1)`, per-plane agreement
+    * is `1 − t` (the hyperplane-LSH identity), one-table collision
+    * `(1−t)^planes`, any-of-`tables` collision
+    * `p(t) = 1 − (1 − (1−t)^planes)^tables`. Midpoint-Riemann masses
+    * over a `grid`-point angle grid give a false-positive mass ABOVE
+    * `angleThreshold` (dissimilar pairs still colliding — wasted
+    * verification) and a false-negative mass at or below it (near-dups
+    * missed); the planes value minimizing `fpWeight·fp + fnWeight·fn`
+    * is flagged `chosen`, score ties breaking to MORE planes (fewer
+    * candidates at equal quality). One row per grid value:
+    * `(planes, tables, fp, fn, score, chosen)`, 6 dp.
+    *
+    * `angleThreshold` is the caller's cosine threshold mapped through
+    * `acos(c)/π` ONCE on the caller side (e.g. cos 0.4 → ≈ 0.369) — the
+    * relation itself stays rational-plus-`pow` arithmetic, the same
+    * cross-engine recipe as `bandingPlan` (9-dp curve points, DECIMAL
+    * Riemann sums, 6-dp masses). Pure closed-form over grid×planes rows
+    * — no corpus access, broadcast-size at any scale.
+    */
+  def bandedRecallPlan(spark: org.apache.spark.sql.SparkSession,
+                       angleThreshold: Double, planesGrid: Seq[Int],
+                       tables: Int = 3, grid: Int = 100,
+                       fpWeight: Double = 0.5, fnWeight: Double = 0.5): DataFrame = {
+    require(angleThreshold > 0 && angleThreshold < 1,
+      s"angleThreshold out of (0,1): $angleThreshold")
+    require(planesGrid.nonEmpty && planesGrid == planesGrid.distinct &&
+      planesGrid.forall(p => p >= 1 && p <= 62),
+      s"planesGrid must be distinct values in [1, 62]: $planesGrid")
+    require(tables >= 1 && grid >= 10, s"need tables >= 1, grid >= 10")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "weights must be non-negative and not both zero")
+    import spark.implicits._
+    val pts = planesGrid.toDF("planes")
+      .crossJoin(spark.range(grid).select(col("id").as("__i")))
+      .withColumn("__t", (col("__i").cast("double") + 0.5) / grid)
+      .withColumn("__p", round(lit(1.0) -
+        pow(lit(1.0) - pow(lit(1.0) - col("__t"), col("planes")), lit(tables)), 9))
+    pts.groupBy(col("planes"))
+      .agg(
+        round(sum(when(col("__t") > angleThreshold, col("__p")).otherwise(lit(0.0))
+          .cast("decimal(28,12)")).cast("double") / grid, 6).as("fp"),
+        round(sum(when(col("__t") <= angleThreshold, lit(1.0) - col("__p"))
+          .otherwise(lit(0.0)).cast("decimal(28,12)")).cast("double") / grid, 6)
+          .as("fn"))
+      .withColumn("tables", lit(tables))
+      .withColumn("score",
+        round(lit(fpWeight) * col("fp") + lit(fnWeight) * col("fn"), 6))
+      .withColumn("chosen",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score"), col("planes").desc)) === 1)
+      .select("planes", "tables", "fp", "fn", "score", "chosen")
+  }
+
   /** Near-dup pairs with `planes` sized from the counted corpus — the
     * production entry point (costs one count() job up front). Delegates to
     * [[nearDupPairsBanded]]: banding is the generator whose planes knob
@@ -1881,6 +1940,36 @@ object Similarity {
     coded.select(
       col("neighbor_id").as("id") +: col("cell") +: col("__n").as("nrm") +:
         (0 until subspaces).map(sp => col(s"__code_$sp").as(s"code_$sp")): _*)
+
+  /** IVF cell-occupancy HEALTH report — "is the coarse quantizer still
+    * balanced on what the index now holds": one row per coarse cell,
+    * `(cell, n_vectors, frac, load_factor)` with
+    * `load_factor = n · nCells / total` (1 = perfectly uniform), 6 dp,
+    * EMPTY cells included as zero rows (a dead centroid is a finding,
+    * not an absence — it silently halves the effective nProbe). The
+    * after-every-[[ivfPqIndexAdd]] gate: a drifting corpus shows up as
+    * load skew long before recall sags, because probe cost scales with
+    * the probed cells' occupancy and a mega-cell defeats the IVF
+    * pruning entirely.
+    *
+    * 100 TB shape: one compact-key groupBy over the codes relation,
+    * nCentroids-sized output — runs in the time of a count.
+    */
+  def ivfCellOccupancy(index: IvfPqIndex): DataFrame = {
+    val occ = index.codes.groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    val tot = index.codes.agg(count(lit(1)).as("__t"))
+      .crossJoin(index.coarse.agg(count(lit(1)).as("__k")))
+    index.coarse.select(col("cell"))
+      .join(occ, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"),
+        coalesce(col("__n"), lit(0L)).as("n_vectors"),
+        round(coalesce(col("__n"), lit(0L)).cast("double") /
+          col("__t").cast("double"), 6).as("frac"),
+        round(coalesce(col("__n"), lit(0L)).cast("double") *
+          col("__k").cast("double") / col("__t").cast("double"), 6)
+          .as("load_factor"))
+  }
 
   /** Contrastive training-triple assembly — the "make embedding training
     * data" composition: one LSH-bucketed candidate pass (the

@@ -455,6 +455,57 @@ class SimilarityIndexSpec extends SparkSpec {
       "the null-labeled nearest neighbor drops; 'b' carries the vote")
   }
 
+  test("ivfCellOccupancy reports dead cells as zero rows and exact load arithmetic") {
+    // a hand-built index: 4 coarse cells, cell 2 dead, occupancy 3/2/0/1
+    val codes = Seq((10L, 0L, 1.0), (11L, 0L, 1.0), (12L, 0L, 1.0),
+      (13L, 1L, 1.0), (14L, 1L, 1.0), (15L, 3L, 1.0))
+      .toDF("id", "cell", "nrm")
+    val coarse = Seq((0L, Seq(1.0)), (1L, Seq(2.0)), (2L, Seq(3.0)), (3L, Seq(4.0)))
+      .toDF("cell", "centroid")
+    val pq = Seq((0, 0, Seq(0.0))).toDF("subspace", "code", "centroid")
+    val idx = Similarity.IvfPqIndex(codes, coarse, pq, residual = false, subDim = 1)
+    val got = Similarity.ivfCellOccupancy(idx)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 3L, 0.5, 2.0), (1L, 2L, BigDecimal(2.0 / 6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, BigDecimal(8.0 / 6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 0L, 0.0, 0.0), (3L, 1L, BigDecimal(1.0 / 6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, BigDecimal(4.0 / 6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // fractions partition the corpus; load averages to 1 over live+dead
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  test("bandedRecallPlan: driver-reference masses; more planes trades fn for fp; one chosen") {
+    val plan = Similarity.bandedRecallPlan(spark, angleThreshold = 0.369,
+      planesGrid = Seq(2, 4, 6, 8), tables = 3, grid = 100)
+      .as[(Int, Int, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(plan.length == 4 && plan.count(_._6) == 1)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    plan.foreach { case (p, tb, fp, fn, score, _) =>
+      assert(tb == 3)
+      val pts = (0 until 100).map { i =>
+        val t = (i + 0.5) / 100
+        (t, r9(1.0 - math.pow(1.0 - math.pow(1.0 - t, p), 3)))
+      }
+      val wantFp = r6(pts.filter(_._1 > 0.369).map(_._2).sum / 100)
+      val wantFn = r6(pts.filter(_._1 <= 0.369).map(x => BigDecimal(1.0) - x._2).sum / 100)
+      assert(fp == wantFp && fn == wantFn, s"planes=$p")
+      assert(score == BigDecimal(0.5 * fp + 0.5 * fn)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the collision curve falls pointwise as planes grow: fp can only
+    // fall, fn can only rise
+    assert(plan.map(_._3).sliding(2).forall(w => w(1) <= w(0)))
+    assert(plan.map(_._4).sliding(2).forall(w => w(1) >= w(0)))
+    intercept[IllegalArgumentException](
+      Similarity.bandedRecallPlan(spark, 0.369, Seq(2, 2)))
+    intercept[IllegalArgumentException](
+      Similarity.bandedRecallPlan(spark, 1.5, Seq(2)))
+  }
+
   test("semanticDedupBandedAuto sizes planes from the expected cluster occupancy") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
