@@ -737,8 +737,11 @@ object PipelineScaleBench {
     // across runs, and a PIPE_ONLY search must never silently consume a
     // stale index from a different corpus size or an older revision's
     // parameterization
+    // m2 = the meta-relation schema version: bumping it orphans indexes
+    // persisted by an older revision whose meta a newer loader would
+    // refuse, so a PIPE_ONLY search rebuilds instead of crashing
     val (idxCents, idxSub, idxSubDim, idxPqK) = (16, 4, 16, 8)
-    val idxSfx = s"_${nDocs}_c${idxCents}_pq${idxPqK}x${idxSub}d$idxSubDim.parquet"
+    val idxSfx = s"_m2_${nDocs}_c${idxCents}_pq${idxPqK}x${idxSub}d$idxSubDim.parquet"
     def buildIvfPqIndex(): Unit = {
       val idx = Similarity.ivfPqIndexBuild(vecs, "vec_id", "embedding",
         nCentroids = idxCents, subspaces = idxSub, subDim = idxSubDim,
@@ -752,8 +755,11 @@ object PipelineScaleBench {
     // a PIPE_ONLY run that skipped the build stage still needs an index —
     // built OUTSIDE the timer, or the search metric would include the
     // exact train+encode cost the stage exists to prove is amortized
+    // meta is written LAST by ivfPqIndexSave, so its presence is the
+    // commit marker: an interrupted build (codes written, meta not)
+    // re-triggers the rebuild instead of feeding the loader a torso
     val searchWillRun = only.forall(_.exists("pipe_ivf_pq_search".contains))
-    if (searchWillRun && !new java.io.File(s"$work/ivfpq$idxSfx/codes").exists())
+    if (searchWillRun && !new java.io.File(s"$work/ivfpq$idxSfx/meta").exists())
       buildIvfPqIndex()
     timed("pipe_ivf_pq_search", input = 100L) {
       // the flag-free loader: residual/subDim from the meta relation,

@@ -43,7 +43,7 @@ object SparkEntry {
     * permille`.
     */
   private def evalSample(df: DataFrame, idCol: String, permille: Int): DataFrame =
-    df.filter(graft.operators.Sampling.hashBucket(col(idCol)) < permille)
+    graft.operators.Sampling.hashSample(df, idCol, permille)
 
   /** [[evalSample]]'s SQL twin over a column reference. */
   private def evalSampleSql(colRef: String, permille: Int): String =
@@ -5941,7 +5941,8 @@ object SparkEntry {
         |  FROM q JOIN c cn ON cn.vec_id <> q.vec_id
         |  JOIN n nc ON nc.vec_id = cn.vec_id AND nc.nm > 0) WHERE rn <= 5),
         |votes AS (SELECT nn.query_id, cl.label AS nl, count(*) AS c
-        |          FROM nn JOIN c cl ON cl.vec_id = nn.neighbor_id GROUP BY 1, 2),
+        |          FROM nn JOIN c cl ON cl.vec_id = nn.neighbor_id
+        |          WHERE cl.label IS NOT NULL GROUP BY 1, 2),
         |maj AS (SELECT query_id, nl AS knn_label FROM (
         |  SELECT query_id, nl,
         |   row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nl ASC) AS vr

@@ -357,6 +357,17 @@ class SimilarityIndexSpec extends SparkSpec {
     spark.read.parquet(s"$mixed/pq2").write.mode("overwrite").parquet(s"$mixed/pq")
     val e2 = intercept[IllegalArgumentException](Similarity.ivfPqIndexLoad(spark, mixed))
     assert(e2.getMessage.contains("sub_dim"))
+    // mixed coarse: centroids of a different dimensionality under this
+    // index's meta — refused on the coarse width, not a mid-search crash
+    val mixedC = Files.createTempDirectory("graft-ivfpq-mixedc-").toString
+    Similarity.ivfPqIndexSave(res, mixedC)
+    spark.read.parquet(s"$mixedC/coarse")
+      .withColumn("centroid", slice(col("centroid"), 1, 32))
+      .write.mode("overwrite").parquet(s"$mixedC/coarse2")
+    spark.read.parquet(s"$mixedC/coarse2").write.mode("overwrite")
+      .parquet(s"$mixedC/coarse")
+    val e3 = intercept[IllegalArgumentException](Similarity.ivfPqIndexLoad(spark, mixedC))
+    assert(e3.getMessage.contains("mixed directory"))
   }
 
   test("ivfPqIndexAdd is bit-identical to a rebuild over the same frozen codebooks") {
@@ -398,6 +409,15 @@ class SimilarityIndexSpec extends SparkSpec {
         s"residual=$residual: add-path search must hold only the 2x(partial+final) " +
           s"topK aggregates, got ${aggs.size}")
     }
+    // a batch from a different embedding model (wrong width) is refused,
+    // never encoded: narrower vectors would slice empty PQ subspaces and
+    // silently collapse every code to cluster 0
+    val idx64 = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 1)
+    val narrow = Seq((9001L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfPqIndexAdd(idx64, narrow, "vec_id", "embedding"))
+    assert(e.getMessage.contains("poison"))
   }
 
   test("ivfPqOperatingPointPlan: recall matches the per-point recall report; cost model and chosen are deterministic") {
