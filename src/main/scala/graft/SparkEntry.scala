@@ -2499,6 +2499,24 @@ object SparkEntry {
         .orderBy("n_probe", "rerank")
     }),
 
+    // ── index REMOVE (FAISS's remove_ids, the last lifecycle verb):
+    // anti-join the top hash decile out of the codes relation — no
+    // retrain, codebooks untouched — and search what remains; the
+    // oracle states the never-held-those-rows index as a stage-1
+    // candidate filter on the from-scratch chain.
+    "q245_ivf_pq_index_remove" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      val gone = emb.filter(
+        graft.operators.Sampling.hashBucket(col("vec_id")) >= 900)
+      Similarity.ivfPqSearch(
+        Similarity.ivfPqIndexRemove(idx, gone, "vec_id"),
+        emb, evalSample(emb, "vec_id", 20), "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
     // ── IVF cell-occupancy health report: one row per coarse cell with
     // count/fraction/load_factor (1 = uniform), DEAD cells included as
     // zero rows — the after-every-add quantizer-balance gate. pqIters=0:
@@ -5876,6 +5894,15 @@ object SparkEntry {
     // cost arithmetic and the deterministic chosen window.
     "q242_ivf_pq_operating_plan" -> ivfPqPlanOracleSql,
 
+    // Index remove: q219's chain with the kept-rows predicate as a
+    // stage-1 candidate filter — codebooks still train on EVERYTHING
+    // (removal does not retrain), only candidacy shrinks.
+    "q245_ivf_pq_index_remove" ->
+      ("WITH " + ivfPqTrainCtes() + ",\n" +
+        ivfPqSearchTailCtes(4, 20, "", candPred = evalSampleSql("a.vec_id", 900)) +
+        "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
+        "\nORDER BY query_id, rn"),
+
     // IVF cell occupancy: the q37 first-16 centroid pick + argmin
     // assignment, zero-norm rows excluded from the counts (the codes
     // relation's drop policy), dead cells preserved by the left join.
@@ -6682,9 +6709,12 @@ object SparkEntry {
     * survivors, exact-cosine rerank — through relation `r$sfx`,
     * parameterized on (nProbe, rerank) so the q242 operating-point
     * oracle states one tail per grid point over ONE shared training
-    * chain.
+    * chain, and on `candPred` (over `a.vec_id`) so the q245 removal
+    * oracle states "an index whose codes never held those rows" as a
+    * stage-1 candidate filter.
     */
-  private def ivfPqSearchTailCtes(nProbe: Int, rerank: Int, sfx: String): String = {
+  private def ivfPqSearchTailCtes(nProbe: Int, rerank: Int, sfx: String,
+                                  candPred: String = "TRUE"): String = {
     val adcJoins = (0 until 4).map(sp =>
       s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
       .mkString("\n| ")
@@ -6701,7 +6731,7 @@ object SparkEntry {
        | JOIN codes cd ON cd.vec_id = a.vec_id
        | JOIN nrm nm ON nm.vec_id = a.vec_id
        | $adcJoins
-       | WHERE a.vec_id <> p.query_id AND nm.n > 0),
+       | WHERE a.vec_id <> p.query_id AND nm.n > 0 AND $candPred),
        |surv$sfx AS (
        | SELECT query_id, neighbor_id FROM (
        |  SELECT query_id, neighbor_id,

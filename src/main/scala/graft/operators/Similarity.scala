@@ -1977,6 +1977,26 @@ object Similarity {
     index.copy(codes =
       index.codes.unionByName(ivfPqEncode(index, batch, idCol, vecCol)))
 
+  /** Remove ids from a persisted index — FAISS's `remove_ids`, the last
+    * lifecycle verb: ONE anti-join on the codes relation, codebooks and
+    * meta untouched (removal never needs retraining — quantization of
+    * the surviving rows is unchanged by construction). Searching the
+    * shrunk index equals searching an index whose codes never held
+    * those rows (q245's oracle states exactly that as a candidate
+    * filter on the from-scratch chain); add-then-remove of the same
+    * batch is an exact identity (spec-pinned).
+    *
+    * 100 TB shape: compact keys only — the anti-join ships (id) against
+    * the codes relation's ids, no vectors, no training, no full-corpus
+    * read. After heavy removal the cell balance question is
+    * [[ivfCellOccupancy]]'s job.
+    */
+  def ivfPqIndexRemove(index: IvfPqIndex, ids: DataFrame,
+                       idCol: String): IvfPqIndex =
+    index.copy(codes = index.codes.join(
+      ids.select(col(idCol).cast("long").as("id")).distinct(),
+      Seq("id"), "left_anti"))
+
   /** The codes-relation projection `(id, cell, nrm, code_0 …)` shared by
     * the build and encode passes.
     */

@@ -475,6 +475,39 @@ class SimilarityIndexSpec extends SparkSpec {
       "the null-labeled nearest neighbor drops; 'b' carries the vote")
   }
 
+  test("ivfPqIndexRemove: removed ids never surface; add-then-remove is an identity") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(Sampling.hashBucket($"vec_id") < 100)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val gone = emb.filter(Sampling.hashBucket($"vec_id") >= 900)
+    val goneIds = gone.select($"vec_id").as[Long].collect().toSet
+    assert(goneIds.nonEmpty)
+    val shrunk = Similarity.ivfPqIndexRemove(idx, gone, "vec_id")
+    val got = Similarity.ivfPqSearch(shrunk, emb, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20)
+    assert(got.select($"neighbor_id").as[Long].collect()
+      .forall(!goneIds.contains(_)), "a removed id can never be retrieved")
+    // codebooks untouched: the codes shrink by exactly the removed rows
+    assert(shrunk.codes.count() ==
+      idx.codes.count() - idx.codes.join(gone.select($"vec_id".as("id")), "id").count())
+
+    // add-then-remove of the same batch round-trips to the base index
+    val base = emb.filter(Sampling.hashBucket($"vec_id") < 500)
+    val delta = emb.filter(Sampling.hashBucket($"vec_id") >= 500)
+    val baseIdx = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val roundTrip = Similarity.ivfPqIndexRemove(
+      Similarity.ivfPqIndexAdd(baseIdx, delta, "vec_id", "embedding"),
+      delta, "vec_id")
+    assert(rows(Similarity.ivfPqSearch(roundTrip, emb, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20)) ==
+      rows(Similarity.ivfPqSearch(baseIdx, emb, qs, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 20)))
+  }
+
   test("ivfCellOccupancy reports dead cells as zero rows and exact load arithmetic") {
     // a hand-built index: 4 coarse cells, cell 2 dead, occupancy 3/2/0/1
     val codes = Seq((10L, 0L, 1.0), (11L, 0L, 1.0), (12L, 0L, 1.0),
