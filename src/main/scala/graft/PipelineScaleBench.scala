@@ -648,7 +648,7 @@ object PipelineScaleBench {
     val embStages = Seq("pipe_lsh_bucket_assign", "pipe_ann_lsh_topk_100q",
       "pipe_embedding_neardup", "pipe_kmeans", "pipe_jl_projection",
       "pipe_pq_codes", "pipe_hard_negatives", "pipe_ivf_pq",
-      "pipe_ivf_pq_build", "pipe_ivf_pq_search",
+      "pipe_ivf_pq_build", "pipe_ivf_pq_search", "pipe_ivf_pq_add",
       "pipe_semantic_dedup", "pipe_semantic_dedup_banded",
       "pipe_contrastive")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
@@ -758,8 +758,9 @@ object PipelineScaleBench {
     // meta is written LAST by ivfPqIndexSave, so its presence is the
     // commit marker: an interrupted build (codes written, meta not)
     // re-triggers the rebuild instead of feeding the loader a torso
-    val searchWillRun = only.forall(_.exists("pipe_ivf_pq_search".contains))
-    if (searchWillRun && !new java.io.File(s"$work/ivfpq$idxSfx/meta").exists())
+    val idxNeeded = only.forall(fs =>
+      Seq("pipe_ivf_pq_search", "pipe_ivf_pq_add").exists(n => fs.exists(n.contains)))
+    if (idxNeeded && !new java.io.File(s"$work/ivfpq$idxSfx/meta").exists())
       buildIvfPqIndex()
     timed("pipe_ivf_pq_search", input = 100L) {
       // the flag-free loader: residual/subDim from the meta relation,
@@ -769,6 +770,19 @@ object PipelineScaleBench {
       val stride = math.max(1L, nDocs.toLong / 100)
       Similarity.ivfPqSearch(idx, vecs, vecs.filter(col("vec_id") % stride === 0),
         "vec_id", "embedding", k = 10, nProbe = 4, rerank = 20).count()
+    }
+    timed("pipe_ivf_pq_add", input = total / 10) {
+      // FAISS's add at scale: encode a 10% delta against the FROZEN
+      // persisted codebooks — zero training barriers by construction,
+      // so per-row cost must track the build's ENCODE half and the
+      // stage proves the amortization the lifecycle split promises.
+      // Consumed via hash-max: a count() would prune the per-row code
+      // expressions and time an empty projection
+      val idx = Similarity.ivfPqIndexLoad(spark, s"$work/ivfpq$idxSfx")
+      val delta = vecs.filter(col("vec_id") % 10 === 0)
+      val enc = Similarity.ivfPqEncode(idx, delta, "vec_id", "embedding")
+      enc.agg(max(xxhash64(enc.columns.map(col).toSeq: _*))).head()
+      total / 10
     }
     timed("pipe_semantic_dedup", input = total / 5) {
       // SemDeDup at the paper's k ≈ √n sizing (possible ONLY since the
