@@ -409,6 +409,21 @@ class SimilarityIndexSpec extends SparkSpec {
         s"residual=$residual: add-path search must hold only the 2x(partial+final) " +
           s"topK aggregates, got ${aggs.size}")
     }
+    // batching is free of semantics: adding in two batches yields the
+    // SAME codes relation as one batch (encode is per-row over frozen
+    // literals, so no batch boundary can leak into a code)
+    val idxB = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 1)
+    val d1 = delta.filter($"vec_id" % 2 === 0)
+    val d2 = delta.filter($"vec_id" % 2 =!= 0)
+    def codeRows(i: Similarity.IvfPqIndex) =
+      i.codes.collect().map(_.toSeq).toSet
+    assert(codeRows(Similarity.ivfPqIndexAdd(
+        Similarity.ivfPqIndexAdd(idxB, d1, "vec_id", "embedding"),
+        d2, "vec_id", "embedding")) ==
+      codeRows(Similarity.ivfPqIndexAdd(idxB, delta, "vec_id", "embedding")),
+      "two-batch add == one-batch add, row for row")
+
     // a batch from a different embedding model (wrong width) is refused,
     // never encoded: narrower vectors would slice empty PQ subspaces and
     // silently collapse every code to cluster 0
