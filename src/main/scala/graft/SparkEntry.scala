@@ -2517,6 +2517,18 @@ object SparkEntry {
         .orderBy("query_id", "rn")
     }),
 
+    // ── PQ reconstruction-error report: per subspace, the MSE between
+    // each coded row's 9-dp slice and its code's centroid — the
+    // quantizer-quality diagnostic; rising MSE after adds is the
+    // measured retrain trigger, no brute-force recall run needed.
+    "q246_ivf_pq_recon_error" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      Similarity.ivfPqReconError(idx, emb, "vec_id", "embedding")
+        .orderBy("subspace")
+    }),
+
     // ── IVF cell-occupancy health report: one row per coarse cell with
     // count/fraction/load_factor (1 = uniform), DEAD cells included as
     // zero rows — the after-every-add quantizer-balance gate. pqIters=0:
@@ -5903,6 +5915,12 @@ object SparkEntry {
         "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
         "\nORDER BY query_id, rn"),
 
+    // PQ reconstruction error: the shared training chains' final
+    // assignments joined back to their own centroids — 6-dp per-row
+    // squared-error sums over each subspace's slices (the kmeans
+    // distance recipe), decimal-summed, one terminal division.
+    "q246_ivf_pq_recon_error" -> ivfPqReconOracleSql,
+
     // IVF cell occupancy: the q37 first-16 centroid pick + argmin
     // assignment, zero-norm rows excluded from the counts (the codes
     // relation's drop policy), dead cells preserved by the left join.
@@ -6800,6 +6818,33 @@ object SparkEntry {
       ",\n" + ivfPqSearchTailCtes(4, 20, "") +
       "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
       "\nORDER BY query_id, rn"
+  }
+
+  /** q246: per-subspace PQ reconstruction MSE — the shared training
+    * chains' FINAL assignments (`a3_s*`) joined back to their own final
+    * centroids (`c2_s*`) over the 9-dp slice relations, per-row squared
+    * errors rounded 6 (the kmeans distance recipe — the per-pos sum
+    * absorbs summation-order ulps at 6 dp), DECIMAL-summed, one
+    * terminal division. Zero-norm rows excluded (codes-relation
+    * membership).
+    */
+  private lazy val ivfPqReconOracleSql: String = {
+    val errs = (0 until 4).map { sp =>
+      s"""err$sp AS (
+         | SELECT v.vec_id, round(sum((v.vd - cc.cv) * (v.vd - cc.cv)), 6) AS e
+         | FROM v_s$sp v
+         | JOIN a3_s$sp a ON a.vec_id = v.vec_id
+         | JOIN c2_s$sp cc ON cc.cl = a.cluster AND cc.pos = v.pos
+         | JOIN nrm nn ON nn.vec_id = v.vec_id AND nn.n > 0
+         | GROUP BY 1)""".stripMargin
+    }
+    val union = (0 until 4).map(sp =>
+      s"SELECT $sp AS subspace, e FROM err$sp").mkString("\nUNION ALL\n")
+    "WITH " + ivfPqTrainCtes() + ",\n" + errs.mkString(",\n") + s""",
+       |u AS ($union)
+       |SELECT subspace, CAST(count(*) AS BIGINT) AS n_vectors,
+       | round(CAST(sum(CAST(e AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mse
+       |FROM u GROUP BY 1 ORDER BY subspace""".stripMargin
   }
 
   /** q242: the operating-point planner oracle — ONE shared training

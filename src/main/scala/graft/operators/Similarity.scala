@@ -1977,8 +1977,75 @@ object Similarity {
     index.copy(codes =
       index.codes.unionByName(ivfPqEncode(index, batch, idCol, vecCol)))
 
-  /** Remove ids from a persisted index — FAISS's `remove_ids`, the last
-    * lifecycle verb: ONE anti-join on the codes relation, codebooks and
+  /** Merge two indexes that share IDENTICAL codebooks — FAISS's
+    * `merge_from`, the distributed-build verb: encode shards
+    * independently ([[ivfPqEncode]] against one frozen codebook set,
+    * each shard its own job/cluster), then union the codes relations.
+    * REFUSES the merge unless both sides' coarse and PQ codebook
+    * relations are bit-identical and the scalar fields agree (four
+    * bounded collects) — codes quantized against different codebooks
+    * rank on incomparable ADC scores, the silent-poison class again.
+    */
+  def ivfPqIndexMerge(a: IvfPqIndex, b: IvfPqIndex): IvfPqIndex = {
+    require(a.residual == b.residual && a.subDim == b.subDim,
+      s"index scalars differ: residual ${a.residual}/${b.residual}, " +
+        s"subDim ${a.subDim}/${b.subDim}")
+    val (cbA, centsA, _, _) = collectIndexCodebooks(a)
+    val (cbB, centsB, _, _) = collectIndexCodebooks(b)
+    require(cbA.map { case (i, v) => (i, v.toList) }.toList ==
+      cbB.map { case (i, v) => (i, v.toList) }.toList,
+      "coarse codebooks differ — merged codes would rank on incomparable " +
+        "cells; re-encode one side against the other's codebooks instead")
+    require(centsA.map(_.map(_.toList).toList).toList ==
+      centsB.map(_.map(_.toList).toList).toList,
+      "pq codebooks differ — merged codes would rank on incomparable ADC " +
+        "scores; re-encode one side against the other's codebooks instead")
+    a.copy(codes = a.codes.unionByName(b.codes))
+  }
+
+  /** PQ RECONSTRUCTION-ERROR report — the quantizer-quality diagnostic
+    * beside [[ivfCellOccupancy]]'s balance one: per subspace, the mean
+    * squared error between each coded row's 9-dp slice and the PQ
+    * centroid its code reconstructs to, `(subspace, n_vectors, mse)` —
+    * 6-dp per-row errors, DECIMAL sums, one terminal division (the
+    * kmeans distance recipe). Rising MSE after [[ivfPqIndexAdd]]
+    * batches is the measured form of "the frozen codebooks no longer
+    * fit the data" — the retrain trigger, caught without a brute-force
+    * recall run. Residual indexes report in residual space (the space
+    * the codes actually quantize). Only CODED rows report (zero-norm
+    * rows drop, the codes-relation membership).
+    *
+    * 100 TB shape: one narrow corpus pass — slice, code, literal
+    * centroid lookup, one codegen'd dot per subspace — into a
+    * subspaces-sized aggregate. No joins, no shuffle beyond the final
+    * bounded groupBy.
+    */
+  def ivfPqReconError(index: IvfPqIndex, corpus: DataFrame, idCol: String,
+                      vecCol: String): DataFrame = {
+    val (codebook, cents, subspaces, _) = collectIndexCodebooks(index)
+    val cells = ivfCells(corpus, idCol, vecCol, codebook)
+    val vec =
+      if (index.residual)
+        zip_with(col("__cv"),
+          element_at(typedlit(codebook.toMap), col("cell")), (x, c) => x - c)
+      else col("__cv")
+    val errCols = (0 until subspaces).map { sp =>
+      val slice9 = pqSliceExpr(vec, sp, index.subDim)
+      val code = pqCodeExpr(slice9, cents(sp))
+      val centArr = element_at(typedlit(cents(sp).map(_.toSeq)), code + 1)
+      val diff = zip_with(slice9, centArr, (x, c) => x - c)
+      round(dot(diff, diff), 6)
+    }
+    cells.select(posexplode(array(errCols: _*)).as(Seq("__sp", "__e")))
+      .groupBy(col("__sp"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("__e").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mse"))
+      .select(col("__sp").cast("int").as("subspace"), col("n_vectors"), col("mse"))
+  }
+
+  /** Remove ids from a persisted index — FAISS's `remove_ids`:
+    * ONE anti-join on the codes relation, codebooks and
     * meta untouched (removal never needs retraining — quantization of
     * the surviving rows is unchanged by construction). Searching the
     * shrunk index equals searching an index whose codes never held

@@ -523,6 +523,63 @@ class SimilarityIndexSpec extends SparkSpec {
         k = 5, nProbe = 4, rerank = 20)))
   }
 
+  test("ivfPqIndexMerge: shard-encoded halves merge to the one-batch index; foreign codebooks refuse") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(Sampling.hashBucket($"vec_id") < 100)
+    val base = emb.filter(Sampling.hashBucket($"vec_id") < 500)
+    val s1 = emb.filter(Sampling.hashBucket($"vec_id") >= 500 &&
+      Sampling.hashBucket($"vec_id") < 750)
+    val s2 = emb.filter(Sampling.hashBucket($"vec_id") >= 750)
+    val idx = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 1)
+    // the distributed build: each shard encodes independently against
+    // the SAME frozen codebooks, shards merge
+    val shardA = Similarity.ivfPqIndexAdd(idx, s1, "vec_id", "embedding")
+    val shardB = idx.copy(codes = Similarity.ivfPqEncode(idx, s2, "vec_id", "embedding"))
+    val merged = Similarity.ivfPqIndexMerge(shardA, shardB)
+    val oneBatch = Similarity.ivfPqIndexAdd(idx,
+      s1.unionByName(s2), "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    assert(rows(Similarity.ivfPqSearch(merged, emb, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20)) ==
+      rows(Similarity.ivfPqSearch(oneBatch, emb, qs, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 20)))
+    // an index trained on different data has different codebooks: refuse
+    val foreign = Similarity.ivfPqIndexBuild(s2, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 1)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfPqIndexMerge(idx, foreign))
+    assert(e.getMessage.contains("codebooks differ"))
+  }
+
+  test("ivfPqReconError: zero on a self-codebook fixture; coded-row counts and report shape") {
+    // 8 rows, pqK = 8, iters = 0: every slice IS a centroid, so the
+    // reconstruction is exact and every subspace's MSE is 0
+    val tiny = (0L until 8L).map(i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 8 + j + 1) * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val selfIdx = Similarity.ivfPqIndexBuild(tiny, "vec_id", "embedding",
+      nCentroids = 4, subspaces = 2, subDim = 4, pqK = 8, pqIters = 0)
+    val zero = Similarity.ivfPqReconError(selfIdx, tiny, "vec_id", "embedding")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(zero.toSeq == Seq((0, 8L, 0.0), (1, 8L, 0.0)))
+
+    // fixture-scale: one row per subspace, counts = coded rows, mse >= 0;
+    // residual reporting runs in residual space without error
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for (residual <- Seq(false, true)) {
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+        residual = residual)
+      val rep = Similarity.ivfPqReconError(idx, emb, "vec_id", "embedding")
+        .as[(Int, Long, Double)].collect().sortBy(_._1)
+      val coded = idx.codes.count()
+      assert(rep.map(_._1).toSeq == Seq(0, 1, 2, 3) &&
+        rep.forall(r => r._2 == coded && r._3 >= 0.0), s"residual=$residual")
+    }
+  }
+
   test("ivfCellOccupancy reports dead cells as zero rows and exact load arithmetic") {
     // a hand-built index: 4 coarse cells, cell 2 dead, occupancy 3/2/0/1
     val codes = Seq((10L, 0L, 1.0), (11L, 0L, 1.0), (12L, 0L, 1.0),
