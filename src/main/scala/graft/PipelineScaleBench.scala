@@ -759,7 +759,8 @@ object PipelineScaleBench {
     // commit marker: an interrupted build (codes written, meta not)
     // re-triggers the rebuild instead of feeding the loader a torso
     val idxNeeded = only.forall(fs =>
-      Seq("pipe_ivf_pq_search", "pipe_ivf_pq_add").exists(n => fs.exists(n.contains)))
+      Seq("pipe_ivf_pq_search", "pipe_ivf_pq_add", "pipe_ivf_drift")
+        .exists(n => fs.exists(n.contains)))
     if (idxNeeded && !new java.io.File(s"$work/ivfpq$idxSfx/meta").exists())
       buildIvfPqIndex()
     timed("pipe_ivf_pq_search", input = 100L) {
@@ -783,6 +784,55 @@ object PipelineScaleBench {
       val enc = Similarity.ivfPqEncode(idx, delta, "vec_id", "embedding")
       enc.agg(max(xxhash64(enc.columns.map(col).toSeq: _*))).head()
       total / 10
+    }
+    timed("pipe_ivf_drift", input = total / 10) {
+      // the after-every-add retrain gate: one 10%-delta encode against
+      // the frozen persisted codebooks + two compact-key groupBys +
+      // nCentroids-sized arithmetic — must cost ~the add stage's encode
+      // half and nothing more (zero training barriers, plan-pinned)
+      val idx = Similarity.ivfPqIndexLoad(spark, s"$work/ivfpq$idxSfx")
+      val delta = vecs.filter(col("vec_id") % 10 === 0)
+      Similarity.ivfDriftReport(idx, delta, "vec_id", "embedding").count()
+      total / 10
+    }
+    timed("pipe_sparse_postings") {
+      // inverted-index build: ONE corpus exchange into (doc, token, tf)
+      // + a vocabulary-sized re-aggregation; maxDfFrac prunes the
+      // stopword-mass tokens so no surviving posting list grows with
+      // the corpus (the skew bound stated on the operator)
+      TextAnalysis.tfidfPostings(corpus, "doc_id", "text",
+        minDf = 2, maxDfFrac = 0.5).count()
+    }
+    timed("pipe_sparse_topk", input = 500L) {
+      // batch sparse retrieval at a FIXED 500-query load: the bounded
+      // query side broadcasts, so the posting join never shuffles the
+      // index — wall must be linear in corpus size (the posting scan),
+      // independent of the query count staying pinned
+      val post = TextAnalysis.tfidfPostings(corpus, "doc_id", "text",
+        minDf = 2, maxDfFrac = 0.5)
+      val qids = corpus.select(col("doc_id"))
+        .orderBy(xxhash64(col("doc_id"))).limit(500)
+      val qp = post.join(broadcast(qids), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      TextAnalysis.sparseTopK(post, "doc_id", qp, "query_id",
+        "token", "weight", k = 10).count()
+      500L
+    }
+    timed("pipe_sparse_topk_capped", input = 500L) {
+      // the statically pruned index (top-1000 postings per term): after
+      // the cap no join group exceeds 1000 rows no matter how the corpus
+      // grows — the absolute bound the recall gate prices
+      val post = TextAnalysis.tfidfPostings(corpus, "doc_id", "text",
+        minDf = 2, maxDfFrac = 0.5)
+      val capped = TextAnalysis.cappedPostings(post, "doc_id", "token",
+        "weight", cap = 1000)
+      val qids = corpus.select(col("doc_id"))
+        .orderBy(xxhash64(col("doc_id"))).limit(500)
+      val qp = post.join(broadcast(qids), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      TextAnalysis.sparseTopK(capped, "doc_id", qp, "query_id",
+        "token", "weight", k = 10).count()
+      500L
     }
     timed("pipe_semantic_dedup", input = total / 5) {
       // SemDeDup at the paper's k ≈ √n sizing (possible ONLY since the

@@ -2541,6 +2541,70 @@ object SparkEntry {
       Similarity.ivfCellOccupancy(idx).orderBy("cell")
     }),
 
+    // ── Matryoshka (prefix-dimension) two-stage ANN: stage 1 ranks by
+    // the cosine of the first 16 of 64 dims (the MRL truncation), the
+    // top-20 survivors get the exact full-dim cosine — q54's skeleton
+    // with dimensions, not precision, as the cheap axis. The fixture
+    // embeddings are not MRL-trained, so prefix recall is low HERE by
+    // construction — the graded contract is the two-stage composition's
+    // determinism; recall on real MRL vectors is annRecallReportFor's
+    // job (q234's convention).
+    "q250_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(emb, evalSample(emb, "vec_id", 20),
+        "vec_id", "embedding", k = 5, prefixDim = 16, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── quantization-drift gate: build on the 90% hash slice, encode the
+    // 10% complement against the FROZEN codebooks, compare per-cell
+    // occupancy shares — tv = total-variation distance, retrain = the
+    // gate bit. pqIters=0: drift reads only the coarse assignment.
+    "q249_ivf_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = evalSample(emb, "vec_id", 900)
+      val delta = emb.filter(
+        graft.operators.Sampling.hashBucket(col("vec_id")) >= 900)
+      val idx = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 0)
+      Similarity.ivfDriftReport(idx, delta, "vec_id", "embedding",
+        tvThreshold = 0.1)
+        .orderBy("cell")
+    }),
+
+    // ── batch sparse-vector retrieval: TF-IDF postings as the inverted
+    // index (minDf=2 prunes hapax; the maxDfFrac skew bound stays at its
+    // keep-all default — the fixture's 31-token vocabulary is stopword-
+    // dense by construction), a 1% hash sample of documents as sparse
+    // queries, exact decimal dot-product top-5 per query.
+    "q247_sparse_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text",
+        minDf = 2)
+      val qp = post
+        .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      TextAnalysis.sparseTopK(post, "doc_id", qp, "query_id",
+        "token", "weight", k = 5)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── capped-posting recall gate: the same retrieval with every
+    // posting list statically pruned to its 25 highest-weight docs
+    // (quantized-WAND preprocessing), graded per query against the
+    // exact arm — the "is my cap safe on MY corpus" pre-run.
+    "q248_sparse_capped_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text",
+        minDf = 2)
+      val qp = post
+        .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      TextAnalysis.sparseRecallReport(post, "doc_id", qp, "query_id",
+        "token", "weight", k = 5, cap = 25)
+        .orderBy("query_id")
+    }),
+
     // ── hyperplane-banding recall planner: bandingPlan's embedding twin
     // — fp/fn Riemann masses of the any-of-3-tables collision curve in
     // angle space per candidate planes value; 0.369 ≈ acos(0.4)/π, the
@@ -5946,6 +6010,100 @@ object SparkEntry {
         |FROM cents ct LEFT JOIN occ o ON o.cell = ct.cell, tot t, kc
         |ORDER BY ct.cell""".stripMargin,
 
+    // Matryoshka two-stage: q54's oracle skeleton with list slicing as
+    // the cheap stage — prefix cosine (zero-prefix rows dropped on both
+    // sides) ranks the top-20 window, full cosine ranks the survivors.
+    "q250_matryoshka" ->
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |p AS (SELECT vec_id, v, v[1:16] AS pv FROM c),
+        |pn AS (SELECT vec_id, v, pv,
+        |  sqrt(list_reduce(list_transform(pv, x -> x * x), (a, b) -> a + b)) AS pnm
+        | FROM p),
+        |cc AS (SELECT * FROM pn WHERE pnm > 0),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, pv AS qpv FROM cc
+        |       WHERE ${evalSampleSql("vec_id", 20)}),
+        |pairs AS (
+        | SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv, q.qv,
+        |  list_cosine_similarity(c.pv, q.qpv) AS approx
+        | FROM cc c, qs q WHERE c.vec_id <> q.query_id),
+        |stage1 AS (SELECT query_id, neighbor_id, cv, qv FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY approx DESC, neighbor_id) AS arn FROM pairs) WHERE arn <= 20),
+        |stage2 AS (SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_cosine_similarity(cv, qv) DESC, neighbor_id) AS BIGINT) AS rn
+        | FROM stage1)
+        |SELECT query_id, neighbor_id, rn FROM stage2 WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin,
+
+    // Quantization drift: q243's assignment skeleton with centroids from
+    // the 90% BASE slice, every norm-positive vector assigned and split
+    // base/batch by the same hash predicate, per-cell share deltas at
+    // 9 dp, the DECIMAL total-variation sum, and the gate bit.
+    "q249_ivf_drift" ->
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
+        |cents AS (SELECT vec_id AS cell, v AS cv FROM c
+        |          WHERE ${evalSampleSql("vec_id", 900)} ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        | SELECT vec_id, cell, is_base FROM (
+        |  SELECT c.vec_id, ct.cell,
+        |   ${evalSampleSql("c.vec_id", 900)} AS is_base,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+        |  FROM c JOIN nrm nn ON nn.vec_id = c.vec_id AND nn.n > 0, cents ct)
+        | WHERE arn = 1),
+        |occ AS (SELECT cell,
+        |  SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb,
+        |  SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nd
+        | FROM assign GROUP BY 1),
+        |per AS (SELECT ct.cell, coalesce(o.nb, 0) AS n_index,
+        |         coalesce(o.nd, 0) AS n_batch
+        |        FROM cents ct LEFT JOIN occ o ON o.cell = ct.cell),
+        |tots AS (SELECT SUM(n_index) AS tb, SUM(n_batch) AS td FROM per),
+        |wf AS (SELECT p.cell, p.n_index, p.n_batch,
+        |  CASE WHEN t.tb > 0 THEN round(CAST(p.n_index AS DOUBLE) / t.tb, 6) END AS frac_index,
+        |  CASE WHEN t.td > 0 THEN round(CAST(p.n_batch AS DOUBLE) / t.td, 6) END AS frac_batch,
+        |  CASE WHEN t.tb > 0 AND t.td > 0 THEN
+        |   round(abs(CAST(p.n_index AS DOUBLE) / t.tb - CAST(p.n_batch AS DOUBLE) / t.td), 9)
+        |  END AS drift
+        | FROM per p, tots t),
+        |tv AS (SELECT round(CAST(SUM(CAST(drift AS DECIMAL(28,12))) AS DOUBLE) * 0.5, 6) AS tv
+        |       FROM wf)
+        |SELECT w.cell, CAST(w.n_index AS BIGINT) AS n_index,
+        | CAST(w.n_batch AS BIGINT) AS n_batch,
+        | w.frac_index, w.frac_batch, w.drift, t.tv, t.tv > 0.1 AS retrain
+        |FROM wf w, tv t ORDER BY w.cell""".stripMargin,
+
+    // Batch sparse retrieval: the shared posting/query chain + one
+    // scoring tail, exact decimal dot products, top-5 per query.
+    "q247_sparse_retrieval" ->
+      ("WITH " + sparsePostingCtes + ",\n" + sparseTopKTail("post", "") +
+        "\nSELECT query_id, doc_id, score, rn FROM r WHERE rn <= 5" +
+        "\nORDER BY query_id, rn"),
+
+    // Capped-posting recall: the same chain with a second, statically
+    // pruned posting relation (top-25 by weight per token), both arms'
+    // top-5 tails, and the q234-style left-join recall rollup.
+    "q248_sparse_capped_recall" ->
+      ("WITH " + sparsePostingCtes + ",\n" +
+        """cpost AS (SELECT doc_id, token, w FROM (
+          |  SELECT doc_id, token, w,
+          |   row_number() OVER (PARTITION BY token ORDER BY w DESC, doc_id) AS prn
+          |  FROM post) WHERE prn <= 25),""".stripMargin + "\n" +
+        sparseTopKTail("post", "_ex") + ",\n" + sparseTopKTail("cpost", "_ap") +
+        """
+          |SELECT e.query_id,
+          | CAST(SUM(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          | round(SUM(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5, 6) AS recall
+          |FROM (SELECT query_id, doc_id FROM r_ex WHERE rn <= 5) e
+          |LEFT JOIN (SELECT query_id, doc_id FROM r_ap WHERE rn <= 5) a
+          | USING (query_id, doc_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Banded recall planner: identical angle grid, 9-dp collision curve
     // points, decimal Riemann masses, 6-dp score, (score, planes DESC)
     // chosen window — the q239 recipe in angle space.
@@ -6672,6 +6830,37 @@ object SparkEntry {
     */
   private lazy val ivfPqOracleCtes: String =
     ivfPqTrainCtes() + ",\n" + ivfPqSearchTailCtes(4, 20, "")
+
+  /** Shared q247/q248 oracle chain: the q71 TF-IDF weight formula as a
+    * DECIMAL(18,6) posting relation (minDf=2, stated identically to
+    * TextAnalysis.tfidfPostings at its keep-all maxDfFrac default) and
+    * the 1% hash-sample query side.
+    */
+  private lazy val sparsePostingCtes: String =
+    s"""dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tfd AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+       |ndocs AS (SELECT count(*) AS n FROM documents),
+       |dfq AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+       |post AS (SELECT t.doc_id, t.token,
+       |          CAST(round(t.tf * ln(n.n::DOUBLE / d.df), 6) AS DECIMAL(18,6)) AS w
+       |         FROM tfd t JOIN dfq d USING (token), ndocs n
+       |         WHERE d.df >= 2),
+       |qp AS (SELECT doc_id AS query_id, token, w FROM post
+       |       WHERE ${evalSampleSql("doc_id", 10)})""".stripMargin
+
+  /** The sparse-retrieval scoring tail over a posting CTE: exact decimal
+    * dot products per (query, doc), one terminal double cast, the
+    * (score DESC, doc_id) rank — suffixed so q248 can run it twice.
+    */
+  private def sparseTopKTail(postCte: String, sfx: String): String =
+    s"""sc$sfx AS (SELECT q.query_id, p.doc_id,
+       |      CAST(SUM(CAST(p.w * q.w AS DECIMAL(38,12))) AS DOUBLE) AS score
+       |     FROM $postCte p JOIN qp q USING (token)
+       |     WHERE p.doc_id <> q.query_id GROUP BY 1, 2),
+       |r$sfx AS (SELECT query_id, doc_id, score,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+       |     FROM sc$sfx)""".stripMargin
 
   /** The TRAINING half of the IVF-PQ oracle chain — four suffixed q183
     * k-means chains (PQ codebooks), per-query ADC tables over the

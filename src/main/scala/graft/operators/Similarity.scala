@@ -930,6 +930,53 @@ object Similarity {
     explodeRanks(pairs, k, col("cos"), col("neighbor_id"))  // stage 2: exact
   }
 
+  /** Matryoshka (prefix-dimension) two-stage retrieval — the MRL serving
+    * pattern: rank every (query, candidate) pair by the cosine of the
+    * FIRST `prefixDim` dims only (an MRL-trained embedding front-loads
+    * its information, so the prefix is a faithful cheap rank), keep the
+    * top `rerank` per query, then exact full-dim cosine on the
+    * survivors. The [[quantizedRerankTopK]] skeleton with the truncation
+    * axis being DIMENSIONS instead of precision — stage 1 touches
+    * prefixDim/dim of the data per vector at scale (store the prefix as
+    * its own column and the scan prunes to it physically).
+    *
+    * Zero-norm policy, extended to the truncation: stage 1 drops rows
+    * whose PREFIX norm is zero (a zero prefix has no stage-1 direction;
+    * a nonzero prefix implies a nonzero full vector, so this subsumes
+    * the [[cosinePairs]] drop). Both rankings are bounded-heap
+    * aggregates with id tiebreaks — rank-deterministic cross-engine.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, prefixDim: Int,
+                     rerank: Int = 20): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    def pre(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
+        slice(asDouble(col(vecCol)), 1, prefixDim).as(s"__p$id"))
+        .withColumn(s"__pn$id", norm(col(s"__p$id")))
+        .filter(col(s"__pn$id") > 0)
+    val survivors = pre(corpus, "neighbor_id")
+      .crossJoin(broadcast(pre(queries, "query_id")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__approx",
+        dot(col("__pneighbor_id"), col("__pquery_id")) /
+          (col("__pnneighbor_id") * col("__pnquery_id")))
+      .groupBy("query_id")
+      .agg(TopKOps.topK(rerank, col("__approx"), col("neighbor_id")).as("__top"))
+      .select(col("query_id"),
+        explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
+    def floats(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .withColumn(n, norm(col(v)))
+        .filter(col(n) > 0)
+    val pairs = floats(corpus, "neighbor_id", "__cv", "__cn")
+      .join(broadcast(survivors), "neighbor_id")     // <= Q·rerank survivors
+      .join(broadcast(floats(queries, "query_id", "__qv", "__qn")), "query_id")
+      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+    explodeRanks(pairs, k, col("cos"), col("neighbor_id"))  // stage 2: exact
+  }
+
   /** Bucketed ANN top-k: equi-join on LSH bucket instead of a cross join.
     * Recall < 1 by construction; `probeBits` > 0 adds multi-probe: each
     * query also searches every bucket within that Hamming distance of its
@@ -2100,6 +2147,60 @@ object Similarity {
         round(coalesce(col("__n"), lit(0L)).cast("double") *
           col("__k").cast("double") / col("__t").cast("double"), 6)
           .as("load_factor"))
+  }
+
+  /** QUANTIZATION-DRIFT gate — [[ivfCellOccupancy]]'s two-sample twin and
+    * the measured answer to "are the frozen codebooks still right for the
+    * data arriving NOW": encode an incoming batch against the index's
+    * frozen codebooks ([[ivfPqEncode]] — no training reachable) and
+    * compare its coarse-cell occupancy SHARE against what the index
+    * already holds. One row per coarse cell
+    * `(cell, n_index, n_batch, frac_index, frac_batch, drift, tv,
+    * retrain)`: fracs at 6 dp, `drift = |Δfrac|` at 9 dp (unrounded
+    * divisions inside the abs — IEEE division of integer-valued doubles
+    * is bit-identical in any engine), `tv` the total-variation distance
+    * `0.5·Σ drift` (9-dp DECIMAL sum, one terminal double multiply)
+    * stamped on every row, and `retrain = tv > tvThreshold` — the gate
+    * bit. A drifting corpus moves mass between cells long before recall
+    * sags, so this catches codebook rot without a brute-force recall run;
+    * an empty (or all-zero-norm) batch yields null fracs/tv rather than a
+    * divide — feed it real rows.
+    *
+    * 100 TB shape: one narrow batch encode + one compact-key groupBy per
+    * side; the per-cell table is nCentroids-sized and localCheckpointed
+    * once (both the tv rollup and the output read it without re-encoding
+    * the batch); totals derive from the per-cell table itself — no second
+    * pass over codes or batch.
+    */
+  def ivfDriftReport(index: IvfPqIndex, batch: DataFrame, idCol: String,
+                     vecCol: String, tvThreshold: Double = 0.25): DataFrame = {
+    val baseOcc = index.codes.groupBy(col("cell")).agg(count(lit(1)).as("__nb"))
+    val deltaOcc = ivfPqEncode(index, batch, idCol, vecCol)
+      .groupBy(col("cell")).agg(count(lit(1)).as("__nd"))
+    val per = index.coarse.select(col("cell"))
+      .join(baseOcc, Seq("cell"), "left")
+      .join(deltaOcc, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("__nb"), lit(0L)).as("n_index"),
+        coalesce(col("__nd"), lit(0L)).as("n_batch"))
+      .localCheckpoint()
+    val tots = per.agg(sum(col("n_index")).as("__tb"),
+      sum(col("n_batch")).as("__td"))
+    val withF = per.crossJoin(broadcast(tots))
+      .withColumn("frac_index", when(col("__tb") > 0,
+        round(col("n_index").cast("double") / col("__tb").cast("double"), 6)))
+      .withColumn("frac_batch", when(col("__td") > 0,
+        round(col("n_batch").cast("double") / col("__td").cast("double"), 6)))
+      .withColumn("drift", when(col("__tb") > 0 && col("__td") > 0,
+        round(abs(col("n_index").cast("double") / col("__tb").cast("double") -
+          col("n_batch").cast("double") / col("__td").cast("double")), 9)))
+    val tv = withF.agg(
+      round(sum(col("drift").cast("decimal(28,12)")).cast("double") * 0.5, 6)
+        .as("tv"))
+    withF.crossJoin(broadcast(tv))
+      .select(col("cell"), col("n_index"), col("n_batch"),
+        col("frac_index"), col("frac_batch"), col("drift"), col("tv"),
+        (col("tv") > tvThreshold).as("retrain"))
   }
 
   /** Contrastive training-triple assembly — the "make embedding training

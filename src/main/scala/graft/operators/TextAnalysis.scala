@@ -1107,6 +1107,136 @@ object TextAnalysis {
     * (map-side combinable; vocab(f) = tokens with min-bucket < f on the
     * vocab-sized table). The per-fraction explode runs on a 1-row frame.
     */
+  /** Per-document TF-IDF POSTINGS — the inverted-index relation behind
+    * [[sparseTopK]]: one row per (doc, token) with
+    * `weight = round(tf · ln(N/df), 6)` carried as DECIMAL(18,6) so every
+    * downstream dot product is EXACT integer-scaled arithmetic (the q71
+    * score formula, reshaped from a per-doc ranking into an index).
+    * `minDf` prunes hapax noise; `maxDfFrac` drops tokens appearing in
+    * more than that fraction of documents (df > maxDfFrac·N) — the SKEW
+    * BOUND: a stopword-mass token is the one key whose posting list grows
+    * with the corpus, and it is exactly the token that carries no ranking
+    * signal (ln(N/df) → 0 as df → N), so pruning it bounds the widest
+    * join group BEFORE the retrieval shuffle instead of salting after.
+    *
+    * 100 TB shape: ONE corpus-sized exchange builds (doc, token, tf);
+    * document frequency is a vocabulary-sized re-aggregation OF that
+    * table (never a second corpus pass); N broadcasts as one scalar row
+    * (the tfidfKeywords plan).
+    */
+  def tfidfPostings(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Int = 1, maxDfFrac: Double = 1.0): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val docTerms = df.select(col(idCol), explode(tokens(textCol)).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val docFreq = docTerms.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= minDf &&
+        col("df").cast("double") <= col("__n").cast("double") * maxDfFrac)
+    docTerms.join(docFreq, "token")
+      .select(col(idCol), col("token"),
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6)
+          .cast("decimal(18,6)").as("weight"))
+  }
+
+  /** Batch SPARSE-vector retrieval over an inverted index — the lexical
+    * (SPLADE/TF-IDF-as-vectors) twin of the dense ANN family: both sides
+    * arrive as posting relations `(id, term, weight)`, the score is the
+    * sparse dot product `Σ_t w_q(t)·w_d(t)`, and each query gets its
+    * exact top-`k` documents `(query_id, doc_id, score, rn)`. Weights are
+    * DECIMAL(18,6) in, products and sums stay DECIMAL (exact,
+    * order-independent — a double sum would be last-ulp order-sensitive),
+    * and the emitted score is the one terminal double cast, so ranking
+    * and value are engine-identical. `excludeSelf` drops the
+    * query-is-the-document hit for the find-similar-others shape.
+    *
+    * 100 TB shape: `queries` is a BOUNDED sample by contract (the eval
+    * convention; hundreds–thousands of query postings), so it BROADCASTS
+    * and the posting join never shuffles the index; the per-(query, doc)
+    * sum shuffles candidate-bounded rows (only documents sharing a
+    * surviving term); the rank is the bounded-heap [[graft.functions.TopKOps.topK]]
+    * (map-side partial heaps — no per-query window funnel). Feed it
+    * [[tfidfPostings]] with a `maxDfFrac` bound so no posting list grows
+    * with the corpus; for unbounded query sets, cap the index side with
+    * [[cappedPostings]] and gate with [[sparseRecallReport]] first.
+    */
+  def sparseTopK(docs: DataFrame, docIdCol: String,
+                 queries: DataFrame, queryIdCol: String,
+                 termCol: String, weightCol: String, k: Int,
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = docs.select(col(docIdCol).cast("long").as("__doc"),
+      col(termCol).as("__t"), col(weightCol).cast("decimal(18,6)").as("__wd"))
+    val q = queries.select(col(queryIdCol).cast("long").as("__q"),
+      col(termCol).as("__t"), col(weightCol).cast("decimal(18,6)").as("__wq"))
+    val scored = d.join(broadcast(q), Seq("__t"))
+      .filter(if (excludeSelf) col("__doc") =!= col("__q") else lit(true))
+      .groupBy(col("__q"), col("__doc"))
+      .agg(sum((col("__wd") * col("__wq")).cast("decimal(38,12)")).as("__s"))
+    scored.groupBy(col("__q").as("query_id"))
+      .agg(graft.functions.TopKOps.topK(k, col("__s").cast("double"),
+        col("__doc")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
+  }
+
+  /** Impact-ordered STATIC INDEX PRUNING — cap every term's posting list
+    * at its `cap` highest-weight documents (weight desc, id asc ties),
+    * the classic quantized-WAND preprocessing: after this no posting
+    * list exceeds `cap` rows NO MATTER how the corpus grows, so
+    * [[sparseTopK]]'s join groups are absolutely bounded. Lossy by
+    * design — a document outside a term's top-`cap` can only be found
+    * through its OTHER terms — which is why [[sparseRecallReport]]
+    * exists to price the cap before production trusts it.
+    *
+    * 100 TB shape: one bounded-heap aggregate per token
+    * ([[graft.functions.TopKOps.topK]] — map-side partial heaps, so even
+    * a mega-token's list heap-merges across partitions instead of
+    * funneling into one reducer's sort). The weight survives the heap's
+    * double round-trip exactly: it was DECIMAL(18,6) in, and the cast
+    * back recovers the same 6-dp value.
+    */
+  def cappedPostings(postings: DataFrame, idCol: String, termCol: String,
+                     weightCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    postings
+      .groupBy(col(termCol))
+      .agg(graft.functions.TopKOps.topK(cap,
+        col(weightCol).cast("double"), col(idCol).cast("long")).as("__top"))
+      .select(col(termCol), explode(col("__top")).as("__e"))
+      .select(col("__e.id").as(idCol), col(termCol),
+        col("__e.score").cast("decimal(18,6)").as(weightCol))
+  }
+
+  /** Capped-vs-exact retrieval RECALL gate (the q240 convention for the
+    * lexical index): run [[sparseTopK]] twice over the same bounded query
+    * sample — once on the full postings, once on [[cappedPostings]] at
+    * `cap` — and report per query how many exact top-`k` documents the
+    * capped index recovered: `(query_id, n_hit, recall)`, recall =
+    * n_hit/k at 6 dp. The pre-production "is my cap safe on MY corpus"
+    * check; both arms inherit the bounded-query-sample cost contract.
+    */
+  def sparseRecallReport(docs: DataFrame, docIdCol: String,
+                         queries: DataFrame, queryIdCol: String,
+                         termCol: String, weightCol: String,
+                         k: Int, cap: Int): DataFrame = {
+    val exact = sparseTopK(docs, docIdCol, queries, queryIdCol,
+      termCol, weightCol, k)
+    val capped = sparseTopK(cappedPostings(docs, docIdCol, termCol, weightCol, cap),
+      docIdCol, queries, queryIdCol, termCol, weightCol, k)
+    exact.select(col("query_id"), col("doc_id"))
+      .join(capped.select(col("query_id"), col("doc_id"), lit(1).as("__hit")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / lit(k.toDouble), 6))
+  }
+
   def vocabGrowthCurve(df: DataFrame, idCol: String, textCol: String,
                        permilles: Seq[Int], salt: String = ""): DataFrame = {
     require(permilles.nonEmpty && permilles.size <= 100, "1..100 fractions")

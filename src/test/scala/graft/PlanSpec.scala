@@ -1284,4 +1284,41 @@ class PlanSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }.isEmpty, "no unbroadcast cartesian anywhere")
   }
+
+  test("q247 sparse retrieval: query side broadcasts, rank is a heap — no window, no SMJ") {
+    val p = plan("q247_sparse_retrieval")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "per-query rank rides the bounded-heap topK aggregate, never a window")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "the posting join broadcasts the bounded query side")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "postings × broadcast(queries) is the retrieval join")
+  }
+
+  test("q248 capped recall: both retrieval arms stay window-free (the cap is a heap too)") {
+    val p = plan("q248_sparse_capped_recall")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "exact arm, capped arm, AND the per-token cap all ride heap aggregates")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
+  test("q249 drift gate: no training in the lineage — keyed joins plus one-row broadcasts") {
+    val p = plan("q249_ivf_drift")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    // the only nested-loops are one-row broadcasts onto the nCentroids-
+    // sized per-cell table: totals in the output arm, totals again inside
+    // the tv rollup's lineage (both read the localCheckpointed per-cell
+    // table, so neither re-encodes the batch), and tv itself
+    val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size <= 3, s"only the totals/tv one-row broadcasts, got ${bnl.size}")
+  }
 }

@@ -645,4 +645,69 @@ class SimilarityIndexSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(auto == explicit)
   }
+
+  test("ivfDriftReport: a batch drawn from the index's own rows measures zero drift") {
+    val real = zed.filter(col("vec_id") =!= 99L)
+    val idx = Similarity.ivfPqIndexBuild(real, "vec_id", "embedding",
+      nCentroids = 4, subspaces = 2, subDim = 4, pqK = 2, pqIters = 0)
+    val rep = Similarity.ivfDriftReport(idx, real, "vec_id", "embedding",
+      tvThreshold = 0.1)
+      .orderBy("cell").collect()
+    assert(rep.length == 4, "one row per coarse cell, dead cells included")
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_index") == r.getAs[Long]("n_batch"))
+      assert(r.getAs[Double]("frac_index") == r.getAs[Double]("frac_batch"))
+      assert(r.getAs[Double]("drift") == 0.0)
+      assert(r.getAs[Double]("tv") == 0.0)
+      assert(!r.getAs[Boolean]("retrain"))
+    }
+    // per-cell base counts are exactly the codes relation's occupancy
+    val occ = idx.codes.groupBy("cell").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    rep.foreach(r => assert(
+      r.getAs[Long]("n_index") == occ.getOrElse(r.getAs[Long]("cell"), 0L)))
+  }
+
+  test("ivfDriftReport: a single-cell batch trips the retrain gate; zero-norm rows drop") {
+    val real = zed.filter(col("vec_id") =!= 99L)
+    val idx = Similarity.ivfPqIndexBuild(real, "vec_id", "embedding",
+      nCentroids = 4, subspaces = 2, subDim = 4, pqK = 2, pqIters = 0)
+    // many copies of one vector (all land in one cell) + one zero-norm
+    // row that must vanish from the batch counts
+    val one = zed.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect().head.getSeq[Float](0).toArray
+    val skewed = ((100 until 110).map(i => (i.toLong, one)) :+
+      ((999L, Array.fill(8)(0.0f)))).toDF("vec_id", "embedding")
+    val rep = Similarity.ivfDriftReport(idx, skewed, "vec_id", "embedding",
+      tvThreshold = 0.05)
+      .orderBy("cell").collect()
+    assert(rep.map(_.getAs[Long]("n_batch")).sum == 10L,
+      "the zero-norm row never encodes")
+    assert(rep.count(_.getAs[Long]("n_batch") > 0) == 1,
+      "identical vectors share one coarse cell")
+    val tv = rep.head.getAs[Double]("tv")
+    assert(tv > 0.05 && rep.forall(_.getAs[Boolean]("retrain")))
+    // tv is the decimal half-sum of the per-cell 9-dp drifts
+    val want = BigDecimal(rep.map(r =>
+      BigDecimal(r.getAs[Double]("drift")).setScale(12)).sum.toDouble * 0.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(tv == want)
+  }
+
+  test("ivfDriftReport: an empty batch reports null batch fracs, not a divide") {
+    val real = zed.filter(col("vec_id") =!= 99L)
+    val idx = Similarity.ivfPqIndexBuild(real, "vec_id", "embedding",
+      nCentroids = 4, subspaces = 2, subDim = 4, pqK = 2, pqIters = 0)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val rep = Similarity.ivfDriftReport(idx, empty, "vec_id", "embedding")
+      .orderBy("cell").collect()
+    assert(rep.length == 4)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_batch") == 0L)
+      assert(r.isNullAt(r.fieldIndex("frac_batch")))
+      assert(r.isNullAt(r.fieldIndex("drift")))
+      assert(r.isNullAt(r.fieldIndex("tv")))
+      assert(!r.isNullAt(r.fieldIndex("frac_index")))
+    }
+  }
 }

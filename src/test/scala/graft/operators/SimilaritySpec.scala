@@ -421,6 +421,55 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("matryoshkaTopK at full prefix and budget equals brute force; tight budget keeps recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val dim = emb.select($"embedding").head().getSeq[Float](0).length
+    val full = Similarity.matryoshkaTopK(emb, qs, "vec_id", "embedding",
+      k = 5, prefixDim = dim, rerank = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == brute && brute.nonEmpty,
+      "prefix = dim makes stage 1 the exact rank, so the composition is brute force")
+    // the fixture embeddings are NOT MRL-trained (information is spread
+    // uniformly across dims), so a quarter-width prefix is a weak rank
+    // here by construction — the contract to pin is that recall is real
+    // and the rerank budget buys it back monotonically, not a bar an
+    // untrained fixture can't meet
+    def recallAt(rerank: Int): Double = {
+      val approx = Similarity.matryoshkaTopK(emb, qs, "vec_id", "embedding",
+        k = 5, prefixDim = dim / 4, rerank = rerank)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val bruteP = brute.map(t => (t._1, t._2))
+      (approx & bruteP).size.toDouble / bruteP.size
+    }
+    val (r20, r80) = (recallAt(20), recallAt(80))
+    assert(r20 > 0.0 && r80 >= r20, s"recall@20=$r20 recall@80=$r80")
+    intercept[IllegalArgumentException](
+      Similarity.matryoshkaTopK(emb, qs, "vec_id", "embedding",
+        k = 5, prefixDim = 0))
+    intercept[IllegalArgumentException](
+      Similarity.matryoshkaTopK(emb, qs, "vec_id", "embedding",
+        k = 5, prefixDim = 8, rerank = 3))
+  }
+
+  test("matryoshkaTopK drops zero-PREFIX vectors from both roles") {
+    // id 7 is nonzero overall but all-zero in the first 2 dims — it has
+    // no stage-1 direction at prefixDim=2 and must vanish entirely
+    val mixed = (vecs.as[(Long, Array[Float])].collect().toSeq :+
+      ((7L, Array(0.0f, 0.0f, 5.0f)))).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaTopK(mixed, mixed, "vec_id", "embedding",
+      k = 4, prefixDim = 2, rerank = 10)
+    val ids = out.select($"neighbor_id").as[Long].collect().toSet ++
+      out.select($"query_id").as[Long].collect().toSet
+    assert(!ids.contains(7L))
+    // at prefixDim = 3 (the full width) it ranks again
+    val fullw = Similarity.matryoshkaTopK(mixed, mixed, "vec_id", "embedding",
+      k = 4, prefixDim = 3, rerank = 10)
+    assert(fullw.filter($"query_id" === 7L).count() > 0)
+  }
+
   test("labelCentroids averages coordinates per (label, dim) with member counts") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0),

@@ -633,4 +633,99 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.vocabGrowthCurve(docs, "doc_id", "text", Seq(0)))
   }
+
+  test("tfidfPostings: q71 weight formula; minDf and maxDfFrac prune as stated") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry"),
+      (3L, "durian durian")).toDF("doc_id", "text")
+    val all = TextAnalysis.tfidfPostings(corpus, "doc_id", "text")
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        r.getAs[java.math.BigDecimal]("weight").doubleValue))
+      .toMap
+    // N=4; df(apple)=2 → weight(d0, apple) = round(2·ln(2), 6)
+    def w(tf: Int, df: Int): Double =
+      BigDecimal(tf * math.log(4.0 / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(all((0L, "apple")) == w(2, 2))
+    assert(all((3L, "durian")) == w(2, 1))
+    assert(all.size == 7)
+    // minDf=2 drops the df-1 token; maxDfFrac=0.4 keeps ONLY df ≤ 1.6
+    val noHapax = TextAnalysis.tfidfPostings(corpus, "doc_id", "text", minDf = 2)
+      .select("token").as[String].collect().toSet
+    assert(noHapax == Set("apple", "banana", "cherry"))
+    val rareOnly = TextAnalysis.tfidfPostings(corpus, "doc_id", "text",
+      maxDfFrac = 0.4).select("token").as[String].collect().toSet
+    assert(rareOnly == Set("durian"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.tfidfPostings(corpus, "doc_id", "text", minDf = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.tfidfPostings(corpus, "doc_id", "text", maxDfFrac = 1.5))
+  }
+
+  private lazy val postings = Seq(
+    (1L, "t1", 1.0), (1L, "t2", 2.0),
+    (2L, "t1", 3.0),
+    (3L, "t2", 1.5), (3L, "t3", 1.0)).toDF("doc_id", "token", "weight")
+
+  test("sparseTopK: hand-checked dot products, deterministic rank, self exclusion") {
+    val queries = Seq((10L, "t1", 2.0), (10L, "t2", 1.0))
+      .toDF("query_id", "token", "weight")
+    val got = TextAnalysis.sparseTopK(postings, "doc_id", queries, "query_id",
+      "token", "weight", k = 3)
+      .orderBy("rn")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // d1 = 1·2 + 2·1 = 4; d2 = 3·2 = 6; d3 = 1.5·1 = 1.5
+    assert(got == Seq((10L, 2L, 6.0, 1L), (10L, 1L, 4.0, 2L), (10L, 3L, 1.5, 3L)))
+
+    // querying AS document 1 drops the self hit by default, keeps it on demand
+    val selfQ = Seq((1L, "t1", 1.0), (1L, "t2", 2.0))
+      .toDF("query_id", "token", "weight")
+    val noSelf = TextAnalysis.sparseTopK(postings, "doc_id", selfQ, "query_id",
+      "token", "weight", k = 3).select("doc_id").as[Long].collect().toSet
+    assert(!noSelf.contains(1L))
+    val withSelf = TextAnalysis.sparseTopK(postings, "doc_id", selfQ, "query_id",
+      "token", "weight", k = 3, excludeSelf = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(withSelf.contains(1L))
+
+    // equal scores rank by doc_id asc
+    val tied = Seq((7L, "t", 1.0), (8L, "t", 1.0)).toDF("doc_id", "token", "weight")
+    val tq = Seq((10L, "t", 1.0)).toDF("query_id", "token", "weight")
+    val tr = TextAnalysis.sparseTopK(tied, "doc_id", tq, "query_id",
+      "token", "weight", k = 2).orderBy("rn")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(tr == Seq(7L, 8L))
+  }
+
+  test("cappedPostings: cap=1 keeps each term's best doc; a loose cap is the identity") {
+    val cap1 = TextAnalysis.cappedPostings(postings, "doc_id", "token", "weight", 1)
+      .collect().map(r => (r.getString(1),
+        (r.getLong(0), r.getAs[java.math.BigDecimal]("weight").doubleValue)))
+      .toMap
+    assert(cap1 == Map("t1" -> ((2L, 3.0)), "t2" -> ((1L, 2.0)), "t3" -> ((3L, 1.0))))
+    val loose = TextAnalysis.cappedPostings(postings, "doc_id", "token", "weight", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.math.BigDecimal]("weight").doubleValue)).toSet
+    assert(loose == Set((1L, "t1", 1.0), (1L, "t2", 2.0), (2L, "t1", 3.0),
+      (3L, "t2", 1.5), (3L, "t3", 1.0)))
+  }
+
+  test("sparseRecallReport: loose cap is recall 1; cap=1 loses the doc reachable only through a pruned posting") {
+    val queries = Seq((10L, "t1", 2.0), (10L, "t2", 1.0))
+      .toDF("query_id", "token", "weight")
+    val full = TextAnalysis.sparseRecallReport(postings, "doc_id",
+      queries, "query_id", "token", "weight", k = 3, cap = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(full == Seq((10L, 3L, 1.0)))
+    // cap=1: t1 keeps only d2, t2 keeps only d1 → d3 (reachable only via
+    // the pruned t2 tail) disappears from the capped arm
+    val cut = TextAnalysis.sparseRecallReport(postings, "doc_id",
+      queries, "query_id", "token", "weight", k = 3, cap = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cut == Seq((10L, 2L,
+      BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }
