@@ -645,12 +645,19 @@ object PipelineScaleBench {
     // the embedding table itself is gated on the stage filter: at 5M docs
     // its generation + write is one of the most expensive steps in the
     // bench, and a doc-stage-only run must not pay for it
+    // EVERY stage timed below this gate must appear here — a missing
+    // name makes a PIPE_ONLY run of that stage silently time nothing
+    // (the early return fires before its timed() call). The doc-only
+    // sparse stages ride the same gate because they are sequenced after
+    // the embedding write; the list is the gate's source of truth.
     val embStages = Seq("pipe_lsh_bucket_assign", "pipe_ann_lsh_topk_100q",
       "pipe_embedding_neardup", "pipe_kmeans", "pipe_jl_projection",
-      "pipe_pq_codes", "pipe_hard_negatives", "pipe_ivf_pq",
-      "pipe_ivf_pq_build", "pipe_ivf_pq_search", "pipe_ivf_pq_add",
+      "pipe_jl_project_lit", "pipe_pq_codes", "pipe_hard_negatives",
+      "pipe_ivf_pq", "pipe_ivf_pq_build", "pipe_ivf_pq_search",
+      "pipe_ivf_pq_add", "pipe_ivf_drift", "pipe_sparse_postings",
+      "pipe_bm25_postings", "pipe_sparse_topk", "pipe_sparse_topk_capped",
       "pipe_semantic_dedup", "pipe_semantic_dedup_banded",
-      "pipe_contrastive")
+      "pipe_contrastive", "pipe_hybrid_rrf")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
     if (!needEmb) { spark.stop(); return }
     // float32, like real embedding tables — the near-dup verification
@@ -709,6 +716,16 @@ object PipelineScaleBench {
       // must run at scan speed; consumed via hash-max so pruning can't
       // elide it
       val out = Similarity.randomProjection(vecs, "vec_id", "embedding", 8)
+      out.agg(max(xxhash64(out.columns.map(col).toSeq: _*))).head()
+      total
+    }
+    timed("pipe_jl_project_lit") {
+      // the literal-weight form of the same projection (signProject):
+      // the weight matrix baked driver-side, so the stage prices exactly
+      // what dropping the per-row per-plane weight-array build buys —
+      // compare against pipe_jl_projection's wall on the same corpus
+      val out = Similarity.signProject(vecs, "vec_id", "embedding",
+        outDim = 8, dim = 64)
       out.agg(max(xxhash64(out.columns.map(col).toSeq: _*))).head()
       total
     }
@@ -803,6 +820,14 @@ object PipelineScaleBench {
       TextAnalysis.tfidfPostings(corpus, "doc_id", "text",
         minDf = 2, maxDfFrac = 0.5).count()
     }
+    timed("pipe_bm25_postings") {
+      // the Okapi-weighted index build: same exchange shape as the
+      // TF-IDF postings plus one doc-sized re-aggregation (Σtf) and two
+      // one-row broadcasts (N, avgdl) — must track pipe_sparse_postings'
+      // wall within the re-agg's cost
+      TextAnalysis.bm25Postings(corpus, "doc_id", "text",
+        minDf = 2, maxDfFrac = 0.5).count()
+    }
     timed("pipe_sparse_topk", input = 500L) {
       // batch sparse retrieval at a FIXED 500-query load: the bounded
       // query side broadcasts, so the posting join never shuffles the
@@ -832,6 +857,33 @@ object PipelineScaleBench {
         .withColumnRenamed("doc_id", "query_id")
       TextAnalysis.sparseTopK(capped, "doc_id", qp, "query_id",
         "token", "weight", k = 10).count()
+      500L
+    }
+    timed("pipe_hybrid_rrf", input = 500L) {
+      // hybrid serving at the fixed 500-query load: the PRODUCTION arms
+      // only — LSH-bucketed dense top-k (never brute force at corpus
+      // scale) + the CAPPED sparse index (the q248-priced static prune;
+      // the uncapped arm measured ~9× slower here — exactly the join
+      // group growth the cap bounds), fused. The fusion itself joins two
+      // (queries × k)-row lists, so its cost must be noise against the
+      // retrievals.
+      val stride = math.max(1L, nDocs.toLong / 500)
+      val qv = vecs.filter(col("vec_id") % stride === 0)
+      val dense = Similarity.lshTopK(vecs, qv, "vec_id", "embedding",
+        k = 10, planes = 4, probeBits = 1)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
+      val post = TextAnalysis.tfidfPostings(corpus, "doc_id", "text",
+        minDf = 2, maxDfFrac = 0.5)
+      val capped = TextAnalysis.cappedPostings(post, "doc_id", "token",
+        "weight", cap = 1000)
+      val qp = post.join(
+        broadcast(qv.select(col("vec_id").as("doc_id"))), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      val sparse = TextAnalysis.sparseTopK(capped, "doc_id", qp, "query_id",
+        "token", "weight", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rn"))
+      graft.operators.Selection.rrfFuseRanks(Seq(dense, sparse),
+        "query_id", "doc_id", "rn").count()
       500L
     }
     timed("pipe_semantic_dedup", input = total / 5) {

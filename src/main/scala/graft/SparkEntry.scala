@@ -2098,11 +2098,17 @@ object SparkEntry {
     // ── Johnson–Lindenstrauss random projection to 8 dims: the
     // dimensionality-reduction front of ANN/clustering, a pure narrow
     // kernel over the lshBucket plane-weight generator (full dot values
-    // instead of sign bits).
-    "q199_jl_projection" -> ((s, dir) =>
-      Similarity.randomProjection(t(s, dir, "embeddings"), "vec_id",
-        "embedding", outDims = 8)
-        .orderBy("vec_id")),
+    // instead of sign bits). Served by the literal-weight form
+    // (signProject — 7× the declarative randomProjection's throughput
+    // at 500k in the pipe_jl guard pair; value parity spec-pinned),
+    // reshaped to the q199 wide-column contract.
+    "q199_jl_projection" -> ((s, dir) => {
+      val proj = Similarity.signProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", outDim = 8, dim = 64)
+      proj.select(col("vec_id") +:
+        (0 until 8).map(p => element_at(col("proj"), p + 1).as(s"proj_$p")): _*)
+        .orderBy("vec_id")
+    }),
 
     // ── calibration report for a [0,1] scorer (unique-token ratio)
     // against the lang='en' label, 10 bins: mean score vs observed
@@ -2602,6 +2608,91 @@ object SparkEntry {
         .withColumnRenamed("doc_id", "query_id")
       TextAnalysis.sparseRecallReport(post, "doc_id", qp, "query_id",
         "token", "weight", k = 5, cap = 25)
+        .orderBy("query_id")
+    }),
+
+    // ── batch BM25 retrieval: the Okapi scorer baked into the posting
+    // weights (q247's index reshaped to BM25), unit DECIMAL weights on
+    // the distinct query terms, so the sparse dot product IS the classic
+    // BM25 sum. Same 1% hash-sample query side as q247.
+    "q251_bm25_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = TextAnalysis.bm25Postings(docs, "doc_id", "text", minDf = 2)
+      val qp = evalSample(docs, "doc_id", 10)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextAnalysis.tokens("text"))).as("token"))
+        .withColumn("weight", lit(1).cast("decimal(18,6)"))
+      TextAnalysis.sparseTopK(post, "doc_id", qp, "query_id",
+        "token", "weight", k = 5)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── hybrid dense+sparse retrieval: brute-force cosine top-5 over the
+    // embeddings and TF-IDF sparse top-5 over the texts of the SAME 1%
+    // hash-sampled ids, fused with reciprocal-rank fusion (dense term
+    // first, k0=60) — the production hybrid-search serving pattern as
+    // one graded relation.
+    "q252_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text", minDf = 2)
+      val qp = post
+        .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      val sparse = TextAnalysis.sparseTopK(post, "doc_id", qp, "query_id",
+        "token", "weight", k = 5)
+        .select(col("query_id"), col("doc_id"), col("rn"))
+      val dense = Similarity.bruteForceTopK(emb,
+        evalSample(emb, "vec_id", 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
+      graft.operators.Selection.rrfFuseRanks(Seq(dense, sparse),
+        "query_id", "doc_id", "rn", k0 = 60)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    }),
+
+    // ── embedding anisotropy: mean (and mean-absolute) 6-dp pairwise
+    // cosine over a 5% hash sample — one row; near-zero mean = healthy
+    // isotropic geometry, high mean = a shared dominant direction
+    // compressing every cosine score into a narrow band.
+    "q253_anisotropy" -> ((s, dir) =>
+      Similarity.anisotropyReport(
+        evalSample(t(s, dir, "embeddings"), "vec_id", 50),
+        "vec_id", "embedding")),
+
+    // ── cluster-balanced (diversity) selection: k-means assignment
+    // bounds the strata, then a uniform content-hash lottery keeps 5 per
+    // cluster — the coreset/SemDeDup-adjacent "cover the space, not the
+    // density" curation pick.
+    "q254_cluster_balanced" -> ((s, dir) => {
+      val assigned = Similarity.kmeansLloyd(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+      Sampling.uniformKPerGroup(assigned, "vec_id", "cluster", k = 5)
+        .orderBy("cluster", "rn")
+    }),
+
+    // ── deterministic random projection 64 → 16 dims: the LSH
+    // hyperplane mixer's value-preserving twin (Achlioptas/JL-class),
+    // exploded to (vec_id, p, value) so every projected coordinate is
+    // hash-graded.
+    "q255_jl_project" -> ((s, dir) =>
+      Similarity.signProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        outDim = 16, dim = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("p", "value")))
+        .withColumn("p", col("p").cast("long"))
+        .orderBy("vec_id", "p")),
+
+    // ── JL-projection recall gate: brute-force top-5 in the PROJECTED
+    // 16-dim space graded against exact full-dim top-5 on a 2% hash
+    // sample — the "is this width safe on MY data" pre-run (the q240
+    // convention for the projection).
+    "q256_jl_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = evalSample(emb, "vec_id", 20)
+      val proj = Similarity.signProject(emb, "vec_id", "embedding",
+        outDim = 16, dim = 64)
+      val projQ = proj.join(qs.select("vec_id"), "vec_id")
+      val ann = Similarity.bruteForceTopK(proj, projQ, "vec_id", "proj", 5)
+      Similarity.annRecallReportFor(emb, qs, "vec_id", "embedding", 5, ann)
         .orderBy("query_id")
     }),
 
@@ -6104,6 +6195,122 @@ object SparkEntry {
           | USING (query_id, doc_id)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Batch BM25: the Okapi-weighted posting chain (constants are the
+    // Scala-computed doubles, round-tripped) + unit-weight distinct
+    // query terms + the shared sparse scoring tail.
+    "q251_bm25_retrieval" ->
+      ("WITH " + bm25PostingCtes + ",\n" + sparseTopKTail("post", "") +
+        "\nSELECT query_id, doc_id, score, rn FROM r WHERE rn <= 5" +
+        "\nORDER BY query_id, rn"),
+
+    // Hybrid RRF: the q247 sparse chain's top-5 full-joined with a
+    // dense brute-force top-5 over the same hash-sampled ids, then the
+    // fixed-order 1/(60+rank) sum (dense term first) at 6 dp.
+    "q252_hybrid_rrf" ->
+      ("WITH " + sparsePostingCtes + ",\n" + sparseTopKTail("post", "") + ",\n" +
+        s"""sp AS (SELECT query_id, doc_id, rn FROM r WHERE rn <= 5),
+           |ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |       FROM embeddings),
+           |dn AS (SELECT query_id, doc_id, rn FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |   CAST(row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS BIGINT) AS rn
+           |  FROM ve q JOIN ve c ON c.vec_id <> q.vec_id
+           |  WHERE ${evalSampleSql("q.vec_id", 10)}) WHERE rn <= 5),
+           |f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+           |       coalesce(d.doc_id, s.doc_id) AS doc_id,
+           |       d.rn AS rank_1, s.rn AS rank_2
+           |      FROM dn d FULL JOIN sp s
+           |       ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+           |SELECT query_id, doc_id, rank_1, rank_2,
+           | round((CASE WHEN rank_1 IS NOT NULL THEN 1.0 / (60.0 + rank_1) ELSE 0.0 END)
+           |     + (CASE WHEN rank_2 IS NOT NULL THEN 1.0 / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
+           |FROM f ORDER BY query_id, rrf DESC, doc_id""".stripMargin),
+
+    // Anisotropy: all pairs of the 5% hash sample, the Spark-shaped
+    // explicit cosine fold (products fold / norm-fold product) rounded
+    // onto DECIMAL(9,6), exact decimal sums, one terminal division each.
+    "q253_anisotropy" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |            FROM embeddings WHERE ${evalSampleSql("vec_id", 50)}),
+         |n AS (SELECT vec_id, v,
+         |       sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nn
+         |      FROM v0),
+         |p AS (SELECT CAST(round(
+         |        list_reduce(list_transform(range(1, 65), j -> a.v[j] * b.v[j]), (x, y) -> x + y)
+         |         / (a.nn * b.nn), 6) AS DECIMAL(9,6)) AS c
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |      WHERE a.nn > 0 AND b.nn > 0)
+         |SELECT (SELECT count(*) FROM n WHERE nn > 0) AS n_vectors,
+         | count(*) AS n_pairs,
+         | round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_cos,
+         | round(CAST(sum(abs(c)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_abs_cos
+         |FROM p""".stripMargin,
+
+    // Cluster-balanced selection: the q183 k-means chain (k=8, 2
+    // iterations, 64 dims) + the q205 content-hash lottery per cluster.
+    "q254_cluster_balanced" ->
+      ("WITH " + kmeansCtes(8, 2, 64, off = 0, sfx = "") + ",\n" +
+        """h AS (SELECT cluster, vec_id,
+          |  ('0x' || substr(md5('us' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+          |   % 1125899906842624 AS hv
+          | FROM a3),
+          |rk AS (SELECT cluster, vec_id,
+          |  CAST(row_number() OVER (PARTITION BY cluster ORDER BY hv, vec_id) AS BIGINT) AS rn
+          | FROM h)
+          |SELECT CAST(cluster AS INT) AS cluster, vec_id, rn
+          |FROM rk WHERE rn <= 5 ORDER BY cluster, rn""".stripMargin),
+
+    // JL projection: the 16 plane-weight folds as a zipped unnest —
+    // identical left-to-right product folds, round 6 + 0.0 (zround).
+    "q255_jl_project" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |pr AS (SELECT vec_id, unnest(range(0, 16)) AS p,
+         |        unnest(${jlProjListSql(16, 64)}) AS value FROM v)
+         |SELECT vec_id, CAST(p AS BIGINT) AS p, value FROM pr
+         |ORDER BY vec_id, p""".stripMargin,
+
+    // JL recall gate: projected-space brute-force top-5 (the rounded
+    // 16-dim lists) vs exact full-dim top-5 on the 2% hash sample, the
+    // q234 left-join recall rollup.
+    "q256_jl_recall" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |pj AS (SELECT vec_id, ${jlProjListSql(16, 64)} AS pv FROM v),
+         |qs AS (SELECT vec_id FROM embeddings WHERE ${evalSampleSql("vec_id", 20)}),
+         |pn AS (SELECT vec_id,
+         |        sqrt(list_reduce(list_transform(pv, x -> x * x), (x, y) -> x + y)) AS n
+         |       FROM pj),
+         |fn AS (SELECT vec_id,
+         |        sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS n
+         |       FROM v),
+         |r AS (SELECT query_id, neighbor_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   list_cosine_similarity(c.pv, q.pv) AS cos
+         |  FROM pj q JOIN qs s ON s.vec_id = q.vec_id
+         |  JOIN pn qn ON qn.vec_id = q.vec_id AND qn.n > 0
+         |  JOIN pj c ON c.vec_id <> q.vec_id
+         |  JOIN pn cn ON cn.vec_id = c.vec_id AND cn.n > 0)),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS brn
+         |  FROM v q JOIN qs s ON s.vec_id = q.vec_id
+         |  JOIN fn qn ON qn.vec_id = q.vec_id AND qn.n > 0
+         |  JOIN v c ON c.vec_id <> q.vec_id
+         |  JOIN fn cn ON cn.vec_id = c.vec_id AND cn.n > 0)
+         | WHERE brn <= 5),
+         |ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM r WHERE rn <= 5)
+         |SELECT bf.query_id,
+         | CAST(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         | round(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+         |FROM bf LEFT JOIN ann
+         | ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
+         |GROUP BY 1 ORDER BY bf.query_id""".stripMargin,
+
     // Banded recall planner: identical angle grid, 9-dp collision curve
     // points, decimal Riemann masses, 6-dp score, (score, planes DESC)
     // chosen window — the q239 recipe in angle space.
@@ -6861,6 +7068,47 @@ object SparkEntry {
        |      CAST(row_number() OVER (PARTITION BY query_id
        |       ORDER BY score DESC, doc_id) AS BIGINT) AS rn
        |     FROM sc$sfx)""".stripMargin
+
+  /** q251's BM25 posting chain: the Okapi weight formula
+    * (non-negative idf, k1=1.2, b=0.75 — every constant the
+    * Scala-computed double, round-tripped by toString) onto
+    * DECIMAL(18,6), minDf=2, and unit-weight DISTINCT query terms on
+    * the 1% hash sample — stated identically to
+    * TextAnalysis.bm25Postings' left-associated arithmetic.
+    */
+  private lazy val bm25PostingCtes: String = {
+    val k1 = 1.2
+    val b = 0.75
+    s"""dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tfd AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+       |ndocs AS (SELECT count(*) AS n FROM documents),
+       |dlen AS (SELECT doc_id, sum(tf) AS len FROM tfd GROUP BY 1),
+       |avgl AS (SELECT CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |         FROM dlen),
+       |dfq AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+       |post AS (SELECT t.doc_id, t.token,
+       |          CAST(round(ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * t.tf * ${k1 + 1.0} /
+       |           (t.tf + $k1 * (${1.0 - b} + $b * CAST(l.len AS DOUBLE) / a.avgdl)), 6)
+       |           AS DECIMAL(18,6)) AS w
+       |         FROM tfd t JOIN dfq d USING (token) JOIN dlen l USING (doc_id),
+       |              ndocs n, avgl a
+       |         WHERE d.df >= 2),
+       |qp AS (SELECT DISTINCT doc_id AS query_id, token, CAST(1 AS DECIMAL(18,6)) AS w
+       |       FROM dt WHERE ${evalSampleSql("doc_id", 10)})""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Similarity.signProject]] over a
+    * `dim`-wide `list<double>` column `v`: a list literal of `outDim`
+    * plane-weight product folds (the same left-to-right order as the
+    * native dot kernel), each rounded 6 dp and −0.0-normalized
+    * (`+ 0.0`, the zround idiom).
+    */
+  private def jlProjListSql(outDim: Int, dim: Int): String =
+    "[" + (0 until outDim).map { p =>
+      s"""round(list_reduce(list_transform(range(1, ${dim + 1}),
+         | j -> v[j] * CAST(${planeWeightSql(p)} AS DOUBLE)),
+         | (x, y) -> x + y), 6) + 0.0""".stripMargin
+    }.mkString(", ") + "]"
 
   /** The TRAINING half of the IVF-PQ oracle chain — four suffixed q183
     * k-means chains (PQ codebooks), per-query ADC tables over the

@@ -108,6 +108,41 @@ object Selection {
     joined.withColumn("rrf", round(terms.reduce(_ + _), 6))
   }
 
+  /** RRF fusion of ALREADY-RANKED lists — [[rankFusion]]'s retrieval
+    * twin: each input is a `(group, id, rank)` relation from a different
+    * retriever (dense ANN, sparse BM25/TF-IDF, a recency sort …), and
+    * the fusion full-joins them on (group, id) and sums
+    * `1/(k0 + rank)` per list, 0 when a list missed the id — the hybrid
+    * dense+sparse serving pattern where the rankings come from DIFFERENT
+    * relations and can't share one score table. Output
+    * `(group, id, rank_1.., rrf)` with null ranks for misses, `rrf`
+    * rounded 6 dp.
+    *
+    * Cross-engine exactness: [[rankFusion]]'s contract verbatim — ≤
+    * |lists| double terms added in fixed list order, each `1/(k0+r)`
+    * with integer `r`, so any engine stating the same left-to-right sum
+    * reproduces it bit-for-bit before the rounding.
+    *
+    * 100 TB shape: inputs are top-k relations by contract (bounded-heap
+    * aggregates upstream), so every join here is over lists of ≤
+    * queries·k rows — the fusion never touches the corpus.
+    */
+  def rrfFuseRanks(lists: Seq[DataFrame], groupCol: String, idCol: String,
+                   rankCol: String, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseRanks needs at least one ranked list")
+    require(k0 > 0, s"k0 must be positive: $k0")
+    val named = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col(groupCol), col(idCol),
+        col(rankCol).cast("long").as(s"rank_${i + 1}"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq(groupCol, idCol), "full"))
+    val terms = lists.indices.map(i =>
+      when(col(s"rank_${i + 1}").isNotNull,
+        lit(1.0) / (lit(k0.toDouble) + col(s"rank_${i + 1}").cast("double")))
+        .otherwise(lit(0.0)))
+    joined.withColumn("rrf", round(terms.reduce(_ + _), 6))
+  }
+
   /** Per-stratum quantile gate: keep rows whose score is at or above
     * their group's `quantile` threshold — "keep the top 60% of every
     * language" as an adaptive per-stratum cutoff instead of one global

@@ -1051,6 +1051,104 @@ object Similarity {
         round(col("n_hit").cast("double") / lit(k.toDouble), 6))
   }
 
+  /** Embedding-space ANISOTROPY report — the Ethayarajh-style geometry
+    * diagnostic: over all pairs of the supplied (SAMPLE) relation, the
+    * mean and mean-absolute 6-dp cosine, as ONE row
+    * `(n_vectors, n_pairs, mean_cos, mean_abs_cos)`. A healthy embedding
+    * space for retrieval has mean pairwise cosine near 0; a high mean
+    * says every vector shares a dominant direction, and cosine scores
+    * compress into a narrow band — thresholds tuned elsewhere stop
+    * transferring. Zero-norm rows drop under the [[cosinePairs]] policy;
+    * per-pair cosines land on DECIMAL(9,6) so the means are
+    * order-independent and engine-exact.
+    *
+    * BOUNDED-SAMPLE CONTRACT (the [[nearDupRecallReport]] convention):
+    * the all-pairs arm is O(m²) in the INPUT relation by design — the
+    * caller passes a deterministic hash sample
+    * ([[graft.operators.Sampling.hashSample]]) sized in absolute rows,
+    * never the corpus; pair count, not corpus size, is what the operator
+    * scales with.
+    */
+  def anisotropyReport(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = df
+      .filter(col(vecCol).isNotNull && forall(col(vecCol), x => x.isNotNull))
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
+    val a = v.select(col("__id").as("__ida"), col("__v").as("__va"),
+      col("__n").as("__na"))
+    val b = v.select(col("__id").as("__idb"), col("__v").as("__vb"),
+      col("__n").as("__nb"))
+    val pairs = a.crossJoin(b).filter(col("__ida") < col("__idb"))
+      .select(zround(dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")), 6).cast("decimal(9,6)").as("__cos"))
+    val nv = v.agg(count(lit(1)).as("n_vectors"))
+    val pr = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      round(sum(col("__cos")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_cos"),
+      round(sum(abs(col("__cos"))).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_abs_cos"))
+    nv.crossJoin(pr)
+  }
+
+  /** [[planeWeight]]'s driver-side twin — the identical square-then-
+    * multiply mod 2³¹−1 integer mixer evaluated in Scala, so projection
+    * operators can bake the weight MATRIX into literal arrays once
+    * instead of re-generating per-row weight arrays per plane (the
+    * interpreted-generation cost [[graft.functions.LshBucketExpr]]
+    * exists to avoid). Bit-equal to the Column form by construction
+    * (same arithmetic, every intermediate < 2⁶²; SimilaritySpec pins
+    * the parity).
+    */
+  private[operators] def planeWeightScala(plane: Int, dim: Int): Long = {
+    val P = 2147483647L
+    val w1 = ((plane + 1).toLong * 1566083941L + dim.toLong * 1812433253L) % P
+    val w2 = (w1 * w1) % P
+    w2 * 1103515245L % P % 1001L - 500L
+  }
+
+  /** Deterministic random-projection DIMENSIONALITY REDUCTION at a
+    * KNOWN width — [[randomProjection]]'s literal-weight production
+    * form and the value-preserving twin of [[lshBucket]]: project each
+    * `dim`-wide vector onto `outDim` pseudo-random integer hyperplanes
+    * (the [[planeWeight]] mixer, planes `planeOffset until planeOffset +
+    * outDim`) and keep the 6-dp projection VALUES instead of their sign
+    * bits — the Achlioptas/JL-class reduction run before ANN when the
+    * native width is too expensive to scan (cosine structure is
+    * approximately preserved; gate with [[annRecallReportFor]] over the
+    * projected relation before production trusts a width). At offset 0
+    * the values are bit-identical to [[randomProjection]]'s
+    * (SimilaritySpec parity) — this form trades its width-agnosticism
+    * for skipping the per-row per-plane interpreted weight-array build
+    * (the cost [[graft.functions.LshBucketExpr]] exists to avoid on the
+    * sign path). Output `(id, proj array<double>)` — an array column, so
+    * the projected relation feeds [[bruteForceTopK]]/[[lshBucket]]/
+    * [[kmeansLloyd]] directly; rows whose vector is null, contains
+    * nulls, or is not exactly `dim` wide are dropped (the
+    * [[kmeansLloyd]] width rule — a ragged vector would null the fold).
+    *
+    * 100 TB shape: the weight matrix is outDim·dim literal doubles baked
+    * driver-side ([[planeWeightScala]]) — ZERO joins, zero per-row weight
+    * generation; the projection is one narrow map pass (outDim native
+    * dot kernels per row), embarrassingly parallel, no exchange
+    * (PlanSpec-pinned).
+    */
+  def signProject(df: DataFrame, idCol: String, vecCol: String,
+                  outDim: Int, dim: Int, planeOffset: Int = 0): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(planeOffset >= 0, s"planeOffset must be >= 0, got $planeOffset")
+    val w: Array[Array[Double]] = Array.tabulate(outDim, dim)((p, j) =>
+      planeWeightScala(planeOffset + p, j).toDouble)
+    df.filter(col(vecCol).isNotNull && forall(col(vecCol), x => x.isNotNull))
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .filter(size(col("__v")) === dim)
+      .select(col(idCol),
+        array((0 until outDim).map(p =>
+          zround(dot(col("__v"), lit(w(p))), 6)): _*).as("proj"))
+  }
+
   /** The (nProbe, rerank) operating-point PLANNER —
     * [[graft.operators.Dedup.bandingPlan]]'s ANN twin: sweep the probe/
     * rerank grid against [[annRecallReportFor]]'s recall on a bounded
@@ -1398,6 +1496,14 @@ object Similarity {
     * value is kept instead), so any engine stating the same integer
     * arithmetic and fold order reproduces the projections bit-for-bit
     * at 6 dp.
+    *
+    * This is the WIDTH-AGNOSTIC declarative form (weights generated
+    * per row to the vector's own length — works on any embedding
+    * width, costs a per-row per-plane interpreted array build). The
+    * production form at a KNOWN width is [[signProject]]: the same
+    * mixer baked into literal weight arrays once, value-identical
+    * (SimilaritySpec parity) — the [[lshBucketDeclarative]]-vs-kernel
+    * relationship.
     *
     * 100 TB shape: a pure narrow per-row kernel — `outDims` codegen'd
     * dot products, ZERO exchanges; column output `proj_0..proj_{k-1}`.

@@ -1142,6 +1142,55 @@ object TextAnalysis {
           .cast("decimal(18,6)").as("weight"))
   }
 
+  /** BM25-weighted POSTINGS — [[tfidfPostings]] with the [[bm25Rank]]
+    * scoring model baked into the index side, so [[sparseTopK]] over it
+    * with unit query weights IS batch BM25 retrieval (the Okapi scorer
+    * reshaped from a fixed-query ranking into an inverted index):
+    * `weight = round(idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl)), 6)`
+    * as DECIMAL(18,6), `idf = ln((N−df+0.5)/(df+0.5) + 1)` (non-negative
+    * Lucene variant). `minDf`/`maxDfFrac` prune exactly as in
+    * [[tfidfPostings]] — the skew bound on the one posting list that
+    * grows with the corpus.
+    *
+    * Cross-engine exactness: every constant is the Scala-computed double
+    * interpolated into the oracle (round-trip toString), the arithmetic
+    * is stated in the same left-associated order, and the terminal round
+    * lands on DECIMAL — downstream dot products stay exact.
+    *
+    * 100 TB shape: ONE corpus-sized exchange builds (doc, token, tf);
+    * doc length is a doc-sized re-aggregation OF that table (Σtf — never
+    * a second corpus pass), document frequency a vocabulary-sized one;
+    * N and avgdl broadcast as one-row relations.
+    */
+  def bm25Postings(df: DataFrame, idCol: String, textCol: String,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   minDf: Int = 1, maxDfFrac: Double = 1.0): DataFrame = {
+    require(k1 > 0.0, s"k1 must be > 0, got $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1], got $b")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val docTerms = df.select(col(idCol), explode(tokens(textCol)).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docLen = docTerms.groupBy(col(idCol)).agg(sum(col("tf")).as("__len"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val avg = docLen.agg((sum(col("__len")).cast("double") /
+      count(lit(1)).cast("double")).as("__avgdl"))
+    val docFreq = docTerms.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= minDf &&
+        col("df").cast("double") <= col("__n").cast("double") * maxDfFrac)
+    docTerms.join(docLen, idCol)
+      .join(docFreq, "token")
+      .crossJoin(broadcast(avg))
+      .select(col(idCol), col("token"),
+        round(log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)) * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("__len").cast("double") / col("__avgdl"))), 6)
+          .cast("decimal(18,6)").as("weight"))
+  }
+
   /** Batch SPARSE-vector retrieval over an inverted index — the lexical
     * (SPLADE/TF-IDF-as-vectors) twin of the dense ANN family: both sides
     * arrive as posting relations `(id, term, weight)`, the score is the

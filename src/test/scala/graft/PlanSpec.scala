@@ -1321,4 +1321,33 @@ class PlanSpec extends SparkSpec {
     val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
     assert(bnl.size <= 3, s"only the totals/tv one-row broadcasts, got ${bnl.size}")
   }
+
+  test("signProject is a pure narrow map — ZERO exchanges, zero joins") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.operators.Similarity
+      .signProject(emb, "vec_id", "embedding", outDim = 16, dim = 64)
+      .queryExecution.executedPlan
+    assert(collectAll(p) { case e: ShuffleExchangeExec => e }.isEmpty,
+      "the weight matrix is literal — projection must not exchange")
+    assert(collectAll(p) { case j: BroadcastHashJoinExec => j }.isEmpty)
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("q252 hybrid RRF: window-free, cartesian-free; the one merge join is the eval-sized fusion full-join") {
+    val p = plan("q252_hybrid_rrf")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "both rankings are bounded-heap aggregates, the fusion is a keyed join")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    // FullOuter can't broadcast-hash in Spark — the fusion join is an
+    // SMJ over the two (queries × k)-row top-k lists, eval-sized by
+    // construction (the q242 grid-join precedent). Pin that it is the
+    // ONLY merge join and that it is the full-outer fusion itself.
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.size <= 1, s"only the eval-sized fusion full-join, got ${smj.size}")
+    assert(smj.forall(_.joinType.sql == "FULL OUTER"))
+  }
 }

@@ -208,4 +208,35 @@ class SelectionSpec extends SparkSpec {
     // positions are collision-free and strictly increasing in rank per group
     assert(out.map(_._4).distinct.length == out.length)
   }
+
+  test("rrfFuseRanks: fixed-order fusion, missing-list zero term, guards") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dense = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("q", "id", "rn")
+    val sparse = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("q", "id", "rn")
+    val got = Selection.rrfFuseRanks(Seq(dense, sparse), "q", "id", "rn")
+      .select("q", "id", "rank_1", "rank_2", "rrf")
+      .collect()
+      .map(r => (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    // 100: dense-only → sparse term contributes exactly 0
+    assert(got(0) == ((100L, Some(1L), None, r6(1.0 / 61.0))))
+    // 101: both lists, dense term first in the fixed-order sum
+    assert(got(1) == ((101L, Some(2L), Some(1L), r6(1.0 / 62.0 + 1.0 / 61.0))))
+    // 102: sparse-only
+    assert(got(2) == ((102L, None, Some(2L), r6(1.0 / 62.0))))
+
+    // a single list fuses to its own reciprocal ranks
+    val solo = Selection.rrfFuseRanks(Seq(dense), "q", "id", "rn")
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    assert(solo == Map(100L -> r6(1.0 / 61.0), 101L -> r6(1.0 / 62.0)))
+
+    intercept[IllegalArgumentException](
+      Selection.rrfFuseRanks(Seq.empty, "q", "id", "rn"))
+    intercept[IllegalArgumentException](
+      Selection.rrfFuseRanks(Seq(dense), "q", "id", "rn", k0 = 0))
+  }
 }

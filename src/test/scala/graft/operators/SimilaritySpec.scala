@@ -905,4 +905,87 @@ class SimilaritySpec extends SparkSpec {
     // self-match never surfaces
     assert(out.forall(_._2 != 0L))
   }
+
+  test("anisotropyReport: hand-computed pair means, zero-norm drop, one-row shape") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(2.0f, 0.0f)),    // same direction as 0
+      (3L, Array(0.0f, 0.0f))     // zero-norm: dropped
+    ).toDF("vec_id", "embedding")
+    val row = Similarity.anisotropyReport(df, "vec_id", "embedding")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(row.size == 1)
+    val (nv, np, mean, meanAbs) = row.head
+    assert(nv == 3L && np == 3L)
+    // pairs: (0,1)=0, (0,2)=1, (1,2)=0 → mean = 1/3 at 6 dp
+    val third = BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mean == third && meanAbs == third)
+
+    // anti-parallel pair: mean −1, mean-abs 1 — abs is the second signal
+    val anti = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (_, np2, m2, ma2) = Similarity.anisotropyReport(anti, "vec_id", "embedding")
+      .as[(Long, Long, Double, Double)].head()
+    assert(np2 == 1L && m2 == -1.0 && ma2 == 1.0)
+  }
+
+  test("signProject: signs reproduce lshBucket at matching offsets; width rule; hand value") {
+    // integral vectors keep projections far from the 6-dp rounding edge
+    val df = Seq(
+      (0L, Array(3.0f, -1.0f, 2.0f, 5.0f, -2.0f, 1.0f, 4.0f, -3.0f)),
+      (1L, Array(-2.0f, 4.0f, -1.0f, 3.0f, 2.0f, -5.0f, 1.0f, 2.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    for (offset <- Seq(0, 4)) {
+      val proj = Similarity.signProject(df, "vec_id", "embedding",
+        outDim = 4, dim = 8, planeOffset = offset)
+        .select($"vec_id", $"proj").as[(Long, Seq[Double])].collect().toMap
+      val buckets = df.select($"vec_id",
+        Similarity.lshBucket($"embedding", 4, offset).as("b"))
+        .as[(Long, Long)].collect().toMap
+      // bucket bit p set ⟺ projection p strictly positive (the Column
+      // planeWeight and the Scala twin agree plane by plane)
+      for ((id, ps) <- proj) {
+        val fromSigns = ps.zipWithIndex
+          .collect { case (v, p) if v > 0 => 1L << p }.sum
+        assert(fromSigns == buckets(id), s"vec $id offset $offset")
+      }
+    }
+    // hand value: proj_0(vec 2) = round(Σ_j planeWeight(0, j), 6)
+    val expected = BigDecimal(
+      (0 until 8).map(j => Similarity.planeWeightScala(0, j).toDouble).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p0 = Similarity.signProject(df, "vec_id", "embedding", outDim = 1, dim = 8)
+      .filter($"vec_id" === 2).select(element_at($"proj", 1))
+      .as[Double].head()
+    assert(p0 == expected)
+
+    // value parity with the width-agnostic declarative form: at offset 0
+    // the literal-weight kernel reproduces randomProjection bit for bit
+    val viaLit = Similarity.signProject(df, "vec_id", "embedding",
+      outDim = 4, dim = 8)
+      .select($"vec_id", $"proj").as[(Long, Seq[Double])].collect().toMap
+    val viaDecl = Similarity.randomProjection(df, "vec_id", "embedding", 4)
+      .collect()
+      .map(r => (r.getLong(0), (1 to 4).map(r.getDouble)))
+      .toMap
+    assert(viaLit.keySet == viaDecl.keySet)
+    for ((id, vs) <- viaLit) assert(vs == viaDecl(id), s"vec $id")
+
+    // ragged and null-element vectors drop under the kmeans width rule
+    val ragged = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.signProject(ragged, "vec_id", "embedding",
+      outDim = 2, dim = 2).select("vec_id").as[Long].collect().toSeq == Seq(0L))
+
+    intercept[IllegalArgumentException](
+      Similarity.signProject(df, "vec_id", "embedding", outDim = 0, dim = 8))
+    intercept[IllegalArgumentException](
+      Similarity.signProject(df, "vec_id", "embedding", outDim = 2, dim = 0))
+    intercept[IllegalArgumentException](
+      Similarity.signProject(df, "vec_id", "embedding", outDim = 2, dim = 8,
+        planeOffset = -1))
+  }
 }

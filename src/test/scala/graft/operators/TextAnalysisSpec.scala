@@ -728,4 +728,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cut == Seq((10L, 2L,
       BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
+
+  test("bm25Postings: Okapi weights hand-checked; unit-weight sparseTopK equals bm25Rank; prunes and guards") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry"),
+      (3L, "durian durian")).toDF("doc_id", "text")
+    // N=4, lengths 3/2/2/2 → avgdl = 9/4 = 2.25
+    val k1 = 1.2; val b = 0.75
+    def w(tf: Int, df: Int, len: Int): Double = {
+      val idf = math.log((4L - df + 0.5) / (df + 0.5) + 1.0)
+      BigDecimal(idf * tf * (k1 + 1.0) /
+        (tf + k1 * ((1.0 - b) + b * len.toDouble / 2.25)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val all = TextAnalysis.bm25Postings(corpus, "doc_id", "text")
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        r.getAs[java.math.BigDecimal]("weight").doubleValue))
+      .toMap
+    assert(all.size == 7)
+    assert(all((0L, "apple")) == w(tf = 2, df = 2, len = 3))
+    assert(all((3L, "durian")) == w(tf = 2, df = 1, len = 2))
+    assert(all((2L, "banana")) == w(tf = 1, df = 2, len = 2))
+
+    // unit-weight sparse retrieval over the BM25 index IS bm25Rank:
+    // same per-term 6-dp decimal contributions, same decimal sum
+    val ranked = TextAnalysis.bm25Rank(corpus, "doc_id", "text",
+      Seq("apple", "cherry"), k = 4)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val post = TextAnalysis.bm25Postings(corpus, "doc_id", "text")
+    val q = Seq((10L, "apple"), (10L, "cherry")).toDF("query_id", "token")
+      .withColumn("weight",
+        org.apache.spark.sql.functions.lit(1).cast("decimal(18,6)"))
+    val sparse = TextAnalysis.sparseTopK(post, "doc_id", q, "query_id",
+      "token", "weight", k = 4)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(sparse == ranked)
+
+    // minDf prunes the hapax durian; maxDfFrac keeps only rare tokens
+    val noHapax = TextAnalysis.bm25Postings(corpus, "doc_id", "text", minDf = 2)
+      .select("token").as[String].collect().toSet
+    assert(noHapax == Set("apple", "banana", "cherry"))
+    val rareOnly = TextAnalysis.bm25Postings(corpus, "doc_id", "text",
+      maxDfFrac = 0.4).select("token").as[String].collect().toSet
+    assert(rareOnly == Set("durian"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Postings(corpus, "doc_id", "text", k1 = 0.0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Postings(corpus, "doc_id", "text", b = 1.5))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Postings(corpus, "doc_id", "text", minDf = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Postings(corpus, "doc_id", "text", maxDfFrac = 0.0))
+  }
 }
