@@ -1157,10 +1157,13 @@ object TextAnalysis {
     * is stated in the same left-associated order, and the terminal round
     * lands on DECIMAL — downstream dot products stay exact.
     *
-    * 100 TB shape: ONE corpus-sized exchange builds (doc, token, tf);
+    * 100 TB shape: one corpus-sized exchange builds (doc, token, tf);
     * doc length is a doc-sized re-aggregation OF that table (Σtf — never
-    * a second corpus pass), document frequency a vocabulary-sized one;
-    * N and avgdl broadcast as one-row relations.
+    * a second corpus PASS) whose join back re-shuffles the postings by
+    * doc id — the one exchange this scorer costs over [[tfidfPostings]]
+    * (pipe_bm25_postings prices it against pipe_sparse_postings);
+    * document frequency is a vocabulary-sized re-aggregation, N and
+    * avgdl broadcast as one-row relations.
     */
   def bm25Postings(df: DataFrame, idCol: String, textCol: String,
                    k1: Double = 1.2, b: Double = 0.75,
