@@ -45,6 +45,28 @@ object SparkEntry {
   private def evalSample(df: DataFrame, idCol: String, permille: Int): DataFrame =
     graft.operators.Sampling.hashSample(df, idCol, permille)
 
+  /** The q252 hybrid fusion, shared with its q257 ranked-list grade:
+    * dense brute-force top-5 + sparse TF-IDF top-5 over the SAME 1%
+    * hash-sampled ids, RRF-fused (dense term first, k0=60). Output
+    * `(query_id, doc_id, rank_1, rank_2, rrf)`.
+    */
+  private def hybridFused(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text", minDf = 2)
+    val qp = post
+      .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
+      .withColumnRenamed("doc_id", "query_id")
+    val sparse = TextAnalysis.sparseTopK(post, "doc_id", qp, "query_id",
+      "token", "weight", k = 5)
+      .select(col("query_id"), col("doc_id"), col("rn"))
+    val dense = Similarity.bruteForceTopK(emb,
+      evalSample(emb, "vec_id", 10), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
+    graft.operators.Selection.rrfFuseRanks(Seq(dense, sparse),
+      "query_id", "doc_id", "rn", k0 = 60)
+  }
+
   /** [[evalSample]]'s SQL twin over a column reference. */
   private def evalSampleSql(colRef: String, permille: Int): String =
     s"('0x' || substr(md5(CAST($colRef AS VARCHAR)),1,15))::BIGINT % 1000 < $permille"
@@ -2632,22 +2654,25 @@ object SparkEntry {
     // hash-sampled ids, fused with reciprocal-rank fusion (dense term
     // first, k0=60) — the production hybrid-search serving pattern as
     // one graded relation.
-    "q252_hybrid_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+    "q252_hybrid_rrf" -> ((s, dir) =>
+      hybridFused(s, dir)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))),
+
+    // ── ranked-list evaluation of the hybrid run: re-rank the q252
+    // fusion by rrf, grade its top-5 against the dense brute-force gold
+    // with MRR + binary-relevance nDCG — "did fusing the sparse arm
+    // move the right docs UP", per query, as a relation.
+    "q257_hybrid_ranked_eval" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text", minDf = 2)
-      val qp = post
-        .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
-        .withColumnRenamed("doc_id", "query_id")
-      val sparse = TextAnalysis.sparseTopK(post, "doc_id", qp, "query_id",
-        "token", "weight", k = 5)
-        .select(col("query_id"), col("doc_id"), col("rn"))
-      val dense = Similarity.bruteForceTopK(emb,
+      val gold = Similarity.bruteForceTopK(emb,
         evalSample(emb, "vec_id", 10), "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
-      graft.operators.Selection.rrfFuseRanks(Seq(dense, sparse),
-        "query_id", "doc_id", "rn", k0 = 60)
-        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+      val run = graft.operators.Selection.topKPerGroup(
+        hybridFused(s, dir).select("query_id", "doc_id", "rrf"),
+        "query_id", "rrf", "doc_id", 5)
+      graft.operators.Selection.rankedEvalReport(
+        gold, "query_id", "neighbor_id", "rn",
+        run, "query_id", "doc_id", "rn", k = 5)
+        .orderBy("query_id")
     }),
 
     // ── embedding anisotropy: mean (and mean-absolute) 6-dp pairwise
@@ -6207,25 +6232,32 @@ object SparkEntry {
     // dense brute-force top-5 over the same hash-sampled ids, then the
     // fixed-order 1/(60+rank) sum (dense term first) at 6 dp.
     "q252_hybrid_rrf" ->
-      ("WITH " + sparsePostingCtes + ",\n" + sparseTopKTail("post", "") + ",\n" +
-        s"""sp AS (SELECT query_id, doc_id, rn FROM r WHERE rn <= 5),
-           |ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |       FROM embeddings),
-           |dn AS (SELECT query_id, doc_id, rn FROM (
-           |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-           |   CAST(row_number() OVER (PARTITION BY q.vec_id
-           |    ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS BIGINT) AS rn
-           |  FROM ve q JOIN ve c ON c.vec_id <> q.vec_id
-           |  WHERE ${evalSampleSql("q.vec_id", 10)}) WHERE rn <= 5),
-           |f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
-           |       coalesce(d.doc_id, s.doc_id) AS doc_id,
-           |       d.rn AS rank_1, s.rn AS rank_2
-           |      FROM dn d FULL JOIN sp s
-           |       ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
-           |SELECT query_id, doc_id, rank_1, rank_2,
-           | round((CASE WHEN rank_1 IS NOT NULL THEN 1.0 / (60.0 + rank_1) ELSE 0.0 END)
-           |     + (CASE WHEN rank_2 IS NOT NULL THEN 1.0 / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
-           |FROM f ORDER BY query_id, rrf DESC, doc_id""".stripMargin),
+      ("WITH " + hybridFusionCtes +
+        "\nSELECT query_id, doc_id, rank_1, rank_2, rrf FROM fz" +
+        "\nORDER BY query_id, rrf DESC, doc_id"),
+
+    // Hybrid ranked eval: the shared fusion chain re-ranked by
+    // (rrf DESC, doc_id), graded against the dense top-5 (`dn`) as
+    // gold — MRR + binary nDCG with 6-dp DECIMAL(9,6) log2 terms.
+    "q257_hybrid_ranked_eval" ->
+      ("WITH " + hybridFusionCtes + ",\n" +
+        """rk AS (SELECT query_id, doc_id,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |   ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+          | FROM fz),
+          |run AS (SELECT query_id, doc_id, rn FROM rk WHERE rn <= 5),
+          |ev AS (SELECT g.query_id, g.rn AS grn, r.rn
+          |       FROM dn g LEFT JOIN run r
+          |        ON r.query_id = g.query_id AND r.doc_id = g.doc_id)
+          |SELECT query_id,
+          | CAST(count(rn) AS BIGINT) AS n_hit,
+          | coalesce(round(1.0 / min(rn), 6), 0.0) AS mrr,
+          | round(CAST(sum(CASE WHEN rn IS NOT NULL
+          |    THEN CAST(round(1.0 / log2(rn + 1.0), 6) AS DECIMAL(9,6))
+          |    ELSE CAST(0 AS DECIMAL(9,6)) END) AS DOUBLE)
+          |  / CAST(sum(CAST(round(1.0 / log2(grn + 1.0), 6) AS DECIMAL(9,6)))
+          |     AS DOUBLE), 6) AS ndcg
+          |FROM ev GROUP BY 1 ORDER BY query_id""".stripMargin),
 
     // Anisotropy: all pairs of the 5% hash sample, the Spark-shaped
     // explicit cosine fold (products fold / norm-fold product) rounded
@@ -7068,6 +7100,33 @@ object SparkEntry {
        |      CAST(row_number() OVER (PARTITION BY query_id
        |       ORDER BY score DESC, doc_id) AS BIGINT) AS rn
        |     FROM sc$sfx)""".stripMargin
+
+  /** The shared q252/q257 hybrid-fusion chain: the q247 sparse top-5
+    * (`sp`), the dense brute-force top-5 over the same hash-sampled ids
+    * (`dn` — also q257's gold), their full join (`f`), and the fused
+    * scores (`fz`) with the fixed-order 1/(60+rank) sum, dense term
+    * first, at 6 dp.
+    */
+  private lazy val hybridFusionCtes: String =
+    sparsePostingCtes + ",\n" + sparseTopKTail("post", "") + ",\n" +
+      s"""sp AS (SELECT query_id, doc_id, rn FROM r WHERE rn <= 5),
+         |ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM embeddings),
+         |dn AS (SELECT query_id, doc_id, rn FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |   CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS BIGINT) AS rn
+         |  FROM ve q JOIN ve c ON c.vec_id <> q.vec_id
+         |  WHERE ${evalSampleSql("q.vec_id", 10)}) WHERE rn <= 5),
+         |f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         |       coalesce(d.doc_id, s.doc_id) AS doc_id,
+         |       d.rn AS rank_1, s.rn AS rank_2
+         |      FROM dn d FULL JOIN sp s
+         |       ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+         |fz AS (SELECT query_id, doc_id, rank_1, rank_2,
+         | round((CASE WHEN rank_1 IS NOT NULL THEN 1.0 / (60.0 + rank_1) ELSE 0.0 END)
+         |     + (CASE WHEN rank_2 IS NOT NULL THEN 1.0 / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
+         |       FROM f)""".stripMargin
 
   /** q251's BM25 posting chain: the Okapi weight formula
     * (non-negative idf, k1=1.2, b=0.75 — every constant the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -141,6 +141,54 @@ object Selection {
         lit(1.0) / (lit(k0.toDouble) + col(s"rank_${i + 1}").cast("double")))
         .otherwise(lit(0.0)))
     joined.withColumn("rrf", round(terms.reduce(_ + _), 6))
+  }
+
+  /** Ranked-list EVALUATION — MRR and binary-relevance nDCG of a run
+    * against a ranked gold list, per group: the retrieval metrics recall
+    * reports don't state (recall@k treats rank 1 and rank k the same;
+    * MRR/nDCG price WHERE in the list the hits landed). Per group,
+    * over the top-`k` of both lists:
+    * `n_hit` = |gold ∩ run|, `mrr` = 1/(run rank of the first gold item)
+    * (0.0 when the run missed every gold item),
+    * `ndcg` = Σ_hits 1/log2(run_rank+1) ÷ Σ_gold 1/log2(gold_rank+1) —
+    * the ideal DCG comes from the GOLD list's own ranks, so no sequence
+    * generation and the report stays fully relational.
+    *
+    * Cross-engine exactness: each 1/log2(rank+1) term is rounded to
+    * 6 dp onto DECIMAL(9,6) before summing (order-independent exact
+    * sums), mrr/ndcg are one terminal division each.
+    *
+    * 100 TB shape: both inputs are top-k relations by contract
+    * (bounded-heap aggregates upstream — the [[rrfFuseRanks]] cost
+    * note), so the join and rollup touch ≤ groups·k rows.
+    */
+  def rankedEvalReport(gold: DataFrame, goldGroupCol: String,
+                       goldIdCol: String, goldRankCol: String,
+                       run: DataFrame, runGroupCol: String,
+                       runIdCol: String, runRankCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    def term(c: Column): Column =
+      round(lit(1.0) / log2(c.cast("double") + lit(1.0)), 6)
+        .cast("decimal(9,6)")
+    val g = gold.select(col(goldGroupCol).as("query_id"),
+      col(goldIdCol).as("__id"), col(goldRankCol).cast("long").as("__grn"))
+      .filter(col("__grn") <= k)
+    val r = run.select(col(runGroupCol).as("query_id"),
+      col(runIdCol).as("__id"), col(runRankCol).cast("long").as("__rn"))
+      .filter(col("__rn") <= k)
+    g.join(r, Seq("query_id", "__id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(col("__rn")).cast("long").as("n_hit"),
+        coalesce(round(lit(1.0) / min(col("__rn")).cast("double"), 6),
+          lit(0.0)).as("mrr"),
+        sum(when(col("__rn").isNotNull, term(col("__rn")))
+          .otherwise(lit(0).cast("decimal(9,6)"))).as("__dcg"),
+        sum(term(col("__grn"))).as("__idcg"))
+      .withColumn("ndcg",
+        round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6))
+      .select("query_id", "n_hit", "mrr", "ndcg")
   }
 
   /** Per-stratum quantile gate: keep rows whose score is at or above

@@ -239,4 +239,27 @@ class SelectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Selection.rrfFuseRanks(Seq(dense), "q", "id", "rn", k0 = 0))
   }
+
+  test("rankedEvalReport: hand MRR/nDCG, zero-hit query, beyond-k run rows ignored") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(r: Int): Double = r6(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    // gold q1: a,b,c at ranks 1..3; run q1: b first, miss at 2, a third,
+    // c only at rank 4 (ignored at k=3)
+    val gold = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L)).toDF("q", "id", "rn")
+    val run = Seq((1L, 11L, 1L), (1L, 99L, 2L), (1L, 10L, 3L), (1L, 12L, 4L),
+      (2L, 98L, 1L)).toDF("q", "id", "rn")
+    val got = Selection.rankedEvalReport(gold, "q", "id", "rn",
+      run, "q", "id", "rn", k = 3)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // q1: hits b@1, a@3 → n_hit 2, mrr 1/1, ndcg (t1+t3)/(t1+t2+t3)
+    val exp1 = r6((term(1) + term(3)) / (term(1) + term(2) + term(3)))
+    assert(got(0) == ((1L, 2L, 1.0, exp1)))
+    // q2: zero hits → mrr 0, ndcg 0
+    assert(got(1) == ((2L, 0L, 0.0, 0.0)))
+    intercept[IllegalArgumentException](
+      Selection.rankedEvalReport(gold, "q", "id", "rn",
+        run, "q", "id", "rn", k = 0))
+  }
 }
