@@ -47,10 +47,13 @@ object SparkEntry {
 
   /** The q252 hybrid fusion, shared with its q257 ranked-list grade:
     * dense brute-force top-5 + sparse TF-IDF top-5 over the SAME 1%
-    * hash-sampled ids, RRF-fused (dense term first, k0=60). Output
-    * `(query_id, doc_id, rank_1, rank_2, rrf)`.
+    * hash-sampled ids, RRF-fused (dense term first, k0=60). Returns
+    * (fused `(query_id, doc_id, rank_1, rank_2, rrf)`, dense top-5
+    * `(query_id, doc_id, rn)`) — q257 grades the fusion against the
+    * SAME dense relation (one subtree, so the corpus-by-sample cosine
+    * pass is shared, mirroring the oracle's single `dn` CTE).
     */
-  private def hybridFused(s: SparkSession, dir: String): DataFrame = {
+  private def hybridParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
     val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text", minDf = 2)
@@ -63,9 +66,12 @@ object SparkEntry {
     val dense = Similarity.bruteForceTopK(emb,
       evalSample(emb, "vec_id", 10), "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
-    graft.operators.Selection.rrfFuseRanks(Seq(dense, sparse),
-      "query_id", "doc_id", "rn", k0 = 60)
+    (graft.operators.Selection.rrfFuseRanks(Seq(dense, sparse),
+      "query_id", "doc_id", "rn", k0 = 60), dense)
   }
+
+  private def hybridFused(s: SparkSession, dir: String): DataFrame =
+    hybridParts(s, dir)._1
 
   /** [[evalSample]]'s SQL twin over a column reference. */
   private def evalSampleSql(colRef: String, permille: Int): String =
@@ -2663,14 +2669,12 @@ object SparkEntry {
     // with MRR + binary-relevance nDCG — "did fusing the sparse arm
     // move the right docs UP", per query, as a relation.
     "q257_hybrid_ranked_eval" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val gold = Similarity.bruteForceTopK(emb,
-        evalSample(emb, "vec_id", 10), "vec_id", "embedding", 5)
+      val (fused, dense) = hybridParts(s, dir)
       val run = graft.operators.Selection.topKPerGroup(
-        hybridFused(s, dir).select("query_id", "doc_id", "rrf"),
+        fused.select("query_id", "doc_id", "rrf"),
         "query_id", "rrf", "doc_id", 5)
       graft.operators.Selection.rankedEvalReport(
-        gold, "query_id", "neighbor_id", "rn",
+        dense, "query_id", "doc_id", "rn",
         run, "query_id", "doc_id", "rn", k = 5)
         .orderBy("query_id")
     }),
@@ -5548,7 +5552,7 @@ object SparkEntry {
            | j -> CAST(embedding[j] AS DOUBLE) * CAST(${planeWeightSql(p)} AS DOUBLE)),
            | (a, b) -> a + b), 6) + 0.0 AS proj_$p""".stripMargin
       }
-      s"SELECT vec_id,\n${projs.mkString(",\n")}\nFROM embeddings ORDER BY vec_id"
+      s"""SELECT vec_id,\n${projs.mkString(",\n")}\nFROM embeddings\n${jlWidthGuardSql()}\nORDER BY vec_id"""
     },
 
     // Calibration: identical IEEE score division (so identical bin
@@ -6275,7 +6279,7 @@ object SparkEntry {
          |      WHERE a.nn > 0 AND b.nn > 0)
          |SELECT (SELECT count(*) FROM n WHERE nn > 0) AS n_vectors,
          | count(*) AS n_pairs,
-         | round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_cos,
+         | round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_cos,
          | round(CAST(sum(abs(c)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_abs_cos
          |FROM p""".stripMargin,
 
@@ -6297,7 +6301,7 @@ object SparkEntry {
     // identical left-to-right product folds, round 6 + 0.0 (zround).
     "q255_jl_project" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |           FROM embeddings),
+         |           FROM embeddings ${jlWidthGuardSql()}),
          |pr AS (SELECT vec_id, unnest(range(0, 16)) AS p,
          |        unnest(${jlProjListSql(16, 64)}) AS value FROM v)
          |SELECT vec_id, CAST(p AS BIGINT) AS p, value FROM pr
@@ -6309,7 +6313,8 @@ object SparkEntry {
     "q256_jl_recall" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
-         |pj AS (SELECT vec_id, ${jlProjListSql(16, 64)} AS pv FROM v),
+         |pj AS (SELECT vec_id, ${jlProjListSql(16, 64)} AS pv FROM v
+         |       ${jlWidthGuardSql("v")}),
          |qs AS (SELECT vec_id FROM embeddings WHERE ${evalSampleSql("vec_id", 20)}),
          |pn AS (SELECT vec_id,
          |        sqrt(list_reduce(list_transform(pv, x -> x * x), (x, y) -> x + y)) AS n
@@ -7155,6 +7160,15 @@ object SparkEntry {
        |qp AS (SELECT DISTINCT doc_id AS query_id, token, CAST(1 AS DECIMAL(18,6)) AS w
        |       FROM dt WHERE ${evalSampleSql("doc_id", 10)})""".stripMargin
   }
+
+  /** signProject's row-contract twin: the operator DROPS null, ragged,
+    * and null-element vectors (the kmeansLloyd width rule) — every
+    * oracle over it must state the same predicate or a future fixture
+    * with such a row splits on row count.
+    */
+  private def jlWidthGuardSql(c: String = "embedding"): String =
+    s"""WHERE $c IS NOT NULL AND len($c) = 64
+       | AND len(list_filter($c, x -> x IS NULL)) = 0""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Similarity.signProject]] over a
     * `dim`-wide `list<double>` column `v`: a list literal of `outDim`

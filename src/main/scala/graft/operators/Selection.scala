@@ -94,18 +94,12 @@ object Selection {
                  scoreCols: Seq[String], topK: Int, k0: Int = 60): DataFrame = {
     require(scoreCols.nonEmpty, "rankFusion needs at least one score column")
     require(topK > 0, s"topK must be positive: $topK")
-    require(k0 > 0, s"k0 must be positive: $k0")
-    val lists = scoreCols.zipWithIndex.map { case (c, i) =>
+    // rank each score column, then exactly [[rrfFuseRanks]] — ONE fusion
+    // tail in this file, so the reciprocal-sum arithmetic cannot drift
+    // between the same-relation and cross-relation forms
+    rrfFuseRanks(scoreCols.map(c =>
       topKPerGroup(df.select(col(groupCol), col(idCol), col(c)),
-        groupCol, c, idCol, topK)
-        .select(col(groupCol), col(idCol), col("rn").as(s"rank_${i + 1}"))
-    }
-    val joined = lists.reduce((a, b) => a.join(b, Seq(groupCol, idCol), "full"))
-    val terms = scoreCols.indices.map(i =>
-      when(col(s"rank_${i + 1}").isNotNull,
-        lit(1.0) / (lit(k0.toDouble) + col(s"rank_${i + 1}").cast("double")))
-        .otherwise(lit(0.0)))
-    joined.withColumn("rrf", round(terms.reduce(_ + _), 6))
+        groupCol, c, idCol, topK)), groupCol, idCol, "rn", k0)
   }
 
   /** RRF fusion of ALREADY-RANKED lists — [[rankFusion]]'s retrieval
@@ -171,14 +165,14 @@ object Selection {
     def term(c: Column): Column =
       round(lit(1.0) / log2(c.cast("double") + lit(1.0)), 6)
         .cast("decimal(9,6)")
-    val g = gold.select(col(goldGroupCol).as("query_id"),
+    val g = gold.select(col(goldGroupCol).as("__g"),
       col(goldIdCol).as("__id"), col(goldRankCol).cast("long").as("__grn"))
       .filter(col("__grn") <= k)
-    val r = run.select(col(runGroupCol).as("query_id"),
+    val r = run.select(col(runGroupCol).as("__g"),
       col(runIdCol).as("__id"), col(runRankCol).cast("long").as("__rn"))
       .filter(col("__rn") <= k)
-    g.join(r, Seq("query_id", "__id"), "left")
-      .groupBy(col("query_id"))
+    g.join(r, Seq("__g", "__id"), "left")
+      .groupBy(col("__g"))
       .agg(
         count(col("__rn")).cast("long").as("n_hit"),
         coalesce(round(lit(1.0) / min(col("__rn")).cast("double"), 6),
@@ -188,7 +182,8 @@ object Selection {
         sum(term(col("__grn"))).as("__idcg"))
       .withColumn("ndcg",
         round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6))
-      .select("query_id", "n_hit", "mrr", "ndcg")
+      .select(col("__g").as(goldGroupCol), col("n_hit"), col("mrr"),
+        col("ndcg"))
   }
 
   /** Per-stratum quantile gate: keep rows whose score is at or above

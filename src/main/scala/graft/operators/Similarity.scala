@@ -1083,9 +1083,12 @@ object Similarity {
       .select(zround(dot(col("__va"), col("__vb")) /
         (col("__na") * col("__nb")), 6).cast("decimal(9,6)").as("__cos"))
     val nv = v.agg(count(lit(1)).as("n_vectors"))
+    // zround: a near-isotropic sample's mean lands in (−5e-7, 0) — the
+    // exact regime this gate exists for — and must not hash-split on
+    // the −0.0 sign (the Rounding.scala rule)
     val pr = pairs.agg(
       count(lit(1)).as("n_pairs"),
-      round(sum(col("__cos")).cast("double") /
+      zround(sum(col("__cos")).cast("double") /
         count(lit(1)).cast("double"), 6).as("mean_cos"),
       round(sum(abs(col("__cos"))).cast("double") /
         count(lit(1)).cast("double"), 6).as("mean_abs_cos"))
