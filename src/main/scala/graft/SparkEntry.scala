@@ -57,6 +57,7 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
     val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text", minDf = 2)
+      .localCheckpoint()
     val qp = post
       .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
       .withColumnRenamed("doc_id", "query_id")
@@ -2613,8 +2614,12 @@ object SparkEntry {
     // queries, exact decimal dot-product top-5 per query.
     "q247_sparse_retrieval" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // the posting relation is the INDEX — materialized once and
+      // served to both consumers (query-side derivation + the dot
+      // join), the ivfPqIndexBuild build-once precedent; rebuilding
+      // the chain per consumer measured 1.3x this plan at sf0.1
       val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text",
-        minDf = 2)
+        minDf = 2).localCheckpoint()
       val qp = post
         .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
@@ -2629,8 +2634,10 @@ object SparkEntry {
     // exact arm — the "is my cap safe on MY corpus" pre-run.
     "q248_sparse_capped_recall" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // three consumers here (query derivation, exact arm, capped
+      // arm) — same build-once materialization as q247
       val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text",
-        minDf = 2)
+        minDf = 2).localCheckpoint()
       val qp = post
         .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
@@ -2646,6 +2653,7 @@ object SparkEntry {
     "q251_bm25_retrieval" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val post = TextAnalysis.bm25Postings(docs, "doc_id", "text", minDf = 2)
+        .localCheckpoint()
       val qp = evalSample(docs, "doc_id", 10)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(TextAnalysis.tokens("text"))).as("token"))
