@@ -2646,6 +2646,23 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ── the lexical index LIFECYCLE: build the q247 index through the
+    // SparseIndex verb set and serve the identical retrieval from it —
+    // graded against q247's oracle verbatim (results identical by
+    // construction, the q232-vs-q219 convention); the parquet
+    // save/load round-trip and its fail-fast refusals are spec-pinned.
+    "q258_sparse_index_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2)
+      val qp = idx.postings
+        .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      TextAnalysis.sparseIndexSearch(idx, qp, "query_id",
+        "token", "weight", k = 5)
+        .orderBy("query_id", "rn")
+    }),
+
     // ── batch BM25 retrieval: the Okapi scorer baked into the posting
     // weights (q247's index reshaped to BM25), unit DECIMAL weights on
     // the distinct query terms, so the sparse dot product IS the classic
@@ -6231,6 +6248,13 @@ object SparkEntry {
           |LEFT JOIN (SELECT query_id, doc_id FROM r_ap WHERE rn <= 5) a
           | USING (query_id, doc_id)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Lifecycle search: the loaded-index retrieval is q247's chain by
+    // construction — same oracle verbatim.
+    "q258_sparse_index_search" ->
+      ("WITH " + sparsePostingCtes + ",\n" + sparseTopKTail("post", "") +
+        "\nSELECT query_id, doc_id, score, rn FROM r WHERE rn <= 5" +
+        "\nORDER BY query_id, rn"),
 
     // Batch BM25: the Okapi-weighted posting chain (constants are the
     // Scala-computed doubles, round-tripped) + unit-weight distinct

@@ -783,4 +783,65 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.bm25Postings(corpus, "doc_id", "text", maxDfFrac = 0.0))
   }
+
+  test("SparseIndex lifecycle: flag-free round-trip, search parity, fail-fast refusals") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry"),
+      (3L, "durian durian")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sparseidx").toString
+
+    val idx = TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text",
+      weighting = "bm25", minDf = 2)
+    TextAnalysis.sparseIndexSave(idx, dir)
+    val re = TextAnalysis.sparseIndexLoad(spark, dir)
+    assert(re.weighting == "bm25" && re.minDf == 2 && re.maxDfFrac == 1.0)
+    assert(re.k1 == Some(1.2) && re.b == Some(0.75))
+    def rows(p: org.apache.spark.sql.DataFrame) = p
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.math.BigDecimal]("weight").doubleValue)).toSet
+    assert(rows(re.postings.select("doc_id", "token", "weight")) ==
+      rows(idx.postings.select("doc_id", "token", "weight")))
+    val q = Seq((10L, "apple"), (10L, "cherry")).toDF("query_id", "token")
+      .withColumn("weight",
+        org.apache.spark.sql.functions.lit(1).cast("decimal(18,6)"))
+    def served(i: TextAnalysis.SparseIndex) =
+      TextAnalysis.sparseIndexSearch(i, q, "query_id", "token", "weight", 4)
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(served(re) == served(idx))
+
+    // tfidf records its knobs as ABSENT, not as leftover defaults
+    val tdir = java.nio.file.Files.createTempDirectory("sparseidx_t").toString
+    TextAnalysis.sparseIndexSave(
+      TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text", minDf = 2), tdir)
+    val tre = TextAnalysis.sparseIndexLoad(spark, tdir)
+    assert(tre.weighting == "tfidf" && tre.k1.isEmpty && tre.b.isEmpty)
+
+    // refusals: unknown weighting at build; tampered counts, double
+    // meta row, and wrong posting schema at load
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text", weighting = "lsa"))
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    val goodMeta = spark.read.parquet(s"$dir/meta")
+    goodMeta.withColumn("n_terms",
+        org.apache.spark.sql.functions.lit(99L)).write.mode(mode)
+      .parquet(s"$dir/meta2")
+    val tampered = s"$dir/tampered"
+    re.postings.write.mode(mode).parquet(s"$tampered/postings")
+    spark.read.parquet(s"$dir/meta2").write.mode(mode).parquet(s"$tampered/meta")
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseIndexLoad(spark, tampered))
+    val doubled = s"$dir/doubled"
+    re.postings.write.mode(mode).parquet(s"$doubled/postings")
+    goodMeta.union(goodMeta).write.mode(mode).parquet(s"$doubled/meta")
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseIndexLoad(spark, doubled))
+    val badSchema = s"$dir/badschema"
+    re.postings.withColumnRenamed("token", "term").write.mode(mode)
+      .parquet(s"$badSchema/postings")
+    goodMeta.write.mode(mode).parquet(s"$badSchema/meta")
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseIndexLoad(spark, badSchema))
+  }
 }
