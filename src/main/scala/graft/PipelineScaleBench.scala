@@ -656,6 +656,7 @@ object PipelineScaleBench {
       "pipe_ivf_pq", "pipe_ivf_pq_build", "pipe_ivf_pq_search",
       "pipe_ivf_pq_add", "pipe_ivf_drift", "pipe_sparse_postings",
       "pipe_bm25_postings", "pipe_sparse_topk", "pipe_sparse_topk_capped",
+      "pipe_sparse_index_build", "pipe_sparse_index_search",
       "pipe_semantic_dedup", "pipe_semantic_dedup_banded",
       "pipe_contrastive", "pipe_hybrid_rrf")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
@@ -856,6 +857,34 @@ object PipelineScaleBench {
       val qp = post.join(broadcast(qids), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
       TextAnalysis.sparseTopK(capped, "doc_id", qp, "query_id",
+        "token", "weight", k = 10).count()
+      500L
+    }
+    // lexical index lifecycle: build+persist once (keyed like the
+    // ivfpq index — corpus size + knobs + m1 meta version), serve many.
+    // Search must cost a fraction of pipe_sparse_topk's inline build.
+    val sIdxSfx = s"_m1_${nDocs}_tfidf_df2_f50.parquet"
+    def buildSparseIndex(): Unit =
+      TextAnalysis.sparseIndexSave(
+        TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text",
+          weighting = "tfidf", minDf = 2, maxDfFrac = 0.5),
+        s"$work/sparseidx$sIdxSfx")
+    timed("pipe_sparse_index_build", input = total) {
+      buildSparseIndex()
+      total
+    }
+    if (only.exists(fs => fs.exists("pipe_sparse_index_search".contains)) &&
+        !new java.io.File(s"$work/sparseidx$sIdxSfx/meta").exists())
+      buildSparseIndex()
+    timed("pipe_sparse_index_search", input = 500L) {
+      // flag-free open (one cross-check aggregate over the postings)
+      // + the 500-query serve — no weight-chain rebuild anywhere
+      val idx = TextAnalysis.sparseIndexLoad(spark, s"$work/sparseidx$sIdxSfx")
+      val qids = corpus.select(col("doc_id"))
+        .orderBy(xxhash64(col("doc_id"))).limit(500)
+      val qp = idx.postings.join(broadcast(qids), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      TextAnalysis.sparseIndexSearch(idx, qp, "query_id",
         "token", "weight", k = 10).count()
       500L
     }
