@@ -898,8 +898,11 @@ object PipelineScaleBench {
       // retrievals.
       val stride = math.max(1L, nDocs.toLong / 500)
       val qv = vecs.filter(col("vec_id") % stride === 0)
-      val dense = Similarity.lshTopK(vecs, qv, "vec_id", "embedding",
-        k = 10, planes = 4, probeBits = 1)
+      // auto-sized planes: at a fixed planes=4 the dense arm's
+      // candidates/query grow linearly with the corpus (measured 22.5 s
+      // at 500k before the sizing); the budgeted form holds them flat
+      val dense = Similarity.lshTopKAuto(vecs, qv, "vec_id", "embedding",
+        k = 10, probeBits = 1)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
       val post = TextAnalysis.tfidfPostings(corpus, "doc_id", "text",
         minDf = 2, maxDfFrac = 0.5)

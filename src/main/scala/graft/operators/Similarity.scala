@@ -1005,6 +1005,25 @@ object Similarity {
     explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
   }
 
+  /** [[lshTopK]] with `planes` DERIVED from the corpus size — the
+    * query-vs-corpus twin of [[nearDupPairsAuto]]'s sizing rule: under
+    * uniform occupancy a query meets `maskCount(planes) · n / 2^planes`
+    * candidates, so [[planesFor]] picks the smallest planes holding
+    * that at `candidateBudgetPerQuery` — a FIXED planes knob makes
+    * per-query serving work grow linearly with the corpus (the
+    * pipe_hybrid_rrf guard's dense arm measured exactly that before
+    * this sizing). Costs one `count()` up front; recall is the knob the
+    * budget trades away — gate with [[annRecallReport]] before
+    * production trusts a budget.
+    */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, probeBits: Int = 1,
+                  candidateBudgetPerQuery: Long = 4096L,
+                  maxPlanes: Int = 24): DataFrame =
+    lshTopK(corpus, queries, idCol, vecCol, k,
+      planesFor(corpus.count(), candidateBudgetPerQuery, probeBits, maxPlanes),
+      probeBits)
+
   /** ANN quality evaluation: per query, how many of the EXACT cosine
     * top-`k` ([[bruteForceTopK]]) the LSH-bucketed path ([[lshTopK]])
     * recovered — `(query_id, n_hit, recall)` with `recall = n_hit/k`,

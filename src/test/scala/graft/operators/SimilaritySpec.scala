@@ -906,6 +906,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._2 != 0L))
   }
 
+  test("lshTopKAuto equals explicit lshTopK at the planesFor-derived sizing") {
+    val df = Seq.tabulate(40)(i =>
+      (i.toLong, Array(math.cos(i * 0.17).toFloat, math.sin(i * 0.17).toFloat,
+        math.cos(i * 0.05).toFloat))).toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" % 7 === 0)
+    val derived = Similarity.planesFor(40L, 8L, probeBits = 1)
+    val auto = Similarity.lshTopKAuto(df, qs, "vec_id", "embedding",
+      k = 3, probeBits = 1, candidateBudgetPerQuery = 8L)
+      .as[(Long, Long, Long)].collect().toSet
+    val explicit = Similarity.lshTopK(df, qs, "vec_id", "embedding",
+      k = 3, planes = derived, probeBits = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(auto == explicit && auto.nonEmpty)
+  }
+
   test("anisotropyReport: hand-computed pair means, zero-norm drop, one-row shape") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
