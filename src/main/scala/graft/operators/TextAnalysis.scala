@@ -1310,13 +1310,14 @@ object TextAnalysis {
 
   /** Reopen a persisted index — NO caller-supplied parameters (the
     * [[graft.operators.Similarity.ivfPqIndexLoad]] rule): weighting and
-    * knobs come from meta, the meta counts are re-derived from the
-    * posting relation and REQUIRED to match, and the posting schema is
-    * validated — a stale meta, mixed directory, or truncated posting
-    * file fails here, not as plausible-looking wrong rankings. Cost:
-    * one aggregate pass over the postings plus the one-row meta read
-    * (index-sized, paid once per open — the price of not trusting the
-    * directory).
+    * knobs come from meta, `n_postings` is re-derived and REQUIRED to
+    * match, and the posting schema is validated — a stale meta, mixed
+    * directory, or truncated posting file fails here, not as
+    * plausible-looking wrong rankings. Cost: METADATA-priced — the
+    * recount is a filterless parquet count (answered from footers, no
+    * data scan) plus the one-row meta read, so opening a corpus-scale
+    * index is cheap. `n_terms` stays in meta as informational sizing
+    * (verifying it would need a vocabulary scan at open time).
     */
   def sparseIndexLoad(spark: org.apache.spark.sql.SparkSession,
                       dir: String): SparseIndex = {
@@ -1342,12 +1343,9 @@ object TextAnalysis {
     require((weighting == "bm25") == (k1o.isDefined && bo.isDefined),
       s"$dir/meta: k1/b must be present exactly for bm25, got " +
         s"weighting=$weighting k1=$k1o b=$bo")
-    val d = postings.agg(count(lit(1)).as("n"),
-      countDistinct(col("token")).as("t")).collect().head
-    require(d.getLong(0) == m.getLong(5),
-      s"meta says ${m.getLong(5)} postings but $dir/postings holds ${d.getLong(0)}")
-    require(d.getLong(1) == m.getLong(6),
-      s"meta says ${m.getLong(6)} terms but $dir/postings holds ${d.getLong(1)}")
+    val n = postings.count()
+    require(n == m.getLong(5),
+      s"meta says ${m.getLong(5)} postings but $dir/postings holds $n")
     SparseIndex(postings, weighting, m.getInt(1), m.getDouble(2), k1o, bo)
   }
 

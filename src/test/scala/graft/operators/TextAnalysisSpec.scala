@@ -824,7 +824,7 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text", weighting = "lsa"))
     val mode = org.apache.spark.sql.SaveMode.Overwrite
     val goodMeta = spark.read.parquet(s"$dir/meta")
-    goodMeta.withColumn("n_terms",
+    goodMeta.withColumn("n_postings",
         org.apache.spark.sql.functions.lit(99L)).write.mode(mode)
       .parquet(s"$dir/meta2")
     val tampered = s"$dir/tampered"
