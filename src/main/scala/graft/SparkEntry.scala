@@ -2713,6 +2713,16 @@ object SparkEntry {
         evalSample(t(s, dir, "embeddings"), "vec_id", 50),
         "vec_id", "embedding")),
 
+    // ── per-label anisotropy: q253's slice view — within-group pair
+    // cosines only, one row per label, single-member groups kept with
+    // zero pairs and null means; "which slice's embedding region
+    // collapsed" as a relation.
+    "q259_anisotropy_by_label" -> ((s, dir) =>
+      Similarity.anisotropyReportByGroup(
+        evalSample(t(s, dir, "embeddings"), "vec_id", 50),
+        "vec_id", "embedding", "label")
+        .orderBy("label")),
+
     // ── cluster-balanced (diversity) selection: k-means assignment
     // bounds the strata, then a uniform content-hash lottery keeps 5 per
     // cluster — the coreset/SemDeDup-adjacent "cover the space, not the
@@ -6314,6 +6324,29 @@ object SparkEntry {
          | round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_cos,
          | round(CAST(sum(abs(c)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_abs_cos
          |FROM p""".stripMargin,
+
+    // Per-label anisotropy: the q253 fold chain with the pair join
+    // keyed on label, per-group rollup, and the left join that keeps
+    // single-member labels as zero-pair rows.
+    "q259_anisotropy_by_label" ->
+      s"""WITH v0 AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |            FROM embeddings WHERE ${evalSampleSql("vec_id", 50)}),
+         |g AS (SELECT label, vec_id, v,
+         |       sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nn
+         |      FROM v0
+         |      WHERE sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) > 0),
+         |p AS (SELECT a.label, CAST(round(
+         |        list_reduce(list_transform(range(1, 65), j -> a.v[j] * b.v[j]), (x, y) -> x + y)
+         |         / (a.nn * b.nn), 6) AS DECIMAL(9,6)) AS c
+         |      FROM g a JOIN g b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |pr AS (SELECT label, count(*) AS n_pairs,
+         |        round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_cos,
+         |        round(CAST(sum(abs(c)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_abs_cos
+         |       FROM p GROUP BY 1),
+         |nv AS (SELECT label, count(*) AS n_vectors FROM g GROUP BY 1)
+         |SELECT nv.label, nv.n_vectors, coalesce(pr.n_pairs, 0) AS n_pairs,
+         | pr.mean_cos, pr.mean_abs_cos
+         |FROM nv LEFT JOIN pr USING (label) ORDER BY nv.label""".stripMargin,
 
     // Cluster-balanced selection: the q183 k-means chain (k=8, 2
     // iterations, 64 dims) + the q205 content-hash lottery per cluster.

@@ -1114,6 +1114,44 @@ object Similarity {
     nv.crossJoin(pr)
   }
 
+  /** [[anisotropyReport]] PER GROUP — the slice view: pairs are formed
+    * WITHIN each group (label, source, language …) and the report is
+    * one row per group `(group, n_vectors, n_pairs, mean_cos,
+    * mean_abs_cos)` — "which slice's embedding region collapsed", the
+    * per-source drift audit the one-row corpus view can't localize.
+    * Groups with fewer than two usable vectors still appear, with
+    * `n_pairs` 0 and null means (a LEFT join from the per-group vector
+    * counts). Same bounded-sample contract, zero-norm policy, and
+    * DECIMAL(9,6) pair-cosine exactness as the corpus form.
+    */
+  def anisotropyReportByGroup(df: DataFrame, idCol: String, vecCol: String,
+                              groupCol: String): DataFrame = {
+    val v = df
+      .filter(col(vecCol).isNotNull && forall(col(vecCol), x => x.isNotNull))
+      .select(col(groupCol).as("__grp"), col(idCol).as("__id"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
+    val a = v.select(col("__grp"), col("__id").as("__ida"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = v.select(col("__grp"), col("__id").as("__idb"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val pr = a.join(b, Seq("__grp")).filter(col("__ida") < col("__idb"))
+      .select(col("__grp"), zround(dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")), 6).cast("decimal(9,6)").as("__cos"))
+      .groupBy(col("__grp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        zround(sum(col("__cos")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_cos"),
+        round(sum(abs(col("__cos"))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_abs_cos"))
+    v.groupBy(col("__grp")).agg(count(lit(1)).as("n_vectors"))
+      .join(pr, Seq("__grp"), "left")
+      .select(col("__grp").as(groupCol), col("n_vectors"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("mean_cos"), col("mean_abs_cos"))
+  }
+
   /** [[planeWeight]]'s driver-side twin — the identical square-then-
     * multiply mod 2³¹−1 integer mixer evaluated in Scala, so projection
     * operators can bake the weight MATRIX into literal arrays once

@@ -946,6 +946,29 @@ class SimilaritySpec extends SparkSpec {
     assert(np2 == 1L && m2 == -1.0 && ma2 == 1.0)
   }
 
+  test("anisotropyReportByGroup: within-group pairs only; single-member group kept with null means") {
+    val df = Seq(
+      (0L, "a", Array(1.0f, 0.0f)),
+      (1L, "a", Array(2.0f, 0.0f)),    // same direction as 0
+      (2L, "a", Array(0.0f, 1.0f)),
+      (3L, "b", Array(1.0f, 1.0f)),    // alone in b: no pairs
+      (4L, "c", Array(0.0f, 0.0f))     // zero-norm: c vanishes entirely
+    ).toDF("vec_id", "grp", "embedding")
+    val got = Similarity.anisotropyReportByGroup(df, "vec_id", "embedding", "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    val third = BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a: pairs (0,1)=1, (0,2)=0, (1,2)=0 → mean 1/3; cross-group pairs
+    // (e.g. 0↔3) never form
+    assert(got.toSeq == Seq(
+      ("a", 3L, 3L, Some(third), Some(third)),
+      ("b", 1L, 0L, None, None)))
+  }
+
   test("signProject: signs reproduce lshBucket at matching offsets; width rule; hand value") {
     // integral vectors keep projections far from the 6-dp rounding edge
     val df = Seq(
