@@ -779,7 +779,16 @@ object PipelineScaleBench {
     val idxNeeded = only.forall(fs =>
       Seq("pipe_ivf_pq_search", "pipe_ivf_pq_add", "pipe_ivf_drift")
         .exists(n => fs.exists(n.contains)))
-    if (idxNeeded && !new java.io.File(s"$work/ivfpq$idxSfx/meta").exists())
+    // existence resolves through the Hadoop FileSystem for the path's
+    // SCHEME: java.io.File is always-false for a non-local work dir
+    // (hdfs://, s3a://), which would silently rebuild the index on
+    // every filtered run — correct results, but the build cost lands
+    // outside any timed stage and skews wall-clock comparisons
+    def fsExists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (idxNeeded && !fsExists(s"$work/ivfpq$idxSfx/meta"))
       buildIvfPqIndex()
     timed("pipe_ivf_pq_search", input = 100L) {
       // the flag-free loader: residual/subDim from the meta relation,
@@ -874,7 +883,7 @@ object PipelineScaleBench {
       total
     }
     if (only.exists(fs => fs.exists("pipe_sparse_index_search".contains)) &&
-        !new java.io.File(s"$work/sparseidx$sIdxSfx/meta").exists())
+        !fsExists(s"$work/sparseidx$sIdxSfx/meta"))
       buildSparseIndex()
     timed("pipe_sparse_index_search", input = 500L) {
       // flag-free open (one cross-check aggregate over the postings)

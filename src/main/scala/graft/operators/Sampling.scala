@@ -40,6 +40,47 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < permille)
   }
 
+  /** ABSOLUTE-size deterministic hash sample — exactly
+    * `min(n, targetRows)` rows, no matter how big the corpus grows:
+    * every id gets a permanent lottery ticket (its salted md5 hash, the
+    * [[uniformKPerGroup]] fate rule) and the `targetRows` SMALLEST
+    * tickets win, ties broken by id. This is the eval-sample form whose
+    * bounded-cost CONTRACT holds by construction: [[hashSample]]'s
+    * permille is PROPORTIONAL, so every O(m²) pair join or broadcast
+    * built on it grows linearly with the corpus and the caller must
+    * hand-shrink the permille at scale — here the downstream work is
+    * pinned at the target no matter the corpus size, and the winner set
+    * only churns by what new ids out-lottery old ones.
+    *
+    * Cross-engine exactness: tickets are `hash60 mod 2⁵⁰` (the
+    * [[uniformKPerGroup]] rule — a 50-bit integer survives the
+    * bounded-heap's double score EXACTLY; the raw 60-bit hash would not),
+    * so the DuckDB twin is `ORDER BY ticket, id LIMIT targetRows` over
+    * the identical integer tickets. Requires a long-castable id.
+    *
+    * 100 TB shape: one narrow (id, ticket) pass into a single
+    * [[graft.functions.TopKOps.topK]] bounded heap (map-side partials —
+    * each partition offers at most `targetRows` entries, the merge is
+    * heap-sized), then a broadcast semi-join of the winner set back onto
+    * the corpus. No sort, no window, no full shuffle.
+    */
+  def hashSampleN(df: DataFrame, idCol: String, targetRows: Int,
+                  salt: String = "us"): DataFrame = {
+    require(targetRows >= 1 && targetRows <= 1000000,
+      s"targetRows out of [1, 1000000]: $targetRows")
+    val winners = df
+      .select(col(idCol).as("__sid"))
+      .withColumn("__negh",
+        (-pmod(hash60(md5(concat(lit(salt), col("__sid").cast("string")))),
+          lit(1L << 50))).cast("double"))
+      .agg(graft.functions.TopKOps.topK(targetRows, col("__negh"),
+        col("__sid").cast("long")).as("__top"))
+      .select(explode(col("__top")).as("__e"))
+      .select(col("__e.id").as("__wid"))
+    df.join(broadcast(winners), col(idCol).cast("long") === col("__wid"),
+      "left_semi")
+  }
+
   /** Deterministic train/test split: rows whose bucket falls under
     * `testPermille` go to test, the rest to train. The two sides are
     * disjoint and together cover the corpus exactly.

@@ -1340,7 +1340,12 @@ object TextAnalysis {
     val (k1o, bo) =
       (if (m.isNullAt(3)) None else Some(m.getDouble(3)),
         if (m.isNullAt(4)) None else Some(m.getDouble(4)))
-    require((weighting == "bm25") == (k1o.isDefined && bo.isDefined),
+    // k1/b must be BOTH present (bm25) or BOTH absent (tfidf): a
+    // half-populated pair is a corrupt meta in either weighting, and
+    // `(bm25) == (defined && defined)` alone would wave a tfidf meta
+    // with exactly one knob through (false == false)
+    require(k1o.isDefined == bo.isDefined &&
+        (weighting == "bm25") == (k1o.isDefined && bo.isDefined),
       s"$dir/meta: k1/b must be present exactly for bm25, got " +
         s"weighting=$weighting k1=$k1o b=$bo")
     val n = postings.count()

@@ -19,6 +19,38 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > docs.count() * 0.15 && a.size < docs.count() * 0.45)
   }
 
+  test("hashSampleN returns exactly min(n, target) rows, deterministically") {
+    val a = Sampling.hashSampleN(docs, "doc_id", 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 64)
+    val b = Sampling.hashSampleN(docs.repartition(7), "doc_id", 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // target beyond n: the whole relation, once
+    val all = Sampling.hashSampleN(docs, "doc_id", 100000)
+    assert(all.count() == docs.count())
+    // absolute-size contract: the 64 winners over a SUPERSET corpus are
+    // still 64 — growth can only churn which ids win, never the size
+    val grown = docs.union(docs.select(
+      ((col("doc_id") + 1000000).as("doc_id") +:
+        docs.columns.filter(_ != "doc_id").map(col).toIndexedSeq): _*))
+    assert(Sampling.hashSampleN(grown, "doc_id", 64).count() == 64)
+  }
+
+  test("hashSampleN winners are the target-smallest tickets, id ties") {
+    val ids = docs.select("doc_id").as[Long].collect()
+    def ticket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("us" + id.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % (1L << 50)
+    }
+    val expect = ids.map(id => (ticket(id), id)).sorted.take(16).map(_._2).toSet
+    val got = Sampling.hashSampleN(docs, "doc_id", 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+  }
+
   test("different salts draw independent samples") {
     val a = Sampling.hashSample(docs, "doc_id", 300, salt = "a")
       .select("doc_id").as[Long].collect().toSet
