@@ -45,9 +45,36 @@ object SparkEntry {
   private def evalSample(df: DataFrame, idCol: String, permille: Int): DataFrame =
     graft.operators.Sampling.hashSample(df, idCol, permille)
 
+  /** The ABSOLUTE-size eval-sample convention (round 14): exactly
+    * `min(n, target)` rows — the `target` smallest md5-ticket ids
+    * ([[graft.operators.Sampling.hashSampleN]], salt "us", tickets mod
+    * 2⁵⁰, ties by id). Queries built on it keep their O(m²) pair joins
+    * and broadcast query sides PINNED at the target no matter the
+    * corpus size, where the permille convention grew them linearly.
+    * DuckDB twin: [[evalSampleNCte]] — `ORDER BY ticket, id LIMIT
+    * target` over the identical integer tickets.
+    */
+  private def evalSampleN(df: DataFrame, idCol: String, target: Int): DataFrame =
+    graft.operators.Sampling.hashSampleN(df, idCol, target)
+
+  /** [[evalSampleN]]'s SQL twin: a winners CTE of the `target`
+    * smallest-ticket ids of `table.idCol`, stated with the identical
+    * integer tickets (md5 hash60 mod 2⁵⁰, salt "us") and (ticket, id)
+    * order, so engine and oracle pick the same rows by construction.
+    */
+  private def evalSampleNCte(name: String, table: String, idCol: String,
+                             target: Int): String =
+    s"""$name AS (SELECT $idCol FROM (
+       |  SELECT $idCol,
+       |   ('0x' || substr(md5('us' || CAST($idCol AS VARCHAR)),1,15))::BIGINT
+       |    % 1125899906842624 AS tk
+       |  FROM $table) ORDER BY tk, $idCol LIMIT $target)""".stripMargin
+
   /** The q252 hybrid fusion, shared with its q257 ranked-list grade:
-    * dense brute-force top-5 + sparse TF-IDF top-5 over the SAME 1%
-    * hash-sampled ids, RRF-fused (dense term first, k0=60). Returns
+    * dense brute-force top-5 + sparse TF-IDF top-5 over 16-winner
+    * absolute hash samples ([[evalSampleN]] — same ticket function on
+    * both tables, so at matching id domains the arms query the same
+    * ids), RRF-fused (dense term first, k0=60). Returns
     * (fused `(query_id, doc_id, rank_1, rank_2, rrf)`, dense top-5
     * `(query_id, doc_id, rn)`) — q257 grades the fusion against the
     * SAME dense relation (one subtree, so the corpus-by-sample cosine
@@ -59,13 +86,13 @@ object SparkEntry {
     val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text", minDf = 2)
       .localCheckpoint()
     val qp = post
-      .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
+      .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
       .withColumnRenamed("doc_id", "query_id")
     val sparse = TextAnalysis.sparseTopK(post, "doc_id", qp, "query_id",
       "token", "weight", k = 5)
       .select(col("query_id"), col("doc_id"), col("rn"))
     val dense = Similarity.bruteForceTopK(emb,
-      evalSample(emb, "vec_id", 10), "vec_id", "embedding", 5)
+      evalSampleN(emb, "vec_id", 16), "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
     (graft.operators.Selection.rrfFuseRanks(Seq(dense, sparse),
       "query_id", "doc_id", "rn", k0 = 60), dense)
@@ -2621,7 +2648,7 @@ object SparkEntry {
       val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text",
         minDf = 2).localCheckpoint()
       val qp = post
-        .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
+        .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
       TextAnalysis.sparseTopK(post, "doc_id", qp, "query_id",
         "token", "weight", k = 5)
@@ -2639,7 +2666,7 @@ object SparkEntry {
       val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text",
         minDf = 2).localCheckpoint()
       val qp = post
-        .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
+        .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
       TextAnalysis.sparseRecallReport(post, "doc_id", qp, "query_id",
         "token", "weight", k = 5, cap = 25)
@@ -2656,7 +2683,7 @@ object SparkEntry {
       val idx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
         weighting = "tfidf", minDf = 2)
       val qp = idx.postings
-        .join(evalSample(docs, "doc_id", 10).select("doc_id"), "doc_id")
+        .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
       TextAnalysis.sparseIndexSearch(idx, qp, "query_id",
         "token", "weight", k = 5)
@@ -2671,7 +2698,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val post = TextAnalysis.bm25Postings(docs, "doc_id", "text", minDf = 2)
         .localCheckpoint()
-      val qp = evalSample(docs, "doc_id", 10)
+      val qp = evalSampleN(docs, "doc_id", 16)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(TextAnalysis.tokens("text"))).as("token"))
         .withColumn("weight", lit(1).cast("decimal(18,6)"))
@@ -2710,8 +2737,8 @@ object SparkEntry {
     // compressing every cosine score into a narrow band.
     "q253_anisotropy" -> ((s, dir) =>
       Similarity.anisotropyReport(
-        evalSample(t(s, dir, "embeddings"), "vec_id", 50),
-        "vec_id", "embedding")),
+        evalSampleN(t(s, dir, "embeddings"), "vec_id", 64),
+        "vec_id", "embedding", dim = 64)),
 
     // ── per-label anisotropy: q253's slice view — within-group pair
     // cosines only, one row per label, single-member groups kept with
@@ -2719,8 +2746,8 @@ object SparkEntry {
     // collapsed" as a relation.
     "q259_anisotropy_by_label" -> ((s, dir) =>
       Similarity.anisotropyReportByGroup(
-        evalSample(t(s, dir, "embeddings"), "vec_id", 50),
-        "vec_id", "embedding", "label")
+        evalSampleN(t(s, dir, "embeddings"), "vec_id", 64),
+        "vec_id", "embedding", "label", dim = 64)
         .orderBy("label")),
 
     // ── cluster-balanced (diversity) selection: k-means assignment
@@ -6305,12 +6332,17 @@ object SparkEntry {
           |     AS DOUBLE), 6) AS ndcg
           |FROM ev GROUP BY 1 ORDER BY query_id""".stripMargin),
 
-    // Anisotropy: all pairs of the 5% hash sample, the Spark-shaped
-    // explicit cosine fold (products fold / norm-fold product) rounded
-    // onto DECIMAL(9,6), exact decimal sums, one terminal division each.
+    // Anisotropy: all pairs of the 64-winner absolute hash sample, the
+    // Spark-shaped explicit cosine fold (products fold / norm-fold
+    // product) rounded onto DECIMAL(9,6), exact decimal sums, one
+    // terminal division each. The 64-wide width guard states the
+    // operator's dim rule (the jlWidthGuardSql precedent) — the
+    // range(1, 65) fold below assumes it.
     "q253_anisotropy" ->
-      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |            FROM embeddings WHERE ${evalSampleSql("vec_id", 50)}),
+      s"""WITH ${evalSampleNCte("qse", "embeddings", "vec_id", 64)},
+         |v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |            FROM embeddings JOIN qse USING (vec_id)
+         |            ${jlWidthGuardSql()}),
          |n AS (SELECT vec_id, v,
          |       sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nn
          |      FROM v0),
@@ -6325,12 +6357,15 @@ object SparkEntry {
          | round(CAST(sum(abs(c)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_abs_cos
          |FROM p""".stripMargin,
 
-    // Per-label anisotropy: the q253 fold chain with the pair join
-    // keyed on label, per-group rollup, and the left join that keeps
-    // single-member labels as zero-pair rows.
+    // Per-label anisotropy: the q253 fold chain (same 64-winner sample
+    // and width guard) with the pair join keyed on label, per-group
+    // rollup, and the left join that keeps single-member labels as
+    // zero-pair rows.
     "q259_anisotropy_by_label" ->
-      s"""WITH v0 AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |            FROM embeddings WHERE ${evalSampleSql("vec_id", 50)}),
+      s"""WITH ${evalSampleNCte("qse", "embeddings", "vec_id", 64)},
+         |v0 AS (SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |            FROM embeddings JOIN qse USING (vec_id)
+         |            ${jlWidthGuardSql()}),
          |g AS (SELECT label, vec_id, v,
          |       sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nn
          |      FROM v0
@@ -7143,7 +7178,7 @@ object SparkEntry {
   /** Shared q247/q248 oracle chain: the q71 TF-IDF weight formula as a
     * DECIMAL(18,6) posting relation (minDf=2, stated identically to
     * TextAnalysis.tfidfPostings at its keep-all maxDfFrac default) and
-    * the 1% hash-sample query side.
+    * the 16-winner absolute hash-sample query side ([[evalSampleNCte]]).
     */
   private lazy val sparsePostingCtes: String =
     s"""dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -7154,8 +7189,9 @@ object SparkEntry {
        |          CAST(round(t.tf * ln(n.n::DOUBLE / d.df), 6) AS DECIMAL(18,6)) AS w
        |         FROM tfd t JOIN dfq d USING (token), ndocs n
        |         WHERE d.df >= 2),
+       |${evalSampleNCte("qsd", "documents", "doc_id", 16)},
        |qp AS (SELECT doc_id AS query_id, token, w FROM post
-       |       WHERE ${evalSampleSql("doc_id", 10)})""".stripMargin
+       |       JOIN qsd USING (doc_id))""".stripMargin
 
   /** The sparse-retrieval scoring tail over a posting CTE: exact decimal
     * dot products per (query, doc), one terminal double cast, the
@@ -7172,22 +7208,31 @@ object SparkEntry {
        |     FROM sc$sfx)""".stripMargin
 
   /** The shared q252/q257 hybrid-fusion chain: the q247 sparse top-5
-    * (`sp`), the dense brute-force top-5 over the same hash-sampled ids
-    * (`dn` — also q257's gold), their full join (`f`), and the fused
-    * scores (`fz`) with the fixed-order 1/(60+rank) sum, dense term
-    * first, at 6 dp.
+    * (`sp`), the dense brute-force top-5 over the 16-winner absolute
+    * hash sample (`dn` — also q257's gold), their full join (`f`), and
+    * the fused scores (`fz`) with the fixed-order 1/(60+rank) sum,
+    * dense term first, at 6 dp. The dense arm states cosinePairs'
+    * zero-norm DROP explicitly (`vn` with `n > 0` joins on both roles,
+    * the q256 convention) — without it a zero-norm fixture row would
+    * NaN/error in DuckDB while Spark silently drops it.
     */
   private lazy val hybridFusionCtes: String =
     sparsePostingCtes + ",\n" + sparseTopKTail("post", "") + ",\n" +
       s"""sp AS (SELECT query_id, doc_id, rn FROM r WHERE rn <= 5),
          |ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |       FROM embeddings),
+         |vn AS (SELECT vec_id,
+         |        sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS n
+         |       FROM ve),
+         |${evalSampleNCte("qse", "embeddings", "vec_id", 16)},
          |dn AS (SELECT query_id, doc_id, rn FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
          |   CAST(row_number() OVER (PARTITION BY q.vec_id
          |    ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS BIGINT) AS rn
-         |  FROM ve q JOIN ve c ON c.vec_id <> q.vec_id
-         |  WHERE ${evalSampleSql("q.vec_id", 10)}) WHERE rn <= 5),
+         |  FROM ve q JOIN qse s ON s.vec_id = q.vec_id
+         |  JOIN vn qn ON qn.vec_id = q.vec_id AND qn.n > 0
+         |  JOIN ve c ON c.vec_id <> q.vec_id
+         |  JOIN vn cn ON cn.vec_id = c.vec_id AND cn.n > 0) WHERE rn <= 5),
          |f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
          |       coalesce(d.doc_id, s.doc_id) AS doc_id,
          |       d.rn AS rank_1, s.rn AS rank_2
@@ -7202,7 +7247,7 @@ object SparkEntry {
     * (non-negative idf, k1=1.2, b=0.75 — every constant the
     * Scala-computed double, round-tripped by toString) onto
     * DECIMAL(18,6), minDf=2, and unit-weight DISTINCT query terms on
-    * the 1% hash sample — stated identically to
+    * the 16-winner absolute hash sample — stated identically to
     * TextAnalysis.bm25Postings' left-associated arithmetic.
     */
   private lazy val bm25PostingCtes: String = {
@@ -7222,8 +7267,9 @@ object SparkEntry {
        |         FROM tfd t JOIN dfq d USING (token) JOIN dlen l USING (doc_id),
        |              ndocs n, avgl a
        |         WHERE d.df >= 2),
+       |${evalSampleNCte("qsd", "documents", "doc_id", 16)},
        |qp AS (SELECT DISTINCT doc_id AS query_id, token, CAST(1 AS DECIMAL(18,6)) AS w
-       |       FROM dt WHERE ${evalSampleSql("doc_id", 10)})""".stripMargin
+       |       FROM dt JOIN qsd USING (doc_id))""".stripMargin
   }
 
   /** signProject's row-contract twin: the operator DROPS null, ragged,

@@ -1083,14 +1083,22 @@ object Similarity {
     *
     * BOUNDED-SAMPLE CONTRACT (the [[nearDupRecallReport]] convention):
     * the all-pairs arm is O(m²) in the INPUT relation by design — the
-    * caller passes a deterministic hash sample
-    * ([[graft.operators.Sampling.hashSample]]) sized in absolute rows,
-    * never the corpus; pair count, not corpus size, is what the operator
-    * scales with.
+    * caller passes a deterministic hash sample sized in ABSOLUTE rows
+    * ([[graft.operators.Sampling.hashSampleN]] — a proportional permille
+    * sample regrows the pair join at corpus scale), never the corpus;
+    * pair count, not corpus size, is what the operator scales with.
+    *
+    * `dim` is the expected vector width: rows whose vector is null,
+    * contains nulls, or is not exactly `dim` wide are dropped (the
+    * [[signProject]]/[[kmeansLloyd]] width rule — a ragged vector would
+    * silently zip the pair dot to the shorter width and skew the mean).
     */
-  def anisotropyReport(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def anisotropyReport(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     val v = df
       .filter(col(vecCol).isNotNull && forall(col(vecCol), x => x.isNotNull))
+      .filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
       .filter(col("__n") > 0)
@@ -1121,13 +1129,16 @@ object Similarity {
     * per-source drift audit the one-row corpus view can't localize.
     * Groups with fewer than two usable vectors still appear, with
     * `n_pairs` 0 and null means (a LEFT join from the per-group vector
-    * counts). Same bounded-sample contract, zero-norm policy, and
-    * DECIMAL(9,6) pair-cosine exactness as the corpus form.
+    * counts). Same bounded-sample contract, zero-norm policy, width
+    * rule (`dim`), and DECIMAL(9,6) pair-cosine exactness as the
+    * corpus form.
     */
   def anisotropyReportByGroup(df: DataFrame, idCol: String, vecCol: String,
-                              groupCol: String): DataFrame = {
+                              groupCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     val v = df
       .filter(col(vecCol).isNotNull && forall(col(vecCol), x => x.isNotNull))
+      .filter(size(col(vecCol)) === dim)
       .select(col(groupCol).as("__grp"), col(idCol).as("__id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))

@@ -926,9 +926,10 @@ class SimilaritySpec extends SparkSpec {
       (0L, Array(1.0f, 0.0f)),
       (1L, Array(0.0f, 1.0f)),
       (2L, Array(2.0f, 0.0f)),    // same direction as 0
-      (3L, Array(0.0f, 0.0f))     // zero-norm: dropped
+      (3L, Array(0.0f, 0.0f)),    // zero-norm: dropped
+      (4L, Array(1.0f, 0.0f, 0.0f)) // ragged (3-wide): the width rule drops it
     ).toDF("vec_id", "embedding")
-    val row = Similarity.anisotropyReport(df, "vec_id", "embedding")
+    val row = Similarity.anisotropyReport(df, "vec_id", "embedding", dim = 2)
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(row.size == 1)
     val (nv, np, mean, meanAbs) = row.head
@@ -941,7 +942,7 @@ class SimilaritySpec extends SparkSpec {
     // anti-parallel pair: mean −1, mean-abs 1 — abs is the second signal
     val anti = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val (_, np2, m2, ma2) = Similarity.anisotropyReport(anti, "vec_id", "embedding")
+    val (_, np2, m2, ma2) = Similarity.anisotropyReport(anti, "vec_id", "embedding", dim = 2)
       .as[(Long, Long, Double, Double)].head()
     assert(np2 == 1L && m2 == -1.0 && ma2 == 1.0)
   }
@@ -954,7 +955,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, "b", Array(1.0f, 1.0f)),    // alone in b: no pairs
       (4L, "c", Array(0.0f, 0.0f))     // zero-norm: c vanishes entirely
     ).toDF("vec_id", "grp", "embedding")
-    val got = Similarity.anisotropyReportByGroup(df, "vec_id", "embedding", "grp")
+    val got = Similarity.anisotropyReportByGroup(df, "vec_id", "embedding", "grp", dim = 2)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         Option(r.get(3)).map(_.asInstanceOf[Double]),
