@@ -872,7 +872,9 @@ object PipelineScaleBench {
     // lexical index lifecycle: build+persist once (keyed like the
     // ivfpq index — corpus size + knobs + m1 meta version), serve many.
     // Search must cost a fraction of pipe_sparse_topk's inline build.
-    val sIdxSfx = s"_m1_${nDocs}_tfidf_df2_f50.parquet"
+    // m2: the round-14 meta schema (cap/n_capped columns) — the version
+    // bump retires any m1 index a previous round left in $work
+    val sIdxSfx = s"_m2_${nDocs}_tfidf_df2_f50.parquet"
     def buildSparseIndex(): Unit =
       TextAnalysis.sparseIndexSave(
         TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text",

@@ -2750,6 +2750,61 @@ object SparkEntry {
         "vec_id", "embedding", "label", dim = 64)
         .orderBy("label")),
 
+    // ── the composed hybrid-SERVING verb over BOTH index lifecycles:
+    // IVF-PQ search (retrain-free, q232's parameters) + sparse search
+    // over the index's build-time capped prune (cap=25, the q248-priced
+    // knob), RRF-fused — the production retrieval shape q252 rebuilds
+    // inline. Query postings derive from the UNCAPPED postings (the
+    // query's full weight profile); both arms on 16-winner samples.
+    "q260_hybrid_index_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2, cap = Some(25))
+      val qp = sIdx.postings
+        .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      graft.operators.Retrieval.hybridSearch(dIdx, emb,
+        evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
+        sIdx, qp, "query_id", "token", "weight",
+        k = 5, nProbe = 4, rerank = 20)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    }),
+
+    // ── vocabulary-drift gate for the frozen lexical index — the
+    // measured "when must I rebuild" answer the honest no-add design
+    // owes its users: OOV df-mass + df-share TV distance of a batch
+    // against the index's posting relation, priced without a corpus
+    // rescan. The 256-winner batch drifts from the minDf=2 index by
+    // exactly the pruned-hapax mass (oov_mass > 0 by construction).
+    "q261_sparse_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2)
+      TextAnalysis.sparseDriftReport(idx,
+        evalSampleN(docs, "doc_id", 256), "doc_id", "text")
+    }),
+
+    // ── the cap operating-point planner: sweep the static-pruning knob
+    // against exact-arm recall and the EXACT capped-index size
+    // (Σ min(len_t, cap)) on the 16-winner query sample — the q242
+    // grid-search convention for the lexical index; chosen = smallest
+    // index meeting 0.8 mean recall.
+    "q262_sparse_cap_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text",
+        minDf = 2).localCheckpoint()
+      val qp = post
+        .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      TextAnalysis.sparseCapPlan(post, "doc_id", "token", "weight",
+        qp, "query_id", k = 5, caps = Seq(5, 10, 25, 50),
+        targetRecall = 0.8)
+        .orderBy("cap")
+    }),
+
     // ── cluster-balanced (diversity) selection: k-means assignment
     // bounds the strata, then a uniform content-hash lottery keeps 5 per
     // cluster — the coreset/SemDeDup-adjacent "cover the space, not the
@@ -6383,6 +6438,112 @@ object SparkEntry {
          | pr.mean_cos, pr.mean_abs_cos
          |FROM nv LEFT JOIN pr USING (label) ORDER BY nv.label""".stripMargin,
 
+    // Hybrid index serving: the q219 IVF-PQ chain with the 16-winner
+    // query sample + the q247 sparse chain scored over the cap-25
+    // pruned postings (q248's cpost recipe) + the q252 fusion tail —
+    // the engine serves both arms from persisted index relations,
+    // bit-identical to these inline chains by construction (the
+    // q232-vs-q219 / q258-vs-q247 convention, composed).
+    "q260_hybrid_index_search" ->
+      ("WITH " + ivfPqTrainCtes(
+          pre = evalSampleNCte("qse", "embeddings", "vec_id", 16),
+          queryPred = c => s"$c IN (SELECT vec_id FROM qse)") + ",\n" +
+        ivfPqSearchTailCtes(4, 20, "") + ",\n" +
+        sparsePostingCtes + ",\n" +
+        """cpost AS (SELECT doc_id, token, w FROM (
+          |  SELECT doc_id, token, w,
+          |   row_number() OVER (PARTITION BY token ORDER BY w DESC, doc_id) AS prn
+          |  FROM post) WHERE prn <= 25),""".stripMargin + "\n" +
+        sparseTopKTail("cpost", "_sp") + ",\n" +
+        """spx AS (SELECT query_id, doc_id, rn FROM r_sp WHERE rn <= 5),
+          |dnx AS (SELECT query_id, neighbor_id AS doc_id, rn FROM r WHERE rn <= 5),
+          |f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+          |       coalesce(d.doc_id, s.doc_id) AS doc_id,
+          |       d.rn AS rank_1, s.rn AS rank_2
+          |      FROM dnx d FULL JOIN spx s
+          |       ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+          |fz AS (SELECT query_id, doc_id, rank_1, rank_2,
+          | round((CASE WHEN rank_1 IS NOT NULL THEN 1.0 / (60.0 + rank_1) ELSE 0.0 END)
+          |     + (CASE WHEN rank_2 IS NOT NULL THEN 1.0 / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
+          |       FROM f)
+          |SELECT query_id, doc_id, rank_1, rank_2, rrf FROM fz
+          |ORDER BY query_id, rrf DESC, doc_id""".stripMargin),
+
+    // Sparse vocabulary drift: index-side df = the posting-list length
+    // (the minDf=2 dfq filter), batch-side df over the 256-winner
+    // sample, full-joined df shares (missing side 0), 9-dp share
+    // deltas into a DECIMAL(28,12) sum, one terminal 0.5 multiply —
+    // the ivfDriftReport recipe on the union vocabulary.
+    "q261_sparse_drift" ->
+      s"""WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tfd AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+         |idxdf AS (SELECT token, df AS di FROM dfq WHERE df >= 2),
+         |${evalSampleNCte("qsb", "documents", "doc_id", 256)},
+         |bt AS (SELECT DISTINCT d.doc_id, d.token FROM dt d JOIN qsb USING (doc_id)),
+         |bdf AS (SELECT token, count(*) AS db FROM bt GROUP BY 1),
+         |per AS (SELECT token, coalesce(i.di, 0) AS di, coalesce(b.db, 0) AS db
+         |        FROM idxdf i FULL JOIN bdf b USING (token)),
+         |tots AS (SELECT sum(di) AS ti, sum(db) AS tb FROM per),
+         |tv AS (SELECT round(CAST(sum(CAST(
+         |         CASE WHEN t.ti > 0 AND t.tb > 0
+         |          THEN round(abs(di::DOUBLE / t.ti - db::DOUBLE / t.tb), 9)
+         |         END AS DECIMAL(28,12))) AS DOUBLE) * 0.5, 6) AS tv
+         |       FROM per, tots t)
+         |SELECT
+         | CAST(sum(CASE WHEN di > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_index_terms,
+         | CAST(sum(CASE WHEN db > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_terms,
+         | CAST(sum(CASE WHEN di = 0 AND db > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_terms,
+         | CASE WHEN t.tb > 0
+         |  THEN round(sum(CASE WHEN di = 0 THEN db ELSE 0 END)::DOUBLE / t.tb, 6)
+         | END AS oov_mass,
+         | tv.tv AS tv,
+         | (CASE WHEN t.tb > 0
+         |   THEN round(sum(CASE WHEN di = 0 THEN db ELSE 0 END)::DOUBLE / t.tb, 6)
+         |  END > 0.2 OR tv.tv > 0.25) AS rebuild
+         |FROM per, tots t, tv GROUP BY t.tb, tv.tv""".stripMargin,
+
+    // Cap operating-point plan: one suffixed scoring tail per grid cap
+    // over its pruned posting relation (the q242 parameterized-arms
+    // convention), the exact arm stated once, EXACT capped sizes
+    // Σ min(len_t, cap) from one length table, and the deterministic
+    // (meets, size, recall desc, cap) chosen window.
+    "q262_sparse_cap_plan" -> {
+      val caps = Seq(5, 10, 25, 50)
+      val arms = caps.map { c =>
+        s"""cp$c AS (SELECT doc_id, token, w FROM (
+           |  SELECT doc_id, token, w,
+           |   row_number() OVER (PARTITION BY token ORDER BY w DESC, doc_id) AS prn
+           |  FROM post) WHERE prn <= $c),""".stripMargin + "\n" +
+          sparseTopKTail(s"cp$c", s"_c$c")
+      }.mkString(",\n")
+      val hitsUnion = caps.map(c =>
+        s"""SELECT $c AS cap, count(*) AS hits
+           |FROM ex5 e JOIN (SELECT query_id, doc_id FROM r_c$c WHERE rn <= 5) a
+           | USING (query_id, doc_id)""".stripMargin).mkString("\nUNION ALL\n")
+      val sizesUnion = caps.map(c =>
+        s"SELECT $c AS cap, CAST(sum(least(len, $c)) AS BIGINT) AS n_postings FROM lens")
+        .mkString("\nUNION ALL\n")
+      "WITH " + sparsePostingCtes + ",\n" +
+        sparseTopKTail("post", "_ex") + ",\n" + arms + ",\n" +
+        s"""ex5 AS (SELECT query_id, doc_id FROM r_ex WHERE rn <= 5),
+           |lens AS (SELECT token, count(*) AS len FROM post GROUP BY 1),
+           |hits AS ($hitsUnion),
+           |sizes AS ($sizesUnion),
+           |nq AS (SELECT count(DISTINCT query_id) AS nq FROM ex5),
+           |grid AS (SELECT unnest([${caps.mkString(", ")}]) AS cap),
+           |pl AS (SELECT g.cap,
+           |        round(coalesce(h.hits, 0)::DOUBLE / (5.0 * q.nq), 6) AS mean_recall,
+           |        s.n_postings
+           |       FROM grid g LEFT JOIN hits h USING (cap)
+           |       JOIN sizes s USING (cap), nq q)
+           |SELECT cap, mean_recall, n_postings,
+           | (row_number() OVER (ORDER BY (mean_recall >= 0.8) DESC,
+           |    CASE WHEN mean_recall >= 0.8 THEN n_postings END ASC NULLS LAST,
+           |    mean_recall DESC, n_postings ASC, cap ASC) = 1) AS chosen
+           |FROM pl ORDER BY cap""".stripMargin
+    },
+
     // Cluster-balanced selection: the q183 k-means chain (k=8, 2
     // iterations, 64 dims) + the q205 content-hash lottery per cluster.
     "q254_cluster_balanced" ->
@@ -7307,7 +7468,9 @@ object SparkEntry {
   private def ivfPqTrainCtes(srcRel: String = "embeddings",
                              assignRel: String = "",
                              centsPred: String = "TRUE",
-                             pre: String = ""): String = {
+                             pre: String = "",
+                             queryPred: String => String =
+                               evalSampleSql(_, 20)): String = {
     val chains = (0 until 4).map(sp =>
       kmeansCtes(4, 2, 16, sp * 16, s"_s$sp", srcRel, assignRel))
     // the query slices live in the per-subspace v CTEs over the TRAINED
@@ -7318,7 +7481,7 @@ object SparkEntry {
       s"""adc$sp AS (
          | SELECT v.vec_id AS query_id, c.cl, sum(v.vd * c.cv) AS t
          | FROM ${adcV}_s$sp v JOIN c2_s$sp c ON c.pos = v.pos
-         | WHERE ${evalSampleSql("v.vec_id", 20)}
+         | WHERE ${queryPred("v.vec_id")}
          | GROUP BY 1, 2)""".stripMargin
     }
     ((if (pre.isEmpty) "" else pre + ",\n") +
@@ -7340,7 +7503,7 @@ object SparkEntry {
          |  FROM c, cents ct) WHERE arn = 1),
          |qset AS (
          | SELECT c.vec_id, c.v FROM c JOIN nrm nq ON nq.vec_id = c.vec_id
-         | WHERE ${evalSampleSql("c.vec_id", 20)} AND nq.n > 0)""".stripMargin)
+         | WHERE ${queryPred("c.vec_id")} AND nq.n > 0)""".stripMargin)
       .replaceAll("AS \\(", "AS MATERIALIZED (")
   }
 

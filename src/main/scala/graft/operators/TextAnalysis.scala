@@ -1245,25 +1245,50 @@ object TextAnalysis {
     * GLOBAL corpus statistics (df, N, avgdl), so appending documents
     * against a frozen index silently mis-weights both old and new
     * postings — the honest lifecycle is build/save/load/search, with
-    * [[cappedPostings]] as the serving-time prune.
+    * [[sparseDriftReport]] as the measured "when must I rebuild" gate
+    * and the [[cappedPostings]] impact prune baked in at build when
+    * `cap` is set (served by default; the uncapped postings persist
+    * beside it for the recall gate).
     */
   final case class SparseIndex(postings: DataFrame, weighting: String,
                                minDf: Int, maxDfFrac: Double,
-                               k1: Option[Double], b: Option[Double]) {
+                               k1: Option[Double], b: Option[Double],
+                               cap: Option[Int] = None,
+                               capped: Option[DataFrame] = None) {
+    require(cap.isDefined == capped.isDefined,
+      s"cap and the capped relation travel together, got cap=$cap " +
+        s"capped=${capped.isDefined}")
+    cap.foreach(c => require(c >= 1, s"cap must be >= 1, got $c"))
+
+    /** The relation searches SERVE from: the build-time impact-pruned
+      * postings when the index carries a `cap` ([[cappedPostings]] run
+      * once at build instead of per session), else the full postings.
+      * The uncapped relation always persists BESIDE the capped one —
+      * [[sparseRecallReport]]'s exact arm needs it to price the cap.
+      */
+    def serving: DataFrame = capped.getOrElse(postings)
 
     /** One-row self-description `(weighting, min_df, max_df_frac, k1,
-      * b, n_postings, n_terms)`; the two counts are stated redundantly
-      * with the posting relation on purpose — [[sparseIndexLoad]]
-      * re-derives them and fails fast on mismatch.
+      * b, cap, n_postings, n_terms, n_capped)`; the counts are stated
+      * redundantly with the posting relations on purpose —
+      * [[sparseIndexLoad]] re-derives them and fails fast on mismatch.
+      * `cap`/`n_capped` persist as NULL for an uncapped index (the
+      * tfidf-k1/b convention: absent, not leftover defaults).
       */
-    def meta: DataFrame =
-      postings.agg(count(lit(1)).as("n_postings"),
-          countDistinct(col("token")).as("n_terms"))
-        .select(lit(weighting).as("weighting"), lit(minDf).as("min_df"),
-          lit(maxDfFrac).as("max_df_frac"),
-          k1.map(lit).getOrElse(lit(null).cast("double")).as("k1"),
-          b.map(lit).getOrElse(lit(null).cast("double")).as("b"),
-          col("n_postings"), col("n_terms"))
+    def meta: DataFrame = {
+      val base = postings.agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("token")).as("n_terms"))
+      val counts = capped match {
+        case Some(cp) => base.crossJoin(cp.agg(count(lit(1)).as("n_capped")))
+        case None => base.withColumn("n_capped", lit(null).cast("long"))
+      }
+      counts.select(lit(weighting).as("weighting"), lit(minDf).as("min_df"),
+        lit(maxDfFrac).as("max_df_frac"),
+        k1.map(lit).getOrElse(lit(null).cast("double")).as("k1"),
+        b.map(lit).getOrElse(lit(null).cast("double")).as("b"),
+        cap.map(lit).getOrElse(lit(null).cast("int")).as("cap"),
+        col("n_postings"), col("n_terms"), col("n_capped"))
+    }
   }
 
   /** Build a [[SparseIndex]] from a corpus: `weighting` picks
@@ -1272,12 +1297,17 @@ object TextAnalysis {
     * posting relation is localCheckpoint-materialized — a BUILD verb
     * materializes by definition, and every consumer (query-side
     * derivation, capped prune, the dot join) then reads the built
-    * index instead of re-running the weight chain.
+    * index instead of re-running the weight chain. `cap` bakes the
+    * [[cappedPostings]] impact prune INTO the index (recorded in meta,
+    * served by default, priced once at build) — the uncapped postings
+    * stay beside it for [[sparseRecallReport]]'s exact arm; size the
+    * cap with [[sparseCapPlan]] before trusting it.
     */
   def sparseIndexBuild(df: DataFrame, idCol: String, textCol: String,
                        weighting: String = "tfidf",
                        minDf: Int = 1, maxDfFrac: Double = 1.0,
-                       k1: Double = 1.2, b: Double = 0.75): SparseIndex = {
+                       k1: Double = 1.2, b: Double = 0.75,
+                       cap: Option[Int] = None): SparseIndex = {
     val (post, k1o, bo) = weighting match {
       case "tfidf" =>
         (tfidfPostings(df, idCol, textCol, minDf, maxDfFrac), None, None)
@@ -1288,23 +1318,27 @@ object TextAnalysis {
         throw new IllegalArgumentException(
           s"""weighting must be "tfidf" or "bm25", got "$other"""")
     }
-    SparseIndex(post.withColumnRenamed(idCol, "doc_id").localCheckpoint(),
-      weighting, minDf, maxDfFrac, k1o, bo)
+    val full = post.withColumnRenamed(idCol, "doc_id").localCheckpoint()
+    val cappedRel = cap.map(c =>
+      cappedPostings(full, "doc_id", "token", "weight", c).localCheckpoint())
+    SparseIndex(full, weighting, minDf, maxDfFrac, k1o, bo, cap, cappedRel)
   }
 
   /** Serve top-`k` sparse retrieval from a built (or reopened) index —
-    * [[sparseTopK]] over the index's posting relation.
+    * [[sparseTopK]] over the index's SERVING relation (the build-time
+    * capped prune when the index carries one, else the full postings).
     */
   def sparseIndexSearch(index: SparseIndex, queries: DataFrame,
                         queryIdCol: String, termCol: String,
                         weightCol: String, k: Int,
                         excludeSelf: Boolean = true): DataFrame =
-    sparseTopK(index.postings, "doc_id", queries, queryIdCol,
+    sparseTopK(index.serving, "doc_id", queries, queryIdCol,
       termCol, weightCol, k, excludeSelf)
 
   def sparseIndexSave(index: SparseIndex, dir: String): Unit = {
     val mode = org.apache.spark.sql.SaveMode.Overwrite
     index.postings.write.mode(mode).parquet(s"$dir/postings")
+    index.capped.foreach(_.write.mode(mode).parquet(s"$dir/capped"))
     index.meta.write.mode(mode).parquet(s"$dir/meta")
   }
 
@@ -1328,8 +1362,9 @@ object TextAnalysis {
     val metaRows = spark.read.parquet(s"$dir/meta")
       .select(col("weighting").cast("string"), col("min_df").cast("int"),
         col("max_df_frac").cast("double"), col("k1").cast("double"),
-        col("b").cast("double"), col("n_postings").cast("long"),
-        col("n_terms").cast("long"))
+        col("b").cast("double"), col("cap").cast("int"),
+        col("n_postings").cast("long"), col("n_terms").cast("long"),
+        col("n_capped").cast("long"))
       .collect()
     require(metaRows.length == 1,
       s"$dir/meta must hold exactly one row, got ${metaRows.length}")
@@ -1349,9 +1384,38 @@ object TextAnalysis {
       s"$dir/meta: k1/b must be present exactly for bm25, got " +
         s"weighting=$weighting k1=$k1o b=$bo")
     val n = postings.count()
-    require(n == m.getLong(5),
-      s"meta says ${m.getLong(5)} postings but $dir/postings holds $n")
-    SparseIndex(postings, weighting, m.getInt(1), m.getDouble(2), k1o, bo)
+    require(n == m.getLong(6),
+      s"meta says ${m.getLong(6)} postings but $dir/postings holds $n")
+    // the capped arm travels with its meta: cap and n_capped must be
+    // both present (a capped index) or both absent, the capped relation
+    // must exist exactly when meta says so (a stray or missing capped
+    // dir is a MIXED directory), and its footer count must match —
+    // all METADATA-priced (filterless parquet counts + one FS probe)
+    val capO = if (m.isNullAt(5)) None else Some(m.getInt(5))
+    val nCapO = if (m.isNullAt(8)) None else Some(m.getLong(8))
+    require(capO.isDefined == nCapO.isDefined,
+      s"$dir/meta: cap/n_capped must travel together, got cap=$capO n_capped=$nCapO")
+    val cappedPath = new org.apache.hadoop.fs.Path(s"$dir/capped")
+    val fs = cappedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cappedRel = capO match {
+      case Some(c) =>
+        require(c >= 1, s"$dir/meta: cap must be >= 1, got $c")
+        require(fs.exists(cappedPath),
+          s"$dir/meta says cap=$c but $dir/capped is missing — a mixed directory")
+        val cp = spark.read.parquet(s"$dir/capped")
+        require(Set("doc_id", "token", "weight").subsetOf(cp.columns.toSet),
+          s"$dir/capped must hold (doc_id, token, weight), got ${cp.columns.mkString(", ")}")
+        val nc = cp.count()
+        require(nc == nCapO.get,
+          s"meta says ${nCapO.get} capped postings but $dir/capped holds $nc")
+        Some(cp)
+      case None =>
+        require(!fs.exists(cappedPath),
+          s"$dir/meta says uncapped but $dir/capped exists — a mixed directory")
+        None
+    }
+    SparseIndex(postings, weighting, m.getInt(1), m.getDouble(2), k1o, bo,
+      capO, cappedRel)
   }
 
   /** Impact-ordered STATIC INDEX PRUNING — cap every term's posting list
@@ -1405,6 +1469,155 @@ object TextAnalysis {
       .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
       .withColumn("recall",
         round(col("n_hit").cast("double") / lit(k.toDouble), 6))
+  }
+
+  /** The `cap` operating-point PLANNER —
+    * [[graft.operators.Similarity.ivfPqOperatingPointPlan]]'s lexical
+    * twin: sweep candidate caps against [[sparseRecallReport]]-style
+    * recall on a bounded query sample and emit ONE relation
+    * `(cap, mean_recall, n_postings, chosen)`, so the static-pruning
+    * knob is MEASURED on the caller's own corpus instead of guessed.
+    * `mean_recall` is `Σ hits / (k · |queries|)` at 6 dp (the per-query
+    * recalls' mean — every query contributes exactly k exact-arm rows);
+    * `n_postings` is the EXACT capped-index size `Σ_t min(|postings_t|,
+    * cap)` — the serving-cost axis, integer-exact, derived from ONE
+    * vocabulary-sized length table rather than by materializing each
+    * capped relation twice. `chosen` flags the smallest index meeting
+    * `targetRecall`, falling back to the highest recall when none does;
+    * ties break (n_postings, mean_recall desc, cap) — fully
+    * deterministic.
+    *
+    * 100 TB shape: the eval-operator contract — `queries` is a bounded
+    * absolute-size sample ([[graft.operators.Sampling.hashSampleN]]);
+    * the exact arm COMPUTES once (localCheckpointed before every
+    * per-cap hit-join and the query count read it); each capped arm is
+    * one bounded-heap prune + the candidate-bounded posting join; the
+    * length table is vocabulary-sized, and everything after the heaps
+    * is (caps × queries × k)-sized.
+    */
+  def sparseCapPlan(postings: DataFrame, idCol: String, termCol: String,
+                    weightCol: String, queries: DataFrame,
+                    queryIdCol: String, k: Int, caps: Seq[Int],
+                    targetRecall: Double): DataFrame = {
+    require(caps.nonEmpty, "empty cap grid")
+    require(caps == caps.distinct, s"duplicate caps: $caps")
+    caps.foreach(c => require(c >= 1, s"cap must be >= 1, got $c"))
+    require(targetRecall >= 0.0 && targetRecall <= 1.0,
+      s"targetRecall out of [0,1]: $targetRecall")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val exact = sparseTopK(postings, idCol, queries, queryIdCol,
+      termCol, weightCol, k)
+      .select(col("query_id"), col("doc_id"))
+      .localCheckpoint()
+    val anns = caps.map { c =>
+      sparseTopK(cappedPostings(postings, idCol, termCol, weightCol, c),
+        idCol, queries, queryIdCol, termCol, weightCol, k)
+        .select(lit(c).as("cap"), col("query_id"), col("doc_id"))
+    }.reduce(_ unionByName _)
+    val hits = anns.join(exact, Seq("query_id", "doc_id"))
+      .groupBy(col("cap")).agg(count(lit(1)).as("__hits"))
+    val lens = postings.groupBy(col(termCol)).agg(count(lit(1)).as("__len"))
+    val sizes = caps.map(c =>
+      lens.agg(sum(least(col("__len"), lit(c.toLong))).as("n_postings"))
+        .select(lit(c).as("cap"), col("n_postings"))
+    ).reduce(_ unionByName _)
+    val nq = exact.agg(countDistinct(col("query_id")).as("__nq"))
+    val meets = col("mean_recall") >= targetRecall
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      meets.desc, when(meets, col("n_postings")).asc_nulls_last,
+      col("mean_recall").desc, col("n_postings").asc, col("cap").asc)
+    caps.toDF("cap")
+      .join(hits, Seq("cap"), "left")
+      .join(sizes, Seq("cap"))
+      .crossJoin(broadcast(nq))
+      .withColumn("mean_recall",
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          (lit(k.toLong) * col("__nq")).cast("double"), 6))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .select("cap", "mean_recall", "n_postings", "chosen")
+  }
+
+  /** VOCABULARY-DRIFT gate — [[graft.operators.Similarity
+    * .ivfDriftReport]]'s lexical twin and the measured answer the
+    * no-`add` lifecycle owes its users: "when must I REBUILD this
+    * index?". TF-IDF/BM25 weights freeze global corpus statistics at
+    * build; as the incoming data's vocabulary drifts away from the
+    * frozen one, served rankings rot silently. This prices that drift
+    * from the POSTING relation plus one batch pass — no corpus rescan,
+    * no recall run: one row
+    * `(n_index_terms, n_batch_terms, n_oov_terms, oov_mass, tv,
+    * rebuild)` where document-frequency relations on both sides are
+    * the comparable footing (`df_idx(t)` = the token's posting-list
+    * length; `df_batch(t)` = distinct batch docs containing `t`),
+    * `oov_mass` is the df-mass fraction of the batch landing on tokens
+    * the index has NO posting list for (those queries can only be
+    * served through their other terms), and `tv` is the
+    * total-variation distance of the two df-share distributions over
+    * the union vocabulary (missing side = 0). `rebuild = oov_mass >
+    * oovThreshold OR tv > tvThreshold` — the gate bit.
+    *
+    * Cross-engine exactness: the [[graft.operators.Similarity
+    * .ivfDriftReport]] recipe — per-token share deltas at 9 dp
+    * (unrounded IEEE divisions of integer-valued doubles inside the
+    * abs), DECIMAL(28,12) sums, one terminal multiply/round each;
+    * `oov_mass` is one 6-dp division of exact longs. An empty batch
+    * yields null masses rather than a divide.
+    *
+    * Honesty note: a pruning build (`minDf`/`maxDfFrac`) makes even
+    * the index's own corpus drift nonzero by exactly the pruned df
+    * mass — self-drift is zero only at keep-all knobs, and that case
+    * is spec-pinned.
+    *
+    * 100 TB shape: the index side is a vocabulary-sized re-aggregation
+    * of the posting relation (never a corpus pass); the batch side is
+    * one tokenize+distinct pass (map-side combinable); the share join
+    * is vocabulary-sized on compact token keys, localCheckpointed once
+    * so the tv rollup and the one-row output both read it without
+    * re-tokenizing the batch.
+    */
+  def sparseDriftReport(index: SparseIndex, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        oovThreshold: Double = 0.2,
+                        tvThreshold: Double = 0.25): DataFrame = {
+    require(oovThreshold >= 0.0 && oovThreshold <= 1.0,
+      s"oovThreshold out of [0,1]: $oovThreshold")
+    require(tvThreshold >= 0.0 && tvThreshold <= 1.0,
+      s"tvThreshold out of [0,1]: $tvThreshold")
+    val idxDf = index.postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("__di"))
+    val batDf = batch
+      .select(col(idCol).as("__bid"), explode(tokens(textCol)).as("token"))
+      .distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("__db"))
+    val per = idxDf.join(batDf, Seq("token"), "full")
+      .select(col("token"),
+        coalesce(col("__di"), lit(0L)).as("__di"),
+        coalesce(col("__db"), lit(0L)).as("__db"))
+      .localCheckpoint()
+    val tots = per.agg(sum(col("__di")).as("__ti"), sum(col("__db")).as("__tb"))
+    val counts = per.agg(
+      sum(when(col("__di") > 0, 1L).otherwise(0L)).as("n_index_terms"),
+      sum(when(col("__db") > 0, 1L).otherwise(0L)).as("n_batch_terms"),
+      sum(when(col("__di") === 0 && col("__db") > 0, 1L).otherwise(0L))
+        .as("n_oov_terms"),
+      sum(when(col("__di") === 0, col("__db")).otherwise(lit(0L))).as("__oovdf"))
+    val tv = per.crossJoin(broadcast(tots))
+      .select(when(col("__ti") > 0 && col("__tb") > 0,
+        round(abs(col("__di").cast("double") / col("__ti").cast("double") -
+          col("__db").cast("double") / col("__tb").cast("double")), 9))
+        .as("__d"))
+      .agg(round(sum(col("__d").cast("decimal(28,12)")).cast("double") * 0.5, 6)
+        .as("tv"))
+    counts.crossJoin(broadcast(tots)).crossJoin(broadcast(tv))
+      .select(col("n_index_terms"), col("n_batch_terms"), col("n_oov_terms"),
+        when(col("__tb") > 0,
+          round(col("__oovdf").cast("double") / col("__tb").cast("double"), 6))
+          .as("oov_mass"),
+        col("tv"),
+        (when(col("__tb") > 0,
+          round(col("__oovdf").cast("double") / col("__tb").cast("double"), 6))
+          > oovThreshold || col("tv") > tvThreshold).as("rebuild"))
   }
 
   def vocabGrowthCurve(df: DataFrame, idCol: String, textCol: String,

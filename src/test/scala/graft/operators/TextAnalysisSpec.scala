@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
@@ -782,6 +784,142 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bm25Postings(corpus, "doc_id", "text", minDf = 0))
     intercept[IllegalArgumentException](
       TextAnalysis.bm25Postings(corpus, "doc_id", "text", maxDfFrac = 0.0))
+  }
+
+  test("sparseDriftReport: self-batch zero at keep-all knobs; disjoint vocab trips the gate") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry")).toDF("doc_id", "text")
+    val idx = TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text")
+    // keep-all knobs: the index's own corpus has zero drift EXACTLY
+    val self = TextAnalysis.sparseDriftReport(idx, corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Boolean)].head()
+    assert(self == ((3L, 3L, 0L, 0.0, 0.0, false)))
+    // disjoint vocabulary: all batch df-mass is OOV → gate trips
+    val alien = Seq((9L, "durian elderberry"), (10L, "durian fig"))
+      .toDF("doc_id", "text")
+    val d = TextAnalysis.sparseDriftReport(idx, alien, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Boolean)].head()
+    assert(d._1 == 3L && d._2 == 3L && d._3 == 3L)
+    assert(d._4 == 1.0 && d._5 == 1.0 && d._6)
+    // a pruning build makes even self-drift nonzero by the pruned mass:
+    // minDf=2 drops the hapax "durian", whose batch df-mass becomes OOV
+    val hapaxCorpus = Seq(
+      (0L, "apple banana"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry durian")).toDF("doc_id", "text")
+    val pruned = TextAnalysis.sparseIndexBuild(hapaxCorpus, "doc_id", "text",
+      minDf = 2)
+    val pd = TextAnalysis.sparseDriftReport(pruned, hapaxCorpus, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Boolean)].head()
+    // index vocab {apple,banana,cherry}; batch adds durian (df 1 of 7)
+    assert(pd._1 == 3L && pd._2 == 4L && pd._3 == 1L)
+    assert(pd._4 == BigDecimal(1.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseDriftReport(idx, corpus, "doc_id", "text",
+        oovThreshold = 1.5))
+  }
+
+  test("sparseCapPlan: recall saturates at the list-length cap; exact sizes; deterministic chosen") {
+    val corpus = Seq(
+      (0L, "apple banana"),
+      (1L, "apple banana cherry"),
+      (2L, "apple cherry"),
+      (3L, "banana cherry"),
+      (4L, "apple banana cherry")).toDF("doc_id", "text")
+    val post = TextAnalysis.tfidfPostings(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val qp = post.filter(col("doc_id") === 0L)
+      .withColumnRenamed("doc_id", "query_id")
+    val plan = TextAnalysis.sparseCapPlan(post, "doc_id", "token", "weight",
+      qp, "query_id", k = 3, caps = Seq(1, 5), targetRecall = 0.9)
+      .as[(Int, Double, Long, Boolean)].collect().sortBy(_._1)
+    assert(plan.length == 2)
+    // cap 5 >= every posting-list length: the capped index IS the full
+    // index — recall 1, size = |postings|
+    val full = plan.find(_._1 == 5).get
+    assert(full._2 == 1.0 && full._3 == post.count() && full._4)
+    // cap 1: sizes are Σ min(len_t, 1) = |vocab|
+    val one = plan.find(_._1 == 1).get
+    assert(one._3 == post.select("token").distinct().count() && !one._4)
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseCapPlan(post, "doc_id", "token", "weight",
+        qp, "query_id", 3, Seq(2, 2), 0.9))
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseCapPlan(post, "doc_id", "token", "weight",
+        qp, "query_id", 3, Seq.empty, 0.9))
+  }
+
+  test("SparseIndex cap lifecycle: build-time prune round-trips; serving honors it; mismatch refusals") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry"),
+      (3L, "apple banana")).toDF("doc_id", "text")
+    val idx = TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text",
+      minDf = 2, cap = Some(2))
+    assert(idx.cap == Some(2) && idx.capped.isDefined)
+    // serving = the capped relation; the uncapped postings persist beside
+    assert(idx.serving.count() ==
+      TextAnalysis.cappedPostings(idx.postings, "doc_id", "token", "weight", 2).count())
+    assert(idx.postings.count() >= idx.serving.count())
+    val dir = java.nio.file.Files.createTempDirectory("sparsecap").toString
+    TextAnalysis.sparseIndexSave(idx, dir)
+    val re = TextAnalysis.sparseIndexLoad(spark, dir)
+    assert(re.cap == Some(2) && re.capped.isDefined)
+    def rows(p: org.apache.spark.sql.DataFrame) = p
+      .select("doc_id", "token", "weight").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.math.BigDecimal](2).doubleValue)).toSet
+    assert(rows(re.serving) == rows(idx.serving))
+    assert(rows(re.postings) == rows(idx.postings))
+    // search parity through the reloaded capped serve path
+    val q = Seq((10L, "apple"), (10L, "banana")).toDF("query_id", "token")
+      .withColumn("weight", lit(1).cast("decimal(18,6)"))
+    assert(TextAnalysis.sparseIndexSearch(re, q, "query_id", "token", "weight", 3)
+      .as[(Long, Long, Double, Long)].collect().toSet ==
+      TextAnalysis.sparseIndexSearch(idx, q, "query_id", "token", "weight", 3)
+        .as[(Long, Long, Double, Long)].collect().toSet)
+
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    val goodMeta = spark.read.parquet(s"$dir/meta")
+    // meta says uncapped but a capped dir exists → mixed directory
+    val mixed = s"$dir/mixed"
+    re.postings.write.mode(mode).parquet(s"$mixed/postings")
+    re.capped.get.write.mode(mode).parquet(s"$mixed/capped")
+    goodMeta.withColumn("cap", lit(null).cast("int"))
+      .withColumn("n_capped", lit(null).cast("long"))
+      .write.mode(mode).parquet(s"$mixed/meta")
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseIndexLoad(spark, mixed))
+    // meta says capped but the capped dir is missing
+    val missing = s"$dir/missing"
+    re.postings.write.mode(mode).parquet(s"$missing/postings")
+    goodMeta.write.mode(mode).parquet(s"$missing/meta")
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseIndexLoad(spark, missing))
+    // tampered n_capped
+    val tampered = s"$dir/tampered_cap"
+    re.postings.write.mode(mode).parquet(s"$tampered/postings")
+    re.capped.get.write.mode(mode).parquet(s"$tampered/capped")
+    goodMeta.withColumn("n_capped", lit(99L)).write.mode(mode)
+      .parquet(s"$tampered/meta")
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseIndexLoad(spark, tampered))
+    // cap without n_capped (half-populated pair)
+    val half = s"$dir/half"
+    re.postings.write.mode(mode).parquet(s"$half/postings")
+    re.capped.get.write.mode(mode).parquet(s"$half/capped")
+    goodMeta.withColumn("n_capped", lit(null).cast("long"))
+      .write.mode(mode).parquet(s"$half/meta")
+    intercept[IllegalArgumentException](
+      TextAnalysis.sparseIndexLoad(spark, half))
+    // the case-class invariant itself
+    intercept[IllegalArgumentException](
+      TextAnalysis.SparseIndex(idx.postings, "tfidf", 1, 1.0, None, None,
+        cap = Some(2), capped = None))
   }
 
   test("SparseIndex lifecycle: flag-free round-trip, search parity, fail-fast refusals") {
