@@ -1333,6 +1333,42 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
   }
 
+  test("q260 hybrid index serving: retrain-free, window-free; only the fusion full-join merges") {
+    val p = plan("q260_hybrid_index_search")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "both arms rank on bounded heaps; the fusion is a keyed join")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.size <= 1 && smj.forall(_.joinType.sql == "FULL OUTER"),
+      s"only the eval-sized RRF full-join may merge, got ${smj.size}")
+  }
+
+  test("q261 sparse drift: vocabulary-sized keyed joins + one-row broadcasts — no window, no cartesian blowup") {
+    val p = plan("q261_sparse_drift")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    // the only nested-loop joins are the one-row totals/tv broadcasts
+    val bnl = collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size <= 3, s"only one-row stat broadcasts may nest, got ${bnl.size}")
+  }
+
+  test("q262 cap plan: every arm ranks on heaps; sizes come from one length table — window-free") {
+    val p = plan("q262_sparse_cap_plan")
+    // the ONLY window is the grid-sized chosen ranking (4 rows by
+    // construction — the q242 planner precedent)
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.size <= 1, s"only the grid-sized chosen window, got ${wins.size}")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
   test("q252 hybrid RRF: window-free, cartesian-free; the one merge join is the eval-sized fusion full-join") {
     val p = plan("q252_hybrid_rrf")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
