@@ -2408,7 +2408,7 @@ object SparkEntry {
     // literal codebooks; both rankings are bounded heaps.
     "q219_ivf_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(emb, evalSample(emb, "vec_id", 20),
+      Similarity.ivfPqTopK(emb, evalSampleN(emb, "vec_id", 16),
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
         subspaces = 4, subDim = 16, pqK = 4, pqIters = 2, rerank = 20)
         .orderBy("query_id", "rn")
@@ -2419,7 +2419,7 @@ object SparkEntry {
     // candidate norm; same bounded-heap/broadcast shape as q219.
     "q231_ivf_pq_residual" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqResidualTopK(emb, evalSample(emb, "vec_id", 20),
+      Similarity.ivfPqResidualTopK(emb, evalSampleN(emb, "vec_id", 16),
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
         subspaces = 4, subDim = 16, pqK = 4, pqIters = 2, rerank = 20)
         .orderBy("query_id", "rn")
@@ -2435,7 +2435,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
         nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
-      Similarity.ivfPqSearch(idx, emb, evalSample(emb, "vec_id", 20),
+      Similarity.ivfPqSearch(idx, emb, evalSampleN(emb, "vec_id", 16),
         "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
         .orderBy("query_id", "rn")
     }),
@@ -2456,7 +2456,7 @@ object SparkEntry {
     // a spec-only check: (query_id, n_hit, recall) per query.
     "q234_ivf_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val qs = evalSample(emb, "vec_id", 20)
+      val qs = evalSampleN(emb, "vec_id", 16)
       val ann = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
         nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
         pqIters = 2, rerank = 20)
@@ -2472,7 +2472,7 @@ object SparkEntry {
       val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
         nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
         residual = true)
-      Similarity.ivfPqSearch(idx, emb, evalSample(emb, "vec_id", 20),
+      Similarity.ivfPqSearch(idx, emb, evalSampleN(emb, "vec_id", 16),
         "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
         .orderBy("query_id", "rn")
     }),
@@ -2483,7 +2483,7 @@ object SparkEntry {
     // to the lexicographically smallest label).
     "q237_knn_label_consistency" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.knnLabelConsistency(emb, evalSample(emb, "vec_id", 100),
+      Similarity.knnLabelConsistency(emb, evalSampleN(emb, "vec_id", 64),
         "vec_id", "embedding", "label", k = 5)
         .orderBy("label")
     }),
@@ -2494,7 +2494,7 @@ object SparkEntry {
     "q238_intrinsic_dimension" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.intrinsicDimensionTwoNN(emb,
-        evalSample(emb, "vec_id", 100), "vec_id", "embedding")
+        evalSampleN(emb, "vec_id", 64), "vec_id", "embedding")
     }),
 
     // ── MinHash-LSH banding planner: the datasketch optimal-(b, r)
@@ -2517,7 +2517,7 @@ object SparkEntry {
     // the same graded recall report.
     "q235_ivf_pq_residual_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val qs = evalSample(emb, "vec_id", 20)
+      val qs = evalSampleN(emb, "vec_id", 16)
       val ann = Similarity.ivfPqResidualTopK(emb, qs, "vec_id", "embedding",
         k = 5, nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16,
         pqK = 4, pqIters = 2, rerank = 20)
@@ -2541,7 +2541,7 @@ object SparkEntry {
         nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
       Similarity.ivfPqSearch(
         Similarity.ivfPqIndexAdd(idx, delta, "vec_id", "embedding"),
-        emb, evalSample(emb, "vec_id", 20), "vec_id", "embedding",
+        emb, evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
         k = 5, nProbe = 4, rerank = 20)
         .orderBy("query_id", "rn")
     }),
@@ -2555,7 +2555,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
         nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
-      Similarity.ivfPqOperatingPointPlan(idx, emb, evalSample(emb, "vec_id", 20),
+      Similarity.ivfPqOperatingPointPlan(idx, emb, evalSampleN(emb, "vec_id", 16),
         "vec_id", "embedding", k = 5, nProbes = Seq(2, 4),
         reranks = Seq(10, 20), targetRecall = 0.9)
         .orderBy("n_probe", "rerank")
@@ -2574,7 +2574,7 @@ object SparkEntry {
         graft.operators.Sampling.hashBucket(col("vec_id")) >= 900)
       Similarity.ivfPqSearch(
         Similarity.ivfPqIndexRemove(idx, gone, "vec_id"),
-        emb, evalSample(emb, "vec_id", 20), "vec_id", "embedding",
+        emb, evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
         k = 5, nProbe = 4, rerank = 20)
         .orderBy("query_id", "rn")
     }),
@@ -2613,7 +2613,7 @@ object SparkEntry {
     // job (q234's convention).
     "q250_matryoshka" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.matryoshkaTopK(emb, evalSample(emb, "vec_id", 20),
+      Similarity.matryoshkaTopK(emb, evalSampleN(emb, "vec_id", 16),
         "vec_id", "embedding", k = 5, prefixDim = 16, rerank = 20)
         .orderBy("query_id", "rn")
     }),
@@ -2833,7 +2833,7 @@ object SparkEntry {
     // convention for the projection).
     "q256_jl_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val qs = evalSample(emb, "vec_id", 20)
+      val qs = evalSampleN(emb, "vec_id", 16)
       val proj = Similarity.signProject(emb, "vec_id", "embedding",
         outDim = 16, dim = 64)
       val projQ = proj.join(qs.select("vec_id"), "vec_id")
@@ -6251,7 +6251,8 @@ object SparkEntry {
     // the cheap stage — prefix cosine (zero-prefix rows dropped on both
     // sides) ranks the top-20 window, full cosine ranks the survivors.
     "q250_matryoshka" ->
-      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      s"""WITH ${evalSampleNCte("qse", "embeddings", "vec_id", 16)},
+        |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |p AS (SELECT vec_id, v, v[1:16] AS pv FROM c),
         |pn AS (SELECT vec_id, v, pv,
@@ -6259,7 +6260,7 @@ object SparkEntry {
         | FROM p),
         |cc AS (SELECT * FROM pn WHERE pnm > 0),
         |qs AS (SELECT vec_id AS query_id, v AS qv, pv AS qpv FROM cc
-        |       WHERE ${evalSampleSql("vec_id", 20)}),
+        |       WHERE vec_id IN (SELECT vec_id FROM qse)),
         |pairs AS (
         | SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv, q.qv,
         |  list_cosine_similarity(c.pv, q.qpv) AS approx
@@ -6445,9 +6446,7 @@ object SparkEntry {
     // bit-identical to these inline chains by construction (the
     // q232-vs-q219 / q258-vs-q247 convention, composed).
     "q260_hybrid_index_search" ->
-      ("WITH " + ivfPqTrainCtes(
-          pre = evalSampleNCte("qse", "embeddings", "vec_id", 16),
-          queryPred = c => s"$c IN (SELECT vec_id FROM qse)") + ",\n" +
+      ("WITH " + ivfPqTrainCtes() + ",\n" +
         ivfPqSearchTailCtes(4, 20, "") + ",\n" +
         sparsePostingCtes + ",\n" +
         """cpost AS (SELECT doc_id, token, w FROM (
@@ -6576,7 +6575,8 @@ object SparkEntry {
          |           FROM embeddings),
          |pj AS (SELECT vec_id, ${jlProjListSql(16, 64)} AS pv FROM v
          |       ${jlWidthGuardSql("v")}),
-         |qs AS (SELECT vec_id FROM embeddings WHERE ${evalSampleSql("vec_id", 20)}),
+         |${evalSampleNCte("qse", "embeddings", "vec_id", 16)},
+         |qs AS (SELECT vec_id FROM qse),
          |pn AS (SELECT vec_id,
          |        sqrt(list_reduce(list_transform(pv, x -> x * x), (x, y) -> x + y)) AS n
          |       FROM pj),
@@ -6634,14 +6634,15 @@ object SparkEntry {
     // ties, zero-norm drops on both sides) + per-query vote counts +
     // the (count DESC, label ASC) majority window + per-label rollup.
     "q237_knn_label_consistency" ->
-      s"""WITH c AS (SELECT vec_id, label,
+      s"""WITH ${evalSampleNCte("qse64", "embeddings", "vec_id", 64)},
+        |c AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id,
         |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nm
         | FROM c),
         |q AS (SELECT c.vec_id, c.label, c.v FROM c
         |      JOIN n ON n.vec_id = c.vec_id
-        |      WHERE ${evalSampleSql("c.vec_id", 100)} AND n.nm > 0),
+        |      WHERE c.vec_id IN (SELECT vec_id FROM qse64) AND n.nm > 0),
         |nn AS (SELECT query_id, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
         |   row_number() OVER (PARTITION BY q.vec_id
@@ -6668,7 +6669,8 @@ object SparkEntry {
     "q238_intrinsic_dimension" ->
       s"""WITH c AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |q AS (SELECT vec_id, v FROM c WHERE ${evalSampleSql("vec_id", 100)}),
+        |${evalSampleNCte("qse64", "embeddings", "vec_id", 64)},
+        |q AS (SELECT vec_id, v FROM c JOIN qse64 USING (vec_id)),
         |d AS (SELECT q.vec_id AS query_id, cn.vec_id AS neighbor_id,
         |  round(list_reduce(list_transform(range(1, 65), j -> cn.v[j] * cn.v[j]), (a, b) -> a + b)
         |   - 2.0 * list_reduce(list_transform(range(1, 65), j -> cn.v[j] * q.v[j]), (a, b) -> a + b)
@@ -7457,7 +7459,7 @@ object SparkEntry {
 
   /** The TRAINING half of the IVF-PQ oracle chain — four suffixed q183
     * k-means chains (PQ codebooks), per-query ADC tables over the
-    * 20-permille hash sample, the code pivot, and the coarse
+    * 16-winner absolute hash sample, the code pivot, and the coarse
     * cells/assignment relations through `qset`. Parameterized for the
     * q241 incremental-add oracle: `pre` prepends a CTE (the base
     * relation), `srcRel` restricts TRAINING to it, `assignRel` widens
@@ -7470,7 +7472,14 @@ object SparkEntry {
                              centsPred: String = "TRUE",
                              pre: String = "",
                              queryPred: String => String =
-                               evalSampleSql(_, 20)): String = {
+                               c => s"$c IN (SELECT vec_id FROM qse)")
+      : String = {
+    // the family-wide ABSOLUTE query sample (round 14): every IVF-PQ
+    // eval query draws the same 16-winner lottery, so the broadcast
+    // query side is pinned at 16 rows at any corpus size — the default
+    // queryPred references it; callers overriding queryPred simply
+    // leave the (tiny, unused) CTE behind
+    val qseCte = evalSampleNCte("qse", "embeddings", "vec_id", 16)
     val chains = (0 until 4).map(sp =>
       kmeansCtes(4, 2, 16, sp * 16, s"_s$sp", srcRel, assignRel))
     // the query slices live in the per-subspace v CTEs over the TRAINED
@@ -7484,7 +7493,8 @@ object SparkEntry {
          | WHERE ${queryPred("v.vec_id")}
          | GROUP BY 1, 2)""".stripMargin
     }
-    ((if (pre.isEmpty) "" else pre + ",\n") +
+    (qseCte + ",\n" +
+      (if (pre.isEmpty) "" else pre + ",\n") +
       chains.mkString(",\n") + ",\n" + adcs.mkString(",\n") + ",\n" +
       s"""codes AS (
          | SELECT s0.vec_id, s0.cluster AS code_0, s1.cluster AS code_1,
@@ -7687,7 +7697,8 @@ object SparkEntry {
         val adcJoins = (0 until 4).map(sp =>
           s"JOIN adc$sp t$sp ON t$sp.query_id = p.query_id AND t$sp.cl = cd.code_$sp")
           .mkString("\n| ")
-        (        s"""c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        (        evalSampleNCte("qse", "embeddings", "vec_id", 16) + ",\n" +
+          s"""c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
              |nrm AS (SELECT vec_id,
              |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
              |cents AS (SELECT vec_id AS cell, v AS cv FROM c ORDER BY vec_id LIMIT 16),
@@ -7708,7 +7719,8 @@ object SparkEntry {
           s"""qsl AS (
              | SELECT vec_id, r.i AS pos,
              |  round(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE), 9) AS vd
-             | FROM embeddings, range(64) r(i) WHERE ${evalSampleSql("vec_id", 20)}),
+             | FROM embeddings, range(64) r(i)
+             | WHERE vec_id IN (SELECT vec_id FROM qse)),
              |""".stripMargin +
           adcs.mkString(",\n") + ",\n" +
           s"""codes AS (
@@ -7718,7 +7730,7 @@ object SparkEntry {
              | JOIN a3_s2 s2 USING (vec_id) JOIN a3_s3 s3 USING (vec_id)),
              |qset AS (
              | SELECT c.vec_id, c.v FROM c JOIN nrm nq ON nq.vec_id = c.vec_id
-             | WHERE ${evalSampleSql("c.vec_id", 20)} AND nq.n > 0),
+             | WHERE c.vec_id IN (SELECT vec_id FROM qse) AND nq.n > 0),
              |probes AS (
              | SELECT query_id, cell FROM (
              |  SELECT q.vec_id AS query_id, ct.cell,
