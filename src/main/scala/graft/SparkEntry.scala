@@ -2506,12 +2506,13 @@ object SparkEntry {
         .orderBy("rows_per_band")),
 
     // ── banded near-dup recall gate: exhaustive vs banded pair counts
-    // on a 1-in-2 hash sample — "is my planes/tables sizing safe on MY
-    // data", one row.
+    // on the 256-winner absolute sample — "is my planes/tables sizing
+    // safe on MY data", one row; the O(m²) arm is pinned at 256²/2
+    // pairs at any corpus size.
     "q240_neardup_recall" -> ((s, dir) =>
       Similarity.nearDupRecallReport(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, planes = 4, tables = 3,
-        samplePermille = 500)),
+        sampleRows = 256)),
 
     // ── the residual stack's recall twin: q231's ANN relation through
     // the same graded recall report.
@@ -6695,9 +6696,9 @@ object SparkEntry {
     // division-free exact pairs + the q81 three-table bucket collision
     // (banded pairs = exact pairs that collide in >= 1 table).
     "q240_neardup_recall" ->
-      s"""WITH s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |           FROM embeddings
-         |           WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 1000 < 500),
+      s"""WITH ${evalSampleNCte("qse", "embeddings", "vec_id", 256)},
+         |s AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings JOIN qse USING (vec_id)),
          |n AS (SELECT vec_id,
          |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nm FROM s),
          |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b

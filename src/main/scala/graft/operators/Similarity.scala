@@ -1309,22 +1309,21 @@ object Similarity {
     * one number that can move; NULL when the sample holds no exact pair.
     *
     * 100 TB shape: the O(m²) exhaustive arm is the point of the sample
-    * bound — size `samplePermille` so m stays eval-sized (tens of
-    * thousands); the banded arm runs the production candidate path on
-    * the same sample. Bucket-collision rates on a uniform hash sample
-    * are unbiased for the corpus's rates at equal `planes` LOAD, so
-    * evaluate with the planes the sample's size implies and extrapolate
-    * by the [[bandedPlanesFor]] model, or simply gate the recall knob
-    * (`tables`), which is size-independent.
+    * bound, and the bound is ABSOLUTE — `sampleRows` winners of the
+    * [[graft.operators.Sampling.hashSampleN]] lottery, so the pair join
+    * is pinned at sampleRows²/2 no matter the corpus size (a permille
+    * sample regrew it linearly); the banded arm runs the production
+    * candidate path on the same sample. Bucket-collision rates on a
+    * uniform hash sample are unbiased for the corpus's rates at equal
+    * `planes` LOAD, so evaluate with the planes the sample's size
+    * implies and extrapolate by the [[bandedPlanesFor]] model, or
+    * simply gate the recall knob (`tables`), which is size-independent.
     */
   def nearDupRecallReport(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, planes: Int, tables: Int = 3,
-                          samplePermille: Int = 100,
-                          salt: String = ""): DataFrame = {
-    require(samplePermille > 0 && samplePermille <= 1000,
-      s"samplePermille out of (0,1000]: $samplePermille")
-    val sample = df.filter(
-      graft.operators.Sampling.hashBucket(col(idCol), salt) < samplePermille)
+                          sampleRows: Int = 4096,
+                          salt: String = "us"): DataFrame = {
+    val sample = graft.operators.Sampling.hashSampleN(df, idCol, sampleRows, salt)
     val exact = nearDupPairsExhaustive(sample, idCol, vecCol, threshold)
     val banded = nearDupPairsBanded(sample, idCol, vecCol, threshold, planes, tables)
     exact.agg(count(lit(1)).as("n_exact"))

@@ -282,12 +282,11 @@ class SimilarityIndexSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val (nExact, nBanded, recall) = Similarity.nearDupRecallReport(emb,
       "vec_id", "embedding", threshold = 0.4, planes = 4, tables = 3,
-      samplePermille = 500)
+      sampleRows = 256)
       .as[(Long, Long, Double)].head()
     assert(nBanded <= nExact && nExact > 0)
     // cross-check against the raw pair sets on the same sample
-    val sample = emb.filter(
-      graft.operators.Sampling.hashBucket($"vec_id") < 500)
+    val sample = graft.operators.Sampling.hashSampleN(emb, "vec_id", 256)
     val exact = Similarity.nearDupPairsExhaustive(sample, "vec_id", "embedding", 0.4)
       .as[(Long, Long)].collect().toSet
     val banded = Similarity.nearDupPairsBanded(sample, "vec_id", "embedding", 0.4,
@@ -297,7 +296,7 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(recall == BigDecimal(banded.size.toDouble / exact.size)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     intercept[IllegalArgumentException](Similarity.nearDupRecallReport(
-      emb, "vec_id", "embedding", 0.4, 4, samplePermille = 0))
+      emb, "vec_id", "embedding", 0.4, 4, sampleRows = 0))
   }
 
   test("annRecallReportFor grades an explicit ANN relation against brute force") {
