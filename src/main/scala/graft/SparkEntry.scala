@@ -2806,6 +2806,16 @@ object SparkEntry {
         .orderBy("cap")
     }),
 
+    // ── the absolute-size hash sample graded DIRECTLY (q60's twin for
+    // the round-14 convention): exactly 32 winners of the md5-ticket
+    // lottery — the primitive every eval query's bounded query side and
+    // pair sample now rides.
+    "q263_hash_sample_n" -> ((s, dir) =>
+      graft.operators.Sampling.hashSampleN(t(s, dir, "documents"),
+        "doc_id", 32)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")),
+
     // ── cluster-balanced (diversity) selection: k-means assignment
     // bounds the strata, then a uniform content-hash lottery keeps 5 per
     // cluster — the coreset/SemDeDup-adjacent "cover the space, not the
@@ -6502,6 +6512,14 @@ object SparkEntry {
          |   THEN round(sum(CASE WHEN di = 0 THEN db ELSE 0 END)::DOUBLE / t.tb, 6)
          |  END > 0.2 OR tv.tv > 0.25) AS rebuild
          |FROM per, tots t, tv GROUP BY t.tb, tv.tv""".stripMargin,
+
+    // Absolute-size hash sample: the 32 smallest-ticket ids (md5 hash60
+    // mod 2^50, salt "us", ties by id) — the winners CTE every round-14
+    // eval oracle states, graded directly.
+    "q263_hash_sample_n" ->
+      s"""WITH ${evalSampleNCte("w", "documents", "doc_id", 32)}
+         |SELECT doc_id, source, lang FROM documents JOIN w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Cap operating-point plan: one suffixed scoring tail per grid cap
     // over its pruned posting relation (the q242 parameterized-arms
