@@ -759,7 +759,16 @@ object PipelineScaleBench {
     // m2 = the meta-relation schema version: bumping it orphans indexes
     // persisted by an older revision whose meta a newer loader would
     // refuse, so a PIPE_ONLY search rebuilds instead of crashing
-    val (idxCents, idxSub, idxSubDim, idxPqK) = (16, 4, 16, 8)
+    // nlist follows the FAISS √n rule: stage 1 scans ~nProbe/nCentroids
+    // of the codes PER QUERY, so a fixed 16-cell quantizer reads 25% of
+    // the corpus per query at ANY size — measured: the 500-query hybrid
+    // serve cost 32.6 s at 500k on the 16-cell index, dominated by
+    // exactly that scan. √n cells pin per-query stage-1 candidates at
+    // ~nProbe·√n rows (the constant-size-codegen assignment kernel was
+    // built for thousands of cells; the coarse pick is a first-N
+    // collect, so build cost grows only by the per-row argmin width)
+    val idxCents = math.max(16, math.min(2048, math.sqrt(nDocs.toDouble).toInt / 2))
+    val (idxSub, idxSubDim, idxPqK) = (4, 16, 8)
     val idxSfx = s"_m2_${nDocs}_c${idxCents}_pq${idxPqK}x${idxSub}d$idxSubDim.parquet"
     def buildIvfPqIndex(): Unit = {
       val idx = Similarity.ivfPqIndexBuild(vecs, "vec_id", "embedding",
@@ -798,7 +807,7 @@ object PipelineScaleBench {
       val idx = Similarity.ivfPqIndexLoad(spark, s"$work/ivfpq$idxSfx")
       val stride = math.max(1L, nDocs.toLong / 100)
       Similarity.ivfPqSearch(idx, vecs, vecs.filter(col("vec_id") % stride === 0),
-        "vec_id", "embedding", k = 10, nProbe = 4, rerank = 20).count()
+        "vec_id", "embedding", k = 10, nProbe = 8, rerank = 20).count()
     }
     timed("pipe_ivf_pq_add", input = total / 10) {
       // FAISS's add at scale: encode a 10% delta against the FROZEN
@@ -959,7 +968,7 @@ object PipelineScaleBench {
         .withColumnRenamed("doc_id", "query_id")
       graft.operators.Retrieval.hybridSearch(dIdx, vecs, qv,
         "vec_id", "embedding", sIdx, qp, "query_id", "token", "weight",
-        k = 10, nProbe = 4, rerank = 20).count()
+        k = 10, nProbe = 8, rerank = 20).count()
       500L
     }
     timed("pipe_anisotropy", input = 1024L) {
@@ -969,8 +978,13 @@ object PipelineScaleBench {
       // wall must stay ~flat across the 500k→5M step (the proportional
       // permille form this replaced grew the pair join 100× over the
       // same step)
-      Similarity.anisotropyReport(
-        Sampling.hashSampleN(vecs, "vec_id", 1024),
+      // the sample MATERIALIZES once (localCheckpoint): anisotropyReport
+      // reads its input on both pair roles, and an unmaterialized
+      // lottery would re-run its corpus pass per consumer (measured:
+      // 9.3 s at 500k un-checkpointed vs one pass + the flat pair join)
+      val sample = Sampling.hashSampleN(vecs, "vec_id", 1024)
+        .localCheckpoint()
+      Similarity.anisotropyReport(sample,
         "vec_id", "embedding", dim = 64).count()
       1L
     }
