@@ -53,9 +53,14 @@ object SparkEntry {
     * corpus size, where the permille convention grew them linearly.
     * DuckDB twin: [[evalSampleNCte]] — `ORDER BY ticket, id LIMIT
     * target` over the identical integer tickets.
+    *
+    * The sample MATERIALIZES once (localCheckpoint): eval queries read
+    * their query side on several consumers (both ANN ranking roles; the
+    * q242 grid reads it once per arm), and an unmaterialized lottery
+    * would re-run its corpus pass per consumer.
     */
   private def evalSampleN(df: DataFrame, idCol: String, target: Int): DataFrame =
-    graft.operators.Sampling.hashSampleN(df, idCol, target)
+    graft.operators.Sampling.hashSampleN(df, idCol, target).localCheckpoint()
 
   /** [[evalSampleN]]'s SQL twin: a winners CTE of the `target`
     * smallest-ticket ids of `table.idCol`, stated with the identical
