@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.operators.{Similarity, TextAnalysis}
+
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("idx-maint").toString
+
+  test("startIndexMaintenance: streamed growth equals the add verb; drift rows land per batch") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    val idxDir = s"$tmp/dense-idx"
+    Similarity.ivfPqIndexSave(
+      Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+        nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 1),
+      idxDir)
+
+    // two micro-batches: the delta split in half, one file each
+    val src = s"$tmp/dense-src"
+    delta.filter(col("vec_id") < 400).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    delta.filter(col("vec_id") >= 400).coalesce(1)
+      .write.mode("append").parquet(src)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+    val deltaDir = s"$tmp/dense-delta"
+    val monitor = s"$tmp/dense-monitor"
+    val q = IndexMaintenance.startIndexMaintenance(spark, idxDir, deltaDir,
+      stream, "vec_id", "embedding", s"$tmp/dense-ckpt", monitor)
+    q.awaitTermination()
+
+    // one monitor row per non-empty batch, batch sizes accounted for
+    val mon = spark.read.parquet(monitor)
+      .select("batch_id", "n_batch", "retrain")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(mon.size == 2)
+    assert(mon.map(_._2).sum == delta.count())
+
+    // encode-then-append parity: the maintained index's codes are
+    // row-for-row what the add verb produces over the same rows
+    val maintained = IndexMaintenance.loadMaintainedIndex(spark, idxDir, deltaDir)
+    val added = Similarity.ivfPqIndexAdd(
+      Similarity.ivfPqIndexLoad(spark, idxDir), delta, "vec_id", "embedding")
+    def codeRows(i: Similarity.IvfPqIndex) = i.codes
+      .select("id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    assert(codeRows(maintained) == codeRows(added))
+    assert(maintained.codes.count() == added.codes.count())
+
+    // search parity through the maintained index; streamed rows findable
+    val qs = graft.operators.Sampling.hashSampleN(emb, "vec_id", 8)
+    def hits(i: Similarity.IvfPqIndex) =
+      Similarity.ivfPqSearch(i, emb, qs, "vec_id", "embedding",
+        k = 3, nProbe = 4, rerank = 10)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(hits(maintained) == hits(added) && hits(maintained).nonEmpty)
+
+    // no deltas yet: the maintained load IS the base load
+    val fresh = IndexMaintenance.loadMaintainedIndex(spark, idxDir,
+      s"$tmp/no-such-delta")
+    assert(fresh.codes.count() ==
+      Similarity.ivfPqIndexLoad(spark, idxDir).codes.count())
+  }
+
+  test("startSparseDriftMonitor: in-vocabulary batch passes, alien batch trips the gate") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry")).toDF("doc_id", "text")
+    val idxDir = s"$tmp/sparse-idx"
+    TextAnalysis.sparseIndexSave(
+      TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text"), idxDir)
+
+    val src = s"$tmp/sparse-src"
+    Seq((10L, "apple banana")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    Seq((11L, "durian elderberry"), (12L, "durian fig")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+    val monitor = s"$tmp/sparse-monitor"
+    // tvThreshold 0.4: a 2-token in-vocabulary batch legitimately moves
+    // df SHARES by 1/3 (its own tininess), which is not the signal this
+    // case isolates — the OOV mass is
+    val q = IndexMaintenance.startSparseDriftMonitor(spark, idxDir, stream,
+      "doc_id", "text", s"$tmp/sparse-ckpt", monitor, tvThreshold = 0.4)
+    q.awaitTermination()
+
+    val mon = spark.read.parquet(monitor)
+      .select("n_oov_terms", "oov_mass", "rebuild")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .toSet
+    // one batch entirely inside the frozen vocabulary, one entirely OOV
+    assert(mon == Set((0L, 0.0, false), (3L, 1.0, true)))
+  }
+}
