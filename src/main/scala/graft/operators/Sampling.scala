@@ -56,7 +56,9 @@ object Sampling {
     * [[uniformKPerGroup]] rule — a 50-bit integer survives the
     * bounded-heap's double score EXACTLY; the raw 60-bit hash would not),
     * so the DuckDB twin is `ORDER BY ticket, id LIMIT targetRows` over
-    * the identical integer tickets. Requires a long-castable id.
+    * the identical integer tickets. Requires a long-castable UNIQUE id
+    * (the hashSample contract): duplicate ids share one ticket, so every
+    * row of a winning id survives the semi-join.
     *
     * 100 TB shape: one narrow (id, ticket) pass into a single
     * [[graft.functions.TopKOps.topK]] bounded heap (map-side partials —
