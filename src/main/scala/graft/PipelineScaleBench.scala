@@ -889,7 +889,7 @@ object PipelineScaleBench {
     // relation persists next to the uncapped one, so the recall gate
     // keeps its exact arm), which moves the per-session cappedPostings
     // heap into the one-time build.
-    val sIdxSfx = s"_m2_${nDocs}_tfidf_df2_f50_c1000.parquet"
+    val sIdxSfx = s"_m3_${nDocs}_tfidf_df2_f50_c1000.parquet"
     def buildSparseIndex(): Unit =
       TextAnalysis.sparseIndexSave(
         TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text",
@@ -909,8 +909,12 @@ object PipelineScaleBench {
       val idx = TextAnalysis.sparseIndexLoad(spark, s"$work/sparseidx$sIdxSfx")
       val qids = corpus.select(col("doc_id"))
         .orderBy(xxhash64(col("doc_id"))).limit(500)
-      val qp = idx.postings.join(broadcast(qids), "doc_id")
-        .withColumnRenamed("doc_id", "query_id")
+      // query profiles reconstruct from RAW TEXT + the vocab relation
+      // (queryPostings) — the corpus-scale posting relation is never
+      // scanned on the query side, and out-of-corpus queries serve the
+      // same way
+      val qp = TextAnalysis.queryPostings(idx,
+        corpus.join(broadcast(qids), "doc_id"), "doc_id", "text")
       TextAnalysis.sparseIndexSearch(idx, qp, "query_id",
         "token", "weight", k = 10).count()
       500L
@@ -963,9 +967,9 @@ object PipelineScaleBench {
       val sIdx = TextAnalysis.sparseIndexLoad(spark, s"$work/sparseidx$sIdxSfx")
       val stride = math.max(1L, nDocs.toLong / 500)
       val qv = vecs.filter(col("vec_id") % stride === 0)
-      val qp = sIdx.postings.join(
-        broadcast(qv.select(col("vec_id").as("doc_id"))), "doc_id")
-        .withColumnRenamed("doc_id", "query_id")
+      val qp = TextAnalysis.queryPostings(sIdx,
+        corpus.join(broadcast(qv.select(col("vec_id").as("doc_id"))),
+          "doc_id"), "doc_id", "text")
       graft.operators.Retrieval.hybridSearch(dIdx, vecs, qv,
         "vec_id", "embedding", sIdx, qp, "query_id", "token", "weight",
         k = 10, nProbe = 8, rerank = 20).count()

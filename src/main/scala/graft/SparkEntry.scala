@@ -2811,6 +2811,23 @@ object SparkEntry {
         .orderBy("cap")
     }),
 
+    // ── query-profile RECONSTRUCTION serving: the q247 retrieval with
+    // the query side derived from RAW TEXT against the frozen index
+    // (queryPostings: tokenize + vocab-df join + the index's own weight
+    // formula) — the out-of-corpus-queries verb; for in-corpus query
+    // docs the reconstruction is bit-exact (spec-pinned), so this
+    // grades against q247's oracle verbatim.
+    "q264_sparse_query_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2)
+      val qp = TextAnalysis.queryPostings(idx,
+        evalSampleN(docs, "doc_id", 16), "doc_id", "text")
+      TextAnalysis.sparseIndexSearch(idx, qp, "query_id",
+        "token", "weight", k = 5)
+        .orderBy("query_id", "rn")
+    }),
+
     // ── the absolute-size hash sample graded DIRECTLY (q60's twin for
     // the round-14 convention): exactly 32 winners of the md5-ticket
     // lottery — the primitive every eval query's bounded query side and
@@ -6517,6 +6534,13 @@ object SparkEntry {
          |   THEN round(sum(CASE WHEN di = 0 THEN db ELSE 0 END)::DOUBLE / t.tb, 6)
          |  END > 0.2 OR tv.tv > 0.25) AS rebuild
          |FROM per, tots t, tv GROUP BY t.tb, tv.tv""".stripMargin,
+
+    // Query-profile reconstruction: bit-exact to the q247 chain for
+    // in-corpus query docs, by the queryPostings parity contract.
+    "q264_sparse_query_profile" ->
+      ("WITH " + sparsePostingCtes + ",\n" + sparseTopKTail("post", "") +
+        "\nSELECT query_id, doc_id, score, rn FROM r WHERE rn <= 5" +
+        "\nORDER BY query_id, rn"),
 
     // Absolute-size hash sample: the 32 smallest-ticket ids (md5 hash60
     // mod 2^50, salt "us", ties by id) — the winners CTE every round-14

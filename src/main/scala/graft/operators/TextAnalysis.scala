@@ -1253,12 +1253,14 @@ object TextAnalysis {
   final case class SparseIndex(postings: DataFrame, weighting: String,
                                minDf: Int, maxDfFrac: Double,
                                k1: Option[Double], b: Option[Double],
+                               nDocs: Long, vocab: DataFrame,
                                cap: Option[Int] = None,
                                capped: Option[DataFrame] = None) {
     require(cap.isDefined == capped.isDefined,
       s"cap and the capped relation travel together, got cap=$cap " +
         s"capped=${capped.isDefined}")
     cap.foreach(c => require(c >= 1, s"cap must be >= 1, got $c"))
+    require(nDocs >= 1, s"nDocs must be >= 1, got $nDocs")
 
     /** The relation searches SERVE from: the build-time impact-pruned
       * postings when the index carries a `cap` ([[cappedPostings]] run
@@ -1269,7 +1271,7 @@ object TextAnalysis {
     def serving: DataFrame = capped.getOrElse(postings)
 
     /** One-row self-description `(weighting, min_df, max_df_frac, k1,
-      * b, cap, n_postings, n_terms, n_capped)`; the counts are stated
+      * b, cap, n_docs, n_postings, n_terms, n_capped)`; the counts are stated
       * redundantly with the posting relations on purpose —
       * [[sparseIndexLoad]] re-derives them and fails fast on mismatch.
       * `cap`/`n_capped` persist as NULL for an uncapped index (the
@@ -1287,6 +1289,7 @@ object TextAnalysis {
         k1.map(lit).getOrElse(lit(null).cast("double")).as("k1"),
         b.map(lit).getOrElse(lit(null).cast("double")).as("b"),
         cap.map(lit).getOrElse(lit(null).cast("int")).as("cap"),
+        lit(nDocs).as("n_docs"),
         col("n_postings"), col("n_terms"), col("n_capped"))
     }
   }
@@ -1321,7 +1324,14 @@ object TextAnalysis {
     val full = post.withColumnRenamed(idCol, "doc_id").localCheckpoint()
     val cappedRel = cap.map(c =>
       cappedPostings(full, "doc_id", "token", "weight", c).localCheckpoint())
-    SparseIndex(full, weighting, minDf, maxDfFrac, k1o, bo, cap, cappedRel)
+    // vocab (token, df) is vocabulary-sized and derivable from the kept
+    // postings (df = the posting-list length — pruning already applied);
+    // it persists with the index so [[queryPostings]] never scans the
+    // posting relation to reconstruct a query's weight profile
+    val vocab = full.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.count()
+    SparseIndex(full, weighting, minDf, maxDfFrac, k1o, bo, n, vocab,
+      cap, cappedRel)
   }
 
   /** Serve top-`k` sparse retrieval from a built (or reopened) index —
@@ -1338,6 +1348,7 @@ object TextAnalysis {
   def sparseIndexSave(index: SparseIndex, dir: String): Unit = {
     val mode = org.apache.spark.sql.SaveMode.Overwrite
     index.postings.write.mode(mode).parquet(s"$dir/postings")
+    index.vocab.write.mode(mode).parquet(s"$dir/vocab")
     index.capped.foreach(_.write.mode(mode).parquet(s"$dir/capped"))
     index.meta.write.mode(mode).parquet(s"$dir/meta")
   }
@@ -1350,8 +1361,8 @@ object TextAnalysis {
     * plausible-looking wrong rankings. Cost: METADATA-priced — the
     * recount is a filterless parquet count (answered from footers, no
     * data scan) plus the one-row meta read, so opening a corpus-scale
-    * index is cheap. `n_terms` stays in meta as informational sizing
-    * (verifying it would need a vocabulary scan at open time).
+    * index is cheap. `n_terms` is verified against the
+    * persisted vocab relation's footer count.
     */
   def sparseIndexLoad(spark: org.apache.spark.sql.SparkSession,
                       dir: String): SparseIndex = {
@@ -1364,7 +1375,7 @@ object TextAnalysis {
         col("max_df_frac").cast("double"), col("k1").cast("double"),
         col("b").cast("double"), col("cap").cast("int"),
         col("n_postings").cast("long"), col("n_terms").cast("long"),
-        col("n_capped").cast("long"))
+        col("n_capped").cast("long"), col("n_docs").cast("long"))
       .collect()
     require(metaRows.length == 1,
       s"$dir/meta must hold exactly one row, got ${metaRows.length}")
@@ -1386,6 +1397,22 @@ object TextAnalysis {
     val n = postings.count()
     require(n == m.getLong(6),
       s"meta says ${m.getLong(6)} postings but $dir/postings holds $n")
+    require(!m.isNullAt(9) && m.getLong(9) >= 1,
+      s"$dir/meta must state a positive n_docs")
+    // the vocab relation upgrades n_terms from informational to VERIFIED
+    // at metadata price: its filterless parquet count must match; a
+    // missing vocab dir is a torn or pre-vocab-schema index — refuse
+    // with the contract error, not a path exception
+    val vocabPath = new org.apache.hadoop.fs.Path(s"$dir/vocab")
+    require(vocabPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(vocabPath),
+      s"$dir/vocab is missing — a torn save or a pre-vocab-schema index")
+    val vocab = spark.read.parquet(s"$dir/vocab")
+    require(Set("token", "df").subsetOf(vocab.columns.toSet),
+      s"$dir/vocab must hold (token, df), got ${vocab.columns.mkString(", ")}")
+    val nv = vocab.count()
+    require(nv == m.getLong(7),
+      s"meta says ${m.getLong(7)} terms but $dir/vocab holds $nv")
     // the capped arm travels with its meta: cap and n_capped must be
     // both present (a capped index) or both absent, the capped relation
     // must exist exactly when meta says so (a stray or missing capped
@@ -1415,7 +1442,46 @@ object TextAnalysis {
         None
     }
     SparseIndex(postings, weighting, m.getInt(1), m.getDouble(2), k1o, bo,
-      capO, cappedRel)
+      m.getLong(9), vocab, capO, cappedRel)
+  }
+
+  /** Reconstruct a QUERY-side weight profile from raw text against a
+    * frozen index — the verb that makes retrieval serve OUT-OF-CORPUS
+    * queries: tokenize the query documents, look each term's df up in
+    * the index's persisted vocab relation, and restate the index's own
+    * weight formula. For `tfidf`, `weight = round(tf · ln(N/df), 6)`
+    * with `N` the frozen build-time corpus count — for an IN-corpus
+    * query document this reproduces its index postings BIT-FOR-BIT
+    * (spec-pinned), so find-similar-documents no longer needs to scan
+    * the posting relation for the query's rows. For `bm25`, the Okapi
+    * convention: UNIT weights on the query's distinct terms (the q251
+    * scoring model — the document-side weights already carry the tf/
+    * length saturation). Query terms outside the frozen vocabulary DROP
+    * (they have no posting list to match — exactly [[sparseTopK]]'s
+    * behavior; [[sparseDriftReport]] prices how much of a batch that
+    * loses).
+    *
+    * 100 TB shape: one tokenize pass over the (bounded) query batch +
+    * one vocabulary-sized join — the corpus-scale posting relation is
+    * never touched on the query side.
+    */
+  def queryPostings(index: SparseIndex, queries: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val qt = queries
+      .select(col(idCol).as("query_id"), explode(tokens(textCol)).as("token"))
+      .groupBy(col("query_id"), col("token")).agg(count(lit(1)).as("__tf"))
+    index.weighting match {
+      case "tfidf" =>
+        qt.join(index.vocab, Seq("token"))
+          .select(col("query_id"), col("token"),
+            round(col("__tf") *
+              log(lit(index.nDocs.toDouble) / col("df")), 6)
+              .cast("decimal(18,6)").as("weight"))
+      case _ =>
+        qt.join(index.vocab.select(col("token")), Seq("token"))
+          .select(col("query_id"), col("token"),
+            lit(1).cast("decimal(18,6)").as("weight"))
+    }
   }
 
   /** Impact-ordered STATIC INDEX PRUNING — cap every term's posting list

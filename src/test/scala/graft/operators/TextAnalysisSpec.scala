@@ -852,6 +852,49 @@ class TextAnalysisSpec extends SparkSpec {
         qp, "query_id", 3, Seq.empty, 0.9))
   }
 
+  test("queryPostings: in-corpus reconstruction is bit-exact; out-of-corpus and OOV behave; bm25 unit form") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry"),
+      (3L, "apple banana")).toDF("doc_id", "text")
+    val idx = TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text",
+      minDf = 2)
+    def rows(p: org.apache.spark.sql.DataFrame) = p
+      .select("query_id", "token", "weight").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.math.BigDecimal](2).doubleValue)).toSet
+    // in-corpus parity: reconstructed profiles ARE the index postings
+    val recon = TextAnalysis.queryPostings(idx, corpus, "doc_id", "text")
+    assert(rows(recon) == rows(idx.postings
+      .withColumnRenamed("doc_id", "query_id")
+      .select("query_id", "token", "weight")))
+    // out-of-corpus query: frozen N/df, OOV term ("durian") drops
+    val oos = Seq((99L, "apple durian")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.queryPostings(idx, oos, "doc_id", "text"))
+    val w = BigDecimal(1.0 * math.log(4.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set((99L, "apple", w)))
+    // the reconstructed profile SERVES: the out-of-corpus doc retrieves
+    // apple-bearing documents through the loaded lifecycle
+    val dir = java.nio.file.Files.createTempDirectory("sparseq").toString
+    TextAnalysis.sparseIndexSave(idx, dir)
+    val re = TextAnalysis.sparseIndexLoad(spark, dir)
+    assert(re.nDocs == 4L)
+    val qp = TextAnalysis.queryPostings(re, oos, "doc_id", "text")
+    val hits = TextAnalysis.sparseIndexSearch(re, qp, "query_id",
+      "token", "weight", k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(0L, 1L, 3L)) // exactly the apple docs
+    // bm25: unit weights on distinct in-vocabulary terms
+    val bidx = TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text",
+      weighting = "bm25", minDf = 2)
+    val bq = rows(TextAnalysis.queryPostings(bidx,
+      Seq((7L, "apple apple durian cherry")).toDF("doc_id", "text"),
+      "doc_id", "text"))
+    assert(bq == Set((7L, "apple", 1.0), (7L, "cherry", 1.0)))
+  }
+
   test("SparseIndex cap lifecycle: build-time prune round-trips; serving honors it; mismatch refusals") {
     val corpus = Seq(
       (0L, "apple banana apple"),
@@ -888,6 +931,7 @@ class TextAnalysisSpec extends SparkSpec {
     // meta says uncapped but a capped dir exists → mixed directory
     val mixed = s"$dir/mixed"
     re.postings.write.mode(mode).parquet(s"$mixed/postings")
+    re.vocab.write.mode(mode).parquet(s"$mixed/vocab")
     re.capped.get.write.mode(mode).parquet(s"$mixed/capped")
     goodMeta.withColumn("cap", lit(null).cast("int"))
       .withColumn("n_capped", lit(null).cast("long"))
@@ -897,12 +941,14 @@ class TextAnalysisSpec extends SparkSpec {
     // meta says capped but the capped dir is missing
     val missing = s"$dir/missing"
     re.postings.write.mode(mode).parquet(s"$missing/postings")
+    re.vocab.write.mode(mode).parquet(s"$missing/vocab")
     goodMeta.write.mode(mode).parquet(s"$missing/meta")
     intercept[IllegalArgumentException](
       TextAnalysis.sparseIndexLoad(spark, missing))
     // tampered n_capped
     val tampered = s"$dir/tampered_cap"
     re.postings.write.mode(mode).parquet(s"$tampered/postings")
+    re.vocab.write.mode(mode).parquet(s"$tampered/vocab")
     re.capped.get.write.mode(mode).parquet(s"$tampered/capped")
     goodMeta.withColumn("n_capped", lit(99L)).write.mode(mode)
       .parquet(s"$tampered/meta")
@@ -911,15 +957,19 @@ class TextAnalysisSpec extends SparkSpec {
     // cap without n_capped (half-populated pair)
     val half = s"$dir/half"
     re.postings.write.mode(mode).parquet(s"$half/postings")
+    re.vocab.write.mode(mode).parquet(s"$half/vocab")
     re.capped.get.write.mode(mode).parquet(s"$half/capped")
     goodMeta.withColumn("n_capped", lit(null).cast("long"))
       .write.mode(mode).parquet(s"$half/meta")
     intercept[IllegalArgumentException](
       TextAnalysis.sparseIndexLoad(spark, half))
-    // the case-class invariant itself
+    // the case-class invariants themselves
     intercept[IllegalArgumentException](
       TextAnalysis.SparseIndex(idx.postings, "tfidf", 1, 1.0, None, None,
-        cap = Some(2), capped = None))
+        nDocs = 4L, vocab = idx.vocab, cap = Some(2), capped = None))
+    intercept[IllegalArgumentException](
+      TextAnalysis.SparseIndex(idx.postings, "tfidf", 1, 1.0, None, None,
+        nDocs = 0L, vocab = idx.vocab))
   }
 
   test("SparseIndex lifecycle: flag-free round-trip, search parity, fail-fast refusals") {
