@@ -6565,25 +6565,34 @@ object SparkEntry {
           sparseTopKTail(s"cp$c", s"_c$c")
       }.mkString(",\n")
       val hitsUnion = caps.map(c =>
-        s"""SELECT $c AS cap, count(*) AS hits
+        s"""SELECT $c AS cap, e.query_id, count(*) AS h
            |FROM ex5 e JOIN (SELECT query_id, doc_id FROM r_c$c WHERE rn <= 5) a
-           | USING (query_id, doc_id)""".stripMargin).mkString("\nUNION ALL\n")
+           | USING (query_id, doc_id) GROUP BY 1, 2""".stripMargin)
+        .mkString("\nUNION ALL\n")
       val sizesUnion = caps.map(c =>
         s"SELECT $c AS cap, CAST(sum(least(len, $c)) AS BIGINT) AS n_postings FROM lens")
         .mkString("\nUNION ALL\n")
+      // mean_recall = the per-query recalls' mean, each normalized by
+      // the query's ACTUAL exact-row count (9-dp ratios into an exact
+      // DECIMAL(28,12) sum, one terminal divide by the query count) —
+      // the operator's per-query normalization, stated identically
       "WITH " + sparsePostingCtes + ",\n" +
         sparseTopKTail("post", "_ex") + ",\n" + arms + ",\n" +
         s"""ex5 AS (SELECT query_id, doc_id FROM r_ex WHERE rn <= 5),
            |lens AS (SELECT token, count(*) AS len FROM post GROUP BY 1),
-           |hits AS ($hitsUnion),
+           |exq AS (SELECT query_id, count(*) AS ex FROM ex5 GROUP BY 1),
+           |nq AS (SELECT count(*) AS nq FROM exq),
+           |hitsq AS ($hitsUnion),
            |sizes AS ($sizesUnion),
-           |nq AS (SELECT count(DISTINCT query_id) AS nq FROM ex5),
            |grid AS (SELECT unnest([${caps.mkString(", ")}]) AS cap),
-           |pl AS (SELECT g.cap,
-           |        round(coalesce(h.hits, 0)::DOUBLE / (5.0 * q.nq), 6) AS mean_recall,
-           |        s.n_postings
-           |       FROM grid g LEFT JOIN hits h USING (cap)
-           |       JOIN sizes s USING (cap), nq q)
+           |pq AS (SELECT g.cap, CAST(round(coalesce(h.h, 0)::DOUBLE / x.ex, 9)
+           |         AS DECIMAL(28,12)) AS r
+           |       FROM grid g CROSS JOIN exq x
+           |       LEFT JOIN hitsq h ON h.cap = g.cap AND h.query_id = x.query_id),
+           |rec AS (SELECT cap, round(CAST(sum(r) AS DOUBLE) / q.nq, 6) AS mean_recall
+           |        FROM pq, nq q GROUP BY cap, q.nq),
+           |pl AS (SELECT g.cap, rc.mean_recall, s.n_postings
+           |       FROM grid g JOIN rec rc USING (cap) JOIN sizes s USING (cap))
            |SELECT cap, mean_recall, n_postings,
            | (row_number() OVER (ORDER BY (mean_recall >= 0.8) DESC,
            |    CASE WHEN mean_recall >= 0.8 THEN n_postings END ASC NULLS LAST,

@@ -56,9 +56,13 @@ object Sampling {
     * [[uniformKPerGroup]] rule — a 50-bit integer survives the
     * bounded-heap's double score EXACTLY; the raw 60-bit hash would not),
     * so the DuckDB twin is `ORDER BY ticket, id LIMIT targetRows` over
-    * the identical integer tickets. Requires a long-castable UNIQUE id
-    * (the hashSample contract): duplicate ids share one ticket, so every
-    * row of a winning id survives the semi-join.
+    * the identical integer tickets. Requires an INTEGRAL-typed UNIQUE id
+    * (refused at plan time otherwise — the heap payload and the winner
+    * semi-join both ride `cast("long")`, and a non-numeric id would cast
+    * to null on BOTH sides, silently returning an EMPTY sample instead
+    * of failing; every lifecycle verb in this repo fails fast, so this
+    * one does too). Duplicate ids share one ticket, so every row of a
+    * winning id survives the semi-join.
     *
     * 100 TB shape: one narrow (id, ticket) pass into a single
     * [[graft.functions.TopKOps.topK]] bounded heap (map-side partials —
@@ -70,6 +74,17 @@ object Sampling {
                   salt: String = "us"): DataFrame = {
     require(targetRows >= 1 && targetRows <= 1000000,
       s"targetRows out of [1, 1000000]: $targetRows")
+    // plan-time fail-fast: a string/struct id casts to null inside both
+    // the ticket heap and the winner join, which would silently yield an
+    // EMPTY sample (and empty eval reports downstream) — refuse instead
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"hashSampleN needs an integral id column (the winner heap and " +
+        s"semi-join ride cast-to-long); $idCol is $idType — cast it " +
+        s"explicitly or key on a surrogate long id")
     val winners = df
       .select(col(idCol).as("__sid"))
       .withColumn("__negh",

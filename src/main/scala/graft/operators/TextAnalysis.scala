@@ -1349,7 +1349,20 @@ object TextAnalysis {
     val mode = org.apache.spark.sql.SaveMode.Overwrite
     index.postings.write.mode(mode).parquet(s"$dir/postings")
     index.vocab.write.mode(mode).parquet(s"$dir/vocab")
-    index.capped.foreach(_.write.mode(mode).parquet(s"$dir/capped"))
+    index.capped match {
+      case Some(cp) => cp.write.mode(mode).parquet(s"$dir/capped")
+      case None =>
+        // Overwrite only rewrites the subdirs this save WRITES — an
+        // uncapped save over a directory that previously held a capped
+        // index would otherwise leave the stale capped/ dir behind and
+        // the loader would then refuse its own fresh save as a mixed
+        // directory; delete it so Overwrite semantics hold for the
+        // WHOLE index directory (one FS call)
+        val p = new org.apache.hadoop.fs.Path(s"$dir/capped")
+        val fs = p.getFileSystem(
+          index.postings.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+    }
     index.meta.write.mode(mode).parquet(s"$dir/meta")
   }
 
@@ -1543,8 +1556,15 @@ object TextAnalysis {
     * recall on a bounded query sample and emit ONE relation
     * `(cap, mean_recall, n_postings, chosen)`, so the static-pruning
     * knob is MEASURED on the caller's own corpus instead of guessed.
-    * `mean_recall` is `Σ hits / (k · |queries|)` at 6 dp (the per-query
-    * recalls' mean — every query contributes exactly k exact-arm rows);
+    * `mean_recall` is the per-query recalls' MEAN, each recall
+    * normalized by the query's ACTUAL exact-arm row count (9-dp
+    * per-query ratios into an exact DECIMAL(28,12) sum, one terminal
+    * divide by the query count at 6 dp) — a query with fewer than `k`
+    * exact hits (small corpus, `excludeSelf`) still scores on [0, 1]
+    * instead of deflating the mean; queries with NO exact-arm rows
+    * (fully-OOV text) have no defined recall and drop from the mean,
+    * and a query relation that produces no exact rows AT ALL is
+    * refused up front (fail-fast, not NaN into the chosen window).
     * `n_postings` is the EXACT capped-index size `Σ_t min(|postings_t|,
     * cap)` — the serving-cost axis, integer-exact, derived from ONE
     * vocabulary-sized length table rather than by materializing each
@@ -1576,30 +1596,44 @@ object TextAnalysis {
       termCol, weightCol, k)
       .select(col("query_id"), col("doc_id"))
       .localCheckpoint()
+    // the exact arm is already materialized, so the distinct-query count
+    // is a cheap second read — it both powers the fail-fast and embeds
+    // as the mean's literal denominator
+    val nq = exact.select(col("query_id")).distinct().count()
+    require(nq > 0,
+      "sparseCapPlan: the query sample produced no exact-arm rows — " +
+        "nothing to plan against (empty or fully-out-of-vocabulary " +
+        "query relation)")
     val anns = caps.map { c =>
       sparseTopK(cappedPostings(postings, idCol, termCol, weightCol, c),
         idCol, queries, queryIdCol, termCol, weightCol, k)
         .select(lit(c).as("cap"), col("query_id"), col("doc_id"))
     }.reduce(_ unionByName _)
-    val hits = anns.join(exact, Seq("query_id", "doc_id"))
-      .groupBy(col("cap")).agg(count(lit(1)).as("__hits"))
+    // per-query normalization: each query's recall over its ACTUAL
+    // exact-row count, the (cap × query) grid keeping zero-hit cells
+    val exCnt = exact.groupBy(col("query_id")).agg(count(lit(1)).as("__ex"))
+    val hitsQ = anns.join(exact, Seq("query_id", "doc_id"))
+      .groupBy(col("cap"), col("query_id")).agg(count(lit(1)).as("__h"))
+    val perQ = caps.toDF("cap").crossJoin(broadcast(exCnt))
+      .join(hitsQ, Seq("cap", "query_id"), "left")
+      .select(col("cap"),
+        round(coalesce(col("__h"), lit(0L)).cast("double") /
+          col("__ex").cast("double"), 9).cast("decimal(28,12)").as("__r"))
+    val rec = perQ.groupBy(col("cap"))
+      .agg(round(sum(col("__r")).cast("double") / lit(nq.toDouble), 6)
+        .as("mean_recall"))
     val lens = postings.groupBy(col(termCol)).agg(count(lit(1)).as("__len"))
     val sizes = caps.map(c =>
       lens.agg(sum(least(col("__len"), lit(c.toLong))).as("n_postings"))
         .select(lit(c).as("cap"), col("n_postings"))
     ).reduce(_ unionByName _)
-    val nq = exact.agg(countDistinct(col("query_id")).as("__nq"))
     val meets = col("mean_recall") >= targetRecall
     val w = org.apache.spark.sql.expressions.Window.orderBy(
       meets.desc, when(meets, col("n_postings")).asc_nulls_last,
       col("mean_recall").desc, col("n_postings").asc, col("cap").asc)
     caps.toDF("cap")
-      .join(hits, Seq("cap"), "left")
+      .join(rec, Seq("cap"))
       .join(sizes, Seq("cap"))
-      .crossJoin(broadcast(nq))
-      .withColumn("mean_recall",
-        round(coalesce(col("__hits"), lit(0L)).cast("double") /
-          (lit(k.toLong) * col("__nq")).cast("double"), 6))
       .withColumn("chosen", row_number().over(w) === 1)
       .select("cap", "mean_recall", "n_postings", "chosen")
   }

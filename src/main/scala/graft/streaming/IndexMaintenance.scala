@@ -25,9 +25,10 @@ import graft.operators.{Similarity, TextAnalysis}
   * reopens base + delta as one index ([[graft.operators.Similarity
   * .ivfPqIndexAdd]] semantics at open). Mutating the saved `codes`
   * directory in place would break the loader's recount contract and mix
-  * partition depths; compaction, when wanted, is one
-  * [[graft.operators.Similarity.ivfPqIndexSave]] of the maintained
-  * index.
+  * partition depths; compaction, when wanted, is
+  * [[compactMaintainedIndex]] — one [[graft.operators.Similarity
+  * .ivfPqIndexSave]] of the maintained index, after which the deltas
+  * are retirable.
   */
 object IndexMaintenance {
 
@@ -44,10 +45,19 @@ object IndexMaintenance {
     *      delivery);
     *   2. prices the batch's coarse-cell occupancy drift against the
     *      OPEN-TIME index snapshot
-    *      ([[graft.operators.Similarity.ivfDriftReport]]) and appends
-    *      one summary row `(batch_id, n_batch, tv, retrain)` to
-    *      `monitorDir` — `retrain = tv > tvThreshold`, the measured
-    *      "stop adding, rebuild the codebooks" signal.
+    *      ([[graft.operators.Similarity.ivfDriftReport]]) and writes
+    *      one summary row `(batch_id, n_batch, tv, retrain)` as an
+    *      OVERWRITTEN `monitorDir/batch=<id>` partition (the delta
+    *      write's idempotence rule — a crash-replayed batch rewrites
+    *      its own monitor row instead of double-appending, so the
+    *      monitor relation is exactly-once like the deltas) —
+    *      `retrain = tv > tvThreshold`, the measured "stop adding,
+    *      rebuild the codebooks" signal. Operational note: a
+    *      long-running stream accretes one small file per batch in
+    *      BOTH `deltaDir` and `monitorDir`; compaction is
+    *      [[compactMaintainedIndex]] for the codes and a plain
+    *      read-rewrite for the monitor (consumers read the whole
+    *      directory either way).
     *
     * The drift BASELINE is deliberately the index as OPENED (the
     * codebooks' training-time occupancy proxy), not the growing delta:
@@ -81,7 +91,7 @@ object IndexMaintenance {
               max(col("tv")).as("tv"), max(col("retrain")).as("retrain"))
             .select(lit(batchId).as("batch_id"), col("n_batch"),
               col("tv"), col("retrain"))
-            .write.mode(SaveMode.Append).parquet(monitorDir)
+            .write.mode(SaveMode.Overwrite).parquet(s"$monitorDir/batch=$batchId")
         }
         ()
       }
@@ -103,10 +113,41 @@ object IndexMaintenance {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) base
     else {
+      // fail fast on a foreign parquet in deltaDir: the base loader
+      // validates everything IT opens, so the delta side validates too —
+      // name-AND-type equality with the base codes schema (a
+      // same-named-but-int-typed column would otherwise coerce silently
+      // through the union into wrong ADC lookups)
       val delta = spark.read.parquet(deltaDir).drop("batch")
-        .select(base.codes.columns.map(col).toIndexedSeq: _*)
-      base.copy(codes = base.codes.unionByName(delta))
+      val baseTypes = base.codes.schema.map(f => f.name -> f.dataType).toMap
+      val deltaTypes = delta.schema.map(f => f.name -> f.dataType).toMap
+      require(deltaTypes == baseTypes,
+        s"$deltaDir does not hold this index's codes schema: expected " +
+          s"$baseTypes, got $deltaTypes — a foreign parquet in the delta " +
+          "directory")
+      base.copy(codes = base.codes.unionByName(
+        delta.select(base.codes.columns.map(col).toIndexedSeq: _*)))
     }
+  }
+
+  /** COMPACT a maintained index: one [[graft.operators.Similarity
+    * .ivfPqIndexSave]] of the maintained view into `outDir` — the codes
+    * relation lands as one partitioned parquet write instead of
+    * base + one small delta file per micro-batch, and the save's meta
+    * recount makes the new directory a self-validating standalone index
+    * ([[graft.operators.Similarity.ivfPqIndexLoad]] reopens it with no
+    * knowledge of the stream). After the save the deltas are RETIRABLE:
+    * the compacted index alone serves what base+deltas served
+    * (spec-pinned row-for-row). `outDir` must differ from `indexDir` —
+    * compacting in place would overwrite the base codes while the plan
+    * is still reading them.
+    */
+  def compactMaintainedIndex(spark: SparkSession, indexDir: String,
+                             deltaDir: String, outDir: String): Unit = {
+    require(outDir != indexDir && outDir != deltaDir,
+      s"compaction must write to a fresh directory, got outDir=$outDir")
+    Similarity.ivfPqIndexSave(loadMaintainedIndex(spark, indexDir, deltaDir),
+      outDir)
   }
 
   /** The lexical twin — a DOCUMENT stream against a frozen
@@ -115,11 +156,12 @@ object IndexMaintenance {
     * SparseIndex scaladoc), so the streaming composition is the GATE
     * alone: every micro-batch prices its OOV df-mass and df-share TV
     * distance against the frozen vocabulary
-    * ([[graft.operators.TextAnalysis.sparseDriftReport]]) and appends
-    * `(batch_id, n_batch_terms, n_oov_terms, oov_mass, tv, rebuild)` to
-    * `monitorDir` — the operational answer to "when must this index be
-    * rebuilt", maintained continuously instead of discovered as ranking
-    * rot.
+    * ([[graft.operators.TextAnalysis.sparseDriftReport]]) and writes
+    * `(batch_id, n_batch_terms, n_oov_terms, oov_mass, tv, rebuild)` as
+    * an overwritten `monitorDir/batch=<id>` partition (exactly-once
+    * monitor rows under at-least-once batch delivery) — the operational
+    * answer to "when must this index be rebuilt", maintained
+    * continuously instead of discovered as ranking rot.
     *
     * 100 TB shape: per batch, one tokenize+distinct pass over the batch
     * plus a vocabulary-sized share join against the index's posting df
@@ -142,7 +184,7 @@ object IndexMaintenance {
               oovThreshold, tvThreshold)
             .select(lit(batchId).as("batch_id"), col("n_batch_terms"),
               col("n_oov_terms"), col("oov_mass"), col("tv"), col("rebuild"))
-            .write.mode(SaveMode.Append).parquet(monitorDir)
+            .write.mode(SaveMode.Overwrite).parquet(s"$monitorDir/batch=$batchId")
         }
         ()
       }

@@ -37,6 +37,20 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSampleN(grown, "doc_id", 64).count() == 64)
   }
 
+  test("hashSampleN refuses a non-integral id column instead of returning an empty sample") {
+    // a string id casts to null inside BOTH the ticket heap and the
+    // winner semi-join — before the plan-time guard this silently
+    // returned an EMPTY sample (and empty eval reports downstream)
+    val stringIds = Seq(("doc-1", "a"), ("doc-2", "b")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException](
+      Sampling.hashSampleN(stringIds, "doc_id", 1))
+    assert(ex.getMessage.contains("integral id column"))
+    // an explicit cast by the caller is the documented escape hatch
+    val casted = Sampling.hashSampleN(
+      docs.withColumn("doc_id", col("doc_id").cast("int")), "doc_id", 8)
+    assert(casted.count() == 8)
+  }
+
   test("hashSampleN winners are the target-smallest tickets, id ties") {
     val ids = docs.select("doc_id").as[Long].collect()
     def ticket(id: Long): Long = {

@@ -850,6 +850,34 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.sparseCapPlan(post, "doc_id", "token", "weight",
         qp, "query_id", 3, Seq.empty, 0.9))
+    // a query relation that yields NO exact-arm rows refuses up front
+    // (fail-fast, not NaN flowing into the chosen window)
+    val noMatch = Seq((9L, "zebra")).toDF("query_id", "token")
+      .withColumn("weight", lit(1).cast("decimal(18,6)"))
+    val ex = intercept[IllegalArgumentException](
+      TextAnalysis.sparseCapPlan(post, "doc_id", "token", "weight",
+        noMatch, "query_id", 3, Seq(1, 5), 0.9))
+    assert(ex.getMessage.contains("no exact-arm rows"))
+  }
+
+  test("sparseCapPlan normalizes each query by its ACTUAL exact-row count, not k") {
+    // doc 0's only co-term neighbor is doc 1 (the zebra pair shares
+    // nothing with it): the exact arm has ONE row at k=3, and a cap
+    // that recovers it must score recall 1.0 — the old k·nq
+    // denominator read 1/3 here
+    val corpus = Seq(
+      (0L, "apple"),
+      (1L, "apple"),
+      (2L, "zebra lion"),
+      (3L, "zebra lion")).toDF("doc_id", "text")
+    val post = TextAnalysis.tfidfPostings(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val qp = post.filter(col("doc_id") === 0L)
+      .withColumnRenamed("doc_id", "query_id")
+    val plan = TextAnalysis.sparseCapPlan(post, "doc_id", "token", "weight",
+      qp, "query_id", k = 3, caps = Seq(5), targetRecall = 0.9)
+      .as[(Int, Double, Long, Boolean)].collect()
+    assert(plan.length == 1 && plan.head._2 == 1.0 && plan.head._4)
   }
 
   test("queryPostings: in-corpus reconstruction is bit-exact; out-of-corpus and OOV behave; bm25 unit form") {
@@ -970,6 +998,16 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.SparseIndex(idx.postings, "tfidf", 1, 1.0, None, None,
         nDocs = 0L, vocab = idx.vocab))
+
+    // re-saving an UNCAPPED index over a directory that previously held
+    // a capped one must not leave the stale capped/ subdir behind (save
+    // deletes it so Overwrite semantics hold for the whole directory —
+    // the loader would otherwise refuse the fresh valid save as mixed)
+    val uncapped = TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text",
+      minDf = 2)
+    TextAnalysis.sparseIndexSave(uncapped, dir)
+    val reUn = TextAnalysis.sparseIndexLoad(spark, dir)
+    assert(reUn.cap.isEmpty && reUn.capped.isEmpty)
   }
 
   test("SparseIndex lifecycle: flag-free round-trip, search parity, fail-fast refusals") {

@@ -72,6 +72,62 @@ class IndexMaintenanceSpec extends SparkSpec {
       s"$tmp/no-such-delta")
     assert(fresh.codes.count() ==
       Similarity.ivfPqIndexLoad(spark, idxDir).codes.count())
+
+    // exactly-once monitor rows: each batch's row lives in its own
+    // overwritten batch=<id> partition (a crash-replayed batch rewrites
+    // its partition instead of double-appending)
+    val monFs = new org.apache.hadoop.fs.Path(monitor)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(monFs.exists(new org.apache.hadoop.fs.Path(s"$monitor/batch=0")))
+    assert(monFs.exists(new org.apache.hadoop.fs.Path(s"$monitor/batch=1")))
+  }
+
+  test("compaction: save(loadMaintained) reopens standalone and the deltas are retirable") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    val idxDir = s"$tmp/compact-idx"
+    Similarity.ivfPqIndexSave(
+      Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+        nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 1),
+      idxDir)
+    val deltaDir = s"$tmp/compact-delta"
+    Similarity.ivfPqEncode(Similarity.ivfPqIndexLoad(spark, idxDir),
+        delta, "vec_id", "embedding")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$deltaDir/batch=0")
+
+    val maintained = IndexMaintenance.loadMaintainedIndex(spark, idxDir, deltaDir)
+    val outDir = s"$tmp/compact-out"
+    IndexMaintenance.compactMaintainedIndex(spark, idxDir, deltaDir, outDir)
+
+    def codeRows(i: Similarity.IvfPqIndex) = i.codes
+      .select("id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    // the compacted directory is a SELF-VALIDATING standalone index
+    // holding exactly the maintained view — the deltas are now retirable
+    val reopened = Similarity.ivfPqIndexLoad(spark, outDir)
+    assert(codeRows(reopened) == codeRows(maintained))
+    val withoutDeltas = IndexMaintenance.loadMaintainedIndex(spark, outDir,
+      s"$tmp/compact-retired")
+    assert(codeRows(withoutDeltas) == codeRows(maintained))
+
+    // in-place compaction refused (it would overwrite codes mid-read)
+    intercept[IllegalArgumentException](
+      IndexMaintenance.compactMaintainedIndex(spark, idxDir, deltaDir, idxDir))
+
+    // a foreign-but-column-named parquet in deltaDir refuses at open:
+    // name-and-TYPE schema equality with the base codes (int-typed
+    // doppelgangers would otherwise coerce silently through the union)
+    val foreignDir = s"$tmp/compact-foreign"
+    import spark.implicits._
+    Seq((1, 2, 3, 4, 5, 6)).toDF("id", "cell", "code_0", "code_1", "code_2", "code_3")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$foreignDir/batch=0")
+    val ex = intercept[IllegalArgumentException](
+      IndexMaintenance.loadMaintainedIndex(spark, idxDir, foreignDir))
+    assert(ex.getMessage.contains("codes schema"))
   }
 
   test("startSparseDriftMonitor: in-vocabulary batch passes, alien batch trips the gate") {
