@@ -2838,6 +2838,71 @@ object SparkEntry {
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")),
 
+    // ── OUT-OF-CORPUS hybrid serving — the full "new query arrives as
+    // text + vector" production shape: q260's two persisted-index arms
+    // with the sparse query side RECONSTRUCTED from raw text against
+    // the frozen index (queryPostings, the q264 verb) instead of read
+    // out of the posting relation. For in-corpus query docs the
+    // reconstruction is bit-exact, so this grades against q260's
+    // oracle with the query CTEs restated through the reconstruction
+    // formula — the parity is the graded contract.
+    "q265_hybrid_query_serving" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2, cap = Some(25))
+      val qp = TextAnalysis.queryPostings(sIdx,
+        evalSampleN(docs, "doc_id", 16), "doc_id", "text")
+      graft.operators.Retrieval.hybridSearch(dIdx, emb,
+        evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
+        sIdx, qp, "query_id", "token", "weight",
+        k = 5, nProbe = 4, rerank = 20)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    }),
+
+    // ── BM25 query-profile reconstruction: q251's Okapi retrieval with
+    // the unit-weight query side derived from RAW TEXT by queryPostings'
+    // bm25 arm (distinct in-vocabulary terms at weight 1 — the Okapi
+    // convention: the document-side weights already carry the tf/length
+    // saturation), served through the index lifecycle. Grades against
+    // q251's oracle restated over the reconstructed query side.
+    "q266_bm25_query_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "bm25", minDf = 2)
+      val qp = TextAnalysis.queryPostings(idx,
+        evalSampleN(docs, "doc_id", 16), "doc_id", "text")
+      TextAnalysis.sparseIndexSearch(idx, qp, "query_id",
+        "token", "weight", k = 5)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── the hybrid serving stack's HEALTH GATE: both arms' drift
+    // monitors over a shared incoming batch as one relation — the
+    // dense arm's coarse-cell occupancy drift (q249's recipe: index
+    // built on the 90% hash slice, the 10% complement as the batch)
+    // and the sparse arm's vocabulary drift (q261's recipe: minDf=2
+    // index, 256-winner batch), each `(arm, oov_mass, tv, gate)`, plus
+    // rebuild_any = either gate, repeated on both rows.
+    "q267_hybrid_health" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val base = evalSample(emb, "vec_id", 900)
+      val delta = emb.filter(
+        graft.operators.Sampling.hashBucket(col("vec_id")) >= 900)
+      val dIdx = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 0)
+      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2)
+      graft.operators.Retrieval.hybridHealthReport(
+        dIdx, delta, "vec_id", "embedding",
+        sIdx, evalSampleN(docs, "doc_id", 256), "doc_id", "text",
+        denseTvThreshold = 0.1)
+        .orderBy("arm")
+    }),
+
     // ── cluster-balanced (diversity) selection: k-means assignment
     // bounds the strata, then a uniform content-hash lottery keeps 5 per
     // cluster — the coreset/SemDeDup-adjacent "cover the space, not the
@@ -6481,25 +6546,16 @@ object SparkEntry {
     "q260_hybrid_index_search" ->
       ("WITH " + ivfPqTrainCtes() + ",\n" +
         ivfPqSearchTailCtes(4, 20, "") + ",\n" +
-        sparsePostingCtes + ",\n" +
-        """cpost AS (SELECT doc_id, token, w FROM (
-          |  SELECT doc_id, token, w,
-          |   row_number() OVER (PARTITION BY token ORDER BY w DESC, doc_id) AS prn
-          |  FROM post) WHERE prn <= 25),""".stripMargin + "\n" +
-        sparseTopKTail("cpost", "_sp") + ",\n" +
-        """spx AS (SELECT query_id, doc_id, rn FROM r_sp WHERE rn <= 5),
-          |dnx AS (SELECT query_id, neighbor_id AS doc_id, rn FROM r WHERE rn <= 5),
-          |f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
-          |       coalesce(d.doc_id, s.doc_id) AS doc_id,
-          |       d.rn AS rank_1, s.rn AS rank_2
-          |      FROM dnx d FULL JOIN spx s
-          |       ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
-          |fz AS (SELECT query_id, doc_id, rank_1, rank_2,
-          | round((CASE WHEN rank_1 IS NOT NULL THEN 1.0 / (60.0 + rank_1) ELSE 0.0 END)
-          |     + (CASE WHEN rank_2 IS NOT NULL THEN 1.0 / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
-          |       FROM f)
-          |SELECT query_id, doc_id, rank_1, rank_2, rrf FROM fz
-          |ORDER BY query_id, rrf DESC, doc_id""".stripMargin),
+        sparsePostingCtes + ",\n" + hybridIndexFusionTail),
+
+    // Out-of-corpus hybrid SERVING: q260's exact oracle with the sparse
+    // query side restated through the queryPostings reconstruction
+    // formula (the q264 convention) — in-corpus reconstruction is
+    // bit-exact, so the two statements must agree row-for-row.
+    "q265_hybrid_query_serving" ->
+      ("WITH " + ivfPqTrainCtes() + ",\n" +
+        ivfPqSearchTailCtes(4, 20, "") + ",\n" +
+        sparseReconstructionCtes + ",\n" + hybridIndexFusionTail),
 
     // Sparse vocabulary drift: index-side df = the posting-list length
     // (the minDf=2 dfq filter), batch-side df over the 256-winner
@@ -6541,6 +6597,78 @@ object SparkEntry {
       ("WITH " + sparsePostingCtes + ",\n" + sparseTopKTail("post", "") +
         "\nSELECT query_id, doc_id, score, rn FROM r WHERE rn <= 5" +
         "\nORDER BY query_id, rn"),
+
+    // BM25 reconstruction serving: q251's Okapi chain with the query
+    // side restated through queryPostings' bm25 arm — unit weights on
+    // distinct IN-VOCABULARY query terms (the reconstruction's actual
+    // output; the vocabulary restriction is dot-product-neutral).
+    "q266_bm25_query_profile" ->
+      ("WITH " + bm25ReconstructionCtes + ",\n" + sparseTopKTail("post", "") +
+        "\nSELECT query_id, doc_id, score, rn FROM r WHERE rn <= 5" +
+        "\nORDER BY query_id, rn"),
+
+    // Hybrid health gate: the q249 per-cell drift chain rolled to its
+    // one-row dense summary (suffixed _d) + the q261 vocabulary-drift
+    // chain's sparse summary, unioned with bool_or(gate) repeated on
+    // both rows — both algebras stated exactly as their graded
+    // precedents.
+    "q267_hybrid_health" ->
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |nrm AS (SELECT vec_id,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n FROM c),
+        |cents AS (SELECT vec_id AS cell, v AS cv FROM c
+        |          WHERE ${evalSampleSql("vec_id", 900)} ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        | SELECT vec_id, cell, is_base FROM (
+        |  SELECT c.vec_id, ct.cell,
+        |   ${evalSampleSql("c.vec_id", 900)} AS is_base,
+        |   row_number() OVER (PARTITION BY c.vec_id
+        |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+        |  FROM c JOIN nrm nn ON nn.vec_id = c.vec_id AND nn.n > 0, cents ct)
+        | WHERE arn = 1),
+        |occ AS (SELECT cell,
+        |  SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb,
+        |  SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nd
+        | FROM assign GROUP BY 1),
+        |per_d AS (SELECT ct.cell, coalesce(o.nb, 0) AS n_index,
+        |           coalesce(o.nd, 0) AS n_batch
+        |          FROM cents ct LEFT JOIN occ o ON o.cell = ct.cell),
+        |tots_d AS (SELECT SUM(n_index) AS tb, SUM(n_batch) AS td FROM per_d),
+        |wfd AS (SELECT CASE WHEN t.tb > 0 AND t.td > 0 THEN
+        |   round(abs(CAST(p.n_index AS DOUBLE) / t.tb - CAST(p.n_batch AS DOUBLE) / t.td), 9)
+        |  END AS drift
+        | FROM per_d p, tots_d t),
+        |tvd AS (SELECT round(CAST(SUM(CAST(drift AS DECIMAL(28,12))) AS DOUBLE) * 0.5, 6) AS tv
+        |        FROM wfd),
+        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tfd AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+        |idxdf AS (SELECT token, df AS di FROM dfq WHERE df >= 2),
+        |${evalSampleNCte("qsb", "documents", "doc_id", 256)},
+        |bt AS (SELECT DISTINCT d.doc_id, d.token FROM dt d JOIN qsb USING (doc_id)),
+        |bdf AS (SELECT token, count(*) AS db FROM bt GROUP BY 1),
+        |per AS (SELECT token, coalesce(i.di, 0) AS di, coalesce(b.db, 0) AS db
+        |        FROM idxdf i FULL JOIN bdf b USING (token)),
+        |tots AS (SELECT sum(di) AS ti, sum(db) AS tb FROM per),
+        |tv AS (SELECT round(CAST(sum(CAST(
+        |         CASE WHEN t.ti > 0 AND t.tb > 0
+        |          THEN round(abs(di::DOUBLE / t.ti - db::DOUBLE / t.tb), 9)
+        |         END AS DECIMAL(28,12))) AS DOUBLE) * 0.5, 6) AS tv
+        |       FROM per, tots t),
+        |sagg AS (SELECT sum(CASE WHEN di = 0 THEN db ELSE 0 END) AS oovdf FROM per),
+        |drow AS (SELECT 'dense' AS arm, CAST(NULL AS DOUBLE) AS oov_mass,
+        |          v.tv AS tv, v.tv > 0.1 AS gate FROM tvd v),
+        |srow AS (SELECT 'sparse' AS arm,
+        |          CASE WHEN t.tb > 0 THEN round(a.oovdf::DOUBLE / t.tb, 6) END AS oov_mass,
+        |          v.tv AS tv,
+        |          ((CASE WHEN t.tb > 0 THEN round(a.oovdf::DOUBLE / t.tb, 6) END) > 0.2
+        |            OR v.tv > 0.25) AS gate
+        |         FROM sagg a, tots t, tv v),
+        |rws AS (SELECT * FROM drow UNION ALL SELECT * FROM srow),
+        |anyg AS (SELECT bool_or(gate) AS rebuild_any FROM rws)
+        |SELECT r.arm, r.oov_mass, r.tv, r.gate, a.rebuild_any
+        |FROM rws r, anyg a ORDER BY r.arm""".stripMargin,
 
     // Absolute-size hash sample: the 32 smallest-ticket ids (md5 hash60
     // mod 2^50, salt "us", ties by id) — the winners CTE every round-14
@@ -7413,6 +7541,59 @@ object SparkEntry {
        |qp AS (SELECT doc_id AS query_id, token, w FROM post
        |       JOIN qsd USING (doc_id))""".stripMargin
 
+  /** The q264/q265 RECONSTRUCTION variant of [[sparsePostingCtes]]:
+    * the same index chain, but the query side restated through
+    * [[graft.operators.TextAnalysis.queryPostings]]'s formula — the
+    * query docs' raw-text term frequencies joined to the index's
+    * persisted vocabulary (`vcb`, df = the kept posting-list length)
+    * under the FROZEN corpus count, `w = round(tf · ln(N/df), 6)`.
+    * For in-corpus query docs this reproduces their index postings
+    * bit-for-bit (the spec-pinned parity contract), which is exactly
+    * why a reconstruction-served query can grade against the
+    * postings-derived oracle.
+    */
+  private lazy val sparseReconstructionCtes: String =
+    s"""dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tfd AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+       |ndocs AS (SELECT count(*) AS n FROM documents),
+       |dfq AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+       |post AS (SELECT t.doc_id, t.token,
+       |          CAST(round(t.tf * ln(n.n::DOUBLE / d.df), 6) AS DECIMAL(18,6)) AS w
+       |         FROM tfd t JOIN dfq d USING (token), ndocs n
+       |         WHERE d.df >= 2),
+       |${evalSampleNCte("qsd", "documents", "doc_id", 16)},
+       |vcb AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+       |qp AS (SELECT t.doc_id AS query_id, t.token,
+       |        CAST(round(t.tf * ln(n.n::DOUBLE / v.df), 6) AS DECIMAL(18,6)) AS w
+       |       FROM tfd t JOIN qsd USING (doc_id) JOIN vcb v USING (token),
+       |            ndocs n)""".stripMargin
+
+  /** The shared q260/q265 hybrid-index fusion tail: the cap-25 pruned
+    * posting relation (q248's cpost recipe), its sparse top-5 scoring
+    * tail, and the q252 RRF fusion of the two arms' rank lists —
+    * assumes a `post`/`qp` chain ([[sparsePostingCtes]] or the
+    * reconstruction variant) and the IVF-PQ `r` ranking CTE precede it.
+    */
+  private lazy val hybridIndexFusionTail: String =
+    """cpost AS (SELECT doc_id, token, w FROM (
+      |  SELECT doc_id, token, w,
+      |   row_number() OVER (PARTITION BY token ORDER BY w DESC, doc_id) AS prn
+      |  FROM post) WHERE prn <= 25),""".stripMargin + "\n" +
+      sparseTopKTail("cpost", "_sp") + ",\n" +
+      """spx AS (SELECT query_id, doc_id, rn FROM r_sp WHERE rn <= 5),
+        |dnx AS (SELECT query_id, neighbor_id AS doc_id, rn FROM r WHERE rn <= 5),
+        |f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+        |       coalesce(d.doc_id, s.doc_id) AS doc_id,
+        |       d.rn AS rank_1, s.rn AS rank_2
+        |      FROM dnx d FULL JOIN spx s
+        |       ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+        |fz AS (SELECT query_id, doc_id, rank_1, rank_2,
+        | round((CASE WHEN rank_1 IS NOT NULL THEN 1.0 / (60.0 + rank_1) ELSE 0.0 END)
+        |     + (CASE WHEN rank_2 IS NOT NULL THEN 1.0 / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
+        |       FROM f)
+        |SELECT query_id, doc_id, rank_1, rank_2, rrf FROM fz
+        |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
   /** The sparse-retrieval scoring tail over a posting CTE: exact decimal
     * dot products per (query, doc), one terminal double cast, the
     * (score DESC, doc_id) rank — suffixed so q248 can run it twice.
@@ -7490,6 +7671,39 @@ object SparkEntry {
        |${evalSampleNCte("qsd", "documents", "doc_id", 16)},
        |qp AS (SELECT DISTINCT doc_id AS query_id, token, CAST(1 AS DECIMAL(18,6)) AS w
        |       FROM dt JOIN qsd USING (doc_id))""".stripMargin
+  }
+
+  /** The q266 RECONSTRUCTION variant of [[bm25PostingCtes]]: the same
+    * Okapi-weighted index chain, the query side restated through
+    * [[graft.operators.TextAnalysis.queryPostings]]'s bm25 arm — UNIT
+    * weights on the query docs' DISTINCT terms restricted to the
+    * index's kept vocabulary (`vcb`). Restricting to the vocabulary is
+    * result-neutral for the dot product (out-of-vocabulary query terms
+    * have no posting list to match) but states the verb's actual
+    * output, so the oracle checks the reconstruction itself.
+    */
+  private lazy val bm25ReconstructionCtes: String = {
+    val k1 = 1.2
+    val b = 0.75
+    s"""dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tfd AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+       |ndocs AS (SELECT count(*) AS n FROM documents),
+       |dlen AS (SELECT doc_id, sum(tf) AS len FROM tfd GROUP BY 1),
+       |avgl AS (SELECT CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |         FROM dlen),
+       |dfq AS (SELECT token, count(*) AS df FROM tfd GROUP BY 1),
+       |post AS (SELECT t.doc_id, t.token,
+       |          CAST(round(ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * t.tf * ${k1 + 1.0} /
+       |           (t.tf + $k1 * (${1.0 - b} + $b * CAST(l.len AS DOUBLE) / a.avgdl)), 6)
+       |           AS DECIMAL(18,6)) AS w
+       |         FROM tfd t JOIN dfq d USING (token) JOIN dlen l USING (doc_id),
+       |              ndocs n, avgl a
+       |         WHERE d.df >= 2),
+       |${evalSampleNCte("qsd", "documents", "doc_id", 16)},
+       |vcb AS (SELECT token FROM post GROUP BY 1),
+       |qp AS (SELECT DISTINCT t.doc_id AS query_id, t.token,
+       |        CAST(1 AS DECIMAL(18,6)) AS w
+       |       FROM tfd t JOIN qsd USING (doc_id) JOIN vcb USING (token))""".stripMargin
   }
 
   /** signProject's row-contract twin: the operator DROPS null, ragged,

@@ -55,4 +55,50 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rn"))
     Selection.rrfFuseRanks(Seq(dn, sp), "query_id", "doc_id", "rn", k0)
   }
+
+  /** The HYBRID serving stack's health gate — one relation composing
+    * both arms' drift monitors over a shared incoming batch: the dense
+    * arm's coarse-cell occupancy drift
+    * ([[Similarity.ivfDriftReport]] rolled to its one-row summary) and
+    * the sparse arm's vocabulary drift
+    * ([[TextAnalysis.sparseDriftReport]]), each as a row
+    * `(arm, oov_mass, tv, gate)` — `oov_mass` is the sparse arm's
+    * metric and NULL on the dense row — plus `rebuild_any`, the OR of
+    * the two gate bits repeated on both rows: the single operational
+    * dashboard row-pair for a [[hybridSearch]] deployment ("is EITHER
+    * index stale for what is arriving?").
+    *
+    * `vecBatch`/`docBatch` are the same logical batch in each arm's
+    * native shape (vectors / raw text) — the two id domains need not
+    * match, exactly as [[hybridSearch]]'s two query shapes.
+    *
+    * 100 TB shape: both drift reports are batch-pass + index-metadata
+    * priced by their own contracts (the dense side re-aggregates the
+    * codes relation per cell, the sparse side the posting relation per
+    * token — never a corpus rescan); the composition adds only
+    * two-row unions and one-row broadcasts.
+    */
+  def hybridHealthReport(dense: Similarity.IvfPqIndex,
+                         vecBatch: DataFrame, vecIdCol: String,
+                         vecCol: String,
+                         sparse: TextAnalysis.SparseIndex,
+                         docBatch: DataFrame, docIdCol: String,
+                         textCol: String,
+                         denseTvThreshold: Double = 0.25,
+                         oovThreshold: Double = 0.2,
+                         sparseTvThreshold: Double = 0.25): DataFrame = {
+    val dRow = Similarity.ivfDriftReport(dense, vecBatch, vecIdCol, vecCol,
+        denseTvThreshold)
+      .agg(max(col("tv")).as("tv"), max(col("retrain")).as("gate"))
+      .select(lit("dense").as("arm"),
+        lit(null).cast("double").as("oov_mass"), col("tv"), col("gate"))
+    val sRow = TextAnalysis.sparseDriftReport(sparse, docBatch, docIdCol,
+        textCol, oovThreshold, sparseTvThreshold)
+      .select(lit("sparse").as("arm"), col("oov_mass"), col("tv"),
+        col("rebuild").as("gate"))
+    // two rows, read twice (output + the rebuild_any rollup) —
+    // materialize once so neither drift pass runs twice
+    val both = dRow.unionByName(sRow).localCheckpoint()
+    both.crossJoin(broadcast(both.agg(max(col("gate")).as("rebuild_any"))))
+  }
 }

@@ -1356,6 +1356,36 @@ class PlanSpec extends SparkSpec {
       s"only the eval-sized RRF full-join may merge, got ${smj.size}")
   }
 
+  test("q265 out-of-corpus hybrid serving: same plan discipline as q260 — window-free, one fusion full-join") {
+    val p = plan("q265_hybrid_query_serving")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "both arms rank on bounded heaps; the reconstruction is a keyed vocab join")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.size <= 1 && smj.forall(_.joinType.sql == "FULL OUTER"),
+      s"only the eval-sized RRF full-join may merge, got ${smj.size}")
+  }
+
+  test("q266 bm25 reconstruction: heap-ranked, window-free — the q247 discipline on the Okapi index") {
+    val p = plan("q266_bm25_query_profile")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
+  test("q267 hybrid health: batch-pass drift algebra — no window, only one-row stat broadcasts nest") {
+    val p = plan("q267_hybrid_health")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
   test("q261 sparse drift: vocabulary-sized keyed joins + one-row broadcasts — no window, no cartesian blowup") {
     val p = plan("q261_sparse_drift")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)

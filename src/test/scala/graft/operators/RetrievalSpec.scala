@@ -90,4 +90,77 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(scannedText.isEmpty, "serving must not re-read documents.text")
   }
+
+  test("out-of-corpus hybrid serving: raw text + vector queries against persisted indexes, no corpus scan") {
+    val base = java.nio.file.Files.createTempDirectory("hybrid-oos").toString
+    Similarity.ivfPqIndexSave(
+      Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 1),
+      s"$base/dense")
+    TextAnalysis.sparseIndexSave(
+      TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2, cap = Some(10)),
+      s"$base/sparse")
+    val dRe = Similarity.ivfPqIndexLoad(spark, s"$base/dense")
+    val sRe = TextAnalysis.sparseIndexLoad(spark, s"$base/sparse")
+
+    // a BRAND-NEW query: an id outside the corpus, raw text built from
+    // the frozen vocabulary, a literal 64-dim vector — nothing about it
+    // exists in either index
+    val toks = sRe.vocab.orderBy(col("df").desc, col("token"))
+      .limit(3).collect().map(_.getString(0))
+    val qDocs = Seq((9000001L, toks.mkString(" "))).toDF("doc_id", "text")
+    val qVecs = Seq((9000001L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val qp = TextAnalysis.queryPostings(sRe, qDocs, "doc_id", "text")
+    val served = Retrieval.hybridSearch(dRe, emb, qVecs, "vec_id", "embedding",
+      sRe, qp, "query_id", "token", "weight", k = 5, nProbe = 4, rerank = 20)
+    val rows = served.select("query_id", "doc_id", "rank_1", "rank_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3))))
+    assert(rows.nonEmpty && rows.forall(_._1 == 9000001L))
+    // BOTH arms answered the never-seen query
+    assert(rows.exists(_._3.isDefined), "dense arm must place the literal vector")
+    assert(rows.exists(_._4.isDefined), "sparse arm must serve the reconstructed profile")
+
+    // the serve plan tokenizes ONLY the literal query batch: zero file
+    // scans of a text column, zero windows, no corpus weight chain
+    val p = served.queryExecution.executedPlan
+    assert(collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("ReadSchema").exists(_.contains("text")) => f
+    }.isEmpty, "out-of-corpus serving must never scan a text file")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+  }
+
+  test("hybridHealthReport: self-batches read zero drift; an alien sparse batch trips rebuild_any on BOTH rows") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana cherry")).toDF("doc_id", "text")
+    val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 0)
+    // keep-all knobs: self-drift is exactly zero on both arms
+    val sIdx = TextAnalysis.sparseIndexBuild(corpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("arm", "oov_mass", "tv", "gate", "rebuild_any")
+      .collect().map(r => (r.getString(0), Option(r.get(1)),
+        r.getDouble(2), r.getBoolean(3), r.getBoolean(4))).toSet
+    val healthy = rows(Retrieval.hybridHealthReport(
+      dIdx, emb, "vec_id", "embedding", sIdx, corpus, "doc_id", "text"))
+    assert(healthy == Set(
+      ("dense", None, 0.0, false, false),
+      ("sparse", Some(0.0), 0.0, false, false)))
+
+    // an all-OOV document batch gates the sparse arm; rebuild_any
+    // repeats on the (healthy) dense row too — the dashboard contract
+    val alien = Seq((10L, "durian elderberry")).toDF("doc_id", "text")
+    val tripped = rows(Retrieval.hybridHealthReport(
+      dIdx, emb, "vec_id", "embedding", sIdx, alien, "doc_id", "text"))
+    assert(tripped.map(t => (t._1, t._4, t._5)) ==
+      Set(("dense", false, true), ("sparse", true, true)))
+    assert(tripped.find(_._1 == "sparse").get._2 == Some(1.0))
+  }
 }
