@@ -659,7 +659,7 @@ object PipelineScaleBench {
       "pipe_sparse_index_build", "pipe_sparse_index_search",
       "pipe_semantic_dedup", "pipe_semantic_dedup_banded",
       "pipe_contrastive", "pipe_hybrid_rrf", "pipe_hybrid_lifecycle",
-      "pipe_anisotropy")
+      "pipe_hybrid_health", "pipe_anisotropy")
     val needEmb = only.forall(fs => embStages.exists(m => fs.exists(m.contains)))
     if (!needEmb) { spark.stop(); return }
     // float32, like real embedding tables — the near-dup verification
@@ -949,9 +949,10 @@ object PipelineScaleBench {
         "query_id", "doc_id", "rn").count()
       500L
     }
-    // both lifecycles must exist for the hybrid serve leg — built
-    // outside the timer when a PIPE_ONLY run skipped the build stages
-    if (only.exists(fs => fs.exists("pipe_hybrid_lifecycle".contains))) {
+    // both lifecycles must exist for the hybrid serve + health legs —
+    // built outside the timer when a PIPE_ONLY run skipped the builds
+    if (only.exists(fs => fs.exists(f =>
+        "pipe_hybrid_lifecycle".contains(f) || "pipe_hybrid_health".contains(f)))) {
       if (!fsExists(s"$work/ivfpq$idxSfx/meta")) buildIvfPqIndex()
       if (!fsExists(s"$work/sparseidx$sIdxSfx/meta")) buildSparseIndex()
     }
@@ -974,6 +975,22 @@ object PipelineScaleBench {
         "vec_id", "embedding", sIdx, qp, "query_id", "token", "weight",
         k = 10, nProbe = 8, rerank = 20).count()
       500L
+    }
+    timed("pipe_hybrid_health", input = total / 10) {
+      // the serving stack's dashboard row-pair over a 10% incoming
+      // batch: one batch encode + two compact-key groupBys on the dense
+      // arm, one batch tokenize+distinct + a vocabulary-sized share
+      // join on the sparse arm — the corpus itself is NEVER rescanned
+      // (the codes/posting relations re-aggregate instead), so wall
+      // must track the two batch passes, not nDocs
+      val dIdx = Similarity.ivfPqIndexLoad(spark, s"$work/ivfpq$idxSfx")
+      val sIdx = TextAnalysis.sparseIndexLoad(spark, s"$work/sparseidx$sIdxSfx")
+      val vecBatch = vecs.filter(col("vec_id") % 10 === 0)
+      val docBatch = corpus.filter(col("doc_id") % 10 === 0)
+      graft.operators.Retrieval.hybridHealthReport(
+        dIdx, vecBatch, "vec_id", "embedding",
+        sIdx, docBatch, "doc_id", "text").count()
+      total / 10
     }
     timed("pipe_anisotropy", input = 1024L) {
       // the absolute-sample contract made measurable: the 1024-winner

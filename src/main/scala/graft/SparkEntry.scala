@@ -85,7 +85,7 @@ object SparkEntry {
     * SAME dense relation (one subtree, so the corpus-by-sample cosine
     * pass is shared, mirroring the oracle's single `dn` CTE).
     */
-  private def hybridParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def hybridArms(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = t(s, dir, "documents")
     val emb = t(s, dir, "embeddings")
     val post = TextAnalysis.tfidfPostings(docs, "doc_id", "text", minDf = 2)
@@ -99,6 +99,11 @@ object SparkEntry {
     val dense = Similarity.bruteForceTopK(emb,
       evalSampleN(emb, "vec_id", 16), "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
+    (dense, sparse)
+  }
+
+  private def hybridParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (dense, sparse) = hybridArms(s, dir)
     (graft.operators.Selection.rrfFuseRanks(Seq(dense, sparse),
       "query_id", "doc_id", "rn", k0 = 60), dense)
   }
@@ -2901,6 +2906,48 @@ object SparkEntry {
         sIdx, evalSampleN(docs, "doc_id", 256), "doc_id", "text",
         denseTvThreshold = 0.1)
         .orderBy("arm")
+    }),
+
+    // ── SCORE-based fusion (CombMNZ) of the two LEXICAL arms: the
+    // TF-IDF top-5 and the BM25 top-5 over the same 16-winner query
+    // sample, each arm's exact-decimal scores min-max normalized per
+    // query, summed and multiplied by the agreement count — the
+    // classic Fox & Shaw ensemble the rank-based q252 RRF flattens
+    // away (both arms' score VALUES are oracle-green precedents, so
+    // the normalization itself is what this grades).
+    "q268_score_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qsamp = evalSampleN(docs, "doc_id", 16)
+      val tpost = TextAnalysis.tfidfPostings(docs, "doc_id", "text",
+        minDf = 2).localCheckpoint()
+      val tq = tpost.join(qsamp.select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      val tfidf = TextAnalysis.sparseTopK(tpost, "doc_id", tq, "query_id",
+        "token", "weight", k = 5)
+        .select("query_id", "doc_id", "score")
+      val bpost = TextAnalysis.bm25Postings(docs, "doc_id", "text",
+        minDf = 2).localCheckpoint()
+      val bq = qsamp
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextAnalysis.tokens("text"))).as("token"))
+        .withColumn("weight", lit(1).cast("decimal(18,6)"))
+      val bm25 = TextAnalysis.sparseTopK(bpost, "doc_id", bq, "query_id",
+        "token", "weight", k = 5)
+        .select("query_id", "doc_id", "score")
+      graft.operators.Selection.fuseScoresMinMax(Seq(tfidf, bm25),
+        "query_id", "doc_id", "score", mnz = true)
+        .orderBy(col("query_id"), col("fused").desc, col("doc_id"))
+    }),
+
+    // ── WEIGHTED RRF: q252's dense+sparse arms fused at dense 0.7 /
+    // sparse 0.3 — the alpha knob every hybrid deployment tunes when
+    // one arm is known stronger; rrfFuseRanks is this at all-ones
+    // weights (one fusion tail, spec-pinned).
+    "q269_weighted_rrf" -> ((s, dir) => {
+      val (dense, sparse) = hybridArms(s, dir)
+      graft.operators.Selection.rrfFuseRanksWeighted(Seq(dense, sparse),
+        "query_id", "doc_id", "rn", weights = Seq(0.7, 0.3), k0 = 60)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
     }),
 
     // ── cluster-balanced (diversity) selection: k-means assignment
@@ -6670,6 +6717,74 @@ object SparkEntry {
         |SELECT r.arm, r.oov_mass, r.tv, r.gate, a.rebuild_any
         |FROM rws r, anyg a ORDER BY r.arm""".stripMargin,
 
+    // CombMNZ score fusion of the lexical ensemble: the q247 TF-IDF
+    // scoring chain + the q251 Okapi chain (reusing the shared
+    // dt/tfd/ndocs/dfq/qsd CTEs, _b-suffixed additions), each arm's
+    // top-5 min-max normalized per query (constant/single-row list →
+    // 1.0), fixed-order sum × agreement count at 6 dp.
+    "q268_score_fusion" ->
+      ("WITH " + sparsePostingCtes + ",\n" + sparseTopKTail("post", "") + ",\n" +
+        """dlen AS (SELECT doc_id, sum(tf) AS len FROM tfd GROUP BY 1),
+          |avgl AS (SELECT CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          |         FROM dlen),
+          |post_b AS (SELECT t.doc_id, t.token,
+          |          CAST(round(ln((n.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * t.tf * 2.2 /
+          |           (t.tf + 1.2 * (0.25 + 0.75 * CAST(l.len AS DOUBLE) / a.avgdl)), 6)
+          |           AS DECIMAL(18,6)) AS w
+          |         FROM tfd t JOIN dfq d USING (token) JOIN dlen l USING (doc_id),
+          |              ndocs n, avgl a
+          |         WHERE d.df >= 2),
+          |qp_b AS (SELECT DISTINCT doc_id AS query_id, token, CAST(1 AS DECIMAL(18,6)) AS w
+          |         FROM dt JOIN qsd USING (doc_id)),
+          |sc_b AS (SELECT q.query_id, p.doc_id,
+          |      CAST(SUM(CAST(p.w * q.w AS DECIMAL(38,12))) AS DOUBLE) AS score
+          |     FROM post_b p JOIN qp_b q USING (token)
+          |     WHERE p.doc_id <> q.query_id GROUP BY 1, 2),
+          |r_b AS (SELECT query_id, doc_id, score,
+          |      CAST(row_number() OVER (PARTITION BY query_id
+          |       ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+          |     FROM sc_b),
+          |lt AS (SELECT query_id, doc_id, score FROM r WHERE rn <= 5),
+          |lb AS (SELECT query_id, doc_id, score FROM r_b WHERE rn <= 5),
+          |et AS (SELECT query_id, min(score) AS mn, max(score) AS mx FROM lt GROUP BY 1),
+          |eb AS (SELECT query_id, min(score) AS mn, max(score) AS mx FROM lb GROUP BY 1),
+          |nt AS (SELECT l.query_id, l.doc_id,
+          |        CASE WHEN e.mx > e.mn THEN (l.score - e.mn) / (e.mx - e.mn)
+          |             ELSE 1.0 END AS nrm
+          |       FROM lt l JOIN et e USING (query_id)),
+          |nb AS (SELECT l.query_id, l.doc_id,
+          |        CASE WHEN e.mx > e.mn THEN (l.score - e.mn) / (e.mx - e.mn)
+          |             ELSE 1.0 END AS nrm
+          |       FROM lb l JOIN eb e USING (query_id)),
+          |fj AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+          |        coalesce(a.doc_id, b.doc_id) AS doc_id,
+          |        a.nrm AS n1, b.nrm AS n2
+          |       FROM nt a FULL JOIN nb b
+          |        ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
+          |fzz AS (SELECT query_id, doc_id,
+          |        CAST((CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END)
+          |           + (CASE WHEN n2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lists,
+          |        round((coalesce(n1, 0.0) + coalesce(n2, 0.0)) *
+          |              ((CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END)
+          |             + (CASE WHEN n2 IS NOT NULL THEN 1 ELSE 0 END)), 6) AS fused
+          |        FROM fj)
+          |SELECT query_id, doc_id, n_lists, fused FROM fzz
+          |ORDER BY query_id, fused DESC, doc_id""".stripMargin),
+
+    // Weighted RRF: the shared q252 arms with the 0.7/0.3 coefficients
+    // (dense term first; weights cast to DOUBLE so both engines divide
+    // the identical IEEE values).
+    "q269_weighted_rrf" ->
+      ("WITH " + hybridArmsCtes + ",\n" +
+        """fz AS (SELECT query_id, doc_id, rank_1, rank_2,
+          | round((CASE WHEN rank_1 IS NOT NULL
+          |         THEN CAST(0.7 AS DOUBLE) / (60.0 + rank_1) ELSE 0.0 END)
+          |     + (CASE WHEN rank_2 IS NOT NULL
+          |         THEN CAST(0.3 AS DOUBLE) / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
+          |       FROM f)
+          |SELECT query_id, doc_id, rank_1, rank_2, rrf FROM fz
+          |ORDER BY query_id, rrf DESC, doc_id""".stripMargin),
+
     // Absolute-size hash sample: the 32 smallest-ticket ids (md5 hash60
     // mod 2^50, salt "us", ties by id) — the winners CTE every round-14
     // eval oracle states, graded directly.
@@ -7617,7 +7732,7 @@ object SparkEntry {
     * the q256 convention) — without it a zero-norm fixture row would
     * NaN/error in DuckDB while Spark silently drops it.
     */
-  private lazy val hybridFusionCtes: String =
+  private lazy val hybridArmsCtes: String =
     sparsePostingCtes + ",\n" + sparseTopKTail("post", "") + ",\n" +
       s"""sp AS (SELECT query_id, doc_id, rn FROM r WHERE rn <= 5),
          |ve AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -7638,11 +7753,14 @@ object SparkEntry {
          |       coalesce(d.doc_id, s.doc_id) AS doc_id,
          |       d.rn AS rank_1, s.rn AS rank_2
          |      FROM dn d FULL JOIN sp s
-         |       ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
-         |fz AS (SELECT query_id, doc_id, rank_1, rank_2,
-         | round((CASE WHEN rank_1 IS NOT NULL THEN 1.0 / (60.0 + rank_1) ELSE 0.0 END)
-         |     + (CASE WHEN rank_2 IS NOT NULL THEN 1.0 / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
-         |       FROM f)""".stripMargin
+         |       ON s.query_id = d.query_id AND s.doc_id = d.doc_id)""".stripMargin
+
+  private lazy val hybridFusionCtes: String =
+    hybridArmsCtes + ",\n" +
+      """fz AS (SELECT query_id, doc_id, rank_1, rank_2,
+        | round((CASE WHEN rank_1 IS NOT NULL THEN 1.0 / (60.0 + rank_1) ELSE 0.0 END)
+        |     + (CASE WHEN rank_2 IS NOT NULL THEN 1.0 / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
+        |       FROM f)""".stripMargin
 
   /** q251's BM25 posting chain: the Okapi weight formula
     * (non-negative idf, k1=1.2, b=0.75 — every constant the

@@ -122,9 +122,26 @@ object Selection {
     * queries·k rows — the fusion never touches the corpus.
     */
   def rrfFuseRanks(lists: Seq[DataFrame], groupCol: String, idCol: String,
-                   rankCol: String, k0: Int = 60): DataFrame = {
+                   rankCol: String, k0: Int = 60): DataFrame =
+    rrfFuseRanksWeighted(lists, groupCol, idCol, rankCol,
+      Seq.fill(lists.size)(1.0), k0)
+
+  /** WEIGHTED RRF — [[rrfFuseRanks]] with a per-list coefficient:
+    * `Σ w_i/(k0+rank_i)`, the alpha knob every hybrid deployment tunes
+    * when one arm is known stronger (e.g. dense 0.7 / sparse 0.3).
+    * [[rrfFuseRanks]] IS this at all-ones weights — one fusion tail, so
+    * the reciprocal-sum arithmetic cannot drift between the forms.
+    * Weights must be positive (a zero weight is a list that should not
+    * be in the fusion; a negative one inverts the ranking semantics).
+    */
+  def rrfFuseRanksWeighted(lists: Seq[DataFrame], groupCol: String,
+                           idCol: String, rankCol: String,
+                           weights: Seq[Double], k0: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuseRanks needs at least one ranked list")
     require(k0 > 0, s"k0 must be positive: $k0")
+    require(weights.size == lists.size,
+      s"${lists.size} lists need ${lists.size} weights, got ${weights.size}")
+    require(weights.forall(_ > 0.0), s"weights must be positive: $weights")
     val named = lists.zipWithIndex.map { case (l, i) =>
       l.select(col(groupCol), col(idCol),
         col(rankCol).cast("long").as(s"rank_${i + 1}"))
@@ -132,9 +149,58 @@ object Selection {
     val joined = named.reduce((a, b) => a.join(b, Seq(groupCol, idCol), "full"))
     val terms = lists.indices.map(i =>
       when(col(s"rank_${i + 1}").isNotNull,
-        lit(1.0) / (lit(k0.toDouble) + col(s"rank_${i + 1}").cast("double")))
+        lit(weights(i)) / (lit(k0.toDouble) + col(s"rank_${i + 1}").cast("double")))
         .otherwise(lit(0.0)))
     joined.withColumn("rrf", round(terms.reduce(_ + _), 6))
+  }
+
+  /** SCORE-based list fusion — CombSUM / CombMNZ (Fox & Shaw's classic
+    * rules), the complement of [[rrfFuseRanks]] when the arms' scores
+    * themselves carry signal the ranks flatten: each list's scores
+    * min-max normalize PER GROUP onto [0, 1] (a constant-score or
+    * single-row list normalizes to 1.0 — present beats absent), the
+    * normalized terms sum across lists in fixed order (0 for a miss),
+    * and CombMNZ multiplies the sum by `n_lists`, the number of lists
+    * that returned the id — rewarding multi-arm agreement. Output
+    * `(group, id, n_lists, fused)`, `fused` rounded 6 dp.
+    *
+    * Cross-engine exactness: per-(list, group) min/max are exact
+    * aggregates over the top-k rows; `(s−min)/(max−min)` is one IEEE
+    * subtract-divide on score values that are bit-identical by the
+    * retrieval contract (exact-decimal dot products cast once); the
+    * ≤ |lists| term sum is stated in fixed list order; the MNZ
+    * multiply is by an integer count.
+    *
+    * 100 TB shape: the [[rrfFuseRanks]] contract — inputs are top-k
+    * relations, every join and per-group extremum here is over
+    * ≤ queries·k rows; the fusion never touches the corpus.
+    */
+  def fuseScoresMinMax(lists: Seq[DataFrame], groupCol: String,
+                       idCol: String, scoreCol: String,
+                       mnz: Boolean = true): DataFrame = {
+    require(lists.nonEmpty, "fuseScoresMinMax needs at least one scored list")
+    val normed = lists.zipWithIndex.map { case (l, i) =>
+      val s = l.select(col(groupCol), col(idCol),
+        col(scoreCol).cast("double").as("__s"))
+      val ext = s.groupBy(col(groupCol))
+        .agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+      s.join(ext, Seq(groupCol))
+        .select(col(groupCol), col(idCol),
+          when(col("__mx") > col("__mn"),
+            (col("__s") - col("__mn")) / (col("__mx") - col("__mn")))
+            .otherwise(lit(1.0)).as(s"__n${i + 1}"))
+    }
+    val joined = normed.reduce((a, b) => a.join(b, Seq(groupCol, idCol), "full"))
+    val nLists = lists.indices.map(i =>
+      when(col(s"__n${i + 1}").isNotNull, lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val sumExpr = lists.indices.map(i => coalesce(col(s"__n${i + 1}"), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("n_lists", nLists.cast("long"))
+      .withColumn("fused",
+        round(if (mnz) sumExpr * nLists.cast("double") else sumExpr, 6))
+      .select(col(groupCol), col(idCol), col("n_lists"), col("fused"))
   }
 
   /** Ranked-list EVALUATION — MRR and binary-relevance nDCG of a run

@@ -1386,6 +1386,27 @@ class PlanSpec extends SparkSpec {
     }.isEmpty)
   }
 
+  test("q268 score fusion: both arms heap-ranked, extrema are keyed aggs — window-free, cartesian-free") {
+    val p = plan("q268_score_fusion")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "arm ranks ride bounded heaps; min-max extrema are per-query aggregates")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+  }
+
+  test("q269 weighted RRF: the q252 plan discipline — window-free, one fusion full-join") {
+    val p = plan("q269_weighted_rrf")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.size <= 1 && smj.forall(_.joinType.sql == "FULL OUTER"))
+  }
+
   test("q261 sparse drift: vocabulary-sized keyed joins + one-row broadcasts — no window, no cartesian blowup") {
     val p = plan("q261_sparse_drift")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)

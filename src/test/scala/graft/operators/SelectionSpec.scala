@@ -240,6 +240,64 @@ class SelectionSpec extends SparkSpec {
       Selection.rrfFuseRanks(Seq(dense), "q", "id", "rn", k0 = 0))
   }
 
+  test("rrfFuseRanksWeighted: hand coefficients; all-ones IS rrfFuseRanks; guards") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dense = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("q", "id", "rn")
+    val sparse = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("q", "id", "rn")
+    val got = Selection.rrfFuseRanksWeighted(Seq(dense, sparse), "q", "id",
+      "rn", weights = Seq(0.7, 0.3))
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    assert(got == Map(
+      100L -> r6(0.7 / 61.0),
+      101L -> r6(0.7 / 62.0 + 0.3 / 61.0),
+      102L -> r6(0.3 / 62.0)))
+    // the unit form IS rrfFuseRanks — one fusion tail by construction
+    val unit = Selection.rrfFuseRanksWeighted(Seq(dense, sparse), "q", "id",
+      "rn", weights = Seq(1.0, 1.0))
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    val plain = Selection.rrfFuseRanks(Seq(dense, sparse), "q", "id", "rn")
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    assert(unit == plain)
+    intercept[IllegalArgumentException](
+      Selection.rrfFuseRanksWeighted(Seq(dense, sparse), "q", "id", "rn",
+        weights = Seq(0.7)))
+    intercept[IllegalArgumentException](
+      Selection.rrfFuseRanksWeighted(Seq(dense, sparse), "q", "id", "rn",
+        weights = Seq(0.7, -0.3)))
+  }
+
+  test("fuseScoresMinMax: hand CombSUM/CombMNZ, per-group normalization, degenerate lists") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // list A: scores 10/5/0 → normalize 1.0 / 0.5 / 0.0
+    val a = Seq((1L, 100L, 10.0), (1L, 101L, 5.0), (1L, 102L, 0.0))
+      .toDF("q", "id", "s")
+    // list B: scores 2/1 → normalize 1.0 / 0.0
+    val b = Seq((1L, 101L, 2.0), (1L, 103L, 1.0)).toDF("q", "id", "s")
+    val mnz = Selection.fuseScoresMinMax(Seq(a, b), "q", "id", "s")
+      .select("id", "n_lists", "fused")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(mnz == Map(
+      100L -> ((1L, r6(1.0))),          // A-only: 1.0 × 1 list
+      101L -> ((2L, r6((0.5 + 1.0) * 2))), // both lists, agreement ×2
+      102L -> ((1L, r6(0.0))),          // A's min normalizes to 0
+      103L -> ((1L, r6(0.0)))))         // B's min
+    // CombSUM: no agreement multiplier
+    val sum = Selection.fuseScoresMinMax(Seq(a, b), "q", "id", "s", mnz = false)
+      .select("id", "fused").as[(Long, Double)].collect().toMap
+    assert(sum(101L) == r6(0.5 + 1.0))
+    // single-row and constant-score lists normalize to 1.0 (present
+    // beats absent), and normalization is PER GROUP
+    val c = Seq((1L, 100L, 7.0), (2L, 200L, 3.0), (2L, 201L, 3.0))
+      .toDF("q", "id", "s")
+    val solo = Selection.fuseScoresMinMax(Seq(c), "q", "id", "s")
+      .select("id", "fused").as[(Long, Double)].collect().toMap
+    assert(solo == Map(100L -> 1.0, 200L -> 1.0, 201L -> 1.0))
+    intercept[IllegalArgumentException](
+      Selection.fuseScoresMinMax(Seq.empty, "q", "id", "s"))
+  }
+
   test("rankedEvalReport: hand MRR/nDCG, zero-hit query, beyond-k run rows ignored") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
