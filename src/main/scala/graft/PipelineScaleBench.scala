@@ -654,6 +654,9 @@ object PipelineScaleBench {
       "pipe_embedding_neardup", "pipe_kmeans", "pipe_jl_projection",
       "pipe_jl_project_lit", "pipe_pq_codes", "pipe_hard_negatives",
       "pipe_ivf_pq", "pipe_ivf_pq_build", "pipe_ivf_pq_search",
+      "pipe_ivf_pq_save_clustered", "pipe_ivf_pq_search_b10",
+      "pipe_ivf_pq_search_pruned_b10", "pipe_binary_rerank",
+      "pipe_binary_index_build", "pipe_binary_search",
       "pipe_ivf_pq_add", "pipe_ivf_drift", "pipe_sparse_postings",
       "pipe_bm25_postings", "pipe_sparse_topk", "pipe_sparse_topk_capped",
       "pipe_sparse_index_build", "pipe_sparse_index_search",
@@ -787,7 +790,9 @@ object PipelineScaleBench {
     // commit marker: an interrupted build (codes written, meta not)
     // re-triggers the rebuild instead of feeding the loader a torso
     val idxNeeded = only.forall(fs =>
-      Seq("pipe_ivf_pq_search", "pipe_ivf_pq_add", "pipe_ivf_drift")
+      Seq("pipe_ivf_pq_search", "pipe_ivf_pq_add", "pipe_ivf_drift",
+        "pipe_ivf_pq_save_clustered", "pipe_ivf_pq_search_b10",
+        "pipe_ivf_pq_search_pruned_b10")
         .exists(n => fs.exists(n.contains)))
     // existence resolves through the Hadoop FileSystem for the path's
     // SCHEME: java.io.File is always-false for a non-local work dir
@@ -808,6 +813,72 @@ object PipelineScaleBench {
       val stride = math.max(1L, nDocs.toLong / 100)
       Similarity.ivfPqSearch(idx, vecs, vecs.filter(col("vec_id") % stride === 0),
         "vec_id", "embedding", k = 10, nProbe = 8, rerank = 20).count()
+    }
+    val cluPath = s"$work/ivfpqclu$idxSfx"
+    timed("pipe_ivf_pq_save_clustered", input = total) {
+      // re-layout the persisted index CLUSTERED BY CELL: one exchange
+      // by cell + a partitioned write (~one file per cell) — paid once
+      // at build so every small-batch serve below partition-prunes
+      val idx = Similarity.ivfPqIndexLoad(spark, s"$work/ivfpq$idxSfx")
+      Similarity.ivfPqIndexSaveClustered(idx, cluPath)
+      total
+    }
+    if (idxNeeded && !fsExists(s"$cluPath/meta")) {
+      val idx = Similarity.ivfPqIndexLoad(spark, s"$work/ivfpq$idxSfx")
+      Similarity.ivfPqIndexSaveClustered(idx, cluPath)
+    }
+    timed("pipe_ivf_pq_search_b10", input = 10L) {
+      // the small-batch serving shape, UNPRUNED: 10 queries × nProbe 8
+      // still scan the whole codes relation — the baseline the pruned
+      // twin below is graded against
+      val idx = Similarity.ivfPqIndexLoad(spark, s"$work/ivfpq$idxSfx")
+      val stride = math.max(1L, nDocs.toLong / 10)
+      Similarity.ivfPqSearch(idx, vecs, vecs.filter(col("vec_id") % stride === 0),
+        "vec_id", "embedding", k = 10, nProbe = 8, rerank = 20).count()
+    }
+    timed("pipe_ivf_pq_search_pruned_b10", input = 10L) {
+      // same 10-query batch over the clustered layout with the probed
+      // cells pushed as a PARTITION filter: the codes scan reads
+      // ≤ 80/nCentroids of the index (~7% at the 5M √n quantizer) —
+      // result-identical by construction (spec-pinned)
+      val idx = Similarity.ivfPqIndexLoad(spark, cluPath)
+      val stride = math.max(1L, nDocs.toLong / 10)
+      Similarity.ivfPqSearchPruned(idx, vecs, vecs.filter(col("vec_id") % stride === 0),
+        "vec_id", "embedding", k = 10, nProbe = 8, rerank = 20).count()
+    }
+    timed("pipe_binary_rerank", input = 100L) {
+      // 1-bit two-stage ANN at a fixed 100-query load: stage 1 reads
+      // 2 packed words per 64-dim vector (16 bytes vs 256 float) and
+      // ranks by bit_count(xor) agreement; exact cosine reranks the
+      // ≤ 100×20 survivors — wall must track the corpus scan, with the
+      // cheap-kernel constant visible next to the float/int8 stages
+      val stride = math.max(1L, nDocs.toLong / 100)
+      Similarity.binaryRerankTopK(vecs, vecs.filter(col("vec_id") % stride === 0),
+        "vec_id", "embedding", dim = 64, k = 10, rerank = 20).count()
+    }
+    val binPath = s"$work/binidx_$nDocs"
+    timed("pipe_binary_index_build", input = total) {
+      // pack once: one narrow corpus pass into 16 bytes/vector, no
+      // shuffle — the cost every binary serve below stops paying
+      Similarity.binaryIndexSave(
+        Similarity.binaryIndexBuild(vecs, "vec_id", "embedding", dim = 64),
+        binPath)
+      total
+    }
+    val binNeeded = only.forall(fs =>
+      fs.exists("pipe_binary_search".contains))
+    if (binNeeded && !fsExists(s"$binPath/meta"))
+      Similarity.binaryIndexSave(
+        Similarity.binaryIndexBuild(vecs, "vec_id", "embedding", dim = 64),
+        binPath)
+    timed("pipe_binary_search", input = 100L) {
+      // serve from the PERSISTED words relation: stage 1 scans 1/32 of
+      // the float bytes and never re-packs — the inline pipe_binary_
+      // rerank above is the cost this lifecycle split amortizes
+      val idx = Similarity.binaryIndexLoad(spark, binPath)
+      val stride = math.max(1L, nDocs.toLong / 100)
+      Similarity.binarySearch(idx, vecs, vecs.filter(col("vec_id") % stride === 0),
+        "vec_id", "embedding", k = 10, rerank = 20).count()
     }
     timed("pipe_ivf_pq_add", input = total / 10) {
       // FAISS's add at scale: encode a 10% delta against the FROZEN

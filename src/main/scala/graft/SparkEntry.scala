@@ -2950,6 +2950,82 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
     }),
 
+    // ── binary (sign-bit) quantized two-stage ANN: stage 1 ranks every
+    // pair by sign-AGREEMENT over packed 32-bit words (bit_count(xor) —
+    // 8 bytes per 64-dim vector instead of 256), exact cosine reranks
+    // the top-20 survivors. q54's two-stage axis pushed from int8 to
+    // 1-bit — the stage-1 scan floor.
+    "q270_binary_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.binaryRerankTopK(emb, evalSampleN(emb, "vec_id", 16),
+        "vec_id", "embedding", dim = 64, k = 5, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── binary-quantization recall gate: the q270 relation graded
+    // against exact brute force on the same 16-winner sample (the q234
+    // convention for the 1-bit stage) — "is 1-bit stage-1 safe on MY
+    // data at THIS rerank", measured before a deployment trusts it.
+    "q271_binary_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = evalSampleN(emb, "vec_id", 16)
+      val ann = Similarity.binaryRerankTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 5, rerank = 20)
+      Similarity.annRecallReportFor(emb, qs, "vec_id", "embedding", 5, ann)
+        .orderBy("query_id")
+    }),
+
+    // ── scan-pruned IVF-PQ serving: the batch's distinct probed cells
+    // pushed into the codes scan as a static cell-IN predicate —
+    // result-identical to q232 by construction (stage 1 equi-joins on
+    // cell), graded against the SAME SQL; over the cell-clustered
+    // persisted layout (ivfPqIndexSaveClustered) the predicate is a
+    // PARTITION filter and the scan reads ~nProbe/nCentroids of the
+    // index (spec-pinned physically; guarded at 500k/5M).
+    "q272_ivf_pq_pruned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      Similarity.ivfPqSearchPruned(idx, emb, evalSampleN(emb, "vec_id", 16),
+        "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── binary index lifecycle: pack once (binaryIndexBuild), serve via
+    // binarySearch — one shared two-stage tail with q270, so the
+    // lifecycle query grades against the SAME SQL (the q232/q272 parity
+    // convention). The persisted words relation is the 1/32-bytes
+    // stage-1 scan; the float corpus appears only for the exact rerank.
+    "q275_binary_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.binaryIndexBuild(emb, "vec_id", "embedding",
+        dim = 64)
+      Similarity.binarySearch(idx, emb, evalSampleN(emb, "vec_id", 16),
+        "vec_id", "embedding", k = 5, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── the end-to-end TRAINING EXPORT composition: quality gate (q84's
+    // classifier) → exact content dedup (q20's digest canonical pick) →
+    // token accounting → deterministic shard layout (q97's deal) — the
+    // "corpus in, training shards out" shape, stage order pinned. The
+    // graded corpus PLANTS work for every stage (the q156 convention):
+    // exact copies of every 5th doc (the dedup stage must keep the
+    // lower-id original) and digit-junk rows for every 7th (no letters,
+    // 1/40 unique words — the gate must drop them).
+    "q273_training_export" -> ((s, dir) =>
+      graft.operators.Export.trainingExport(exportCorpus(s, dir),
+        "doc_id", "text", nShards = 8, salt = "epoch1")
+        .orderBy("shard", "pos")),
+
+    // ── the export's per-shard QA table: (shard, n_docs, n_tokens) —
+    // what a data-loader owner reads before a run.
+    "q274_export_shard_report" -> ((s, dir) =>
+      graft.operators.Export.exportShardReport(
+        graft.operators.Export.trainingExport(exportCorpus(s, dir),
+          "doc_id", "text", nShards = 8, salt = "epoch1"))
+        .orderBy("shard")),
+
     // ── cluster-balanced (diversity) selection: k-means assignment
     // bounds the strata, then a uniform content-hash lottery keeps 5 per
     // cluster — the coreset/SemDeDup-adjacent "cover the space, not the
@@ -6785,6 +6861,67 @@ object SparkEntry {
           |SELECT query_id, doc_id, rank_1, rank_2, rrf FROM fz
           |ORDER BY query_id, rrf DESC, doc_id""".stripMargin),
 
+    // Binary (sign-bit) two-stage ANN: 32-bit sign-word packing
+    // (1::BIGINT << j sums — the engine's reversed acc·2 fold states the
+    // same Σ bit_j·2^j), hamming-ASC stage-1 rank (≡ agreement DESC),
+    // exact cosine rerank — q54's two-stage statement at the 1-bit axis.
+    "q270_binary_rerank" ->
+      ("WITH " + binaryRerankCtes(rerank = 20) +
+        "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
+        "\nORDER BY query_id, rn"),
+
+    // Binary-quantization recall gate: the q270 chain + the q256-style
+    // exact brute-force top-5 over the same winners + the left-join
+    // recall rollup.
+    "q271_binary_recall" ->
+      ("WITH " + binaryRerankCtes(rerank = 20) + ",\n" +
+        """bf AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   row_number() OVER (PARTITION BY q.vec_id
+          |    ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS brn
+          |  FROM v q JOIN qs s ON s.vec_id = q.vec_id
+          |  JOIN fn qn ON qn.vec_id = q.vec_id AND qn.n > 0
+          |  JOIN v c ON c.vec_id <> q.vec_id
+          |  JOIN fn cn ON cn.vec_id = c.vec_id AND cn.n > 0)
+          | WHERE brn <= 5),
+          |ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM r WHERE rn <= 5)
+          |SELECT bf.query_id,
+          | CAST(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          | round(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+          |FROM bf LEFT JOIN ann
+          | ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
+          |GROUP BY 1 ORDER BY bf.query_id""".stripMargin),
+
+    // Scan-pruned IVF-PQ serving: the probed-cell scan predicate is
+    // result-invariant (stage 1 equi-joins on cell), so the query grades
+    // against q232's oracle VERBATIM — the parity contract.
+    "q272_ivf_pq_pruned" -> ivfPqRawOracleSql,
+
+    // Binary index lifecycle: one shared two-stage tail with the inline
+    // q270 (spec-pinned), so it grades against the same SQL.
+    "q275_binary_index" ->
+      ("WITH " + binaryRerankCtes(rerank = 20) +
+        "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
+        "\nORDER BY query_id, rn"),
+
+    // Training export: q84's z formula gates, q20's sha-256 min-id
+    // canonical pick dedups, q97's md5 hash60 deal shards — the three
+    // graded conventions composed in one statement.
+    "q273_training_export" ->
+      ("WITH " + exportCtes +
+        """SELECT doc_id, shard,
+          | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+          |   AS BIGINT) AS pos,
+          | n_tokens
+          |FROM sh ORDER BY shard, pos""".stripMargin),
+
+    // Export shard report: the same chain rolled to per-shard counts.
+    "q274_export_shard_report" ->
+      ("WITH " + exportCtes +
+        """SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          | CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin),
+
     // Absolute-size hash sample: the 32 smallest-ticket ids (md5 hash60
     // mod 2^50, salt "us", ties by id) — the winners CTE every round-14
     // eval oracle states, graded directly.
@@ -7963,6 +8100,99 @@ object SparkEntry {
     * same cosine-desc/id total order as the rerank CTE; zero-norm rows
     * are excluded on both sides (the engine's drop policy).
     */
+  /** The q273/q274 graded corpus: documents ∪ exact copies of every 5th
+    * doc (id + 10000 — the dedup stage keeps the lower-id original) ∪
+    * digit-junk rows for every 7th (id + 20000, forty "11" tokens: no
+    * letters, 1/40 unique — the quality gate drops them). Every export
+    * stage has planted work; the survivors are exactly the originals.
+    */
+  private def exportCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat_ws(" ", array_repeat(lit("11"), 40)).as("text")))
+  }
+
+  /** The q273/q274 training-export chain: q84's quality z formula as the
+    * gate (round-6 sigmoid > 0.5), q20's exact-dedup canonical pick
+    * (min doc_id per sha-256 text digest), whitespace token counts, and
+    * q97's shard deal (salt "epoch1", md5 hash60 mod 8) over the planted
+    * [[exportCorpus]]. Exposes `sh` `(doc_id, n_tokens, shard, h)` for
+    * the layout and report tails.
+    */
+  private lazy val exportCtes: String =
+    """corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+      | UNION ALL
+      | SELECT doc_id + 20000, trim(repeat('11 ', 40))
+      | FROM documents WHERE doc_id % 7 = 0),
+      |f AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      |z AS (SELECT doc_id,
+      |  -2.2 + 0.8 * least(len(t) / 100.0, 1.0)
+      |       + 0.15 * (CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t))
+      |       + 2.0 * (CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(t))
+      |       + 1.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+      |       - 0.3 * least(CAST(list_max(list_transform(t, x -> length(x))) AS DOUBLE) / 20.0, 1.0)
+      |  AS z FROM f),
+      |g AS (SELECT d.doc_id, d.text FROM corpus d JOIN z ON z.doc_id = d.doc_id
+      |      WHERE round(1.0 / (1.0 + exp(-z.z)), 6) > 0.5),
+      |c AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY sha256(text)),
+      |s AS (SELECT g.doc_id,
+      |       CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens,
+      |       md5('epoch1' || CAST(g.doc_id AS VARCHAR)) AS h
+      |      FROM g JOIN c USING (doc_id)),
+      |sh AS (SELECT doc_id, n_tokens,
+      |        ('0x' || substr(h, 1, 15))::BIGINT % 8 AS shard, h
+      |       FROM s)
+      |""".stripMargin
+
+  /** The q270/q271 binary-quantization chain: per-vector 32-bit sign
+    * words stated as `1::BIGINT << j` sums (the engine's reversed
+    * `acc·2 + bit` fold computes the identical Σ bit_j·2^(j−32w) — both
+    * words ≤ 2³²−1, no signed-overflow semantics in either engine),
+    * stage-1 rank by summed `bit_count(xor)` hamming ASC with the id
+    * tiebreak (≡ the engine's agreement-DESC heap order), exact cosine
+    * rerank of the top-`rerank` survivors with both sides norm-positive
+    * (the q54 stage-2 policy). Exposes `v` (double vectors), `fn`
+    * (norms), `qs` (the 16 sample winners), and `r` (final ranks) so
+    * the q271 recall tail reads the same names as q256's.
+    */
+  private def binaryRerankCtes(rerank: Int): String =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |${evalSampleNCte("qse", "embeddings", "vec_id", 16)},
+       |qs AS (SELECT vec_id FROM qse),
+       |fn AS (SELECT vec_id,
+       |        sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS n
+       |       FROM v),
+       |b AS (SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(0,32),
+       |    j -> CASE WHEN v[j+1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+       |  CAST(list_sum(list_transform(range(32,64),
+       |    j -> CASE WHEN v[j+1] > 0 THEN (1::BIGINT << (j-32)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+       | FROM v WHERE len(v) = 64),
+       |s1 AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, cb.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY bit_count(xor(cb.w0, qb.w0)) + bit_count(xor(cb.w1, qb.w1)) ASC,
+       |             cb.vec_id) AS arn
+       |  FROM b qb JOIN qs q ON q.vec_id = qb.vec_id
+       |  JOIN b cb ON cb.vec_id <> q.vec_id)
+       | WHERE arn <= $rerank),
+       |r AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY list_cosine_similarity(cv.v, qv.v) DESC, neighbor_id) AS BIGINT) AS rn
+       | FROM s1
+       | JOIN v cv ON cv.vec_id = s1.neighbor_id
+       | JOIN fn cn ON cn.vec_id = s1.neighbor_id AND cn.n > 0
+       | JOIN v qv ON qv.vec_id = s1.query_id
+       | JOIN fn qn ON qn.vec_id = s1.query_id AND qn.n > 0)""".stripMargin
+
   private lazy val bfTop5Cte: String =
     """bf AS MATERIALIZED (
       | SELECT query_id, neighbor_id FROM (

