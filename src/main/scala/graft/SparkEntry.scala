@@ -3018,6 +3018,15 @@ object SparkEntry {
         "doc_id", "text", nShards = 8, salt = "epoch1")
         .orderBy("shard", "pos")),
 
+    // ── the export with the PRODUCTION dedup stage: q58's full near-dup
+    // machinery (exact digest edges ∪ Jaccard-verified LSH near edges →
+    // components → min-id survivors) between the q84 gate and the q97
+    // deal — the complete "corpus in, training shards out" shape.
+    "q276_training_export_near" -> ((s, dir) =>
+      graft.operators.Export.trainingExportNearDup(exportCorpus(s, dir),
+        "doc_id", "text", minJaccard = 0.1, nShards = 8, salt = "epoch1")
+        .orderBy("shard", "pos")),
+
     // ── the export's per-shard QA table: (shard, n_docs, n_tokens) —
     // what a data-loader owner reads before a run.
     "q274_export_shard_report" -> ((s, dir) =>
@@ -6915,6 +6924,52 @@ object SparkEntry {
           | n_tokens
           |FROM sh ORDER BY shard, pos""".stripMargin),
 
+    // Near-dup training export: the gate CTEs + q58's dedup chain
+    // restated over the gated relation g (sig/bands/verify/exact edges/
+    // recursive components/min-label survivors) + the q97 deal tail.
+    "q276_training_export_near" ->
+      ("WITH RECURSIVE " + exportGateCtes + ",\n" +
+        s"sig AS (${minhashSigSqlOver("g")}), bands AS ($bandsSql),\n" +
+        s"""cand AS (
+           | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           | FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |shv AS (${shingleSqlOver("g")}),
+           |sz AS (SELECT doc_id, count(*) AS szz FROM shv GROUP BY 1),
+           |inter AS (
+           | SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+           | FROM cand c JOIN shv sa ON sa.doc_id = c.doc_a JOIN shv sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           | GROUP BY 1, 2),
+           |near AS (
+           | SELECT i.doc_a, i.doc_b FROM inter i
+           | JOIN sz za ON za.doc_id = i.doc_a JOIN sz zb ON zb.doc_id = i.doc_b
+           | WHERE i.n_inter / CAST(za.szz + zb.szz - i.n_inter AS DOUBLE) >= 0.1),
+           |exactg AS (SELECT sha256(text) AS h, min(doc_id) AS canon FROM g GROUP BY 1),
+           |exacte AS (SELECT gg.canon AS doc_a, d.doc_id AS doc_b
+           |           FROM g d JOIN exactg gg ON sha256(d.text) IS NOT DISTINCT FROM gg.h
+           |           WHERE d.doc_id <> gg.canon),
+           |edges AS (SELECT doc_a, doc_b FROM near UNION SELECT doc_a, doc_b FROM exacte),
+           |nodes(nn) AS (SELECT doc_a FROM edges UNION SELECT doc_b FROM edges),
+           |und(a, b) AS (SELECT doc_a, doc_b FROM edges UNION SELECT doc_b, doc_a FROM edges),
+           |cc(node, label) AS (
+           | SELECT nn, nn FROM nodes
+           | UNION
+           | SELECT u.b, cc.label FROM cc JOIN und u ON u.a = cc.node WHERE cc.label < u.b),
+           |losers AS (SELECT node FROM cc GROUP BY node HAVING node <> min(label)),
+           |surv AS (SELECT doc_id, text FROM g
+           |         WHERE doc_id NOT IN (SELECT node FROM losers)),
+           |s2 AS (SELECT doc_id,
+           |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |        md5('epoch1' || CAST(doc_id AS VARCHAR)) AS h
+           |       FROM surv),
+           |deal AS (SELECT doc_id, n_tokens,
+           |          ('0x' || substr(h, 1, 15))::BIGINT % 8 AS shard, h
+           |         FROM s2)
+           |SELECT doc_id, shard,
+           | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+           |   AS BIGINT) AS pos,
+           | n_tokens
+           |FROM deal ORDER BY shard, pos""".stripMargin),
+
     // Export shard report: the same chain rolled to per-shard counts.
     "q274_export_shard_report" ->
       ("WITH " + exportCtes +
@@ -8123,7 +8178,7 @@ object SparkEntry {
     * [[exportCorpus]]. Exposes `sh` `(doc_id, n_tokens, shard, h)` for
     * the layout and report tails.
     */
-  private lazy val exportCtes: String =
+  private lazy val exportGateCtes: String =
     """corpus AS (
       | SELECT doc_id, text FROM documents
       | UNION ALL
@@ -8140,7 +8195,10 @@ object SparkEntry {
       |       - 0.3 * least(CAST(list_max(list_transform(t, x -> length(x))) AS DOUBLE) / 20.0, 1.0)
       |  AS z FROM f),
       |g AS (SELECT d.doc_id, d.text FROM corpus d JOIN z ON z.doc_id = d.doc_id
-      |      WHERE round(1.0 / (1.0 + exp(-z.z)), 6) > 0.5),
+      |      WHERE round(1.0 / (1.0 + exp(-z.z)), 6) > 0.5)""".stripMargin
+
+  private lazy val exportCtes: String =
+    exportGateCtes + """,
       |c AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY sha256(text)),
       |s AS (SELECT g.doc_id,
       |       CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens,

@@ -53,6 +53,35 @@ object Export {
       .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
   }
 
+  /** [[trainingExport]] with the dedup stage upgraded to the PRODUCTION
+    * near-dup machinery: [[Dedup.dedupCorpus]] (exact digest edges ∪
+    * Jaccard-verified MinHash-LSH near edges, closed under connected
+    * components, min-id survivor per cluster) replaces the exact-only
+    * digest pick. Same gate, same token accounting, same deterministic
+    * shard deal; the stage-order contract (gate BEFORE dedup) is
+    * unchanged and just as load-bearing — a near-dup cluster must elect
+    * its survivor among the docs a loader could actually read.
+    *
+    * 100 TB shape: inherits [[Dedup.dedupCorpus]]'s banded candidate
+    * generation (never all-pairs) and the [[Sampling.assignShards]]
+    * exchange; the gate stays narrow. The exact-only
+    * [[trainingExport]] remains beside it as the cheap path when the
+    * corpus is known near-dup-free.
+    */
+  def trainingExportNearDup(docs: DataFrame, idCol: String, textCol: String,
+                            minJaccard: Double, nShards: Int,
+                            salt: String = ""): DataFrame = {
+    val kept = TextAnalysis.qualityClassify(docs, idCol, textCol)
+      .filter(col("keep"))
+      .select(col(idCol))
+    val gated = docs.join(kept, idCol)
+    val survivors = Dedup.dedupCorpus(gated, idCol, textCol, minJaccard)
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    Sampling.assignShards(survivors, idCol, nShards, salt)
+      .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
+  }
+
   /** The export's per-shard accounting twin — the QA table a data-loader
     * owner reads before a run: `(shard, n_docs, n_tokens)` per shard
     * over [[trainingExport]]'s output. Groups-sized; one keyed

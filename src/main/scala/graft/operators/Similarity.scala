@@ -2295,7 +2295,10 @@ object Similarity {
     * the DISTINCT probed cells of the query batch (≤ queries × nProbe
     * rows; the serving contract bounds the batch), a superset of the
     * norm-positive queries' probes, so the filter never removes a
-    * matchable row.
+    * matchable row. The query relation is read TWICE (probed-cell
+    * collect + the search) — serve with a materialized batch (the
+    * production shape; eval callers localCheckpoint their sample), or a
+    * query side derived from a corpus view re-scans its source.
     */
   def ivfPqSearchPruned(index: IvfPqIndex, corpus: DataFrame,
                         queries: DataFrame, idCol: String, vecCol: String,

@@ -63,6 +63,27 @@ class ExportSpec extends SparkSpec {
     assert(rep.map(_._3).sum == 120L, "40 + 80 tokens across the survivors")
   }
 
+  test("trainingExportNearDup: survivors are exactly gate ∘ dedupCorpus; near-dups weld where exact dedup cannot") {
+    // doc 3 is a NEAR copy of doc 1 (one token changed): exact dedup
+    // keeps both, the near-dup stage must weld them and keep id 1
+    val nearCopy = (goodA.split(" ").init :+ "CHANGED").mkString(" ")
+    val c = corpus.unionByName(Seq((3L, nearCopy)).toDF("doc_id", "text"))
+    val out = Export.trainingExportNearDup(c, "doc_id", "text",
+      minJaccard = 0.5, nShards = 4, salt = "s1")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L),
+      s"near copy and exact copy both weld to doc 1, junk gated: got $ids")
+    // the exact-only export keeps the near copy — the variant's delta
+    val exactIds = Export.trainingExport(c, "doc_id", "text", 4, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactIds == Set(1L, 2L, 3L))
+    // composition contract: survivors == dedupCorpus over the gated set
+    val gated = c.filter(!$"doc_id".isin(60L))
+    val want = Dedup.dedupCorpus(gated, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == want)
+  }
+
   test("dedup runs AFTER the gate: a junk copy of a kept doc cannot shadow it") {
     // doc 9 is a LOWER-id junk row; doc 10 is good. If dedup ran first
     // on the raw corpus they would not collide (different text), but a
