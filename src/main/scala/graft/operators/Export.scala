@@ -37,18 +37,22 @@ object Export {
     */
   def trainingExport(docs: DataFrame, idCol: String, textCol: String,
                      nShards: Int, salt: String = ""): DataFrame = {
-    val kept = TextAnalysis.qualityClassify(docs, idCol, textCol)
-      .filter(col("keep"))
-      .select(col(idCol))
-    val gated = docs.join(kept, idCol)
-    val canonical = gated
-      .groupBy(sha2(col(textCol), 256).as("__digest"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
+    // ONE corpus scan end-to-end before the deal: the gate is an
+    // in-place narrow filter (qualityGate — not classify + id
+    // join-back, which re-scans the corpus), and the canonical pick is
+    // a single digest HASH aggregation that carries the survivor's
+    // token count out of the groupBy via min_by (primitive buffers, so
+    // it hash-aggregates with map-side combine — a min(struct) form
+    // measured as SortAggregate: two extra per-partition sorts by
+    // digest) — no join back onto the corpus.
+    val gated = TextAnalysis.qualityGate(docs, textCol)
+      .select(sha2(col(textCol), 256).as("__digest"), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("__nt"))
     val survivors = gated
-      .join(canonical, Seq(idCol), "left_semi")
-      .select(col(idCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol),
+        min_by(col("__nt"), col(idCol)).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"))
     Sampling.assignShards(survivors, idCol, nShards, salt)
       .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
   }
@@ -71,10 +75,10 @@ object Export {
   def trainingExportNearDup(docs: DataFrame, idCol: String, textCol: String,
                             minJaccard: Double, nShards: Int,
                             salt: String = ""): DataFrame = {
-    val kept = TextAnalysis.qualityClassify(docs, idCol, textCol)
-      .filter(col("keep"))
-      .select(col(idCol))
-    val gated = docs.join(kept, idCol)
+    // the gate is the same in-place narrow filter as [[trainingExport]];
+    // dedupCorpus re-reads the gated view per internal stage by its own
+    // cost contract, and each re-read re-runs only a narrow scan+filter
+    val gated = TextAnalysis.qualityGate(docs, textCol)
     val survivors = Dedup.dedupCorpus(gated, idCol, textCol, minJaccard)
       .select(col(idCol),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))
@@ -90,4 +94,26 @@ object Export {
   def exportShardReport(export: DataFrame): DataFrame =
     export.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** Materialize an export relation (joined back to its payload columns)
+    * as the PHYSICAL shard layout a data loader consumes: one
+    * `shard=<k>/` directory per shard, rows within each shard's files in
+    * `pos` order (parquet preserves within-file row order; `pos` is
+    * also kept as a column so a multi-file shard — or a resumed reader —
+    * re-establishes the order by sorting a shard-local column, never a
+    * global sort).
+    *
+    * 100 TB shape: ONE exchange — `repartition(shard)` aligns writer
+    * tasks with shard directories (without it every task opens a file
+    * per shard it sees: nShards × tasks small files) — then an
+    * in-partition `(shard, pos)` sort; the [[Sampling.assignShards]]
+    * sizing rule (nShards ≈ corpus / target shard size) keeps each
+    * task's sort bounded. No global sort, no driver involvement.
+    */
+  def writeShards(export: DataFrame, path: String): Unit =
+    export.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
 }

@@ -689,9 +689,20 @@ object TextAnalysis {
     */
   def qualityClassify(df: DataFrame, idCol: String, textCol: String,
                       weights: Seq[Double] = DefaultQualityWeights,
-                      bias: Double = -2.2): DataFrame = {
+                      bias: Double = -2.2): DataFrame =
+    df.select(col(idCol),
+        qualityScoreExpr(col(textCol), weights, bias).as("quality_score"))
+      .withColumn("keep", col("quality_score") > 0.5)
+
+  /** The classifier's 6-dp sigmoid score as a pure COLUMN — one
+    * expression shared by [[qualityClassify]] (the graded projection)
+    * and [[qualityGate]] (the in-place filter), so the two can never
+    * disagree on a gate decision.
+    */
+  private def qualityScoreExpr(textCol: Column, weights: Seq[Double],
+                               bias: Double): Column = {
     require(weights.length == 5, s"need 5 feature weights, got ${weights.length}")
-    val t = split(col(textCol), " ")
+    val t = split(textCol, " ")
     val f1 = least(size(t).cast("double") / lit(100.0), lit(1.0))
     val f2 = aggregate(t, lit(0L), (a, x) => a + length(x).cast("long"))
       .cast("double") / size(t)
@@ -701,10 +712,21 @@ object TextAnalysis {
       lit(1.0))
     val z = lit(bias) + lit(weights(0)) * f1 + lit(weights(1)) * f2 +
       lit(weights(2)) * f3 + lit(weights(3)) * f4 + lit(weights(4)) * f5
-    df.select(col(idCol),
-        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality_score"))
-      .withColumn("keep", col("quality_score") > 0.5)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
+
+  /** [[qualityClassify]]'s gate as an IN-PLACE filter: the same round-6
+    * sigmoid > 0.5 decision applied to the full row — no projection, no
+    * id join-back, so a composition gates the corpus in the SAME scan
+    * that feeds its next stage (a `classify.filter(keep).join(df, id)`
+    * formulation scans the corpus twice and shuffles the join;
+    * spec-pinned equal to the classify-then-join kept set). Narrow,
+    * zero shuffles.
+    */
+  def qualityGate(df: DataFrame, textCol: String,
+                  weights: Seq[Double] = DefaultQualityWeights,
+                  bias: Double = -2.2): DataFrame =
+    df.filter(qualityScoreExpr(col(textCol), weights, bias) > 0.5)
 
   /** Bigram language-model scoring with STUPID BACKOFF (Brants et al.
     * 2007) — the next step from [[unigramLogLikelihood]] toward the

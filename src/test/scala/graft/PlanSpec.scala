@@ -1445,6 +1445,27 @@ class PlanSpec extends SparkSpec {
       "the cell pre-filter must not add any non-heap aggregate")
   }
 
+  test("q273 training export: JOIN-FREE — one corpus pass, one hash-agg canonical pick, one shard deal") {
+    val p = plan("q273_training_export")
+    assert(collectAll(p) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, "gate in-place + min_by canonical pick: nothing joins back onto the corpus")
+    // the canonical pick HASH-aggregates (primitive min/min_by buffers);
+    // a min(struct) form regresses to SortAggregate — two extra
+    // per-partition sorts by digest at corpus scale
+    assert(collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.size == 2, "partial+final digest hash aggregation")
+    assert(collectAll(p) {
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s
+    }.isEmpty)
+    // the only window is assignShards' in-shard rank
+    assert(collectAll(p) { case w: WindowExec => w }.size == 1)
+  }
+
   test("q261 sparse drift: vocabulary-sized keyed joins + one-row broadcasts — no window, no cartesian blowup") {
     val p = plan("q261_sparse_drift")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty)

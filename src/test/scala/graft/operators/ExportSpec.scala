@@ -84,6 +84,27 @@ class ExportSpec extends SparkSpec {
     assert(ids == want)
   }
 
+  test("writeShards: one directory per shard; reading a shard back in pos order reproduces the export") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exp = Export.trainingExport(docs, "doc_id", "text", nShards = 4,
+      salt = "s1").localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    Export.writeShards(exp, dir)
+    val dirs = new java.io.File(dir).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == (0 until 4).map(k => s"shard=$k").toSet,
+      s"one partition directory per shard, got $dirs")
+    val back = spark.read.parquet(dir)
+      .select($"doc_id", $"shard".cast("long"), $"pos", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(back == exp.as[(Long, Long, Long, Long)]
+      .collect().toSet && back.nonEmpty)
+    // a single shard read back in pos order is gap-free from 0
+    val s0 = spark.read.parquet(s"$dir/shard=0").orderBy("pos")
+      .select("pos").as[Long].collect()
+    assert(s0.sameElements(s0.indices.map(_.toLong)))
+  }
+
   test("dedup runs AFTER the gate: a junk copy of a kept doc cannot shadow it") {
     // doc 9 is a LOWER-id junk row; doc 10 is good. If dedup ran first
     // on the raw corpus they would not collide (different text), but a

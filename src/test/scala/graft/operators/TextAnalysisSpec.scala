@@ -142,6 +142,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.head._2 == expected && out.head._3 == (expected > 0.5))
     // garbage: zero alphabetic words -> below the 0.5 gate
     assert(out(1)._2 < out.head._2 && !out(1)._3)
+    // the in-place gate keeps exactly the classify-then-join kept set
+    // (one shared score expression — the two cannot disagree)
+    val gated = TextAnalysis.qualityGate(docs, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == out.filter(_._3).map(_._1).toSet && gated == Set(1L))
   }
 
   test("bigramLogLikelihood: bigram hits, stupid backoff, and OOV floor, by hand") {
