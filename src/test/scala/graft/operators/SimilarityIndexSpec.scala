@@ -287,6 +287,75 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(gotFlat == want)
   }
 
+  test("stored-vector index: corpus-free serve is bit-identical; clustered layout prunes both stages; add keeps the vec payload") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0)
+    val stored = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+      storeVectors = true)
+    assert(stored.codes.columns.contains("vec"))
+    val want = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, subspaces = 4, subDim = 16, pqK = 4,
+      pqIters = 2, rerank = 20).as[(Long, Long, Long)].collect().toSet
+    val got = Similarity.ivfPqSearchStored(stored, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20).as[(Long, Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty,
+      "the rerank over the stored vec payload reproduces the corpus rerank bit-for-bit")
+
+    // through the clustered persisted layout: no external table read,
+    // and the one parquet source (the codes relation) partition-prunes
+    val dir = Files.createTempDirectory("graft-ivfpq-sto-").toString
+    Similarity.ivfPqIndexSaveClustered(stored, dir)
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir)
+    val served = Similarity.ivfPqSearchStored(loaded, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20)
+    assert(served.as[(Long, Long, Long)].collect().toSet == want)
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val scans = unwrap(served.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val (idxScans, otherScans) = scans.partition(
+      _.relation.location.rootPaths.exists(_.toString.contains(dir)))
+    // stage 1 reads the codes (code_* columns), stage 2 the vec payload —
+    // BOTH from the index directory, both partition-filtered; the only
+    // other file source is the query side's fixture read
+    assert(idxScans.exists(_.schema.fieldNames.contains("vec")),
+      "the rerank reads the index's vec payload")
+    assert(idxScans.exists(_.schema.fieldNames.contains("code_0")),
+      "stage 1 reads the index's codes")
+    assert(idxScans.forall(_.partitionFilters.nonEmpty),
+      "both stages' index scans carry the probed-cell partition filter")
+    assert(otherScans.forall(
+      _.relation.location.rootPaths.exists(_.toString.contains("embeddings"))),
+      "no file source besides the index and the query relation")
+
+    // a vector-less index refuses the stored serve loudly
+    val plain = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfPqSearchStored(plain, qs, "vec_id", "embedding", k = 5))
+    assert(e.getMessage.contains("no stored vectors"))
+
+    // add encodes the delta WITH the payload: grown index still serves
+    // corpus-free and bit-identically to a stored rebuild over base+delta
+    val base = emb.filter($"vec_id" < 400)
+    val delta = emb.filter($"vec_id" >= 400)
+    val sBase = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+      storeVectors = true)
+    val grown = Similarity.ivfPqIndexAdd(sBase, delta, "vec_id", "embedding")
+    assert(grown.codes.columns.contains("vec"))
+    val gotGrown = Similarity.ivfPqSearchStored(grown, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20).as[(Long, Long, Long)].collect().toSet
+    val wantGrown = Similarity.ivfPqSearch(grown, emb, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20).as[(Long, Long, Long)].collect().toSet
+    assert(gotGrown == wantGrown && gotGrown.nonEmpty)
+  }
+
   test("binary index: round-trip parity with the inline operator; loader refuses torn or foreign directories") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qs = emb.filter($"vec_id" % 20 === 0)
