@@ -47,8 +47,15 @@ object Retrieval {
                    termCol: String, weightCol: String,
                    k: Int, nProbe: Int = 4, rerank: Int = 20,
                    k0: Int = 60): DataFrame = {
-    val dn = Similarity.ivfPqSearch(dense, corpus, queryVecs, idCol, vecCol,
-      k, nProbe, rerank)
+    // a stored-vector index serves its own rerank payload — the dense
+    // arm then reads NO corpus table and both stages prune to the
+    // probed cells (ivfPqSearchStored's contract: bit-identical output)
+    val dn = (if (dense.codes.columns.contains("vec"))
+        Similarity.ivfPqSearchStored(dense, queryVecs, idCol, vecCol,
+          k, nProbe, rerank)
+      else
+        Similarity.ivfPqSearch(dense, corpus, queryVecs, idCol, vecCol,
+          k, nProbe, rerank))
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
     val sp = TextAnalysis.sparseIndexSearch(sparse, queryPostings,
       queryIdCol, termCol, weightCol, k)

@@ -91,6 +91,31 @@ class RetrievalSpec extends SparkSpec {
     assert(scannedText.isEmpty, "serving must not re-read documents.text")
   }
 
+  test("hybridSearch auto-upgrades a stored-vector dense arm: identical fusion, corpus argument unread") {
+    val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+      weighting = "tfidf", minDf = 2, cap = Some(10))
+    val qv = Sampling.hashSampleN(emb, "vec_id", 8)
+    val qp = sIdx.postings
+      .join(Sampling.hashSampleN(docs, "doc_id", 8).select("doc_id"), "doc_id")
+      .withColumnRenamed("doc_id", "query_id")
+    def fused(dIdx: Similarity.IvfPqIndex, corpus: org.apache.spark.sql.DataFrame) =
+      Retrieval.hybridSearch(dIdx, corpus, qv, "vec_id", "embedding",
+        sIdx, qp, "query_id", "token", "weight", k = 5, nProbe = 4, rerank = 20)
+        .select("query_id", "doc_id", "rrf")
+        .as[(Long, Long, Double)].collect().toSet
+    val plain = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val stored = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+      storeVectors = true)
+    val want = fused(plain, emb)
+    // a stored dense arm ignores the corpus argument entirely: pass a
+    // POISONED corpus — identical fusion proves it is never read
+    val poisoned = emb.select($"vec_id",
+      transform($"embedding", x => x * 0.0f).as("embedding"))
+    assert(fused(stored, poisoned) == want && want.nonEmpty)
+  }
+
   test("out-of-corpus hybrid serving: raw text + vector queries against persisted indexes, no corpus scan") {
     val base = java.nio.file.Files.createTempDirectory("hybrid-oos").toString
     Similarity.ivfPqIndexSave(
