@@ -30,6 +30,18 @@ object Retrieval {
     * UNCAPPED postings — the query's full weight profile, q247's
     * convention) — both bounded by the eval/serving contract.
     *
+    * The dense arm serves from the corpus by default; `denseStored =
+    * true` is the EXPLICIT opt-in for an index built with
+    * `storeVectors = true` — the arm then reads NO corpus table (the
+    * `corpus` argument goes unread) and both stages prune to the
+    * probed cells ([[Similarity.ivfPqSearchStored]]'s bit-identity
+    * contract). Explicit, not inferred from the index schema: a stale
+    * vec payload must never silently override a fresher corpus the
+    * caller handed in. `weights` is the per-arm RRF coefficient pair
+    * (dense, sparse) — the tuned-alpha knob
+    * ([[Selection.rrfFuseRanksWeighted]]; the all-ones default IS
+    * plain RRF, one fusion tail, spec-pinned).
+    *
     * 100 TB shape: NO training or weight-chain job is reachable from
     * here (the [[Similarity.ivfPqSearch]] retrain-free guarantee plus
     * the sparse index's materialized posting relations — PlanSpec pins
@@ -46,22 +58,62 @@ object Retrieval {
                    queryPostings: DataFrame, queryIdCol: String,
                    termCol: String, weightCol: String,
                    k: Int, nProbe: Int = 4, rerank: Int = 20,
-                   k0: Int = 60): DataFrame = {
-    // a stored-vector index serves its own rerank payload — the dense
-    // arm then reads NO corpus table and both stages prune to the
-    // probed cells (ivfPqSearchStored's contract: bit-identical output)
-    val dn = (if (dense.codes.columns.contains("vec"))
-        Similarity.ivfPqSearchStored(dense, queryVecs, idCol, vecCol,
-          k, nProbe, rerank)
-      else
-        Similarity.ivfPqSearch(dense, corpus, queryVecs, idCol, vecCol,
-          k, nProbe, rerank))
+                   k0: Int = 60, denseStored: Boolean = false,
+                   weights: Seq[Double] = Seq(1.0, 1.0)): DataFrame = {
+    val dn = denseArm(dense, corpus, queryVecs, idCol, vecCol, k, nProbe,
+      rerank, denseStored, withScore = false)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
     val sp = TextAnalysis.sparseIndexSearch(sparse, queryPostings,
       queryIdCol, termCol, weightCol, k)
       .select(col("query_id"), col("doc_id"), col("rn"))
-    Selection.rrfFuseRanks(Seq(dn, sp), "query_id", "doc_id", "rn", k0)
+    Selection.rrfFuseRanksWeighted(Seq(dn, sp), "query_id", "doc_id", "rn",
+      weights, k0)
   }
+
+  /** [[hybridSearch]] with SCORE-based fusion — CombSUM/CombMNZ
+    * ([[Selection.fuseScoresMinMax]]) instead of rank RRF, for
+    * deployments where the arms' score VALUES carry signal the ranks
+    * flatten: the dense arm's exact rerank cosine (6 dp) and the sparse
+    * arm's exact-decimal dot product each min-max normalize per query,
+    * sum in fixed (dense, sparse) order, and CombMNZ multiplies by the
+    * agreement count. Output `(query_id, doc_id, n_lists, fused)`.
+    * Same serving skeleton as [[hybridSearch]] — same persisted-index
+    * arms, same `denseStored` opt-in, one fusion tail shared with the
+    * graded standalone verb.
+    */
+  def hybridSearchScores(dense: Similarity.IvfPqIndex, corpus: DataFrame,
+                         queryVecs: DataFrame, idCol: String, vecCol: String,
+                         sparse: TextAnalysis.SparseIndex,
+                         queryPostings: DataFrame, queryIdCol: String,
+                         termCol: String, weightCol: String,
+                         k: Int, nProbe: Int = 4, rerank: Int = 20,
+                         mnz: Boolean = true,
+                         denseStored: Boolean = false): DataFrame = {
+    val dn = denseArm(dense, corpus, queryVecs, idCol, vecCol, k, nProbe,
+      rerank, denseStored, withScore = true)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cos").as("score"))
+    val sp = TextAnalysis.sparseIndexSearch(sparse, queryPostings,
+      queryIdCol, termCol, weightCol, k)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    Selection.fuseScoresMinMax(Seq(dn, sp), "query_id", "doc_id", "score", mnz)
+  }
+
+  /** The one dense-arm dispatch both hybrid verbs share: corpus-served
+    * by default, [[Similarity.ivfPqSearchStored]] on the explicit
+    * `denseStored` opt-in (which refuses loudly when the index carries
+    * no `vec` payload).
+    */
+  private def denseArm(dense: Similarity.IvfPqIndex, corpus: DataFrame,
+                       queryVecs: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nProbe: Int, rerank: Int,
+                       denseStored: Boolean, withScore: Boolean): DataFrame =
+    if (denseStored)
+      Similarity.ivfPqSearchStored(dense, queryVecs, idCol, vecCol,
+        k, nProbe, rerank, withScore)
+    else
+      Similarity.ivfPqSearch(dense, corpus, queryVecs, idCol, vecCol,
+        k, nProbe, rerank, withScore)
 
   /** The HYBRID serving stack's health gate — one relation composing
     * both arms' drift monitors over a shared incoming batch: the dense

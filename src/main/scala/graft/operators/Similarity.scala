@@ -973,12 +973,14 @@ object Similarity {
     */
   def binaryRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, dim: Int, k: Int,
-                       rerank: Int = 20): DataFrame =
+                       rerank: Int = 20): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     binaryStages(
       corpus.filter(size(col(vecCol)) === dim)
         .select(col(idCol).as("neighbor_id"),
           signPack(col(vecCol), dim).as("__cw")),
       corpus, queries, idCol, vecCol, dim, k, rerank)
+  }
 
   /** The shared binary two-stage tail: `packedCorpus` is the stage-1
     * side as `(neighbor_id, __cw)` sign words — packed inline by
@@ -1005,13 +1007,31 @@ object Similarity {
       .agg(TopKOps.topK(rerank, col("__agree"), col("neighbor_id")).as("__top"))
       .select(col("query_id"),
         explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
-    def floats(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
-        .withColumn(n, norm(col(v)))
-        .filter(col(n) > 0)
-    val pairs = floats(corpus, "neighbor_id", "__cv", "__cn")
+    binaryExactRerank(survivors,
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+        .withColumn("__cn", norm(col("__cv"))).filter(col("__cn") > 0),
+      queries, idCol, vecCol, k)
+  }
+
+  /** The shared binary stage-2 tail: exact float cosine on the
+    * ≤ queries·rerank stage-1 survivors, norm-positive on both sides
+    * (the [[cosinePairs]] policy), (cos desc, id) rank. One tail for
+    * the full-scan ([[binaryStages]]) and cell-pruned
+    * ([[binarySearchCells]]) stage-1 forms, so the rerank arithmetic
+    * cannot drift between them; `rerankVecs` is `(neighbor_id, __cv,
+    * __cn)` — the float corpus, or a stored payload already carrying
+    * its norms.
+    */
+  private def binaryExactRerank(survivors: DataFrame, rerankVecs: DataFrame,
+                                queries: DataFrame, idCol: String,
+                                vecCol: String, k: Int): DataFrame = {
+    val qvs = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
+    val pairs = rerankVecs
       .join(broadcast(survivors), "neighbor_id")     // <= Q·rerank survivors
-      .join(broadcast(floats(queries, "query_id", "__qv", "__qn")), "query_id")
+      .join(broadcast(qvs), "query_id")
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
     explodeRanks(pairs, k, col("cos"), col("neighbor_id"))  // stage 2: exact
   }
@@ -1088,10 +1108,91 @@ object Similarity {
     */
   def binarySearch(index: BinaryIndex, corpus: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String, k: Int,
-                   rerank: Int = 20): DataFrame =
+                   rerank: Int = 20): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     binaryStages(
       index.words.select(col("id").as("neighbor_id"), col("words").as("__cw")),
       corpus, queries, idCol, vecCol, index.dim, k, rerank)
+  }
+
+  /** CELL-PRUNED binary serving — FAISS's IVF-with-binary-refinement
+    * shape: an [[IvfPqIndex]] built with `storeSignWords = true` carries
+    * each row's packed sign words beside its codes, so stage 1 becomes
+    * "rank the rows of the query's `nProbe` probed cells by sign
+    * agreement" instead of a full corpus scan ([[binaryRerankTopK]]'s
+    * documented floor), and stage 2 exact-reranks the top `rerank`
+    * survivors — from the index's `vec` payload when it carries one
+    * (`storeVectors = true`; the serve then reads NO external table),
+    * else from the float corpus.
+    *
+    * Semantics note: this is IVF candidate generation (a row outside
+    * every probed cell of a query is NOT a candidate for it), so
+    * results match [[binaryRerankTopK]] only at `nProbe = nCentroids`
+    * (spec-pinned); at small nProbe the recall question is
+    * [[annRecallReportFor]]'s job, exactly as for [[ivfPqSearch]].
+    *
+    * 100 TB shape: over a cell-clustered layout
+    * ([[ivfPqIndexSaveClustered]]) the probed-cell predicate is a
+    * PARTITION filter — stage 1 reads ~|probed|/nCentroids of the words
+    * relation at 8 bytes per 64 dims: the IVF scan discount and the
+    * 1-bit byte discount COMPOSE. The query relation is read twice
+    * (probed-cell collect + the search) and is defensively snapshotted
+    * with a lazy `localCheckpoint`, the [[ivfPqSearchPruned]] rule.
+    */
+  def binarySearchCells(index: IvfPqIndex, corpus: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nProbe: Int = 4, rerank: Int = 20): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    require(index.codes.columns.contains("words"),
+      "index carries no sign words — build with storeSignWords=true, or " +
+        "serve with binaryRerankTopK/binarySearch")
+    val (codebook, _, _, _) = collectIndexCodebooks(index)
+    val dim = codebook.head._2.length
+    val nWords = (dim + 31) / 32
+    val qs = queries.localCheckpoint(false)
+    val probed = qs
+      .select(explode(nearestCells(codebook, asDouble(col(vecCol)), nProbe))
+        .as("cell"))
+      .distinct().collect().map(_.getLong(0))
+    val codes =
+      if (probed.isEmpty) index.codes
+      else index.codes.filter(col("cell").isin(probed: _*))
+    // query side: packed words + the exploded probe cells, broadcast —
+    // each (query, candidate) pair joins once because a row's cell is
+    // unique and a query's probe set is distinct
+    val qWords = qs.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
+      .select(col("query_id"), signPack(col("__qv"), dim).as("__qw"),
+        explode(nearestCells(codebook, col("__qv"), nProbe)).as("cell"))
+    def hamming(a: Column, b: Column): Column =
+      (0 until nWords)
+        .map(i => bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1)))
+          .cast("long"))
+        .reduce(_ + _)
+    val survivors = codes
+      .select(col("id").as("neighbor_id"), col("cell"), col("words").as("__cw"))
+      .join(broadcast(qWords), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__agree",
+        (lit(dim.toLong) - hamming(col("__cw"), col("__qw"))).cast("double"))
+      .groupBy("query_id")
+      .agg(TopKOps.topK(rerank, col("__agree"), col("neighbor_id")).as("__top"))
+      .select(col("query_id"),
+        explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
+    // stage 2: a stored vec payload serves its own rerank (the pruned
+    // codes relation — corpus-free, both stages partition-pruned); the
+    // stored nrm is reused, rows norm-positive by the build's drop
+    val rerankVecs =
+      if (index.codes.columns.contains("vec"))
+        codes.select(col("id").as("neighbor_id"),
+          asDouble(col("vec")).as("__cv"), col("nrm").as("__cn"))
+      else
+        corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+          .withColumn("__cn", norm(col("__cv"))).filter(col("__cn") > 0)
+    binaryExactRerank(survivors, rerankVecs, qs, idCol, vecCol, k)
+  }
 
   /** Matryoshka (prefix-dimension) two-stage retrieval — the MRL serving
     * pattern: rank every (query, candidate) pair by the cosine of the
@@ -1946,7 +2047,7 @@ object Similarity {
                         cents: Array[Array[Array[Double]]],
                         baseDot: Option[Column], k: Int, nProbe: Int,
                         subspaces: Int, subDim: Int, pqK: Int,
-                        rerank: Int): DataFrame = {
+                        rerank: Int, withScore: Boolean = false): DataFrame = {
     require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
     // query side: nProbe probe cells + the ADC lookup table
     // `__adc[sp][c] = q_sp(9 dp) · centroid(sp, c)` — pqK·subspaces dots
@@ -1992,7 +2093,7 @@ object Similarity {
     val pairs = rerankVecs.join(broadcast(survivors), "neighbor_id")
       .join(broadcast(qvs), "query_id")
       .withColumn("cos", dot(col("__cv"), col("__qv")) / (col("__n") * col("__qn")))
-    explodeRanks(pairs, k, col("cos"), col("neighbor_id"))
+    explodeRanks(pairs, k, col("cos"), col("neighbor_id"), withScore)
   }
 
   /** IVF-PQ ANN search — the production 100 TB retrieval pattern
@@ -2240,12 +2341,17 @@ object Similarity {
     * relations and search with [[ivfPqSearch]] — results are
     * bit-identical to the inline [[ivfPqTopK]]/[[ivfPqResidualTopK]]
     * at the same parameters (spec-pinned, and q232's oracle IS q219's).
+    * `storeVectors` keeps the raw vector as a `vec` payload column (the
+    * [[ivfPqSearchStored]] corpus-free serve); `storeSignWords` packs
+    * each row's sign bits as a `words` payload (8 B per 64 dims — the
+    * [[binarySearchCells]] cell-pruned binary stage 1).
     */
   def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
                       nCentroids: Int = 16, subspaces: Int = 4,
                       subDim: Int = 16, pqK: Int = 4, pqIters: Int = 2,
                       residual: Boolean = false,
-                      storeVectors: Boolean = false): IvfPqIndex = {
+                      storeVectors: Boolean = false,
+                      storeSignWords: Boolean = false): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
@@ -2265,7 +2371,8 @@ object Similarity {
           pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters))
     val codes = codesShape(
       withPqCodeCols(codeSrc, codeVec, cents, subspaces, subDim), subspaces,
-      storeVectors)
+      storeVectors,
+      if (storeSignWords) Some(codebook.head._2.length) else None)
     val coarse = codebook.toSeq.toDF("cell", "centroid")
     val pq = (for {
       sp <- cents.indices
@@ -2282,13 +2389,16 @@ object Similarity {
     * expressions the inline operators use. The corpus appears only for
     * the stage-2 exact rerank vectors; stage 1 runs entirely on the
     * index's `codes` relation. Same output and determinism contract as
-    * [[ivfPqTopK]] — same parameters, bit-identical results.
+    * [[ivfPqTopK]] — same parameters, bit-identical results;
+    * `withScore = true` appends the exact rerank cosine as a 6-dp `cos`
+    * column (the [[graft.operators.Selection.fuseScoresMinMax]] input
+    * shape).
     */
   def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
-                  rerank: Int = 20): DataFrame =
+                  rerank: Int = 20, withScore: Boolean = false): DataFrame =
     ivfPqSearchWith(index, collectIndexCodebooks(index), corpus, queries,
-      idCol, vecCol, k, nProbe, rerank)
+      idCol, vecCol, k, nProbe, rerank, withScore)
 
   /** [[ivfPqSearch]] with the batch's probed-cell set pushed into the
     * codes SCAN as a static `cell IN (…)` predicate — result-identical
@@ -2302,31 +2412,31 @@ object Similarity {
     * rows; the serving contract bounds the batch), a superset of the
     * norm-positive queries' probes, so the filter never removes a
     * matchable row. The query relation is read TWICE (probed-cell
-    * collect + the search) — serve with a materialized batch (the
-    * production shape; eval callers localCheckpoint their sample), or a
-    * query side derived from a corpus view re-scans its source.
+    * collect + the search), so it is defensively snapshotted with a
+    * lazy `localCheckpoint` here — the collect materializes it once and
+    * the search reuses the same rows, so a nondeterministic or
+    * expensive query side can neither desynchronize the probe set from
+    * the search's probes nor re-scan its source. Production callers
+    * still SHOULD hand in a materialized batch (the serving contract);
+    * the snapshot is the safety net, not the sizing rule.
     */
   def ivfPqSearchPruned(index: IvfPqIndex, corpus: DataFrame,
                         queries: DataFrame, idCol: String, vecCol: String,
                         k: Int, nProbe: Int = 4, rerank: Int = 20): DataFrame = {
     val cbs = collectIndexCodebooks(index)
     val (codebook, _, _, _) = cbs
-    val probed = queries
+    val qs = queries.localCheckpoint(false)
+    val probed = qs
       .select(explode(nearestCells(codebook, asDouble(col(vecCol)), nProbe))
         .as("cell"))
       .distinct().collect().map(_.getLong(0))
     val pruned =
       if (probed.isEmpty) index
       else index.copy(codes = index.codes.filter(col("cell").isin(probed: _*)))
-    ivfPqSearchWith(pruned, cbs, corpus, queries, idCol, vecCol, k, nProbe,
+    ivfPqSearchWith(pruned, cbs, corpus, qs, idCol, vecCol, k, nProbe,
       rerank)
   }
 
-  /** [[ivfPqSearch]] over ALREADY-collected codebooks — so a caller
-    * searching the same index many times in one plan-build (the q242
-    * operating-point grid) pays the two bounded codebook collects ONCE,
-    * not once per search.
-    */
   /** Serve ENTIRELY from a stored-vector index — no corpus argument:
     * stage 2's exact rerank reads the `vec` payload the index carries
     * ([[ivfPqIndexBuild]] `storeVectors = true` — FAISS's IVF-with-
@@ -2341,17 +2451,22 @@ object Similarity {
     * vector values from a different relation; spec-pinned, graded
     * against the same oracle). Storage trade: the index carries the
     * vectors (the corpus bytes move INTO the codes relation) — the
-    * usual vector-DB deal, stated on the build knob.
+    * usual vector-DB deal, stated on the build knob. The query relation
+    * is read twice (probed-cell collect + the search) and so is
+    * defensively snapshotted with a lazy `localCheckpoint`, exactly as
+    * [[ivfPqSearchPruned]] — the probe set and the search always see
+    * the same query rows.
     */
   def ivfPqSearchStored(index: IvfPqIndex, queries: DataFrame, idCol: String,
                         vecCol: String, k: Int, nProbe: Int = 4,
-                        rerank: Int = 20): DataFrame = {
+                        rerank: Int = 20, withScore: Boolean = false): DataFrame = {
     require(index.codes.columns.contains("vec"),
       "index carries no stored vectors — build with storeVectors=true, " +
         "or serve with ivfPqSearch(index, corpus, ...)")
     val cbs = collectIndexCodebooks(index)
     val (codebook, cents, subspaces, pqK) = cbs
-    val probed = queries
+    val qs = queries.localCheckpoint(false)
+    val probed = qs
       .select(explode(nearestCells(codebook, asDouble(col(vecCol)), nProbe))
         .as("cell"))
       .distinct().collect().map(_.getLong(0))
@@ -2370,16 +2485,22 @@ object Similarity {
       if (index.residual)
         Some(dot(col("__qv"), element_at(typedlit(codebook.toMap), col("cell"))))
       else None
-    ivfPqRank(coded, rerankVecs, queries, idCol, vecCol, codebook, cents,
-      baseDot, k, nProbe, subspaces, index.subDim, pqK, rerank)
+    ivfPqRank(coded, rerankVecs, qs, idCol, vecCol, codebook, cents,
+      baseDot, k, nProbe, subspaces, index.subDim, pqK, rerank, withScore)
   }
 
+  /** [[ivfPqSearch]] over ALREADY-collected codebooks — so a caller
+    * searching the same index many times in one plan-build (the q242
+    * operating-point grid) pays the two bounded codebook collects ONCE,
+    * not once per search.
+    */
   private def ivfPqSearchWith(index: IvfPqIndex,
                               cbs: (Array[(Long, Seq[Double])],
                                 Array[Array[Array[Double]]], Int, Int),
                               corpus: DataFrame, queries: DataFrame,
                               idCol: String, vecCol: String, k: Int,
-                              nProbe: Int, rerank: Int): DataFrame = {
+                              nProbe: Int, rerank: Int,
+                              withScore: Boolean = false): DataFrame = {
     val (codebook, cents, subspaces, pqK) = cbs
     val coded = index.codes.select(
       col("id").as("neighbor_id") +: col("cell") +: col("nrm").as("__n") +:
@@ -2393,7 +2514,7 @@ object Similarity {
         Some(dot(col("__qv"), element_at(typedlit(codebook.toMap), col("cell"))))
       else None
     ivfPqRank(coded, rerankVecs, queries, idCol, vecCol, codebook, cents,
-      baseDot, k, nProbe, subspaces, index.subDim, pqK, rerank)
+      baseDot, k, nProbe, subspaces, index.subDim, pqK, rerank, withScore)
   }
 
   /** The two bounded codebook-relation collects every retrain-free verb
@@ -2455,8 +2576,11 @@ object Similarity {
       }
     // a stored-vector index ([[ivfPqIndexBuild]] storeVectors=true)
     // encodes its deltas WITH the vector payload, so add/union keeps one
-    // codes schema (a vec-less delta would refuse loudly at union)
+    // codes schema (a vec-less delta would refuse loudly at union) —
+    // and a sign-words index ([[ivfPqIndexBuild]] storeSignWords=true)
+    // likewise packs its deltas' words
     val stored = index.codes.columns.contains("vec")
+    val words = index.codes.columns.contains("words")
     val cells = ivfCells(batch, idCol, vecCol, codebook, keepRaw = stored)
     val (codeSrc, codeVec) =
       if (index.residual) {
@@ -2466,7 +2590,7 @@ object Similarity {
           col("__r"))
       } else (cells, col("__cv"))
     codesShape(withPqCodeCols(codeSrc, codeVec, cents, subspaces, index.subDim),
-      subspaces, stored)
+      subspaces, stored, if (words) Some(dim) else None)
   }
 
   /** Grow a persisted index WITHOUT retraining: [[ivfPqEncode]] the new
@@ -2580,11 +2704,15 @@ object Similarity {
     * the build and encode passes.
     */
   private def codesShape(coded: DataFrame, subspaces: Int,
-                         storeVectors: Boolean = false): DataFrame =
+                         storeVectors: Boolean = false,
+                         signWordsDim: Option[Int] = None): DataFrame =
     coded.select(
       col("neighbor_id").as("id") +: col("cell") +: col("__n").as("nrm") +:
         ((0 until subspaces).map(sp => col(s"__code_$sp").as(s"code_$sp")) ++
-          (if (storeVectors) Seq(col("__raw").as("vec")) else Nil)): _*)
+          (if (storeVectors) Seq(col("__raw").as("vec")) else Nil) ++
+          // sign words pack the RAW vector (not the residual): binary
+          // refinement ranks raw sign agreement ([[binarySearchCells]])
+          signWordsDim.map(d => signPack(col("__cv"), d).as("words")).toSeq): _*)
 
   /** IVF cell-occupancy HEALTH report — "is the coarse quantizer still
     * balanced on what the index now holds": one row per coarse cell,

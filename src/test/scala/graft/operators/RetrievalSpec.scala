@@ -91,16 +91,18 @@ class RetrievalSpec extends SparkSpec {
     assert(scannedText.isEmpty, "serving must not re-read documents.text")
   }
 
-  test("hybridSearch auto-upgrades a stored-vector dense arm: identical fusion, corpus argument unread") {
+  test("hybridSearch stored dense arm is an EXPLICIT opt-in: corpus unread when on, respected when off, refused without a payload") {
     val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
       weighting = "tfidf", minDf = 2, cap = Some(10))
     val qv = Sampling.hashSampleN(emb, "vec_id", 8)
     val qp = sIdx.postings
       .join(Sampling.hashSampleN(docs, "doc_id", 8).select("doc_id"), "doc_id")
       .withColumnRenamed("doc_id", "query_id")
-    def fused(dIdx: Similarity.IvfPqIndex, corpus: org.apache.spark.sql.DataFrame) =
+    def fused(dIdx: Similarity.IvfPqIndex, corpus: org.apache.spark.sql.DataFrame,
+              stored: Boolean) =
       Retrieval.hybridSearch(dIdx, corpus, qv, "vec_id", "embedding",
-        sIdx, qp, "query_id", "token", "weight", k = 5, nProbe = 4, rerank = 20)
+        sIdx, qp, "query_id", "token", "weight", k = 5, nProbe = 4, rerank = 20,
+        denseStored = stored)
         .select("query_id", "doc_id", "rrf")
         .as[(Long, Long, Double)].collect().toSet
     val plain = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
@@ -108,12 +110,93 @@ class RetrievalSpec extends SparkSpec {
     val stored = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
       nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
       storeVectors = true)
-    val want = fused(plain, emb)
-    // a stored dense arm ignores the corpus argument entirely: pass a
-    // POISONED corpus — identical fusion proves it is never read
+    val want = fused(plain, emb, stored = false)
+    // opted IN, the dense arm ignores the corpus argument entirely:
+    // pass a POISONED corpus — identical fusion proves it is never read
     val poisoned = emb.select($"vec_id",
       transform($"embedding", x => x * 0.0f).as("embedding"))
-    assert(fused(stored, poisoned) == want && want.nonEmpty)
+    assert(fused(stored, poisoned, stored = true) == want && want.nonEmpty)
+    // NOT opted in, a vec-carrying index still serves from the corpus
+    // the caller handed in (a stale payload must never silently win):
+    // the poisoned corpus now CHANGES the result — it was read
+    assert(fused(stored, emb, stored = false) == want)
+    assert(fused(stored, poisoned, stored = false) != want)
+    // opting in without a payload refuses loudly
+    val e = intercept[IllegalArgumentException](
+      fused(plain, emb, stored = true))
+    assert(e.getMessage.contains("no stored vectors"))
+  }
+
+  test("hybridSearch weights knob: the tuned-alpha fusion IS rrfFuseRanksWeighted over the arms; all-ones IS the default") {
+    val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+      weighting = "tfidf", minDf = 2, cap = Some(10))
+    val qv = Sampling.hashSampleN(emb, "vec_id", 8)
+    val qp = sIdx.postings
+      .join(Sampling.hashSampleN(docs, "doc_id", 8).select("doc_id"), "doc_id")
+      .withColumnRenamed("doc_id", "query_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "rrf")
+      .as[(Long, Long, Double)].collect().toSet
+    val weighted = rows(Retrieval.hybridSearch(dIdx, emb, qv, "vec_id",
+      "embedding", sIdx, qp, "query_id", "token", "weight",
+      k = 5, nProbe = 4, rerank = 20, weights = Seq(0.7, 0.3)))
+    // parity with the hand-wired composition the knob replaces
+    val dn = Similarity.ivfPqSearch(dIdx, emb, qv, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rn"))
+    val sp = TextAnalysis.sparseIndexSearch(sIdx, qp, "query_id",
+      "token", "weight", k = 5)
+      .select(col("query_id"), col("doc_id"), col("rn"))
+    val manual = rows(Selection.rrfFuseRanksWeighted(Seq(dn, sp),
+      "query_id", "doc_id", "rn", weights = Seq(0.7, 0.3), k0 = 60))
+    assert(weighted == manual && weighted.nonEmpty)
+    // all-ones weights ≡ the unweighted default (one fusion tail)
+    val allOnes = rows(Retrieval.hybridSearch(dIdx, emb, qv, "vec_id",
+      "embedding", sIdx, qp, "query_id", "token", "weight",
+      k = 5, nProbe = 4, rerank = 20, weights = Seq(1.0, 1.0)))
+    val default = rows(Retrieval.hybridSearch(dIdx, emb, qv, "vec_id",
+      "embedding", sIdx, qp, "query_id", "token", "weight",
+      k = 5, nProbe = 4, rerank = 20))
+    assert(allOnes == default)
+  }
+
+  test("hybridSearchScores: CombMNZ over the arms' exact scores IS fuseScoresMinMax of the scored lists") {
+    val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+      weighting = "tfidf", minDf = 2, cap = Some(10))
+    val qv = Sampling.hashSampleN(emb, "vec_id", 8)
+    val qp = sIdx.postings
+      .join(Sampling.hashSampleN(docs, "doc_id", 8).select("doc_id"), "doc_id")
+      .withColumnRenamed("doc_id", "query_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "n_lists", "fused")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = rows(Retrieval.hybridSearchScores(dIdx, emb, qv, "vec_id",
+      "embedding", sIdx, qp, "query_id", "token", "weight",
+      k = 5, nProbe = 4, rerank = 20, mnz = true))
+    val dn = Similarity.ivfPqSearch(dIdx, emb, qv, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20, withScore = true)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cos").as("score"))
+    val sp = TextAnalysis.sparseIndexSearch(sIdx, qp, "query_id",
+      "token", "weight", k = 5)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val manual = rows(Selection.fuseScoresMinMax(Seq(dn, sp),
+      "query_id", "doc_id", "score", mnz = true))
+    assert(got == manual && got.nonEmpty)
+    // withScore appends the 6-dp rerank cosine without disturbing the
+    // rank contract: same (query, neighbor, rn) set as the plain search
+    val scored = Similarity.ivfPqSearch(dIdx, emb, qv, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 20, withScore = true)
+    assert(scored.columns.toSeq == Seq("query_id", "neighbor_id", "cos", "rn"))
+    val plainRanks = Similarity.ivfPqSearch(dIdx, emb, qv, "vec_id",
+      "embedding", k = 5, nProbe = 4, rerank = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(scored.select("query_id", "neighbor_id", "rn")
+      .as[(Long, Long, Long)].collect().toSet == plainRanks)
   }
 
   test("out-of-corpus hybrid serving: raw text + vector queries against persisted indexes, no corpus scan") {

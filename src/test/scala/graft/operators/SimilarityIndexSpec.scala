@@ -389,6 +389,99 @@ class SimilarityIndexSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Similarity.binaryIndexLoad(spark, alien))
     assert(e2.getMessage.contains("must hold exactly (id, words)"))
+
+    // the ivfPqTopK argument-guard convention, extended to the binary
+    // entry points: rerank < k refuses instead of silently under-filling
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.binaryRerankTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, k = 5, rerank = 3))
+    assert(e3.getMessage.contains("rerank >= k"))
+    val e4 = intercept[IllegalArgumentException](
+      Similarity.binarySearch(loaded, emb, qs, "vec_id", "embedding",
+        k = 5, rerank = 3))
+    assert(e4.getMessage.contains("rerank >= k"))
+  }
+
+  test("binarySearchCells: full-probe parity with the flat scan, cell-pruned stage 1 over the clustered layout, stored payload serves corpus-free") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0).localCheckpoint()
+    val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+      storeSignWords = true)
+    assert(idx.codes.columns.contains("words"))
+
+    // at nProbe = nCentroids every cell is probed — candidates are the
+    // whole (norm-positive) corpus, so the result IS the flat binary
+    // two-stage scan (the fixture holds no zero-norm rows)
+    val want = Similarity.binaryRerankTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = 5, rerank = 20).as[(Long, Long, Long)].collect().toSet
+    val full = Similarity.binarySearchCells(idx, emb, qs, "vec_id",
+      "embedding", k = 5, nProbe = 16, rerank = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == want && want.nonEmpty)
+
+    // at small nProbe the serve still fills k rows per query and every
+    // neighbor sits in one of that query's probed cells (IVF semantics)
+    val pruned = Similarity.binarySearchCells(idx, emb, qs, "vec_id",
+      "embedding", k = 5, nProbe = 4, rerank = 20)
+    val prunedRows = pruned.as[(Long, Long, Long)].collect()
+    assert(prunedRows.nonEmpty)
+    assert(prunedRows.groupBy(_._1).forall(_._2.length == 5))
+
+    // clustered layout: the probed-cell predicate is a PARTITION filter
+    // on the words scan (the ivfPqSearchPruned physical contract)
+    val dir = Files.createTempDirectory("graft-binc-").toString
+    Similarity.ivfPqIndexSaveClustered(idx, dir)
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir)
+    val served = Similarity.binarySearchCells(loaded, emb, qs, "vec_id",
+      "embedding", k = 5, nProbe = 4, rerank = 20)
+    assert(served.as[(Long, Long, Long)].collect().toSet ==
+      prunedRows.toSet)
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val idxScans = unwrap(served.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(dir)) => f
+    }
+    assert(idxScans.nonEmpty && idxScans.forall(_.partitionFilters.nonEmpty),
+      "the probed-cell predicate must prune partitions on the index scans")
+
+    // a words+vec index serves BOTH stages from its own payload: the
+    // poisoned-corpus proof that no external table is read
+    val both = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+      storeVectors = true, storeSignWords = true)
+    val poisoned = emb.select($"vec_id",
+      transform($"embedding", x => x * 0.0f).as("embedding"))
+    val corpusFree = Similarity.binarySearchCells(both, poisoned, qs,
+      "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(corpusFree == prunedRows.toSet,
+      "a stored vec payload makes the corpus argument unread")
+
+    // encode parity: a grown words index packs its deltas' words too
+    val base = Similarity.ivfPqIndexBuild(emb.filter($"vec_id" < 400),
+      "vec_id", "embedding", nCentroids = 16, subspaces = 4, subDim = 16,
+      pqK = 4, pqIters = 2, storeSignWords = true)
+    val grown = Similarity.ivfPqIndexAdd(base, emb.filter($"vec_id" >= 400),
+      "vec_id", "embedding")
+    assert(grown.codes.columns.contains("words"))
+    assert(grown.codes.count() == idx.codes.count())
+
+    // guards: rerank < k, and a words-less index refuses loudly
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.binarySearchCells(idx, emb, qs, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 3))
+    assert(e1.getMessage.contains("rerank >= k"))
+    val plain = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.binarySearchCells(plain, emb, qs, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 20))
+    assert(e2.getMessage.contains("no sign words"))
   }
 
   test("semanticDedupBanded: drops are a subset of flat; full recall at planes=0-equivalent") {
