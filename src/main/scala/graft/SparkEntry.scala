@@ -3051,6 +3051,120 @@ object SparkEntry {
           "doc_id", "text", nShards = 8, salt = "epoch1"))
         .orderBy("shard")),
 
+    // ── the FULL production hybrid deployment, graded end-to-end:
+    // q265's out-of-corpus shape with the dense index built
+    // storeVectors=true, BOTH indexes SAVED (dense cell-clustered) and
+    // RELOADED, and the dense arm served corpus-free (denseStored —
+    // both stages partition-pruned, the corpus argument unread). Every
+    // step is bit-identity-contracted (q277's stored rerank, q272's
+    // pruned scan, q258's sparse round-trip, q264's reconstruction), so
+    // this grades against q265's oracle VERBATIM.
+    "q278_hybrid_stored_clustered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft-q278-").toString
+      Similarity.ivfPqIndexSaveClustered(
+        Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+          nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+          storeVectors = true),
+        s"$base/dense")
+      TextAnalysis.sparseIndexSave(
+        TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+          weighting = "tfidf", minDf = 2, cap = Some(25)),
+        s"$base/sparse")
+      val dIdx = Similarity.ivfPqIndexLoad(s, s"$base/dense")
+      val sIdx = TextAnalysis.sparseIndexLoad(s, s"$base/sparse")
+      val qp = TextAnalysis.queryPostings(sIdx,
+        evalSampleN(docs, "doc_id", 16), "doc_id", "text")
+      graft.operators.Retrieval.hybridSearch(dIdx, emb /* unread */,
+        evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
+        sIdx, qp, "query_id", "token", "weight",
+        k = 5, nProbe = 4, rerank = 20, denseStored = true)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    }),
+
+    // ── the tuned-alpha hybrid: q260's persisted-index arms fused at
+    // dense 0.7 / sparse 0.3 through the composed verb's weights knob
+    // (rrfFuseRanksWeighted's one fusion tail — q269's coefficients
+    // inside the serving verb instead of hand-wired around it).
+    "q279_hybrid_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2, cap = Some(25))
+      val qp = sIdx.postings
+        .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      graft.operators.Retrieval.hybridSearch(dIdx, emb,
+        evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
+        sIdx, qp, "query_id", "token", "weight",
+        k = 5, nProbe = 4, rerank = 20, weights = Seq(0.7, 0.3))
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    }),
+
+    // ── CELL-PRUNED binary serving (FAISS's IVF-with-binary-refine):
+    // the index carries packed sign words AND the vec payload, so
+    // stage 1 hamming-ranks only each query's 4 probed cells and
+    // stage 2 reranks from the index's own vectors — NO external table
+    // read (the corpus argument is unread), and over the clustered
+    // layout both stages are partition-pruned. IVF semantics by
+    // construction: candidates come from the query's probed cells.
+    "q280_binary_cell_pruned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+        storeVectors = true, storeSignWords = true)
+      Similarity.binarySearchCells(idx, emb, evalSampleN(emb, "vec_id", 16),
+        "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
+        .orderBy("query_id", "rn")
+    }),
+
+    // ── the physical shard layout graded end-to-end: writeShards
+    // materializes q273's export as one shard=<k>/ directory per shard,
+    // and the query READS THE LAYOUT BACK (shard requested as LONG —
+    // the partition-column convention) — the loader-facing artifact
+    // oracle-checked against q273's statement (the store round-trip
+    // convention the EPSS side established).
+    "q281_export_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-q281-")
+        .toString + "/shards"
+      graft.operators.Export.writeShards(
+        graft.operators.Export.trainingExport(exportCorpus(s, dir),
+          "doc_id", "text", nShards = 8, salt = "epoch1"), out)
+      val raw = s.read.parquet(out)
+      val schema = org.apache.spark.sql.types.StructType(raw.schema.map(f =>
+        if (f.name == "shard")
+          f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+      s.read.schema(schema).parquet(out)
+        .select("doc_id", "shard", "pos", "n_tokens")
+        .orderBy("shard", "pos")
+    }),
+
+    // ── SCORE-fused hybrid serving: q260's persisted-index arms fused
+    // by CombMNZ over their exact scores (the dense arm's 6-dp rerank
+    // cosine via withScore, the sparse arm's exact-decimal dot) — the
+    // q268 normalization inside the composed serving verb, for
+    // deployments where score VALUES carry signal the ranks flatten.
+    "q282_hybrid_score_serving" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2, cap = Some(25))
+      val qp = sIdx.postings
+        .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      graft.operators.Retrieval.hybridSearchScores(dIdx, emb,
+        evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
+        sIdx, qp, "query_id", "token", "weight",
+        k = 5, nProbe = 4, rerank = 20, mnz = true)
+        .orderBy(col("query_id"), col("fused").desc, col("doc_id"))
+    }),
+
     // ── cluster-balanced (diversity) selection: k-means assignment
     // bounds the strata, then a uniform content-hash lottery keeps 5 per
     // cluster — the coreset/SemDeDup-adjacent "cover the space, not the
@@ -6998,6 +7112,97 @@ object SparkEntry {
           | CAST(sum(n_tokens) AS BIGINT) AS n_tokens
           |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin),
 
+    // The full stored+clustered hybrid deployment: every lifecycle step
+    // is bit-identity-contracted (stored rerank ≡ corpus rerank ≡ q232,
+    // clustered save/load ≡ flat, sparse round-trip ≡ build, in-corpus
+    // reconstruction ≡ postings), so the end-to-end serve grades against
+    // q265's oracle VERBATIM — the parity chain IS the graded claim.
+    "q278_hybrid_stored_clustered" ->
+      ("WITH " + ivfPqTrainCtes() + ",\n" +
+        ivfPqSearchTailCtes(4, 20, "") + ",\n" +
+        sparseReconstructionCtes + ",\n" + hybridIndexFusionTail),
+
+    // Weighted hybrid serving: q260's exact oracle with the q269
+    // coefficients in the fusion tail (dense 0.7, sparse 0.3, both CAST
+    // to DOUBLE so the engines divide identical IEEE values).
+    "q279_hybrid_weighted" ->
+      ("WITH " + ivfPqTrainCtes() + ",\n" +
+        ivfPqSearchTailCtes(4, 20, "") + ",\n" +
+        sparsePostingCtes + ",\n" +
+        hybridIndexFusionTailWeighted("0.7", "0.3")),
+
+    // Cell-pruned binary serving: the q219 coarse-quantizer statement
+    // (first-16 centroids, cosine-distance assignment, per-query top-4
+    // probes) composed with the q270 sign-word hamming rank — stage-1
+    // candidates are the query's probed cells' rows (IVF semantics),
+    // stage 2 the exact-cosine rerank.
+    "q280_binary_cell_pruned" ->
+      ("WITH " + binaryCellCtes(nProbe = 4, rerank = 20) +
+        "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
+        "\nORDER BY query_id, rn"),
+
+    // Export round-trip: reading the written shard=<k>/ layout back
+    // reproduces the export relation row-for-row — graded against
+    // q273's statement verbatim (the store round-trip convention).
+    "q281_export_roundtrip" ->
+      ("WITH " + exportCtes +
+        """SELECT doc_id, shard,
+          | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+          |   AS BIGINT) AS pos,
+          | n_tokens
+          |FROM sh ORDER BY shard, pos""".stripMargin),
+
+    // Score-fused hybrid serving: the q232 dense chain with the rerank
+    // cosine VALUES restated through the exact dot/norm fold (the q211
+    // convention), the q248 capped sparse scoring chain, and the q268
+    // min-max CombMNZ tail over the two top-5 lists.
+    "q282_hybrid_score_serving" ->
+      ("WITH " + ivfPqTrainCtes() + ",\n" +
+        ivfPqSearchTailCtes(4, 20, "") + ",\n" +
+        sparsePostingCtes + ",\n" +
+        """cpost AS (SELECT doc_id, token, w FROM (
+          |  SELECT doc_id, token, w,
+          |   row_number() OVER (PARTITION BY token ORDER BY w DESC, doc_id) AS prn
+          |  FROM post) WHERE prn <= 25),""".stripMargin + "\n" +
+        sparseTopKTail("cpost", "_sp") + ",\n" +
+        """rerx AS (SELECT s.query_id, s.neighbor_id,
+          |  list_reduce(list_transform(range(1, 65), j -> cn.v[j] * cq.v[j]), (x, y) -> x + y)
+          |   / (sqrt(list_reduce(list_transform(range(1, 65), j -> cn.v[j] * cn.v[j]), (x, y) -> x + y))
+          |      * sqrt(list_reduce(list_transform(range(1, 65), j -> cq.v[j] * cq.v[j]), (x, y) -> x + y))) AS cos
+          | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
+          | JOIN c cq ON cq.vec_id = s.query_id),
+          |ld AS (SELECT query_id, neighbor_id AS doc_id,
+          |        round(cos, 6) + 0.0 AS score
+          |       FROM (SELECT query_id, neighbor_id, cos,
+          |              row_number() OVER (PARTITION BY query_id
+          |               ORDER BY cos DESC, neighbor_id) AS xrn
+          |             FROM rerx) WHERE xrn <= 5),
+          |ls AS (SELECT query_id, doc_id, score FROM r_sp WHERE rn <= 5),
+          |ed AS (SELECT query_id, min(score) AS mn, max(score) AS mx FROM ld GROUP BY 1),
+          |es AS (SELECT query_id, min(score) AS mn, max(score) AS mx FROM ls GROUP BY 1),
+          |nd AS (SELECT l.query_id, l.doc_id,
+          |        CASE WHEN e.mx > e.mn THEN (l.score - e.mn) / (e.mx - e.mn)
+          |             ELSE 1.0 END AS nrm
+          |       FROM ld l JOIN ed e USING (query_id)),
+          |ns AS (SELECT l.query_id, l.doc_id,
+          |        CASE WHEN e.mx > e.mn THEN (l.score - e.mn) / (e.mx - e.mn)
+          |             ELSE 1.0 END AS nrm
+          |       FROM ls l JOIN es e USING (query_id)),
+          |fj AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+          |        coalesce(a.doc_id, b.doc_id) AS doc_id,
+          |        a.nrm AS n1, b.nrm AS n2
+          |       FROM nd a FULL JOIN ns b
+          |        ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
+          |fzz AS (SELECT query_id, doc_id,
+          |        CAST((CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END)
+          |           + (CASE WHEN n2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lists,
+          |        round((coalesce(n1, 0.0) + coalesce(n2, 0.0)) *
+          |              ((CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END)
+          |             + (CASE WHEN n2 IS NOT NULL THEN 1 ELSE 0 END)), 6) AS fused
+          |        FROM fj)
+          |SELECT query_id, doc_id, n_lists, fused FROM fzz
+          |ORDER BY query_id, fused DESC, doc_id""".stripMargin),
+
     // Absolute-size hash sample: the 32 smallest-ticket ids (md5 hash60
     // mod 2^50, salt "us", ties by id) — the winners CTE every round-14
     // eval oracle states, graded directly.
@@ -7922,6 +8127,33 @@ object SparkEntry {
         |SELECT query_id, doc_id, rank_1, rank_2, rrf FROM fz
         |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
 
+  /** [[hybridIndexFusionTail]] with per-arm RRF coefficients — the q279
+    * weighted-serving oracle: identical chain, the fz terms multiplied
+    * by `wd`/`ws` (CAST to DOUBLE, the q269 convention, so both engines
+    * divide the same IEEE values).
+    */
+  private def hybridIndexFusionTailWeighted(wd: String, ws: String): String =
+    """cpost AS (SELECT doc_id, token, w FROM (
+      |  SELECT doc_id, token, w,
+      |   row_number() OVER (PARTITION BY token ORDER BY w DESC, doc_id) AS prn
+      |  FROM post) WHERE prn <= 25),""".stripMargin + "\n" +
+      sparseTopKTail("cpost", "_sp") + ",\n" +
+      s"""spx AS (SELECT query_id, doc_id, rn FROM r_sp WHERE rn <= 5),
+         |dnx AS (SELECT query_id, neighbor_id AS doc_id, rn FROM r WHERE rn <= 5),
+         |f AS (SELECT coalesce(d.query_id, s.query_id) AS query_id,
+         |       coalesce(d.doc_id, s.doc_id) AS doc_id,
+         |       d.rn AS rank_1, s.rn AS rank_2
+         |      FROM dnx d FULL JOIN spx s
+         |       ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+         |fz AS (SELECT query_id, doc_id, rank_1, rank_2,
+         | round((CASE WHEN rank_1 IS NOT NULL
+         |         THEN CAST($wd AS DOUBLE) / (60.0 + rank_1) ELSE 0.0 END)
+         |     + (CASE WHEN rank_2 IS NOT NULL
+         |         THEN CAST($ws AS DOUBLE) / (60.0 + rank_2) ELSE 0.0 END), 6) AS rrf
+         |       FROM f)
+         |SELECT query_id, doc_id, rank_1, rank_2, rrf FROM fz
+         |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
   /** The sparse-retrieval scoring tail over a posting CTE: exact decimal
     * dot products per (query, doc), one terminal double cast, the
     * (score DESC, doc_id) rank — suffixed so q248 can run it twice.
@@ -8262,6 +8494,61 @@ object SparkEntry {
        |             cb.vec_id) AS arn
        |  FROM b qb JOIN qs q ON q.vec_id = qb.vec_id
        |  JOIN b cb ON cb.vec_id <> q.vec_id)
+       | WHERE arn <= $rerank),
+       |r AS (SELECT query_id, neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY list_cosine_similarity(cv.v, qv.v) DESC, neighbor_id) AS BIGINT) AS rn
+       | FROM s1
+       | JOIN v cv ON cv.vec_id = s1.neighbor_id
+       | JOIN fn cn ON cn.vec_id = s1.neighbor_id AND cn.n > 0
+       | JOIN v qv ON qv.vec_id = s1.query_id
+       | JOIN fn qn ON qn.vec_id = s1.query_id AND qn.n > 0)""".stripMargin
+
+  /** The q280 cell-pruned binary chain: the q219 coarse-quantizer
+    * statement (first-16-by-id centroids, cosine-distance assignment
+    * with the (dist asc, cell asc) tie order, per-query top-`nProbe`
+    * probes over the norm-positive queries) composed with the q270
+    * sign-word hamming rank — stage-1 candidates are exactly the rows
+    * of the query's probed cells (norm-positive, the codes-relation
+    * membership), stage 2 the exact-cosine rerank over both-norm-
+    * positive survivors. Exposes `r` so the select tail reads as q270's.
+    */
+  private def binaryCellCtes(nProbe: Int, rerank: Int): String =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |${evalSampleNCte("qse", "embeddings", "vec_id", 16)},
+       |fn AS (SELECT vec_id,
+       |        sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS n
+       |       FROM v),
+       |cents AS (SELECT vec_id AS cell, v AS cv FROM v ORDER BY vec_id LIMIT 16),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT c.vec_id, ct.cell,
+       |   row_number() OVER (PARTITION BY c.vec_id
+       |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+       |  FROM v c, cents ct) WHERE arn = 1),
+       |qset AS (SELECT c.vec_id, c.v FROM v c JOIN fn nq ON nq.vec_id = c.vec_id
+       |         WHERE c.vec_id IN (SELECT vec_id FROM qse) AND nq.n > 0),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id AS query_id, ct.cell,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
+       |  FROM qset q, cents ct) WHERE prn <= $nProbe),
+       |b AS (SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(0,32),
+       |    j -> CASE WHEN v[j+1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+       |  CAST(list_sum(list_transform(range(32,64),
+       |    j -> CASE WHEN v[j+1] > 0 THEN (1::BIGINT << (j-32)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+       | FROM v WHERE len(v) = 64),
+       |s1 AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY bit_count(xor(cb.w0, qb.w0)) + bit_count(xor(cb.w1, qb.w1)) ASC,
+       |             a.vec_id) AS arn
+       |  FROM assign a JOIN probes p ON a.cell = p.cell
+       |  JOIN fn nm ON nm.vec_id = a.vec_id AND nm.n > 0
+       |  JOIN b cb ON cb.vec_id = a.vec_id
+       |  JOIN b qb ON qb.vec_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id)
        | WHERE arn <= $rerank),
        |r AS (SELECT query_id, neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id
