@@ -75,10 +75,14 @@ object Export {
   def trainingExportNearDup(docs: DataFrame, idCol: String, textCol: String,
                             minJaccard: Double, nShards: Int,
                             salt: String = ""): DataFrame = {
-    // the gate is the same in-place narrow filter as [[trainingExport]];
-    // dedupCorpus re-reads the gated view per internal stage by its own
-    // cost contract, and each re-read re-runs only a narrow scan+filter
+    // the gate is the same in-place narrow filter as [[trainingExport]],
+    // but dedupCorpus re-reads its input several times (shingles, LSH
+    // bands, Jaccard verification, exact digests, the survivor
+    // semi-join) — localCheckpoint the gated (id, text) PROJECTION once
+    // so those re-reads replay a materialized snapshot instead of
+    // re-running the gate's scan+classify per stage
     val gated = TextAnalysis.qualityGate(docs, textCol)
+      .select(col(idCol), col(textCol)).localCheckpoint()
     val survivors = Dedup.dedupCorpus(gated, idCol, textCol, minJaccard)
       .select(col(idCol),
         size(split(col(textCol), " ")).cast("long").as("n_tokens"))

@@ -55,9 +55,9 @@ object IndexMaintenance {
     *      rebuild the codebooks" signal. Operational note: a
     *      long-running stream accretes one small file per batch in
     *      BOTH `deltaDir` and `monitorDir`; compaction is
-    *      [[compactMaintainedIndex]] for the codes and a plain
-    *      read-rewrite for the monitor (consumers read the whole
-    *      directory either way).
+    *      [[compactMaintainedIndex]] for the codes and
+    *      [[compactMonitor]] for the monitor relations (consumers read
+    *      either layout identically).
     *
     * The drift BASELINE is deliberately the index as OPENED (the
     * codebooks' training-time occupancy proxy), not the growing delta:
@@ -148,6 +148,24 @@ object IndexMaintenance {
       s"compaction must write to a fresh directory, got outDir=$outDir")
     Similarity.ivfPqIndexSave(loadMaintainedIndex(spark, indexDir, deltaDir),
       outDir)
+  }
+
+  /** COMPACT a monitor relation — the hygiene twin of
+    * [[compactMaintainedIndex]] for the `batch=<id>` partition
+    * directories both monitor streams accrete (one small file per
+    * micro-batch): one read-rewrite of the whole directory into
+    * `outDir` as a single plain parquet write, the partition column
+    * dropped (each row already carries `batch_id`). Row-for-row equal
+    * to the maintained directory (spec-pinned); consumers read either
+    * layout identically. In-place compaction is refused — it would
+    * overwrite partitions the plan is still reading.
+    */
+  def compactMonitor(spark: SparkSession, monitorDir: String,
+                     outDir: String): Unit = {
+    require(outDir != monitorDir,
+      s"compaction must write to a fresh directory, got outDir=$outDir")
+    spark.read.parquet(monitorDir).drop("batch")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
   }
 
   /** The lexical twin — a DOCUMENT stream against a frozen

@@ -130,6 +130,33 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(ex.getMessage.contains("codes schema"))
   }
 
+  test("compactMonitor: one plain parquet holding the maintained rows exactly; in-place refused") {
+    // two batch=<id> partitions in the monitor-row shape the dense
+    // stream writes (the sparse monitor differs only in columns — the
+    // verb is shape-agnostic)
+    val monDir = s"$tmp/monc"
+    Seq((0L, 50L, 0.1, false)).toDF("batch_id", "n_batch", "tv", "retrain")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$monDir/batch=0")
+    Seq((1L, 60L, 0.3, true)).toDF("batch_id", "n_batch", "tv", "retrain")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$monDir/batch=1")
+    val outDir = s"$tmp/monc-out"
+    IndexMaintenance.compactMonitor(spark, monDir, outDir)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("batch_id", "n_batch", "tv", "retrain")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(rows(outDir) == rows(monDir) && rows(outDir).size == 2)
+    // the partition column is dropped — batch_id alone identifies rows
+    assert(spark.read.parquet(outDir).columns.sorted.toSeq ==
+      Seq("batch_id", "n_batch", "retrain", "tv"))
+    // the compacted layout is ONE directory of plain files, no batch=
+    assert(!new java.io.File(outDir).listFiles
+      .exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+    intercept[IllegalArgumentException](
+      IndexMaintenance.compactMonitor(spark, monDir, monDir))
+  }
+
   test("startSparseDriftMonitor: in-vocabulary batch passes, alien batch trips the gate") {
     val corpus = Seq(
       (0L, "apple banana apple"),
