@@ -658,6 +658,9 @@ object PipelineScaleBench {
       "pipe_ivf_pq_search_pruned_b10", "pipe_ivf_pq_build_stored",
       "pipe_ivf_pq_search_stored_b10", "pipe_binary_rerank",
       "pipe_binary_index_build", "pipe_binary_search",
+      "pipe_binary_search_b10", "pipe_binary_search_cells_b10",
+      "pipe_binary_search_warm_b10", "pipe_binary_search_cells_warm_b10",
+      "pipe_hybrid_lifecycle_stored",
       "pipe_ivf_pq_add", "pipe_ivf_drift", "pipe_sparse_postings",
       "pipe_bm25_postings", "pipe_sparse_topk", "pipe_sparse_topk_capped",
       "pipe_sparse_index_build", "pipe_sparse_index_search",
@@ -853,25 +856,30 @@ object PipelineScaleBench {
       Similarity.ivfPqSearchPruned(idx, vecs, qs,
         "vec_id", "embedding", k = 10, nProbe = 8, rerank = 20).count()
     }
-    val stoPath = s"$work/ivfpqsto$idxSfx"
-    timed("pipe_ivf_pq_build_stored", input = total) {
-      // build WITH the vector payload and persist cell-clustered: the
-      // corpus bytes move into the index once, so the serve below reads
-      // no external table and partition-prunes BOTH stages
+    // _w: the round-16 payload set (vec + sign words) — the marker
+    // retires any words-less stored index a previous round left in $work
+    val stoPath = s"$work/ivfpqsto_w$idxSfx"
+    def buildStoredIndex(): Unit = {
+      // build WITH the vector payload AND the packed sign words and
+      // persist cell-clustered: the corpus bytes move into the index
+      // once, so the dense serve reads no external table, the binary
+      // serve hamming-ranks only probed cells, and both partition-prune
       val idx = Similarity.ivfPqIndexBuild(vecs, "vec_id", "embedding",
         nCentroids = idxCents, subspaces = idxSub, subDim = idxSubDim,
-        pqK = idxPqK, pqIters = 2, storeVectors = true)
+        pqK = idxPqK, pqIters = 2, storeVectors = true,
+        storeSignWords = true)
       Similarity.ivfPqIndexSaveClustered(idx, stoPath)
+    }
+    timed("pipe_ivf_pq_build_stored", input = total) {
+      buildStoredIndex()
       total
     }
     val stoNeeded = only.forall(fs =>
-      fs.exists("pipe_ivf_pq_search_stored_b10".contains))
-    if (stoNeeded && !fsExists(s"$stoPath/meta")) {
-      val idx = Similarity.ivfPqIndexBuild(vecs, "vec_id", "embedding",
-        nCentroids = idxCents, subspaces = idxSub, subDim = idxSubDim,
-        pqK = idxPqK, pqIters = 2, storeVectors = true)
-      Similarity.ivfPqIndexSaveClustered(idx, stoPath)
-    }
+      Seq("pipe_ivf_pq_search_stored_b10", "pipe_binary_search_cells_b10",
+        "pipe_hybrid_lifecycle_stored")
+        .exists(n => fs.exists(n.contains)))
+    if (stoNeeded && !fsExists(s"$stoPath/meta"))
+      buildStoredIndex()
     timed("pipe_ivf_pq_search_stored_b10", input = 10L) {
       // the end-to-end pruned serve: 10 materialized queries, stage 1
       // AND stage 2 read only the ~80 probed cell partitions of the
@@ -902,7 +910,8 @@ object PipelineScaleBench {
       total
     }
     val binNeeded = only.forall(fs =>
-      fs.exists("pipe_binary_search".contains))
+      Seq("pipe_binary_search", "pipe_binary_search_b10")
+        .exists(n => fs.exists(n.contains)))
     if (binNeeded && !fsExists(s"$binPath/meta"))
       Similarity.binaryIndexSave(
         Similarity.binaryIndexBuild(vecs, "vec_id", "embedding", dim = 64),
@@ -915,6 +924,65 @@ object PipelineScaleBench {
       val stride = math.max(1L, nDocs.toLong / 100)
       Similarity.binarySearch(idx, vecs, vecs.filter(col("vec_id") % stride === 0),
         "vec_id", "embedding", k = 10, rerank = 20).count()
+    }
+    // the binary b10 serving pair (the pruned-serving convention: cell
+    // pruning pays off when the BATCH's probe union covers a fraction of
+    // the cells — a 100-query batch at √n centroids probes them all)
+    timed("pipe_binary_search_b10", input = 10L) {
+      // full-scan baseline: 10 queries still hamming-rank every packed
+      // words row of the flat binary index
+      val idx = Similarity.binaryIndexLoad(spark, binPath)
+      val stride = math.max(1L, nDocs.toLong / 10)
+      val qs = vecs.filter(col("vec_id") % stride === 0).localCheckpoint()
+      Similarity.binarySearch(idx, vecs, qs,
+        "vec_id", "embedding", k = 10, rerank = 20).count()
+    }
+    timed("pipe_binary_search_cells_b10", input = 10L) {
+      // the same 10-query load CELL-PRUNED: stage 1 hamming-ranks only
+      // each query's 8 probed cells of the clustered words payload
+      // (≤ 80/nCentroids of the rows the baseline scans, partition-
+      // pruned), stage 2 reranks from the index's own vec payload — no
+      // external table read. NOTE: this one-shot leg bills the index
+      // OPEN (partition discovery of nCentroids cell dirs — measured
+      // ~3 s at 1118 cells, the dominant term); the warm pair below is
+      // the amortized per-batch serve a deployment actually pays
+      val idx = Similarity.ivfPqIndexLoad(spark, stoPath)
+      val stride = math.max(1L, nDocs.toLong / 10)
+      val qs = vecs.filter(col("vec_id") % stride === 0).localCheckpoint()
+      Similarity.binarySearchCells(idx, vecs, qs,
+        "vec_id", "embedding", k = 10, nProbe = 8, rerank = 20).count()
+    }
+    // the WARM serving pair: index opened OUTSIDE the timer (a serving
+    // deployment opens once and serves batches for hours) — this is the
+    // per-batch cost the two designs actually trade, with the one-time
+    // open cost visible in the one-shot legs above
+    val warmBinNeeded = only.forall(fs =>
+      Seq("pipe_binary_search_warm_b10", "pipe_binary_search_cells_warm_b10")
+        .exists(n => fs.exists(n.contains)))
+    if (warmBinNeeded) {
+      if (!fsExists(s"$binPath/meta"))
+        Similarity.binaryIndexSave(
+          Similarity.binaryIndexBuild(vecs, "vec_id", "embedding", dim = 64),
+          binPath)
+      if (!fsExists(s"$stoPath/meta")) buildStoredIndex()
+      val flatIdx = Similarity.binaryIndexLoad(spark, binPath)
+      val cellIdx = Similarity.ivfPqIndexLoad(spark, stoPath)
+      val stride = math.max(1L, nDocs.toLong / 10)
+      val qs = vecs.filter(col("vec_id") % stride === 0).localCheckpoint()
+      // one throwaway serve per arm so neither timed leg pays first-run
+      // codegen/broadcast warmup the other skipped
+      Similarity.binarySearch(flatIdx, vecs, qs, "vec_id", "embedding",
+        k = 10, rerank = 20).count()
+      Similarity.binarySearchCells(cellIdx, vecs, qs, "vec_id", "embedding",
+        k = 10, nProbe = 8, rerank = 20).count()
+      timed("pipe_binary_search_warm_b10", input = 10L) {
+        Similarity.binarySearch(flatIdx, vecs, qs,
+          "vec_id", "embedding", k = 10, rerank = 20).count()
+      }
+      timed("pipe_binary_search_cells_warm_b10", input = 10L) {
+        Similarity.binarySearchCells(cellIdx, vecs, qs,
+          "vec_id", "embedding", k = 10, nProbe = 8, rerank = 20).count()
+      }
     }
     timed("pipe_ivf_pq_add", input = total / 10) {
       // FAISS's add at scale: encode a 10% delta against the FROZEN
@@ -1059,9 +1127,11 @@ object PipelineScaleBench {
     // both lifecycles must exist for the hybrid serve + health legs —
     // built outside the timer when a PIPE_ONLY run skipped the builds
     if (only.exists(fs => fs.exists(f =>
-        "pipe_hybrid_lifecycle".contains(f) || "pipe_hybrid_health".contains(f)))) {
+        "pipe_hybrid_lifecycle".contains(f) || "pipe_hybrid_health".contains(f) ||
+        "pipe_hybrid_lifecycle_stored".contains(f)))) {
       if (!fsExists(s"$work/ivfpq$idxSfx/meta")) buildIvfPqIndex()
       if (!fsExists(s"$work/sparseidx$sIdxSfx/meta")) buildSparseIndex()
+      if (!fsExists(s"$stoPath/meta")) buildStoredIndex()
     }
     timed("pipe_hybrid_lifecycle", input = 500L) {
       // the composed SERVING verb over BOTH persisted indexes
@@ -1081,6 +1151,26 @@ object PipelineScaleBench {
       graft.operators.Retrieval.hybridSearch(dIdx, vecs, qv,
         "vec_id", "embedding", sIdx, qp, "query_id", "token", "weight",
         k = 10, nProbe = 8, rerank = 20).count()
+      500L
+    }
+    timed("pipe_hybrid_lifecycle_stored", input = 500L) {
+      // the FULL production hybrid deployment (q278's shape at scale):
+      // dense arm served from the stored+clustered index — both stages
+      // partition-pruned to the 500 queries' probed cells, no corpus
+      // read — sparse arm reconstructed from raw query text against the
+      // frozen vocabulary, weighted-capable RRF fusion. The unstored
+      // pipe_hybrid_lifecycle above is the baseline whose dense arm
+      // still scans the whole codes relation and the float corpus.
+      val dIdx = Similarity.ivfPqIndexLoad(spark, stoPath)
+      val sIdx = TextAnalysis.sparseIndexLoad(spark, s"$work/sparseidx$sIdxSfx")
+      val stride = math.max(1L, nDocs.toLong / 500)
+      val qv = vecs.filter(col("vec_id") % stride === 0).localCheckpoint()
+      val qp = TextAnalysis.queryPostings(sIdx,
+        corpus.join(broadcast(qv.select(col("vec_id").as("doc_id"))),
+          "doc_id"), "doc_id", "text")
+      graft.operators.Retrieval.hybridSearch(dIdx, vecs, qv,
+        "vec_id", "embedding", sIdx, qp, "query_id", "token", "weight",
+        k = 10, nProbe = 8, rerank = 20, denseStored = true).count()
       500L
     }
     timed("pipe_hybrid_health", input = total / 10) {

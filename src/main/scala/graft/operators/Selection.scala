@@ -184,7 +184,10 @@ object Selection {
         col(scoreCol).cast("double").as("__s"))
       val ext = s.groupBy(col(groupCol))
         .agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
-      s.join(ext, Seq(groupCol))
+      // the extrema relation is ONE row per group (≤ queries rows by the
+      // top-k input contract) — broadcast it so normalization never
+      // sort-merges the lists
+      s.join(broadcast(ext), Seq(groupCol))
         .select(col(groupCol), col(idCol),
           when(col("__mx") > col("__mn"),
             (col("__s") - col("__mn")) / (col("__mx") - col("__mn")))

@@ -1464,6 +1464,70 @@ class PlanSpec extends SparkSpec {
       "no training shape, no extra aggregate from the stored-rerank seam")
   }
 
+  test("q278 stored+clustered hybrid: q260's discipline AND both dense stages partition-pruned") {
+    val p = plan("q278_hybrid_stored_clustered")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "both arms rank on bounded heaps; the reconstruction is a keyed vocab join")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.size <= 1 && smj.forall(_.joinType.sql == "FULL OUTER"),
+      s"only the eval-sized RRF full-join may merge, got ${smj.size}")
+    // the dense arm reads ONLY the reloaded clustered index, and every
+    // index scan (stage-1 codes AND the stage-2 vec rerank) carries the
+    // probed-cell PARTITION filter
+    val idxScans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft-q278")) => f
+    }
+    assert(idxScans.nonEmpty, "the dense arm must read the persisted index")
+    val denseScans = idxScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/dense")))
+    assert(denseScans.nonEmpty && denseScans.forall(_.partitionFilters.nonEmpty),
+      "both dense stages must carry the probed-cell partition filter")
+    assert(denseScans.exists(_.schema.fieldNames.contains("vec")),
+      "stage 2 reranks from the index's vec payload")
+  }
+
+  test("q279/q282 fusion-knob hybrids: the q260 plan discipline through the weighted and score verbs") {
+    for (q <- Seq("q279_hybrid_weighted", "q282_hybrid_score_serving")) {
+      val p = plan(q)
+      assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+        s"$q: arm ranks ride bounded heaps; extrema (score form) are keyed aggregates")
+      assert(collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"$q")
+      val smj = collectAll(p) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.size <= 1 && smj.forall(_.joinType.sql == "FULL OUTER"),
+        s"$q: only the eval-sized fusion full-join may merge, got ${smj.size}")
+    }
+  }
+
+  test("q280 cell-pruned binary: window-free, broadcast-only; only the 2x(partial+final) topK heaps aggregate") {
+    val p = plan("q280_binary_cell_pruned")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
+      "both rankings ride bounded-heap TopK aggregates")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "stage 1 joins the probed cells against a BROADCAST query side")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty)
+    val aggs = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }
+    assert(aggs.size == 4,
+      s"expected only 2x(partial+final) topK aggregates, got ${aggs.size}")
+    assert(aggs.forall(_.toString.contains("topk")),
+      "the cell restriction must not add any non-heap aggregate")
+  }
+
   test("q273 training export: JOIN-FREE — one corpus pass, one hash-agg canonical pick, one shard deal") {
     val p = plan("q273_training_export")
     assert(collectAll(p) {

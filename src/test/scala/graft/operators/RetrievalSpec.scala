@@ -243,6 +243,60 @@ class RetrievalSpec extends SparkSpec {
     }.isEmpty)
   }
 
+  test("full stored+clustered deployment: an out-of-corpus query serves reading ONLY the two index directories, both dense stages partition-pruned") {
+    val base = java.nio.file.Files.createTempDirectory("hybrid-sto-").toString
+    Similarity.ivfPqIndexSaveClustered(
+      Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 1,
+        storeVectors = true),
+      s"$base/dense")
+    TextAnalysis.sparseIndexSave(
+      TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+        weighting = "tfidf", minDf = 2, cap = Some(10)),
+      s"$base/sparse")
+    val dRe = Similarity.ivfPqIndexLoad(spark, s"$base/dense")
+    val sRe = TextAnalysis.sparseIndexLoad(spark, s"$base/sparse")
+
+    // a literal out-of-corpus query in both shapes (the q265-spec recipe)
+    val toks = sRe.vocab.orderBy(col("df").desc, col("token"))
+      .limit(3).collect().map(_.getString(0))
+    val qDocs = Seq((9000001L, toks.mkString(" "))).toDF("doc_id", "text")
+    val qVecs = Seq((9000001L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val qp = TextAnalysis.queryPostings(sRe, qDocs, "doc_id", "text")
+    // the corpus argument is POISONED — with denseStored it must go unread
+    val poisoned = emb.select($"vec_id",
+      transform($"embedding", x => x * 0.0f).as("embedding"))
+    val served = Retrieval.hybridSearch(dRe, poisoned, qVecs, "vec_id",
+      "embedding", sRe, qp, "query_id", "token", "weight",
+      k = 5, nProbe = 4, rerank = 20, denseStored = true)
+    val rows = served.select("query_id", "doc_id", "rank_1", "rank_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3))))
+    assert(rows.nonEmpty && rows.forall(_._1 == 9000001L))
+    assert(rows.exists(_._3.isDefined), "dense arm must place the literal vector")
+    assert(rows.exists(_._4.isDefined), "sparse arm must serve the reconstructed profile")
+
+    // the WHOLE serve plan reads only the two index directories — no
+    // corpus table, no text file, no window; and every dense-index scan
+    // (stage-1 codes AND the stage-2 vec rerank) is partition-filtered
+    // to the probed cells
+    val p = served.queryExecution.executedPlan
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(
+      _.relation.location.rootPaths.exists(_.toString.contains(base))),
+      "no file source outside the two index directories")
+    val denseScans = scans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/dense")))
+    assert(denseScans.nonEmpty && denseScans.forall(_.partitionFilters.nonEmpty),
+      "both dense stages carry the probed-cell partition filter")
+    assert(denseScans.exists(_.schema.fieldNames.contains("vec")),
+      "stage 2 reranks from the index's vec payload")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+  }
+
   test("hybridHealthReport: self-batches read zero drift; an alien sparse batch trips rebuild_any on BOTH rows") {
     val corpus = Seq(
       (0L, "apple banana apple"),
