@@ -3165,6 +3165,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("fused").desc, col("doc_id"))
     }),
 
+    // ── the SCORE verb over the full stored+clustered deployment
+    // (q278's lifecycle × q282's fusion): dense index storeVectors=true,
+    // saved clustered, both indexes reloaded, dense arm corpus-free with
+    // the 6-dp rerank cosine read from the vec payload — bit-identical
+    // scores by the q277 contract, so this grades against q282's oracle
+    // verbatim. Closes the verb×deployment matrix: every fusion strategy
+    // is graded over the production index layout, not only inline builds.
+    "q283_hybrid_score_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft-q283-").toString
+      Similarity.ivfPqIndexSaveClustered(
+        Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+          nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+          storeVectors = true),
+        s"$base/dense")
+      TextAnalysis.sparseIndexSave(
+        TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+          weighting = "tfidf", minDf = 2, cap = Some(25)),
+        s"$base/sparse")
+      val dIdx = Similarity.ivfPqIndexLoad(s, s"$base/dense")
+      val sIdx = TextAnalysis.sparseIndexLoad(s, s"$base/sparse")
+      val qp = sIdx.postings
+        .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
+        .withColumnRenamed("doc_id", "query_id")
+      graft.operators.Retrieval.hybridSearchScores(dIdx, emb /* unread */,
+        evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
+        sIdx, qp, "query_id", "token", "weight",
+        k = 5, nProbe = 4, rerank = 20, mnz = true, denseStored = true)
+        .orderBy(col("query_id"), col("fused").desc, col("doc_id"))
+    }),
+
     // ── cluster-balanced (diversity) selection: k-means assignment
     // bounds the strata, then a uniform content-hash lottery keeps 5 per
     // cluster — the coreset/SemDeDup-adjacent "cover the space, not the
@@ -7156,52 +7188,13 @@ object SparkEntry {
     // cosine VALUES restated through the exact dot/norm fold (the q211
     // convention), the q248 capped sparse scoring chain, and the q268
     // min-max CombMNZ tail over the two top-5 lists.
-    "q282_hybrid_score_serving" ->
-      ("WITH " + ivfPqTrainCtes() + ",\n" +
-        ivfPqSearchTailCtes(4, 20, "") + ",\n" +
-        sparsePostingCtes + ",\n" +
-        """cpost AS (SELECT doc_id, token, w FROM (
-          |  SELECT doc_id, token, w,
-          |   row_number() OVER (PARTITION BY token ORDER BY w DESC, doc_id) AS prn
-          |  FROM post) WHERE prn <= 25),""".stripMargin + "\n" +
-        sparseTopKTail("cpost", "_sp") + ",\n" +
-        """rerx AS (SELECT s.query_id, s.neighbor_id,
-          |  list_reduce(list_transform(range(1, 65), j -> cn.v[j] * cq.v[j]), (x, y) -> x + y)
-          |   / (sqrt(list_reduce(list_transform(range(1, 65), j -> cn.v[j] * cn.v[j]), (x, y) -> x + y))
-          |      * sqrt(list_reduce(list_transform(range(1, 65), j -> cq.v[j] * cq.v[j]), (x, y) -> x + y))) AS cos
-          | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
-          | JOIN c cq ON cq.vec_id = s.query_id),
-          |ld AS (SELECT query_id, neighbor_id AS doc_id,
-          |        round(cos, 6) + 0.0 AS score
-          |       FROM (SELECT query_id, neighbor_id, cos,
-          |              row_number() OVER (PARTITION BY query_id
-          |               ORDER BY cos DESC, neighbor_id) AS xrn
-          |             FROM rerx) WHERE xrn <= 5),
-          |ls AS (SELECT query_id, doc_id, score FROM r_sp WHERE rn <= 5),
-          |ed AS (SELECT query_id, min(score) AS mn, max(score) AS mx FROM ld GROUP BY 1),
-          |es AS (SELECT query_id, min(score) AS mn, max(score) AS mx FROM ls GROUP BY 1),
-          |nd AS (SELECT l.query_id, l.doc_id,
-          |        CASE WHEN e.mx > e.mn THEN (l.score - e.mn) / (e.mx - e.mn)
-          |             ELSE 1.0 END AS nrm
-          |       FROM ld l JOIN ed e USING (query_id)),
-          |ns AS (SELECT l.query_id, l.doc_id,
-          |        CASE WHEN e.mx > e.mn THEN (l.score - e.mn) / (e.mx - e.mn)
-          |             ELSE 1.0 END AS nrm
-          |       FROM ls l JOIN es e USING (query_id)),
-          |fj AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
-          |        coalesce(a.doc_id, b.doc_id) AS doc_id,
-          |        a.nrm AS n1, b.nrm AS n2
-          |       FROM nd a FULL JOIN ns b
-          |        ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
-          |fzz AS (SELECT query_id, doc_id,
-          |        CAST((CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END)
-          |           + (CASE WHEN n2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lists,
-          |        round((coalesce(n1, 0.0) + coalesce(n2, 0.0)) *
-          |              ((CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END)
-          |             + (CASE WHEN n2 IS NOT NULL THEN 1 ELSE 0 END)), 6) AS fused
-          |        FROM fj)
-          |SELECT query_id, doc_id, n_lists, fused FROM fzz
-          |ORDER BY query_id, fused DESC, doc_id""".stripMargin),
+    "q282_hybrid_score_serving" -> hybridScoreOracleSql,
+
+    // The score verb over the stored+clustered deployment: rerank
+    // cosine VALUES bit-identical by the q277 stored-rerank contract,
+    // the rest of the parity chain as q278 — q282's oracle verbatim.
+    "q283_hybrid_score_stored" -> hybridScoreOracleSql,
+
 
     // Absolute-size hash sample: the 32 smallest-ticket ids (md5 hash60
     // mod 2^50, salt "us", ties by id) — the winners CTE every round-14
@@ -8126,6 +8119,62 @@ object SparkEntry {
         |       FROM f)
         |SELECT query_id, doc_id, rank_1, rank_2, rrf FROM fz
         |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
+  /** The q282/q283 score-fusion oracle: the q232 dense chain with the
+    * rerank cosine VALUES restated through the exact dot/norm fold (the
+    * q211 convention — list_cosine_similarity is rank-faithful but not
+    * value-exact vs the engine's dot/(n·n)), the q248 capped sparse
+    * scoring chain, and the q268 min-max CombMNZ tail over the two
+    * top-5 lists. Shared verbatim by the inline (q282) and
+    * stored+clustered (q283) servings — bit-identical scores by the
+    * q277 stored-rerank contract.
+    */
+  private lazy val hybridScoreOracleSql: String =
+    ("WITH " + ivfPqTrainCtes() + ",\n" +
+      ivfPqSearchTailCtes(4, 20, "") + ",\n" +
+      sparsePostingCtes + ",\n" +
+      """cpost AS (SELECT doc_id, token, w FROM (
+        |  SELECT doc_id, token, w,
+        |   row_number() OVER (PARTITION BY token ORDER BY w DESC, doc_id) AS prn
+        |  FROM post) WHERE prn <= 25),""".stripMargin + "\n" +
+      sparseTopKTail("cpost", "_sp") + ",\n" +
+      """rerx AS (SELECT s.query_id, s.neighbor_id,
+        |  list_reduce(list_transform(range(1, 65), j -> cn.v[j] * cq.v[j]), (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(range(1, 65), j -> cn.v[j] * cn.v[j]), (x, y) -> x + y))
+        |      * sqrt(list_reduce(list_transform(range(1, 65), j -> cq.v[j] * cq.v[j]), (x, y) -> x + y))) AS cos
+        | FROM surv s JOIN c cn ON cn.vec_id = s.neighbor_id
+        | JOIN c cq ON cq.vec_id = s.query_id),
+        |ld AS (SELECT query_id, neighbor_id AS doc_id,
+        |        round(cos, 6) + 0.0 AS score
+        |       FROM (SELECT query_id, neighbor_id, cos,
+        |              row_number() OVER (PARTITION BY query_id
+        |               ORDER BY cos DESC, neighbor_id) AS xrn
+        |             FROM rerx) WHERE xrn <= 5),
+        |ls AS (SELECT query_id, doc_id, score FROM r_sp WHERE rn <= 5),
+        |ed AS (SELECT query_id, min(score) AS mn, max(score) AS mx FROM ld GROUP BY 1),
+        |es AS (SELECT query_id, min(score) AS mn, max(score) AS mx FROM ls GROUP BY 1),
+        |nd AS (SELECT l.query_id, l.doc_id,
+        |        CASE WHEN e.mx > e.mn THEN (l.score - e.mn) / (e.mx - e.mn)
+        |             ELSE 1.0 END AS nrm
+        |       FROM ld l JOIN ed e USING (query_id)),
+        |ns AS (SELECT l.query_id, l.doc_id,
+        |        CASE WHEN e.mx > e.mn THEN (l.score - e.mn) / (e.mx - e.mn)
+        |             ELSE 1.0 END AS nrm
+        |       FROM ls l JOIN es e USING (query_id)),
+        |fj AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+        |        coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |        a.nrm AS n1, b.nrm AS n2
+        |       FROM nd a FULL JOIN ns b
+        |        ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
+        |fzz AS (SELECT query_id, doc_id,
+        |        CAST((CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END)
+        |           + (CASE WHEN n2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lists,
+        |        round((coalesce(n1, 0.0) + coalesce(n2, 0.0)) *
+        |              ((CASE WHEN n1 IS NOT NULL THEN 1 ELSE 0 END)
+        |             + (CASE WHEN n2 IS NOT NULL THEN 1 ELSE 0 END)), 6) AS fused
+        |        FROM fj)
+        |SELECT query_id, doc_id, n_lists, fused FROM fzz
+        |ORDER BY query_id, fused DESC, doc_id""".stripMargin)
 
   /** [[hybridIndexFusionTail]] with per-arm RRF coefficients — the q279
     * weighted-serving oracle: identical chain, the fz terms multiplied

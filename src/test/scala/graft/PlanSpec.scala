@@ -1508,6 +1508,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q283 stored score hybrid: q282's discipline AND both dense stages partition-pruned") {
+    val p = plan("q283_hybrid_score_stored")
+    assert(collectAll(p) { case w: WindowExec => w }.isEmpty)
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty)
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.size <= 1 && smj.forall(_.joinType.sql == "FULL OUTER"),
+      s"only the fusion full-join may merge, got ${smj.size}")
+    val denseScans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(p =>
+          p.toString.contains("graft-q283") && p.toString.contains("/dense")) => f
+    }
+    assert(denseScans.nonEmpty && denseScans.forall(_.partitionFilters.nonEmpty),
+      "both dense stages must carry the probed-cell partition filter")
+  }
+
   test("q280 cell-pruned binary: window-free, broadcast-only; only the 2x(partial+final) topK heaps aggregate") {
     val p = plan("q280_binary_cell_pruned")
     assert(collectAll(p) { case w: WindowExec => w }.isEmpty,
