@@ -3121,6 +3121,23 @@ object SparkEntry {
         .orderBy("query_id", "rn")
     }),
 
+    // ── the cell-pruned binary RECALL gate (the q271 convention for
+    // the IVF axis): q280's relation graded against exact brute force
+    // on the same 16-winner sample — "is 1-bit stage-1 at nProbe=4 safe
+    // on MY data", measured before a deployment trusts the composed
+    // scan discount.
+    "q284_binary_cells_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = evalSampleN(emb, "vec_id", 16)
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+        storeVectors = true, storeSignWords = true)
+      val ann = Similarity.binarySearchCells(idx, emb, qs,
+        "vec_id", "embedding", k = 5, nProbe = 4, rerank = 20)
+      Similarity.annRecallReportFor(emb, qs, "vec_id", "embedding", 5, ann)
+        .orderBy("query_id")
+    }),
+
     // ── the physical shard layout graded end-to-end: writeShards
     // materializes q273's export as one shard=<k>/ directory per shard,
     // and the query READS THE LAYOUT BACK (shard requested as LONG —
@@ -7172,6 +7189,29 @@ object SparkEntry {
       ("WITH " + binaryCellCtes(nProbe = 4, rerank = 20) +
         "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
         "\nORDER BY query_id, rn"),
+
+    // Cell-pruned binary recall gate: the q280 chain + the q271-style
+    // exact brute-force top-5 over the same winners + the left-join
+    // recall rollup.
+    "q284_binary_cells_recall" ->
+      ("WITH " + binaryCellCtes(nProbe = 4, rerank = 20) + ",\n" +
+        """qs AS (SELECT vec_id FROM qse),
+          |bf AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   row_number() OVER (PARTITION BY q.vec_id
+          |    ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS brn
+          |  FROM v q JOIN qs s ON s.vec_id = q.vec_id
+          |  JOIN fn qn ON qn.vec_id = q.vec_id AND qn.n > 0
+          |  JOIN v c ON c.vec_id <> q.vec_id
+          |  JOIN fn cn ON cn.vec_id = c.vec_id AND cn.n > 0)
+          | WHERE brn <= 5),
+          |ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM r WHERE rn <= 5)
+          |SELECT bf.query_id,
+          | CAST(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          | round(sum(CASE WHEN ann.hit IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+          |FROM bf LEFT JOIN ann
+          | ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
+          |GROUP BY 1 ORDER BY bf.query_id""".stripMargin),
 
     // Export round-trip: reading the written shard=<k>/ layout back
     // reproduces the export relation row-for-row — graded against

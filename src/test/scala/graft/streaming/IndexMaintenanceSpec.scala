@@ -130,6 +130,50 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(ex.getMessage.contains("codes schema"))
   }
 
+  test("streamed growth preserves the vec+words payloads: a maintained stored index serves binarySearchCells corpus-free") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    val idxDir = s"$tmp/payload-idx"
+    Similarity.ivfPqIndexSave(
+      Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+        nCentroids = 8, subspaces = 4, subDim = 16, pqK = 4, pqIters = 1,
+        storeVectors = true, storeSignWords = true),
+      idxDir)
+    val src = s"$tmp/payload-src"
+    delta.coalesce(1).write.mode("overwrite").parquet(src)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val deltaDir = s"$tmp/payload-delta"
+    IndexMaintenance.startIndexMaintenance(spark, idxDir, deltaDir,
+      stream, "vec_id", "embedding", s"$tmp/payload-ckpt",
+      s"$tmp/payload-monitor").awaitTermination()
+
+    // the streamed delta carries BOTH payloads (ivfPqEncode mirrors the
+    // base codes schema), so the maintained view serves the cell-pruned
+    // binary verb with the corpus argument unread
+    val maintained = IndexMaintenance.loadMaintainedIndex(spark, idxDir, deltaDir)
+    assert(maintained.codes.columns.contains("vec") &&
+      maintained.codes.columns.contains("words"))
+    val qs = graft.operators.Sampling.hashSampleN(emb, "vec_id", 8)
+      .localCheckpoint()
+    val added = Similarity.ivfPqIndexAdd(
+      Similarity.ivfPqIndexLoad(spark, idxDir), delta, "vec_id", "embedding")
+    val poisoned = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x * 0.0f).as("embedding"))
+    def serve(i: Similarity.IvfPqIndex) =
+      Similarity.binarySearchCells(i, poisoned, qs, "vec_id", "embedding",
+        k = 3, nProbe = 4, rerank = 10)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(serve(maintained) == serve(added) && serve(maintained).nonEmpty)
+    // streamed rows are findable through the binary arm
+    assert(serve(maintained).exists(_._2 >= 300L),
+      "a streamed row must be retrievable from the maintained words payload")
+  }
+
   test("compactMonitor: one plain parquet holding the maintained rows exactly; in-place refused") {
     // two batch=<id> partitions in the monitor-row shape the dense
     // stream writes (the sparse monitor differs only in columns — the
