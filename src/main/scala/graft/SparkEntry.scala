@@ -3138,6 +3138,23 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ── the binary-cells OPERATING-POINT planner (the q242/q262
+    // convention for the new axis): sweep nProbe against measured
+    // recall and the EXACT stage-1 row count (probe ranks × cell
+    // occupancy), chosen = cheapest point meeting 0.8 — the measured
+    // answer to q284's "0.43 at nProbe 4 is too low: what DO I need".
+    "q285_binary_cells_plan" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+        storeVectors = true, storeSignWords = true)
+      Similarity.binaryCellsOperatingPlan(idx, emb,
+        evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
+        k = 5, nProbes = Seq(2, 4, 8, 16), rerank = 20,
+        targetRecall = 0.8)
+        .orderBy("n_probe")
+    }),
+
     // ── the physical shard layout graded end-to-end: writeShards
     // materializes q273's export as one shard=<k>/ directory per shard,
     // and the query READS THE LAYOUT BACK (shard requested as LONG —
@@ -7190,6 +7207,14 @@ object SparkEntry {
         "\nSELECT query_id, neighbor_id, rn FROM r WHERE rn <= 5" +
         "\nORDER BY query_id, rn"),
 
+    // Binary-cells operating-point plan: ONE shared coarse/words chain,
+    // ranked probes at the widest grid point, one suffixed two-stage
+    // tail per nProbe, the shared brute-force arm, EXACT per-point
+    // stage-1 rows from probe-rank × occupancy, and the deterministic
+    // (meets, rows, recall desc, rows, probe) chosen window — the q242
+    // statement shape on the binary axis.
+    "q285_binary_cells_plan" -> binaryCellsPlanOracleSql,
+
     // Cell-pruned binary recall gate: the q280 chain + the q271-style
     // exact brute-force top-5 over the same winners + the left-join
     // recall rollup.
@@ -8647,6 +8672,96 @@ object SparkEntry {
        | JOIN fn cn ON cn.vec_id = s1.neighbor_id AND cn.n > 0
        | JOIN v qv ON qv.vec_id = s1.query_id
        | JOIN fn qn ON qn.vec_id = s1.query_id AND qn.n > 0)""".stripMargin
+
+  /** The q285 binary-cells planner oracle: the [[binaryCellCtes]]
+    * skeleton with probes RANKED at the widest grid point (a tighter
+    * point is a prefix of the best-first probe list — the engine's
+    * nearestCells order), one suffixed two-stage tail per nProbe, the
+    * shared norm-positive brute-force top-5, EXACT per-point stage-1
+    * rows (probe ranks LEFT-joined to norm-positive cell occupancy),
+    * and the q242 chosen-window statement at target 0.8.
+    */
+  private lazy val binaryCellsPlanOracleSql: String = {
+    val probesGrid = Seq(2, 4, 8, 16)
+    val rerank = 20
+    val tails = probesGrid.map { p =>
+      s"""s1_p$p AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY p.query_id
+         |    ORDER BY bit_count(xor(cb.w0, qb.w0)) + bit_count(xor(cb.w1, qb.w1)) ASC,
+         |             a.vec_id) AS arn
+         |  FROM assign a JOIN probes p ON a.cell = p.cell AND p.prn <= $p
+         |  JOIN fn nm ON nm.vec_id = a.vec_id AND nm.n > 0
+         |  JOIN b cb ON cb.vec_id = a.vec_id
+         |  JOIN b qb ON qb.vec_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id)
+         | WHERE arn <= $rerank),
+         |r_p$p AS (SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |   ORDER BY list_cosine_similarity(cv.v, qv.v) DESC, neighbor_id) AS BIGINT) AS rn
+         | FROM s1_p$p s
+         | JOIN v cv ON cv.vec_id = s.neighbor_id
+         | JOIN fn cn ON cn.vec_id = s.neighbor_id AND cn.n > 0
+         | JOIN v qv ON qv.vec_id = s.query_id
+         | JOIN fn qn ON qn.vec_id = s.query_id AND qn.n > 0)""".stripMargin
+    }
+    val grid = probesGrid.map { p =>
+      s"""SELECT $p AS n_probe,
+         | (SELECT count(*) FROM bf JOIN r_p$p a
+         |   ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+         |   AND a.rn <= 5) AS hits,
+         | (SELECT CAST(coalesce(sum(o.cnt), 0) AS BIGINT) FROM probes pr
+         |   LEFT JOIN occ o ON o.cell = pr.cell WHERE pr.prn <= $p) AS est_rows""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |${evalSampleNCte("qse", "embeddings", "vec_id", 16)},
+       |fn AS (SELECT vec_id,
+       |        sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS n
+       |       FROM v),
+       |cents AS (SELECT vec_id AS cell, v AS cv FROM v ORDER BY vec_id LIMIT 16),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT c.vec_id, ct.cell,
+       |   row_number() OVER (PARTITION BY c.vec_id
+       |    ORDER BY 1.0 - list_cosine_similarity(c.v, ct.cv) ASC, ct.cell ASC) AS arn
+       |  FROM v c, cents ct) WHERE arn = 1),
+       |qset AS (SELECT c.vec_id, c.v FROM v c JOIN fn nq ON nq.vec_id = c.vec_id
+       |         WHERE c.vec_id IN (SELECT vec_id FROM qse) AND nq.n > 0),
+       |probes AS (SELECT query_id, cell, prn FROM (
+       |  SELECT q.vec_id AS query_id, ct.cell,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY 1.0 - list_cosine_similarity(q.v, ct.cv) ASC, ct.cell ASC) AS prn
+       |  FROM qset q, cents ct) WHERE prn <= ${probesGrid.max}),
+       |b AS (SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(0,32),
+       |    j -> CASE WHEN v[j+1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+       |  CAST(list_sum(list_transform(range(32,64),
+       |    j -> CASE WHEN v[j+1] > 0 THEN (1::BIGINT << (j-32)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+       | FROM v WHERE len(v) = 64),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id) AS brn
+       |  FROM v q JOIN qse s ON s.vec_id = q.vec_id
+       |  JOIN fn qn ON qn.vec_id = q.vec_id AND qn.n > 0
+       |  JOIN v c ON c.vec_id <> q.vec_id
+       |  JOIN fn cn ON cn.vec_id = c.vec_id AND cn.n > 0)
+       | WHERE brn <= 5),
+       |occ AS (SELECT a.cell, count(*) AS cnt FROM assign a
+       |        JOIN fn nm ON nm.vec_id = a.vec_id AND nm.n > 0 GROUP BY 1),
+       |${tails.mkString(",\n")},
+       |grid AS ($grid),
+       |st AS (SELECT (SELECT count(DISTINCT query_id) FROM bf) AS nq),
+       |rep AS (SELECT g.n_probe,
+       |  round(CAST(g.hits AS DOUBLE) / CAST(5 * st.nq AS DOUBLE), 6) AS mean_recall,
+       |  g.est_rows
+       | FROM grid g, st)
+       |SELECT n_probe, mean_recall, est_rows,
+       | row_number() OVER (ORDER BY (mean_recall >= 0.8) DESC,
+       |   CASE WHEN mean_recall >= 0.8 THEN est_rows END ASC NULLS LAST,
+       |   mean_recall DESC, est_rows ASC, n_probe) = 1 AS chosen
+       |FROM rep ORDER BY n_probe""".stripMargin
+  }
 
   private lazy val bfTop5Cte: String =
     """bf AS MATERIALIZED (

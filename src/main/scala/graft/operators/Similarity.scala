@@ -1194,6 +1194,125 @@ object Similarity {
     binaryExactRerank(survivors, rerankVecs, qs, idCol, vecCol, k)
   }
 
+  /** Operating-point planner for [[binarySearchCells]] — the q242/q262
+    * convention for the binary-cells axis: sweep `nProbes` against
+    * measured recall (vs exact brute force on the bounded query sample)
+    * and the EXACT stage-1 candidate-row count (probe ranks joined to
+    * cell occupancy — not a uniform estimate), choose the cheapest
+    * point meeting `targetRecall` (ties: recall desc, rows asc, probe
+    * asc). Output `(n_probe, mean_recall, est_rows, chosen)` —
+    * `est_rows` is the batch's stage-1 (query, candidate) hamming
+    * evaluations before the self filter, the number the partition-
+    * pruned scan actually pays.
+    *
+    * One shared chain, NO per-point search: probes rank once at the
+    * WIDEST grid point (a tighter point is a prefix of the best-first
+    * probe list), each grid point filters by probe rank — so the grid
+    * costs one stage-1 pass plus grid-sized rollups, not |grid|
+    * searches. The recall arm measures the REAL end-to-end relation
+    * (hamming top-`rerank`, exact rerank top-`k`), the q271 convention.
+    *
+    * 100 TB shape: the brute-force arm is the point of the bounded
+    * query sample (the [[graft.operators.Sampling.hashSampleN]]
+    * contract); everything else is (queries·pMax)-sized probe
+    * bookkeeping, one candidate pass, and nCentroids-sized occupancy.
+    * The one window is grid-sized (the chosen pick).
+    */
+  def binaryCellsOperatingPlan(index: IvfPqIndex, corpus: DataFrame,
+                               queries: DataFrame, idCol: String,
+                               vecCol: String, k: Int, nProbes: Seq[Int],
+                               rerank: Int,
+                               targetRecall: Double): DataFrame = {
+    require(index.codes.columns.contains("words"),
+      "index carries no sign words — build with storeSignWords=true")
+    require(nProbes.nonEmpty && nProbes == nProbes.distinct &&
+      nProbes.forall(_ >= 1), s"bad nProbe grid: $nProbes")
+    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    require(targetRecall >= 0.0 && targetRecall <= 1.0,
+      s"targetRecall out of [0,1]: $targetRecall")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (codebook, _, _, _) = collectIndexCodebooks(index)
+    val dim = codebook.head._2.length
+    val nWords = (dim + 31) / 32
+    val pMax = nProbes.max
+    val qs = queries.localCheckpoint(false)
+    val bf = bruteForceTopK(corpus, qs, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val probes = qs.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
+      .select(col("query_id"), signPack(col("__qv"), dim).as("__qw"),
+        posexplode(nearestCells(codebook, col("__qv"), pMax))
+          .as(Seq("__pos", "cell")))
+      .select(col("query_id"), col("__qw"), col("cell"),
+        (col("__pos") + 1).as("__prn"))
+    def hamming(a: Column, b: Column): Column =
+      (0 until nWords)
+        .map(i => bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1)))
+          .cast("long"))
+        .reduce(_ + _)
+    val cand = index.codes
+      .select(col("id").as("neighbor_id"), col("cell"), col("words").as("__cw"))
+      .join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__agree",
+        (lit(dim.toLong) - hamming(col("__cw"), col("__qw"))).cast("double"))
+    val anns = nProbes.map { p =>
+      cand.filter(col("__prn") <= p)
+        .groupBy("query_id")
+        .agg(TopKOps.topK(rerank, col("__agree"), col("neighbor_id")).as("__top"))
+        .select(lit(p).as("n_probe"), col("query_id"),
+          explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val rerankVecs =
+      if (index.codes.columns.contains("vec"))
+        index.codes.select(col("id").as("neighbor_id"),
+          asDouble(col("vec")).as("__cv"), col("nrm").as("__cn"))
+      else
+        corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+          .withColumn("__cn", norm(col("__cv"))).filter(col("__cn") > 0)
+    val qvs = qs.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
+    val ranked = rerankVecs.join(broadcast(anns), "neighbor_id")
+      .join(broadcast(qvs), "query_id")
+      .withColumn("__cos",
+        dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .groupBy(col("n_probe"), col("query_id"))
+      .agg(TopKOps.topK(k, col("__cos"), col("neighbor_id")).as("__top"))
+      .select(col("n_probe"), col("query_id"),
+        explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
+    val hits = ranked.join(bf, Seq("query_id", "neighbor_id"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("__hits"))
+    // EXACT per-point stage-1 rows: probe ranks joined to cell
+    // occupancy (empty cells contribute 0) — grid-sized one-row rollups
+    val occ = index.codes.groupBy(col("cell")).agg(count(lit(1)).as("__occ"))
+    val probeOcc = probes.select(col("cell"), col("__prn"))
+      .join(occ, Seq("cell"), "left")
+      .select(col("__prn"), coalesce(col("__occ"), lit(0L)).as("__occ"))
+    val est = nProbes.map(p =>
+      probeOcc.filter(col("__prn") <= p)
+        .agg(coalesce(sum(col("__occ")), lit(0L)).as("est_rows"))
+        .select(lit(p).as("n_probe"), col("est_rows")))
+      .reduce(_ unionByName _)
+    val nq = bf.agg(countDistinct(col("query_id")).as("__nq"))
+    val meets = col("mean_recall") >= targetRecall
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      meets.desc, when(meets, col("est_rows")).asc_nulls_last,
+      col("mean_recall").desc, col("est_rows").asc, col("n_probe").asc)
+    nProbes.toDF("n_probe")
+      .join(hits, Seq("n_probe"), "left")
+      .join(est, Seq("n_probe"), "left")
+      .crossJoin(broadcast(nq))
+      .withColumn("mean_recall",
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          (lit(k.toLong) * col("__nq")).cast("double"), 6))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .select("n_probe", "mean_recall", "est_rows", "chosen")
+  }
+
   /** Matryoshka (prefix-dimension) two-stage retrieval — the MRL serving
     * pattern: rank every (query, candidate) pair by the cosine of the
     * FIRST `prefixDim` dims only (an MRL-trained embedding front-loads

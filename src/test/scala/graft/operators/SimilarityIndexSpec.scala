@@ -484,6 +484,50 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("no sign words"))
   }
 
+  test("binaryCellsOperatingPlan: exact row accounting, one chosen, full-probe recall equals the flat scan's") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter($"vec_id" % 20 === 0).localCheckpoint()
+    val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
+      storeVectors = true, storeSignWords = true)
+    val plan = Similarity.binaryCellsOperatingPlan(idx, emb, qs,
+      "vec_id", "embedding", k = 5, nProbes = Seq(2, 4, 16), rerank = 20,
+      targetRecall = 0.8)
+      .as[(Int, Double, Long, Boolean)].collect().sortBy(_._1)
+    assert(plan.map(_._1).toSeq == Seq(2, 4, 16))
+    // exactly one chosen; est_rows strictly grows with the probe width
+    assert(plan.count(_._4) == 1)
+    assert(plan.map(_._3).toSeq == plan.map(_._3).toSeq.sorted)
+    // full-probe row accounting is exact arithmetic: every norm-positive
+    // query probes every cell, so est = nQueries x |codes|
+    val nq = qs.count()                       // fixture has no zero norms
+    val nCodes = idx.codes.count()
+    assert(plan.last._3 == nq * nCodes)
+    // full-probe recall IS the flat binary scan's recall at the same
+    // (k, rerank): candidates are the whole corpus in both
+    val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val flat = Similarity.binaryRerankTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, k = 5, rerank = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val wantRecall = math.round(
+      (flat & bf).size.toDouble / bf.size * 1e6) / 1e6
+    assert(math.abs(plan.last._2 - wantRecall) < 1e-9,
+      s"plan recall ${plan.last._2} vs flat-scan recall $wantRecall")
+    // guards: duplicate grid, words-less index, bad target
+    intercept[IllegalArgumentException](
+      Similarity.binaryCellsOperatingPlan(idx, emb, qs, "vec_id",
+        "embedding", 5, Seq(4, 4), 20, 0.8))
+    val plain = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+      nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
+    intercept[IllegalArgumentException](
+      Similarity.binaryCellsOperatingPlan(plain, emb, qs, "vec_id",
+        "embedding", 5, Seq(4), 20, 0.8))
+    intercept[IllegalArgumentException](
+      Similarity.binaryCellsOperatingPlan(idx, emb, qs, "vec_id",
+        "embedding", 5, Seq(4), 20, 1.5))
+  }
+
   test("semanticDedupBanded: drops are a subset of flat; full recall at planes=0-equivalent") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val flat = Similarity.semanticDedup(emb, "vec_id", "embedding",
