@@ -3139,10 +3139,13 @@ object SparkEntry {
     }),
 
     // ── the binary-cells OPERATING-POINT planner (the q242/q262
-    // convention for the new axis): sweep nProbe against measured
-    // recall and the EXACT stage-1 row count (probe ranks × cell
-    // occupancy), chosen = cheapest point meeting 0.8 — the measured
-    // answer to q284's "0.43 at nProbe 4 is too low: what DO I need".
+    // convention for the new axis): sweep the (nProbe, rerank) grid
+    // against measured recall and the EXACT stage-1 row count (probe
+    // ranks × cell occupancy), chosen = fewest stage-1 rows then
+    // smallest rerank among points meeting 0.8 — the measured answer to
+    // q284's "0.43 at nProbe 4 is too low: what DO I need" (on this
+    // fixture the rerank-20 arm never meets — heap displacement — and
+    // the rerank-100 arm does: the grid prices the fix).
     "q285_binary_cells_plan" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
@@ -3150,9 +3153,9 @@ object SparkEntry {
         storeVectors = true, storeSignWords = true)
       Similarity.binaryCellsOperatingPlan(idx, emb,
         evalSampleN(emb, "vec_id", 16), "vec_id", "embedding",
-        k = 5, nProbes = Seq(2, 4, 8, 16), rerank = 20,
+        k = 5, nProbes = Seq(2, 4, 8, 16), reranks = Seq(20, 100),
         targetRecall = 0.8)
-        .orderBy("n_probe")
+        .orderBy("n_probe", "rerank")
     }),
 
     // ── the physical shard layout graded end-to-end: writeShards
@@ -8683,9 +8686,10 @@ object SparkEntry {
     */
   private lazy val binaryCellsPlanOracleSql: String = {
     val probesGrid = Seq(2, 4, 8, 16)
-    val rerank = 20
-    val tails = probesGrid.map { p =>
-      s"""s1_p$p AS (SELECT query_id, neighbor_id FROM (
+    val reranksGrid = Seq(20, 100)
+    val combos = for { p <- probesGrid; r <- reranksGrid } yield (p, r)
+    val tails = combos.map { case (p, r) =>
+      s"""s1_p${p}r$r AS (SELECT query_id, neighbor_id FROM (
          |  SELECT p.query_id, a.vec_id AS neighbor_id,
          |   row_number() OVER (PARTITION BY p.query_id
          |    ORDER BY bit_count(xor(cb.w0, qb.w0)) + bit_count(xor(cb.w1, qb.w1)) ASC,
@@ -8695,19 +8699,19 @@ object SparkEntry {
          |  JOIN b cb ON cb.vec_id = a.vec_id
          |  JOIN b qb ON qb.vec_id = p.query_id
          |  WHERE a.vec_id <> p.query_id)
-         | WHERE arn <= $rerank),
-         |r_p$p AS (SELECT query_id, neighbor_id,
+         | WHERE arn <= $r),
+         |r_p${p}r$r AS (SELECT query_id, neighbor_id,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |   ORDER BY list_cosine_similarity(cv.v, qv.v) DESC, neighbor_id) AS BIGINT) AS rn
-         | FROM s1_p$p s
+         | FROM s1_p${p}r$r s
          | JOIN v cv ON cv.vec_id = s.neighbor_id
          | JOIN fn cn ON cn.vec_id = s.neighbor_id AND cn.n > 0
          | JOIN v qv ON qv.vec_id = s.query_id
          | JOIN fn qn ON qn.vec_id = s.query_id AND qn.n > 0)""".stripMargin
     }
-    val grid = probesGrid.map { p =>
-      s"""SELECT $p AS n_probe,
-         | (SELECT count(*) FROM bf JOIN r_p$p a
+    val grid = combos.map { case (p, r) =>
+      s"""SELECT $p AS n_probe, $r AS rerank,
+         | (SELECT count(*) FROM bf JOIN r_p${p}r$r a
          |   ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
          |   AND a.rn <= 5) AS hits,
          | (SELECT CAST(coalesce(sum(o.cnt), 0) AS BIGINT) FROM probes pr
@@ -8752,15 +8756,16 @@ object SparkEntry {
        |${tails.mkString(",\n")},
        |grid AS ($grid),
        |st AS (SELECT (SELECT count(DISTINCT query_id) FROM bf) AS nq),
-       |rep AS (SELECT g.n_probe,
+       |rep AS (SELECT g.n_probe, g.rerank,
        |  round(CAST(g.hits AS DOUBLE) / CAST(5 * st.nq AS DOUBLE), 6) AS mean_recall,
        |  g.est_rows
        | FROM grid g, st)
-       |SELECT n_probe, mean_recall, est_rows,
+       |SELECT n_probe, rerank, mean_recall, est_rows,
        | row_number() OVER (ORDER BY (mean_recall >= 0.8) DESC,
        |   CASE WHEN mean_recall >= 0.8 THEN est_rows END ASC NULLS LAST,
-       |   mean_recall DESC, est_rows ASC, n_probe) = 1 AS chosen
-       |FROM rep ORDER BY n_probe""".stripMargin
+       |   CASE WHEN mean_recall >= 0.8 THEN rerank END ASC NULLS LAST,
+       |   mean_recall DESC, est_rows ASC, n_probe, rerank) = 1 AS chosen
+       |FROM rep ORDER BY n_probe, rerank""".stripMargin
   }
 
   private lazy val bfTop5Cte: String =

@@ -1195,22 +1195,28 @@ object Similarity {
   }
 
   /** Operating-point planner for [[binarySearchCells]] — the q242/q262
-    * convention for the binary-cells axis: sweep `nProbes` against
-    * measured recall (vs exact brute force on the bounded query sample)
-    * and the EXACT stage-1 candidate-row count (probe ranks joined to
-    * cell occupancy — not a uniform estimate), choose the cheapest
-    * point meeting `targetRecall` (ties: recall desc, rows asc, probe
-    * asc). Output `(n_probe, mean_recall, est_rows, chosen)` —
+    * convention for the binary-cells axis: sweep the full
+    * (nProbe, rerank) grid against measured recall (vs exact brute
+    * force on the bounded query sample) and the EXACT stage-1
+    * candidate-row count (probe ranks joined to cell occupancy — not a
+    * uniform estimate), choose the point meeting `targetRecall` with
+    * the fewest stage-1 rows then the smallest rerank (the two cost
+    * axes ordered lexicographically — hamming rows and exact-cosine
+    * rows are different units, never summed into a fake composite).
+    * Output `(n_probe, rerank, mean_recall, est_rows, chosen)` —
     * `est_rows` is the batch's stage-1 (query, candidate) hamming
     * evaluations before the self filter, the number the partition-
-    * pruned scan actually pays.
+    * pruned scan actually pays, a function of nProbe alone.
     *
     * One shared chain, NO per-point search: probes rank once at the
     * WIDEST grid point (a tighter point is a prefix of the best-first
     * probe list), each grid point filters by probe rank — so the grid
     * costs one stage-1 pass plus grid-sized rollups, not |grid|
     * searches. The recall arm measures the REAL end-to-end relation
-    * (hamming top-`rerank`, exact rerank top-`k`), the q271 convention.
+    * (hamming top-rerank, exact rerank top-`k`), the q271 convention —
+    * which is exactly what exposes the rerank axis: a wider probe set
+    * can LOWER recall at a tight rerank (heap displacement), and the
+    * grid prices the fix.
     *
     * 100 TB shape: the brute-force arm is the point of the bounded
     * query sample (the [[graft.operators.Sampling.hashSampleN]]
@@ -1221,13 +1227,16 @@ object Similarity {
   def binaryCellsOperatingPlan(index: IvfPqIndex, corpus: DataFrame,
                                queries: DataFrame, idCol: String,
                                vecCol: String, k: Int, nProbes: Seq[Int],
-                               rerank: Int,
+                               reranks: Seq[Int],
                                targetRecall: Double): DataFrame = {
     require(index.codes.columns.contains("words"),
       "index carries no sign words — build with storeSignWords=true")
     require(nProbes.nonEmpty && nProbes == nProbes.distinct &&
       nProbes.forall(_ >= 1), s"bad nProbe grid: $nProbes")
-    require(k >= 1 && rerank >= k, s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    require(reranks.nonEmpty && reranks == reranks.distinct,
+      s"bad rerank grid: $reranks")
+    require(k >= 1 && reranks.forall(_ >= k),
+      s"every rerank must be >= k=$k >= 1: $reranks")
     require(targetRecall >= 0.0 && targetRecall <= 1.0,
       s"targetRecall out of [0,1]: $targetRecall")
     val spark = corpus.sparkSession
@@ -1259,11 +1268,12 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__agree",
         (lit(dim.toLong) - hamming(col("__cw"), col("__qw"))).cast("double"))
-    val anns = nProbes.map { p =>
+    val combos = for { p <- nProbes; r <- reranks } yield (p, r)
+    val anns = combos.map { case (p, r) =>
       cand.filter(col("__prn") <= p)
         .groupBy("query_id")
-        .agg(TopKOps.topK(rerank, col("__agree"), col("neighbor_id")).as("__top"))
-        .select(lit(p).as("n_probe"), col("query_id"),
+        .agg(TopKOps.topK(r, col("__agree"), col("neighbor_id")).as("__top"))
+        .select(lit(p).as("n_probe"), lit(r).as("rerank"), col("query_id"),
           explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
     }.reduce(_ unionByName _)
     val rerankVecs =
@@ -1280,12 +1290,12 @@ object Similarity {
       .join(broadcast(qvs), "query_id")
       .withColumn("__cos",
         dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
-      .groupBy(col("n_probe"), col("query_id"))
+      .groupBy(col("n_probe"), col("rerank"), col("query_id"))
       .agg(TopKOps.topK(k, col("__cos"), col("neighbor_id")).as("__top"))
-      .select(col("n_probe"), col("query_id"),
+      .select(col("n_probe"), col("rerank"), col("query_id"),
         explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
     val hits = ranked.join(bf, Seq("query_id", "neighbor_id"))
-      .groupBy(col("n_probe")).agg(count(lit(1)).as("__hits"))
+      .groupBy(col("n_probe"), col("rerank")).agg(count(lit(1)).as("__hits"))
     // EXACT per-point stage-1 rows: probe ranks joined to cell
     // occupancy (empty cells contribute 0) — grid-sized one-row rollups
     val occ = index.codes.groupBy(col("cell")).agg(count(lit(1)).as("__occ"))
@@ -1298,19 +1308,26 @@ object Similarity {
         .select(lit(p).as("n_probe"), col("est_rows")))
       .reduce(_ unionByName _)
     val nq = bf.agg(countDistinct(col("query_id")).as("__nq"))
+    // chosen: among meeting points the fewest stage-1 rows then the
+    // smallest rerank (the two cost axes, un-mixed — hamming rows and
+    // exact-cosine rows are different units, so they order
+    // lexicographically instead of summing into a fake composite);
+    // no meeting point → best recall, then cheapest
     val meets = col("mean_recall") >= targetRecall
     val w = org.apache.spark.sql.expressions.Window.orderBy(
       meets.desc, when(meets, col("est_rows")).asc_nulls_last,
-      col("mean_recall").desc, col("est_rows").asc, col("n_probe").asc)
-    nProbes.toDF("n_probe")
-      .join(hits, Seq("n_probe"), "left")
+      when(meets, col("rerank")).asc_nulls_last,
+      col("mean_recall").desc, col("est_rows").asc,
+      col("n_probe").asc, col("rerank").asc)
+    combos.toDF("n_probe", "rerank")
+      .join(hits, Seq("n_probe", "rerank"), "left")
       .join(est, Seq("n_probe"), "left")
       .crossJoin(broadcast(nq))
       .withColumn("mean_recall",
         round(coalesce(col("__hits"), lit(0L)).cast("double") /
           (lit(k.toLong) * col("__nq")).cast("double"), 6))
       .withColumn("chosen", row_number().over(w) === 1)
-      .select("n_probe", "mean_recall", "est_rows", "chosen")
+      .select("n_probe", "rerank", "mean_recall", "est_rows", "chosen")
   }
 
   /** Matryoshka (prefix-dimension) two-stage retrieval — the MRL serving

@@ -491,18 +491,24 @@ class SimilarityIndexSpec extends SparkSpec {
       nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
       storeVectors = true, storeSignWords = true)
     val plan = Similarity.binaryCellsOperatingPlan(idx, emb, qs,
-      "vec_id", "embedding", k = 5, nProbes = Seq(2, 4, 16), rerank = 20,
-      targetRecall = 0.8)
-      .as[(Int, Double, Long, Boolean)].collect().sortBy(_._1)
-    assert(plan.map(_._1).toSeq == Seq(2, 4, 16))
-    // exactly one chosen; est_rows strictly grows with the probe width
-    assert(plan.count(_._4) == 1)
-    assert(plan.map(_._3).toSeq == plan.map(_._3).toSeq.sorted)
+      "vec_id", "embedding", k = 5, nProbes = Seq(2, 4, 16),
+      reranks = Seq(20, 100), targetRecall = 0.8)
+      .as[(Int, Int, Double, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(plan.map(r => (r._1, r._2)).toSeq ==
+      (for { p <- Seq(2, 4, 16); r <- Seq(20, 100) } yield (p, r)))
+    // exactly one chosen; est_rows depends on nProbe alone and grows
+    // with the probe width
+    assert(plan.count(_._5) == 1)
+    assert(plan.groupBy(_._1).forall(_._2.map(_._4).distinct.size == 1),
+      "est_rows is a function of nProbe alone")
+    val estByProbe = plan.map(r => (r._1, r._4)).distinct.sortBy(_._1)
+    assert(estByProbe.map(_._2).toSeq == estByProbe.map(_._2).toSeq.sorted)
     // full-probe row accounting is exact arithmetic: every norm-positive
     // query probes every cell, so est = nQueries x |codes|
     val nq = qs.count()                       // fixture has no zero norms
     val nCodes = idx.codes.count()
-    assert(plan.last._3 == nq * nCodes)
+    assert(estByProbe.last._2 == nq * nCodes)
     // full-probe recall IS the flat binary scan's recall at the same
     // (k, rerank): candidates are the whole corpus in both
     val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
@@ -512,20 +518,36 @@ class SimilarityIndexSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val wantRecall = math.round(
       (flat & bf).size.toDouble / bf.size * 1e6) / 1e6
-    assert(math.abs(plan.last._2 - wantRecall) < 1e-9,
-      s"plan recall ${plan.last._2} vs flat-scan recall $wantRecall")
-    // guards: duplicate grid, words-less index, bad target
+    val full20 = plan.find(r => r._1 == 16 && r._2 == 20).get
+    assert(math.abs(full20._3 - wantRecall) < 1e-9,
+      s"plan recall ${full20._3} vs flat-scan recall $wantRecall")
+    // at a fixed nProbe a larger rerank never lowers recall: the
+    // stage-1 top-100 CONTAINS the top-20 (same total order), so the
+    // exact rerank sees a superset of candidates
+    assert(plan.groupBy(_._1).forall { case (_, rows) =>
+      val byR = rows.sortBy(_._2).map(_._3)
+      byR.zip(byR.tail).forall { case (a, b) => b >= a - 1e-9 }
+    })
+    // when any point meets the target, the chosen one does
+    if (plan.exists(_._3 >= 0.8)) assert(plan.find(_._5).get._3 >= 0.8)
+    // guards: duplicate grids, words-less index, bad target, rerank < k
     intercept[IllegalArgumentException](
       Similarity.binaryCellsOperatingPlan(idx, emb, qs, "vec_id",
-        "embedding", 5, Seq(4, 4), 20, 0.8))
+        "embedding", 5, Seq(4, 4), Seq(20), 0.8))
+    intercept[IllegalArgumentException](
+      Similarity.binaryCellsOperatingPlan(idx, emb, qs, "vec_id",
+        "embedding", 5, Seq(4), Seq(20, 20), 0.8))
     val plain = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
       nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
     intercept[IllegalArgumentException](
       Similarity.binaryCellsOperatingPlan(plain, emb, qs, "vec_id",
-        "embedding", 5, Seq(4), 20, 0.8))
+        "embedding", 5, Seq(4), Seq(20), 0.8))
     intercept[IllegalArgumentException](
       Similarity.binaryCellsOperatingPlan(idx, emb, qs, "vec_id",
-        "embedding", 5, Seq(4), 20, 1.5))
+        "embedding", 5, Seq(4), Seq(20), 1.5))
+    intercept[IllegalArgumentException](
+      Similarity.binaryCellsOperatingPlan(idx, emb, qs, "vec_id",
+        "embedding", 5, Seq(4), Seq(3), 0.8))
   }
 
   test("semanticDedupBanded: drops are a subset of flat; full recall at planes=0-equivalent") {
