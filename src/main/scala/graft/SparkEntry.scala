@@ -62,6 +62,17 @@ object SparkEntry {
   private def evalSampleN(df: DataFrame, idCol: String, target: Int): DataFrame =
     graft.operators.Sampling.hashSampleN(df, idCol, target).localCheckpoint()
 
+  /** Build two INDEPENDENT eager arms concurrently (optimization guide
+    * §2.6 — overlap independent jobs): the hybrid queries each construct
+    * a dense index (Lloyd/PQ collect barriers) and a sparse index
+    * (localCheckpoint materializations) with no data dependency, so one
+    * arm's jobs back-fill the executor tail of the other's instead of
+    * serializing behind the driver. Purely a wall-clock overlap — each
+    * arm runs the exact jobs it ran sequentially.
+    */
+  private def par2[A, B](a: => A, b: => B): (A, B) =
+    graft.operators.Par.par2(a, b)
+
   /** [[evalSampleN]]'s SQL twin: a winners CTE of the `target`
     * smallest-ticket ids of `table.idCol`, stated with the identical
     * integer tickets (md5 hash60 mod 2⁵⁰, salt "us") and (ticket, id)
@@ -2770,10 +2781,11 @@ object SparkEntry {
     "q260_hybrid_index_search" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
-        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
-      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
-        weighting = "tfidf", minDf = 2, cap = Some(25))
+      val (dIdx, sIdx) = par2(
+        Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+          nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2),
+        TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+          weighting = "tfidf", minDf = 2, cap = Some(25)))
       val qp = sIdx.postings
         .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
@@ -2854,10 +2866,11 @@ object SparkEntry {
     "q265_hybrid_query_serving" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
-        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
-      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
-        weighting = "tfidf", minDf = 2, cap = Some(25))
+      val (dIdx, sIdx) = par2(
+        Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+          nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2),
+        TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+          weighting = "tfidf", minDf = 2, cap = Some(25)))
       val qp = TextAnalysis.queryPostings(sIdx,
         evalSampleN(docs, "doc_id", 16), "doc_id", "text")
       graft.operators.Retrieval.hybridSearch(dIdx, emb,
@@ -2897,10 +2910,11 @@ object SparkEntry {
       val base = evalSample(emb, "vec_id", 900)
       val delta = emb.filter(
         graft.operators.Sampling.hashBucket(col("vec_id")) >= 900)
-      val dIdx = Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
-        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 0)
-      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
-        weighting = "tfidf", minDf = 2)
+      val (dIdx, sIdx) = par2(
+        Similarity.ivfPqIndexBuild(base, "vec_id", "embedding",
+          nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 0),
+        TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+          weighting = "tfidf", minDf = 2))
       graft.operators.Retrieval.hybridHealthReport(
         dIdx, delta, "vec_id", "embedding",
         sIdx, evalSampleN(docs, "doc_id", 256), "doc_id", "text",
@@ -2918,15 +2932,16 @@ object SparkEntry {
     "q268_score_fusion" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val qsamp = evalSampleN(docs, "doc_id", 16)
-      val tpost = TextAnalysis.tfidfPostings(docs, "doc_id", "text",
-        minDf = 2).localCheckpoint()
+      val (tpost, bpost) = par2(
+        TextAnalysis.tfidfPostings(docs, "doc_id", "text",
+          minDf = 2).localCheckpoint(),
+        TextAnalysis.bm25Postings(docs, "doc_id", "text",
+          minDf = 2).localCheckpoint())
       val tq = tpost.join(qsamp.select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
       val tfidf = TextAnalysis.sparseTopK(tpost, "doc_id", tq, "query_id",
         "token", "weight", k = 5)
         .select("query_id", "doc_id", "score")
-      val bpost = TextAnalysis.bm25Postings(docs, "doc_id", "text",
-        minDf = 2).localCheckpoint()
       val bq = qsamp
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(TextAnalysis.tokens("text"))).as("token"))
@@ -3063,17 +3078,24 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val base = java.nio.file.Files.createTempDirectory("graft-q278-").toString
-      Similarity.ivfPqIndexSaveClustered(
-        Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
-          nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
-          storeVectors = true),
-        s"$base/dense")
-      TextAnalysis.sparseIndexSave(
-        TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
-          weighting = "tfidf", minDf = 2, cap = Some(25)),
-        s"$base/sparse")
-      val dIdx = Similarity.ivfPqIndexLoad(s, s"$base/dense")
-      val sIdx = TextAnalysis.sparseIndexLoad(s, s"$base/sparse")
+      // the two index LIFECYCLES (build → save → reload) are independent
+      // end to end — overlap them (guide §2.6)
+      val (dIdx, sIdx) = par2(
+        {
+          Similarity.ivfPqIndexSaveClustered(
+            Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+              nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4,
+              pqIters = 2, storeVectors = true),
+            s"$base/dense")
+          Similarity.ivfPqIndexLoad(s, s"$base/dense")
+        },
+        {
+          TextAnalysis.sparseIndexSave(
+            TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+              weighting = "tfidf", minDf = 2, cap = Some(25)),
+            s"$base/sparse")
+          TextAnalysis.sparseIndexLoad(s, s"$base/sparse")
+        })
       val qp = TextAnalysis.queryPostings(sIdx,
         evalSampleN(docs, "doc_id", 16), "doc_id", "text")
       graft.operators.Retrieval.hybridSearch(dIdx, emb /* unread */,
@@ -3090,10 +3112,11 @@ object SparkEntry {
     "q279_hybrid_weighted" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
-        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
-      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
-        weighting = "tfidf", minDf = 2, cap = Some(25))
+      val (dIdx, sIdx) = par2(
+        Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+          nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2),
+        TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+          weighting = "tfidf", minDf = 2, cap = Some(25)))
       val qp = sIdx.postings
         .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
@@ -3188,10 +3211,11 @@ object SparkEntry {
     "q282_hybrid_score_serving" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val dIdx = Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
-        nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2)
-      val sIdx = TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
-        weighting = "tfidf", minDf = 2, cap = Some(25))
+      val (dIdx, sIdx) = par2(
+        Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+          nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2),
+        TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+          weighting = "tfidf", minDf = 2, cap = Some(25)))
       val qp = sIdx.postings
         .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")
@@ -3213,17 +3237,23 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val base = java.nio.file.Files.createTempDirectory("graft-q283-").toString
-      Similarity.ivfPqIndexSaveClustered(
-        Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
-          nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4, pqIters = 2,
-          storeVectors = true),
-        s"$base/dense")
-      TextAnalysis.sparseIndexSave(
-        TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
-          weighting = "tfidf", minDf = 2, cap = Some(25)),
-        s"$base/sparse")
-      val dIdx = Similarity.ivfPqIndexLoad(s, s"$base/dense")
-      val sIdx = TextAnalysis.sparseIndexLoad(s, s"$base/sparse")
+      // independent lifecycles overlapped, exactly as q278 (guide §2.6)
+      val (dIdx, sIdx) = par2(
+        {
+          Similarity.ivfPqIndexSaveClustered(
+            Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
+              nCentroids = 16, subspaces = 4, subDim = 16, pqK = 4,
+              pqIters = 2, storeVectors = true),
+            s"$base/dense")
+          Similarity.ivfPqIndexLoad(s, s"$base/dense")
+        },
+        {
+          TextAnalysis.sparseIndexSave(
+            TextAnalysis.sparseIndexBuild(docs, "doc_id", "text",
+              weighting = "tfidf", minDf = 2, cap = Some(25)),
+            s"$base/sparse")
+          TextAnalysis.sparseIndexLoad(s, s"$base/sparse")
+        })
       val qp = sIdx.postings
         .join(evalSampleN(docs, "doc_id", 16).select("doc_id"), "doc_id")
         .withColumnRenamed("doc_id", "query_id")

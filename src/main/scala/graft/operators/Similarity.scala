@@ -2040,8 +2040,18 @@ object Similarity {
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String,
               subspaces: Int, subDim: Int, k: Int = 4,
-              iters: Int = 2): Array[Array[Array[Double]]] = {
-    pqGeometryCheck(df, vecCol, subspaces, subDim, k, iters)
+              iters: Int = 2): Array[Array[Array[Double]]] =
+    pqTrain(df, idCol, vecCol, subspaces, subDim, k, iters, knownDim = None)
+
+  /** [[pqTrain]] with the vector width already known to the caller (e.g.
+    * from a collected coarse codebook) — the geometry check then runs on
+    * the driver instead of spending a limit(1) probe job on the corpus.
+    */
+  private def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+                      subspaces: Int, subDim: Int, k: Int,
+                      iters: Int,
+                      knownDim: Option[Int]): Array[Array[Array[Double]]] = {
+    pqGeometryCheck(df, vecCol, subspaces, subDim, k, iters, knownDim)
     val slices = pqSlices(df, idCol, vecCol, subspaces, subDim)
     if (iters > 0) slices.persist()
     val centroids = pqTrainOn(slices, subspaces, k, iters)
@@ -2050,18 +2060,27 @@ object Similarity {
   }
 
   private def pqGeometryCheck(df: DataFrame, vecCol: String, subspaces: Int,
-                              subDim: Int, k: Int, iters: Int): Unit = {
+                              subDim: Int, k: Int, iters: Int,
+                              knownDim: Option[Int] = None): Unit = {
     require(subspaces >= 1 && subspaces <= 64,
       s"subspaces out of [1,64]: $subspaces")
     require(subDim >= 1, s"subDim must be positive: $subDim")
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0, got k=$k iters=$iters")
     // fail fast on a geometry mismatch: an out-of-range slice returns
-    // EMPTY arrays and every code silently collapses to cluster 0
-    df.select(size(col(vecCol)).as("__d")).limit(1).collect().headOption
-      .foreach { r =>
-        require(subspaces * subDim <= r.getInt(0),
-          s"subspaces*subDim = ${subspaces * subDim} exceeds vector length ${r.getInt(0)}")
-      }
+    // EMPTY arrays and every code silently collapses to cluster 0. When
+    // the caller already knows the width (a collected codebook), the
+    // check is free; otherwise one bounded limit(1) probe
+    knownDim match {
+      case Some(d) =>
+        require(subspaces * subDim <= d,
+          s"subspaces*subDim = ${subspaces * subDim} exceeds vector length $d")
+      case None =>
+        df.select(size(col(vecCol)).as("__d")).limit(1).collect().headOption
+          .foreach { r =>
+            require(subspaces * subDim <= r.getInt(0),
+              s"subspaces*subDim = ${subspaces * subDim} exceeds vector length ${r.getInt(0)}")
+          }
+    }
   }
 
   /** One (id, subspace, 9-dp slice) relation — kmeansLloyd's entry
@@ -2118,12 +2137,33 @@ object Similarity {
     */
   private def pqTrainOn(slices: DataFrame, subspaces: Int, k: Int,
                         iters: Int): Array[Array[Array[Double]]] = {
-    var centroids: Array[Array[Array[Double]]] = (0 until subspaces).map { sp =>
-      val init = slices.where(col("__sp") === sp).orderBy("__id").limit(k)
-        .select("__vd").collect().map(_.getSeq[Double](0).toArray)
-      require(init.nonEmpty, s"cannot PQ-train subspace $sp on an empty corpus")
-      init
-    }.toArray
+    // seed every subspace in ONE bounded-heap job (bottomk_vec — k
+    // smallest ids per subspace with their slices, map-side partial, the
+    // TopKOps scale contract) instead of `subspaces` TakeOrdered jobs,
+    // each a full pass over the slices relation. Same rows, same order
+    // (id ascending = orderBy(__id).limit(k)); non-long id types keep
+    // the per-subspace path (the aggregate is hard-typed, like topk)
+    var centroids: Array[Array[Array[Double]]] =
+      if (slices.schema("__id").dataType == LongType) {
+        val bySp = slices.groupBy(col("__sp"))
+          .agg(graft.functions.BottomKOps.bottomKVec(k, col("__id"),
+            col("__vd")).as("__seeds"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1)
+              .map(_.getSeq[Double](1).toArray).toArray)
+          .toMap
+        (0 until subspaces).map { sp =>
+          val init = bySp.getOrElse(sp, Array.empty[Array[Double]])
+          require(init.nonEmpty, s"cannot PQ-train subspace $sp on an empty corpus")
+          init
+        }.toArray
+      } else (0 until subspaces).map { sp =>
+        val init = slices.where(col("__sp") === sp).orderBy("__id").limit(k)
+          .select("__vd").collect().map(_.getSeq[Double](0).toArray)
+        require(init.nonEmpty, s"cannot PQ-train subspace $sp on an empty corpus")
+        init
+      }.toArray
     for (_ <- 0 until iters) {
       val cells = pqAssigned(slices, centroids)
         .select(col("__sp"), col("cluster"), posexplode(col("__vd")).as(Seq("__pos", "__x")))
@@ -2308,7 +2348,8 @@ object Similarity {
     val withRes = cells.withColumn("__r",
       zip_with(col("__cv"), element_at(centMap, col("cell")), (x, c) => x - c))
     val cents = pqTrain(withRes.select(col("neighbor_id"), col("__r")),
-      "neighbor_id", "__r", subspaces, subDim, pqK, pqIters)
+      "neighbor_id", "__r", subspaces, subDim, pqK, pqIters,
+      knownDim = Some(codebook.head._2.length))
     val coded = withPqCodeCols(withRes, col("__r"), cents, subspaces, subDim)
     // the residual stage-1 base: q · centroid(cell), one map-literal
     // lookup per probed (query, cell) pair; the ADC table is the RAW-
@@ -2370,10 +2411,15 @@ object Similarity {
     */
   def ivfPqIndexSave(index: IvfPqIndex, dir: String): Unit = {
     val mode = org.apache.spark.sql.SaveMode.Overwrite
-    index.codes.write.mode(mode).parquet(s"$dir/codes")
-    index.coarse.write.mode(mode).parquet(s"$dir/coarse")
-    index.pq.write.mode(mode).parquet(s"$dir/pq")
-    index.meta.write.mode(mode).parquet(s"$dir/meta")
+    // the four relations are independent and land in separate subdirs —
+    // write them as concurrent jobs (guide §2.6) so the three bounded
+    // codebook/meta writes overlap the corpus-sized codes write instead
+    // of serializing behind it
+    Par.run(Seq(
+      () => index.codes.write.mode(mode).parquet(s"$dir/codes"),
+      () => index.coarse.write.mode(mode).parquet(s"$dir/coarse"),
+      () => index.pq.write.mode(mode).parquet(s"$dir/pq"),
+      () => index.meta.write.mode(mode).parquet(s"$dir/meta")))
   }
 
   /** Persist an index with the codes relation CLUSTERED BY CELL —
@@ -2394,11 +2440,15 @@ object Similarity {
     */
   def ivfPqIndexSaveClustered(index: IvfPqIndex, dir: String): Unit = {
     val mode = org.apache.spark.sql.SaveMode.Overwrite
-    index.codes.repartition(col("cell"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes")
-    index.coarse.write.mode(mode).parquet(s"$dir/coarse")
-    index.pq.write.mode(mode).parquet(s"$dir/pq")
-    index.meta.write.mode(mode).parquet(s"$dir/meta")
+    // independent subdirectory writes run as concurrent jobs (guide
+    // §2.6) — same as [[ivfPqIndexSave]]; the clustered codes exchange
+    // dominates, the three bounded writes ride its tail
+    Par.run(Seq(
+      () => index.codes.repartition(col("cell"))
+        .write.mode(mode).partitionBy("cell").parquet(s"$dir/codes"),
+      () => index.coarse.write.mode(mode).parquet(s"$dir/coarse"),
+      () => index.pq.write.mode(mode).parquet(s"$dir/pq"),
+      () => index.meta.write.mode(mode).parquet(s"$dir/meta")))
   }
 
   /** Reopen a persisted index — NO caller-supplied parameters, by
@@ -2449,40 +2499,44 @@ object Similarity {
     }
     val coarse = spark.read.parquet(s"$dir/coarse")
     val pq = spark.read.parquet(s"$dir/pq")
+    // ONE bounded collect validates everything: the one-row meta crossed
+    // with the two codebook-relation aggregates (each one row by
+    // construction), so opening an index costs one driver round-trip
+    // instead of three — the same checks, the same failure messages
     val metaRows = spark.read.parquet(s"$dir/meta")
       .select(col("residual").cast("boolean"), col("sub_dim").cast("int"),
         col("dim").cast("int"), col("subspaces").cast("int"),
         col("pq_k").cast("int"), col("n_centroids").cast("int"))
+      .crossJoin(pq.agg((max(col("subspace")).cast("int") + 1).as("__pq_s"),
+        (max(col("code")).cast("int") + 1).as("__pq_k"),
+        min(size(col("centroid"))).as("__pq_lo"),
+        max(size(col("centroid"))).as("__pq_hi")))
+      .crossJoin(coarse.agg(count(lit(1)).as("__c_n"),
+        min(size(col("centroid"))).as("__c_lo"),
+        max(size(col("centroid"))).as("__c_hi")))
       .collect()
     require(metaRows.length == 1,
       s"$dir/meta must hold exactly one row, got ${metaRows.length}")
     val m = metaRows.head
     val (residual, subDim, dim) = (m.getBoolean(0), m.getInt(1), m.getInt(2))
-    val d = pq.agg((max(col("subspace")).cast("int") + 1).as("s"),
-        (max(col("code")).cast("int") + 1).as("k"),
-        min(size(col("centroid"))).as("lo"),
-        max(size(col("centroid"))).as("hi"))
-      .collect().head
-    require(d.getInt(0) == m.getInt(3),
-      s"meta says ${m.getInt(3)} subspaces but $dir/pq holds ${d.getInt(0)}")
-    require(d.getInt(1) == m.getInt(4),
-      s"meta says pq_k ${m.getInt(4)} but $dir/pq holds ${d.getInt(1)} codes")
-    require(d.getInt(2) == subDim && d.getInt(3) == subDim,
+    val d = m
+    require(d.getInt(6) == m.getInt(3),
+      s"meta says ${m.getInt(3)} subspaces but $dir/pq holds ${d.getInt(6)}")
+    require(d.getInt(7) == m.getInt(4),
+      s"meta says pq_k ${m.getInt(4)} but $dir/pq holds ${d.getInt(7)} codes")
+    require(d.getInt(8) == subDim && d.getInt(9) == subDim,
       s"meta says sub_dim $subDim but $dir/pq centroids span " +
-        s"[${d.getInt(2)}, ${d.getInt(3)}] dims")
-    require(d.getInt(0) * subDim <= dim,
-      s"meta is self-inconsistent: ${d.getInt(0)} subspaces x sub_dim $subDim " +
+        s"[${d.getInt(8)}, ${d.getInt(9)}] dims")
+    require(d.getInt(6) * subDim <= dim,
+      s"meta is self-inconsistent: ${d.getInt(6)} subspaces x sub_dim $subDim " +
         s"exceeds dim $dim")
-    val cw = coarse.agg(count(lit(1)).as("n"),
-        min(size(col("centroid"))).as("lo"), max(size(col("centroid"))).as("hi"))
-      .collect().head
-    require(cw.getLong(0) == m.getInt(5).toLong,
-      s"meta says ${m.getInt(5)} coarse centroids but $dir/coarse holds ${cw.getLong(0)}")
-    require(cw.getInt(1) == dim && cw.getInt(2) == dim,
+    require(m.getLong(10) == m.getInt(5).toLong,
+      s"meta says ${m.getInt(5)} coarse centroids but $dir/coarse holds ${m.getLong(10)}")
+    require(m.getInt(11) == dim && m.getInt(12) == dim,
       s"meta says dim $dim but $dir/coarse centroids span " +
-        s"[${cw.getInt(1)}, ${cw.getInt(2)}] dims — a mixed directory")
-    (0 until d.getInt(0)).foreach(sp => require(codes.columns.contains(s"code_$sp"),
-      s"$dir/codes is missing column code_$sp for the ${d.getInt(0)}-subspace codebook"))
+        s"[${m.getInt(11)}, ${m.getInt(12)}] dims — a mixed directory")
+    (0 until d.getInt(6)).foreach(sp => require(codes.columns.contains(s"code_$sp"),
+      s"$dir/codes is missing column code_$sp for the ${d.getInt(6)}-subspace codebook"))
     IvfPqIndex(codes, coarse, pq, residual, subDim)
   }
 
@@ -2509,6 +2563,9 @@ object Similarity {
     import spark.implicits._
     val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
     require(codebook.nonEmpty, "codebook must be non-empty")
+    // the collected codebook states the vector width — the PQ geometry
+    // check runs on the driver, skipping pqTrain's limit(1) probe job
+    val dim = codebook.head._2.length
     val cells = ivfCells(corpus, idCol, vecCol, codebook,
       keepRaw = storeVectors)
     val (codeSrc, codeVec, cents) =
@@ -2518,10 +2575,12 @@ object Similarity {
           zip_with(col("__cv"), element_at(centMap, col("cell")), (x, c) => x - c))
         (withRes, col("__r"),
           pqTrain(withRes.select(col("neighbor_id"), col("__r")),
-            "neighbor_id", "__r", subspaces, subDim, pqK, pqIters))
+            "neighbor_id", "__r", subspaces, subDim, pqK, pqIters,
+            knownDim = Some(dim)))
       } else
         (cells, col("__cv"),
-          pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters))
+          pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters,
+            knownDim = Some(dim)))
     val codes = codesShape(
       withPqCodeCols(codeSrc, codeVec, cents, subspaces, subDim), subspaces,
       storeVectors,
@@ -2679,19 +2738,27 @@ object Similarity {
     */
   private def collectIndexCodebooks(index: IvfPqIndex)
       : (Array[(Long, Seq[Double])], Array[Array[Array[Double]]], Int, Int) = {
-    val codebook: Array[(Long, Seq[Double])] = index.coarse
-      .orderBy("cell").select(col("cell").cast("long"), col("centroid"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    require(codebook.nonEmpty, "coarse codebook relation is empty")
-    val pqRows = index.pq
-      .orderBy("subspace", "code")
-      .select(col("subspace").cast("int"), col("code").cast("int"), col("centroid"))
+    // both codebook relations come back in ONE bounded collect (they are
+    // nCentroids + subspaces·pqK rows total) — one driver round-trip per
+    // search/encode instead of two; rows are split and ordered on the
+    // driver, so the result is byte-identical to the two-collect form
+    val rows = index.coarse
+      .select(lit(0).as("__kind"), col("cell").cast("long").as("__a"),
+        lit(0L).as("__b"), col("centroid").as("__c"))
+      .unionByName(index.pq.select(lit(1).as("__kind"),
+        col("subspace").cast("long").as("__a"), col("code").cast("long").as("__b"),
+        col("centroid").as("__c")))
       .collect()
+    val codebook: Array[(Long, Seq[Double])] = rows.filter(_.getInt(0) == 0)
+      .map(r => (r.getLong(1), r.getSeq[Double](3)))
+      .sortBy(_._1)
+    require(codebook.nonEmpty, "coarse codebook relation is empty")
+    val pqRows = rows.filter(_.getInt(0) == 1)
     require(pqRows.nonEmpty, "pq codebook relation is empty")
-    val subspaces = pqRows.map(_.getInt(0)).max + 1
+    val subspaces = pqRows.map(_.getLong(1)).max.toInt + 1
     val cents: Array[Array[Array[Double]]] = Array.tabulate(subspaces) { sp =>
-      pqRows.filter(_.getInt(0) == sp).sortBy(_.getInt(1))
-        .map(_.getSeq[Double](2).toArray)
+      pqRows.filter(_.getLong(1) == sp).sortBy(_.getLong(2))
+        .map(_.getSeq[Double](3).toArray)
     }
     require(cents.forall(_.nonEmpty), "pq codebook has an empty subspace")
     val pqK = cents.map(_.length).max

@@ -1369,11 +1369,9 @@ object TextAnalysis {
 
   def sparseIndexSave(index: SparseIndex, dir: String): Unit = {
     val mode = org.apache.spark.sql.SaveMode.Overwrite
-    index.postings.write.mode(mode).parquet(s"$dir/postings")
-    index.vocab.write.mode(mode).parquet(s"$dir/vocab")
-    index.capped match {
-      case Some(cp) => cp.write.mode(mode).parquet(s"$dir/capped")
-      case None =>
+    val cappedTask: () => Unit = index.capped match {
+      case Some(cp) => () => cp.write.mode(mode).parquet(s"$dir/capped")
+      case None => () => {
         // Overwrite only rewrites the subdirs this save WRITES — an
         // uncapped save over a directory that previously held a capped
         // index would otherwise leave the stale capped/ dir behind and
@@ -1384,8 +1382,17 @@ object TextAnalysis {
         val fs = p.getFileSystem(
           index.postings.sparkSession.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
+      }
     }
-    index.meta.write.mode(mode).parquet(s"$dir/meta")
+    // independent subdirectory writes run as concurrent jobs (guide
+    // §2.6 — the Par.run convention shared with ivfPqIndexSave); the
+    // posting relations are localCheckpoint-materialized at build, so
+    // concurrent readers share the same cached blocks
+    Par.run(Seq(
+      () => index.postings.write.mode(mode).parquet(s"$dir/postings"),
+      () => index.vocab.write.mode(mode).parquet(s"$dir/vocab"),
+      cappedTask,
+      () => index.meta.write.mode(mode).parquet(s"$dir/meta")))
   }
 
   /** Reopen a persisted index — NO caller-supplied parameters (the
@@ -1405,13 +1412,32 @@ object TextAnalysis {
     val cols = postings.columns.toSet
     require(Set("doc_id", "token", "weight").subsetOf(cols),
       s"$dir/postings must hold (doc_id, token, weight), got ${cols.mkString(", ")}")
-    val metaRows = spark.read.parquet(s"$dir/meta")
-      .select(col("weighting").cast("string"), col("min_df").cast("int"),
-        col("max_df_frac").cast("double"), col("k1").cast("double"),
-        col("b").cast("double"), col("cap").cast("int"),
-        col("n_postings").cast("long"), col("n_terms").cast("long"),
-        col("n_capped").cast("long"), col("n_docs").cast("long"))
-      .collect()
+    // the vocab presence probe runs BEFORE any job (it guards the read
+    // below with the contract error, not a path exception), then the
+    // three independent validation reads — the one-row meta collect and
+    // the two footer-priced counts — run as CONCURRENT jobs (guide
+    // §2.6); every require still fires on the driver in the original
+    // order, so failure messages and their precedence are unchanged
+    val vocabPath = new org.apache.hadoop.fs.Path(s"$dir/vocab")
+    require(vocabPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(vocabPath),
+      s"$dir/vocab is missing — a torn save or a pre-vocab-schema index")
+    val vocab = spark.read.parquet(s"$dir/vocab")
+    require(Set("token", "df").subsetOf(vocab.columns.toSet),
+      s"$dir/vocab must hold (token, df), got ${vocab.columns.mkString(", ")}")
+    var metaRows: Array[org.apache.spark.sql.Row] = null
+    var n = -1L
+    var nv = -1L
+    graft.operators.Par.run(Seq(
+      () => metaRows = spark.read.parquet(s"$dir/meta")
+        .select(col("weighting").cast("string"), col("min_df").cast("int"),
+          col("max_df_frac").cast("double"), col("k1").cast("double"),
+          col("b").cast("double"), col("cap").cast("int"),
+          col("n_postings").cast("long"), col("n_terms").cast("long"),
+          col("n_capped").cast("long"), col("n_docs").cast("long"))
+        .collect(),
+      () => n = postings.count(),
+      () => nv = vocab.count()))
     require(metaRows.length == 1,
       s"$dir/meta must hold exactly one row, got ${metaRows.length}")
     val m = metaRows.head
@@ -1429,23 +1455,13 @@ object TextAnalysis {
         (weighting == "bm25") == (k1o.isDefined && bo.isDefined),
       s"$dir/meta: k1/b must be present exactly for bm25, got " +
         s"weighting=$weighting k1=$k1o b=$bo")
-    val n = postings.count()
     require(n == m.getLong(6),
       s"meta says ${m.getLong(6)} postings but $dir/postings holds $n")
     require(!m.isNullAt(9) && m.getLong(9) >= 1,
       s"$dir/meta must state a positive n_docs")
     // the vocab relation upgrades n_terms from informational to VERIFIED
-    // at metadata price: its filterless parquet count must match; a
-    // missing vocab dir is a torn or pre-vocab-schema index — refuse
-    // with the contract error, not a path exception
-    val vocabPath = new org.apache.hadoop.fs.Path(s"$dir/vocab")
-    require(vocabPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(vocabPath),
-      s"$dir/vocab is missing — a torn save or a pre-vocab-schema index")
-    val vocab = spark.read.parquet(s"$dir/vocab")
-    require(Set("token", "df").subsetOf(vocab.columns.toSet),
-      s"$dir/vocab must hold (token, df), got ${vocab.columns.mkString(", ")}")
-    val nv = vocab.count()
+    // at metadata price: its filterless parquet count (collected above)
+    // must match
     require(nv == m.getLong(7),
       s"meta says ${m.getLong(7)} terms but $dir/vocab holds $nv")
     // the capped arm travels with its meta: cap and n_capped must be
