@@ -1265,6 +1265,10 @@ object Dedup {
                        minContainment: Double, n: Int = 2, k: Int = 8,
                        rowsPerBand: Int = 2,
                        maxBucketDocs: Int = DefaultMaxBucketDocs): DataFrame = {
+    // lazy like nearDups' three-consumer fanout: an eager materialization
+    // A/B'd as a WASH here and a regression on the nearDups path this
+    // round (serializing the set arrays costs what the kernel replay
+    // costs) — only jaccardPrefixParts' FIVE-consumer fanout paid off
     val sets = shingleSets(df, idCol, textCol, n)
     val cands = candidatesFromBands(
       lshBands(sigsFromSets(sets, idCol, k), idCol, k, rowsPerBand), idCol, maxBucketDocs)
@@ -1427,8 +1431,14 @@ object Dedup {
     require(p >= 1 && p <= 1000, s"minJaccardPermille out of [1,1000]: $p")
     // word n-gram shingle sets, like the rest of the dedup family —
     // unigram sets degenerate on small-vocabulary corpora (every doc
-    // shares most of the vocabulary and pair density explodes)
-    val sets = shingleSets(df, idCol, textCol, n)
+    // shares most of the vocabulary and pair density explodes).
+    // MATERIALIZED once: unlike nearDups' three consumers (measured
+    // within noise, see that scaladoc), this chain re-derives the set
+    // kernel FIVE times (toks→freq, the prefix join's sizes, both
+    // verify-join sides) plus the window subtree — measured 0.4–0.6 s
+    // per replay at sf0.1 (~2.5 s of q133's 6.1 s), and at corpus scale
+    // five shingle passes over the text is four too many
+    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
     val toks = sets.select(col(idCol), explode(col("__set")).as("__t"))
     // per-doc distinct-gram count reads off the set array NARROWLY — the
     // earlier toks.groupBy(id).count paid a doc-keyed shuffle for a
