@@ -1395,7 +1395,16 @@ object Dedup {
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
                        minJaccardPermille: Int, n: Int = 2): DataFrame = {
     val p = minJaccardPermille
-    val (sets, cands) = jaccardPrefixParts(df, idCol, textCol, p, n)
+    // materialize the shingle-set table ONCE for the FULL verb: its five
+    // consumers (toks→df-rank, prefix sizes, both verify-join sides)
+    // each replayed the scan+kernel — measured 6.2→4.1 s at sf0.1 and
+    // 27.7→24.0 s at the 500k guard. The checkpoint lives HERE and not
+    // in jaccardPrefixParts: the candidates-only consumer (the 500k
+    // guard's cands stage) has too few replays to amortize serializing
+    // the arrays (A/B'd +10 s at 500k) — same verdict as nearDups' lazy
+    // form.
+    val (sets, cands) = jaccardPrefixParts(df, idCol, textCol, p, n,
+      materializeSets = true)
     // verification = two doc-keyed joins + the codegen'd two-pointer
     // merge on the pre-sorted sets (the [[nearDupsOn]] kernel) — NOT a
     // token-level re-join: the earlier cands⋈toks⋈toks + count-groupBy
@@ -1427,18 +1436,16 @@ object Dedup {
     */
   private[graft] def jaccardPrefixParts(df: DataFrame, idCol: String,
                                         textCol: String, p: Int,
-                                        n: Int): (DataFrame, DataFrame) = {
+                                        n: Int, materializeSets: Boolean = false)
+      : (DataFrame, DataFrame) = {
     require(p >= 1 && p <= 1000, s"minJaccardPermille out of [1,1000]: $p")
     // word n-gram shingle sets, like the rest of the dedup family —
     // unigram sets degenerate on small-vocabulary corpora (every doc
     // shares most of the vocabulary and pair density explodes).
-    // MATERIALIZED once: unlike nearDups' three consumers (measured
-    // within noise, see that scaladoc), this chain re-derives the set
-    // kernel FIVE times (toks→freq, the prefix join's sizes, both
-    // verify-join sides) plus the window subtree — measured 0.4–0.6 s
-    // per replay at sf0.1 (~2.5 s of q133's 6.1 s), and at corpus scale
-    // five shingle passes over the text is four too many
-    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
+    // `materializeSets` is the full verb's five-consumer amortization
+    // (see jaccardJoinExact); the candidates-only path stays lazy
+    val sets0 = shingleSets(df, idCol, textCol, n)
+    val sets = if (materializeSets) sets0.localCheckpoint() else sets0
     val toks = sets.select(col(idCol), explode(col("__set")).as("__t"))
     // per-doc distinct-gram count reads off the set array NARROWLY — the
     // earlier toks.groupBy(id).count paid a doc-keyed shuffle for a
