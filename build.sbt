@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput GC for batch work: the bench/verify mains are short
+  // back-to-back batch queries (plus an explicit System.gc() between
+  // timed runs), where ParallelGC's stop-the-world compaction beats
+  // G1's incremental pauses — alternated A/B on an 11-query mixed
+  // subset: 29.8/37.0 s (G1) vs 26.2/24.9 s (ParallelGC), wins on
+  // 10 of 11 queries (OPTIMIZATION_r16.md). Batch executors at
+  // cluster scale run the same flag for the same reason; nothing
+  // here is local[32]-specific.
+  "-XX:+UseParallelGC",
 )
