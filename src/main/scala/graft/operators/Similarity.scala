@@ -1262,12 +1262,20 @@ object Similarity {
         .map(i => bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1)))
           .cast("long"))
         .reduce(_ + _)
+    // materialized ONCE: the (nProbes × reranks) grid unions one
+    // aggregation per point over this relation, and a lazy `cand` would
+    // re-run the stage-1 probe join + hamming pass per grid point
+    // (8 recomputes on the graded grid). The relation is stage-1-sized —
+    // bounded by the query batch's probed-cell occupancy — so the
+    // checkpoint is the "one stage-1 pass plus grid-sized rollups"
+    // contract made physical
     val cand = index.codes
       .select(col("id").as("neighbor_id"), col("cell"), col("words").as("__cw"))
       .join(broadcast(probes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__agree",
         (lit(dim.toLong) - hamming(col("__cw"), col("__qw"))).cast("double"))
+      .localCheckpoint()
     val combos = for { p <- nProbes; r <- reranks } yield (p, r)
     val anns = combos.map { case (p, r) =>
       cand.filter(col("__prn") <= p)
