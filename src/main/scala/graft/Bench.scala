@@ -12,10 +12,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE's partition coalescing is BYTE-targeted (64 MB advisory by
+    // default) and blind to per-byte CPU cost. This engine's hot stages
+    // are CPU-DENSE text/similarity kernels (Levenshtein verification,
+    // shingle intersection, posting dots) that chew ~1-5 MB/s per core,
+    // so a 64 MB reduce partition is minutes of single-task CPU — at
+    // sf0.1 the SNM verify stage coalesced to 2 tasks on 32 cores
+    // (q197 3.9 s -> 0.9 s with a 1 MB advisory; q133 4.8 -> 2.3,
+    // q23/q58 ~2x). Scale-dependent, so PARAMETERISED: deployments with
+    // byte-bound ETL stages should set 64-256 MB (the guide §2.2 block-
+    // count regime — 1 MB at a 100 TB shuffle would be a block
+    // explosion); the local default suits the CPU-dense kernel regime
+    // these fixtures exercise. See OPTIMIZATION_r16.md.
+    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "1m")
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
