@@ -25,9 +25,13 @@ import org.apache.spark.sql.types._
   * k-entry heap per (group, partition), so the exchange carries at most
   * `groups × partitions × k` entries — the [[TopKOps]] scale contract.
   *
-  * Ordering is total on the id (smallest first). Rows with a null id or a
-  * null payload are skipped — `orderBy(id).limit(k)` over the seed relation
-  * never surfaced them either (the slices relation is built null-free).
+  * Ordering is total on the id (smallest first). A NULL id FAILS FAST:
+  * the replaced `orderBy(id).limit(k)` sorts nulls first in Spark, so
+  * silently skipping them would yield different seeds than the non-long
+  * fallback path still does — and a null id in a seed relation is a data
+  * bug worth surfacing, not a row to guess about. Null payloads are
+  * skipped (the slices relation is built null-free; a null vec carries
+  * nothing a seed could use).
   *
   * Result: `array<struct<id:bigint, vec:array<double>>>` sorted id-ascending
   * and truncated to k.
@@ -66,7 +70,10 @@ case class BoundedBottomKVec(
   override def update(buffer: BottomKVecBuffer, input: InternalRow): BottomKVecBuffer = {
     val i = id.eval(input)
     val v = vec.eval(input)
-    if (i != null && v != null) {
+    require(i != null,
+      "bottomk_vec: null id on the seed path — ids must be non-null " +
+        "(a null would silently reorder seeds vs the orderBy-nulls-first fallback)")
+    if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       // a null element inside the payload cannot occur on the seed path
       // (slices are built null-free); toDoubleArray would throw if it did

@@ -224,25 +224,33 @@ object Graph {
     *
     * Iteration discipline — the [[pageRank]] caveat does NOT transfer:
     * unlike PageRank (whose loop references the previous ranks ONCE, so
-    * the unrolled plan grows linearly), each HITS iteration references
-    * the new auth frame TWICE (hub recurrence + final scores join),
-    * which doubles the logical subtree per round — exponential Catalyst
+    * the unrolled plan grows linearly), each half-step's raw link-sum
+    * frame is referenced TWICE (its global mass + its rows), which
+    * doubles the logical subtree per round — exponential Catalyst
     * analysis time by iteration 4-5 (measured: minutes at 1k nodes). So
-    * each half-step's raw link-sum frame is re-rooted as a `LogicalRDD`
-    * scan (`createDataFrame(df.rdd, schema)`) AND persisted — the
-    * Catalyst plan stays constant-depth, execution lineage stays
-    * distributed, and each half-step's two consumers (mass + rows) read
-    * one cache instead of replaying the join subtree. (Round 8's "snap
-    * every half-step is 12× slower" measurement was UNPERSISTED snaps —
-    * the cache is what changed the verdict.)
+    * each half-step's raw link-sum frame is `localCheckpoint()`ed —
+    * the Catalyst plan stays constant-depth, the frame's two consumers
+    * read one materialized RDD, and (unlike the previous
+    * `createDataFrame(df.rdd, schema)` re-root, which drops
+    * outputPartitioning) the checkpoint's `LogicalRDD` KEEPS the
+    * half-step's hash partitioning, so the next iteration's node-keyed
+    * join does not re-exchange the score side (round 17: q144's plan
+    * lost 5 of its exchanges and ~40 of its 101 Spark jobs this way).
     *
-    * Cache lifetime: each round unpersists the previous round's two
-    * half-step frames once it has materialized past them; on return the
-    * dense result is materialized into its OWN cache and every loop
-    * cache (edges, routing copies, node table, final half-steps) is
-    * released — the returned frame is the ONE caller-owned persist
-    * (ADVICE r9: repeated calls in a long-lived session must not
-    * accumulate block-manager state).
+    * The loop state is the SPARSE hub frame alone — the dense
+    * (node, hub, auth) merge the loop used to rebuild per round is only
+    * needed at the very end: the auth recurrence reads ONLY hub, and a
+    * node absent from the hub frame contributes an exact decimal ZERO
+    * to every link sum, so dropping the full-outer merge changes no
+    * value (per-round merge jobs: gone).
+    *
+    * Cache lifetime: the routing caches (edges, both pre-partitioned
+    * copies, node table) are explicitly released once the dense result
+    * materializes; the half-step localCheckpoints have no unpersist
+    * handle by API design — their blocks are freed by the
+    * ContextCleaner when the loop frames go out of scope, the same
+    * lifecycle every other localCheckpoint in this engine (q133's set
+    * table, the sparse index build) already relies on.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 5): DataFrame = {
@@ -264,71 +272,59 @@ object Graph {
     // score 0 — zeros contribute nothing to link sums or the mass, so
     // carrying them through every iteration would only pay two extra
     // node-sized left-join shuffles per half-step (measured ~2× wall at
-    // 5k nodes). The dense (node, hub, auth) view is reinstated ONCE at
-    // the end.
-    var scores = nodes
-      .withColumn("hub", round(lit(1.0 / n.toDouble), 12))
-      .withColumn("auth", round(lit(1.0 / n.toDouble), 12))
-    def snap(d: DataFrame): DataFrame =
-      d.sparkSession.createDataFrame(d.rdd, d.schema)
+    // 5k nodes). The loop carries ONLY the hub frame (the auth
+    // recurrence's sole input); the dense (node, hub, auth) view is
+    // reinstated ONCE at the end from the final half-step frames.
     def massOf(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,12)")).cast("double")
-    // every half-step cache the loop creates, released together after
-    // the final materialization (ADVICE r9: an unbounded session must
-    // not accumulate cached node tables across calls)
-    var loopCaches: Seq[DataFrame] = Nil
+    var hub = nodes.withColumn("hub", round(lit(1.0 / n.toDouble), 12))
+    var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val authRaw = snap(scores.join(eSrc, scores("node") === eSrc("__src"))
+      // each raw half-step localCheckpoints: its two consumers (the mass
+      // aggregate + the rows) read one materialized RDD instead of
+      // replaying the join subtree, and the Catalyst plan stays
+      // constant-depth. (Checkpointing only the NORMALIZED frame once
+      // per round and leaving the raw half-step lazy was A/B'd: AQE does
+      // NOT dedupe the doubled raw subtree across the mass and row
+      // references — 73 → 123 jobs, +0.9 s. Two checkpoints per round is
+      // the measured floor.) The checkpoint's LogicalRDD keeps the
+      // aggregation's hash partitioning so the next node-keyed join
+      // re-exchanges nothing (the old snap() re-root dropped it — one
+      // extra exchange per half-step).
+      val authRaw = hub.join(eSrc, hub("node") === eSrc("__src"))
         .groupBy(col("__dst"))
         .agg(massOf(col("hub")).as("auth"))
-        .select(col("__dst").as("node"), col("auth")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("__dst").as("node"), col("auth"))
+        .localCheckpoint()
       // the auth mass normalizes IN-PLAN: a one-row aggregate over the
-      // PERSISTED raw frame, broadcast into the scalar cross join — the
-      // broadcast build job reads the cache the main pass just filled,
-      // so the half-step costs no separate driver-synchronized subtree
-      // replay (the round-8 8×-slower broadcast formulation was
-      // measured UNPERSISTED; the cache is what changed the verdict)
-      val auth = authRaw
+      // CHECKPOINTED raw frame, broadcast into the scalar cross join —
+      // ZERO blocking driver round-trips inside the loop (the broadcast
+      // builds run as their own Spark jobs over the materialized
+      // half-step). Both divisions are the same decimal-sum→double→12-dp
+      // quantization wherever they run — bit-identical scores.
+      auth = authRaw
         .crossJoin(broadcast(authRaw.agg(massOf(col("auth")).as("__mass"))))
         .select(col("node"), round(col("auth") / col("__mass"), 12).as("auth"))
-      val hubRaw = snap(auth.join(eDst, auth("node") === eDst("__dst"))
+      val hubRaw = auth.join(eDst, auth("node") === eDst("__dst"))
         .groupBy(col("__src"))
         .agg(massOf(col("auth")).as("hub"))
-        .select(col("__src").as("node"), col("hub")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the hub mass normalizes in-plan the same way — ZERO blocking
-      // driver actions in the loop (r9 had two per round, then one):
-      // every mass is a broadcast scalar over a persisted half-step, and
-      // the whole recurrence executes under the single materializing
-      // action below (broadcast builds still run as their own Spark
-      // jobs, but without a driver round-trip between rounds). Both
-      // divisions are the same decimal-sum→double→12-dp quantization
-      // wherever they run — bit-identical scores.
-      val hub = hubRaw
+        .select(col("__src").as("node"), col("hub"))
+        .localCheckpoint()
+      hub = hubRaw
         .crossJoin(broadcast(hubRaw.agg(massOf(col("hub")).as("__mass"))))
         .select(col("node"), round(col("hub") / col("__mass"), 12).as("hub"))
-      // the combined view is consumed exactly once (next round's join,
-      // or the final dense reinstatement), so it stays lazy — only the
-      // half-step frames, each read twice (mass + rows), are cached
-      scores = snap(hub.join(auth, Seq("node"), "full")
-        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
-          coalesce(col("auth"), lit(0.0)).as("auth")))
-      // caches stay live until the final materialization below — with no
-      // action inside the loop, nothing has materialized yet, and an
-      // early unpersist would silently turn the final job into a full
-      // lineage replay (bounded: iters×2 node-sized frames)
-      loopCaches = loopCaches ++ Seq(authRaw, hubRaw)
     }
-    // materialize the dense result ONCE, then release every loop cache:
-    // the returned frame re-reads its OWN cache (caller-owned — unpersist
-    // it when done; on block loss it falls back to RDD lineage)
-    val out = snap(nodes.join(scores, Seq("node"), "left")
+    // reinstate the dense view ONCE: both final half-steps left-join the
+    // node table (absent = exact 0, the sparse-state convention — the
+    // same rows and values the old per-round full-outer merge carried),
+    // materialized eagerly so the routing caches can release below
+    val out = nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
       .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
-        coalesce(col("auth"), lit(0.0)).as("auth")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    (loopCaches ++ Seq(e, eSrc, eDst, nodes)).foreach(_.unpersist(blocking = false))
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+      .localCheckpoint()
+    Seq(e, eSrc, eDst, nodes).foreach(_.unpersist(blocking = false))
     out
   }
 

@@ -44,14 +44,20 @@ private[graft] object Par {
     } finally pool.shutdown()
   }
 
-  /** Evaluate two independent driver-side computations concurrently. */
+  /** Evaluate two independent driver-side computations concurrently.
+    * Mirrors [[run]]'s settle-before-rethrow guarantee: if `a` fails
+    * while `b` (often a full index build+save) is still running on the
+    * pool thread, `b` is awaited to completion BEFORE the failure
+    * surfaces — no write is left mid-flight in a half-started sibling.
+    */
   def par2[A, B](a: => A, b: => B): (A, B) = {
     val pool = Executors.newFixedThreadPool(1)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val fb = Future(b)
-      val ra = a
-      (ra, Await.result(fb, Duration.Inf))
+      val ra = scala.util.Try(a)
+      Await.ready(fb, Duration.Inf)
+      (ra.get, fb.value.get.get)
     } finally pool.shutdown()
   }
 }

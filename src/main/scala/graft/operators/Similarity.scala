@@ -2510,7 +2510,10 @@ object Similarity {
     // ONE bounded collect validates everything: the one-row meta crossed
     // with the two codebook-relation aggregates (each one row by
     // construction), so opening an index costs one driver round-trip
-    // instead of three — the same checks, the same failure messages
+    // instead of three — the same checks with the same MESSAGES, but not
+    // the same ORDER: an analysis/read error in pq/coarse (e.g. a missing
+    // 'centroid' column) now surfaces before the meta row-count require,
+    // where the three-collect form reported the meta problem first
     val metaRows = spark.read.parquet(s"$dir/meta")
       .select(col("residual").cast("boolean"), col("sub_dim").cast("int"),
         col("dim").cast("int"), col("subspaces").cast("int"),

@@ -57,14 +57,21 @@ object JobProfile {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.removeSparkListener(listener)
-      // listener events are async; poll until every job has an end time
+      // listener events are async: drain (poll for missing end times)
+      // BEFORE removing the listener — removal first would drop an
+      // in-flight SparkListenerJobEnd and the job would print a negative
+      // duration (end=0), corrupting jobWallSum/driverGap
       val deadline = System.nanoTime() + 3_000_000_000L
       while (System.nanoTime() < deadline &&
         jobs.synchronized { jobs.values.exists(_.end == 0L) })
         Thread.sleep(50)
+      spark.sparkContext.removeSparkListener(listener)
+      // a job that still has no end time after the drain is excluded
+      // from the sums (and flagged) rather than summed as negative
       val snap = jobs.synchronized { jobs.values.toSeq }
-      val jobSum = snap.map(r => (r.end - r.start) / 1e3).sum
+      val unended = snap.count(_.end == 0L)
+      if (unended > 0) println(s"   [jobprofile] $unended job(s) never delivered an end event; excluded from sums")
+      val jobSum = snap.filter(_.end != 0L).map(r => (r.end - r.start) / 1e3).sum
       println(f"== $name rows=$n wall=$wall%.3f s  jobs=${snap.size} " +
         f"jobWallSum=$jobSum%.3f s  driverGap=${wall - jobSum}%.3f s")
       snap.sortBy(r => -(r.end - r.start)).take(30).foreach { r =>
