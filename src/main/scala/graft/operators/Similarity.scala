@@ -1645,14 +1645,27 @@ object Similarity {
     * recall when none does; ties break (est_cost, mean_recall desc,
     * n_probe, rerank) — fully deterministic.
     *
+    * One shared chain, NO per-point search (round 17 — the
+    * [[binaryCellsOperatingPlan]] convention brought to the PQ axis):
+    * probes rank once at the WIDEST grid point (a tighter point's probe
+    * set is a PREFIX of the best-first cell ranking, and the 6-dp ADC
+    * score depends only on the (query, candidate) pair — never on
+    * nProbe or rerank), the stage-1 candidate relation materializes
+    * once, each grid point is a probe-rank filter + its own bounded
+    * heap, and ONE exact-cosine pass reranks every point's survivors
+    * grouped by the grid keys. Results are identical to running
+    * [[ivfPqSearch]] per point (same candidate sets, same heaps, same
+    * tie rules — spec-pinned against the per-point recall report).
+    *
     * 100 TB shape: the eval-operator contract — queries are a bounded
     * hash sample ([[graft.operators.Sampling.hashBucket]]); the
     * brute-force arm COMPUTES once (localCheckpointed before the
     * hit-join and the query count both read it — reuse by
     * materialization, not by hoping AQE dedups the subtree); the
-    * codebook relations collect once for the whole grid, each grid
-    * point then costs one retrain-free [[ivfPqSearch]] pass over the
-    * persisted codes, and everything after the heaps is
+    * codebook relations collect once; the whole grid costs ONE pass
+    * over the persisted codes (it previously cost |grid| passes), one
+    * stage-1-sized checkpoint (bounded by the batch's probed-cell
+    * occupancy at pMax), and everything after the heaps is
     * (grid × queries × k)-sized.
     */
   def ivfPqOperatingPointPlan(index: IvfPqIndex, corpus: DataFrame,
@@ -1668,16 +1681,80 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val combos = for { p <- nProbes; r <- reranks } yield (p, r)
-    val bf = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    // the query relation feeds both arms (brute force + probes) — the
+    // defensive lazy snapshot keeps them reading the same rows (the
+    // ivfPqSearchPruned rule)
+    val qs = queries.localCheckpoint(false)
+    val bf = bruteForceTopK(corpus, qs, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
-    val cbs = collectIndexCodebooks(index)
+    val (codebook, cents, subspaces, pqK) = collectIndexCodebooks(index)
+    val pMax = nProbes.max
+    // query side ONCE at pMax: ADC lookup table + posexploded probe
+    // cells with their best-first rank — exactly ivfPqRank's probe shape
+    // plus the rank column the prefix filters read
+    val adc = array((0 until subspaces).map(sp =>
+      array((0 until pqK).map { c =>
+        val cv = if (c < cents(sp).length) cents(sp)(c).toSeq
+                 else Seq.fill(index.subDim)(0.0)
+        dot(pqSliceExpr(col("__qv"), sp, index.subDim), typedlit(cv))
+      }: _*)): _*)
+    val probes0 = qs
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
+      .withColumn("__adc", adc)
+      .select(col("query_id"), col("__qv"), col("__adc"),
+        posexplode(nearestCells(codebook, col("__qv"), pMax))
+          .as(Seq("__pos", "cell")))
+      .select(col("query_id"), col("__qv"), col("__adc"), col("cell"),
+        (col("__pos") + 1).as("__prn"))
+    val probes =
+      if (index.residual)
+        probes0.withColumn("__base",
+          dot(col("__qv"), element_at(typedlit(codebook.toMap), col("cell"))))
+      else probes0
+    val coded = index.codes.select(
+      col("id").as("neighbor_id") +: col("cell") +: col("nrm").as("__n") +:
+        (0 until subspaces).map(sp => col(s"code_$sp").as(s"__code_$sp")): _*)
+    val adcSum = (0 until subspaces).map(sp =>
+      element_at(element_at(col("__adc"), sp + 1), col(s"__code_$sp") + 1))
+      .reduce(_ + _)
+    val approx = round(
+      (if (index.residual) col("__base") + adcSum else adcSum) / col("__n"), 6)
+    // materialized ONCE (the binary planner's rule): lazy, the probe
+    // join + ADC pass would re-run per grid point
+    val cand = coded.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__prn"),
+        approx.as("__approx"))
+      .localCheckpoint()
     val anns = combos.map { case (p, r) =>
-      ivfPqSearchWith(index, cbs, corpus, queries, idCol, vecCol, k, p, r)
-        .select(lit(p).as("n_probe"), lit(r).as("rerank"),
-          col("query_id"), col("neighbor_id"))
+      cand.filter(col("__prn") <= p)
+        .groupBy("query_id")
+        .agg(TopKOps.topK(r, col("__approx"), col("neighbor_id")).as("__top"))
+        .select(lit(p).as("n_probe"), lit(r).as("rerank"), col("query_id"),
+          explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
     }.reduce(_ unionByName _)
-    val hits = anns.join(bf, Seq("query_id", "neighbor_id"))
+    // shared stage 2: one exact-cosine pass over every point's survivors,
+    // the per-point explodeRanks heap grouped by the grid keys — same
+    // score, same (cos desc, id asc) tie rule, same top-k sets
+    val rerankVecs = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .filter(col("__cn") > 0)
+    val qvs = qs.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0)
+    val ranked = rerankVecs.join(broadcast(anns), "neighbor_id")
+      .join(broadcast(qvs), "query_id")
+      .withColumn("__cos",
+        dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .groupBy(col("n_probe"), col("rerank"), col("query_id"))
+      .agg(TopKOps.topK(k, col("__cos"), col("neighbor_id")).as("__top"))
+      .select(col("n_probe"), col("rerank"), col("query_id"),
+        explode(transform(col("__top"), e => e.getField("id"))).as("neighbor_id"))
+    val hits = ranked.join(bf, Seq("query_id", "neighbor_id"))
       .groupBy(col("n_probe"), col("rerank"))
       .agg(count(lit(1)).as("__hits"))
     // all one-row/bounded: |queries|, |codes|, nCentroids, subspaces
