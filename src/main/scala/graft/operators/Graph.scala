@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Rounding.zround
@@ -214,13 +214,14 @@ object Graph {
     *
     * 100 TB shape: edges are persisted once; each iteration is two
     * edge-sized co-keyed joins + two map-side-combinable aggregations
-    * (node-sized). The auth mass normalizes IN-PLAN (one-row aggregate
-    * over the persisted half-step, broadcast into a scalar cross join)
-    * — ZERO blocking driver actions inside the loop; the recurrence
-    * executes under one materializing action at the end (stepwise this
-    * round: two heads/iter 8.54 s → one 6.99 s → none 5.60 s on the
-    * sf0.1 graph; pipe_hits 500k 31.3 s → 20.5 s). Nothing node- or
-    * edge-sized is ever collected.
+    * (node-sized). Each half-step's global mass rides the half-step's
+    * own materializing job as an `observe` metric and normalizes as a
+    * scalar LITERAL — no mass aggregate job, no broadcast build, and no
+    * EXTRA driver barrier (the checkpoint already blocks; the metric is
+    * ready when it returns). History: two collect heads/iter 8.54 s →
+    * one 6.99 s → in-plan broadcast mass 5.60 s on the sf0.1 graph
+    * (pipe_hits 500k 31.3 s → 20.5 s) → observed-literal mass, −2
+    * jobs/iter. Nothing node- or edge-sized is ever collected.
     *
     * Iteration discipline — the [[pageRank]] caveat does NOT transfer:
     * unlike PageRank (whose loop references the previous ranks ONCE, so
@@ -277,6 +278,12 @@ object Graph {
     // reinstated ONCE at the end from the final half-step frames.
     def massOf(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,12)")).cast("double")
+    // the observed metric value as a literal Column: a java.lang.Double,
+    // or (zero-row half-step, edge-free degenerate graphs) the metric
+    // row's NULL — the same NULL the one-row sum aggregate produced, so
+    // the division semantics are unchanged
+    def observedMass(obs: Observation): org.apache.spark.sql.Column =
+      lit(obs.get.get("__mass").orNull).cast("double")
     var hub = nodes.withColumn("hub", round(lit(1.0 / n.toDouble), 12))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
@@ -291,28 +298,36 @@ object Graph {
       // aggregation's hash partitioning so the next node-keyed join
       // re-exchanges nothing (the old snap() re-root dropped it — one
       // extra exchange per half-step).
+      // the half-step's global mass rides the CHECKPOINT'S OWN JOB as an
+      // `observe` metric (CollectMetrics aggregates the rows as they
+      // stream into the checkpoint — verified by tools.ObserveProbe:
+      // eager localCheckpoint is a `withAction`, so the metric is
+      // available the moment the checkpoint returns), then normalizes as
+      // a LITERAL. The previous form — a one-row aggregate over the
+      // checkpointed frame broadcast into a scalar cross join — paid one
+      // extra Spark job + broadcast build per half-step (2·iters jobs).
+      // The metric expression is the SAME decimal-sum→double massOf the
+      // aggregate stated, computed over the same rows — exact and
+      // order-independent, so the division input is bit-identical
+      // (GraphSpec's driver-side reference pins the scores).
+      val authObs = new Observation
       val authRaw = hub.join(eSrc, hub("node") === eSrc("__src"))
         .groupBy(col("__dst"))
         .agg(massOf(col("hub")).as("auth"))
         .select(col("__dst").as("node"), col("auth"))
+        .observe(authObs, massOf(col("auth")).as("__mass"))
         .localCheckpoint()
-      // the auth mass normalizes IN-PLAN: a one-row aggregate over the
-      // CHECKPOINTED raw frame, broadcast into the scalar cross join —
-      // ZERO blocking driver round-trips inside the loop (the broadcast
-      // builds run as their own Spark jobs over the materialized
-      // half-step). Both divisions are the same decimal-sum→double→12-dp
-      // quantization wherever they run — bit-identical scores.
       auth = authRaw
-        .crossJoin(broadcast(authRaw.agg(massOf(col("auth")).as("__mass"))))
-        .select(col("node"), round(col("auth") / col("__mass"), 12).as("auth"))
+        .select(col("node"), round(col("auth") / observedMass(authObs), 12).as("auth"))
+      val hubObs = new Observation
       val hubRaw = auth.join(eDst, auth("node") === eDst("__dst"))
         .groupBy(col("__src"))
         .agg(massOf(col("auth")).as("hub"))
         .select(col("__src").as("node"), col("hub"))
+        .observe(hubObs, massOf(col("hub")).as("__mass"))
         .localCheckpoint()
       hub = hubRaw
-        .crossJoin(broadcast(hubRaw.agg(massOf(col("hub")).as("__mass"))))
-        .select(col("node"), round(col("hub") / col("__mass"), 12).as("hub"))
+        .select(col("node"), round(col("hub") / observedMass(hubObs), 12).as("hub"))
     }
     // reinstate the dense view ONCE: both final half-steps left-join the
     // node table (absent = exact 0, the sparse-state convention — the

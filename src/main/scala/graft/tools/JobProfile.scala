@@ -19,9 +19,17 @@ object JobProfile {
     val names = (if (args.nonEmpty) args(0) else "q278").split(",").map(_.trim)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = if (args.length > 2) args(2) else "32"
+    // mirror Bench.scala's session config (same env knobs, same local
+    // defaults) so a profile reproduces the conditions the driver times —
+    // r16's profiles ran at Spark's stock 64m advisory and could not
+    // reproduce the bench's small-shuffle coalescing behavior
+    val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "1m")
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "64k")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
