@@ -2469,7 +2469,19 @@ object Similarity {
     * directory.
     */
   final case class IvfPqIndex(codes: DataFrame, coarse: DataFrame,
-                              pq: DataFrame, residual: Boolean, subDim: Int) {
+                              pq: DataFrame, residual: Boolean, subDim: Int,
+                              // the codebooks as DRIVER-SIDE literals when the
+                              // constructor already has them (a build holds the
+                              // trained arrays; a load collects the relations to
+                              // validate them anyway) — [[collectIndexCodebooks]]
+                              // then skips its per-search collect job. Scoped to
+                              // one index VALUE inside one query invocation
+                              // (never persisted, never keyed on inputs across
+                              // runs); `.copy(codes = …)` keeps it valid because
+                              // coarse/pq travel unchanged through every copy
+                              // site (pruned scan, add, merge, cell filter).
+                              codebooksMemo: Option[(Array[(Long, Seq[Double])],
+                                Array[Array[Array[Double]]], Int, Int)] = None) {
 
     /** The index's one-row self-description
       * `(residual, sub_dim, dim, subspaces, pq_k, n_centroids)` — scalar
@@ -2584,48 +2596,66 @@ object Similarity {
     }
     val coarse = spark.read.parquet(s"$dir/coarse")
     val pq = spark.read.parquet(s"$dir/pq")
-    // ONE bounded collect validates everything: the one-row meta crossed
-    // with the two codebook-relation aggregates (each one row by
-    // construction), so opening an index costs one driver round-trip
-    // instead of three — the same checks with the same MESSAGES, but not
-    // the same ORDER: an analysis/read error in pq/coarse (e.g. a missing
-    // 'centroid' column) now surfaces before the meta row-count require,
-    // where the three-collect form reported the meta problem first
-    val metaRows = spark.read.parquet(s"$dir/meta")
+    // ONE bounded collect both VALIDATES and KEEPS the codebooks: the
+    // one-row meta unions with the FULL coarse and pq relations
+    // (nCentroids + subspaces·pqK rows — the same rows every search
+    // would collect again), every derivable meta field is re-checked
+    // driver-side from the full rows with the same messages (order may
+    // differ: an analysis/read error in pq/coarse, e.g. a missing
+    // 'centroid' column, surfaces at the collect, before the meta
+    // row-count require), and the parsed codebooks ride the returned
+    // index as its memo — searches over a loaded index collect nothing.
+    val rows = spark.read.parquet(s"$dir/meta")
       .select(col("residual").cast("boolean"), col("sub_dim").cast("int"),
         col("dim").cast("int"), col("subspaces").cast("int"),
         col("pq_k").cast("int"), col("n_centroids").cast("int"))
-      .crossJoin(pq.agg((max(col("subspace")).cast("int") + 1).as("__pq_s"),
-        (max(col("code")).cast("int") + 1).as("__pq_k"),
-        min(size(col("centroid"))).as("__pq_lo"),
-        max(size(col("centroid"))).as("__pq_hi")))
-      .crossJoin(coarse.agg(count(lit(1)).as("__c_n"),
-        min(size(col("centroid"))).as("__c_lo"),
-        max(size(col("centroid"))).as("__c_hi")))
+      .select(lit(2).as("__kind"), lit(0L).as("__a"), lit(0L).as("__b"),
+        array(when(col("residual"), 1.0).otherwise(0.0),
+          col("sub_dim").cast("double"), col("dim").cast("double"),
+          col("subspaces").cast("double"), col("pq_k").cast("double"),
+          col("n_centroids").cast("double")).as("__c"))
+      .unionByName(coarse.select(lit(0).as("__kind"),
+        col("cell").cast("long").as("__a"), lit(0L).as("__b"),
+        col("centroid").cast("array<double>").as("__c")))
+      .unionByName(pq.select(lit(1).as("__kind"),
+        col("subspace").cast("long").as("__a"),
+        col("code").cast("long").as("__b"),
+        col("centroid").cast("array<double>").as("__c")))
       .collect()
+    val metaRows = rows.filter(_.getInt(0) == 2)
     require(metaRows.length == 1,
       s"$dir/meta must hold exactly one row, got ${metaRows.length}")
-    val m = metaRows.head
-    val (residual, subDim, dim) = (m.getBoolean(0), m.getInt(1), m.getInt(2))
-    val d = m
-    require(d.getInt(6) == m.getInt(3),
-      s"meta says ${m.getInt(3)} subspaces but $dir/pq holds ${d.getInt(6)}")
-    require(d.getInt(7) == m.getInt(4),
-      s"meta says pq_k ${m.getInt(4)} but $dir/pq holds ${d.getInt(7)} codes")
-    require(d.getInt(8) == subDim && d.getInt(9) == subDim,
+    val m = metaRows.head.getSeq[Double](3)
+    val (residual, subDim, dim) = (m(0) == 1.0, m(1).toInt, m(2).toInt)
+    val (mSub, mPqK, mCents) = (m(3).toInt, m(4).toInt, m(5).toInt)
+    val coarsePairs = rows.filter(_.getInt(0) == 0)
+      .map(r => (r.getLong(1), r.getSeq[Double](3)))
+    val pqTriples = rows.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1), r.getLong(2), r.getSeq[Double](3)))
+    require(pqTriples.nonEmpty, s"$dir/pq holds no codebook rows — a torn directory")
+    val pqS = pqTriples.map(_._1).max.toInt + 1
+    val pqKGot = pqTriples.map(_._2).max.toInt + 1
+    val (pqLo, pqHi) = (pqTriples.map(_._3.size).min, pqTriples.map(_._3.size).max)
+    require(pqS == mSub,
+      s"meta says $mSub subspaces but $dir/pq holds $pqS")
+    require(pqKGot == mPqK,
+      s"meta says pq_k $mPqK but $dir/pq holds $pqKGot codes")
+    require(pqLo == subDim && pqHi == subDim,
       s"meta says sub_dim $subDim but $dir/pq centroids span " +
-        s"[${d.getInt(8)}, ${d.getInt(9)}] dims")
-    require(d.getInt(6) * subDim <= dim,
-      s"meta is self-inconsistent: ${d.getInt(6)} subspaces x sub_dim $subDim " +
+        s"[$pqLo, $pqHi] dims")
+    require(pqS * subDim <= dim,
+      s"meta is self-inconsistent: $pqS subspaces x sub_dim $subDim " +
         s"exceeds dim $dim")
-    require(m.getLong(10) == m.getInt(5).toLong,
-      s"meta says ${m.getInt(5)} coarse centroids but $dir/coarse holds ${m.getLong(10)}")
-    require(m.getInt(11) == dim && m.getInt(12) == dim,
+    require(coarsePairs.length.toLong == mCents.toLong,
+      s"meta says $mCents coarse centroids but $dir/coarse holds ${coarsePairs.length}")
+    val (cLo, cHi) = (coarsePairs.map(_._2.size).min, coarsePairs.map(_._2.size).max)
+    require(cLo == dim && cHi == dim,
       s"meta says dim $dim but $dir/coarse centroids span " +
-        s"[${m.getInt(11)}, ${m.getInt(12)}] dims — a mixed directory")
-    (0 until d.getInt(6)).foreach(sp => require(codes.columns.contains(s"code_$sp"),
-      s"$dir/codes is missing column code_$sp for the ${d.getInt(6)}-subspace codebook"))
-    IvfPqIndex(codes, coarse, pq, residual, subDim)
+        s"[$cLo, $cHi] dims — a mixed directory")
+    (0 until pqS).foreach(sp => require(codes.columns.contains(s"code_$sp"),
+      s"$dir/codes is missing column code_$sp for the $pqS-subspace codebook"))
+    IvfPqIndex(codes, coarse, pq, residual, subDim,
+      codebooksMemo = Some(assembleCodebooks(coarsePairs, pqTriples)))
   }
 
   /** Train and encode ONCE — the index half of the IVF-PQ split. One
@@ -2649,10 +2679,24 @@ object Similarity {
                       storeSignWords: Boolean = false): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val codebook = collectCodebook(corpus, idCol, vecCol, nCentroids)
+    // RAW (non-residual) PQ training never reads the coarse quantizer, so
+    // the codebook TakeOrdered and the whole fused Lloyd loop (probe +
+    // seed + pqIters codebook collects) run as OVERLAPPED driver arms
+    // (guide §2.6) — the codebook job back-fills the Lloyd barriers'
+    // executor tail instead of serializing ahead of them. pqTrain pays
+    // its own bounded limit(1) width probe in this arm (the codebook is
+    // not in hand yet); residual training still sequences after the
+    // codebook, which the residual relation needs.
+    val (codebook, centsRaw) =
+      if (residual) (collectCodebook(corpus, idCol, vecCol, nCentroids), None)
+      else {
+        val (cb, cs) = Par.par2(
+          collectCodebook(corpus, idCol, vecCol, nCentroids),
+          pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters,
+            knownDim = None))
+        (cb, Some(cs))
+      }
     require(codebook.nonEmpty, "codebook must be non-empty")
-    // the collected codebook states the vector width — the PQ geometry
-    // check runs on the driver, skipping pqTrain's limit(1) probe job
     val dim = codebook.head._2.length
     val cells = ivfCells(corpus, idCol, vecCol, codebook,
       keepRaw = storeVectors)
@@ -2666,9 +2710,7 @@ object Similarity {
             "neighbor_id", "__r", subspaces, subDim, pqK, pqIters,
             knownDim = Some(dim)))
       } else
-        (cells, col("__cv"),
-          pqTrain(corpus, idCol, vecCol, subspaces, subDim, pqK, pqIters,
-            knownDim = Some(dim)))
+        (cells, col("__cv"), centsRaw.get)
     val codes = codesShape(
       withPqCodeCols(codeSrc, codeVec, cents, subspaces, subDim), subspaces,
       storeVectors,
@@ -2678,7 +2720,13 @@ object Similarity {
       sp <- cents.indices
       c <- cents(sp).indices
     } yield (sp, c, cents(sp)(c).toSeq)).toDF("subspace", "code", "centroid")
-    IvfPqIndex(codes, coarse, pq, residual, subDim)
+    // the constructor holds the codebooks it just trained — searches over
+    // this index skip their codebook collect ([[collectIndexCodebooks]]'s
+    // memo; the tuple matches the collect's reconstruction exactly:
+    // cell-ascending codebook, (subspace, code)-indexed cents)
+    IvfPqIndex(codes, coarse, pq, residual, subDim,
+      codebooksMemo = Some((codebook.sortBy(_._1), cents,
+        cents.length, cents.map(_.length).max)))
   }
 
   /** Search a PERSISTED IVF-PQ index — retrain-free by construction:
@@ -2826,6 +2874,11 @@ object Similarity {
     */
   private def collectIndexCodebooks(index: IvfPqIndex)
       : (Array[(Long, Seq[Double])], Array[Array[Array[Double]]], Int, Int) = {
+    // an index whose constructor already held the codebooks driver-side
+    // (build: the trained arrays; load: the validation collect) answers
+    // without a job — the memoized tuple is byte-identical to what the
+    // collect below reconstructs (same rows, same sort keys)
+    index.codebooksMemo.foreach(cb => return cb)
     // both codebook relations come back in ONE bounded collect (they are
     // nCentroids + subspaces·pqK rows total) — one driver round-trip per
     // search/encode instead of two; rows are split and ordered on the
@@ -2837,20 +2890,31 @@ object Similarity {
         col("subspace").cast("long").as("__a"), col("code").cast("long").as("__b"),
         col("centroid").as("__c")))
       .collect()
-    val codebook: Array[(Long, Seq[Double])] = rows.filter(_.getInt(0) == 0)
-      .map(r => (r.getLong(1), r.getSeq[Double](3)))
-      .sortBy(_._1)
+    assembleCodebooks(
+      rows.filter(_.getInt(0) == 0)
+        .map(r => (r.getLong(1), r.getSeq[Double](3))),
+      rows.filter(_.getInt(0) == 1)
+        .map(r => (r.getLong(1), r.getLong(2), r.getSeq[Double](3))))
+  }
+
+  /** Driver-side reconstruction of the literal codebooks from collected
+    * coarse pairs and pq triples — the ONE parsing shared by the
+    * per-search collect above and the load-time validation collect (so
+    * the load's memo can never drift from what a search would have
+    * collected): cell-ascending codebook, (subspace, code)-sorted cents.
+    */
+  private def assembleCodebooks(coarsePairs: Array[(Long, Seq[Double])],
+                                pqTriples: Array[(Long, Long, Seq[Double])])
+      : (Array[(Long, Seq[Double])], Array[Array[Array[Double]]], Int, Int) = {
+    val codebook = coarsePairs.sortBy(_._1)
     require(codebook.nonEmpty, "coarse codebook relation is empty")
-    val pqRows = rows.filter(_.getInt(0) == 1)
-    require(pqRows.nonEmpty, "pq codebook relation is empty")
-    val subspaces = pqRows.map(_.getLong(1)).max.toInt + 1
+    require(pqTriples.nonEmpty, "pq codebook relation is empty")
+    val subspaces = pqTriples.map(_._1).max.toInt + 1
     val cents: Array[Array[Array[Double]]] = Array.tabulate(subspaces) { sp =>
-      pqRows.filter(_.getLong(1) == sp).sortBy(_.getLong(2))
-        .map(_.getSeq[Double](3).toArray)
+      pqTriples.filter(_._1 == sp).sortBy(_._2).map(_._3.toArray)
     }
     require(cents.forall(_.nonEmpty), "pq codebook has an empty subspace")
-    val pqK = cents.map(_.length).max
-    (codebook, cents, subspaces, pqK)
+    (codebook, cents, subspaces, cents.map(_.length).max)
   }
 
   /** Encode a batch against an index's FROZEN codebooks — FAISS's `add`
