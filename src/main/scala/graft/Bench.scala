@@ -26,12 +26,29 @@ object Bench {
     // these fixtures exercise. See OPTIMIZATION_r16.md.
     val advisory = sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "1m")
     val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "64k")
+    // round-17 conf probes (VERDICT #7), both A/B'd at sf0.1 AND the
+    // 500k guard before deciding defaults (OPTIMIZATION_r17.md "Conf
+    // probes"; rows identical across configs in every leg):
+    // - preferSortMergeJoin=false (guide §3.1/§9: let the planner pick
+    //   shuffled-hash when its size conditions fit) ADOPTED: −6–15% on
+    //   the 24-query shuffle-heavy sf0.1 subset twice, −4% net over the
+    //   500k stages (hits −14%, snm −17%, jaccard +3–9%). Env-restorable;
+    //   deployments whose per-partition build sides risk OOM (the known
+    //   §3.1 trade) set SPARK_GRAFT_PREFER_SMJ=true.
+    // - io codec zstd REJECTED at both scales (+20% sf0.1, +28% 500k —
+    //   these shuffles are small and CPU-dense, the §2.3 regime where
+    //   compression CPU is pure overhead); knob kept for byte-bound
+    //   100 TB shuffles where the guide expects zstd to win.
+    val preferSmj = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false")
+    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
+      .config("spark.io.compression.codec", ioCodec)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -27,6 +27,14 @@ object PipelineScaleBench {
       // spark.serializer (DataFrame exchanges use UnsafeRow regardless),
       // and Kryo is several times faster than Java serialization there
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // the same round-17 conf-probe knobs as Bench.scala so a config
+      // candidate is A/B-able at THIS scale too before any default
+      // changes — fixture-only wins don't count. Defaults match Bench
+      // (shuffled-hash preference adopted on both-scale evidence).
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
