@@ -1343,15 +1343,25 @@ object TextAnalysis {
         throw new IllegalArgumentException(
           s"""weighting must be "tfidf" or "bm25", got "$other"""")
     }
-    val full = post.withColumnRenamed(idCol, "doc_id").localCheckpoint()
-    val cappedRel = cap.map(c =>
-      cappedPostings(full, "doc_id", "token", "weight", c).localCheckpoint())
+    // the corpus count (nDocs, a one-task metadata-ish scan) is
+    // independent of the posting materializations — overlap it with the
+    // checkpoint chain (guide §2.6) instead of paying a sequential job
+    // after them; the chain itself is ordered (capped prunes the full
+    // checkpoint)
+    var n = -1L
+    val (_, mats) = Par.par2(
+      { n = df.count() },
+      {
+        val full = post.withColumnRenamed(idCol, "doc_id").localCheckpoint()
+        (full, cap.map(c =>
+          cappedPostings(full, "doc_id", "token", "weight", c).localCheckpoint()))
+      })
+    val (full, cappedRel) = mats
     // vocab (token, df) is vocabulary-sized and derivable from the kept
     // postings (df = the posting-list length — pruning already applied);
     // it persists with the index so [[queryPostings]] never scans the
     // posting relation to reconstruct a query's weight profile
     val vocab = full.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val n = df.count()
     SparseIndex(full, weighting, minDf, maxDfFrac, k1o, bo, n, vocab,
       cap, cappedRel)
   }
@@ -1428,6 +1438,22 @@ object TextAnalysis {
     var metaRows: Array[org.apache.spark.sql.Row] = null
     var n = -1L
     var nv = -1L
+    // the capped relation's footer count used to run SEQUENTIALLY after
+    // the meta parse (its presence is meta-gated) — probe the directory
+    // up front instead and count it INSIDE the concurrent batch; the
+    // meta cross-checks below still fire in the original order (a mixed
+    // directory fails the same requires; a capped-schema problem now
+    // surfaces before the meta checks rather than after — messages
+    // unchanged)
+    val cappedPath = new org.apache.hadoop.fs.Path(s"$dir/capped")
+    val fs = cappedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cappedExisting = if (fs.exists(cappedPath)) {
+      val cp = spark.read.parquet(s"$dir/capped")
+      require(Set("doc_id", "token", "weight").subsetOf(cp.columns.toSet),
+        s"$dir/capped must hold (doc_id, token, weight), got ${cp.columns.mkString(", ")}")
+      Some(cp)
+    } else None
+    var nc = -1L
     graft.operators.Par.run(Seq(
       () => metaRows = spark.read.parquet(s"$dir/meta")
         .select(col("weighting").cast("string"), col("min_df").cast("int"),
@@ -1437,7 +1463,8 @@ object TextAnalysis {
           col("n_capped").cast("long"), col("n_docs").cast("long"))
         .collect(),
       () => n = postings.count(),
-      () => nv = vocab.count()))
+      () => nv = vocab.count()) ++
+      cappedExisting.map(cp => () => { nc = cp.count(); () }))
     require(metaRows.length == 1,
       s"$dir/meta must hold exactly one row, got ${metaRows.length}")
     val m = metaRows.head
@@ -1473,22 +1500,16 @@ object TextAnalysis {
     val nCapO = if (m.isNullAt(8)) None else Some(m.getLong(8))
     require(capO.isDefined == nCapO.isDefined,
       s"$dir/meta: cap/n_capped must travel together, got cap=$capO n_capped=$nCapO")
-    val cappedPath = new org.apache.hadoop.fs.Path(s"$dir/capped")
-    val fs = cappedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cappedRel = capO match {
       case Some(c) =>
         require(c >= 1, s"$dir/meta: cap must be >= 1, got $c")
-        require(fs.exists(cappedPath),
+        require(cappedExisting.isDefined,
           s"$dir/meta says cap=$c but $dir/capped is missing — a mixed directory")
-        val cp = spark.read.parquet(s"$dir/capped")
-        require(Set("doc_id", "token", "weight").subsetOf(cp.columns.toSet),
-          s"$dir/capped must hold (doc_id, token, weight), got ${cp.columns.mkString(", ")}")
-        val nc = cp.count()
         require(nc == nCapO.get,
           s"meta says ${nCapO.get} capped postings but $dir/capped holds $nc")
-        Some(cp)
+        cappedExisting
       case None =>
-        require(!fs.exists(cappedPath),
+        require(cappedExisting.isEmpty,
           s"$dir/meta says uncapped but $dir/capped exists — a mixed directory")
         None
     }
